@@ -1,0 +1,162 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+
+/** Canonical JSON serialization of OTLP attributes and AnyValues.
+  *
+  * Replicates the reference's `serde_json::to_string` over a `BTreeMap`
+  * (sorted keys, native JSON value types — observed in every golden file,
+  * /root/reference/scripts/perf_audit.py:216-226 and
+  * /root/reference/testdata/parquet goldens):
+  *   - object keys sorted by Unicode code point (BTreeMap / UTF-8 byte order)
+  *   - duplicate keys: last one wins
+  *   - string escaping: `"`→\", `\`→\\, \b \f \n \r \t, other control chars
+  *     as \u00XX; non-ASCII emitted raw (serde_json does not \u-escape)
+  *   - ints bare, bools bare, doubles shortest-roundtrip
+  *
+  * Input rows follow [[graft.schema.OtlpSchemas.anyValueType]].
+  */
+object JsonCanon {
+
+  def escapeInto(s: String, sb: java.lang.StringBuilder): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      (c: @annotation.switch) match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case _ =>
+          if (c < 0x20) sb.append(f"\\u${c.toInt}%04x") else sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+
+  /** serde_json (ryu) style double formatting: integral finite values get a
+    * trailing `.0`, exponents use lowercase `e` without `+`. Java's
+    * `Double.toString` already emits shortest-roundtrip digits; this adapts
+    * its exponent/integral formatting to ryu's.
+    */
+  def fmtDouble(d: Double): String = {
+    if (d.isNaN || d.isInfinite) return "null" // serde_json refuses; not reachable post metric-skip
+    val s = java.lang.Double.toString(d)
+    if (s.indexOf('E') < 0) return s // includes "1.0", "-0.5"
+    // java: "1.0E17" / "1.23E-4" → ryu: "1e17" / "1.23e-4"
+    val e = s.indexOf('E')
+    var mant = s.substring(0, e)
+    if (mant.endsWith(".0")) mant = mant.substring(0, mant.length - 2)
+    mant + "e" + s.substring(e + 1)
+  }
+
+  /** Code-point (UTF-8 byte order) comparator — matches Rust BTreeMap<String>. */
+  private def cpCompare(a: String, b: String): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(i)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+    }
+    a.length < b.length
+  }
+
+  /** AnyValue Row (schema [[graft.schema.OtlpSchemas.anyValueType]]) → JSON. */
+  def anyValueInto(v: Row, sb: java.lang.StringBuilder): Unit = {
+    if (v == null) { sb.append("null"); return }
+    val n = v.schema.fieldNames
+    def idx(f: String): Int = v.fieldIndex(f)
+    val iStr = idx("stringValue")
+    if (!v.isNullAt(iStr)) { escapeInto(v.getString(iStr), sb); return }
+    val iBool = idx("boolValue")
+    if (!v.isNullAt(iBool)) { sb.append(v.getBoolean(iBool)); return }
+    val iInt = idx("intValue")
+    if (!v.isNullAt(iInt)) { sb.append(java.lang.Long.parseLong(v.getString(iInt).trim)); return }
+    val iDbl = idx("doubleValue")
+    if (!v.isNullAt(iDbl)) { sb.append(fmtDouble(v.getDouble(iDbl))); return }
+    val iBytes = idx("bytesValue")
+    if (!v.isNullAt(iBytes)) { escapeInto(v.getString(iBytes), sb); return } // keep base64 text
+    if (n.contains("arrayValue")) {
+      val iArr = idx("arrayValue")
+      if (!v.isNullAt(iArr)) {
+        val arr = v.getStruct(iArr)
+        sb.append('[')
+        val values =
+          if (arr.isNullAt(arr.fieldIndex("values"))) Seq.empty[Row]
+          else arr.getSeq[Row](arr.fieldIndex("values"))
+        var first = true
+        values.foreach { e =>
+          if (!first) sb.append(','); first = false
+          anyValueInto(e, sb)
+        }
+        sb.append(']')
+        return
+      }
+      val iKv = idx("kvlistValue")
+      if (!v.isNullAt(iKv)) {
+        val kvl = v.getStruct(iKv)
+        val values =
+          if (kvl.isNullAt(kvl.fieldIndex("values"))) Seq.empty[Row]
+          else kvl.getSeq[Row](kvl.fieldIndex("values"))
+        kvListInto(values, sb)
+        return
+      }
+    }
+    sb.append("null") // empty AnyValue
+  }
+
+  /** KeyValue list → sorted-key JSON object (last duplicate wins). */
+  def kvListInto(kvs: Seq[Row], sb: java.lang.StringBuilder): Unit = {
+    if (kvs == null || kvs.isEmpty) { sb.append("{}"); return }
+    // last-wins dedup, then code-point sort
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Row]
+    kvs.foreach { kv =>
+      if (kv != null) {
+        val k = if (kv.isNullAt(0)) "" else kv.getString(0)
+        val v = if (kv.isNullAt(1)) null else kv.getStruct(1)
+        m.put(k, v)
+      }
+    }
+    val keys = m.keys.toArray
+    scala.util.Sorting.stableSort(keys, cpCompare _)
+    sb.append('{')
+    var first = true
+    keys.foreach { k =>
+      if (!first) sb.append(','); first = false
+      escapeInto(k, sb)
+      sb.append(':')
+      anyValueInto(m(k), sb)
+    }
+    sb.append('}')
+  }
+
+  /** Attributes array → canonical JSON object string ("{}" for null/empty). */
+  def attrsToJson(kvs: Seq[Row]): String = {
+    val sb = new java.lang.StringBuilder(64)
+    kvListInto(if (kvs == null) Seq.empty else kvs, sb)
+    sb.toString
+  }
+
+  /** Attributes array minus the given keys. */
+  def attrsToJsonExcluding(kvs: Seq[Row], excluded: Set[String]): String = {
+    val kept =
+      if (kvs == null) Seq.empty[Row]
+      else kvs.filter(kv => kv == null || kv.isNullAt(0) || !excluded.contains(kv.getString(0)))
+    attrsToJson(kept)
+  }
+
+  /** AnyValue → JSON-encoded string (a plain string body becomes `"..."`),
+    * null for an absent body. */
+  def anyValueToJson(v: Row): String = {
+    if (v == null) return null
+    val sb = new java.lang.StringBuilder(32)
+    anyValueInto(v, sb)
+    sb.toString
+  }
+}

@@ -1,0 +1,69 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hive-partitioned Snappy-Parquet sink.
+  *
+  * Path layout replicates the reference's
+  * `{prefix}{signal}[/{metric_type}]/{service}/year=Y/month=MM/day=DD/hour=HH/...`
+  * (/root/reference/src/writer/write.rs:93-130) via `partitionBy` on derived
+  * columns. The reference's plain `{service}` dir becomes a `service=` k=v
+  * partition dir — same pruning semantics, Spark-native layout (documented
+  * deviation).
+  *
+  * Scale notes: dynamic partition insert with one shuffle-free write per
+  * input split; callers can `repartition($"service", ...)` first to get one
+  * file per (service, hour) instead of one per (task, service, hour).
+  * `maxRecordsPerFile` mirrors the reference's 200k-row flush threshold
+  * (/root/reference/src/config/mod.rs:53-62).
+  */
+object OtelWrite {
+
+  /** `/ \ space : * ? " < > |` → `_`; empty → unknown-service
+    * (/root/reference/src/writer/write.rs:132-148). */
+  def sanitizeService(c: Column): Column = {
+    val cleaned = regexp_replace(c, "[/\\\\ :*?\"<>|]", "_")
+    when(c.isNull || c === "", lit("unknown-service")).otherwise(cleaned)
+  }
+
+  /** Add service/year/month/day/hour partition columns from a timestamp. */
+  def withPartitionColumns(df: DataFrame, serviceCol: String = "ServiceName",
+      tsCol: String = "Timestamp"): DataFrame =
+    df.withColumn("service", sanitizeService(col(serviceCol)))
+      .withColumn("year", year(col(tsCol)))
+      .withColumn("month", format_string("%02d", month(col(tsCol))))
+      .withColumn("day", format_string("%02d", dayofmonth(col(tsCol))))
+      .withColumn("hour", format_string("%02d", hour(col(tsCol))))
+
+  /** Write one flat signal table to `{root}/{tableDir}` partitioned by
+    * service/year/month/day/hour; snappy parquet, capped file sizes. */
+  def write(df: DataFrame, root: String, tableDir: String,
+      maxRecordsPerFile: Long = 200000L,
+      coalescePartitions: Boolean = false): Unit = {
+    val partitioned = withPartitionColumns(df)
+    val arranged =
+      if (coalescePartitions)
+        // one task per (service, hour) → one file per partition dir; use for
+        // compaction jobs, not for wide ingest
+        partitioned.repartition(col("service"), col("year"), col("month"),
+          col("day"), col("hour"))
+      else partitioned
+    arranged.write
+      .mode("append")
+      .option("compression", "snappy")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("service", "year", "month", "day", "hour")
+      .parquet(s"$root/$tableDir")
+  }
+
+  /** Full metrics fan-out: four persisted kinds, summary dropped — parity
+    * with /root/reference/src/handlers.rs:629-642. */
+  def writeMetrics(pm: graft.transform.Otlp.PartitionedMetrics, root: String): Unit = {
+    write(pm.gauge, root, "otel_metrics_gauge")
+    write(pm.sum, root, "otel_metrics_sum")
+    write(pm.histogram, root, "otel_metrics_histogram")
+    write(pm.expHistogram, root, "otel_metrics_exponential_histogram")
+    // summary intentionally not persisted (reference drops it)
+  }
+}
