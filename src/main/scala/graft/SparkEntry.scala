@@ -1,13 +1,290 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Multimodal, QuerySurface, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 + §7.
+  *
+  * Every entry in [[queries]] is an operator from the SURVEY §2 inventory or
+  * the training-data-pipeline extension set; entries with a SQL-expressible
+  * semantics also appear in [[oracleSql]] and are hash-compared against
+  * DuckDB at sf0.01. Hash-based operators (MinHash/SimHash/LSH/fingerprint)
+  * have no DuckDB twin (engine hash functions differ; DuckDB has checked
+  * 64-bit arithmetic) → rows-only check, with ScalaTest specs covering their
+  * semantics instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The full star
+    * join + aggregate exercises scan, broadcast join, shuffle agg, sort. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    QuerySurface.q5RegionRevenue(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- query surface (SURVEY §2.4) --
+    "q_scan_project" -> (QuerySurface.scanProject _),
+    "q_filter_time" -> (QuerySurface.filterTime _),
+    "q_filter_in" -> (QuerySurface.filterIn _),
+    "q_topk" -> (QuerySurface.topK _),
+    "q_groupby_count" -> (QuerySurface.groupByCount _),
+    "q_time_bucket_agg" -> (QuerySurface.timeBucketAgg _),
+    "q_scalar_arith" -> (QuerySurface.scalarArith _),
+    "q_join_equi" -> (QuerySurface.joinEqui _),
+    "q_hist_buckets" -> (QuerySurface.histBuckets _),
+    "q_partition_prune" -> (QuerySurface.partitionPrune _),
+    "q_json_extract" -> (QuerySurface.jsonExtract _),
+    // -- analytic headliners (bench workhorses) --
+    "q1_pricing" -> (QuerySurface.q1Pricing _),
+    "q3_top_orders" -> (QuerySurface.q3TopOrders _),
+    "q5_region_revenue" -> (QuerySurface.q5RegionRevenue _),
+    // -- dedup --
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    // -- similarity search --
+    "sim_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosinePairs(s, d)),
+    "sim_topk" -> ((s: SparkSession, d: String) => Similarity.topK(s, d)),
+    "sim_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    "sim_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    // -- text analysis --
+    "text_tokens" -> (TextAnalysis.tokens _),
+    "text_quality" -> (TextAnalysis.quality _),
+    "text_langid" -> (TextAnalysis.langId _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    // -- multimodal columns --
+    "mm_features" -> (Multimodal.features _),
+    "mm_binary_meta" -> (Multimodal.binaryMeta _),
+  )
+
+  /** DuckDB oracles. Writing rules (see graft.operators.Tables):
+    * decimal-cast SUM/AVG, epoch-µs timestamps, deterministic total ORDER BY,
+    * BIGINT counts, identical expression association as the Spark side. */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT event_id, event_type, value FROM events ORDER BY event_id LIMIT 100""",
+
+    "q_filter_time" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_filter_in" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_type IN ('error', 'purchase') AND value > 150.0
+        |ORDER BY event_id""".stripMargin,
+
+    "q_topk" ->
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 25""".stripMargin,
+
+    "q_groupby_count" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin,
+
+    "q_time_bucket_agg" ->
+      """SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+        |  count(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin,
+
+    "q_scalar_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge,
+        |  l_extendedprice * l_discount AS discount_amt
+        |FROM lineitem WHERE l_quantity > 45.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_join_equi" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 2) AS DOUBLE) AS total_revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_hist_buckets" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(least(floor(value / 50.0), 9.0) AS BIGINT) AS bucket,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_type, bucket,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS total
+        |  FROM b
+        |)
+        |SELECT event_type, min(bucket) AS p95_bucket, min(bucket) * 50.0 AS p95_lower_bound
+        |FROM c WHERE cum >= 0.95 * total GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_partition_prune" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(28,4))), 2) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) = 15
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+        |ORDER BY event_id""".stripMargin,
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,4))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,4))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_charge,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey, epoch_us(o_orderdate) AS orderdate_us,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY r_name, n_name""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT doc_id,
+        |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical,
+        |  count(*) OVER (PARTITION BY md5(text)) AS dup_group_size
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id1, id2, c / (sa.n + sb.n - c) AS jaccard
+        |FROM inter JOIN sizes sa ON id1 = sa.doc_id JOIN sizes sb ON id2 = sb.doc_id
+        |WHERE c / (sa.n + sb.n - c) >= 0.3
+        |ORDER BY id1, id2""".stripMargin,
+
+    "sim_cosine_pairs" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+        |)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+        |ORDER BY id1, id2""".stripMargin,
+
+    "sim_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+        |), s AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) AS cos
+        |  FROM n q JOIN n x ON q.vec_id < 8 AND q.vec_id <> x.vec_id
+        |), r AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM s
+        |)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) AS BIGINT) / CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the','a','and','of','to'], t))) AS BIGINT) AS n_stop
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tokens, n_distinct, n_stop,
+        |  n_stop / n_tokens AS stopword_ratio,
+        |  n_distinct / n_tokens AS diversity,
+        |  least(1.0, (n_distinct / n_tokens) * 0.6 + (n_stop / n_tokens) * 2.0 +
+        |    CASE WHEN n_tokens >= 50 AND n_tokens <= 2000 THEN 0.2 ELSE 0.0 END) AS quality_score
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS c_de,
+        |    CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS c_en,
+        |    CAST(len(list_filter(w, x -> list_contains(['el','la','los','las','es'], x))) AS BIGINT) AS c_es,
+        |    CAST(len(list_filter(w, x -> list_contains(['le','les','des','et','est'], x))) AS BIGINT) AS c_fr,
+        |    CAST(len(list_filter(w, x -> list_contains(['的','了','是','在','和'], x))) AS BIGINT) AS c_zh
+        |  FROM t
+        |), m AS (
+        |  SELECT *, greatest(c_de, c_en, c_es, c_fr, c_zh) AS mx FROM c
+        |)
+        |SELECT doc_id, lang, c_de, c_en, c_es, c_fr, c_zh,
+        |  CASE WHEN c_de = mx AND mx > 0 THEN 'de'
+        |       WHEN c_en = mx AND mx > 0 THEN 'en'
+        |       WHEN c_es = mx AND mx > 0 THEN 'es'
+        |       WHEN c_fr = mx AND mx > 0 THEN 'fr'
+        |       WHEN c_zh = mx AND mx > 0 THEN 'zh'
+        |       ELSE 'und' END AS pred_lang,
+        |  (CASE WHEN c_de = mx AND mx > 0 THEN 'de'
+        |        WHEN c_en = mx AND mx > 0 THEN 'en'
+        |        WHEN c_es = mx AND mx > 0 THEN 'es'
+        |        WHEN c_fr = mx AND mx > 0 THEN 'fr'
+        |        WHEN c_zh = mx AND mx > 0 THEN 'zh'
+        |        ELSE 'und' END) = lang AS is_correct
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "mm_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(len(list_filter(string_split(text, ''),
+        |    ch -> CAST(least(floor(unicode(ch) / 32), 3) AS BIGINT) = 0)) AS BIGINT) AS f0,
+        |  CAST(len(list_filter(string_split(text, ''),
+        |    ch -> CAST(least(floor(unicode(ch) / 32), 3) AS BIGINT) = 1)) AS BIGINT) AS f1,
+        |  CAST(len(list_filter(string_split(text, ''),
+        |    ch -> CAST(least(floor(unicode(ch) / 32), 3) AS BIGINT) = 2)) AS BIGINT) AS f2,
+        |  CAST(len(list_filter(string_split(text, ''),
+        |    ch -> CAST(least(floor(unicode(ch) / 32), 3) AS BIGINT) = 3)) AS BIGINT) AS f3
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha256, md5(text) AS md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** The reference's documented query surface (SURVEY §2.4,
+  * /root/reference/docs/querying.md) re-expressed over the driver's synthetic
+  * tables. `events` (ts / event_type / value / user_id / props) plays the role
+  * of the telemetry table; the TPC-H-ish star schema exercises the join/agg
+  * shapes at benchmarkable scale.
+  *
+  * Scale design notes (target: 1000-executor cluster, 100 TB):
+  *   - filters and projections sit directly on the parquet scan so Catalyst
+  *     pushes them down (verify via `.explain`: PushedFilters / ReadSchema);
+  *   - dimension tables (nation/region/customer at these SFs) are explicitly
+  *     `broadcast()` so the big fact-table side never shuffles for the join;
+  *   - top-k is orderBy+limit, which Spark plans as TakeOrderedAndProject
+  *     (per-partition heap + driver merge of k rows — no global sort);
+  *   - group-bys are partial-aggregated map-side before the single shuffle.
+  */
+object QuerySurface {
+
+  /** q-scan-project: scan + projection + deterministic LIMIT
+    * (docs/querying.md:11-16). The ORDER BY on the unique key makes LIMIT
+    * reproducible; Spark plans it as TakeOrderedAndProject. */
+  def scanProject(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+      .limit(100)
+
+  /** q-filter-time: time-range predicate, pushed to the parquet scan
+    * (docs/querying.md:33-37). Timestamps emitted as epoch µs. */
+  def filterTime(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-11 00:00:00").cast("timestamp"))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** q-filter-in: IN-list + numeric predicate (docs/querying.md:52-58). */
+  def filterIn(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .filter(col("event_type").isin("error", "purchase") && col("value") > lit(150.0))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** q-topk: order by + limit (docs/querying.md:63-82). Unique-key tiebreak. */
+  def topK(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(25)
+
+  /** q-groupby-count: hash aggregate + sort (docs/querying.md:43-48). */
+  def groupByCount(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type"))
+
+  /** q-time-bucket-agg: date_trunc bucketing + AVG (docs/querying.md:87-95).
+    * Day buckets; exact decimal accumulation (see [[Tables.exactAvg]]). */
+  def timeBucketAgg(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), exactAvg(col("value")).as("avg_value"))
+      .orderBy(col("day_us"), col("event_type"))
+
+  /** q-scalar-arith: per-row arithmetic projection (docs/querying.md:74-82).
+    * Raw double ops are bit-identical across engines given identical
+    * association, so no rounding is needed. */
+  def scalarArith(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .filter(col("l_quantity") > lit(45.0))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).as("charge"),
+        (col("l_extendedprice") * col("l_discount")).as("discount_amt"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** q-join-equi: inner equi-join + group agg (docs/querying.md:110-124).
+    * orders ⋈ customer ⋈ nation: the two dimension sides are broadcast so the
+    * fact scan never shuffles for the join — only the final group-by does. */
+  def joinEqui(spark: SparkSession, sfDir: String): DataFrame =
+    orders(spark, sfDir)
+      .join(broadcast(customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice")).as("total_revenue"))
+      .orderBy(col("n_name"))
+
+  /** q-hist-buckets: percentile estimation from histogram bucket counts
+    * (docs/querying.md:97-108) — the OTLP-histogram p95 pattern: bucketize,
+    * cumulative-sum, first bucket crossing 0.95·total. Fixed bounds
+    * 0,50,...,500 mirror ExplicitBounds. */
+  def histBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucketed = events(spark, sfDir)
+      .select(col("event_type"),
+        least(floor(col("value") / lit(50.0)), lit(9.0)).cast("long").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("event_type"))
+    bucketed
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(wt))
+      .filter(col("cum") >= lit(0.95) * col("total"))
+      .groupBy(col("event_type"))
+      .agg(min(col("bucket")).as("p95_bucket"))
+      .withColumn("p95_lower_bound", col("p95_bucket") * lit(50.0))
+      .orderBy(col("event_type"))
+  }
+
+  /** q-partition-prune: the day-partition pruning pattern
+    * (docs/querying.md:154-164) — predicates on year/month/day derived
+    * columns; on a partitioned layout these prune directories before the
+    * scan. */
+  def partitionPrune(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .filter(year(col("ts")) === 2024 && month(col("ts")) === 1 &&
+        dayofmonth(col("ts")) === 15)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  /** q-json-extract: JSON property extraction from the `props` payload column
+    * — the LogAttributes/SpanAttributes access pattern (attributes are stored
+    * as JSON strings, SURVEY §1.3). */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k") >= 90)
+      .orderBy(col("event_id"))
+
+  // ---- TPC-H-style headliners (bench workhorses over lineitem) ----
+
+  /** Pricing-summary aggregate (TPC-H Q1 shape): wide multi-aggregate scan. */
+  def q1Pricing(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_base_price"),
+        exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 8, 2)
+          .as("sum_disc_price"),
+        exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax")), 8, 2).as("sum_charge"),
+        exactAvg(col("l_quantity")).as("avg_qty"),
+        exactAvg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Top-k revenue orders (TPC-H Q3 shape): fact ⋈ fact ⋈ broadcast dim,
+    * aggregate, top-10. */
+  def q3TopOrders(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .join(orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("orderdate_us"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 8, 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** Regional revenue (TPC-H Q5 shape): the full star join —
+    * lineitem ⋈ orders (shuffle on orderkey) ⋈ broadcast(customer ⋈ supplier
+    * ⋈ nation ⋈ region). Same-nation customer/supplier condition kept. */
+  def q5RegionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val nr = nation(spark, sfDir)
+      .join(region(spark, sfDir), col("n_regionkey") === col("r_regionkey"))
+    val li = lineitem(spark, sfDir)
+      .join(orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+    li.groupBy(col("r_name"), col("n_name"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 8, 2)
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+}

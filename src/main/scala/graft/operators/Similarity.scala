@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Three tiers:
+  *   - [[cosinePairs]] / [[topK]]: exact brute-force cosine — the correctness
+  *     baseline. Cost O(n²·d); viable for candidate verification or small n.
+  *   - [[annLsh]]: random-hyperplane LSH — sign-bit signatures bucket the
+  *     vectors, candidates come only from the query's bucket. The scale path:
+  *     one map pass to sign, a bucket-key shuffle, per-bucket brute force.
+  *   - [[annIvf]]: IVF-style probe — k-means-ish coarse centroids (here the
+  *     dataset's `label` clusters), queries probe the nProbe nearest
+  *     centroids and search only those inverted lists. At 100 TB this is the
+  *     architecture that keeps per-query work sublinear: centroids are a tiny
+  *     broadcast, lists are partition-pruned by centroid id.
+  *
+  * Determinism: dot products are left-fold `aggregate` over the index order
+  * (no shuffle-order dependence); cosines are rounded to 6 decimals before
+  * any threshold/ordering so last-ulp FP noise (engine- or plan-dependent
+  * summation order in the oracle) can't flip a comparison.
+  */
+object Similarity {
+
+  /** embedding (float) → double vector + its L2 norm. */
+  private def withVec(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
+    round(dot(va, vb) / (na * nb), 6)
+
+  /** All-pairs cosine ≥ threshold (exact near-dup over embeddings). */
+  def cosinePairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val e = withVec(embeddings(spark, sfDir))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        cosine(col("a.v"), col("a.nrm"), col("b.v"), col("b.nrm")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Brute-force cosine top-k for the query set (vec_id < nQueries): the ANN
+    * baseline. Ranking orders by the *rounded* cosine with vec_id tiebreak —
+    * fully deterministic. */
+  def topK(spark: SparkSession, sfDir: String, k: Int = 10,
+      nQueries: Int = 8): DataFrame = {
+    val e = withVec(embeddings(spark, sfDir))
+    val q = e.filter(col("vec_id") < nQueries)
+    val scored = broadcast(q).as("q").join(e.as("e"),
+        col("q.vec_id") =!= col("e.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
+        cosine(col("q.v"), col("q.nrm"), col("e.v"), col("e.nrm")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: values in [-1, 1) from a
+    * fixed-seed PRNG, shipped as a literal (nPlanes × dim) matrix. */
+  private def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+  }
+
+  /** Random-hyperplane LSH signature (one bit per plane, packed to a long). */
+  def lshSignature(v: Column, nPlanes: Int = 6, dim: Int = 64): Column = {
+    val planes = typedLit(hyperplanes(nPlanes, dim))
+    val pow2 = typedLit((0 until nPlanes).map(j => 1L << j))
+    aggregate(
+      transform(sequence(lit(0), lit(nPlanes - 1)), p =>
+        when(dot(v, element_at(planes, p + 1)) > 0, element_at(pow2, p + 1))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** LSH-bucketed ANN: queries search only their own signature bucket.
+    * Approximate (bucket boundaries lose some true neighbors) but the
+    * per-query cost drops from O(n) to O(bucket). */
+  def annLsh(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 8): DataFrame = {
+    val e = withVec(embeddings(spark, sfDir))
+      .withColumn("sig", lshSignature(col("v")))
+    val q = e.filter(col("vec_id") < nQueries)
+    val scored = broadcast(q).as("q").join(e.as("e"),
+        col("q.sig") === col("e.sig") && col("q.vec_id") =!= col("e.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
+        cosine(col("q.v"), col("q.nrm"), col("e.v"), col("e.nrm")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-style ANN: coarse centroids = per-`label` mean vectors (stand-in for
+    * a k-means codebook); each query probes its nProbe nearest centroids and
+    * brute-forces only those inverted lists. Centroids are computed with one
+    * posexplode + groupBy(label, dim) — a (labels × dim)-key shuffle — then
+    * broadcast. */
+  def annIvf(spark: SparkSession, sfDir: String, k: Int = 5, nProbe: Int = 2,
+      nQueries: Int = 8): DataFrame = {
+    val e = withVec(embeddings(spark, sfDir))
+
+    val centroids = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
+      .select(col("label").as("c_label"),
+        transform(col("pcs"), p => p("cx")).as("cv"))
+      .withColumn("c_nrm",
+        sqrt(aggregate(col("cv"), lit(0.0), (a, x) => a + x * x)))
+
+    val q = e.filter(col("vec_id") < nQueries)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_cos").desc, col("c_label"))
+    val probed = q.as("q").crossJoin(broadcast(centroids))
+      .select(col("q.vec_id").as("query_id"), col("q.v").as("qv"),
+        col("q.nrm").as("qnrm"), col("c_label"),
+        cosine(col("q.v"), col("q.nrm"), col("cv"), col("c_nrm")).as("c_cos"))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("c_label"))
+
+    val scored = broadcast(probed).as("p").join(e.as("e"),
+        col("p.c_label") === col("e.label") && col("p.query_id") =!= col("e.vec_id"))
+      .select(col("query_id"), col("e.vec_id").as("neighbor_id"),
+        cosine(col("p.qv"), col("p.qnrm"), col("e.v"), col("e.nrm")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

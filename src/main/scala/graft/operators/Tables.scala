@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's synthetic tables (`/root/repo/TESTDATA.md`) plus
+  * shared cross-engine-determinism helpers.
+  *
+  * Every query in [[graft.SparkEntry.queries]] is hash-compared against a
+  * DuckDB oracle, so results must be bit-identical across engines. The rules
+  * encoded here:
+  *
+  *   - double SUM/AVG go through a decimal cast (exact, order-independent
+  *     accumulation) and back to double — FP addition is not associative, so
+  *     summing raw doubles in different orders diverges in the last ulps and
+  *     can flip a rounded digit. Per-row double arithmetic needs no such
+  *     treatment (IEEE ops are deterministic given operand order).
+  *   - timestamps are emitted as epoch microseconds (BIGINT): the parquet
+  *     testdata carries µs-precision values in ns-typed columns, and engines
+  *     disagree on the display/physical type but not on unix_micros.
+  *   - every result has a deterministic total ORDER BY (unique key suffix).
+  *   - counts are BIGINT on both sides (`count(*)` natively; Spark `size()`
+  *     is INT and gets cast).
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads as a
+    * raw long (spark.sql.legacy.parquet.nanosAsLong=true — set by
+    * Verify/Bench/tests). Normalize to a µs TimestampType here with integer
+    * division (the ns epoch value exceeds 2^53, so float division would lose
+    * microseconds). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+
+  /** Exact sum of a double column: decimal accumulation, rounded, back to
+    * double. DuckDB twin: `CAST(ROUND(SUM(CAST(x AS DECIMAL(28,S))), R) AS DOUBLE)`.
+    * The final decimal→double cast is exact for |v| < 2^53 / 10^R. */
+  def exactSum(c: Column, scale: Int = 4, roundTo: Int = 2): Column =
+    round(sum(c.cast(s"decimal(28,$scale)")), roundTo).cast("double")
+
+  /** Exact average: decimal sum cast to double, divided by the BIGINT count,
+    * rounded. Division + round on identical inputs is identical on both
+    * engines. DuckDB twin:
+    * `ROUND(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(x), 6)`. */
+  def exactAvg(c: Column, roundTo: Int = 6): Column =
+    round(sum(c.cast("decimal(28,6)")).cast("double") / count(c), roundTo)
+}
