@@ -9,12 +9,12 @@ import graft.transform.Otlp
   * tables. The Spark equivalent of the reference's serve→decode→write path
   * collapsed into one lazy plan (SURVEY §3.3).
   *
-  * Usage: Ingest <logs|traces|metrics> <json|jsonl> <inputPath...> <outputRoot>
+  * Usage: Ingest <logs|traces|metrics> <json|jsonl|protobuf> <inputPath...> <outputRoot>
   */
 object Ingest {
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
-      "usage: Ingest <logs|traces|metrics> <json|jsonl> <inputPath...> <outputRoot>")
+      "usage: Ingest <logs|traces|metrics> <json|jsonl|protobuf> <inputPath...> <outputRoot>")
     val signal = args(0)
     val format = args(1)
     val inputs = args.slice(2, args.length - 1)
@@ -33,6 +33,7 @@ object Ingest {
     def read(sig: OtlpRead.Signal) = format match {
       case "json" => OtlpRead.json(spark, sig, inputs: _*)
       case "jsonl" => OtlpRead.jsonl(spark, sig, inputs: _*)
+      case "protobuf" | "pb" => OtlpRead.protobuf(spark, sig, inputs: _*)
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
 

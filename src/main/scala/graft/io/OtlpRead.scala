@@ -36,4 +36,22 @@ object OtlpRead {
       .schema(signal.schema)
       .option("mode", "FAILFAST")
       .json(paths: _*)
+
+  /** OTLP protobuf payload files (one Export*ServiceRequest per file, the
+    * unit the reference's HTTP handler receives) → same nested shape as the
+    * JSON readers. gzip bodies decompress transparently. Parallelism follows
+    * the file listing (binaryFile source); payloads are request-sized
+    * (≤ 8 MiB in the reference), so files-per-task is the right granularity. */
+  def protobuf(spark: SparkSession, signal: Signal, paths: String*): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val parse: Array[Byte] => Row = signal match {
+      case Logs => OtlpProtobuf.parseLogsRequest
+      case Traces => OtlpProtobuf.parseTracesRequest
+      case Metrics => OtlpProtobuf.parseMetricsRequest
+    }
+    spark.read.format("binaryFile").load(paths: _*)
+      .select("content")
+      .as(Encoders.BINARY)
+      .map(parse)(Encoders.row(signal.schema))
+  }
 }

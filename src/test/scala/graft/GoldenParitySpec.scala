@@ -39,6 +39,38 @@ class GoldenParitySpec extends SparkTestBase {
     assertFrameEqual(pmOf("metrics_summary.json").summary, golden("summary"), key)
   }
 
+  test("logs.pb (protobuf wire format) matches golden logs.parquet") {
+    val out = Otlp.logs(OtlpRead.protobuf(spark, OtlpRead.Logs, s"$ref/logs.pb"))
+    val golden = spark.read.parquet(s"$ref/parquet/logs.parquet")
+    assertFrameEqual(out, golden, Seq("Timestamp", "ServiceName", "Body"))
+  }
+
+  test("traces.pb matches golden traces.parquet") {
+    val out = Otlp.traces(OtlpRead.protobuf(spark, OtlpRead.Traces, s"$ref/traces.pb"))
+    val golden = spark.read.parquet(s"$ref/parquet/traces.parquet")
+    assertFrameEqual(out, golden, Seq("SpanId"))
+  }
+
+  test("metrics .pb fixtures match golden metrics parquet (all five kinds)") {
+    def pmOf(fixture: String) =
+      Otlp.metrics(OtlpRead.protobuf(spark, OtlpRead.Metrics, s"$ref/$fixture"))
+    def golden(kind: String) =
+      spark.read.parquet(s"$ref/parquet/metrics_$kind.parquet")
+    val key = Seq("Timestamp", "MetricName", "Attributes")
+    assertFrameEqual(pmOf("metrics_gauge.pb").gauge, golden("gauge"), key)
+    assertFrameEqual(pmOf("metrics_sum.pb").sum, golden("sum"), key)
+    assertFrameEqual(pmOf("metrics_histogram.pb").histogram, golden("histogram"), key)
+    assertFrameEqual(pmOf("metrics_exponential_histogram.pb").expHistogram,
+      golden("exponential_histogram"), key)
+    assertFrameEqual(pmOf("metrics_summary.pb").summary, golden("summary"), key)
+  }
+
+  test("protobuf and jsonl decode to identical flat tables") {
+    val pb = Otlp.logs(OtlpRead.protobuf(spark, OtlpRead.Logs, s"$ref/logs.pb"))
+    val js = Otlp.logs(OtlpRead.jsonl(spark, OtlpRead.Logs, s"$ref/logs.jsonl"))
+    assertFrameEqual(pb, js, Seq("Timestamp", "ServiceName", "Body"))
+  }
+
   test("metrics_mixed envelope routes data points to the right kind tables") {
     val pm = Otlp.metrics(OtlpRead.json(spark, OtlpRead.Metrics, s"$ref/metrics_mixed.json"))
     assert(pm.gauge.count() > 0)
