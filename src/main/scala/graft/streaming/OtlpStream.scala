@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+
+import graft.io.{OtelWrite, OtlpRead}
+import graft.transform.Otlp
+
+/** Streaming ingest: the Spark-native form of the reference's hand-rolled
+  * micro-batcher (SURVEY §2.3).
+  *
+  * The reference buffers rows keyed by (service, event-minute) and flushes on
+  * `rows ≥ 200k ∨ bytes ≥ 128 MiB ∨ age ≥ 10 s`
+  * (/root/reference/src/batch/mod.rs:24-44,
+  * /root/reference/src/batch/buffered_batch.rs:55-59, defaults
+  * /root/reference/src/config/mod.rs:53-62). In Structured Streaming those
+  * map to engine features instead of custom state:
+  *
+  *   - age threshold   → `Trigger.ProcessingTime(10s)` micro-batches
+  *   - row threshold   → `maxRecordsPerFile` on the parquet sink
+  *   - per-service dir → `partitionBy` (dynamic partition write)
+  *   - backpressure    → `maxFilesPerTrigger` source rate limit
+  *     (the reference rejects ingest at 8 × max_bytes pending;
+  *     a pull-based source throttles instead of rejecting)
+  *   - graceful drain  → `query.stop()` finishes the in-flight batch
+  *
+  * Note the deliberate parity quirk: the reference keys buffers by
+  * *event-time* minute but expires them by *processing-time* age — no
+  * watermark semantics. The direct sink pipeline reproduces exactly that
+  * (processing-time micro-batches, no watermark); [[ServiceBatcher]] shows
+  * the same predicate as explicit `flatMapGroupsWithState` state for
+  * consumers that need flush *events*.
+  */
+object OtlpStream {
+
+  /** Landing-dir JSONL stream → flat table → partitioned parquet sink.
+    * One lazy plan per micro-batch; no shuffle (flatten is narrow, the sink
+    * partitions by column values within each task). */
+  def logsToParquet(spark: SparkSession, inputDir: String, outputRoot: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      maxRecordsPerFile: Long = 200000L,
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(OtlpSchemas.logs)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inputDir)
+    val flat = OtelWrite.withPartitionColumns(Otlp.logs(raw))
+    flat.writeStream
+      .format("parquet")
+      .option("path", s"$outputRoot/otel_logs")
+      .option("checkpointLocation", checkpointDir)
+      .option("compression", "snappy")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("service", "year", "month", "day", "hour")
+      .trigger(trigger)
+      .start()
+  }
+
+  private object OtlpSchemas {
+    val logs = graft.schema.OtlpSchemas.logsRequestType
+  }
+
+  // ---- explicit keyed batcher (flush-event semantics) ----------------------
+
+  /** A buffered record for the explicit batcher. */
+  final case class Record(service: String, minuteBucket: Long, payloadBytes: Long)
+
+  /** Flush event, mirroring the reference's CompletedBatch metadata
+    * (rows, bytes, min bucket, flush reason). */
+  final case class Flush(service: String, rows: Long, bytes: Long,
+      minMinuteBucket: Long, reason: String)
+
+  /** Buffer accumulator (public: the state encoder's generated code must be
+    * able to construct it). */
+  final case class BufState(rows: Long, bytes: Long, minBucket: Long)
+
+  /** Keyed micro-batching with the reference's exact flush predicate:
+    * rows ≥ maxRows ∨ bytes ≥ maxBytes ∨ processing-time age ≥ maxAgeMs.
+    * State lives per service key (the shuffle key); the timeout is
+    * processing-time, not event-time — parity with the reference's
+    * background flusher (/root/reference/src/lib.rs:362-403). */
+  def serviceBatcher(records: Dataset[Record], maxRows: Long = 200000L,
+      maxBytes: Long = 128L * 1024 * 1024,
+      maxAgeMs: Long = 10000L): Dataset[Flush] = {
+    import records.sparkSession.implicits._
+    records
+      .groupByKey(_.service)
+      .flatMapGroupsWithState[BufState, Flush](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (service: String, it: Iterator[Record], state: GroupState[BufState]) =>
+          if (state.hasTimedOut) {
+            // batch-expire: background flush of an aged buffer
+            val s = state.get
+            state.remove()
+            Iterator.single(Flush(service, s.rows, s.bytes, s.minBucket, "age"))
+          } else {
+            var s = state.getOption.getOrElse(BufState(0L, 0L, Long.MaxValue))
+            val flushes = scala.collection.mutable.ListBuffer.empty[Flush]
+            it.foreach { r =>
+              s = BufState(s.rows + 1, s.bytes + r.payloadBytes,
+                math.min(s.minBucket, r.minuteBucket))
+              if (s.rows >= maxRows || s.bytes >= maxBytes) {
+                val reason = if (s.rows >= maxRows) "rows" else "bytes"
+                flushes += Flush(service, s.rows, s.bytes, s.minBucket, reason)
+                s = BufState(0L, 0L, Long.MaxValue)
+              }
+            }
+            if (s.rows > 0) {
+              state.update(s)
+              state.setTimeoutDuration(maxAgeMs)
+            } else state.remove()
+            flushes.iterator
+          }
+      }
+  }
+
+  /** Batch-mode compaction of an hour of landed small files into
+    * maxRecordsPerFile-sized parquet — the "optimal file sizes" goal of the
+    * reference's batcher applied after the fact. One shuffle keyed by the
+    * partition tuple. */
+  def compact(spark: SparkSession, tableDir: String, outDir: String,
+      maxRecordsPerFile: Long = 200000L): Unit = {
+    val df = spark.read.parquet(tableDir)
+    df.repartition(col("service"), col("year"), col("month"), col("day"),
+        col("hour"))
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("service", "year", "month", "day", "hour")
+      .parquet(outDir)
+  }
+}

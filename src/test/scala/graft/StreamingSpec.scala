@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.OtlpStream
+import graft.streaming.OtlpStream.{Flush, Record}
+
+/** Structured-Streaming ingest tests: file-source pipeline end-to-end and
+  * the explicit keyed batcher's flush predicate (SURVEY §2.3). */
+class StreamingSpec extends SparkTestBase {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("streaming jsonl landing dir → partitioned parquet (AvailableNow drain)") {
+    val in = tmp("graft-stream-in")
+    val out = tmp("graft-stream-out")
+    val ckpt = tmp("graft-stream-ckpt")
+    Files.copy(java.nio.file.Paths.get("/root/reference/testdata/logs.jsonl"),
+      java.nio.file.Paths.get(in, "logs.jsonl"))
+
+    val q = OtlpStream.logsToParquet(spark, in, out, ckpt,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val written = spark.read.parquet(s"$out/otel_logs")
+    assert(written.count() == 81)
+    // partition columns materialized from the path
+    assert(written.columns.contains("service"))
+    assert(written.select("service").distinct().count() >= 5)
+  }
+
+  test("service batcher: row-threshold flush + processing-time expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Record]
+    val flushes = OtlpStream.serviceBatcher(source.toDS(), maxRows = 10,
+      maxBytes = 1L << 30, maxAgeMs = 500)
+    val q = flushes.writeStream
+      .format("memory")
+      .queryName("flushes")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+
+    // 25 records for svc-a → two row-threshold flushes (10+10), 5 buffered;
+    // 3 records for svc-b → stays buffered until the age timeout fires
+    source.addData((1 to 25).map(i => Record("svc-a", i / 60L, 100L)) ++
+      (1 to 3).map(i => Record("svc-b", 0L, 50L)): _*)
+
+    // poll the sink (processAllAvailable can block forever here: registered
+    // processing-time timeouts keep scheduling non-idle micro-batches)
+    def poll(deadlineMs: Long)(pred: Seq[Flush] => Boolean): Seq[Flush] = {
+      val until = System.currentTimeMillis() + deadlineMs
+      var got = Seq.empty[Flush]
+      while (System.currentTimeMillis() < until && !pred(got)) {
+        Thread.sleep(200)
+        got = spark.table("flushes").as[Flush].collect().toSeq
+      }
+      got
+    }
+
+    val afterBatch = poll(30000)(fs =>
+      fs.count(f => f.service == "svc-a" && f.reason == "rows") == 2)
+    assert(afterBatch.count(f => f.service == "svc-a" && f.reason == "rows") == 2,
+      s"expected two rows-flushes, got ${afterBatch.mkString(", ")}")
+
+    // age expiry: the 500 ms timeout must flush svc-b (3 rows) and the
+    // svc-a remainder (5 rows) without any further input
+    val all = poll(30000)(fs =>
+      fs.exists(f => f.service == "svc-b" && f.reason == "age"))
+    assert(all.exists(f => f.service == "svc-b" && f.reason == "age" && f.rows == 3),
+      s"svc-b should age-flush; got ${all.mkString(", ")}")
+    q.stop()
+  }
+}
