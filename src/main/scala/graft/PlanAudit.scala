@@ -27,6 +27,15 @@ object PlanAudit {
       r
     }
 
+    if (which("plans")) {
+      // pushdown / broadcast / codegen audit of the query surface
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+          if Set("q_filter_time", "q_scan_project", "q_topk", "q5_region_revenue",
+            "q_join_equi", "q1_pricing", "q3_top_orders").contains(name)) {
+        println(s"\n======== $name ========")
+        fn(spark, sfDir).explain("formatted")
+      }
+    }
     if (which.isEmpty || which("jaccard")) {
       val sh = operators.Dedup.docShingles(spark, sfDir)
       time("shingles materialize")(sh.agg(sum(size(col("sh")))).collect())

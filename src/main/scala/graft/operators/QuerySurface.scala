@@ -33,11 +33,11 @@ object QuerySurface {
       .limit(100)
 
   /** q-filter-time: time-range predicate, pushed to the parquet scan
-    * (docs/querying.md:33-37). Timestamps emitted as epoch µs. */
+    * (docs/querying.md:33-37) — see [[Tables.eventsTimeRange]] for why the
+    * bounds are applied to the physical ns column. Timestamps emitted as
+    * epoch µs. */
   def filterTime(spark: SparkSession, sfDir: String): DataFrame =
-    events(spark, sfDir)
-      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
-        col("ts") < lit("2024-01-11 00:00:00").cast("timestamp"))
+    eventsTimeRange(spark, sfDir, "2024-01-10T00:00:00Z", "2024-01-11T00:00:00Z")
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_type"), col("value"))
       .orderBy(col("event_id"))

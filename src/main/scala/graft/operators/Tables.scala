@@ -50,6 +50,28 @@ object Tables {
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
 
+  /** Time-range scan of `events` with the predicate pushed to the parquet
+    * scan. Filtering the *derived* µs timestamp (`timestamp_micros(ts div
+    * 1000)`) would defeat pushdown — the scan would read every row group.
+    * Instead the bounds are translated to raw ns and applied to the physical
+    * column (`ts_us ≥ F ⟺ ts_ns ≥ F·1000` under truncating division), which
+    * `.explain` confirms lands in PushedFilters → row-group stats pruning at
+    * scale. */
+  def eventsTimeRange(spark: SparkSession, sfDir: String,
+      fromIso: String, untilIso: String): DataFrame = {
+    val df = table(spark, sfDir, "events")
+    val fromUs = java.time.Instant.parse(fromIso).toEpochMilli * 1000L
+    val untilUs = java.time.Instant.parse(untilIso).toEpochMilli * 1000L
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.filter(col("ts") >= lit(fromUs * 1000L) && col("ts") < lit(untilUs * 1000L))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.filter(col("ts") >= timestamp_micros(lit(fromUs)) &&
+          col("ts") < timestamp_micros(lit(untilUs)))
+    }
+  }
+
   /** Exact sum of a double column: decimal accumulation, rounded, back to
     * double. DuckDB twin: `CAST(ROUND(SUM(CAST(x AS DECIMAL(28,S))), R) AS DOUBLE)`.
     * The final decimal→double cast is exact for |v| < 2^53 / 10^R. */
