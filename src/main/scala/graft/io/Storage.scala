@@ -1,0 +1,45 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+
+/** Storage backend configuration (sink-storage, SURVEY §2.1): the Spark/
+  * Hadoop-FS equivalent of the reference's OpenDAL fs/S3/R2 backends
+  * (/root/reference/src/writer/storage.rs:12-91, config
+  * /root/reference/src/config/mod.rs:93-158).
+  *
+  *   - fs      → plain `file://` (or bare) paths — no configuration needed
+  *   - S3      → `s3a://bucket/prefix` + the hadoop-aws connector settings
+  *   - R2      → S3-compatible account endpoint + path-style access
+  *
+  * Paths everywhere else in this library are backend-agnostic strings: the
+  * same `OtelWrite.write(df, root, table)` call lands on any configured
+  * filesystem, mirroring how the reference routes all writers through one
+  * `Operator`. (Not integration-tested here: the environment has no object
+  * store; settings are the stock hadoop-aws surface.)
+  */
+object Storage {
+
+  /** Configure `s3a://` for AWS S3 or any S3-compatible endpoint (MinIO, R2).
+    * For R2 pass `endpoint = Some("https://<account>.r2.cloudflarestorage.com")`
+    * — the reference's account-endpoint rule. */
+  def configureS3(spark: SparkSession, accessKey: String, secretKey: String,
+      endpoint: Option[String] = None, region: Option[String] = None,
+      pathStyleAccess: Boolean = false): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.access.key", accessKey)
+    conf.set("fs.s3a.secret.key", secretKey)
+    endpoint.foreach(conf.set("fs.s3a.endpoint", _))
+    region.foreach(conf.set("fs.s3a.endpoint.region", _))
+    conf.set("fs.s3a.path.style.access", pathStyleAccess.toString)
+    // parquet-friendly committer: no rename-based commit on object stores
+    conf.set("fs.s3a.committer.name", "magic")
+    conf.set("mapreduce.outputcommitter.factory.scheme.s3a",
+      "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory")
+  }
+
+  /** Root path for a signal under an optional key prefix — `{prefix}{signal}`
+    * like the reference's `storage.prefix` (config.example.toml). */
+  def root(base: String, prefix: Option[String]): String =
+    prefix.filter(_.nonEmpty).map(p => s"${base.stripSuffix("/")}/${p.stripPrefix("/")}")
+      .getOrElse(base)
+}
