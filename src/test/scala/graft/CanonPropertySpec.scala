@@ -1,0 +1,103 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{JsonCanon, OtlpCodecs}
+
+/** Property tests (ScalaCheck) for the byte-parity-critical pieces:
+  * sorted-key JSON canonicalization, double formatting, id codecs
+  * (SURVEY §5 rebuild test plan). */
+class CanonPropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop, n: Int = 300): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // Rows for JsonCanon must carry a schema (fieldIndex-based access)
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+  import graft.schema.OtlpSchemas
+
+  private val avSchema = OtlpSchemas.anyValueType(OtlpSchemas.MaxAnyValueDepth)
+  private val kvSchema = OtlpSchemas.keyValueType(OtlpSchemas.MaxAnyValueDepth)
+
+  private def strValue(s: String): Row =
+    new GenericRowWithSchema(Array[Any](s, null, null, null, null, null, null), avSchema)
+
+  private def kv(k: String, v: String): Row =
+    new GenericRowWithSchema(Array[Any](k, strValue(v)), kvSchema)
+
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  test("attrsToJson: valid JSON, keys sorted by code point, values round-trip") {
+    val genKV = for {
+      k <- Gen.alphaNumStr.suchThat(_.nonEmpty)
+      v <- Gen.asciiPrintableStr
+    } yield (k, v)
+    check(Prop.forAll(Gen.listOf(genKV)) { pairs =>
+      val json = JsonCanon.attrsToJson(pairs.map { case (k, v) => kv(k, v) })
+      val node = jsonMapper.readTree(json) // parse must succeed
+      val keys = {
+        val it = node.fieldNames()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      val sortedOk = keys == keys.sorted // alphanum keys: codepoint == lexicographic
+      // last-wins per duplicate key, values preserved exactly
+      val lastWins = pairs.groupBy(_._1).forall { case (k, vs) =>
+        node.get(k).asText() == vs.last._2
+      }
+      sortedOk && lastWins
+    })
+  }
+
+  test("attrsToJson escaping survives arbitrary unicode strings") {
+    check(Prop.forAll(Gen.listOfN(3, Arbitrary.genString)) { vs =>
+      val pairs = vs.zipWithIndex.map { case (v, i) => (s"k$i", v) }
+      val json = JsonCanon.attrsToJson(pairs.map { case (k, v) => kv(k, v) })
+      val node = jsonMapper.readTree(json)
+      pairs.forall { case (k, v) => node.get(k).asText() == v }
+    })
+  }
+
+  private object Arbitrary {
+    // strings incl. control chars, quotes, backslashes, non-ASCII
+    val genString: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.asciiPrintableChar,
+      1 -> Gen.oneOf('"', '\\', '\n', '\t', '', 'é', '中', ' ')
+    )).map(_.mkString)
+  }
+
+  test("fmtDouble round-trips every finite double") {
+    check(Prop.forAll(Gen.chooseNum(Double.MinValue, Double.MaxValue)) { d =>
+      java.lang.Double.parseDouble(JsonCanon.fmtDouble(d)) == d
+    })
+    // exponent-form values too
+    check(Prop.forAll(Gen.chooseNum(-300, 300), Gen.chooseNum(1.0, 9.999)) { (e, m) =>
+      val d = m * math.pow(10, e)
+      !java.lang.Double.isFinite(d) ||
+        java.lang.Double.parseDouble(JsonCanon.fmtDouble(d)) == d
+    })
+  }
+
+  test("decodeId: hex and base64 encodings of the same bytes agree") {
+    val genBytes = Gen.containerOfN[Array, Byte](16, Gen.chooseNum(-128, 127).map(_.toByte))
+    check(Prop.forAll(genBytes) { bytes =>
+      val hex = OtlpCodecs.toHex(bytes)
+      val b64 = java.util.Base64.getEncoder.encodeToString(bytes)
+      java.util.Arrays.equals(OtlpCodecs.decodeId(hex, 16), bytes) &&
+        java.util.Arrays.equals(OtlpCodecs.decodeId(b64, 16), bytes)
+    })
+  }
+
+  test("decodeId: wrong-length or garbage input is a hard error") {
+    assert(OtlpCodecs.decodeId(null, 8).forall(_ == 0))
+    assert(OtlpCodecs.decodeId("", 8).forall(_ == 0))
+    intercept[IllegalArgumentException](OtlpCodecs.decodeId("zz!not-an-id", 8))
+    intercept[IllegalArgumentException](
+      OtlpCodecs.decodeId(java.util.Base64.getEncoder.encodeToString(Array[Byte](1, 2)), 8))
+  }
+}
