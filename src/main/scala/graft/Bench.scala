@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,7 +25,48 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ingest = ingestRowsPerSec(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_rows_per_s":$ingest}""")
     spark.stop()
+  }
+
+  /** The reference's own headline metric: ingest throughput in records/s
+    * (BASELINE.md §A, perf_audit.py's `10_000 / e2e_ms_p50 × 1000`).
+    * Replicates the golden 81-record logs.jsonl corpus to ~200k records in
+    * a temp landing file, then times the full decode→flatten→parquet-write
+    * pipeline. */
+  private def ingestRowsPerSec(spark: SparkSession): Long = {
+    try {
+      val src = java.nio.file.Paths.get("/root/reference/testdata/logs.jsonl")
+      val lines = java.nio.file.Files.readAllLines(src)
+      val tmpDir = java.nio.file.Files.createTempDirectory("graft-bench-ingest")
+      val landingDir = tmpDir.resolve("landing")
+      java.nio.file.Files.createDirectory(landingDir)
+      // spread copies across one landing file per core — a single jsonl file
+      // under maxPartitionBytes is one input split (single-threaded decode),
+      // which benches the file layout, not the engine
+      val files = Runtime.getRuntime.availableProcessors()
+      val copiesPerFile = 2500 / files + 1 // ~202k records total
+      var f = 0
+      while (f < files) {
+        val w = java.nio.file.Files.newBufferedWriter(landingDir.resolve(s"logs-$f.jsonl"))
+        var i = 0
+        while (i < copiesPerFile) {
+          lines.forEach { l => w.write(l); w.newLine() }
+          i += 1
+        }
+        w.close()
+        f += 1
+      }
+      val rows = 81L * copiesPerFile * files
+      val out = tmpDir.resolve("out").toString
+      val t0 = System.nanoTime()
+      graft.io.OtelWrite.write(
+        graft.transform.Otlp.logs(
+          graft.io.OtlpRead.jsonl(spark, graft.io.OtlpRead.Logs, landingDir.toString)),
+        out, "otel_logs")
+      val secs = (System.nanoTime() - t0) / 1e9
+      (rows / secs).toLong
+    } catch { case _: Throwable => -1L }
   }
 }

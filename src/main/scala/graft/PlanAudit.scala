@@ -36,6 +36,33 @@ object PlanAudit {
         fn(spark, sfDir).explain("formatted")
       }
     }
+    if (which("ingest")) {
+      // stage-by-stage ingest cost: decode vs flatten vs write
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/root/reference/testdata/logs.jsonl"))
+      val tmpDir = java.nio.file.Files.createTempDirectory("graft-audit-ingest")
+      val landingDir = tmpDir.resolve("landing")
+      java.nio.file.Files.createDirectory(landingDir)
+      val files = 32
+      (0 until files).foreach { f =>
+        val w = java.nio.file.Files.newBufferedWriter(landingDir.resolve(s"l$f.jsonl"))
+        (0 until 79).foreach(_ => lines.forEach { l => w.write(l); w.newLine() })
+        w.close()
+      }
+      val raw = graft.io.OtlpRead.jsonl(spark, graft.io.OtlpRead.Logs, landingDir.toString) // 
+      time("json decode only (count)")(raw.count())
+      time("decode (2nd run)")(raw.count())
+      val flat = graft.transform.Otlp.logs(raw)
+      time("decode+flatten (count)")(flat.count())
+      time("decode+flatten+write")(graft.io.OtelWrite.write(flat,
+        tmpDir.resolve("out").toString, "otel_logs"))
+      time("flatten to plain parquet (no partitioning)")(
+        flat.write.mode("overwrite").parquet(tmpDir.resolve("out2").toString))
+      spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "64")
+      time("partitioned write, concurrent writers (no sort)")(
+        graft.io.OtelWrite.write(flat, tmpDir.resolve("out3").toString, "otel_logs"))
+      spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "0")
+    }
     if (which.isEmpty || which("jaccard")) {
       val sh = operators.Dedup.docShingles(spark, sfDir)
       time("shingles materialize")(sh.agg(sum(size(col("sh")))).collect())

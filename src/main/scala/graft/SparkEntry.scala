@@ -34,6 +34,7 @@ object SparkEntry {
     "q_hist_buckets" -> (QuerySurface.histBuckets _),
     "q_partition_prune" -> (QuerySurface.partitionPrune _),
     "q_json_extract" -> (QuerySurface.jsonExtract _),
+    "q_sessionize" -> (QuerySurface.sessionize _),
     // -- analytic headliners (bench workhorses) --
     "q1_pricing" -> (QuerySurface.q1Pricing _),
     "q3_top_orders" -> (QuerySurface.q3TopOrders _),
@@ -130,6 +131,25 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
         |ORDER BY event_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |), s AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+        |         OR lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |), sid AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM s
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+        |FROM sid GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

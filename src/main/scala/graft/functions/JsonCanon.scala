@@ -55,8 +55,9 @@ object JsonCanon {
     mant + "e" + s.substring(e + 1)
   }
 
-  /** Code-point (UTF-8 byte order) comparator — matches Rust BTreeMap<String>. */
-  private def cpCompare(a: String, b: String): Boolean = {
+  /** Code-point (UTF-8 byte order) comparator — matches Rust BTreeMap<String>.
+    * Public: shared with the catalyst expressions in AttrsJsonExpressions. */
+  def cpLessThan(a: String, b: String): Boolean = {
     val n = math.min(a.length, b.length)
     var i = 0
     while (i < n) {
@@ -124,7 +125,7 @@ object JsonCanon {
       }
     }
     val keys = m.keys.toArray
-    scala.util.Sorting.stableSort(keys, cpCompare _)
+    scala.util.Sorting.stableSort(keys, cpLessThan _)
     sb.append('{')
     var first = true
     keys.foreach { k =>

@@ -143,6 +143,30 @@ object QuerySurface {
       .filter(col("k") >= 90)
       .orderBy(col("event_id"))
 
+  /** q-sessionize: gap-based sessionization of the event stream (30-min
+    * inactivity gap) — the canonical windowed pipeline op. One shuffle keyed
+    * by user_id; session ids are a running sum over the ordered window
+    * (ties broken by event_id so the order is total). */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val cum = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 30L * 60 * 1000000
+    events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs ||
+          lag(col("ts_us"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   // ---- TPC-H-style headliners (bench workhorses over lineitem) ----
 
   /** Pricing-summary aggregate (TPC-H Q1 shape): wide multi-aggregate scan. */

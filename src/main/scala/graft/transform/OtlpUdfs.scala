@@ -22,24 +22,22 @@ object OtlpUdfs {
   val ServiceKeys: Set[String] =
     Set("service.name", "service.namespace", "service.instance.id")
 
-  val attrsJson: UserDefinedFunction =
-    udf((kvs: Seq[Row]) => JsonCanon.attrsToJson(kvs))
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+  import graft.functions.{AnyValueToJsonExpr, AttrsToJsonExpr, NestedAttrsToJsonExpr}
 
-  val attrsJsonNoService: UserDefinedFunction =
-    udf((kvs: Seq[Row]) => JsonCanon.attrsToJsonExcluding(kvs, ServiceKeys))
+  // JSON canonicalization runs as native Catalyst expressions (see
+  // AttrsJsonExpressions): the UDF route paid a catalyst→Row conversion of
+  // the nested attribute structs per call — the dominant flatten cost.
+  def attrsJson(c: Column): Column = toCol(AttrsToJsonExpr(toExpr(c), Set.empty))
 
-  val anyValueJson: UserDefinedFunction =
-    udf((v: Row) => JsonCanon.anyValueToJson(v))
+  def attrsJsonNoService(c: Column): Column =
+    toCol(AttrsToJsonExpr(toExpr(c), ServiceKeys))
+
+  def anyValueJson(c: Column): Column = toCol(AnyValueToJsonExpr(toExpr(c)))
 
   /** For arrays of structs that carry an `attributes` field (span events /
     * links): one JSON object string per element. */
-  val nestedAttrsJson: UserDefinedFunction = udf { (rows: Seq[Row]) =>
-    if (rows == null) Seq.empty[String]
-    else rows.map { r =>
-      val i = r.fieldIndex("attributes")
-      JsonCanon.attrsToJson(if (r.isNullAt(i)) null else r.getSeq[Row](i))
-    }
-  }
+  def nestedAttrsJson(c: Column): Column = toCol(NestedAttrsToJsonExpr(toExpr(c)))
 
   val idBytes16: UserDefinedFunction = udf((s: String) => OtlpCodecs.decodeId(s, 16))
   val idBytes8: UserDefinedFunction = udf((s: String) => OtlpCodecs.decodeId(s, 8))
