@@ -35,6 +35,7 @@ object SparkEntry {
     "q_partition_prune" -> (QuerySurface.partitionPrune _),
     "q_json_extract" -> (QuerySurface.jsonExtract _),
     "q_sessionize" -> (QuerySurface.sessionize _),
+    "q_agg_distinct" -> (QuerySurface.aggDistinct _),
     // -- analytic headliners (bench workhorses) --
     "q1_pricing" -> (QuerySurface.q1Pricing _),
     "q3_top_orders" -> (QuerySurface.q3TopOrders _),
@@ -131,6 +132,10 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
         |ORDER BY event_id""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (

@@ -40,7 +40,10 @@ object OtelWrite {
     * service/year/month/day/hour; snappy parquet, capped file sizes. */
   def write(df: DataFrame, root: String, tableDir: String,
       maxRecordsPerFile: Long = 200000L,
-      coalescePartitions: Boolean = false): Unit = {
+      coalescePartitions: Boolean = false,
+      /** parquet row-group bytes — the reference's ~32k-row tuning knob
+        * (scripts/perf_audit.py:229-239); Spark default 128 MiB. */
+      rowGroupBytes: Option[Long] = None): Unit = {
     val partitioned = withPartitionColumns(df)
     val arranged =
       if (coalescePartitions)
@@ -57,14 +60,16 @@ object OtelWrite {
     val key = "spark.sql.maxConcurrentOutputFileWriters"
     val prev = conf.get(key, "0")
     if (prev == "0") conf.set(key, "64")
-    try
-      arranged.write
+    try {
+      val writer = arranged.write
         .mode("append")
         .option("compression", "snappy")
         .option("maxRecordsPerFile", maxRecordsPerFile)
+      rowGroupBytes.foreach(b => writer.option("parquet.block.size", b))
+      writer
         .partitionBy("service", "year", "month", "day", "hour")
         .parquet(s"$root/$tableDir")
-    finally if (prev == "0") conf.set(key, prev)
+    } finally if (prev == "0") conf.set(key, prev)
   }
 
   /** Full metrics fan-out: four persisted kinds, summary dropped — parity

@@ -143,6 +143,18 @@ object QuerySurface {
       .filter(col("k") >= 90)
       .orderBy(col("event_id"))
 
+  /** q-agg-distinct: distinct-count per hot key. `countDistinct` plans as a
+    * two-phase aggregate (partial by (event_type, user_id), then merge) —
+    * the skew-safe shape: the heavy first phase spreads over the full
+    * composite key space, so 5 hot event_type keys don't bottleneck one
+    * reducer. AQE skew-join handles the join-side analog automatically. */
+  def aggDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   /** q-sessionize: gap-based sessionization of the event stream (30-min
     * inactivity gap) — the canonical windowed pipeline op. One shuffle keyed
     * by user_id; session ids are a running sum over the ordered window
