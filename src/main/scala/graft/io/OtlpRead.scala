@@ -42,16 +42,31 @@ object OtlpRead {
     * JSON readers. gzip bodies decompress transparently. Parallelism follows
     * the file listing (binaryFile source); payloads are request-sized
     * (≤ 8 MiB in the reference), so files-per-task is the right granularity. */
-  def protobuf(spark: SparkSession, signal: Signal, paths: String*): DataFrame = {
+  /** Request-size guard default — the reference 413s payloads over 8 MiB
+    * (/root/reference/src/config/mod.rs:70-76). */
+  val DefaultMaxPayloadBytes: Long = 8L * 1024 * 1024
+
+  def protobuf(spark: SparkSession, signal: Signal,
+      paths: String*): DataFrame =
+    protobufLimited(spark, signal, DefaultMaxPayloadBytes, paths: _*)
+
+  def protobufLimited(spark: SparkSession, signal: Signal,
+      maxPayloadBytes: Long, paths: String*): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     val parse: Array[Byte] => Row = signal match {
       case Logs => OtlpProtobuf.parseLogsRequest
       case Traces => OtlpProtobuf.parseTracesRequest
       case Metrics => OtlpProtobuf.parseMetricsRequest
     }
+    val guarded: Array[Byte] => Row = { bytes =>
+      if (bytes.length > maxPayloadBytes)
+        throw new IllegalArgumentException(
+          s"payload ${bytes.length} bytes exceeds max $maxPayloadBytes (reference 413)")
+      parse(bytes)
+    }
     spark.read.format("binaryFile").load(paths: _*)
       .select("content")
       .as(Encoders.BINARY)
-      .map(parse)(Encoders.row(signal.schema))
+      .map(guarded)(Encoders.row(signal.schema))
   }
 }

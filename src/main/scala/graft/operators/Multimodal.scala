@@ -70,6 +70,50 @@ object Multimodal {
         col("f0"), col("f1"), col("f2"), col("f3"))
       .orderBy(col("doc_id"))
 
+  /** A sampled "frame" with its features (video/audio frame-sampling shape). */
+  final case class FrameFeatures(doc_id: Long, frame_idx: Int, n_bytes: Long,
+      f0: Long, f1: Long, f2: Long, f3: Long)
+
+  /** Frame-sampling stub: split the payload into fixed-size frames, keep
+    * every `stride`-th, extract features per frame. The real counterpart
+    * (video frame decode / audio windowing) has the identical Spark shape:
+    * one input row explodes to a bounded number of frame rows, feature
+    * extraction stays inside the partition iterator. */
+  def sampleFrames(media: Dataset[Media], frameBytes: Int = 256,
+      stride: Int = 4): Dataset[FrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val nFrames = (m.content.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by stride).iterator.map { fi =>
+          val from = fi * frameBytes
+          val until = math.min(from + frameBytes, m.content.length)
+          val bins = new Array[Long](4)
+          var i = from
+          while (i < until) {
+            bins(math.min((m.content(i) & 0xff) / 32, 3)) += 1
+            i += 1
+          }
+          FrameFeatures(m.doc_id, fi, (until - from).toLong,
+            bins(0), bins(1), bins(2), bins(3))
+        }
+      }
+    }
+  }
+
+  /** Resize stub: downsample a feature vector to `target` buckets by
+    * summation — the pipeline shape of an image resize (deterministic,
+    * bucket-sum pooling). */
+  def resizeFeatures(features: Array[Long], target: Int): Array[Long] = {
+    val out = new Array[Long](target)
+    var i = 0
+    while (i < features.length) {
+      out(i * target / features.length) += features(i)
+      i += 1
+    }
+    out
+  }
+
   /** Binary-column metadata: sizes + integrity hashes straight over the
     * binary payload (codegen built-ins, no UDF). */
   def binaryMeta(spark: SparkSession, sfDir: String): DataFrame =

@@ -71,6 +71,31 @@ class GoldenParitySpec extends SparkTestBase {
     assertFrameEqual(pb, js, Seq("Timestamp", "ServiceName", "Body"))
   }
 
+  test("gzip inputs decode transparently (jsonl via Hadoop codec, pb via magic bytes)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gz")
+    def gz(src: String, dst: String): Unit = {
+      val in = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(src))
+      val out = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(tmp.resolve(dst)))
+      out.write(in); out.close()
+    }
+    gz(s"$ref/logs.jsonl", "logs.jsonl.gz")
+    gz(s"$ref/logs.pb", "logs.pb.gz")
+    val viaJson = Otlp.logs(OtlpRead.jsonl(spark, OtlpRead.Logs,
+      tmp.resolve("logs.jsonl.gz").toString))
+    assert(viaJson.count() == 81)
+    val viaPb = Otlp.logs(OtlpRead.protobuf(spark, OtlpRead.Logs,
+      tmp.resolve("logs.pb.gz").toString))
+    assert(viaPb.count() == 81)
+  }
+
+  test("oversized protobuf payload is a hard error (reference 413)") {
+    intercept[SparkException] {
+      Otlp.logs(OtlpRead.protobufLimited(spark, OtlpRead.Logs, 100L,
+        s"$ref/logs.pb")).collect()
+    }
+  }
+
   test("metrics_mixed envelope routes data points to the right kind tables") {
     val pm = Otlp.metrics(OtlpRead.json(spark, OtlpRead.Metrics, s"$ref/metrics_mixed.json"))
     assert(pm.gauge.count() > 0)

@@ -155,6 +155,20 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("multimodal frame sampling: strided frames, features sum to bytes") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 100, stride = 2).collect()
+    assert(frames.nonEmpty)
+    // frame indices are strided and features account for every frame byte
+    frames.groupBy(_.doc_id).foreach { case (_, fs) =>
+      assert(fs.map(_.frame_idx).forall(_ % 2 == 0))
+      fs.foreach(f => assert(f.f0 + f.f1 + f.f2 + f.f3 == f.n_bytes))
+    }
+    // resize pooling preserves mass
+    val resized = Multimodal.resizeFeatures(Array(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L), 4)
+    assert(resized.sum == 36L && resized.length == 4)
+  }
+
   test("langid + quality: deterministic, total over the corpus") {
     val total = Tables.documents(spark, sf).count()
     assert(TextAnalysis.langId(spark, sf).count() == total)

@@ -33,6 +33,43 @@ class StreamingSpec extends SparkTestBase {
     assert(written.select("service").distinct().count() >= 5)
   }
 
+  test("watermarked window counts: on-time rows aggregate, late rows drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(java.sql.Timestamp, String, String)]
+    val logsLike = source.toDF()
+      .toDF("Timestamp", "ServiceName", "SeverityText")
+    val agg = OtlpStream.logCountsByWindow(logsLike,
+      windowLength = "1 minute", watermarkDelay = "1 minute")
+    val q = agg.writeStream.format("memory").queryName("wincounts")
+      .outputMode("append").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: two rows in minute 10:00, one in 10:01
+    source.addData(
+      (ts("2024-01-01 10:00:05"), "svc", "INFO"),
+      (ts("2024-01-01 10:00:40"), "svc", "INFO"),
+      (ts("2024-01-01 10:01:10"), "svc", "ERROR"))
+    q.processAllAvailable()
+    // batch 2: advance watermark far past 10:00 → closes those windows
+    source.addData((ts("2024-01-01 10:10:00"), "svc", "INFO"))
+    q.processAllAvailable()
+    // batch 3: a LATE row for 10:00 — behind the watermark, must be dropped
+    source.addData((ts("2024-01-01 10:00:50"), "svc", "INFO"))
+    q.processAllAvailable()
+    // close remaining windows
+    source.addData((ts("2024-01-01 10:20:00"), "svc", "INFO"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wincounts").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+        r.getAs[String]("SeverityText"), r.getAs[Long]("n"))).toSet
+    assert(rows.contains(("2024-01-01 10:00:00.0", "INFO", 2L)),
+      s"late row must NOT bump the closed 10:00 window: $rows")
+    assert(rows.contains(("2024-01-01 10:01:00.0", "ERROR", 1L)))
+  }
+
   test("service batcher: row-threshold flush + processing-time expiry") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
