@@ -73,7 +73,9 @@ object Dedup {
     * bit-identical across engines. */
   def ngramJaccard(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3): DataFrame = {
-    val sh = docShingles(spark, sfDir)
+    // persist: both self-join sides and the size lookup would otherwise
+    // re-run the shingle extraction (3× the map work)
+    val sh = docShingles(spark, sfDir).persist()
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     val inter = ex.as("a").join(ex.as("b"),
