@@ -47,6 +47,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     // -- similarity search --
     "sim_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosinePairs(s, d)),
+    "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Similarity.cosinePairsLsh(s, d)),
     "sim_topk" -> ((s: SparkSession, d: String) => Similarity.topK(s, d)),
     "sim_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "sim_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),

@@ -115,6 +115,22 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding near-dup at scale: LSH-bucketed cosine pairs. Candidates come
+    * only from vectors sharing a hyperplane-signature bucket (an O(n²)→
+    * O(Σ bucket²) reduction; recall traded like any LSH), then exact cosine
+    * verifies. Same output shape as [[cosinePairs]]. */
+  def cosinePairsLsh(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4, nPlanes: Int = 6): DataFrame = {
+    val e = withVec(embeddings(spark, sfDir))
+      .withColumn("sig", lshSignature(col("v"), nPlanes))
+    e.as("a").join(e.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        cosine(col("a.v"), col("a.nrm"), col("b.v"), col("b.nrm")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: values in [-1, 1) from a
     * fixed-seed PRNG, shipped as a literal (nPlanes × dim) matrix. */
   private def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {

@@ -103,6 +103,17 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("LSH cosine pairs are a subset of exact pairs with identical cosines") {
+    val exact = Similarity.cosinePairs(spark, sf, threshold = 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos")).toMap
+    val lsh = Similarity.cosinePairsLsh(spark, sf, threshold = 0.2).collect()
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.get(key).contains(r.getAs[Double]("cos")),
+        s"LSH pair $key must exist in exact pairs with the same cosine")
+    }
+  }
+
   test("LSH ANN returns a subset of true neighbors with correct cosines") {
     val ann = Similarity.annLsh(spark, sf, k = 5, nQueries = 4).collect()
     val brute = Similarity.topK(spark, sf, k = 1000000, nQueries = 4).collect()
