@@ -214,7 +214,10 @@ object Dedup {
     * on ≥ 1 band — standard pigeonhole blocking; wider distances are
     * recall-traded like any LSH). */
   def simhashPairs(spark: SparkSession, sfDir: String,
-      maxHamming: Int = 10): DataFrame = {
+      /** ≤ 3 is the distance the 4-band blocking guarantees full recall
+        * for; on the same-vocab synthetic corpus the pair count explodes
+        * combinatorially past ~3 (all docs share a token distribution). */
+      maxHamming: Int = 3): DataFrame = {
     val docs = documents(spark, sfDir)
       .select(col("doc_id"), simhashCol(col("text")).as("simhash"))
     val banded = docs.select(col("doc_id"), col("simhash"),
