@@ -41,18 +41,61 @@ object JsonCanon {
 
   /** serde_json (ryu) style double formatting: integral finite values get a
     * trailing `.0`, exponents use lowercase `e` without `+`. Java's
-    * `Double.toString` already emits shortest-roundtrip digits; this adapts
-    * its exponent/integral formatting to ryu's.
+    * `Double.toString` already emits shortest-roundtrip digits, but its
+    * notation thresholds differ from ryu's: Java goes scientific at
+    * |x| >= 1e7 or < 1e-3, ryu only outside kk ∈ (-5, 16] where kk is the
+    * decimal-point position (10^(kk-1) <= |x| < 10^kk, ryu pretty format64).
+    * So Java's E-form is re-expanded to plain decimal inside ryu's plain
+    * range (e.g. 12345678.0 stays "12345678.0", 0.0001 stays "0.0001").
     */
   def fmtDouble(d: Double): String = {
     if (d.isNaN || d.isInfinite) return "null" // serde_json refuses; not reachable post metric-skip
-    val s = java.lang.Double.toString(d)
-    if (s.indexOf('E') < 0) return s // includes "1.0", "-0.5"
-    // java: "1.0E17" / "1.23E-4" → ryu: "1e17" / "1.23e-4"
-    val e = s.indexOf('E')
-    var mant = s.substring(0, e)
-    if (mant.endsWith(".0")) mant = mant.substring(0, mant.length - 2)
-    mant + "e" + s.substring(e + 1)
+    if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
+    val a = math.abs(d)
+    val sign = if (d < 0) "-" else ""
+    val (digits, exp) = shortestDigits(a) // value = d1.d2d3… × 10^exp
+    val kk = exp + 1 // digits before the decimal point in plain notation
+    if (kk > -5 && kk <= 16) {
+      // ryu plain-decimal range — expand
+      if (kk >= digits.length) sign + digits + "0" * (kk - digits.length) + ".0"
+      else if (kk > 0) sign + digits.substring(0, kk) + "." + digits.substring(kk)
+      else sign + "0." + "0" * (-kk) + digits
+    } else {
+      // scientific, ryu-shaped: "1e16" / "1.23e-7" (no '+', single-digit bare)
+      val mant = if (digits.length == 1) digits
+        else digits.substring(0, 1) + "." + digits.substring(1)
+      sign + mant + "e" + exp
+    }
+  }
+
+  /** Shortest half-even-rounded decimal significand of a positive finite
+    * double, as (digit string, decimal exponent of the leading digit).
+    * Java 17's legacy `Double.toString` is occasionally one digit longer than
+    * shortest (JDK-4511638, e.g. min-subnormal "4.9E-324" vs ryu "5e-324"),
+    * so Java's digit count only seeds a BigDecimal shrink loop: keep reducing
+    * precision while the correctly-rounded value still round-trips.
+    */
+  private def shortestDigits(a: Double): (String, Int) = {
+    import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
+    val s = java.lang.Double.toString(a)
+    val javaDigits = {
+      val e = s.indexOf('E')
+      var m = if (e < 0) s else s.substring(0, e)
+      if (m.endsWith(".0")) m = m.substring(0, m.length - 2)
+      m.replace(".", "").length
+    }
+    val exact = new JBD(a)
+    var cand = exact.round(new MathContext(javaDigits, RoundingMode.HALF_EVEN))
+    var p = javaDigits
+    var shrinking = p > 1
+    while (shrinking) {
+      val r = exact.round(new MathContext(p - 1, RoundingMode.HALF_EVEN))
+      if (r.doubleValue() == a) { cand = r; p -= 1; shrinking = p > 1 }
+      else shrinking = false
+    }
+    cand = cand.stripTrailingZeros()
+    val digits = cand.unscaledValue().toString
+    (digits, digits.length - 1 - cand.scale())
   }
 
   /** Code-point (UTF-8 byte order) comparator — matches Rust BTreeMap<String>.

@@ -45,6 +45,7 @@ object OtlpStream {
     val raw = spark.readStream
       .schema(OtlpSchemas.logs)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("mode", "FAILFAST") // corrupt JSONL must fail the batch (reference 400s), not become silent all-null rows
       .json(inputDir)
     val flat = OtelWrite.withPartitionColumns(Otlp.logs(raw))
     flat.writeStream
@@ -73,8 +74,11 @@ object OtlpStream {
       minMinuteBucket: Long, reason: String)
 
   /** Buffer accumulator (public: the state encoder's generated code must be
-    * able to construct it). */
-  final case class BufState(rows: Long, bytes: Long, minBucket: Long)
+    * able to construct it). `deadlineMs` is the processing-time instant at
+    * which the buffer expires — fixed at buffer creation, like the
+    * reference's age-since-batch-creation expiry
+    * (/root/reference/src/batch/buffered_batch.rs:55-59). */
+  final case class BufState(rows: Long, bytes: Long, minBucket: Long, deadlineMs: Long)
 
   /** Keyed micro-batching with the reference's exact flush predicate:
     * rows ≥ maxRows ∨ bytes ≥ maxBytes ∨ processing-time age ≥ maxAgeMs.
@@ -97,20 +101,24 @@ object OtlpStream {
             state.remove()
             Iterator.single(Flush(service, s.rows, s.bytes, s.minBucket, "age"))
           } else {
-            var s = state.getOption.getOrElse(BufState(0L, 0L, Long.MaxValue))
+            val now = state.getCurrentProcessingTimeMs()
+            var s = state.getOption.getOrElse(BufState(0L, 0L, Long.MaxValue, now + maxAgeMs))
             val flushes = scala.collection.mutable.ListBuffer.empty[Flush]
             it.foreach { r =>
               s = BufState(s.rows + 1, s.bytes + r.payloadBytes,
-                math.min(s.minBucket, r.minuteBucket))
+                math.min(s.minBucket, r.minuteBucket), s.deadlineMs)
               if (s.rows >= maxRows || s.bytes >= maxBytes) {
                 val reason = if (s.rows >= maxRows) "rows" else "bytes"
                 flushes += Flush(service, s.rows, s.bytes, s.minBucket, reason)
-                s = BufState(0L, 0L, Long.MaxValue)
+                s = BufState(0L, 0L, Long.MaxValue, now + maxAgeMs) // fresh buffer, fresh age clock
               }
             }
             if (s.rows > 0) {
               state.update(s)
-              state.setTimeoutDuration(maxAgeMs)
+              // age is measured from buffer CREATION: re-register the timeout
+              // as the remaining time to the stored deadline, not a fresh
+              // maxAgeMs — a key trickling records must still expire.
+              state.setTimeoutDuration(math.max(1L, s.deadlineMs - now))
             } else state.remove()
             flushes.iterator
           }

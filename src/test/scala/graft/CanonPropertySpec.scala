@@ -83,6 +83,77 @@ class CanonPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("fmtDouble matches known serde_json (ryu) outputs across magnitudes") {
+    // Hand-checked serde_json::to_string outputs; Java's Double.toString would
+    // give scientific form for several of these (thresholds |x|>=1e7, <1e-3).
+    val golden = Seq(
+      12345678.0 -> "12345678.0",
+      123456789.0 -> "123456789.0",
+      1.0e15 -> "1000000000000000.0",
+      9999999999999998.0 -> "9999999999999998.0",
+      1.0e16 -> "1e16",
+      1.2345678901e7 -> "12345678.901",
+      0.0001 -> "0.0001",
+      0.00001 -> "0.00001",
+      1.01e-5 -> "0.0000101",
+      1.0e-6 -> "1e-6",
+      9.9e-6 -> "9.9e-6",
+      -2.5e-4 -> "-0.00025",
+      -12345678.0 -> "-12345678.0",
+      1.0 -> "1.0",
+      -0.5 -> "-0.5",
+      0.0 -> "0.0",
+      123456.789 -> "123456.789",
+      1.7976931348623157e308 -> "1.7976931348623157e308",
+      5e-324 -> "5e-324",
+      2.2250738585072014e-308 -> "2.2250738585072014e-308"
+    )
+    golden.foreach { case (d, want) =>
+      assert(JsonCanon.fmtDouble(d) == want, s"fmtDouble($d)")
+    }
+  }
+
+  test("fmtDouble notation follows ryu's plain-decimal range (property)") {
+    // Independent re-derivation: shortest digits from Double.toString, decimal
+    // point position kk; ryu prints plain iff kk ∈ (-5, 16], via BigDecimal.
+    def expected(d: Double): String = {
+      import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
+      val a = math.abs(d)
+      if (a == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
+      // shortest digits via ASCENDING precision search (implementation shrinks
+      // from Java's digit count — opposite direction)
+      val exact = new JBD(a)
+      var p = 1
+      var cand: JBD = null
+      while (cand == null && p <= 18) {
+        val r = exact.round(new MathContext(p, RoundingMode.HALF_EVEN))
+        if (r.doubleValue() == a) cand = r
+        p += 1
+      }
+      cand = cand.stripTrailingZeros()
+      val digits = cand.unscaledValue().toString
+      val exp = digits.length - 1 - cand.scale()
+      val kk = exp + 1
+      val sign = if (d < 0) "-" else ""
+      if (kk > -5 && kk <= 16) {
+        val plain = cand.toPlainString
+        sign + (if (plain.contains('.')) plain else plain + ".0")
+      } else {
+        val mant = if (digits.length == 1) digits
+          else digits.substring(0, 1) + "." + digits.substring(1)
+        sign + mant + "e" + exp
+      }
+    }
+    val genWide = for {
+      e <- Gen.chooseNum(-320, 308)
+      m <- Gen.chooseNum(1.0, 9.9999999)
+      neg <- Gen.oneOf(true, false)
+    } yield (if (neg) -m else m) * math.pow(10, e)
+    check(Prop.forAll(genWide) { d =>
+      !java.lang.Double.isFinite(d) || JsonCanon.fmtDouble(d) == expected(d)
+    })
+  }
+
   test("decodeId: hex and base64 encodings of the same bytes agree") {
     val genBytes = Gen.containerOfN[Array, Byte](16, Gen.chooseNum(-128, 127).map(_.toByte))
     check(Prop.forAll(genBytes) { bytes =>
