@@ -7,12 +7,13 @@ import graft.operators.{Dedup, Multimodal, QuerySurface, Similarity, TextAnalysi
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7.
   *
   * Every entry in [[queries]] is an operator from the SURVEY §2 inventory or
-  * the training-data-pipeline extension set; entries with a SQL-expressible
-  * semantics also appear in [[oracleSql]] and are hash-compared against
-  * DuckDB at sf0.01. Hash-based operators (MinHash/SimHash/LSH/fingerprint)
-  * have no DuckDB twin (engine hash functions differ; DuckDB has checked
-  * 64-bit arithmetic) → rows-only check, with ScalaTest specs covering their
-  * semantics instead.
+  * the training-data-pipeline extension set, and every entry is hash-compared
+  * against a DuckDB oracle at sf0.01 — including the hash-based operators
+  * (MinHash/SimHash/LSH/fingerprint): their hash primitives are MD5-derived
+  * ([[graft.operators.Tables]] rules + [[graft.functions.PortableHash]]) and
+  * their PRNG constants (permutation coefficients, hyperplanes) are inlined
+  * into the generated oracle SQL as literals, so DuckDB recomputes the exact
+  * pipeline.
   */
 object SparkEntry {
 
@@ -312,5 +313,13 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha256, md5(text) AS md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // -- generated oracles: hash constants/PRNG coefficients inlined --
+    "dedup_minhash_lsh" -> operators.Dedup.minhashOracleSql(),
+    "dedup_simhash" -> operators.Dedup.simhashOracleSql(),
+    "dedup_embedding_lsh" -> operators.Similarity.cosinePairsLshOracleSql(),
+    "sim_ann_lsh" -> operators.Similarity.annLshOracleSql(),
+    "sim_ann_ivf" -> operators.Similarity.annIvfOracleSql(),
+    "text_fingerprint" -> operators.TextAnalysis.fingerprintOracleSql,
   )
 }

@@ -25,10 +25,14 @@ import Tables._
   *   - SimHash is one map pass + a 16-bit-band bucket shuffle, same shape as
   *     LSH.
   *
-  * All hash functions are deterministic (xxhash64 with Spark's fixed seed 42,
-  * affine perms from a fixed-seed PRNG) so every output is reproducible.
+  * All hash functions are engine-portable: shingle/token hashes derive from
+  * MD5 ([[graft.functions.PortableHash]], bit-identical to DuckDB's
+  * `md5_number_lower`), and the affine-permutation coefficients come from a
+  * fixed-seed PRNG inlined into the oracle SQL as literals — so MinHash and
+  * SimHash outputs are fully hash-verified against DuckDB, not rows-only.
   */
 object Dedup {
+  import graft.functions.PortableHash
 
   /** Distinct word-3-gram shingles per document. Shared by Jaccard + MinHash.
     * UDF: the transform/concat_ws/array_distinct HOF formulation runs
@@ -108,8 +112,8 @@ object Dedup {
   }
 
   /** 64-perm MinHash signature of a shingle array: map each shingle to a
-    * 31-bit hash (MurmurHash3 — stable across JVMs), then min over (a·h+b)
-    * mod p per permutation.
+    * 31-bit MD5-derived hash (engine-portable, DuckDB-recomputable), then
+    * min over (a·h+b) mod p per permutation. a·h < 2^62 — no overflow.
     *
     * Implemented as a UDF rather than nested HOFs: Spark evaluates
     * higher-order functions interpreted (no codegen), and the perms×shingles
@@ -119,8 +123,7 @@ object Dedup {
     udf { (sh: Seq[String]) =>
       val sig = Array.fill(NumPerms)(Long.MaxValue)
       sh.foreach { s =>
-        val h = (scala.util.hashing.MurmurHash3.stringHash(s, 42).toLong
-          & MersennePrime)
+        val h = PortableHash.md5Lower31(s)
         var i = 0
         while (i < NumPerms) {
           val v = (permA(i) * h + permB(i)) % MersennePrime
@@ -142,10 +145,15 @@ object Dedup {
     val signed = sh.select(col("doc_id"), col("sh"),
       minhashSignature(col("sh")).as("sig")).persist()
 
-    // one (band, bandSig) row per band; bandSig hashes the 4-perm slice
+    // one (band, bandSig) row per band; bandSig is the raw 4-perm slice
+    // joined as a string key — exact band-agreement semantics (no engine-
+    // specific hash collisions), so the candidate set is recomputable by the
+    // DuckDB oracle. At larger scale a fixed-width hash of the slice would
+    // shrink the shuffle key; the semantics here are the portable ones.
     val bandStructs = array((0 until Bands).map { b =>
       struct(lit(b).as("band"),
-        hash(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bandSig"))
+        concat_ws(",", slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)
+          .cast("array<string>")).as("bandSig"))
     }: _*)
     val banded = signed
       .select(col("doc_id"), explode(bandStructs).as("bs"))
@@ -173,25 +181,17 @@ object Dedup {
 
   // ---- SimHash ----
 
-  private val SimBits = 63 // bits 0..62 of xxhash64 masked non-negative
-
-  /** splitmix64 finalizer: spreads a 32-bit token hash to 64 well-mixed bits
-    * (public-domain mixing constants). */
-  private def mix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  private val SimBits = 63 // bits 0..62 of the md5-derived u64 (sign bit unused)
 
   /** 63-bit SimHash over the token multiset (token frequency = weight).
-    * bit_j(doc) = sign of Σ_tokens (±1 by bit j of hash(token)). UDF for the
-    * same reason as [[minhashSignature]]: the bits×tokens loop is far faster
-    * as primitive code than as interpreted HOFs. */
+    * bit_j(doc) = sign of Σ_tokens (±1 by bit j of hash(token)). The token
+    * hash is the MD5-derived u64 (already well mixed, engine-portable). UDF
+    * for the same reason as [[minhashSignature]]: the bits×tokens loop is far
+    * faster as primitive code than as interpreted HOFs. */
   private val simhashUdf = udf { (toks: Seq[String]) =>
     val weights = new Array[Int](SimBits)
     toks.foreach { t =>
-      val h = mix64(scala.util.hashing.MurmurHash3.stringHash(t, 42).toLong)
+      val h = PortableHash.md5Lower(t)
       var j = 0
       while (j < SimBits) {
         if (((h >>> j) & 1L) == 1L) weights(j) += 1 else weights(j) -= 1
@@ -237,4 +237,82 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("id1"), col("id2"))
   }
+
+  // ---- DuckDB oracle SQL (constants inlined; hash-verified) ----------------
+
+  /** DuckDB twin of [[minhashLsh]]: recomputes the shingles, the MD5-derived
+    * 31-bit hashes (`md5_number_lower & 2147483647` — bit-identical to
+    * [[graft.functions.PortableHash.md5Lower31]]), the 64 affine permutations
+    * (coefficients inlined as a VALUES list), the per-band string keys, the
+    * bucket-join candidates, and the exact-jaccard verification. */
+  def minhashOracleSql(threshold: Double = 0.3): String = {
+    val perms = (0 until NumPerms)
+      .map(i => s"(${i}, ${permA(i)}, ${permB(i)})").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       |  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+       |), hs AS (
+       |  SELECT doc_id, CAST(md5_number_lower(shingle) & 2147483647 AS BIGINT) AS h FROM sh
+       |), perms(p, a, b) AS (VALUES $perms
+       |), sig AS (
+       |  SELECT doc_id, p, min((a * h + b) % $MersennePrime) AS s
+       |  FROM hs CROSS JOIN perms GROUP BY doc_id, p
+       |), bands AS (
+       |  SELECT doc_id, p // $RowsPerBand AS band, string_agg(s, ',' ORDER BY p) AS key
+       |  FROM sig GROUP BY doc_id, p // $RowsPerBand
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), est AS (
+       |  SELECT id1, id2,
+       |    sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / ${NumPerms}.0 AS est_jaccard
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = id1
+       |  JOIN sig sb ON sb.doc_id = id2 AND sa.p = sb.p
+       |  GROUP BY id1, id2
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), jac AS (
+       |  SELECT id1, id2, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+       |  FROM inter JOIN sizes sa ON id1 = sa.doc_id JOIN sizes sb ON id2 = sb.doc_id
+       |)
+       |SELECT e.id1, e.id2, e.est_jaccard, j.jaccard
+       |FROM est e JOIN jac j ON e.id1 = j.id1 AND e.id2 = j.id2
+       |WHERE j.jaccard >= $threshold
+       |ORDER BY e.id1, e.id2""".stripMargin
+  }
+
+  /** DuckDB twin of [[simhashPairs]]: MD5-derived u64 token hashes, 63
+    * per-bit signed weights, 16-bit band blocking, Hamming filter. */
+  def simhashOracleSql(maxHamming: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), th AS (
+       |  SELECT doc_id, md5_number_lower(tok) AS h FROM toks
+       |), bits AS (
+       |  SELECT doc_id, j,
+       |    sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS wt
+       |  FROM th, unnest(range($SimBits)) AS u(j)
+       |  GROUP BY doc_id, j
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN wt > 0 THEN CAST(1 AS UBIGINT) << j ELSE CAST(0 AS UBIGINT) END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |), banded AS (
+       |  SELECT doc_id, simhash, b AS band, (simhash >> (16 * b)) & 65535 AS bandsig
+       |  FROM sh, unnest(range(4)) AS t(b)
+       |)
+       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+       |ORDER BY id1, id2""".stripMargin
 }

@@ -132,8 +132,10 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes: values in [-1, 1) from a
-    * fixed-seed PRNG, shipped as a literal (nPlanes × dim) matrix. */
-  private def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    * fixed-seed PRNG, shipped as a literal (nPlanes × dim) matrix (and
+    * inlined into the DuckDB oracle SQL as double literals — Double.toString
+    * round-trips, so both engines evaluate the same IEEE doubles). */
+  private[operators] def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(7)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
   }
@@ -187,10 +189,16 @@ object Similarity {
       nQueries: Int = 8): DataFrame = {
     val e = withVec(embeddings(spark, sfDir))
 
+    // centroid components via exact decimal sums + round(…,6): FP addition is
+    // not associative, so a raw avg() would differ across engines/partition
+    // orders in the last ulps; the decimal path is order-independent and the
+    // DuckDB oracle recomputes it bit-identically (sums < 2^53/10^6, so the
+    // decimal→double cast is a single correctly-rounded step on both engines)
     val centroids = e
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
-      .agg(avg(col("x")).as("cx"))
+      .agg(round(sum(col("x").cast("decimal(28,6)")).cast("double") /
+        count(lit(1)), 6).as("cx"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
       .select(col("label").as("c_label"),
@@ -221,4 +229,91 @@ object Similarity {
         col("neighbor_id"), col("cos"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // ---- DuckDB oracle SQL (hyperplanes/centroid math inlined) ---------------
+
+  /** `sig` SQL expression over a DOUBLE[] column `vcol`: one bit per
+    * hyperplane, bit p set iff dot(v, plane_p) > 0 — identical accumulation
+    * order to [[lshSignature]] (list_dot_product is a left-to-right fold). */
+  private def sigSqlExpr(vcol: String, nPlanes: Int): String =
+    hyperplanes(nPlanes, 64).zipWithIndex.map { case (plane, p) =>
+      val lit = plane.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($vcol, $lit) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** DuckDB twin of [[cosinePairsLsh]]. */
+  def cosinePairsLshOracleSql(threshold: Double = 0.4, nPlanes: Int = 6): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |    ${sigSqlExpr("v", nPlanes)} AS sig
+       |  FROM e
+       |)
+       |SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+       |FROM n a JOIN n b ON a.sig = b.sig AND a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $threshold
+       |ORDER BY id1, id2""".stripMargin
+
+  /** DuckDB twin of [[annLsh]]. */
+  def annLshOracleSql(k: Int = 5, nQueries: Int = 8, nPlanes: Int = 6): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |    ${sigSqlExpr("v", nPlanes)} AS sig
+       |  FROM e
+       |), s AS (
+       |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |    round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) AS cos
+       |  FROM n q JOIN n x
+       |    ON q.vec_id < $nQueries AND q.sig = x.sig AND q.vec_id <> x.vec_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM s
+       |)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos
+       |FROM r WHERE rnk <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB twin of [[annIvf]]: per-label centroids from exact decimal sums
+    * (order-independent; the decimal→double cast is a single correctly-
+    * rounded step on both engines since the sums stay < 2^53/10^6), probe
+    * the nProbe nearest centroids, brute-force those inverted lists. */
+  def annIvfOracleSql(k: Int = 5, nProbe: Int = 2, nQueries: Int = 8): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+       |), cent AS (
+       |  SELECT label, i,
+       |    ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS cx
+       |  FROM n, unnest(range(1, 65)) AS t(i)
+       |  GROUP BY label, i
+       |), cv AS (
+       |  SELECT label AS c_label, list(cx ORDER BY i) AS cv FROM cent GROUP BY label
+       |), cn AS (
+       |  SELECT c_label, cv, sqrt(list_dot_product(cv, cv)) AS c_nrm FROM cv
+       |), probed AS (
+       |  SELECT query_id, c_label FROM (
+       |    SELECT q.vec_id AS query_id, cn.c_label,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_dot_product(q.v, cn.cv) / (q.nrm * cn.c_nrm), 6) DESC,
+       |        cn.c_label) AS probe_rank
+       |    FROM n q CROSS JOIN cn WHERE q.vec_id < $nQueries
+       |  ) WHERE probe_rank <= $nProbe
+       |), s AS (
+       |  SELECT p.query_id, x.vec_id AS neighbor_id,
+       |    round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) AS cos
+       |  FROM probed p
+       |  JOIN n q ON q.vec_id = p.query_id
+       |  JOIN n x ON x.label = p.c_label AND x.vec_id <> p.query_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM s
+       |)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos
+       |FROM r WHERE rnk <= $k ORDER BY query_id, rank""".stripMargin
 }

@@ -89,12 +89,98 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Document fingerprinting: 64-bit Karp–Rabin rolling hash of the full
-    * text (wrapping multiply — deterministic on the JVM), plus a winnowed
-    * minimum over 8-gram window hashes (the MOSS-style selection). UDF-based
-    * (per-char loop is not expressible in codegen HOFs); one map pass.
-    * No SQL oracle: DuckDB has checked 64-bit arithmetic. */
+  /** Document fingerprinting, MOSS-style winnowing over k-gram hashes
+    * (k = 8, window w = 50):
+    *   - `fingerprint`  — 63-bit MD5-derived hash of the full text;
+    *   - `winnow_min`   — minimum k-gram hash (the strongest single shared-
+    *                      substring signal between near-dup docs);
+    *   - `n_winnow`     — number of DISTINCT window-minimum hashes (the size
+    *                      of the winnowed fingerprint set: each length-w
+    *                      window of k-gram positions contributes its min).
+    * All hashes are MD5-derived 63-bit values ([[graft.functions.PortableHash]])
+    * so the whole output is recomputable by the DuckDB oracle — an earlier
+    * Karp–Rabin rolling-hash variant ([[fingerprintKR]]) is kept for the
+    * rolling-hash formulation but is JVM-wrapping-multiply-specific.
+    * UDF-based (per-char loop is not expressible in codegen HOFs); one map
+    * pass, no shuffle. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val k = 8
+    val w = 50
+    val winnowUdf = udf { (s: String) =>
+      if (s == null || s.length < k) (0L, 0L)
+      else {
+        val n = s.length - k + 1
+        val hs = new Array[Long](n)
+        var i = 0
+        while (i < n) { hs(i) = PortableHash.md5Lower63(s.substring(i, i + k)); i += 1 }
+        var globalMin = Long.MaxValue
+        val mins = new java.util.HashSet[Long]()
+        // sliding-window min via monotonic deque: O(n), windows [i, i+w-1]
+        // clipped to the tail (the oracle's ROWS BETWEEN CURRENT ROW AND
+        // w-1 FOLLOWING frame has the same shrinking-tail semantics)
+        val deque = new java.util.ArrayDeque[Int]()
+        // seed: indices of window starting at 0 are handled in the loop below
+        var start = 0
+        while (start < n) {
+          val end = math.min(start + w - 1, n - 1) // inclusive
+          if (start == 0) {
+            var j = 0
+            while (j <= end) {
+              while (!deque.isEmpty && hs(deque.peekLast()) >= hs(j)) deque.pollLast()
+              deque.addLast(j); j += 1
+            }
+          } else {
+            if (!deque.isEmpty && deque.peekFirst() < start) deque.pollFirst()
+            if (end == start + w - 1) { // a new element entered the window
+              while (!deque.isEmpty && hs(deque.peekLast()) >= hs(end)) deque.pollLast()
+              deque.addLast(end)
+            }
+          }
+          val m = hs(deque.peekFirst())
+          mins.add(m)
+          if (m < globalMin) globalMin = m
+          start += 1
+        }
+        (globalMin, mins.size.toLong)
+      }
+    }
+    documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("fp", udf((s: String) => PortableHash.md5Lower63(s)).apply(col("text")))
+      .withColumn("wn", winnowUdf(col("text")))
+      .select(col("doc_id"), col("fp").as("fingerprint"),
+        col("wn._1").as("winnow_min"), col("wn._2").as("n_winnow"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[fingerprint]]: same MD5-derived 63-bit k-gram hashes;
+    * the winnow windows are the `ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING`
+    * frame per doc (shrinking tail included, like the Scala deque). */
+  def fingerprintOracleSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, i,
+       |    md5_number_lower(substr(text, CAST(i AS INTEGER), 8)) & 9223372036854775807 AS h
+       |  FROM documents, unnest(range(1, length(text) - 6)) AS t(i)
+       |), w AS (
+       |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |    ROWS BETWEEN CURRENT ROW AND 49 FOLLOWING) AS wmin
+       |  FROM g
+       |), a AS (
+       |  SELECT doc_id, CAST(min(wmin) AS BIGINT) AS winnow_min,
+       |    CAST(count(DISTINCT wmin) AS BIGINT) AS n_winnow
+       |  FROM w GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(md5_number_lower(d.text) & 9223372036854775807 AS BIGINT) AS fingerprint,
+       |  coalesce(a.winnow_min, 0) AS winnow_min,
+       |  coalesce(a.n_winnow, 0) AS n_winnow
+       |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Karp–Rabin rolling-hash fingerprint (wrapping 64-bit multiply —
+    * deterministic on the JVM, not SQL-portable; spec-verified only). */
+  def fingerprintKR(spark: SparkSession, sfDir: String): DataFrame = {
     val fpUdf = udf { (s: String) =>
       var h = 0L
       var i = 0
