@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, QuerySurface, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Multimodal, QuerySurface, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7.
   *
@@ -60,6 +60,10 @@ object SparkEntry {
     // -- multimodal columns --
     "mm_features" -> (Multimodal.features _),
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
+    // -- dataset assembly --
+    "sample_split" -> (Sampling.sampleSplit _),
+    "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
+    "cluster_kmeans" -> ((s: SparkSession, d: String) => Clustering.kmeans(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -321,5 +325,8 @@ object SparkEntry {
     "sim_ann_lsh" -> operators.Similarity.annLshOracleSql(),
     "sim_ann_ivf" -> operators.Similarity.annIvfOracleSql(),
     "text_fingerprint" -> operators.TextAnalysis.fingerprintOracleSql,
+    "sample_split" -> Sampling.sampleSplitOracleSql,
+    "pack_sequences" -> Sampling.packSequencesOracleSql(),
+    "cluster_kmeans" -> Clustering.kmeansOracleSql(),
   )
 }

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Spherical k-means over the `embeddings` table — the semantic-clustering
+  * primitive a training pipeline uses for diversity balancing, semantic
+  * dedup, and domain mixing.
+  *
+  * Algorithm (fixed, fully deterministic, cross-engine reproducible):
+  *   - init: centroids = the vectors of vec_id 0..k-1 (verbatim doubles);
+  *   - assign: cluster = argmax over centroids of round(cos(v, c), 6),
+  *     ties to the smallest cluster id;
+  *   - update: centroid components = round(exactDecimalMean(v_i), 6) per
+  *     assigned cluster; clusters that lose all members keep their previous
+  *     centroid;
+  *   - `iters` full assign+update rounds, then a final assignment is emitted
+  *     as (vec_id, cluster, cos).
+  *
+  * Scale design: the classic Spark k-means shape — centroids are tiny
+  * (k × dim doubles) and live on the driver/broadcast; assignment is a pure
+  * map over the vectors; the update is one shuffle keyed by (cluster, dim)
+  * — k·dim keys, no skew. Per iteration: one map + one small agg. The
+  * decimal-exact mean (order-independent sums, single correctly-rounded
+  * decimal→double step) is what makes the result identical on any engine,
+  * any partitioning — a raw double avg would drift in the last ulps.
+  *
+  * The DuckDB oracle ([[kmeansOracleSql]]) unrolls the same iterations as
+  * generated CTEs.
+  */
+object Clustering {
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Spherical k-means: returns (vec_id, cluster, cos) after `iters`
+    * assign+update rounds. */
+  def kmeans(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .persist()
+
+    // init: vectors of vec_id < k, in id order
+    var centroids: Array[Array[Double]] = e.filter(col("vec_id") < k)
+      .orderBy(col("vec_id")).as[(Long, Seq[Double])].collect()
+      .map(_._2.toArray)
+
+    def assignUdf(cents: Array[Array[Double]]) = {
+      val cNrm = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+      udf { (v: Seq[Double]) =>
+        val arr = v.toArray
+        val nrm = math.sqrt(arr.map(x => x * x).sum)
+        var best = -1
+        var bestCos = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          val cent = cents(c)
+          var acc = 0.0
+          var i = 0
+          while (i < arr.length) { acc += arr(i) * cent(i); i += 1 }
+          val cos = round6(acc / (nrm * cNrm(c)))
+          if (cos > bestCos) { bestCos = cos; best = c } // strict: ties keep the smaller id
+          c += 1
+        }
+        (best, bestCos)
+      }
+    }
+
+    var it = 0
+    while (it < iters) {
+      val assigned = e.withColumn("a", assignUdf(centroids)(col("v")))
+        .select(col("vec_id"), col("a._1").as("cluster"), col("v"))
+      // update: decimal-exact per-(cluster, dim) means, rounded to 6
+      val means = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(sum(col("x").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)), 6).as("cx"))
+        .as[(Int, Int, Double)].collect()
+      val next = centroids.map(_.clone()) // empty clusters keep old centroid
+      means.foreach { case (c, pos, cx) => next(c)(pos) = cx }
+      // a cluster present in `means` gets all dims overwritten (posexplode
+      // emits every dim), so the clone only survives for empty clusters
+      centroids = next
+      it += 1
+    }
+
+    e.withColumn("a", assignUdf(centroids)(col("v")))
+      .select(col("vec_id"), col("a._1").cast("long").as("cluster"),
+        col("a._2").as("cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB twin of [[kmeans]] — the iterations unrolled as generated CTEs
+    * (long centroid format (cl, i, cx); assignment via a row_number argmax
+    * ordered cos DESC, cl ASC — same tie rule as the strict-greater loop). */
+  def kmeansOracleSql(k: Int = 8, iters: Int = 3): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+         |), cent0 AS (
+         |  SELECT vec_id AS cl, i, v[i] AS cx
+         |  FROM e, unnest(range(1, 65)) AS t(i) WHERE vec_id < $k
+         |)""".stripMargin)
+    for (it <- 1 to iters) {
+      val prev = s"cent${it - 1}"
+      sb.append(
+        s""", cv$it AS (
+           |  SELECT cl, list(cx ORDER BY i) AS cv FROM $prev GROUP BY cl
+           |), cn$it AS (
+           |  SELECT cl, cv, sqrt(list_dot_product(cv, cv)) AS c_nrm FROM cv$it
+           |), asg$it AS (
+           |  SELECT vec_id, cl, v FROM (
+           |    SELECT q.vec_id, c.cl, q.v,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        round(list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm), 6) DESC,
+           |        c.cl) AS rnk
+           |    FROM n q CROSS JOIN cn$it c
+           |  ) WHERE rnk = 1
+           |), raw$it AS (
+           |  SELECT cl, i,
+           |    ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS cx
+           |  FROM asg$it, unnest(range(1, 65)) AS t(i)
+           |  GROUP BY cl, i
+           |), cent$it AS (
+           |  SELECT p.cl, p.i, coalesce(r.cx, p.cx) AS cx
+           |  FROM $prev p LEFT JOIN raw$it r ON p.cl = r.cl AND p.i = r.i
+           |)""".stripMargin)
+    }
+    sb.append(
+      s""", cvF AS (
+         |  SELECT cl, list(cx ORDER BY i) AS cv FROM cent$iters GROUP BY cl
+         |), cnF AS (
+         |  SELECT cl, cv, sqrt(list_dot_product(cv, cv)) AS c_nrm FROM cvF
+         |)
+         |SELECT vec_id, CAST(cl AS BIGINT) AS cluster, cos FROM (
+         |  SELECT q.vec_id, c.cl,
+         |    round(list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm), 6) AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      round(list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm), 6) DESC,
+         |      c.cl) AS rnk
+         |  FROM n q CROSS JOIN cnF c
+         |) WHERE rnk = 1 ORDER BY vec_id""".stripMargin)
+    sb.toString
+  }
+}

@@ -4,11 +4,11 @@ import org.apache.spark.sql.functions._
 
 import graft.operators._
 
-/** Semantic tests for the query-surface / dedup / similarity / text
-  * operators. Oracle-checked queries are additionally verified end-to-end by
-  * the driver's DuckDB gate; the hash-based operators (MinHash, SimHash,
-  * LSH, fingerprint) have no SQL oracle, so their statistical/semantic
-  * properties are pinned here. */
+/** Semantic tests for the query-surface / dedup / similarity / text /
+  * sampling / clustering operators. Every query is also hash-verified
+  * end-to-end by the driver's DuckDB gate (the hash-based ops via
+  * MD5-portable hashing); this spec pins the statistical/semantic properties
+  * the gate can't express (approximation quality, recall, determinism). */
 class OperatorsSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
@@ -189,5 +189,61 @@ class OperatorsSpec extends SparkTestBase {
       val score = r.getAs[Double]("quality_score")
       assert(score >= 0.0 && score <= 1.0)
     }
+  }
+
+  test("sample split: total coverage, deterministic, roughly 90/5/5") {
+    val total = Tables.documents(spark, sf).count()
+    val rows = Sampling.sampleSplit(spark, sf).collect()
+    assert(rows.length == total)
+    val bydSplit = rows.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(bydSplit.keySet.subsetOf(Set("train", "val", "test")))
+    // 90/5/5 within generous binomial tolerance on a small corpus
+    val train = bydSplit.getOrElse("train", 0).toDouble / total
+    assert(train > 0.8 && train < 0.97, s"train fraction $train")
+    // stability: the split of a doc is a pure function of its id
+    val again = Sampling.sampleSplit(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(3))).toSeq ==
+      again.map(r => (r.getLong(0), r.getString(3))).toSeq)
+  }
+
+  test("pack sequences: chunks are contiguous per shard and start in-budget") {
+    val budget = 512L
+    val rows = Sampling.packSequences(spark, sf, budget = budget, nShards = 4).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, docs) =>
+      val inOrder = docs.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      inOrder.foreach { r =>
+        // a doc's chunk is determined by where its first token falls
+        assert(r.getAs[Long]("chunk_id") == cum / budget)
+        cum += r.getAs[Long]("n_tokens")
+      }
+      // chunk ids are non-decreasing in doc order
+      val ids = inOrder.map(_.getAs[Long]("chunk_id"))
+      assert(ids.zip(ids.drop(1)).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("kmeans: full coverage, k clusters at most, iterations improve cohesion") {
+    val k = 4
+    val total = Tables.embeddings(spark, sf).count()
+    val zero = Clustering.kmeans(spark, sf, k = k, iters = 0).collect()
+    val fitted = Clustering.kmeans(spark, sf, k = k, iters = 3).collect()
+    assert(zero.length == total && fitted.length == total)
+    fitted.foreach { r =>
+      val c = r.getAs[Long]("cluster")
+      assert(c >= 0 && c < k)
+      val cos = r.getAs[Double]("cos")
+      assert(cos >= -1.0001 && cos <= 1.0001)
+    }
+    // Lloyd iterations cannot reduce mean assignment similarity (up to the
+    // 1e-6 rounding of the oracle-stable cosine)
+    val mean0 = zero.map(_.getAs[Double]("cos")).sum / total
+    val mean3 = fitted.map(_.getAs[Double]("cos")).sum / total
+    assert(mean3 >= mean0 - 1e-4, s"cohesion regressed: $mean0 -> $mean3")
+    // determinism
+    val again = Clustering.kmeans(spark, sf, k = k, iters = 3).collect()
+    assert(fitted.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 }
