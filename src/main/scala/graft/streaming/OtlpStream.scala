@@ -59,8 +59,62 @@ object OtlpStream {
       .start()
   }
 
+  /** Landing-dir JSONL trace stream → flat span table → partitioned parquet.
+    * Same pipeline shape as [[logsToParquet]] (narrow flatten, dynamic
+    * partition sink). */
+  def tracesToParquet(spark: SparkSession, inputDir: String, outputRoot: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      maxRecordsPerFile: Long = 200000L,
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(OtlpSchemas.traces)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("mode", "FAILFAST")
+      .json(inputDir)
+    val flat = OtelWrite.withPartitionColumns(Otlp.traces(raw))
+    flat.writeStream
+      .format("parquet")
+      .option("path", s"$outputRoot/otel_traces")
+      .option("checkpointLocation", checkpointDir)
+      .option("compression", "snappy")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("service", "year", "month", "day", "hour")
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Landing-dir JSONL metric stream → four persisted kind tables (summary
+    * dropped — reference parity). The per-kind fan-out needs `foreachBatch`:
+    * one parquet sink can write one table, but the reference runs four
+    * independent batchers (/root/reference/src/lib.rs:197-202), so each
+    * micro-batch routes its datapoints to all four partitioned tables.
+    * Delivery is at-least-once across restarts (batch appends inside
+    * foreachBatch are not transactional with the checkpoint — same window a
+    * crashed reference server has between buffer flush and response). */
+  def metricsToParquet(spark: SparkSession, inputDir: String, outputRoot: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(OtlpSchemas.metrics)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("mode", "FAILFAST")
+      .json(inputDir)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pm = Otlp.metrics(batch)
+        OtelWrite.writeMetrics(pm, outputRoot)
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   private object OtlpSchemas {
     val logs = graft.schema.OtlpSchemas.logsRequestType
+    val traces = graft.schema.OtlpSchemas.tracesRequestType
+    val metrics = graft.schema.OtlpSchemas.metricsRequestType
   }
 
   // ---- explicit keyed batcher (flush-event semantics) ----------------------

@@ -33,6 +33,49 @@ class StreamingSpec extends SparkTestBase {
     assert(written.select("service").distinct().count() >= 5)
   }
 
+  test("streaming traces landing dir → partitioned parquet") {
+    val in = tmp("graft-tstream-in")
+    val out = tmp("graft-tstream-out")
+    val ckpt = tmp("graft-tstream-ckpt")
+    Files.copy(java.nio.file.Paths.get("/root/reference/testdata/traces.jsonl"),
+      java.nio.file.Paths.get(in, "traces.jsonl"))
+
+    val q = OtlpStream.tracesToParquet(spark, in, out, ckpt,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val written = spark.read.parquet(s"$out/otel_traces")
+    assert(written.count() == 19) // golden span count
+    assert(written.columns.contains("SpanKind") && written.columns.contains("service"))
+  }
+
+  test("streaming metrics landing dir → four kind tables (summary dropped)") {
+    val in = tmp("graft-mstream-in")
+    val out = tmp("graft-mstream-out")
+    val ckpt = tmp("graft-mstream-ckpt")
+    // one envelope per line; mixed covers gauge/sum/histogram, the
+    // exp-histogram fixture covers the fourth persisted kind
+    def flatLine(p: String): String = new String(
+      Files.readAllBytes(java.nio.file.Paths.get(p)),
+      java.nio.charset.StandardCharsets.UTF_8).replaceAll("\\s*\\n\\s*", "")
+    val lines = Seq(
+      flatLine("/root/reference/testdata/metrics_mixed.json"),
+      flatLine("/root/reference/testdata/metrics_exponential_histogram.json"))
+    Files.write(java.nio.file.Paths.get(in, "metrics.jsonl"),
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    val q = OtlpStream.metricsToParquet(spark, in, out, ckpt,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    for (kind <- Seq("gauge", "sum", "histogram", "exponential_histogram")) {
+      val t = spark.read.parquet(s"$out/otel_metrics_$kind")
+      assert(t.count() > 0, s"kind $kind must have datapoints")
+    }
+    // summary is decoded but never persisted (reference parity)
+    assert(!new java.io.File(s"$out/otel_metrics_summary").exists())
+  }
+
   test("watermarked window counts: on-time rows aggregate, late rows drop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
