@@ -205,11 +205,15 @@ object SparkEntry {
         |), sh AS (
         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
         |  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+        |), hs AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(md5_number_lower(shingle) & 9223372036854775807 AS BIGINT) AS h
+        |  FROM sh
         |), sizes AS (
-        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |  SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id
         |), inter AS (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |)
         |SELECT id1, id2, c / (sa.n + sb.n - c) AS jaccard

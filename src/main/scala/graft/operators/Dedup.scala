@@ -59,6 +59,30 @@ object Dedup {
   def docShingles(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir).select(col("doc_id"), shingleCol(col("text")).as("sh"))
 
+  /** Distinct 63-bit MD5 shingle hashes per document (first-occurrence
+    * order). The set-similarity joins key on these 8-byte hashes instead of
+    * raw shingle strings — at 100 TB the shuffle never carries document
+    * text, only fixed-width keys. An MD5-64 collision would merge two
+    * shingles, but both engines compute the identical hash, so Spark and the
+    * DuckDB oracle see the same (astronomically unlikely) merges. */
+  private val shingleHashUdf = udf { (toks: Seq[String]) =>
+    if (toks.length < 3) Seq.empty[Long]
+    else {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i + 2 < toks.length) {
+        seen.add(PortableHash.md5Lower63(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)))
+        i += 1
+      }
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSeq.map(_.longValue())
+    }
+  }
+
+  def docShingleHashes(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(col("doc_id"), shingleHashUdf(split(col("text"), " ")).as("shh"))
+
   /** Exact dedup: canonical-row selection per identical text. Groups on
     * md5(text) so the shuffle key is 16 bytes regardless of document size
     * (hash-groupBy pattern). Emits every doc with its keep/drop verdict. */
@@ -71,19 +95,19 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Exact pairwise n-gram Jaccard ≥ threshold: explode distinct shingles,
-    * self-join on the shingle (shuffle key = shingle), count intersections;
-    * |A∪B| = |A|+|B|−|A∩B|. Integer counts → the jaccard division is
-    * bit-identical across engines. */
+  /** Exact pairwise n-gram Jaccard ≥ threshold: explode distinct shingle
+    * hashes, self-join on the 8-byte hash (the shuffle never carries text),
+    * count intersections; |A∪B| = |A|+|B|−|A∩B|. Integer counts → the
+    * jaccard division is bit-identical across engines. */
   def ngramJaccard(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3): DataFrame = {
     // persist: both self-join sides and the size lookup would otherwise
     // re-run the shingle extraction (3× the map work)
-    val sh = docShingles(spark, sfDir).persist()
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val sh = docShingleHashes(spark, sfDir).persist()
+    val ex = sh.select(col("doc_id"), explode(col("shh")).as("h"))
+    val sizes = sh.select(col("doc_id"), size(col("shh")).cast("long").as("n"))
     val inter = ex.as("a").join(ex.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("c"))
     inter
@@ -121,29 +145,37 @@ object Dedup {
     * slower than this primitive-array loop at sf0.1. */
   val minhashSignature: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (sh: Seq[String]) =>
-      val sig = Array.fill(NumPerms)(Long.MaxValue)
-      sh.foreach { s =>
-        val h = PortableHash.md5Lower31(s)
-        var i = 0
-        while (i < NumPerms) {
-          val v = (permA(i) * h + permB(i)) % MersennePrime
-          if (v < sig(i)) sig(i) = v
-          i += 1
-        }
-      }
-      sig
+      minhashSigFromHashes(sh.map(PortableHash.md5Lower31))
     }
+
+  /** Signature from precomputed 63-bit shingle hashes ([[docShingleHashes]]);
+    * the 31-bit perm input is the low bits (same md5, computed once). */
+  private val minhashSignatureFromHashes =
+    udf { (hs: Seq[Long]) => minhashSigFromHashes(hs.map(_ & MersennePrime)) }
+
+  private def minhashSigFromHashes(hs: Seq[Long]): Array[Long] = {
+    val sig = Array.fill(NumPerms)(Long.MaxValue)
+    hs.foreach { h =>
+      var i = 0
+      while (i < NumPerms) {
+        val v = (permA(i) * h + permB(i)) % MersennePrime
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
 
   /** MinHash+LSH near-dup pairs: band signatures → bucket self-join →
     * candidate pairs → exact-Jaccard verification of candidates only.
     * Output: (id1, id2, est_jaccard, jaccard) for exact jaccard ≥ threshold. */
   def minhashLsh(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3): DataFrame = {
-    val sh = docShingles(spark, sfDir).filter(size(col("sh")) > 0)
+    val sh = docShingleHashes(spark, sfDir).filter(size(col("shh")) > 0)
     // persist: the banded self-join and the two verification joins would
     // otherwise recompute the signature pipeline once per join side
-    val signed = sh.select(col("doc_id"), col("sh"),
-      minhashSignature(col("sh")).as("sig")).persist()
+    val signed = sh.select(col("doc_id"), col("shh"),
+      minhashSignatureFromHashes(col("shh")).as("sig")).persist()
 
     // one (band, bandSig) row per band; bandSig is the raw 4-perm slice
     // joined as a string key — exact band-agreement semantics (no engine-
@@ -165,16 +197,17 @@ object Dedup {
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
 
-    // verify: estimated (sig agreement) + exact jaccard, candidates only
-    val withSig = signed.select(col("doc_id"), col("sh"), col("sig"))
+    // verify: estimated (sig agreement) + exact jaccard over the hash sets,
+    // candidates only
+    val withSig = signed.select(col("doc_id"), col("shh"), col("sig"))
     candidates
       .join(withSig.as("da"), col("id1") === col("da.doc_id"))
       .join(withSig.as("db"), col("id2") === col("db.doc_id"))
       .select(col("id1"), col("id2"),
         (size(filter(zip_with(col("da.sig"), col("db.sig"), (x, y) => x === y),
           b => b)).cast("double") / lit(NumPerms.toDouble)).as("est_jaccard"),
-        (size(array_intersect(col("da.sh"), col("db.sh"))).cast("double") /
-          size(array_union(col("da.sh"), col("db.sh"))).cast("double")).as("jaccard"))
+        (size(array_intersect(col("da.shh"), col("db.shh"))).cast("double") /
+          size(array_union(col("da.shh"), col("db.shh"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id1"), col("id2"))
   }
@@ -241,10 +274,11 @@ object Dedup {
   // ---- DuckDB oracle SQL (constants inlined; hash-verified) ----------------
 
   /** DuckDB twin of [[minhashLsh]]: recomputes the shingles, the MD5-derived
-    * 31-bit hashes (`md5_number_lower & 2147483647` — bit-identical to
-    * [[graft.functions.PortableHash.md5Lower31]]), the 64 affine permutations
-    * (coefficients inlined as a VALUES list), the per-band string keys, the
-    * bucket-join candidates, and the exact-jaccard verification. */
+    * 63-bit shingle-hash sets (`md5_number_lower & (2^63-1)` — bit-identical
+    * to [[graft.functions.PortableHash.md5Lower63]]; the 31-bit perm input is
+    * the low bits), the 64 affine permutations (coefficients inlined as a
+    * VALUES list), the per-band string keys, the bucket-join candidates, and
+    * the exact-jaccard verification over the hash sets. */
   def minhashOracleSql(threshold: Double = 0.3): String = {
     val perms = (0 until NumPerms)
       .map(i => s"(${i}, ${permA(i)}, ${permB(i)})").mkString(", ")
@@ -254,10 +288,12 @@ object Dedup {
        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
        |  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
        |), hs AS (
-       |  SELECT doc_id, CAST(md5_number_lower(shingle) & 2147483647 AS BIGINT) AS h FROM sh
+       |  SELECT DISTINCT doc_id,
+       |    CAST(md5_number_lower(shingle) & 9223372036854775807 AS BIGINT) AS h
+       |  FROM sh
        |), perms(p, a, b) AS (VALUES $perms
        |), sig AS (
-       |  SELECT doc_id, p, min((a * h + b) % $MersennePrime) AS s
+       |  SELECT doc_id, p, min((a * (h & 2147483647) + b) % $MersennePrime) AS s
        |  FROM hs CROSS JOIN perms GROUP BY doc_id, p
        |), bands AS (
        |  SELECT doc_id, p // $RowsPerBand AS band, string_agg(s, ',' ORDER BY p) AS key
@@ -274,10 +310,10 @@ object Dedup {
        |  JOIN sig sb ON sb.doc_id = id2 AND sa.p = sb.p
        |  GROUP BY id1, id2
        |), sizes AS (
-       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |  SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id
        |), inter AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |), jac AS (
        |  SELECT id1, id2, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
