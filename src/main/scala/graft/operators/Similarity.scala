@@ -27,26 +27,21 @@ import Tables._
   */
 object Similarity {
 
-  /** Left-to-right dot product as a UDF: the all-pairs paths evaluate this
-    * O(n²) times, and Spark's array HOFs run interpreted (no codegen) with
-    * boxed-lambda overhead per element — the primitive loop is ~20× faster
-    * at sf0.1 while computing the *identical* double (same accumulation
-    * order as the DuckDB oracle's list_dot_product). */
-  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var acc = 0.0
-    var i = 0
-    val n = a.length
-    while (i < n) { acc += a(i) * b(i); i += 1 }
-    acc
-  }
+  /** Left-to-right dot product: the join paths evaluate this O(candidates)
+    * times. [[graft.functions.VectorExpressions.vectorDot]] is a native
+    * Catalyst expression with `doGenCode` — a primitive `ArrayData` loop
+    * fused into whole-stage codegen (no boxing, no catalyst→Row conversion;
+    * Spark's array HOFs would run interpreted with boxed lambdas per
+    * element). Accumulation order is index-ascending, computing the
+    * *identical* double as the DuckDB oracle's list_dot_product. */
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vectorDot(a, b)
 
   /** embedding (float) → double vector + its L2 norm. */
   private def withVec(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(dotUdf(col("v"), col("v"))))
-
-  private def dot(a: Column, b: Column): Column = dotUdf(a, b)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   private def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
     round(dot(va, vb) / (na * nb), 6)
@@ -203,8 +198,7 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
       .select(col("label").as("c_label"),
         transform(col("pcs"), p => p("cx")).as("cv"))
-      .withColumn("c_nrm",
-        sqrt(aggregate(col("cv"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("c_nrm", sqrt(dot(col("cv"), col("cv"))))
 
     val q = e.filter(col("vec_id") < nQueries)
     val probeW = Window.partitionBy(col("query_id"))
