@@ -64,6 +64,9 @@ object SparkEntry {
     "sample_split" -> (Sampling.sampleSplit _),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "cluster_kmeans" -> ((s: SparkSession, d: String) => Clustering.kmeans(s, d)),
+    "dedup_decontaminate" -> ((s: SparkSession, d: String) => Sampling.decontaminate(s, d)),
+    "mix_source_stats" -> (Sampling.sourceMixStats _),
+    "text_repetition" -> (TextAnalysis.repetition _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -332,5 +335,8 @@ object SparkEntry {
     "sample_split" -> Sampling.sampleSplitOracleSql,
     "pack_sequences" -> Sampling.packSequencesOracleSql(),
     "cluster_kmeans" -> Clustering.kmeansOracleSql(),
+    "dedup_decontaminate" -> Sampling.decontaminateOracleSql(),
+    "mix_source_stats" -> Sampling.sourceMixStatsOracleSql,
+    "text_repetition" -> TextAnalysis.repetitionOracleSql,
   )
 }

@@ -60,6 +60,77 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination: for every train/val document, the fraction
+    * of its distinct word-8-gram hashes that appear anywhere in the test
+    * split (the held-out set of [[sampleSplit]]). Standard LLM-pipeline
+    * hygiene — test data leaking into train inflates evals.
+    *
+    * Scale shape: the benchmark side is small by construction (5% here; real
+    * benchmark suites are tiny), so its distinct-hash set broadcasts and the
+    * probe is a map-side semi-join — the 100 TB train side never shuffles.
+    * 8-byte hashes only; document text never leaves the scan. */
+  def decontaminate(spark: SparkSession, sfDir: String,
+      flagThreshold: Double = 0.1): DataFrame = {
+    val ngramHashUdf = udf { (toks: Seq[String]) =>
+      val k = 8
+      if (toks.length < k) Seq.empty[Long]
+      else {
+        val seen = new java.util.LinkedHashSet[java.lang.Long]()
+        var i = 0
+        while (i + k - 1 < toks.length) {
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j)); j += 1
+          }
+          seen.add(PortableHash.md5Lower63(sb.toString))
+          i += 1
+        }
+        import scala.jdk.CollectionConverters._
+        seen.asScala.toSeq.map(_.longValue())
+      }
+    }
+    val withSplit = documents(spark, sfDir)
+      .select(col("doc_id"),
+        (hashUdf(lit("split:"), col("doc_id")) % 1000).as("bucket"),
+        ngramHashUdf(split(col("text"), " ")).as("gh"))
+    val trainSide = withSplit.filter(col("bucket") < 950)
+      .select(col("doc_id"), col("gh"))
+    val testGrams = withSplit.filter(col("bucket") >= 950)
+      .select(explode(col("gh")).as("h")).distinct()
+    val hits = trainSide.select(col("doc_id"), explode(col("gh")).as("h"))
+      .join(broadcast(testGrams), "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    trainSide
+      .select(col("doc_id"), size(col("gh")).cast("long").as("n_8grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("contam_frac",
+        when(col("n_8grams") > 0, col("n_hit") / col("n_8grams")).otherwise(0.0))
+      .withColumn("is_contaminated", col("contam_frac") >= flagThreshold)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source mixture statistics for domain weighting: document/token
+    * counts, distinct languages, exact-decimal mean quality score. One
+    * small-key groupBy. */
+  def sourceMixStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = TextAnalysis.quality(spark, sfDir).select(col("doc_id"), col("quality_score"))
+    documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+          .cast("long").as("n_tokens"))
+      .join(q, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(sum(col("quality_score").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_quality"))
+      .orderBy(col("source"))
+  }
+
   // ---- DuckDB oracle SQL ---------------------------------------------------
 
   /** DuckDB twin of [[sampleSplit]]. */
@@ -70,6 +141,60 @@ object Sampling {
        |       WHEN CAST(md5_number_lower('split:' || doc_id) & 9223372036854775807 AS BIGINT) % 1000 < 950 THEN 'val'
        |       ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of [[decontaminate]]. */
+  def decontaminateOracleSql(flagThreshold: Double = 0.1): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |    CAST(md5_number_lower('split:' || doc_id) & 9223372036854775807 AS BIGINT) % 1000 AS bucket
+       |  FROM documents
+       |), g AS (
+       |  SELECT DISTINCT doc_id, bucket,
+       |    CAST(md5_number_lower(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+       |      w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]) & 9223372036854775807 AS BIGINT) AS h
+       |  FROM d, unnest(range(1, len(w) - 6)) AS t(i)
+       |), test_g AS (
+       |  SELECT DISTINCT h FROM g WHERE bucket >= 950
+       |), sizes AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_8grams
+       |  FROM g WHERE bucket < 950 GROUP BY doc_id
+       |), hits AS (
+       |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM g JOIN test_g ON g.h = test_g.h
+       |  WHERE g.bucket < 950 GROUP BY g.doc_id
+       |)
+       |SELECT d.doc_id, coalesce(s.n_8grams, 0) AS n_8grams,
+       |  coalesce(h.n_hit, 0) AS n_hit,
+       |  CASE WHEN coalesce(s.n_8grams, 0) > 0
+       |       THEN coalesce(h.n_hit, 0) / s.n_8grams ELSE 0.0 END AS contam_frac,
+       |  (CASE WHEN coalesce(s.n_8grams, 0) > 0
+       |        THEN coalesce(h.n_hit, 0) / s.n_8grams ELSE 0.0 END) >= $flagThreshold AS is_contaminated
+       |FROM d
+       |LEFT JOIN sizes s ON d.doc_id = s.doc_id
+       |LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |WHERE d.bucket < 950
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** DuckDB twin of [[sourceMixStats]]. */
+  def sourceMixStatsOracleSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    least(1.0,
+       |      (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) /
+       |       CAST(len(string_split(text, ' ')) AS BIGINT)) * 0.6 +
+       |      (CAST(len(list_filter(string_split(text, ' '),
+       |         t -> list_contains(['the','a','and','of','to'], t))) AS BIGINT) /
+       |       CAST(len(string_split(text, ' ')) AS BIGINT)) * 2.0 +
+       |      CASE WHEN len(string_split(text, ' ')) BETWEEN 50 AND 2000
+       |           THEN 0.2 ELSE 0.0 END) AS quality_score
+       |  FROM documents
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(SUM(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)) AS BIGINT) AS total_tokens,
+       |  count(DISTINCT lang) AS n_langs,
+       |  ROUND(CAST(SUM(CAST(q.quality_score AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+       |FROM documents JOIN q USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
 
   /** DuckDB twin of [[packSequences]]. */
   def packSequencesOracleSql(budget: Long = 2048L, nShards: Int = 32): String =

@@ -89,6 +89,73 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition scoring (the Gopher-rules family): fraction of duplicated
+    * word n-grams within a document and the most-frequent-token share —
+    * the standard signals for machine-generated/boilerplate filtering.
+    * Integer counts + one division each → bit-identical cross-engine.
+    * Pure map pass, no shuffle. */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val statsUdf = udf { (toks: Seq[String]) =>
+      val n = toks.length
+      val n3 = math.max(n - 2, 0)
+      val d3 = if (n3 == 0) 0
+        else {
+          val seen = new java.util.HashSet[String]()
+          var i = 0
+          while (i + 2 < n) { seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)); i += 1 }
+          seen.size
+        }
+      val counts = new java.util.HashMap[String, Int]()
+      toks.foreach(t => counts.merge(t, 1, Integer.sum))
+      var topCnt = 0
+      counts.values.forEach(c => if (c > topCnt) topCnt = c)
+      (n.toLong, n3.toLong, d3.toLong, topCnt.toLong)
+    }
+    documents(spark, sfDir)
+      .select(col("doc_id"), statsUdf(split(col("text"), " ")).as("s"))
+      .select(col("doc_id"),
+        col("s._1").as("n_tokens"), col("s._2").as("n_3grams"),
+        col("s._3").as("distinct_3grams"), col("s._4").as("top_token_count"))
+      .withColumn("dup_3gram_frac",
+        when(col("n_3grams") > 0,
+          lit(1.0) - col("distinct_3grams") / col("n_3grams")).otherwise(0.0))
+      .withColumn("top_token_frac",
+        when(col("n_tokens") > 0, col("top_token_count") / col("n_tokens"))
+          .otherwise(0.0))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[repetition]]. */
+  def repetitionOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), tg AS (
+      |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+      |), g3 AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_3grams,
+      |    CAST(count(DISTINCT g) AS BIGINT) AS distinct_3grams
+      |  FROM tg GROUP BY doc_id
+      |), tc AS (
+      |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_token_count FROM (
+      |    SELECT doc_id, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+      |    GROUP BY doc_id, tok
+      |  ) GROUP BY doc_id
+      |)
+      |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+      |  coalesce(g3.n_3grams, 0) AS n_3grams,
+      |  coalesce(g3.distinct_3grams, 0) AS distinct_3grams,
+      |  coalesce(tc.top_token_count, 0) AS top_token_count,
+      |  CASE WHEN coalesce(g3.n_3grams, 0) > 0
+      |       THEN 1.0 - g3.distinct_3grams / g3.n_3grams ELSE 0.0 END AS dup_3gram_frac,
+      |  CASE WHEN len(t.w) > 0
+      |       THEN tc.top_token_count / CAST(len(t.w) AS BIGINT) ELSE 0.0 END AS top_token_frac
+      |FROM toks t
+      |LEFT JOIN g3 ON t.doc_id = g3.doc_id
+      |LEFT JOIN tc ON t.doc_id = tc.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   /** Document fingerprinting, MOSS-style winnowing over k-gram hashes
     * (k = 8, window w = 50):
     *   - `fingerprint`  — 63-bit MD5-derived hash of the full text;

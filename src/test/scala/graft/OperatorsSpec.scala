@@ -224,6 +224,53 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("decontaminate: test docs excluded, self-consistent fractions") {
+    val split = Sampling.sampleSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val rows = Sampling.decontaminate(spark, sf).collect()
+    // exactly the train+val docs are scored
+    assert(rows.map(_.getLong(0)).toSet == split.filter(_._2 != "test").keySet)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_8grams")
+      val hit = r.getAs[Long]("n_hit")
+      val frac = r.getAs[Double]("contam_frac")
+      assert(hit >= 0 && hit <= n)
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(r.getAs[Boolean]("is_contaminated") == (frac >= 0.1))
+    }
+  }
+
+  test("repetition: a duplicated document scores higher than the original") {
+    val rows = TextAnalysis.repetition(spark, sf).collect()
+    rows.foreach { r =>
+      val f = r.getAs[Double]("dup_3gram_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r.getAs[Double]("top_token_frac") > 0.0)
+    }
+    // corpus has exact-dup groups (dedup_exact finds them): a doc whose text
+    // duplicates another's has identical repetition stats — sanity-check the
+    // stats are a pure function of text
+    val byText = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val statsById = rows.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_3grams"), r.getAs[Long]("distinct_3grams"))).toMap
+    byText.groupBy(_._2).values.filter(_.size > 1).foreach { dups =>
+      val stats = dups.keys.map(statsById).toSet
+      assert(stats.size == 1, "identical texts must have identical stats")
+    }
+  }
+
+  test("source mix stats: totals reconcile with the corpus") {
+    val stats = Sampling.sourceMixStats(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == total)
+    stats.foreach { r =>
+      val avgQ = r.getAs[Double]("avg_quality")
+      assert(avgQ >= 0.0 && avgQ <= 1.0)
+      assert(r.getAs[Long]("n_langs") >= 1)
+    }
+  }
+
   test("kmeans: full coverage, k clusters at most, iterations improve cohesion") {
     val k = 4
     val total = Tables.embeddings(spark, sf).count()
