@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{AnyValueToJsonExpr, AttrsToJsonExpr, VectorDotExpr}
+
+/** The library's Catalyst extension point: registers the custom expressions
+  * as SQL functions so `spark.sql` users get them too —
+  *
+  *   - `vector_dot(a, b)`   — codegen'd array<double> dot product
+  *     ([[graft.functions.VectorDotExpr]])
+  *   - `attrs_json(kvs)`    — OTLP KeyValue[] → canonical sorted-key JSON
+  *     ([[graft.functions.AttrsToJsonExpr]])
+  *   - `any_value_json(v)`  — OTLP AnyValue → JSON-encoded string
+  *
+  * Install either at session build time
+  * (`--conf spark.sql.extensions=graft.GraftExtensions`, the deployment
+  * route) or on a live session via [[GraftExtensions.register]] (the
+  * notebook/test route).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  /** (identifier, info, builder) triple per exposed function. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vector_dot"),
+      info("vector_dot", "vector_dot(a, b) - dot product of two array<double>"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vector_dot takes 2 arguments")
+        VectorDotExpr(children(0), children(1))
+      }),
+    (FunctionIdentifier("attrs_json"),
+      info("attrs_json", "attrs_json(kvs) - canonical sorted-key JSON of OTLP attributes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "attrs_json takes 1 argument")
+        AttrsToJsonExpr(children.head, Set.empty)
+      }),
+    (FunctionIdentifier("any_value_json"),
+      info("any_value_json", "any_value_json(v) - JSON-encoded OTLP AnyValue"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "any_value_json takes 1 argument")
+        AnyValueToJsonExpr(children.head)
+      })
+  )
+
+  /** Register the functions on an already-running session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (ident, inf, builder) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .registerFunction(spark, ident, inf, builder)
+    }
+}

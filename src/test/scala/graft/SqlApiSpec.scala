@@ -35,4 +35,38 @@ class SqlApiSpec extends SparkTestBase {
         |GROUP BY n_name ORDER BY n_name""".stripMargin)
     assert(joined.count() > 0)
   }
+
+  test("GraftExtensions expose the custom expressions as SQL functions") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql(
+      "SELECT vector_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(dot == 32.0)
+    // vector_dot over a real table — same result as the Column API
+    Tables.table(spark, sf, "embeddings").createOrReplaceTempView("embeddings")
+    val viaSql = spark.sql(
+      """SELECT vec_id, vector_dot(CAST(embedding AS ARRAY<DOUBLE>),
+        |                          CAST(embedding AS ARRAY<DOUBLE>)) AS sq
+        |FROM embeddings ORDER BY vec_id LIMIT 5""".stripMargin).collect()
+    import org.apache.spark.sql.functions._
+    val viaCol = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), graft.functions.VectorExpressions.vectorDot(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")).as("sq"))
+      .orderBy(col("vec_id")).limit(5).collect()
+    assert(viaSql.map(_.toSeq.toList).toList == viaCol.map(_.toSeq.toList).toList)
+    // attrs_json via SQL: sorted keys, typed values
+    val js = spark.sql(
+      """SELECT attrs_json(array(
+        |  named_struct('key', 'b', 'value',
+        |    named_struct('stringValue', 'x', 'boolValue', CAST(NULL AS BOOLEAN),
+        |      'intValue', CAST(NULL AS STRING), 'doubleValue', CAST(NULL AS DOUBLE),
+        |      'bytesValue', CAST(NULL AS STRING))),
+        |  named_struct('key', 'a', 'value',
+        |    named_struct('stringValue', CAST(NULL AS STRING), 'boolValue', true,
+        |      'intValue', CAST(NULL AS STRING), 'doubleValue', CAST(NULL AS DOUBLE),
+        |      'bytesValue', CAST(NULL AS STRING)))
+        |)) AS j""".stripMargin).collect().head.getString(0)
+    assert(js == """{"a":true,"b":"x"}""", js)
+  }
 }
