@@ -67,6 +67,13 @@ object Bench {
         f += 1
       }
       val rows = 81L * copiesPerFile * files
+      // warmup pass (JIT, parquet committer, page cache), then the timed
+      // steady-state pass — the reference's criterion bench likewise reports
+      // warmed means, not cold starts
+      graft.io.OtelWrite.write(
+        graft.transform.Otlp.logs(
+          graft.io.OtlpRead.jsonl(spark, graft.io.OtlpRead.Logs, landingDir.toString)),
+        tmpDir.resolve("warmup").toString, "otel_logs")
       val out = tmpDir.resolve("out").toString
       val t0 = System.nanoTime()
       graft.io.OtelWrite.write(
