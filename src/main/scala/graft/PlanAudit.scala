@@ -73,6 +73,12 @@ object PlanAudit {
       time("self-join count")(joined.count())
       time("full ngramJaccard")(operators.Dedup.ngramJaccard(spark, sfDir).count())
     }
+    if (which("kmeans")) {
+      time("kmeans iters=0")(operators.Clustering.kmeans(spark, sfDir, 8, 0).count())
+      time("kmeans iters=1")(operators.Clustering.kmeans(spark, sfDir, 8, 1).count())
+      time("kmeans iters=3")(operators.Clustering.kmeans(spark, sfDir, 8, 3).count())
+      time("kmeans iters=3 (2nd)")(operators.Clustering.kmeans(spark, sfDir, 8, 3).count())
+    }
     if (which.isEmpty || which("cosine")) {
       time("cosinePairs")(operators.Similarity.cosinePairs(spark, sfDir).count())
       operators.Similarity.cosinePairs(spark, sfDir).explain("formatted")
