@@ -27,6 +27,30 @@ object Bucketing {
       .saveAsTable(tableName)
   }
 
+  /** Land `embeddings` partitioned by k-means cluster id — the IVF
+    * inverted-list layout at rest. An ANN query that probes nProbe clusters
+    * then reads only those directories (partition pruning), which is what
+    * keeps per-query IO sublinear in corpus size at 100 TB: the probed
+    * fraction of the table is the only part scanned. */
+  def writeEmbeddingsByCluster(spark: SparkSession, sfDir: String,
+      path: String, k: Int = 8, iters: Int = 3): Unit = {
+    val assign = Clustering.kmeans(spark, sfDir, k, iters)
+      .select(col("vec_id"), col("cluster"))
+    Tables.embeddings(spark, sfDir)
+      .join(assign, "vec_id")
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .partitionBy("cluster")
+      .parquet(path)
+  }
+
+  /** Scan only the probed clusters' inverted lists — the filter on the
+    * partition column prunes at file-listing time (PartitionFilters, not a
+    * data filter). */
+  def probeClusters(spark: SparkSession, path: String,
+      clusters: Seq[Long]): DataFrame =
+    spark.read.parquet(path).filter(col("cluster").isin(clusters: _*))
+
   /** Per-user session counts over the bucketed table — same logic as
     * QuerySurface.sessionize but reading the bucketed layout; the window's
     * required HashPartitioning(user_id) is satisfied by the bucket spec, so

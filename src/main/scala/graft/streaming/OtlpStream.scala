@@ -111,6 +111,48 @@ object OtlpStream {
       .start()
   }
 
+  /** Landing-dir protobuf stream (one OTLP request payload per file, the
+    * shape an HTTP front writes) → flat log table → partitioned parquet.
+    * The binaryFile source streams new files; each micro-batch decodes with
+    * the same wire decoder as the batch path (payload-limit guard included). */
+  def logsProtobufToParquet(spark: SparkSession, inputDir: String,
+      outputRoot: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      maxRecordsPerFile: Long = 200000L,
+      maxPayloadBytes: Long = 8L * 1024 * 1024,
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val parse: Array[Byte] => Row = graft.io.OtlpProtobuf.parseLogsRequest
+    val guarded: Array[Byte] => Row = { bytes =>
+      if (bytes.length > maxPayloadBytes)
+        throw new IllegalArgumentException(
+          s"payload ${bytes.length} bytes exceeds max $maxPayloadBytes (reference 413)")
+      parse(bytes)
+    }
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val raw = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(inputDir)
+      .select("content")
+      .as(Encoders.BINARY)
+      .map(guarded)(Encoders.row(graft.schema.OtlpSchemas.logsRequestType))
+    val flat = OtelWrite.withPartitionColumns(Otlp.logs(raw.toDF()))
+    flat.writeStream
+      .format("parquet")
+      .option("path", s"$outputRoot/otel_logs")
+      .option("checkpointLocation", checkpointDir)
+      .option("compression", "snappy")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("service", "year", "month", "day", "hour")
+      .trigger(trigger)
+      .start()
+  }
+
   private object OtlpSchemas {
     val logs = graft.schema.OtlpSchemas.logsRequestType
     val traces = graft.schema.OtlpSchemas.tracesRequestType

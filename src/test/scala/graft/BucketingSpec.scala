@@ -34,4 +34,23 @@ class BucketingSpec extends SparkTestBase {
     assert(viaBucketed == viaPlain)
     spark.sql("DROP TABLE IF EXISTS events_bucketed_test")
   }
+
+  test("cluster-partitioned embeddings: probes prune to the probed lists") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-layout").toString + "/emb"
+    Bucketing.writeEmbeddingsByCluster(spark, sf, path, k = 4, iters = 1)
+
+    val probed = Bucketing.probeClusters(spark, path, Seq(0L, 2L))
+    // the cluster predicate must be a partition filter (pruned at listing
+    // time), not a post-scan data filter
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cluster"),
+      s"cluster filter should prune partitions:\n$scan")
+
+    // probe result = exactly the vectors assigned to those clusters
+    val assign = operators.Clustering.kmeans(spark, sf, k = 4, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cluster")).toMap
+    val want = assign.filter(kv => kv._2 == 0L || kv._2 == 2L).keySet
+    assert(probed.collect().map(_.getAs[Long]("vec_id")).toSet == want)
+  }
 }

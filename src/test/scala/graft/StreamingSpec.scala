@@ -33,6 +33,22 @@ class StreamingSpec extends SparkTestBase {
     assert(written.select("service").distinct().count() >= 5)
   }
 
+  test("streaming protobuf payload files → partitioned parquet") {
+    val in = tmp("graft-pbstream-in")
+    val out = tmp("graft-pbstream-out")
+    val ckpt = tmp("graft-pbstream-ckpt")
+    Files.copy(java.nio.file.Paths.get("/root/reference/testdata/logs.pb"),
+      java.nio.file.Paths.get(in, "payload-1.pb"))
+
+    val q = OtlpStream.logsProtobufToParquet(spark, in, out, ckpt,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val written = spark.read.parquet(s"$out/otel_logs")
+    assert(written.count() == 81) // golden record count
+    assert(written.columns.contains("SeverityText"))
+  }
+
   test("streaming traces landing dir → partitioned parquet") {
     val in = tmp("graft-tstream-in")
     val out = tmp("graft-tstream-out")
