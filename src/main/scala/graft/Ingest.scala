@@ -37,19 +37,41 @@ object Ingest {
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
 
-    signal match {
+    val tables = signal match {
       case "logs" =>
         OtelWrite.write(Otlp.logs(read(OtlpRead.Logs)), outRoot, "otel_logs")
+        Seq("otel_logs")
       case "traces" =>
         OtelWrite.write(Otlp.traces(read(OtlpRead.Traces)), outRoot, "otel_traces")
+        Seq("otel_traces")
       case "metrics" =>
         val pm = Otlp.metrics(read(OtlpRead.Metrics))
         OtelWrite.writeMetrics(pm, outRoot)
         val skipped = pm.skipped.collect()
         if (skipped.nonEmpty)
           System.err.println("[ingest] skipped: " + skipped.mkString(", "))
+        Seq("otel_metrics_gauge", "otel_metrics_sum", "otel_metrics_histogram",
+          "otel_metrics_exponential_histogram")
       case other => throw new IllegalArgumentException(s"unknown signal: $other")
     }
+
+    // summary line — the batch analog of the reference's 200 response body
+    // (records_processed + partitions, /root/reference/src/handlers.rs:191-198);
+    // the count reads back parquet footer stats, not the data
+    val summary = tables.map { t =>
+      val dir = new java.io.File(s"$outRoot/$t")
+      try {
+        val df = spark.read.parquet(dir.toString)
+        val nParts = df.select("service", "year", "month", "day", "hour")
+          .distinct().count()
+        s""""$t":{"records":${df.count()},"partitions":$nParts}"""
+      } catch {
+        // a kind with no datapoints leaves only _SUCCESS behind (or no dir)
+        case _: org.apache.spark.sql.AnalysisException =>
+          s""""$t":{"records":0,"partitions":0}"""
+      }
+    }.mkString("{", ",", "}")
+    println(s"""{"ingest":$summary}""")
     spark.stop()
   }
 }

@@ -240,6 +240,66 @@ object OtlpStream {
         col("window.end").as("window_end"),
         col("ServiceName"), col("SeverityText"), col("n"))
 
+  /** A session-stream input event. */
+  final case class SessionEvent(user_id: Long, event_id: Long, tsUs: Long)
+
+  /** A closed session (emitted once the gap timeout passes). */
+  final case class Session(user_id: Long, n_events: Long,
+      startUs: Long, endUs: Long)
+
+  /** Session accumulator (public: the state encoder's generated code must be
+    * able to construct it). */
+  final case class SessState(n: Long, startUs: Long, endUs: Long)
+
+  /** EXTENSION (like [[logCountsByWindow]], flagged per SURVEY §7.4#4):
+    * event-time sessionization as managed streaming state — the streaming
+    * twin of the batch `q_sessionize` query. Sessions close after `gap` of
+    * event-time silence, enforced with an event-time timeout against the
+    * watermark; state per user is O(1) (count + bounds), so the operator
+    * survives unbounded streams — the requirement batch sessionize's global
+    * window cannot meet. */
+  def sessionizeStream(events: Dataset[SessionEvent],
+      watermarkDelay: String = "10 minutes",
+      gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, Session](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+            state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.n, s.startUs, s.endUs))
+          } else {
+            val sorted = it.map(_._3).toArray.sorted
+            var s = state.getOption.getOrElse(SessState(0L, Long.MaxValue, Long.MinValue))
+            val closed = scala.collection.mutable.ListBuffer.empty[Session]
+            sorted.foreach { ts =>
+              if (s.n > 0 && ts - s.endUs > gapUs) {
+                closed += Session(user, s.n, s.startUs, s.endUs)
+                s = SessState(0L, Long.MaxValue, Long.MinValue)
+              }
+              s = SessState(s.n + 1, math.min(s.startUs, ts), math.max(s.endUs, ts))
+            }
+            if (s.n > 0) {
+              state.update(s)
+              // close when the watermark passes session end + gap (clamped
+              // ahead of the current watermark — Spark rejects stale timeouts)
+              state.setTimeoutTimestamp(math.max((s.endUs + gapUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            } else state.remove()
+            closed.iterator
+          }
+      }
+  }
+
   /** Batch-mode compaction of an hour of landed small files into
     * maxRecordsPerFile-sized parquet — the "optimal file sizes" goal of the
     * reference's batcher applied after the fact. One shuffle keyed by the

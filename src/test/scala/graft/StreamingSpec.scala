@@ -129,6 +129,38 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains(("2024-01-01 10:01:00.0", "ERROR", 1L)))
   }
 
+  test("streaming sessionization: gap splits sessions, watermark closes them") {
+    import spark.implicits._
+    import graft.streaming.OtlpStream.{Session, SessionEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[SessionEvent]
+    val sessions = OtlpStream.sessionizeStream(source.toDS(),
+      watermarkDelay = "1 minute", gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    // offset from epoch: the initial watermark is 0 and an event AT the
+    // watermark is dropped as late
+    def us(min: Long) = (min + 60L) * 60L * 1000000L
+    // user 1: two bursts 40 min apart (gap 30 → two sessions)
+    source.addData(
+      SessionEvent(1L, 1L, us(0)), SessionEvent(1L, 2L, us(5)),
+      SessionEvent(1L, 3L, us(45)), SessionEvent(1L, 4L, us(46)))
+    q.processAllAvailable()
+    // advance the watermark far past session end + gap → event-time timeout
+    source.addData(SessionEvent(99L, 9L, us(600)))
+    q.processAllAvailable()
+    source.addData(SessionEvent(99L, 10L, us(601)))
+    q.processAllAvailable()
+
+    val got = spark.table("sessions").as[Session].collect()
+      .filter(_.user_id == 1L).sortBy(_.startUs)
+    assert(got.length == 2, s"expected 2 closed sessions, got ${got.mkString(",")}")
+    assert(got(0) == Session(1L, 2L, us(0), us(5)))
+    assert(got(1) == Session(1L, 2L, us(45), us(46)))
+    q.stop()
+  }
+
   test("service batcher: row-threshold flush + processing-time expiry") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
