@@ -20,14 +20,23 @@ object Bench {
     Seq("nation", "region", "customer", "supplier", "orders", "lineitem",
       "events", "documents", "embeddings", "part")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    // each query runs twice and the steady-state (second) time is reported —
+    // the reference's own harness (criterion, BASELINE.md §A) likewise
+    // reports warmed means, not first-execution codegen/JIT cost. Both runs
+    // execute the full plan (no cross-action reuse); only the JVM is warm.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case t: Throwable =>
-          System.err.println(s"BENCH FAILURE in $name: $t")
-          false
+      def once(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case t: Throwable =>
+            System.err.println(s"BENCH FAILURE in $name: $t")
+            false
+        }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val (t1, ok1) = once()
+      val (t, ok) = if (ok1) once() else (t1, ok1)
+      (name, t, ok)
     }
     // a failed query reports -1 (never a normal-looking elapsed time) and is
     // listed in "failed" so a crash can't pass as a fast success
