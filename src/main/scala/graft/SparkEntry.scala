@@ -60,6 +60,7 @@ object SparkEntry {
     // -- multimodal columns --
     "mm_features" -> (Multimodal.features _),
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
+    "mm_frame_stats" -> ((s: SparkSession, d: String) => Multimodal.frameStats(s, d)),
     // -- dataset assembly --
     "sample_split" -> (Sampling.sampleSplit _),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
@@ -338,5 +339,6 @@ object SparkEntry {
     "dedup_decontaminate" -> Sampling.decontaminateOracleSql(),
     "mix_source_stats" -> Sampling.sourceMixStatsOracleSql,
     "text_repetition" -> TextAnalysis.repetitionOracleSql,
+    "mm_frame_stats" -> Multimodal.frameStatsOracleSql(),
   )
 }

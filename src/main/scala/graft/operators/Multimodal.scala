@@ -101,6 +101,58 @@ object Multimodal {
     }
   }
 
+  /** Frame-sampling as a gate query: fixed-size character frames with
+    * stride, per-frame class-histogram features — the [[sampleFrames]]
+    * pipeline shape (one row explodes to a bounded number of frame rows
+    * inside the partition iterator) at char level so the DuckDB oracle can
+    * recompute it with substr (byte-level frames are not sliceable in
+    * portable SQL). Bin = min(codepoint/32, 3), identical to [[features]]. */
+  def frameStats(spark: SparkSession, sfDir: String,
+      frameChars: Int = 256, stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, s) =>
+          val nFrames = (s.length + frameChars - 1) / frameChars
+          (0 until nFrames by stride).iterator.map { fi =>
+            val from = fi * frameChars
+            val until = math.min(from + frameChars, s.length)
+            val bins = new Array[Long](4)
+            var i = from
+            while (i < until) {
+              bins(math.min(s.charAt(i).toInt / 32, 3)) += 1
+              i += 1
+            }
+            (id, fi.toLong, (until - from).toLong, bins(0), bins(1), bins(2), bins(3))
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_chars", "f0", "f1", "f2", "f3")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** DuckDB twin of [[frameStats]]. */
+  def frameStatsOracleSql(frameChars: Int = 256, stride: Int = 2): String = {
+    def bin(k: Int) =
+      s"""CAST(len(list_filter(string_split(frame, ''),
+         |    ch -> CAST(least(floor(unicode(ch) / 32), 3) AS BIGINT) = $k)) AS BIGINT) AS f$k""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS n FROM documents
+       |), f AS (
+       |  SELECT doc_id, i AS frame_idx,
+       |    substr(text, CAST(i * $frameChars + 1 AS INTEGER), $frameChars) AS frame
+       |  FROM d, unnest(range(0, CAST(ceil(n / ${frameChars}.0) AS BIGINT), $stride)) AS t(i)
+       |)
+       |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  CAST(length(frame) AS BIGINT) AS n_chars,
+       |  ${bin(0)},
+       |  ${bin(1)},
+       |  ${bin(2)},
+       |  ${bin(3)}
+       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   /** Resize stub: downsample a feature vector to `target` buckets by
     * summation — the pipeline shape of an image resize (deterministic,
     * bucket-sum pooling). */
