@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Clustering, Dedup, Multimodal, QuerySurface, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Multimodal, OtelQueries, QuerySurface, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7.
   *
@@ -68,6 +68,10 @@ object SparkEntry {
     "dedup_decontaminate" -> ((s: SparkSession, d: String) => Sampling.decontaminate(s, d)),
     "mix_source_stats" -> (Sampling.sourceMixStats _),
     "text_repetition" -> (TextAnalysis.repetition _),
+    // -- documented telemetry query surface over the reference's goldens --
+    "otel_sev_counts" -> (OtelQueries.goldenSevCounts _),
+    "otel_slow_spans" -> ((s: SparkSession, d: String) => OtelQueries.goldenSlowSpans(s, d)),
+    "otel_trace_log_join" -> (OtelQueries.goldenTraceLogJoin _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -340,5 +344,8 @@ object SparkEntry {
     "mix_source_stats" -> Sampling.sourceMixStatsOracleSql,
     "text_repetition" -> TextAnalysis.repetitionOracleSql,
     "mm_frame_stats" -> Multimodal.frameStatsOracleSql(),
+    "otel_sev_counts" -> OtelQueries.goldenSevCountsOracleSql,
+    "otel_slow_spans" -> OtelQueries.goldenSlowSpansOracleSql,
+    "otel_trace_log_join" -> OtelQueries.goldenTraceLogJoinOracleSql,
   )
 }

@@ -77,4 +77,71 @@ object OtelQueries {
       .agg(count(lit(1)).as("n_spans"),
         Tables.exactAvg(col("Duration").cast("double")).as("avg_duration_ns"))
       .orderBy(col("hour"), col("ServiceName"))
+
+  // ---- gate-verified variants over the reference's golden parquet ----------
+  // The sfDir argument is ignored: these read the reference's own golden
+  // tables (read-only), so the documented telemetry query surface is
+  // DuckDB-hash-verified on REAL otel data, not only spec-checked on
+  // engine output.
+
+  private val GoldenDir = "/root/reference/testdata/parquet"
+
+  /** Per-(service, severity) log counts over golden logs
+    * (docs/querying.md:43-58 shape). */
+  def goldenSevCounts(spark: SparkSession, sfDirIgnored: String): DataFrame =
+    spark.read.parquet(s"$GoldenDir/logs.parquet")
+      .groupBy(col("ServiceName"), col("SeverityText"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("ServiceName"), col("SeverityText"))
+
+  /** Slowest root spans over golden traces (docs/querying.md:63-82). */
+  def goldenSlowSpans(spark: SparkSession, sfDirIgnored: String,
+      k: Int = 10): DataFrame =
+    spark.read.parquet(s"$GoldenDir/traces.parquet")
+      .filter(col("ParentSpanId").isNull)
+      .select(col("TraceId"), col("SpanName"), col("Duration"),
+        (col("Duration") / lit(1e9)).as("duration_s"))
+      .orderBy(col("Duration").desc, col("TraceId"))
+      .limit(k)
+
+  /** logs ⋈ traces correlation on TraceId over the goldens
+    * (docs/querying.md:110-124): binary→lower-hex normalization on the logs
+    * side, zero ids excluded, per-trace log/span counts. */
+  def goldenTraceLogJoin(spark: SparkSession, sfDirIgnored: String): DataFrame = {
+    val l = spark.read.parquet(s"$GoldenDir/logs.parquet")
+      .filter(hex(col("TraceId")) =!= lit("0" * 32))
+      .groupBy(lower(hex(col("TraceId"))).as("trace_hex"))
+      .agg(count(lit(1)).as("n_logs"))
+    val t = spark.read.parquet(s"$GoldenDir/traces.parquet")
+      .groupBy(col("TraceId").as("trace_hex"))
+      .agg(countDistinct(col("SpanId")).as("n_spans"))
+    l.join(t, "trace_hex").orderBy(col("trace_hex"))
+  }
+
+  /** DuckDB twins over the same golden files. */
+  def goldenSevCountsOracleSql: String =
+    s"""SELECT ServiceName, SeverityText, count(*) AS n
+       |FROM read_parquet('$GoldenDir/logs.parquet')
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def goldenSlowSpansOracleSql: String =
+    s"""SELECT TraceId, SpanName, Duration, Duration / 1e9 AS duration_s
+       |FROM read_parquet('$GoldenDir/traces.parquet')
+       |WHERE ParentSpanId IS NULL
+       |ORDER BY Duration DESC, TraceId LIMIT 10""".stripMargin
+
+  def goldenTraceLogJoinOracleSql: String =
+    s"""WITH l AS (
+       |  SELECT lower(hex(TraceId)) AS trace_hex, count(*) AS n_logs
+       |  FROM read_parquet('$GoldenDir/logs.parquet')
+       |  WHERE hex(TraceId) <> repeat('0', 32)
+       |  GROUP BY 1
+       |), t AS (
+       |  SELECT TraceId AS trace_hex, count(DISTINCT SpanId) AS n_spans
+       |  FROM read_parquet('$GoldenDir/traces.parquet')
+       |  GROUP BY 1
+       |)
+       |SELECT l.trace_hex, l.n_logs, t.n_spans
+       |FROM l JOIN t USING (trace_hex)
+       |ORDER BY trace_hex""".stripMargin
 }
