@@ -37,39 +37,44 @@ object Ingest {
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
 
-    val tables = signal match {
+    // writes one table and returns this run's (records, partitions) — the
+    // reference's 200 response body reports per-request counts
+    // (/root/reference/src/handlers.rs:191-198), so the numbers come from
+    // the batch being written, not a read-back of the (append-mode) table
+    def writeCounted(df: org.apache.spark.sql.DataFrame,
+        table: String): (String, Long, Long) = {
+      val flat = df.persist()
+      val n = flat.count()
+      val nParts =
+        if (n == 0) 0L
+        else OtelWrite.withPartitionColumns(flat)
+          .select("service", "year", "month", "day", "hour").distinct().count()
+      if (n > 0) OtelWrite.write(flat, outRoot, table)
+      flat.unpersist()
+      (table, n, nParts)
+    }
+
+    val counted = signal match {
       case "logs" =>
-        OtelWrite.write(Otlp.logs(read(OtlpRead.Logs)), outRoot, "otel_logs")
-        Seq("otel_logs")
+        Seq(writeCounted(Otlp.logs(read(OtlpRead.Logs)), "otel_logs"))
       case "traces" =>
-        OtelWrite.write(Otlp.traces(read(OtlpRead.Traces)), outRoot, "otel_traces")
-        Seq("otel_traces")
+        Seq(writeCounted(Otlp.traces(read(OtlpRead.Traces)), "otel_traces"))
       case "metrics" =>
         val pm = Otlp.metrics(read(OtlpRead.Metrics))
-        OtelWrite.writeMetrics(pm, outRoot)
+        val out = Seq(
+          writeCounted(pm.gauge, "otel_metrics_gauge"),
+          writeCounted(pm.sum, "otel_metrics_sum"),
+          writeCounted(pm.histogram, "otel_metrics_histogram"),
+          writeCounted(pm.expHistogram, "otel_metrics_exponential_histogram"))
         val skipped = pm.skipped.collect()
         if (skipped.nonEmpty)
           System.err.println("[ingest] skipped: " + skipped.mkString(", "))
-        Seq("otel_metrics_gauge", "otel_metrics_sum", "otel_metrics_histogram",
-          "otel_metrics_exponential_histogram")
+        out
       case other => throw new IllegalArgumentException(s"unknown signal: $other")
     }
 
-    // summary line — the batch analog of the reference's 200 response body
-    // (records_processed + partitions, /root/reference/src/handlers.rs:191-198);
-    // the count reads back parquet footer stats, not the data
-    val summary = tables.map { t =>
-      val dir = new java.io.File(s"$outRoot/$t")
-      try {
-        val df = spark.read.parquet(dir.toString)
-        val nParts = df.select("service", "year", "month", "day", "hour")
-          .distinct().count()
-        s""""$t":{"records":${df.count()},"partitions":$nParts}"""
-      } catch {
-        // a kind with no datapoints leaves only _SUCCESS behind (or no dir)
-        case _: org.apache.spark.sql.AnalysisException =>
-          s""""$t":{"records":0,"partitions":0}"""
-      }
+    val summary = counted.map { case (t, n, p) =>
+      s""""$t":{"records":$n,"partitions":$p}"""
     }.mkString("{", ",", "}")
     println(s"""{"ingest":$summary}""")
     spark.stop()

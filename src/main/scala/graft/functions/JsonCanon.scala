@@ -78,15 +78,43 @@ object JsonCanon {
   private def shortestDigits(a: Double): (String, Int) = {
     import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
     val s = java.lang.Double.toString(a)
-    val javaDigits = {
+    val (javaMant, javaExp) = {
       val e = s.indexOf('E')
       var m = if (e < 0) s else s.substring(0, e)
+      val exp =
+        if (e < 0) m.indexOf('.') - 1 // plain form: digits before the point − 1
+        else Integer.parseInt(s.substring(e + 1))
       if (m.endsWith(".0")) m = m.substring(0, m.length - 2)
-      m.replace(".", "").length
+      val digits = m.replace(".", "")
+      // plain small values ("0.0012") carry leading zeros that are not
+      // significant — strip them and fix the exponent; round values
+      // ("100.0") carry non-significant trailing zeros — strip those too
+      // (the leading-digit exponent is unchanged)
+      var lead = 0
+      while (lead < digits.length - 1 && digits.charAt(lead) == '0') lead += 1
+      var d2 = digits.substring(lead)
+      var tail = d2.length
+      while (tail > 1 && d2.charAt(tail - 1) == '0') tail -= 1
+      d2 = d2.substring(0, tail)
+      (d2, if (e < 0 && lead > 0) exp - lead else exp)
     }
+    val l = javaMant.length
+    if (l == 1) return (javaMant, javaExp)
+    // FAST PATH (hot per-row in canonical-JSON ingest): Java's digit string
+    // is shortest for almost all doubles; it is one digit too long only in
+    // rare cases (JDK-4511638). An (l−1)-digit decimal exists iff the floor
+    // or ceiling of the value on that grid round-trips — two parseDouble
+    // probes decide without any BigDecimal work.
+    val t = javaMant.substring(0, l - 1)
+    val gridExp = javaExp - (l - 2) // exponent of the (l−1)-digit grid
+    val vFloor = java.lang.Double.parseDouble(t + "e" + gridExp)
+    val vCeil = java.lang.Double.parseDouble((BigInt(t) + 1).toString + "e" + gridExp)
+    if (vFloor != a && vCeil != a) return (javaMant, javaExp)
+    // SLOW PATH: a shorter representation exists — find the minimal
+    // half-even-rounded one exactly
     val exact = new JBD(a)
-    var cand = exact.round(new MathContext(javaDigits, RoundingMode.HALF_EVEN))
-    var p = javaDigits
+    var cand = exact.round(new MathContext(l, RoundingMode.HALF_EVEN))
+    var p = l
     var shrinking = p > 1
     while (shrinking) {
       val r = exact.round(new MathContext(p - 1, RoundingMode.HALF_EVEN))

@@ -33,7 +33,8 @@ import Tables._
 object Clustering {
 
   private def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
       .doubleValue()
 
   /** Spherical k-means: returns (vec_id, cluster, cos) after `iters`
@@ -55,8 +56,15 @@ object Clustering {
       udf { (v: Seq[Double]) =>
         val arr = v.toArray
         val nrm = math.sqrt(arr.map(x => x * x).sum)
-        var best = -1
-        var bestCos = Double.NegativeInfinity
+        // argmax with the ORACLE's ordering semantics: strict-greater keeps
+        // the smaller cluster id on ties, and NaN ranks LARGEST (DuckDB
+        // ORDER BY cos DESC places NaN first) — a zero-norm vector/centroid
+        // must assign identically on both engines, never crash on best = -1
+        def better(cand: Double, best: Double): Boolean =
+          if (cand.isNaN) !best.isNaN
+          else !best.isNaN && cand > best
+        var best = 0
+        var bestCos = Double.NaN
         var c = 0
         while (c < cents.length) {
           val cent = cents(c)
@@ -64,7 +72,7 @@ object Clustering {
           var i = 0
           while (i < arr.length) { acc += arr(i) * cent(i); i += 1 }
           val cos = round6(acc / (nrm * cNrm(c)))
-          if (cos > bestCos) { bestCos = cos; best = c } // strict: ties keep the smaller id
+          if (c == 0 || better(cos, bestCos)) { bestCos = cos; best = c }
           c += 1
         }
         (best, bestCos)
@@ -79,8 +87,7 @@ object Clustering {
       val means = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
-        .agg(round(sum(col("x").cast("decimal(28,6)")).cast("double") /
-          count(lit(1)), 6).as("cx"))
+        .agg(Tables.exactAvg(col("x")).as("cx"))
         .as[(Int, Int, Double)].collect()
       val next = centroids.map(_.clone()) // empty clusters keep old centroid
       means.foreach { case (c, pos, cx) => next(c)(pos) = cx }

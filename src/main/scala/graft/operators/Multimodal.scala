@@ -114,14 +114,18 @@ object Multimodal {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, s) =>
-          val nFrames = (s.length + frameChars - 1) / frameChars
+          // code points, not UTF-16 units: DuckDB length/substr/unicode are
+          // code-point-based, and frame boundaries must agree for any
+          // supplementary-plane character
+          val cps = s.codePoints().toArray
+          val nFrames = (cps.length + frameChars - 1) / frameChars
           (0 until nFrames by stride).iterator.map { fi =>
             val from = fi * frameChars
-            val until = math.min(from + frameChars, s.length)
+            val until = math.min(from + frameChars, cps.length)
             val bins = new Array[Long](4)
             var i = from
             while (i < until) {
-              bins(math.min(s.charAt(i).toInt / 32, 3)) += 1
+              bins(math.min(cps(i) / 32, 3)) += 1
               i += 1
             }
             (id, fi.toLong, (until - from).toLong, bins(0), bins(1), bins(2), bins(3))

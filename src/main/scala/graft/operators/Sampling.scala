@@ -52,7 +52,7 @@ object Sampling {
     documents(spark, sfDir)
       .select(col("doc_id"),
         (hashUdf(lit("shard:"), col("doc_id")) % nShards).as("shard"),
-        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+        regexp_count(lower(col("text")), lit(TextAnalysis.BpeTokenRegex))
           .cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
@@ -119,15 +119,14 @@ object Sampling {
     val q = TextAnalysis.quality(spark, sfDir).select(col("doc_id"), col("quality_score"))
     documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("lang"),
-        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+        regexp_count(lower(col("text")), lit(TextAnalysis.BpeTokenRegex))
           .cast("long").as("n_tokens"))
       .join(q, "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
         countDistinct(col("lang")).as("n_langs"),
-        round(sum(col("quality_score").cast("decimal(28,6)")).cast("double") /
-          count(lit(1)), 6).as("avg_quality"))
+        Tables.exactAvg(col("quality_score")).as("avg_quality"))
       .orderBy(col("source"))
   }
 
@@ -190,7 +189,7 @@ object Sampling {
        |  FROM documents
        |)
        |SELECT source, count(*) AS n_docs,
-       |  CAST(SUM(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.BpeTokenRegex}')) AS BIGINT)) AS BIGINT) AS total_tokens,
        |  count(DISTINCT lang) AS n_langs,
        |  ROUND(CAST(SUM(CAST(q.quality_score AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
        |FROM documents JOIN q USING (doc_id)
@@ -201,7 +200,7 @@ object Sampling {
     s"""WITH t AS (
        |  SELECT doc_id,
        |    CAST(md5_number_lower('shard:' || doc_id) & 9223372036854775807 AS BIGINT) % $nShards AS shard,
-       |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+       |    CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.BpeTokenRegex}')) AS BIGINT) AS n_tokens
        |  FROM documents
        |), c AS (
        |  SELECT doc_id, shard, n_tokens,

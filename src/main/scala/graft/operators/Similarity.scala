@@ -192,8 +192,7 @@ object Similarity {
     val centroids = e
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
-      .agg(round(sum(col("x").cast("decimal(28,6)")).cast("double") /
-        count(lit(1)), 6).as("cx"))
+      .agg(Tables.exactAvg(col("x")).as("cx"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
       .select(col("label").as("c_label"),

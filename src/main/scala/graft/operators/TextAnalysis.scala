@@ -19,6 +19,13 @@ import Tables._
   */
 object TextAnalysis {
 
+  /** BPE-ish segmentation regex (letter runs / digit runs / single
+    * punctuation) — ONE definition shared by [[tokens]],
+    * [[Sampling.packSequences]], [[Sampling.sourceMixStats]], and every
+    * oracle (Spark's Java regex and DuckDB's RE2 agree on this subset).
+    * Editing it in one place keeps all token counts consistent. */
+  val BpeTokenRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
   private val Stopwords = Seq("the", "a", "and", "of", "to")
 
   /** Per-language marker words (tiny n-gram/stopword profile). */
@@ -39,7 +46,7 @@ object TextAnalysis {
     documents(spark, sfDir).select(
         col("doc_id"),
         size(toks).cast("long").as("n_ws_tokens"),
-        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+        regexp_count(lower(col("text")), lit(BpeTokenRegex))
           .cast("long").as("n_bpe_tokens"),
         length(col("text")).cast("long").as("n_chars"))
       .withColumn("chars_per_token", col("n_chars") / col("n_bpe_tokens"))
@@ -175,12 +182,19 @@ object TextAnalysis {
     val k = 8
     val w = 50
     val winnowUdf = udf { (s: String) =>
-      if (s == null || s.length < k) (0L, 0L)
+      // k-grams over CODE POINTS: the oracle's substr/length are code-point-
+      // based, so UTF-16 indexing would desynchronize on any supplementary-
+      // plane character
+      val cps = if (s == null) Array.empty[Int] else s.codePoints().toArray
+      if (cps.length < k) (0L, 0L)
       else {
-        val n = s.length - k + 1
+        val n = cps.length - k + 1
         val hs = new Array[Long](n)
         var i = 0
-        while (i < n) { hs(i) = PortableHash.md5Lower63(s.substring(i, i + k)); i += 1 }
+        while (i < n) {
+          hs(i) = PortableHash.md5Lower63(new String(cps, i, k))
+          i += 1
+        }
         var globalMin = Long.MaxValue
         val mins = new java.util.HashSet[Long]()
         // sliding-window min via monotonic deque: O(n), windows [i, i+w-1]

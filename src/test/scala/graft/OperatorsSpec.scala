@@ -224,6 +224,21 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("fingerprintKR: rolling hash equals direct polynomial recompute") {
+    val texts = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def poly(s: String): Long = s.foldLeft(0L)((h, c) => h * 1000003L + c)
+    TextAnalysis.fingerprintKR(spark, sf).collect().take(50).foreach { r =>
+      val s = texts(r.getLong(0))
+      assert(r.getAs[Long]("fingerprint") == poly(s))
+      if (s.length >= 8) {
+        val m = (0 to s.length - 8).map(i => poly(s.substring(i, i + 8)))
+          .reduce((a, b) => if (java.lang.Long.compareUnsigned(a, b) < 0) a else b)
+        assert(r.getAs[Long]("winnow_min") == m, s"doc ${r.getLong(0)}")
+      }
+    }
+  }
+
   test("decontaminate: test docs excluded, self-consistent fractions") {
     val split = Sampling.sampleSplit(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap
