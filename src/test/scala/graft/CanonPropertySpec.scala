@@ -74,13 +74,13 @@ class CanonPropertySpec extends AnyFunSuite {
   test("fmtDouble round-trips every finite double") {
     check(Prop.forAll(Gen.chooseNum(Double.MinValue, Double.MaxValue)) { d =>
       java.lang.Double.parseDouble(JsonCanon.fmtDouble(d)) == d
-    })
+    }, n = 1000)
     // exponent-form values too
     check(Prop.forAll(Gen.chooseNum(-300, 300), Gen.chooseNum(1.0, 9.999)) { (e, m) =>
       val d = m * math.pow(10, e)
       !java.lang.Double.isFinite(d) ||
         java.lang.Double.parseDouble(JsonCanon.fmtDouble(d)) == d
-    })
+    }, n = 1000)
   }
 
   test("fmtDouble matches known serde_json (ryu) outputs across magnitudes") {
@@ -151,7 +151,20 @@ class CanonPropertySpec extends AnyFunSuite {
     } yield (if (neg) -m else m) * math.pow(10, e)
     check(Prop.forAll(genWide) { d =>
       !java.lang.Double.isFinite(d) || JsonCanon.fmtDouble(d) == expected(d)
-    })
+    }, n = 2000)
+    // exact decimal-looking values (the fast path's trailing/leading-zero
+    // handling) and subnormals
+    val genRound = for {
+      m <- Gen.chooseNum(1L, 999999L)
+      e <- Gen.chooseNum(-10, 10)
+    } yield m * math.pow(10, e)
+    check(Prop.forAll(genRound) { d =>
+      !java.lang.Double.isFinite(d) || JsonCanon.fmtDouble(d) == expected(d)
+    }, n = 2000)
+    check(Prop.forAll(Gen.chooseNum(1L, 1000000L)) { bits =>
+      val d = java.lang.Double.longBitsToDouble(bits) // deep subnormals
+      JsonCanon.fmtDouble(d) == expected(d)
+    }, n = 500)
   }
 
   test("decodeId: hex and base64 encodings of the same bytes agree") {
