@@ -20,6 +20,18 @@ object Ingest {
     val inputs = args.slice(2, args.length - 1)
     val outRoot = args.last
 
+    // writability probe before any work — the reference validates the
+    // output location at startup and exits with a clear error
+    // (/root/reference/src/config/validation.rs:9-188)
+    locally {
+      val root = new java.io.File(outRoot)
+      if (!root.exists() && !root.mkdirs())
+        throw new IllegalArgumentException(s"output root not creatable: $outRoot")
+      val probe = java.io.File.createTempFile(".graft-probe", "", root)
+      if (!probe.delete())
+        throw new IllegalArgumentException(s"output root not writable: $outRoot")
+    }
+
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
