@@ -22,9 +22,15 @@ object Ingest {
 
     // writability probe before any work — the reference validates the
     // output location at startup and exits with a clear error
-    // (/root/reference/src/config/validation.rs:9-188)
-    locally {
-      val root = new java.io.File(outRoot)
+    // (/root/reference/src/config/validation.rs:9-188). Only local paths are
+    // probed with java.io.File; remote roots (s3a://, hdfs://) go through
+    // the Hadoop FS, whose own errors surface at first write.
+    val scheme = java.net.URI.create(outRoot).getScheme
+    if (scheme == null || scheme == "file") locally {
+      val root = new java.io.File(java.net.URI.create(outRoot).getPath match {
+        case null | "" => outRoot
+        case p => p
+      })
       if (!root.exists() && !root.mkdirs())
         throw new IllegalArgumentException(s"output root not creatable: $outRoot")
       val probe = java.io.File.createTempFile(".graft-probe", "", root)

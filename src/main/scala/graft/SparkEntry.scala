@@ -102,7 +102,7 @@ object SparkEntry {
     "q_time_bucket_agg" ->
       """SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
         |  count(*) AS n,
-        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value), 6) AS avg_value
+        |  floor((CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value)) * 1000000 + 0.5) / 1000000 AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin,
 
     "q_scalar_arith" ->
@@ -176,8 +176,8 @@ object SparkEntry {
         |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,4))), 2) AS DOUBLE) AS sum_base_price,
         |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_disc_price,
         |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_charge,
-        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
-        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS avg_price,
+        |  floor((CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity)) * 1000000 + 0.5) / 1000000 AS avg_qty,
+        |  floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS avg_price,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -236,9 +236,9 @@ object SparkEntry {
         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
         |)
         |SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+        |  floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS cos
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+        |WHERE floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 >= 0.4
         |ORDER BY id1, id2""".stripMargin,
 
     "sim_topk" ->
@@ -248,7 +248,7 @@ object SparkEntry {
         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
         |), s AS (
         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
-        |    round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) AS cos
+        |    floor((list_dot_product(q.v, x.v) / (q.nrm * x.nrm)) * 1000000 + 0.5) / 1000000 AS cos
         |  FROM n q JOIN n x ON q.vec_id < 8 AND q.vec_id <> x.vec_id
         |), r AS (
         |  SELECT query_id, neighbor_id, cos,
@@ -267,19 +267,13 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
-      """WITH b AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-        |    CAST(len(list_filter(string_split(text, ' '),
-        |      t -> list_contains(['the','a','and','of','to'], t))) AS BIGINT) AS n_stop
-        |  FROM documents
+      s"""WITH b AS (
+        |  ${operators.TextAnalysis.qualityCountsSqlCte}
         |)
         |SELECT doc_id, n_tokens, n_distinct, n_stop,
         |  n_stop / n_tokens AS stopword_ratio,
         |  n_distinct / n_tokens AS diversity,
-        |  least(1.0, (n_distinct / n_tokens) * 0.6 + (n_stop / n_tokens) * 2.0 +
-        |    CASE WHEN n_tokens >= 50 AND n_tokens <= 2000 THEN 0.2 ELSE 0.0 END) AS quality_score
+        |  ${operators.TextAnalysis.qualityScoreSqlExpr("n_distinct", "n_stop", "n_tokens")} AS quality_score
         |FROM b ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->

@@ -21,9 +21,11 @@ import org.apache.spark.sql.types._
   * Accumulation is left-to-right (index ascending), the same order as the
   * interpreted `nullSafeEval`, the UDF it replaces, and DuckDB's
   * `list_dot_product` — identical IEEE doubles on every path, which the
-  * oracle gate depends on. Null array elements are not supported (embedding
-  * vectors are non-null by construction); `getDouble` on a null slot is
-  * undefined, matching the UDF's previous NPE-on-null behavior.
+  * oracle gate depends on. If either input's element type is nullable, a
+  * null element makes the whole result NULL (checked per element — the
+  * silent-zero a bare `getDouble` would return is numeric corruption);
+  * when both inputs are provably non-null (`containsNull = false`, the
+  * embedding pipelines) the generated loop carries no per-element check.
   */
 case class VectorDotExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -36,7 +38,12 @@ case class VectorDotExpr(left: Expression, right: Expression)
         s"vector_dot requires array<double> inputs, got ${l.sql} / ${r.sql}")
     }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vector_dot"
+
+  private def elementsNullable: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -44,7 +51,14 @@ case class VectorDotExpr(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    if (elementsNullable) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getDouble(i) * y.getDouble(i); i += 1
+      }
+    } else {
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    }
     acc
   }
 
@@ -53,10 +67,15 @@ case class VectorDotExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (elementsNullable)
+          s"""if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; $acc = 0.0; break; }"""
+        else ""
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += $x.getDouble($i) * $y.getDouble($i);
          |}
          |${ev.value} = $acc;

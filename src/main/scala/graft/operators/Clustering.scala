@@ -10,7 +10,8 @@ import Tables._
   * dedup, and domain mixing.
   *
   * Algorithm (fixed, fully deterministic, cross-engine reproducible):
-  *   - init: centroids = the vectors of vec_id 0..k-1 (verbatim doubles);
+  *   - init: centroids = the k smallest-vec_id vectors (verbatim doubles),
+  *     cluster labels = 0-based rank positions;
   *   - assign: cluster = argmax over centroids of round(cos(v, c), 6),
   *     ties to the smallest cluster id;
   *   - update: centroid components = round(exactDecimalMean(v_i), 6) per
@@ -32,10 +33,10 @@ import Tables._
   */
 object Clustering {
 
+  /** Pure-IEEE round-to-6 (see [[Tables.portableRound6]]); NaN/Inf
+    * propagate (math.floor keeps them), matching DuckDB's floor. */
   private def round6(x: Double): Double =
-    if (x.isNaN || x.isInfinite) x
-    else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
-      .doubleValue()
+    math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
   /** Spherical k-means: returns (vec_id, cluster, cos) after `iters`
     * assign+update rounds. */
@@ -46,9 +47,11 @@ object Clustering {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .persist()
 
-    // init: vectors of vec_id < k, in id order
-    var centroids: Array[Array[Double]] = e.filter(col("vec_id") < k)
-      .orderBy(col("vec_id")).as[(Long, Seq[Double])].collect()
+    // init: the k smallest-vec_id vectors; cluster labels are RANK POSITIONS
+    // (0-based), not raw vec_ids — the oracle labels identically, so sparse
+    // or non-zero-based id spaces cannot desynchronize the two engines
+    var centroids: Array[Array[Double]] = e
+      .orderBy(col("vec_id")).limit(k).as[(Long, Seq[Double])].collect()
       .map(_._2.toArray)
 
     def assignUdf(cents: Array[Array[Double]]) = {
@@ -97,10 +100,15 @@ object Clustering {
       it += 1
     }
 
-    e.withColumn("a", assignUdf(centroids)(col("v")))
+    val result = e.withColumn("a", assignUdf(centroids)(col("v")))
       .select(col("vec_id"), col("a._1").cast("long").as("cluster"),
         col("a._2").as("cos"))
       .orderBy(col("vec_id"))
+    // iterations are done (centroids collected eagerly); release the cache —
+    // the returned plan re-reads the source once when executed instead of
+    // leaking one cached frame per kmeans() call
+    e.unpersist()
+    result
   }
 
   /** DuckDB twin of [[kmeans]] — the iterations unrolled as generated CTEs
@@ -113,9 +121,12 @@ object Clustering {
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
          |), n AS (
          |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+         |), init AS (
+         |  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+         |  FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= $k
          |), cent0 AS (
-         |  SELECT vec_id AS cl, i, v[i] AS cx
-         |  FROM e, unnest(range(1, 65)) AS t(i) WHERE vec_id < $k
+         |  SELECT cl, i, v[i] AS cx
+         |  FROM init, unnest(range(1, 65)) AS t(i)
          |)""".stripMargin)
     for (it <- 1 to iters) {
       val prev = s"cent${it - 1}"
@@ -128,13 +139,13 @@ object Clustering {
            |  SELECT vec_id, cl, v FROM (
            |    SELECT q.vec_id, c.cl, q.v,
            |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-           |        round(list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm), 6) DESC,
+           |        floor((list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm)) * 1000000 + 0.5) / 1000000 DESC,
            |        c.cl) AS rnk
            |    FROM n q CROSS JOIN cn$it c
            |  ) WHERE rnk = 1
            |), raw$it AS (
            |  SELECT cl, i,
-           |    ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS cx
+           |    floor((CAST(SUM(CAST(v[i] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS cx
            |  FROM asg$it, unnest(range(1, 65)) AS t(i)
            |  GROUP BY cl, i
            |), cent$it AS (
@@ -150,9 +161,9 @@ object Clustering {
          |)
          |SELECT vec_id, CAST(cl AS BIGINT) AS cluster, cos FROM (
          |  SELECT q.vec_id, c.cl,
-         |    round(list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm), 6) AS cos,
+         |    floor((list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm)) * 1000000 + 0.5) / 1000000 AS cos,
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |      round(list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm), 6) DESC,
+         |      floor((list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm)) * 1000000 + 0.5) / 1000000 DESC,
          |      c.cl) AS rnk
          |  FROM n q CROSS JOIN cnF c
          |) WHERE rnk = 1 ORDER BY vec_id""".stripMargin)

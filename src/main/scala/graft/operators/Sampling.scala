@@ -174,24 +174,20 @@ object Sampling {
        |WHERE d.bucket < 950
        |ORDER BY d.doc_id""".stripMargin
 
-  /** DuckDB twin of [[sourceMixStats]]. */
+  /** DuckDB twin of [[sourceMixStats]] (quality formula shared with the
+    * text_quality oracle via [[TextAnalysis.qualityScoreSqlExpr]]). */
   def sourceMixStatsOracleSql: String =
-    s"""WITH q AS (
+    s"""WITH b AS (
+       |  ${TextAnalysis.qualityCountsSqlCte}
+       |), q AS (
        |  SELECT doc_id,
-       |    least(1.0,
-       |      (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) /
-       |       CAST(len(string_split(text, ' ')) AS BIGINT)) * 0.6 +
-       |      (CAST(len(list_filter(string_split(text, ' '),
-       |         t -> list_contains(['the','a','and','of','to'], t))) AS BIGINT) /
-       |       CAST(len(string_split(text, ' ')) AS BIGINT)) * 2.0 +
-       |      CASE WHEN len(string_split(text, ' ')) BETWEEN 50 AND 2000
-       |           THEN 0.2 ELSE 0.0 END) AS quality_score
-       |  FROM documents
+       |    ${TextAnalysis.qualityScoreSqlExpr("n_distinct", "n_stop", "n_tokens")} AS quality_score
+       |  FROM b
        |)
        |SELECT source, count(*) AS n_docs,
        |  CAST(SUM(CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.BpeTokenRegex}')) AS BIGINT)) AS BIGINT) AS total_tokens,
        |  count(DISTINCT lang) AS n_langs,
-       |  ROUND(CAST(SUM(CAST(q.quality_score AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+       |  floor((CAST(SUM(CAST(q.quality_score AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS avg_quality
        |FROM documents JOIN q USING (doc_id)
        |GROUP BY source ORDER BY source""".stripMargin
 

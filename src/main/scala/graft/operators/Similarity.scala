@@ -44,13 +44,14 @@ object Similarity {
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   private def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
-    round(dot(va, vb) / (na * nb), 6)
+    Tables.portableRound6(dot(va, vb) / (na * nb))
 
-  /** round(x, 6) exactly as Spark's Round expression (and the DuckDB oracle)
-    * compute it — decimal HALF_UP on the double's shortest representation. */
+  /** round(x, 6) exactly as [[Tables.portableRound6]] (and the DuckDB
+    * oracle) compute it — pure IEEE floor(x·10⁶ + 0.5)/10⁶; engines'
+    * round(double, n) builtins disagree at string-vs-binary half
+    * boundaries, this formula never does. */
   private def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
-      .doubleValue()
+    math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
   /** All-pairs cosine ≥ threshold (exact near-dup over embeddings).
     *
@@ -244,9 +245,9 @@ object Similarity {
        |  FROM e
        |)
        |SELECT a.vec_id AS id1, b.vec_id AS id2,
-       |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+       |  floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS cos
        |FROM n a JOIN n b ON a.sig = b.sig AND a.vec_id < b.vec_id
-       |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $threshold
+       |WHERE floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 >= $threshold
        |ORDER BY id1, id2""".stripMargin
 
   /** DuckDB twin of [[annLsh]]. */
@@ -259,7 +260,7 @@ object Similarity {
        |  FROM e
        |), s AS (
        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
-       |    round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) AS cos
+       |    floor((list_dot_product(q.v, x.v) / (q.nrm * x.nrm)) * 1000000 + 0.5) / 1000000 AS cos
        |  FROM n q JOIN n x
        |    ON q.vec_id < $nQueries AND q.sig = x.sig AND q.vec_id <> x.vec_id
        |), r AS (
@@ -281,7 +282,7 @@ object Similarity {
        |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
        |), cent AS (
        |  SELECT label, i,
-       |    ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS cx
+       |    floor((CAST(SUM(CAST(v[i] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS cx
        |  FROM n, unnest(range(1, 65)) AS t(i)
        |  GROUP BY label, i
        |), cv AS (
@@ -292,13 +293,13 @@ object Similarity {
        |  SELECT query_id, c_label FROM (
        |    SELECT q.vec_id AS query_id, cn.c_label,
        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-       |        round(list_dot_product(q.v, cn.cv) / (q.nrm * cn.c_nrm), 6) DESC,
+       |        floor((list_dot_product(q.v, cn.cv) / (q.nrm * cn.c_nrm)) * 1000000 + 0.5) / 1000000 DESC,
        |        cn.c_label) AS probe_rank
        |    FROM n q CROSS JOIN cn WHERE q.vec_id < $nQueries
        |  ) WHERE probe_rank <= $nProbe
        |), s AS (
        |  SELECT p.query_id, x.vec_id AS neighbor_id,
-       |    round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) AS cos
+       |    floor((list_dot_product(q.v, x.v) / (q.nrm * x.nrm)) * 1000000 + 0.5) / 1000000 AS cos
        |  FROM probed p
        |  JOIN n q ON q.vec_id = p.query_id
        |  JOIN n x ON x.label = p.c_label AND x.vec_id <> p.query_id

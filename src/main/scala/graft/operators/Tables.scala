@@ -78,10 +78,28 @@ object Tables {
   def exactSum(c: Column, scale: Int = 4, roundTo: Int = 2): Column =
     round(sum(c.cast(s"decimal(28,$scale)")), roundTo).cast("double")
 
+  /** Round a DOUBLE to 6 decimals with pure IEEE arithmetic:
+    * `floor(x·10⁶ + 0.5) / 10⁶`. Engines disagree on `round(double, n)` —
+    * Java/Spark round the shortest decimal *string* (BigDecimal.valueOf,
+    * HALF_UP) while DuckDB rounds the exact *binary* value, so e.g.
+    * 0.5000005 (binary 0.50000049999…) rounds to 0.500001 on the JVM but
+    * 0.5 in DuckDB. The floor formula is three IEEE ops with one defined
+    * result on every engine (Spark's floor yields LONG, DuckDB's DOUBLE —
+    * both exact integers < 2^53, so the final division is identical).
+    * Callers guarantee |x| < 2^53/10⁶ and non-NaN (Spark's long-floor maps
+    * NaN to 0). DuckDB twin: [[portableRound6Sql]]. */
+  def portableRound6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
+  /** DuckDB twin of [[portableRound6]]. */
+  def portableRound6Sql(expr: String): String =
+    s"floor(($expr) * 1000000 + 0.5) / 1000000"
+
   /** Exact average: decimal sum cast to double, divided by the BIGINT count,
-    * rounded. Division + round on identical inputs is identical on both
-    * engines. DuckDB twin:
-    * `ROUND(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(x), 6)`. */
-  def exactAvg(c: Column, roundTo: Int = 6): Column =
-    round(sum(c.cast("decimal(28,6)")).cast("double") / count(c), roundTo)
+    * portably rounded to 6 decimals. Decimal summation is order-independent,
+    * the decimal→double cast is a single correctly-rounded step (sums stay
+    * < 2^53/10⁶), and the rounding is [[portableRound6]]. DuckDB twin:
+    * `floor((CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(x)) * 1000000 + 0.5) / 1000000`. */
+  def exactAvg(c: Column): Column =
+    portableRound6(sum(c.cast("decimal(28,6)")).cast("double") / count(c))
 }

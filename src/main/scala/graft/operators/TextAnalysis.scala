@@ -26,6 +26,24 @@ object TextAnalysis {
     * Editing it in one place keeps all token counts consistent. */
   val BpeTokenRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+  /** DuckDB quality-score expression over precomputed count columns — ONE
+    * definition shared by the `text_quality` and `mix_source_stats` oracles
+    * (must mirror [[quality]]'s Column expression exactly: same operand
+    * association, same weights). */
+  def qualityScoreSqlExpr(nDistinct: String, nStop: String,
+      nTokens: String): String =
+    s"least(1.0, ($nDistinct / $nTokens) * 0.6 + ($nStop / $nTokens) * 2.0 + " +
+      s"CASE WHEN $nTokens >= 50 AND $nTokens <= 2000 THEN 0.2 ELSE 0.0 END)"
+
+  /** The shared token-count CTE body both quality oracles build on. */
+  def qualityCountsSqlCte: String =
+    """SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      t -> list_contains(['the','a','and','of','to'], t))) AS BIGINT) AS n_stop
+      |  FROM documents""".stripMargin
+
   private val Stopwords = Seq("the", "a", "and", "of", "to")
 
   /** Per-language marker words (tiny n-gram/stopword profile). */

@@ -104,8 +104,14 @@ object OtlpStream {
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val pm = Otlp.metrics(batch)
-        OtelWrite.writeMetrics(pm, outputRoot)
+        // persist: the four kind writes each derive from this micro-batch;
+        // without the cache every write job would re-read and re-flatten
+        // the batch's files (4× the scan on the streaming hot path)
+        batch.persist()
+        try {
+          val pm = Otlp.metrics(batch)
+          OtelWrite.writeMetrics(pm, outputRoot)
+        } finally batch.unpersist()
       }
       .trigger(trigger)
       .start()
@@ -173,7 +179,12 @@ object OtlpStream {
     * able to construct it). `deadlineMs` is the processing-time instant at
     * which the buffer expires — fixed at buffer creation, like the
     * reference's age-since-batch-creation expiry
-    * (/root/reference/src/batch/buffered_batch.rs:55-59). */
+    * (/root/reference/src/batch/buffered_batch.rs:55-59).
+    *
+    * NOTE: adding `deadlineMs` changed the flatMapGroupsWithState state
+    * schema — a checkpoint written by the earlier 3-field BufState cannot be
+    * restored (Spark fails the schema-compatibility check); drain the old
+    * query before upgrading. */
   final case class BufState(rows: Long, bytes: Long, minBucket: Long, deadlineMs: Long)
 
   /** Keyed micro-batching with the reference's exact flush predicate:
