@@ -42,6 +42,17 @@ class VectorExprSpec extends SparkTestBase {
     assert(got(2).getDouble(0) == 17.0)
   }
 
+  test("vector_dot: a null ELEMENT yields null, never a silent zero") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0))
+    ).toDF("a", "b")
+    val got = df.select(vectorDot(col("a"), col("b"))).collect()
+    assert(got(0).isNullAt(0), "null element must poison the dot product")
+    assert(got(1).getDouble(0) == 11.0)
+  }
+
   test("vector_dot rejects non-double arrays at analysis") {
     import spark.implicits._
     val df = Seq((Seq(1, 2), "x")).toDF("a", "b")
