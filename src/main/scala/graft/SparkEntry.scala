@@ -44,6 +44,7 @@ object SparkEntry {
     // -- dedup --
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "dedup_jaccard_capped" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardCapped(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     // -- similarity search --
@@ -325,6 +326,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // -- generated oracles: hash constants/PRNG coefficients inlined --
+    "dedup_jaccard_capped" -> operators.Dedup.ngramJaccardCappedOracleSql(),
     "dedup_minhash_lsh" -> operators.Dedup.minhashOracleSql(),
     "dedup_simhash" -> operators.Dedup.simhashOracleSql(),
     "dedup_embedding_lsh" -> operators.Similarity.cosinePairsLshOracleSql(),

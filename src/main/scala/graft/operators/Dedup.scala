@@ -119,6 +119,63 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Jaccard with a document-frequency cap — the skew-bounding production
+    * form of [[ngramJaccard]] (SCALE.md: shingle frequencies are power-law;
+    * a stopword shingle joins quadratically and carries no dedup signal).
+    * Shingles appearing in more than `maxDocFreq` documents are dropped
+    * before the self-join; by construction that blacklist is the tiny head
+    * of the distribution, so it broadcasts and the drop is a map-side
+    * anti-join — the big side never shuffles on a hot key. Jaccard is then
+    * exact over the kept shingle sets. */
+  def ngramJaccardCapped(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3, maxDocFreq: Long = 20L): DataFrame = {
+    val sh = docShingleHashes(spark, sfDir).persist()
+    val ex = sh.select(col("doc_id"), explode(col("shh")).as("h"))
+    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select(col("h"))
+    val kept = ex.join(broadcast(hot), Seq("h"), "left_anti")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("sa"), col("id1") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id2") === col("sb.doc_id"))
+      .select(col("id1"), col("id2"),
+        (col("c") / (col("sa.n") + col("sb.n") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** DuckDB twin of [[ngramJaccardCapped]]. */
+  def ngramJaccardCappedOracleSql(threshold: Double = 0.3,
+      maxDocFreq: Long = 20L): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       |  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+       |), hs AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(md5_number_lower(shingle) & 9223372036854775807 AS BIGINT) AS h
+       |  FROM sh
+       |), hot AS (
+       |  SELECT h FROM hs GROUP BY h HAVING count(*) > $maxDocFreq
+       |), kept AS (
+       |  SELECT doc_id, h FROM hs WHERE h NOT IN (SELECT h FROM hot)
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+       |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id1, id2, c / (sa.n + sb.n - c) AS jaccard
+       |FROM inter JOIN sizes sa ON id1 = sa.doc_id JOIN sizes sb ON id2 = sb.doc_id
+       |WHERE c / (sa.n + sb.n - c) >= $threshold
+       |ORDER BY id1, id2""".stripMargin
+
   // ---- MinHash + LSH ----
 
   private val NumPerms = 64

@@ -224,6 +224,32 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("capped jaccard matches a brute-force recompute over kept shingles") {
+    import graft.functions.PortableHash
+    val cap = 5L
+    val threshold = 0.3
+    val texts = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def shingles(t: String): Set[Long] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 3) Set.empty
+      else (0 until toks.length - 2)
+        .map(i => PortableHash.md5Lower63(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}"))
+        .toSet
+    }
+    val docSets = texts.map { case (id, t) => id -> shingles(t) }
+    val df = docSets.flatMap(_._2).groupBy(identity).view.mapValues(_.length)
+    val kept = docSets.map { case (id, s) => id -> s.filter(h => df(h) <= cap) }.toMap
+    val want = (for {
+      (i, si) <- kept.toSeq; (j, sj) <- kept.toSeq if i < j && si.nonEmpty
+      c = (si & sj).size if c > 0
+      jac = c.toDouble / (si.size + sj.size - c) if jac >= threshold
+    } yield (i, j, jac)).sortBy(p => (p._1, p._2))
+    val got = Dedup.ngramJaccardCapped(spark, sf, threshold, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
   test("fingerprintKR: rolling hash equals direct polynomial recompute") {
     val texts = Tables.documents(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
