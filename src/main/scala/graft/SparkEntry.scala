@@ -37,6 +37,9 @@ object SparkEntry {
     "q_json_extract" -> (QuerySurface.jsonExtract _),
     "q_sessionize" -> (QuerySurface.sessionize _),
     "q_agg_distinct" -> (QuerySurface.aggDistinct _),
+    "q_window_rank" -> ((s: SparkSession, d: String) => QuerySurface.windowRank(s, d)),
+    "q_set_ops" -> (QuerySurface.setOps _),
+    "q_rollup" -> (QuerySurface.rollupCounts _),
     // -- analytic headliners (bench workhorses) --
     "q1_pricing" -> (QuerySurface.q1Pricing _),
     "q3_top_orders" -> (QuerySurface.q3TopOrders _),
@@ -151,6 +154,34 @@ object SparkEntry {
     "q_agg_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_window_rank" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, user_id, n,
+        |    CAST(rank() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS BIGINT) AS rnk
+        |  FROM c
+        |)
+        |SELECT event_type, rnk, user_id, n FROM r WHERE rnk <= 3
+        |ORDER BY event_type, rnk, user_id""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT user_id FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 200.0
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 200.0
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup' AND value > 300.0
+        |) ORDER BY user_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(epoch_us(date_trunc('day', ts)), -1) AS day_us,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+        |ORDER BY event_type, day_us""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (

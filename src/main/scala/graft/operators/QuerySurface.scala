@@ -229,4 +229,49 @@ object QuerySurface {
         .as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
   }
+
+  // ---- SURVEY §2.5 category completions (beyond the reference's surface) --
+
+  /** Ranking window: top-3 users per event type by event count (rank with
+    * deterministic count-desc/user-asc tiebreak). The reference has no
+    * window functions (§2.5 ❌); this closes the category. */
+  def windowRank(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val counts = events(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("user_id"))
+    counts.withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("event_type"), col("rnk").cast("long").as("rnk"),
+        col("user_id"), col("n"))
+      .orderBy(col("event_type"), col("rnk"), col("user_id"))
+  }
+
+  /** Set operations: high-value purchasers who also hit high-value errors,
+    * minus users with large signup events — INTERSECT + EXCEPT (distinct set
+    * semantics, standard precedence: INTERSECT binds tighter). §2.5 lists
+    * only implicit union in the reference. */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+    def users(t: String, minValue: Double) =
+      e.filter(col("event_type") === t && col("value") > minValue)
+        .select(col("user_id")).distinct()
+    users("purchase", 200.0).intersect(users("error", 200.0))
+      .except(users("signup", 300.0))
+      .orderBy(col("user_id"))
+  }
+
+  /** ROLLUP over (event_type, day): subtotal rows coalesced to sentinels so
+    * both engines order identically. §2.5: the reference has no grouping
+    * sets/rollup/cube anywhere. */
+  def rollupCounts(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .withColumn("day_us",
+        unix_micros(date_trunc("day", col("ts"))))
+      .rollup(col("event_type"), col("day_us"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day_us"), lit(-1L)).as("day_us"), col("n"))
+      .orderBy(col("event_type"), col("day_us"))
 }
