@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_jaccard_capped" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardCapped(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "dedup_groups" -> ((s: SparkSession, d: String) => Dedup.nearDupGroups(s, d)),
     // -- similarity search --
     "sim_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosinePairs(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Similarity.cosinePairsLsh(s, d)),
@@ -358,6 +359,7 @@ object SparkEntry {
 
     // -- generated oracles: hash constants/PRNG coefficients inlined --
     "dedup_jaccard_capped" -> operators.Dedup.ngramJaccardCappedOracleSql(),
+    "dedup_groups" -> operators.Dedup.nearDupGroupsOracleSql(),
     "dedup_minhash_lsh" -> operators.Dedup.minhashOracleSql(),
     "dedup_simhash" -> operators.Dedup.simhashOracleSql(),
     "dedup_embedding_lsh" -> operators.Similarity.cosinePairsLshOracleSql(),

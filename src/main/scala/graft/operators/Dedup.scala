@@ -337,9 +337,19 @@ object Dedup {
     * VALUES list), the per-band string keys, the bucket-join candidates, and
     * the exact-jaccard verification over the hash sets. */
   def minhashOracleSql(threshold: Double = 0.3): String = {
+    s"""WITH ${minhashCtes(threshold)}
+       |SELECT e.id1, e.id2, e.est_jaccard, j.jaccard
+       |FROM est e JOIN jac j ON e.id1 = j.id1 AND e.id2 = j.id2
+       |WHERE j.jaccard >= $threshold
+       |ORDER BY e.id1, e.id2""".stripMargin
+  }
+
+  /** The minhash pipeline as a reusable CTE list (ends with `est`/`jac`);
+    * shared by [[minhashOracleSql]] and [[nearDupGroupsOracleSql]]. */
+  private def minhashCtes(threshold: Double): String = {
     val perms = (0 until NumPerms)
       .map(i => s"(${i}, ${permA(i)}, ${permB(i)})").mkString(", ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |), sh AS (
        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -375,11 +385,7 @@ object Dedup {
        |), jac AS (
        |  SELECT id1, id2, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
        |  FROM inter JOIN sizes sa ON id1 = sa.doc_id JOIN sizes sb ON id2 = sb.doc_id
-       |)
-       |SELECT e.id1, e.id2, e.est_jaccard, j.jaccard
-       |FROM est e JOIN jac j ON e.id1 = j.id1 AND e.id2 = j.id2
-       |WHERE j.jaccard >= $threshold
-       |ORDER BY e.id1, e.id2""".stripMargin
+       |)""".stripMargin
   }
 
   /** DuckDB twin of [[simhashPairs]]: MD5-derived u64 token hashes, 63
@@ -408,4 +414,77 @@ object Dedup {
        |  ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
        |ORDER BY id1, id2""".stripMargin
+
+  // ---- near-dup groups (connected components) ------------------------------
+
+  /** Canonical dedup GROUPS: connected components over the verified
+    * MinHash+LSH near-dup pairs — group id = smallest doc_id in the
+    * component. Pairs say "these two are dups"; components answer the
+    * question dedup actually asks: which documents form one identity, and
+    * which single one survives.
+    *
+    * Implementation: iterative min-label propagation to a fixpoint — each
+    * round one join + one (vertex)-keyed aggregation; rounds ≤ component
+    * diameter (near-dup components are shallow; at web scale the
+    * alternating large-star/small-star variant bounds rounds at O(log n)).
+    * min() is order-independent, so the result is partitioning-independent.
+    * Only documents appearing in some pair are emitted (singletons are their
+    * own group trivially). */
+  def nearDupGroups(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir, threshold)
+      .select(col("id1"), col("id2")).persist()
+    val edges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .persist()
+    var labels = edges.select(col("id1").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).persist()
+    labels.count() // materialize before the loop re-reads it
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges.join(labels, edges("id2") === labels("doc_id"))
+        .groupBy(edges("id1").as("d")).agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, labels("doc_id") === neighborMin("d"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist()
+      changed = next.as("n")
+        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
+    val out = labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("group_id"), col("group_size"))
+      .orderBy(col("doc_id"))
+    edges.unpersist(); pairs.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[nearDupGroups]]: the minhash pair pipeline (shared
+    * CTEs) + a recursive reachability closure; group id = min reachable
+    * doc_id (components are small, the closure is bounded). */
+  def nearDupGroupsOracleSql(threshold: Double = 0.3): String =
+    s"""WITH RECURSIVE ${minhashCtes(threshold)},
+       |pairs AS (
+       |  SELECT e.id1, e.id2
+       |  FROM est e JOIN jac j ON e.id1 = j.id1 AND e.id2 = j.id2
+       |  WHERE j.jaccard >= $threshold
+       |), edges AS (
+       |  SELECT id1 AS a, id2 AS b FROM pairs
+       |  UNION
+       |  SELECT id2, id1 FROM pairs
+       |), reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), grp AS (
+       |  SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a
+       |), gs AS (
+       |  SELECT group_id, CAST(count(*) AS BIGINT) AS group_size
+       |  FROM grp GROUP BY group_id
+       |)
+       |SELECT grp.doc_id, grp.group_id, gs.group_size
+       |FROM grp JOIN gs USING (group_id)
+       |ORDER BY grp.doc_id""".stripMargin
 }

@@ -224,6 +224,34 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("near-dup groups match a union-find over the pair list") {
+    val threshold = 0.2
+    val pairs = Dedup.minhashLsh(spark, sf, threshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    // reference union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = verts.map(v => v -> find(v)).toMap
+    val wantSizes = want.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    val got = Dedup.nearDupGroups(spark, sf, threshold).collect()
+    assert(got.map(_.getLong(0)).toSet == verts.toSet)
+    got.foreach { r =>
+      val (d, g, s) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(g == want(d), s"doc $d group")
+      assert(s == wantSizes(want(d)), s"doc $d group size")
+    }
+  }
+
   test("capped jaccard matches a brute-force recompute over kept shingles") {
     import graft.functions.PortableHash
     val cap = 5L
