@@ -440,18 +440,20 @@ object Dedup {
       .withColumn("label", col("doc_id")).persist()
     labels.count() // materialize before the loop re-reads it
     var changed = 1L
+    var prev = labels
     while (changed > 0) {
       val neighborMin = edges.join(labels, edges("id2") === labels("doc_id"))
         .groupBy(edges("id1").as("d")).agg(min(col("label")).as("nmin"))
-      val next = labels.join(neighborMin, labels("doc_id") === neighborMin("d"), "left")
-        .select(col("doc_id"),
+      // one cached frame carries both the old and the propagated label, so
+      // the convergence check and the next state are ONE action per round
+      val merged = labels.join(neighborMin, labels("doc_id") === neighborMin("d"), "left")
+        .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .persist()
-      changed = next.as("n")
-        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = merged.filter(col("label") =!= col("old")).count()
+      prev.unpersist()
+      prev = merged
+      labels = merged.select(col("doc_id"), col("label"))
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
     val out = labels.join(sizes, "label")
