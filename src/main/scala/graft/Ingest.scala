@@ -25,17 +25,27 @@ object Ingest {
     // (/root/reference/src/config/validation.rs:9-188). Only local paths are
     // probed with java.io.File; remote roots (s3a://, hdfs://) go through
     // the Hadoop FS, whose own errors surface at first write.
-    val scheme = java.net.URI.create(outRoot).getScheme
-    if (scheme == null || scheme == "file") locally {
-      val root = new java.io.File(java.net.URI.create(outRoot).getPath match {
-        case null | "" => outRoot
-        case p => p
-      })
+    val (scheme, localPath) =
+      try {
+        val u = java.net.URI.create(outRoot)
+        (u.getScheme, Option(u.getPath).filter(_.nonEmpty).getOrElse(outRoot))
+      } catch {
+        // plain paths with URI-illegal characters (spaces etc.) are local
+        case _: IllegalArgumentException => (null, outRoot)
+      }
+    if (scheme == null || scheme == "file") {
+      val root = new java.io.File(localPath)
       if (!root.exists() && !root.mkdirs())
         throw new IllegalArgumentException(s"output root not creatable: $outRoot")
-      val probe = java.io.File.createTempFile(".graft-probe", "", root)
-      if (!probe.delete())
-        throw new IllegalArgumentException(s"output root not writable: $outRoot")
+      try {
+        val probe = java.io.File.createTempFile(".graft-probe", "", root)
+        if (!probe.delete())
+          throw new IllegalArgumentException(s"output root not writable: $outRoot")
+      } catch {
+        case e: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"output root not writable: $outRoot (${e.getMessage})")
+      }
     }
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -105,9 +105,9 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin,
 
     "q_time_bucket_agg" ->
-      """SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+      s"""SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
         |  count(*) AS n,
-        |  floor((CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value)) * 1000000 + 0.5) / 1000000 AS avg_value
+        |  ${operators.Tables.portableRound6Sql("CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value)")} AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin,
 
     "q_scalar_arith" ->
@@ -204,13 +204,13 @@ object SparkEntry {
         |FROM sid GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
 
     "q1_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,4))), 2) AS DOUBLE) AS sum_qty,
         |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,4))), 2) AS DOUBLE) AS sum_base_price,
         |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_disc_price,
         |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_charge,
-        |  floor((CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity)) * 1000000 + 0.5) / 1000000 AS avg_qty,
-        |  floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS avg_price,
+        |  ${operators.Tables.portableRound6Sql("CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity)")} AS avg_qty,
+        |  ${operators.Tables.portableRound6Sql("CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_extendedprice)")} AS avg_price,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -263,25 +263,27 @@ object SparkEntry {
         |ORDER BY id1, id2""".stripMargin,
 
     "sim_cosine_pairs" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |), n AS (
         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+        |  WHERE list_dot_product(v, v) > 0
         |)
         |SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |  floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS cos
+        |  ${operators.Tables.portableRound6Sql("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)")} AS cos
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |WHERE floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 >= 0.4
+        |WHERE ${operators.Tables.portableRound6Sql("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)")} >= 0.4
         |ORDER BY id1, id2""".stripMargin,
 
     "sim_topk" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |), n AS (
         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+        |  WHERE list_dot_product(v, v) > 0
         |), s AS (
         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
-        |    floor((list_dot_product(q.v, x.v) / (q.nrm * x.nrm)) * 1000000 + 0.5) / 1000000 AS cos
+        |    ${operators.Tables.portableRound6Sql("list_dot_product(q.v, x.v) / (q.nrm * x.nrm)")} AS cos
         |  FROM n q JOIN n x ON q.vec_id < 8 AND q.vec_id <> x.vec_id
         |), r AS (
         |  SELECT query_id, neighbor_id, cos,

@@ -139,13 +139,13 @@ object Clustering {
            |  SELECT vec_id, cl, v FROM (
            |    SELECT q.vec_id, c.cl, q.v,
            |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-           |        floor((list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm)) * 1000000 + 0.5) / 1000000 DESC,
+           |        ${Tables.portableRound6Sql("list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm)")} DESC,
            |        c.cl) AS rnk
            |    FROM n q CROSS JOIN cn$it c
            |  ) WHERE rnk = 1
            |), raw$it AS (
            |  SELECT cl, i,
-           |    floor((CAST(SUM(CAST(v[i] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS cx
+           |    ${Tables.portableRound6Sql("CAST(SUM(CAST(v[i] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)")} AS cx
            |  FROM asg$it, unnest(range(1, 65)) AS t(i)
            |  GROUP BY cl, i
            |), cent$it AS (
@@ -161,9 +161,9 @@ object Clustering {
          |)
          |SELECT vec_id, CAST(cl AS BIGINT) AS cluster, cos FROM (
          |  SELECT q.vec_id, c.cl,
-         |    floor((list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm)) * 1000000 + 0.5) / 1000000 AS cos,
+         |    ${Tables.portableRound6Sql("list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm)")} AS cos,
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |      floor((list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm)) * 1000000 + 0.5) / 1000000 DESC,
+         |      ${Tables.portableRound6Sql("list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm)")} DESC,
          |      c.cl) AS rnk
          |  FROM n q CROSS JOIN cnF c
          |) WHERE rnk = 1 ORDER BY vec_id""".stripMargin)

@@ -187,7 +187,7 @@ object Sampling {
        |SELECT source, count(*) AS n_docs,
        |  CAST(SUM(CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.BpeTokenRegex}')) AS BIGINT)) AS BIGINT) AS total_tokens,
        |  count(DISTINCT lang) AS n_langs,
-       |  floor((CAST(SUM(CAST(q.quality_score AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS avg_quality
+       |  ${Tables.portableRound6Sql("CAST(SUM(CAST(q.quality_score AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)")} AS avg_quality
        |FROM documents JOIN q USING (doc_id)
        |GROUP BY source ORDER BY source""".stripMargin
 

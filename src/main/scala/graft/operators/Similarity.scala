@@ -37,11 +37,16 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.vectorDot(a, b)
 
-  /** embedding (float) → double vector + its L2 norm. */
+  /** embedding (float) → double vector + its L2 norm. Zero-norm vectors are
+    * EXCLUDED (none exist in real embedding data): a zero norm makes every
+    * cosine NaN, and engines disagree on NaN downstream (Spark's long-floor
+    * in portableRound6 maps NaN→0, DuckDB keeps NaN and compares it greatest)
+    * — filtering at the source removes the divergent path on both sides. */
   private def withVec(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
 
   private def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
     Tables.portableRound6(dot(va, vb) / (na * nb))
@@ -242,12 +247,12 @@ object Similarity {
        |), n AS (
        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
        |    ${sigSqlExpr("v", nPlanes)} AS sig
-       |  FROM e
+       |  FROM e WHERE list_dot_product(v, v) > 0
        |)
        |SELECT a.vec_id AS id1, b.vec_id AS id2,
-       |  floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS cos
+       |  ${Tables.portableRound6Sql("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)")} AS cos
        |FROM n a JOIN n b ON a.sig = b.sig AND a.vec_id < b.vec_id
-       |WHERE floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 >= $threshold
+       |WHERE ${Tables.portableRound6Sql("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)")} >= $threshold
        |ORDER BY id1, id2""".stripMargin
 
   /** DuckDB twin of [[annLsh]]. */
@@ -257,10 +262,10 @@ object Similarity {
        |), n AS (
        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
        |    ${sigSqlExpr("v", nPlanes)} AS sig
-       |  FROM e
+       |  FROM e WHERE list_dot_product(v, v) > 0
        |), s AS (
        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
-       |    floor((list_dot_product(q.v, x.v) / (q.nrm * x.nrm)) * 1000000 + 0.5) / 1000000 AS cos
+       |    ${Tables.portableRound6Sql("list_dot_product(q.v, x.v) / (q.nrm * x.nrm)")} AS cos
        |  FROM n q JOIN n x
        |    ON q.vec_id < $nQueries AND q.sig = x.sig AND q.vec_id <> x.vec_id
        |), r AS (
@@ -280,9 +285,10 @@ object Similarity {
        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+       |  WHERE list_dot_product(v, v) > 0
        |), cent AS (
        |  SELECT label, i,
-       |    floor((CAST(SUM(CAST(v[i] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS cx
+       |    ${Tables.portableRound6Sql("CAST(SUM(CAST(v[i] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)")} AS cx
        |  FROM n, unnest(range(1, 65)) AS t(i)
        |  GROUP BY label, i
        |), cv AS (
@@ -293,13 +299,13 @@ object Similarity {
        |  SELECT query_id, c_label FROM (
        |    SELECT q.vec_id AS query_id, cn.c_label,
        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-       |        floor((list_dot_product(q.v, cn.cv) / (q.nrm * cn.c_nrm)) * 1000000 + 0.5) / 1000000 DESC,
+       |        ${Tables.portableRound6Sql("list_dot_product(q.v, cn.cv) / (q.nrm * cn.c_nrm)")} DESC,
        |        cn.c_label) AS probe_rank
        |    FROM n q CROSS JOIN cn WHERE q.vec_id < $nQueries
        |  ) WHERE probe_rank <= $nProbe
        |), s AS (
        |  SELECT p.query_id, x.vec_id AS neighbor_id,
-       |    floor((list_dot_product(q.v, x.v) / (q.nrm * x.nrm)) * 1000000 + 0.5) / 1000000 AS cos
+       |    ${Tables.portableRound6Sql("list_dot_product(q.v, x.v) / (q.nrm * x.nrm)")} AS cos
        |  FROM probed p
        |  JOIN n q ON q.vec_id = p.query_id
        |  JOIN n x ON x.label = p.c_label AND x.vec_id <> p.query_id

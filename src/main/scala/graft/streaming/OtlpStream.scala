@@ -120,7 +120,12 @@ object OtlpStream {
   /** Landing-dir protobuf stream (one OTLP request payload per file, the
     * shape an HTTP front writes) → flat log table → partitioned parquet.
     * The binaryFile source streams new files; each micro-batch decodes with
-    * the same wire decoder as the batch path (payload-limit guard included). */
+    * the same wire decoder as the batch path.
+    *
+    * Oversized payloads are SKIPPED with an executor-side error log rather
+    * than failing the query: the reference 413s the single request and keeps
+    * serving — in a checkpointed stream a throw would replay the same poison
+    * file forever. (The batch path keeps fail-fast 413 parity.) */
   def logsProtobufToParquet(spark: SparkSession, inputDir: String,
       outputRoot: String, checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
@@ -129,11 +134,13 @@ object OtlpStream {
       maxFilesPerTrigger: Int = 1000): StreamingQuery = {
     import org.apache.spark.sql.{Encoders, Row}
     val parse: Array[Byte] => Row = graft.io.OtlpProtobuf.parseLogsRequest
-    val guarded: Array[Byte] => Row = { bytes =>
-      if (bytes.length > maxPayloadBytes)
-        throw new IllegalArgumentException(
-          s"payload ${bytes.length} bytes exceeds max $maxPayloadBytes (reference 413)")
-      parse(bytes)
+    val limit = maxPayloadBytes
+    val guarded: Array[Byte] => IterableOnce[Row] = { bytes =>
+      if (bytes.length > limit) {
+        System.err.println(
+          s"[otlp-stream] skipping payload of ${bytes.length} bytes > max $limit (reference 413)")
+        None
+      } else Some(parse(bytes))
     }
     val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
@@ -146,7 +153,7 @@ object OtlpStream {
       .load(inputDir)
       .select("content")
       .as(Encoders.BINARY)
-      .map(guarded)(Encoders.row(graft.schema.OtlpSchemas.logsRequestType))
+      .flatMap(guarded)(Encoders.row(graft.schema.OtlpSchemas.logsRequestType))
     val flat = OtelWrite.withPartitionColumns(Otlp.logs(raw.toDF()))
     flat.writeStream
       .format("parquet")
