@@ -30,7 +30,11 @@ object Ingest {
         val u = java.net.URI.create(outRoot)
         (u.getScheme, Option(u.getPath).filter(_.nonEmpty).getOrElse(outRoot))
       } catch {
-        // plain paths with URI-illegal characters (spaces etc.) are local
+        // plain paths with URI-illegal characters (spaces etc.) are local;
+        // a string that CLAIMS a scheme but fails to parse is a config error
+        case e: IllegalArgumentException if outRoot.contains("://") =>
+          throw new IllegalArgumentException(
+            s"invalid output root URI: $outRoot (${e.getMessage})")
         case _: IllegalArgumentException => (null, outRoot)
       }
     if (scheme == null || scheme == "file") {

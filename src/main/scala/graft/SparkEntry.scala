@@ -267,7 +267,7 @@ object SparkEntry {
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |), n AS (
         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
-        |  WHERE list_dot_product(v, v) > 0
+        |  WHERE list_dot_product(v, v) > 0 AND NOT isnan(list_dot_product(v, v))
         |)
         |SELECT a.vec_id AS id1, b.vec_id AS id2,
         |  ${operators.Tables.portableRound6Sql("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)")} AS cos
@@ -280,7 +280,7 @@ object SparkEntry {
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |), n AS (
         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
-        |  WHERE list_dot_product(v, v) > 0
+        |  WHERE list_dot_product(v, v) > 0 AND NOT isnan(list_dot_product(v, v))
         |), s AS (
         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
         |    ${operators.Tables.portableRound6Sql("list_dot_product(q.v, x.v) / (q.nrm * x.nrm)")} AS cos

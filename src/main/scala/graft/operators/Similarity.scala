@@ -46,7 +46,7 @@ object Similarity {
     df.select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .filter(col("nrm") > 0)
+      .filter(col("nrm") > 0 && !isnan(col("nrm"))) // NaN compares greatest on BOTH engines — exclude explicitly
 
   private def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
     Tables.portableRound6(dot(va, vb) / (na * nb))
@@ -247,7 +247,7 @@ object Similarity {
        |), n AS (
        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
        |    ${sigSqlExpr("v", nPlanes)} AS sig
-       |  FROM e WHERE list_dot_product(v, v) > 0
+       |  FROM e WHERE list_dot_product(v, v) > 0 AND NOT isnan(list_dot_product(v, v))
        |)
        |SELECT a.vec_id AS id1, b.vec_id AS id2,
        |  ${Tables.portableRound6Sql("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)")} AS cos
@@ -262,7 +262,7 @@ object Similarity {
        |), n AS (
        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
        |    ${sigSqlExpr("v", nPlanes)} AS sig
-       |  FROM e WHERE list_dot_product(v, v) > 0
+       |  FROM e WHERE list_dot_product(v, v) > 0 AND NOT isnan(list_dot_product(v, v))
        |), s AS (
        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
        |    ${Tables.portableRound6Sql("list_dot_product(q.v, x.v) / (q.nrm * x.nrm)")} AS cos
@@ -285,7 +285,7 @@ object Similarity {
        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
-       |  WHERE list_dot_product(v, v) > 0
+       |  WHERE list_dot_product(v, v) > 0 AND NOT isnan(list_dot_product(v, v))
        |), cent AS (
        |  SELECT label, i,
        |    ${Tables.portableRound6Sql("CAST(SUM(CAST(v[i] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)")} AS cx

@@ -122,10 +122,13 @@ object OtlpStream {
     * The binaryFile source streams new files; each micro-batch decodes with
     * the same wire decoder as the batch path.
     *
-    * Oversized payloads are SKIPPED with an executor-side error log rather
-    * than failing the query: the reference 413s the single request and keeps
-    * serving — in a checkpointed stream a throw would replay the same poison
-    * file forever. (The batch path keeps fail-fast 413 parity.) */
+    * Oversized AND malformed payloads are SKIPPED rather than failing the
+    * query: the reference 413s/400s the single request and keeps serving —
+    * in a checkpointed stream any throw would replay the same poison file
+    * forever. (The batch path keeps fail-fast 413/400 parity.) Skips are
+    * counted in the `otlp.ingest.rejected` accumulator (the reference's
+    * rejected counter, visible on the driver / Spark UI) and logged
+    * executor-side. */
   def logsProtobufToParquet(spark: SparkSession, inputDir: String,
       outputRoot: String, checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
@@ -135,12 +138,22 @@ object OtlpStream {
     import org.apache.spark.sql.{Encoders, Row}
     val parse: Array[Byte] => Row = graft.io.OtlpProtobuf.parseLogsRequest
     val limit = maxPayloadBytes
+    val rejected = spark.sparkContext.longAccumulator("otlp.ingest.rejected")
     val guarded: Array[Byte] => IterableOnce[Row] = { bytes =>
       if (bytes.length > limit) {
+        rejected.add(1L)
         System.err.println(
           s"[otlp-stream] skipping payload of ${bytes.length} bytes > max $limit (reference 413)")
         None
-      } else Some(parse(bytes))
+      } else {
+        try Some(parse(bytes))
+        catch {
+          case e: Exception =>
+            rejected.add(1L)
+            System.err.println(s"[otlp-stream] skipping malformed payload (reference 400): $e")
+            None
+        }
+      }
     }
     val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
