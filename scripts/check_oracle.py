@@ -3,8 +3,10 @@
 (sbt "runMain graft.Verify <sfDir> <outDir>"), then this script compares each
 <outDir>/<name> parquet against its DuckDB oracle from oracle_sql.json.
 
-Exact cell-by-cell comparison after aligning columns by name — stricter than
-any plausible driver hash, so passing here should pass the driver.
+Exact cell-by-cell comparison after aligning columns by name, PLUS a dtype
+check per column — the driver's hash is dtype-sensitive (round 2 shipped a
+value-equal/type-different miss: DuckDB HUGEINT rendered 0.0 vs Spark's
+BIGINT 0), so value equality alone is not enough.
 """
 import json, sys, glob, os
 import duckdb
@@ -45,6 +47,14 @@ for name in sorted(os.listdir(out_dir)):
     bad = None
     for c in sc:
         av, bv = a[c], b[c]
+        # Driver's hash stringifies values, so dtype drift (int vs float,
+        # HUGEINT→float64) diverges even when values compare equal. Require
+        # matching dtype kinds (datetimes are normalized below; object/string
+        # columns both stringify identically so 'O' vs 'O' is the only safe mix).
+        ak, bk = av.dtype.kind, bv.dtype.kind
+        if ak != bk and 'M' not in (ak, bk):
+            bad = f"col {c}: dtype kind mismatch spark={av.dtype} oracle={bv.dtype}"
+            break
         try:
             if av.dtype.kind == 'M' or bv.dtype.kind == 'M':
                 av = pd.to_datetime(av).astype('datetime64[us]')

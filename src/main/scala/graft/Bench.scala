@@ -51,8 +51,8 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    val ingest = ingestRowsPerSec(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","ingest_rows_per_s":$ingest}""")
+    val (ingestMean, ingestBest) = ingestRowsPerSec(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","ingest_rows_per_s":$ingestMean,"ingest_rows_per_s_best":$ingestBest}""")
     spark.stop()
   }
 
@@ -60,8 +60,11 @@ object Bench {
     * (BASELINE.md §A, perf_audit.py's `10_000 / e2e_ms_p50 × 1000`).
     * Replicates the golden 81-record logs.jsonl corpus to ~200k records in
     * a temp landing file, then times the full decode→flatten→parquet-write
-    * pipeline. */
-  private def ingestRowsPerSec(spark: SparkSession): Long = {
+    * pipeline. Returns (mean, best) of the warmed steady-state passes — the
+    * headline `ingest_rows_per_s` is the MEAN, matching a criterion-style
+    * warmed-mean statistic (best-of-N would flatter the engine vs the
+    * reference harness); the best is emitted under its own explicit key. */
+  private def ingestRowsPerSec(spark: SparkSession): (Long, Long) = {
     try {
       val src = java.nio.file.Paths.get("/root/reference/testdata/logs.jsonl")
       val lines = java.nio.file.Files.readAllLines(src)
@@ -86,7 +89,7 @@ object Bench {
       }
       val rows = 81L * copiesPerFile * files
       // warmup pass (JIT, parquet committer, page cache), then two timed
-      // steady-state passes, best taken — the reference's criterion bench
+      // steady-state passes, mean reported — the reference's criterion bench
       // likewise reports warmed statistics, not cold starts; a single timed
       // pass at ~5 s is dominated by system noise (observed 2× run-to-run)
       def pipeline(out: String): Unit =
@@ -100,7 +103,7 @@ object Bench {
         pipeline(tmpDir.resolve(s"out$i").toString)
         (System.nanoTime() - t0) / 1e9
       }
-      (rows / times.min).toLong
-    } catch { case _: Throwable => -1L }
+      ((rows / (times.sum / times.length)).toLong, (rows / times.min).toLong)
+    } catch { case _: Throwable => (-1L, -1L) }
   }
 }

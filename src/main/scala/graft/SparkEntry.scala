@@ -7,8 +7,10 @@ import graft.operators.{Clustering, Dedup, Multimodal, OtelQueries, QuerySurface
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7.
   *
   * Every entry in [[queries]] is an operator from the SURVEY §2 inventory or
-  * the training-data-pipeline extension set, and every entry is hash-compared
-  * against a DuckDB oracle at sf0.01 — including the hash-based operators
+  * the training-data-pipeline extension set, and every entry carries a DuckDB
+  * `oracleSql` twin hash-compared at sf0.01 (driver round-2 artifact: 45/46
+  * green; the one miss was an oracle-SQL HUGEINT dtype bug, fixed in round
+  * 3) — including the hash-based operators
   * (MinHash/SimHash/LSH/fingerprint): their hash primitives are MD5-derived
   * ([[graft.operators.Tables]] rules + [[graft.functions.PortableHash]]) and
   * their PRNG constants (permutation coefficients, hyperplanes) are inlined

@@ -84,7 +84,11 @@ object OtelQueries {
   // DuckDB-hash-verified on REAL otel data, not only spec-checked on
   // engine output.
 
-  private val GoldenDir = "/root/reference/testdata/parquet"
+  // Overridable so the gate queries run on any machine with a checkout of
+  // the golden fixtures — the oracle SQL strings below are generated with
+  // the same resolved path, so Spark and DuckDB always read the same files.
+  private val GoldenDir =
+    sys.env.getOrElse("GRAFT_GOLDEN_DIR", "/root/reference/testdata/parquet")
 
   /** Per-(service, severity) log counts over golden logs
     * (docs/querying.md:43-58 shape). */

@@ -204,6 +204,7 @@ object Sampling {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM t
        |)
-       |SELECT doc_id, shard, n_tokens, (cum - n_tokens) // $budget AS chunk_id
+       |SELECT doc_id, shard, n_tokens,
+       |  CAST((cum - n_tokens) // $budget AS BIGINT) AS chunk_id
        |FROM c ORDER BY doc_id""".stripMargin
 }

@@ -60,35 +60,69 @@ object Similarity {
 
   /** All-pairs cosine ≥ threshold (exact near-dup over embeddings).
     *
-    * Partition-wise broadcast kernel: one side of the O(n²) product is
-    * broadcast (n·d doubles — the same requirement a BroadcastNestedLoopJoin
-    * has) and each partition runs a tight primitive-array loop. The
-    * equivalent declarative join (BNLJ + per-pair array UDF) measured ~30 s
-    * at sf0.1 vs <1 s here — per-pair expression-eval overhead dwarfs the
-    * 64-FLOP dot product. This is the genuinely-imperative-inner-loop case
-    * where mapPartitions is warranted; at larger n the scale path is
-    * [[annLsh]]/[[annIvf]] (or block-partitioned GEMM), not all-pairs. */
+    * Block-partitioned pair generation — the classic triangle-blocking
+    * shape, with NO driver-side collect anywhere: vectors are hashed into B
+    * blocks (B sized so a block-pair fits one task's memory), each vector is
+    * replicated to the B block-pairs containing its block, and every
+    * unordered block-pair (i ≤ j) becomes one task that runs the tight
+    * primitive-array kernel over its two sub-lists. Work is the inherent
+    * O(n²·d) of an exact baseline, but it is spread over B(B+1)/2
+    * independent tasks with O(n/B) memory each — the executors scale out
+    * and the driver holds nothing. (A declarative BNLJ + per-pair array
+    * UDF measured ~30 s at sf0.1 vs <1 s for the primitive kernel —
+    * per-pair expression-eval overhead dwarfs the 64-FLOP dot product.)
+    * At larger n the sublinear paths are [[annLsh]]/[[annIvf]]; this is the
+    * exact baseline they are verified against. */
   def cosinePairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4, blockSize: Int = 4096): DataFrame = {
     import spark.implicits._
     val rows = withVec(embeddings(spark, sfDir))
       .select(col("vec_id"), col("v"), col("nrm"))
       .as[(Long, Seq[Double], Double)]
-    val all = rows.collect().sortBy(_._1)
-      .map { case (id, v, n) => (id, v.toArray, n) }
-    val bc = spark.sparkContext.broadcast(all)
-    rows
-      .repartition(spark.sparkContext.defaultParallelism)
-      .mapPartitions { it =>
-        val right = bc.value
-        it.flatMap { case (id1, v1s, n1) =>
-          val v1 = v1s.toArray
-          right.iterator.filter(_._1 > id1).flatMap { case (id2, v2, n2) =>
-            var acc = 0.0
-            var i = 0
-            while (i < v1.length) { acc += v1(i) * v2(i); i += 1 }
-            val cos = round6(acc / (n1 * n2))
-            if (cos >= threshold) Some((id1, id2, cos)) else None
+    val n = rows.count()
+    // enough blocks that (a) a block-pair fits in a task, (b) there are at
+    // least ~2 tasks per core even on small inputs
+    val minForParallelism =
+      math.ceil((1 + math.sqrt(1 + 16.0 * spark.sparkContext.defaultParallelism)) / 2).toInt
+    val nBlocks = math.max(math.ceil(n.toDouble / blockSize).toInt, minForParallelism)
+    val rep = rows.flatMap { case (id, vs, nrm) =>
+      val b = (id % nBlocks).toInt
+      val v = vs.toArray
+      (0 until nBlocks).iterator.map { o =>
+        (math.min(b, o) * nBlocks + math.max(b, o), b, id, v, nrm)
+      }
+    }
+    rep.groupByKey(_._1)
+      .flatMapGroups { (key: Int, it: Iterator[(Int, Int, Long, Array[Double], Double)]) =>
+        val i = key / nBlocks
+        val j = key % nBlocks
+        val buf = it.toArray
+        def cosOf(a: (Int, Int, Long, Array[Double], Double),
+            b: (Int, Int, Long, Array[Double], Double)): Double = {
+          val (v1, v2) = (a._4, b._4)
+          var acc = 0.0
+          var x = 0
+          while (x < v1.length) { acc += v1(x) * v2(x); x += 1 }
+          round6(acc / (a._5 * b._5))
+        }
+        if (i == j) {
+          // within-block: each unordered id pair once
+          buf.iterator.flatMap { a =>
+            buf.iterator.filter(b => b._3 > a._3).flatMap { b =>
+              val c = cosOf(a, b)
+              if (c >= threshold) Some((a._3, b._3, c)) else None
+            }
+          }
+        } else {
+          val left = buf.filter(_._2 == i)
+          val right = buf.filter(_._2 == j)
+          left.iterator.flatMap { a =>
+            right.iterator.flatMap { b =>
+              val c = cosOf(a, b)
+              if (c >= threshold)
+                Some((math.min(a._3, b._3), math.max(a._3, b._3), c))
+              else None
+            }
           }
         }
       }

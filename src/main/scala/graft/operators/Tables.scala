@@ -102,4 +102,19 @@ object Tables {
     * `floor((CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(x)) * 1000000 + 0.5) / 1000000`. */
   def exactAvg(c: Column): Column =
     portableRound6(sum(c.cast("decimal(28,6)")).cast("double") / count(c))
+
+  /** Eagerly materialize `out` and release the intermediate caches it was
+    * built from. Operators that `persist()` a mid-pipeline frame (self-join
+    * inputs, signature tables) must not return a lazy plan that still
+    * depends on that cache: the caller can never release it (Spark's
+    * CacheManager holds entries until an explicit unpersist). Instead the
+    * small *result* is localCheckpoint-ed — its blocks belong to the RDD and
+    * are reclaimed by the ContextCleaner once the returned frame is
+    * unreferenced — and the big intermediates are unpersisted before
+    * returning, so a Verify/Bench run leaves no cached blocks behind. */
+  def materializeAndRelease(out: DataFrame, caches: DataFrame*): DataFrame = {
+    val materialized = out.localCheckpoint(true)
+    caches.foreach(_.unpersist(false))
+    materialized
+  }
 }

@@ -252,6 +252,32 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("near-dup groups: distributed star-contraction path matches the " +
+      "driver union-find path") {
+    val threshold = 0.2
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val viaUnionFind = rows(Dedup.nearDupGroups(spark, sf, threshold))
+    // smallCutoff=0 forces the alternating large-star/small-star path
+    val viaStars = rows(Dedup.nearDupGroups(spark, sf, threshold, smallCutoff = 0L))
+    assert(viaUnionFind.nonEmpty)
+    assert(viaStars == viaUnionFind)
+  }
+
+  test("dedup/similarity operators leave no CacheManager entries behind") {
+    spark.catalog.clearCache()
+    Dedup.minhashLsh(spark, sf, threshold = 0.2).count()
+    Dedup.ngramJaccard(spark, sf, threshold = 0.3).count()
+    Dedup.ngramJaccardCapped(spark, sf, threshold = 0.3).count()
+    Dedup.nearDupGroups(spark, sf, threshold = 0.2).count()
+    // internal persists must be released before return: a CacheManager entry
+    // created inside an operator can never be unpersisted by the caller
+    // (localCheckpoint blocks are NOT CacheManager entries — they belong to
+    // the result RDD and the ContextCleaner reclaims them on GC)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "operator left a plan-level cache entry registered")
+  }
+
   test("capped jaccard matches a brute-force recompute over kept shingles") {
     import graft.functions.PortableHash
     val cap = 5L
