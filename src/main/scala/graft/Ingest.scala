@@ -9,6 +9,11 @@ import graft.transform.Otlp
   * tables. The Spark equivalent of the reference's serve→decode→write path
   * collapsed into one lazy plan (SURVEY §3.3).
   *
+  * Operational knobs (payload limit, maxRecordsPerFile, storage backend)
+  * come from [[Config.load]] — the reference's resolution chain (env >
+  * GRAFT_CONFIG file > inline content > ./config.toml > defaults), so an
+  * operator tunes the pipeline without touching the CLI.
+  *
   * Usage: Ingest <logs|traces|metrics> <json|jsonl|protobuf> <inputPath...> <outputRoot>
   */
 object Ingest {
@@ -19,6 +24,7 @@ object Ingest {
     val format = args(1)
     val inputs = args.slice(2, args.length - 1)
     val outRoot = args.last
+    val cfg = Config.load() // fails fast on malformed config, like the reference
 
     // writability probe before any work — the reference validates the
     // output location at startup and exits with a clear error
@@ -61,11 +67,13 @@ object Ingest {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    cfg.applyStorage(spark) // s3a/R2 Hadoop conf when the backend needs it
 
     def read(sig: OtlpRead.Signal) = format match {
       case "json" => OtlpRead.json(spark, sig, inputs: _*)
       case "jsonl" => OtlpRead.jsonl(spark, sig, inputs: _*)
-      case "protobuf" | "pb" => OtlpRead.protobuf(spark, sig, inputs: _*)
+      case "protobuf" | "pb" =>
+        OtlpRead.protobufLimited(spark, sig, cfg.request.maxPayloadBytes, inputs: _*)
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
 
@@ -81,7 +89,8 @@ object Ingest {
         if (n == 0) 0L
         else OtelWrite.withPartitionColumns(flat)
           .select("service", "year", "month", "day", "hour").distinct().count()
-      if (n > 0) OtelWrite.write(flat, outRoot, table)
+      if (n > 0) OtelWrite.write(flat, outRoot, table,
+        maxRecordsPerFile = cfg.writer.maxRecordsPerFile)
       flat.unpersist()
       (table, n, nParts)
     }

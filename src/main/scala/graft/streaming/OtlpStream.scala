@@ -59,6 +59,25 @@ object OtlpStream {
       .start()
   }
 
+  /** Config-driven overloads: every stream knob (trigger interval,
+    * maxRecordsPerFile, pull-throttle, payload limit) comes from the
+    * resolved [[graft.Config]] chain (env > file > defaults) — the
+    * reference's RuntimeConfig role: operators tune a deployment without
+    * code changes. */
+  def logsToParquet(spark: SparkSession, inputDir: String, outputRoot: String,
+      checkpointDir: String, cfg: graft.Config.GraftConfig): StreamingQuery =
+    logsToParquet(spark, inputDir, outputRoot, checkpointDir,
+      Trigger.ProcessingTime(s"${cfg.writer.triggerIntervalSecs} seconds"),
+      cfg.writer.maxRecordsPerFile, cfg.writer.maxFilesPerTrigger)
+
+  def logsProtobufToParquet(spark: SparkSession, inputDir: String,
+      outputRoot: String, checkpointDir: String,
+      cfg: graft.Config.GraftConfig): StreamingQuery =
+    logsProtobufToParquet(spark, inputDir, outputRoot, checkpointDir,
+      Trigger.ProcessingTime(s"${cfg.writer.triggerIntervalSecs} seconds"),
+      cfg.writer.maxRecordsPerFile, cfg.request.maxPayloadBytes,
+      cfg.writer.maxFilesPerTrigger)
+
   /** Landing-dir JSONL trace stream → flat span table → partitioned parquet.
     * Same pipeline shape as [[logsToParquet]] (narrow flatten, dynamic
     * partition sink). */
