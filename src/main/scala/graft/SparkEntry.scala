@@ -79,6 +79,9 @@ object SparkEntry {
     "otel_sev_counts" -> (OtelQueries.goldenSevCounts _),
     "otel_slow_spans" -> ((s: SparkSession, d: String) => OtelQueries.goldenSlowSpans(s, d)),
     "otel_trace_log_join" -> (OtelQueries.goldenTraceLogJoin _),
+    // -- event-time streaming operators over a replayed bounded stream --
+    "stream_window_counts" -> (graft.streaming.StreamGate.windowCounts _),
+    "stream_sessionize" -> (graft.streaming.StreamGate.sessionize _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -380,5 +383,8 @@ object SparkEntry {
     "otel_sev_counts" -> OtelQueries.goldenSevCountsOracleSql,
     "otel_slow_spans" -> OtelQueries.goldenSlowSpansOracleSql,
     "otel_trace_log_join" -> OtelQueries.goldenTraceLogJoinOracleSql,
+
+    "stream_window_counts" -> graft.streaming.StreamGate.windowCountsOracleSql,
+    "stream_sessionize" -> graft.streaming.StreamGate.sessionizeOracleSql,
   )
 }

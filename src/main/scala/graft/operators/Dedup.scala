@@ -539,13 +539,17 @@ object Dedup {
         var e = pairs.select(col("id1").as("u"), col("id2").as("v"))
           .localCheckpoint(true)
         var converged = false
+        var rounds = 0
         while (!converged) {
           val next = smallStar(largeStar(e)).localCheckpoint(true)
           // fixpoint = identical edge set; both sides are distinct, so
           // equal counts + empty one-sided difference ⇒ set equality
           converged = next.count() == e.count() && next.except(e).isEmpty
           e = next
+          rounds += 1
         }
+        System.err.println(
+          s"[nearDupGroups] star contraction converged in $rounds rounds ($nEdges edges)")
         // fixpoint edges are (member → component-min) stars; centers label
         // themselves
         e.select(col("u").as("doc_id"), col("v").as("label"))

@@ -1,0 +1,165 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Gate-verifiable (and bench-timed) runs of the event-time streaming
+  * operators: the `events` table is REPLAYED as a bounded file stream
+  * (`Trigger.AvailableNow`), pushed through [[OtlpStream.logCountsByWindow]]
+  * / [[OtlpStream.sessionizeStream]], and drained to a memory sink whose
+  * contents are returned as a plain DataFrame — so the streaming path gets a
+  * DuckDB hash check and a perf number like every batch operator.
+  *
+  * Determinism (what makes a *streaming* run oracle-checkable): with
+  * AvailableNow the data arrives in one batch (one input file), then Spark
+  * runs a no-data micro-batch that advances the watermark to
+  * `floor(max_event_time_ms) - delay` and flushes exactly the
+  * windows/timeouts the watermark has passed. The emitted subset is
+  * therefore a pure function of the data:
+  *   - windowed counts: windows with `window_end <= watermark`;
+  *   - sessions: every session closed by a later event in-batch, plus
+  *     final-per-user sessions whose `end + gap` the watermark passed.
+  * The DuckDB twins compute the same subsets in SQL over the same parquet.
+  *
+  * The memory sink is driver-local by design — these are gate probes over
+  * the driver's sf tables. A production drain goes to the parquet sink
+  * ([[OtlpStream.logsToParquet]] et al.); the operators under test are
+  * identical.
+  */
+object StreamGate {
+
+  private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  val WindowDelay = "2 minutes"
+  val WindowDelayMs = 120000L
+  val SessionDelay = "10 minutes"
+  val SessionDelayMs = 600000L
+  val SessionGapMinutes = 30
+  private val SessionGapUs = SessionGapMinutes * 60L * 1000000L
+
+  /** `events` replayed as a bounded file stream, `ts` normalized to µs
+    * TimestampType exactly like [[graft.operators.Tables.events]]. */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file-stream source requires a directory or glob (a literal file
+    // path fails basePath inference) — the [s] glob matches exactly this file
+    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/event[s].parquet")
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** Drain a bounded stream into a uniquely-named memory sink, detach the
+    * result (localCheckpoint — the ContextCleaner reclaims it), drop the
+    * sink view. */
+  private def runToMemory(spark: SparkSession, df: DataFrame): DataFrame = {
+    val name = s"graft_stream_gate_${runId.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  /** Event-time tumbling-window counts over the replayed stream:
+    * 1-minute windows per (event_type, severity), watermark 2 minutes.
+    * Severity is a derived two-level key so [[OtlpStream.logCountsByWindow]]
+    * is exercised with both its group columns. */
+  def windowCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val shaped = eventsStream(spark, sfDir).select(
+      col("ts").as("Timestamp"),
+      col("event_type").as("ServiceName"),
+      when(col("value") >= 250.0, "HIGH").otherwise("LOW").as("SeverityText"))
+    val agg = OtlpStream.logCountsByWindow(shaped,
+      windowLength = "1 minute", watermarkDelay = WindowDelay)
+    runToMemory(spark, agg)
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        unix_micros(col("window_end")).as("window_end_us"),
+        col("ServiceName").as("event_type"),
+        col("SeverityText").as("severity"),
+        col("n"))
+      .orderBy(col("window_start_us"), col("event_type"), col("severity"))
+  }
+
+  /** Event-time sessionization over the replayed stream (30-min gap,
+    * 10-min watermark): emits closed sessions only. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsUs"))
+      .as[OtlpStream.SessionEvent]
+    val sessions = OtlpStream.sessionizeStream(ev,
+      watermarkDelay = SessionDelay, gapMinutes = SessionGapMinutes)
+    runToMemory(spark, sessions.toDF())
+      .select(col("user_id"), col("n_events"),
+        col("startUs").as("session_start_us"),
+        col("endUs").as("session_end_us"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
+  // ---- DuckDB twins --------------------------------------------------------
+
+  /** DuckDB twin of [[windowCounts]]: same tumbling windows, restricted to
+    * those the final watermark (`floor(max_ts_ms) - delay`) has passed. */
+  def windowCountsOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) AS ts_us, event_type,
+       |    CASE WHEN value >= 250.0 THEN 'HIGH' ELSE 'LOW' END AS severity
+       |  FROM events
+       |), wm AS (
+       |  SELECT max(ts_us) // 1000 - $WindowDelayMs AS wm_ms FROM e
+       |), w AS (
+       |  SELECT (ts_us // 60000000) * 60000000 AS window_start_us,
+       |    (ts_us // 60000000) * 60000000 + 60000000 AS window_end_us,
+       |    event_type, severity
+       |  FROM e
+       |)
+       |SELECT CAST(window_start_us AS BIGINT) AS window_start_us,
+       |  CAST(window_end_us AS BIGINT) AS window_end_us,
+       |  event_type, severity, count(*) AS n
+       |FROM w, wm
+       |WHERE window_end_us // 1000 <= wm_ms
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY window_start_us, event_type, severity""".stripMargin
+
+  /** DuckDB twin of [[sessionize]]: batch gaps-and-islands sessions,
+    * restricted to the ones the stream emits — sessions closed by a later
+    * in-batch event (not the user's last) plus final sessions whose
+    * `end + gap` (ms) the final watermark passed. */
+  def sessionizeOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+       |), wm AS (
+       |  SELECT max(ts_us) // 1000 - $SessionDelayMs AS wm_ms FROM e
+       |), s AS (
+       |  SELECT user_id, event_id, ts_us,
+       |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > $SessionGapUs
+       |         OR lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM e
+       |), sid AS (
+       |  SELECT user_id, ts_us,
+       |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM s
+       |), sess AS (
+       |  SELECT user_id, session_id, count(*) AS n_events,
+       |    min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+       |    max(session_id) OVER (PARTITION BY user_id) AS last_session
+       |  FROM sid GROUP BY user_id, session_id
+       |)
+       |SELECT user_id, n_events, session_start_us, session_end_us
+       |FROM sess, wm
+       |WHERE session_id < last_session
+       |   OR (session_end_us + $SessionGapUs) // 1000 < wm_ms
+       |ORDER BY user_id, session_start_us""".stripMargin
+}
