@@ -48,7 +48,11 @@ object Config {
       bucket: String = "",
       region: String = "",
       endpoint: Option[String] = None,
-      prefix: Option[String] = None)
+      prefix: Option[String] = None,
+      // captured from the env map at load time (AWS standard variables,
+      // unprefixed) so applyStorage never reaches back into the process env
+      accessKeyId: String = "",
+      secretAccessKey: String = "")
 
   case class R2Config(
       bucket: String = "",
@@ -71,15 +75,17 @@ object Config {
       storage: StorageConfig = StorageConfig()) {
 
     /** Output root for the configured backend: `file` path, or
-      * `s3a://bucket[/prefix]` for s3/r2 (both ride the s3a connector). */
+      * `s3a://bucket[/prefix]` for s3/r2 (both ride the s3a connector).
+      * Prefix joining delegates to [[graft.io.Storage.root]] — one owner for
+      * the slash-normalization rule. */
     def outputRoot: String = storage.backend match {
       case "fs" => storage.path
       case "s3" =>
-        val p = storage.s3.prefix.map(p => "/" + p.stripSuffix("/")).getOrElse("")
-        s"s3a://${storage.s3.bucket}$p"
+        graft.io.Storage.root(s"s3a://${storage.s3.bucket}",
+          storage.s3.prefix.map(_.stripSuffix("/")))
       case "r2" =>
-        val p = storage.r2.prefix.map(p => "/" + p.stripSuffix("/")).getOrElse("")
-        s"s3a://${storage.r2.bucket}$p"
+        graft.io.Storage.root(s"s3a://${storage.r2.bucket}",
+          storage.r2.prefix.map(_.stripSuffix("/")))
     }
 
     /** Wire the storage backend into the session's Hadoop conf (no-op for
@@ -89,8 +95,8 @@ object Config {
       case "fs" => ()
       case "s3" =>
         graft.io.Storage.configureS3(spark,
-          accessKey = sys.env.getOrElse("AWS_ACCESS_KEY_ID", ""),
-          secretKey = sys.env.getOrElse("AWS_SECRET_ACCESS_KEY", ""),
+          accessKey = storage.s3.accessKeyId,
+          secretKey = storage.s3.secretAccessKey,
           endpoint = storage.s3.endpoint,
           region = Option(storage.s3.region).filter(_.nonEmpty))
       case "r2" =>
@@ -195,9 +201,26 @@ object Config {
 
   /** File layer: each present key overrides the default (missing keys keep
     * defaults — the reference's serde `#[serde(default)]` semantics). */
+  /** Every file-layer key the engine understands; anything else in a config
+    * file is a hard error — a typo'd knob must not silently run on defaults
+    * (the same contract the subset parser enforces for syntax). */
+  private val KnownTomlKeys = Set(
+    "batch.max_rows", "batch.max_bytes", "batch.max_age_secs", "batch.enabled",
+    "request.max_payload_bytes",
+    "writer.max_records_per_file", "writer.trigger_interval_secs",
+    "writer.max_files_per_trigger",
+    "storage.backend", "storage.fs.path",
+    "storage.s3.bucket", "storage.s3.region", "storage.s3.endpoint", "storage.s3.prefix",
+    "storage.r2.bucket", "storage.r2.account_id", "storage.r2.access_key_id",
+    "storage.r2.secret_access_key", "storage.r2.endpoint", "storage.r2.prefix")
+
   private def applyToml(c: GraftConfig, t: Map[String, String]): GraftConfig = {
+    val unknown = t.keySet -- KnownTomlKeys
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown config keys: ${unknown.toSeq.sorted.mkString(", ")}")
     def long(k: String, cur: Long) = t.get(k).map(parseLong(k, _)).getOrElse(cur)
-    def int(k: String, cur: Int) = t.get(k).map(parseLong(k, _).toInt).getOrElse(cur)
+    def int(k: String, cur: Int) = t.get(k).map(parseInt(k, _)).getOrElse(cur)
     def bool(k: String, cur: Boolean) = t.get(k).map(parseBool(k, _)).getOrElse(cur)
     def str(k: String, cur: String) = t.getOrElse(k, cur)
     def opt(k: String, cur: Option[String]) = t.get(k).filter(_.nonEmpty).orElse(cur)
@@ -238,7 +261,7 @@ object Config {
       env: Map[String, String]): GraftConfig = {
     def get(k: String) = env.get(EnvPrefix + k)
     def long(k: String, cur: Long) = get(k).map(parseLong(EnvPrefix + k, _)).getOrElse(cur)
-    def int(k: String, cur: Int) = get(k).map(parseLong(EnvPrefix + k, _).toInt).getOrElse(cur)
+    def int(k: String, cur: Int) = get(k).map(parseInt(EnvPrefix + k, _)).getOrElse(cur)
     def str(k: String, cur: String) = get(k).getOrElse(cur)
     def opt(k: String, cur: Option[String]) = get(k).filter(_.nonEmpty).orElse(cur)
 
@@ -264,7 +287,10 @@ object Config {
         region = str("S3_REGION", c.storage.s3.region),
         endpoint = opt("S3_ENDPOINT", c.storage.s3.endpoint),
         // S3_PREFIX canonical; generic PREFIX honored for compatibility
-        prefix = opt("S3_PREFIX", opt("PREFIX", c.storage.s3.prefix)).map(normalizePrefix)),
+        prefix = opt("S3_PREFIX", opt("PREFIX", c.storage.s3.prefix)).map(normalizePrefix),
+        // AWS standard variables, unprefixed (shared with the r2 branch)
+        accessKeyId = env.getOrElse("AWS_ACCESS_KEY_ID", c.storage.s3.accessKeyId),
+        secretAccessKey = env.getOrElse("AWS_SECRET_ACCESS_KEY", c.storage.s3.secretAccessKey)),
       r2 = c.storage.r2.copy(
         bucket = str("R2_BUCKET", c.storage.r2.bucket),
         accountId = str("R2_ACCOUNT_ID", c.storage.r2.accountId),
@@ -281,6 +307,15 @@ object Config {
       case _: NumberFormatException =>
         throw new IllegalArgumentException(s"failed to parse $name as integer: $v")
     }
+
+  /** A Long that must also fit an Int knob — out-of-range is a loud config
+    * error, never a silent `.toInt` wraparound. */
+  private def parseInt(name: String, v: String): Int = {
+    val l = parseLong(name, v)
+    if (l < Int.MinValue || l > Int.MaxValue)
+      throw new IllegalArgumentException(s"$name out of 32-bit range: $v")
+    l.toInt
+  }
 
   private def parseBool(name: String, v: String): Boolean = v.toLowerCase match {
     case "true" => true

@@ -47,7 +47,9 @@ object FooterStamp {
       } finally reader.close()
 
     val tmp = new Path(file.getParent, s".${file.getName}.stamp.tmp")
+    val bak = new Path(file.getParent, s".${file.getName}.stamp.bak")
     val fs = file.getFileSystem(conf)
+    var replaced = false
     try {
       val writer = new ParquetFileWriter(
         HadoopOutputFile.fromPath(tmp, conf), schema,
@@ -56,9 +58,23 @@ object FooterStamp {
       writer.start()
       writer.appendFile(HadoopInputFile.fromPath(file, conf))
       writer.end((existingKv ++ extra).asJava)
-      if (!fs.delete(file, false) || !fs.rename(tmp, file))
-        throw new java.io.IOException(s"footer stamp: atomic replace failed for $file")
-    } finally fs.delete(tmp, false) // no-op when the rename succeeded
+      // replace without a window where no copy exists: original → .bak,
+      // tmp → original; on any failure the original is restored from .bak.
+      // (A reader between the two renames can still miss the file — true
+      // atomic swap needs a filesystem with atomic rename-over, which
+      // HDFS/local rename-to-existing is not; callers stamp tables that are
+      // not concurrently read, e.g. as the final step of the ingest job.)
+      if (!fs.rename(file, bak))
+        throw new java.io.IOException(s"footer stamp: could not move $file aside")
+      if (!fs.rename(tmp, file)) {
+        fs.rename(bak, file) // restore — the original still exists
+        throw new java.io.IOException(s"footer stamp: could not move stamped copy into place for $file")
+      }
+      replaced = true
+      fs.delete(bak, false)
+    } finally {
+      if (!replaced) fs.delete(tmp, false) // never delete tmp after it became the data file
+    }
   }
 
   /** Stamp every parquet file under `{root}/{tableDir}` (recursing through

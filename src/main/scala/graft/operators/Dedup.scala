@@ -116,8 +116,10 @@ object Dedup {
       .select(col("id1"), col("id2"),
         (col("c") / (col("sa.n") + col("sb.n") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("id1"), col("id2"))
-    materializeAndRelease(out, sh)
+    // materialize pre-sort: the tiny pair set is pinned, the shingle cache
+    // released, and the total ORDER BY stays lazy (count()-style consumers
+    // never pay it)
+    materializeAndRelease(out, sh).orderBy(col("id1"), col("id2"))
   }
 
   /** Jaccard with a document-frequency cap — the skew-bounding production
@@ -146,8 +148,7 @@ object Dedup {
       .select(col("id1"), col("id2"),
         (col("c") / (col("sa.n") + col("sb.n") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("id1"), col("id2"))
-    materializeAndRelease(out, sh)
+    materializeAndRelease(out, sh).orderBy(col("id1"), col("id2"))
   }
 
   /** DuckDB twin of [[ngramJaccardCapped]]. */
@@ -268,10 +269,9 @@ object Dedup {
         (size(array_intersect(col("da.shh"), col("db.shh"))).cast("double") /
           size(array_union(col("da.shh"), col("db.shh"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("id1"), col("id2"))
     // the near-dup pair set is orders of magnitude smaller than the corpus;
-    // materializing it here frees the signature cache for the caller
-    materializeAndRelease(out, signed)
+    // materializing it (pre-sort) frees the signature cache for the caller
+    materializeAndRelease(out, signed).orderBy(col("id1"), col("id2"))
   }
 
   // ---- SimHash ----
@@ -463,14 +463,15 @@ object Dedup {
     * Two execution paths, picked by the verified pair count (one cheap
     * count of an already-materialized frame):
     *
-    *   - **edge count ≤ smallCutoff** (the overwhelmingly common case — the
-    *     verified near-dup pair set is orders of magnitude smaller than the
-    *     corpus; even a 1% dup rate over 10^10 docs at ~2 pairs/dup-doc is
-    *     well within a driver array): union-find with path compression on
+    *   - **edge count ≤ smallCutoff**: union-find with path compression on
     *     the driver. No iterative Spark jobs at all — components of E edges
     *     cost O(E α(E)) single-threaded, and the per-round Spark fixed cost
     *     (job scheduling + shuffle + persist) that dominated the previous
-    *     implementation (12 s for 25 edges at sf0.1) disappears.
+    *     implementation (12 s for 25 edges at sf0.1) disappears. The
+    *     default cutoff (2M edges) budgets for the real driver cost of a
+    *     collect — boxed tuples + a boxed parent map, ~100-150 B/edge
+    *     (~300 MB worst case), NOT the 16 B/edge of the raw shuffle
+    *     representation.
     *   - **edge count > smallCutoff**: distributed alternating
     *     large-star/small-star contraction (Kiveris et al., "Connected
     *     Components in MapReduce and Beyond"): each round is two
@@ -486,7 +487,7 @@ object Dedup {
     * partitioning-independent). Only documents appearing in some pair are
     * emitted (singletons are their own group trivially). */
   def nearDupGroups(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.3, smallCutoff: Long = 8L << 20): DataFrame = {
+      threshold: Double = 0.3, smallCutoff: Long = 2L << 20): DataFrame = {
     import spark.implicits._
     // minhashLsh output is already eagerly materialized (localCheckpoint-ed)
     val pairs = minhashLsh(spark, sfDir, threshold).select(col("id1"), col("id2"))

@@ -76,9 +76,13 @@ object Similarity {
   def cosinePairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.4, blockSize: Int = 4096): DataFrame = {
     import spark.implicits._
+    // persist: the count below and the replication pass would otherwise each
+    // re-read the parquet and recompute the vector parse + norms; released
+    // before return via the materialize pattern
     val rows = withVec(embeddings(spark, sfDir))
       .select(col("vec_id"), col("v"), col("nrm"))
       .as[(Long, Seq[Double], Double)]
+      .persist()
     val n = rows.count()
     // enough blocks that (a) a block-pair fits in a task, (b) there are at
     // least ~2 tasks per core even on small inputs
@@ -89,16 +93,17 @@ object Similarity {
       val b = (id % nBlocks).toInt
       val v = vs.toArray
       (0 until nBlocks).iterator.map { o =>
-        (math.min(b, o) * nBlocks + math.max(b, o), b, id, v, nrm)
+        // Long key: nBlocks² overflows Int past ~46k blocks (~190M vectors)
+        (math.min(b, o).toLong * nBlocks + math.max(b, o), b, id, v, nrm)
       }
     }
-    rep.groupByKey(_._1)
-      .flatMapGroups { (key: Int, it: Iterator[(Int, Int, Long, Array[Double], Double)]) =>
-        val i = key / nBlocks
-        val j = key % nBlocks
+    val pairs = rep.groupByKey(_._1)
+      .flatMapGroups { (key: Long, it: Iterator[(Long, Int, Long, Array[Double], Double)]) =>
+        val i = (key / nBlocks).toInt
+        val j = (key % nBlocks).toInt
         val buf = it.toArray
-        def cosOf(a: (Int, Int, Long, Array[Double], Double),
-            b: (Int, Int, Long, Array[Double], Double)): Double = {
+        def cosOf(a: (Long, Int, Long, Array[Double], Double),
+            b: (Long, Int, Long, Array[Double], Double)): Double = {
           val (v1, v2) = (a._4, b._4)
           var acc = 0.0
           var x = 0
@@ -127,6 +132,8 @@ object Similarity {
         }
       }
       .toDF("id1", "id2", "cos")
+    // pin the small pair set, release the cached vector table, sort lazily
+    Tables.materializeAndRelease(pairs, rows.toDF())
       .orderBy(col("id1"), col("id2"))
   }
 

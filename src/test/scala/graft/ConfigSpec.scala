@@ -137,6 +137,30 @@ class ConfigSpec extends AnyFunSuite {
       "parse error names the offending variable")
   }
 
+  test("typo'd config keys and out-of-range int knobs fail loudly") {
+    val typo = intercept[IllegalArgumentException] {
+      Config.load(Map(s"${EnvPrefix}CONFIG_CONTENT" -> "[batch]\nmax_rowss = 5\n"), tmpDir())
+    }
+    assert(typo.getMessage.contains("unknown config keys"))
+    assert(typo.getMessage.contains("batch.max_rowss"))
+    val wide = intercept[IllegalArgumentException] {
+      Config.load(Map(s"${EnvPrefix}MAX_FILES_PER_TRIGGER" -> "4294967297"), tmpDir())
+    }
+    assert(wide.getMessage.contains("32-bit range"),
+      "4294967297 must not silently wrap to 1")
+  }
+
+  test("s3 credentials come from the injected env map, not the process env") {
+    val c = Config.load(Map(
+      s"${EnvPrefix}STORAGE_BACKEND" -> "s3",
+      s"${EnvPrefix}S3_BUCKET" -> "bkt",
+      s"${EnvPrefix}S3_REGION" -> "us-east-1",
+      "AWS_ACCESS_KEY_ID" -> "injected-key",
+      "AWS_SECRET_ACCESS_KEY" -> "injected-secret"), tmpDir())
+    assert(c.storage.s3.accessKeyId == "injected-key")
+    assert(c.storage.s3.secretAccessKey == "injected-secret")
+  }
+
   test("toml subset parser: loud errors on unsupported syntax") {
     val arr = intercept[IllegalArgumentException] {
       Config.parseToml("key = [1, 2]\n", "test")

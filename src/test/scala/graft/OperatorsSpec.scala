@@ -270,6 +270,7 @@ class OperatorsSpec extends SparkTestBase {
     Dedup.ngramJaccard(spark, sf, threshold = 0.3).count()
     Dedup.ngramJaccardCapped(spark, sf, threshold = 0.3).count()
     Dedup.nearDupGroups(spark, sf, threshold = 0.2).count()
+    Similarity.cosinePairs(spark, sf, threshold = 0.2).count()
     // internal persists must be released before return: a CacheManager entry
     // created inside an operator can never be unpersisted by the caller
     // (localCheckpoint blocks are NOT CacheManager entries — they belong to
