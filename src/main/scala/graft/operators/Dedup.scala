@@ -488,9 +488,23 @@ object Dedup {
     * emitted (singletons are their own group trivially). */
   def nearDupGroups(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3, smallCutoff: Long = 2L << 20): DataFrame = {
-    import spark.implicits._
     // minhashLsh output is already eagerly materialized (localCheckpoint-ed)
     val pairs = minhashLsh(spark, sfDir, threshold).select(col("id1"), col("id2"))
+    val labels = componentLabels(pairs, smallCutoff)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("group_id"), col("group_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Connected-component labels (`doc_id`, `label` = component-min) over an
+    * undirected edge list `(id1, id2)` — the reusable core of
+    * [[nearDupGroups]], public so the scale path is testable on arbitrary
+    * graph shapes (chains, cycles, stars). */
+  def componentLabels(pairsDf: DataFrame, smallCutoff: Long = 2L << 20): DataFrame = {
+    val spark = pairsDf.sparkSession
+    import spark.implicits._
+    val pairs = pairsDf.toDF("id1", "id2")
     val nEdges = pairs.count()
 
     val labels: DataFrame =
@@ -550,17 +564,13 @@ object Dedup {
           rounds += 1
         }
         System.err.println(
-          s"[nearDupGroups] star contraction converged in $rounds rounds ($nEdges edges)")
+          s"[componentLabels] star contraction converged in $rounds rounds ($nEdges edges)")
         // fixpoint edges are (member → component-min) stars; centers label
         // themselves
         e.select(col("u").as("doc_id"), col("v").as("label"))
           .union(e.select(col("v").as("doc_id"), col("v").as("label")).distinct())
       }
-
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
-    labels.join(sizes, "label")
-      .select(col("doc_id"), col("label").as("group_id"), col("group_size"))
-      .orderBy(col("doc_id"))
+    labels
   }
 
   /** DuckDB twin of [[nearDupGroups]]: the minhash pair pipeline (shared
