@@ -65,13 +65,31 @@ object Dedup {
     * text, only fixed-width keys. An MD5-64 collision would merge two
     * shingles, but both engines compute the identical hash, so Spark and the
     * DuckDB oracle see the same (astronomically unlikely) merges. */
+  /** Executor-local shingle→MD5-63 memo (same rationale as
+    * [[tokenHashCache]]: corpora share an n-gram vocabulary, the digest
+    * dominates the map pass, and caching a pure function cannot change
+    * results; capped for adversarial vocabularies). */
+  private val shingleHashCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def cachedShingleHash(s: String): Long = {
+    val hit = shingleHashCache.get(s)
+    if (hit ne null) hit.longValue()
+    else {
+      val h = PortableHash.md5Lower63(s)
+      if (shingleHashCache.size() < TokenHashCacheMax)
+        shingleHashCache.put(s, java.lang.Long.valueOf(h))
+      h
+    }
+  }
+
   private val shingleHashUdf = udf { (toks: Seq[String]) =>
     if (toks.length < 3) Seq.empty[Long]
     else {
       val seen = new java.util.LinkedHashSet[java.lang.Long]()
       var i = 0
       while (i + 2 < toks.length) {
-        seen.add(PortableHash.md5Lower63(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)))
+        seen.add(cachedShingleHash(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)))
         i += 1
       }
       import scala.jdk.CollectionConverters._
