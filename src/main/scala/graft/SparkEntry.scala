@@ -59,6 +59,7 @@ object SparkEntry {
     "sim_topk" -> ((s: SparkSession, d: String) => Similarity.topK(s, d)),
     "sim_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "sim_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "sim_ann_ivf_kmeans" -> ((s: SparkSession, d: String) => Similarity.annIvfKmeans(s, d)),
     // -- text analysis --
     "text_tokens" -> (TextAnalysis.tokens _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -383,6 +384,8 @@ object SparkEntry {
     "otel_sev_counts" -> OtelQueries.goldenSevCountsOracleSql,
     "otel_slow_spans" -> OtelQueries.goldenSlowSpansOracleSql,
     "otel_trace_log_join" -> OtelQueries.goldenTraceLogJoinOracleSql,
+
+    "sim_ann_ivf_kmeans" -> Similarity.annIvfKmeansOracleSql(),
 
     "stream_window_counts" -> graft.streaming.StreamGate.windowCountsOracleSql,
     "stream_sessionize" -> graft.streaming.StreamGate.sessionizeOracleSql,

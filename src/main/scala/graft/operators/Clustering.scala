@@ -42,19 +42,59 @@ object Clustering {
     * assign+update rounds. */
   def kmeans(spark: SparkSession, sfDir: String, k: Int = 8,
       iters: Int = 3): DataFrame = {
-    import spark.implicits._
     val e = embeddings(spark, sfDir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .persist()
+    val centroids = fit(e, k, iters)
+    val result = e.withColumn("a", assignUdf(centroids)(col("v")))
+      .select(col("vec_id"), col("a._1").cast("long").as("cluster"),
+        col("a._2").as("cos"))
+      .orderBy(col("vec_id"))
+    // iterations are done (centroids collected eagerly); release the cache —
+    // the returned plan re-reads the source once when executed instead of
+    // leaking one cached frame per kmeans() call
+    e.unpersist()
+    result
+  }
 
+  /** The fitted centroid codebook after `iters` assign+update rounds over a
+    * `(vec_id, v)` frame — shared by [[kmeans]] and
+    * [[Similarity.annIvfKmeans]] (IVF with a real learned codebook). The
+    * caller manages caching of `e` (both users persist it around the
+    * iteration loop). */
+  private[operators] def fit(e: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    import e.sparkSession.implicits._
     // init: the k smallest-vec_id vectors; cluster labels are RANK POSITIONS
     // (0-based), not raw vec_ids — the oracle labels identically, so sparse
     // or non-zero-based id spaces cannot desynchronize the two engines
     var centroids: Array[Array[Double]] = e
-      .orderBy(col("vec_id")).limit(k).as[(Long, Seq[Double])].collect()
+      .orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
       .map(_._2.toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = e.withColumn("a", assignUdf(centroids)(col("v")))
+        .select(col("vec_id"), col("a._1").as("cluster"), col("v"))
+      // update: decimal-exact per-(cluster, dim) means, rounded to 6
+      val means = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(Tables.exactAvg(col("x")).as("cx"))
+        .as[(Int, Int, Double)].collect()
+      val next = centroids.map(_.clone()) // empty clusters keep old centroid
+      means.foreach { case (c, pos, cx) => next(c)(pos) = cx }
+      // a cluster present in `means` gets all dims overwritten (posexplode
+      // emits every dim), so the clone only survives for empty clusters
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
 
-    def assignUdf(cents: Array[Array[Double]]) = {
+  /** Assignment UDF for a centroid codebook: (cluster, round6 cos) with the
+    * oracle's argmax semantics. */
+  private[operators] def assignUdf(cents: Array[Array[Double]]):
+      org.apache.spark.sql.expressions.UserDefinedFunction = {
       val cNrm = cents.map(c => math.sqrt(c.map(x => x * x).sum))
       udf { (v: Seq[Double]) =>
         val arr = v.toArray
@@ -82,42 +122,33 @@ object Clustering {
       }
     }
 
-    var it = 0
-    while (it < iters) {
-      val assigned = e.withColumn("a", assignUdf(centroids)(col("v")))
-        .select(col("vec_id"), col("a._1").as("cluster"), col("v"))
-      // update: decimal-exact per-(cluster, dim) means, rounded to 6
-      val means = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(Tables.exactAvg(col("x")).as("cx"))
-        .as[(Int, Int, Double)].collect()
-      val next = centroids.map(_.clone()) // empty clusters keep old centroid
-      means.foreach { case (c, pos, cx) => next(c)(pos) = cx }
-      // a cluster present in `means` gets all dims overwritten (posexplode
-      // emits every dim), so the clone only survives for empty clusters
-      centroids = next
-      it += 1
-    }
-
-    val result = e.withColumn("a", assignUdf(centroids)(col("v")))
-      .select(col("vec_id"), col("a._1").cast("long").as("cluster"),
-        col("a._2").as("cos"))
-      .orderBy(col("vec_id"))
-    // iterations are done (centroids collected eagerly); release the cache —
-    // the returned plan re-reads the source once when executed instead of
-    // leaking one cached frame per kmeans() call
-    e.unpersist()
-    result
-  }
-
   /** DuckDB twin of [[kmeans]] — the iterations unrolled as generated CTEs
     * (long centroid format (cl, i, cx); assignment via a row_number argmax
     * ordered cos DESC, cl ASC — same tie rule as the strict-greater loop). */
   def kmeansOracleSql(k: Int = 8, iters: Int = 3): String = {
     val sb = new StringBuilder
+    sb.append("WITH ").append(kmeansCtes(k, iters))
     sb.append(
-      s"""WITH e AS (
+      s"""
+         |SELECT vec_id, CAST(cl AS BIGINT) AS cluster, cos FROM (
+         |  SELECT q.vec_id, c.cl,
+         |    ${Tables.portableRound6Sql("list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm)")} AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${Tables.portableRound6Sql("list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm)")} DESC,
+         |      c.cl) AS rnk
+         |  FROM n q CROSS JOIN cnF c
+         |) WHERE rnk = 1 ORDER BY vec_id""".stripMargin)
+    sb.toString
+  }
+
+  /** The k-means fit as a reusable CTE body: `e`/`n` (vectors + norms),
+    * unrolled iterations, ending in `cnF` = the fitted codebook with norms
+    * `(cl, cv, c_nrm)`. Shared by [[kmeansOracleSql]] and
+    * [[Similarity.annIvfKmeansOracleSql]]. */
+  private[operators] def kmeansCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
          |), n AS (
          |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
@@ -158,15 +189,7 @@ object Clustering {
          |  SELECT cl, list(cx ORDER BY i) AS cv FROM cent$iters GROUP BY cl
          |), cnF AS (
          |  SELECT cl, cv, sqrt(list_dot_product(cv, cv)) AS c_nrm FROM cvF
-         |)
-         |SELECT vec_id, CAST(cl AS BIGINT) AS cluster, cos FROM (
-         |  SELECT q.vec_id, c.cl,
-         |    ${Tables.portableRound6Sql("list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm)")} AS cos,
-         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |      ${Tables.portableRound6Sql("list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm)")} DESC,
-         |      c.cl) AS rnk
-         |  FROM n q CROSS JOIN cnF c
-         |) WHERE rnk = 1 ORDER BY vec_id""".stripMargin)
+         |)""".stripMargin)
     sb.toString
   }
 }

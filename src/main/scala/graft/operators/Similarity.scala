@@ -270,6 +270,54 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF with a REAL learned codebook: coarse centroids come from the
+    * engine's own spherical k-means fit ([[Clustering.fit]]) instead of the
+    * dataset's `label` column — the production IVF shape end to end
+    * (fit codebook → assign inverted lists → probe nProbe lists per query).
+    * The codebook is k·dim doubles on the driver (the MLlib pattern), list
+    * assignment is one broadcast-codebook map pass, and the probe/search
+    * join is identical to [[annIvf]]. At 100 TB the inverted lists are
+    * written bucketed-by-cluster so a probe prunes partitions. */
+  def annIvfKmeans(spark: SparkSession, sfDir: String, k: Int = 5,
+      nProbe: Int = 2, nQueries: Int = 8, kClusters: Int = 8,
+      kmIters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = withVec(embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v"), col("nrm")).persist()
+    val codebook = Clustering.fit(e.select(col("vec_id"), col("v")), kClusters, kmIters)
+    val assign = Clustering.assignUdf(codebook)
+    val lists = e.withColumn("a", assign(col("v")))
+      .select(col("vec_id"), col("a._1").as("cluster"), col("v"), col("nrm"))
+
+    val cents = codebook.zipWithIndex.map { case (c, cl) =>
+      (cl, c.toSeq, math.sqrt(c.map(x => x * x).sum))
+    }.toSeq.toDF("c_cl", "cv", "c_nrm")
+
+    val q = e.filter(col("vec_id") < nQueries)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_cos").desc, col("c_cl"))
+    val probed = q.as("q").crossJoin(broadcast(cents))
+      .select(col("q.vec_id").as("query_id"), col("q.v").as("qv"),
+        col("q.nrm").as("qnrm"), col("c_cl"),
+        cosine(col("q.v"), col("q.nrm"), col("cv"), col("c_nrm")).as("c_cos"))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("c_cl"))
+
+    val scored = broadcast(probed).as("p").join(lists.as("x"),
+        col("p.c_cl") === col("x.cluster") && col("p.query_id") =!= col("x.vec_id"))
+      .select(col("query_id"), col("x.vec_id").as("neighbor_id"),
+        cosine(col("p.qv"), col("p.qnrm"), col("x.v"), col("x.nrm")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+    Tables.materializeAndRelease(out, e.toDF())
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- DuckDB oracle SQL (hyperplanes/centroid math inlined) ---------------
 
   /** `sig` SQL expression over a DOUBLE[] column `vcol`: one bit per
@@ -316,6 +364,44 @@ object Similarity {
        |)
        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos
        |FROM r WHERE rnk <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB twin of [[annIvfKmeans]]: the unrolled k-means fit CTEs
+    * ([[Clustering.kmeansCtes]], ending in the fitted codebook `cnF`), final
+    * list assignment, probe, and search. */
+  def annIvfKmeansOracleSql(k: Int = 5, nProbe: Int = 2, nQueries: Int = 8,
+      kClusters: Int = 8, kmIters: Int = 3): String = {
+    val probeCos = Tables.portableRound6Sql(
+      "list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm)")
+    s"""WITH ${Clustering.kmeansCtes(kClusters, kmIters)}
+       |, asgF AS (
+       |  SELECT vec_id, cl FROM (
+       |    SELECT q.vec_id, c.cl,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        $probeCos DESC, c.cl) AS rnk
+       |    FROM n q CROSS JOIN cnF c
+       |  ) WHERE rnk = 1
+       |), probed AS (
+       |  SELECT query_id, cl FROM (
+       |    SELECT q.vec_id AS query_id, c.cl,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        $probeCos DESC, c.cl) AS probe_rank
+       |    FROM n q CROSS JOIN cnF c WHERE q.vec_id < $nQueries
+       |  ) WHERE probe_rank <= $nProbe
+       |), s AS (
+       |  SELECT p.query_id, x.vec_id AS neighbor_id,
+       |    ${Tables.portableRound6Sql("list_dot_product(q.v, x.v) / (q.nrm * x.nrm)")} AS cos
+       |  FROM probed p
+       |  JOIN n q ON q.vec_id = p.query_id
+       |  JOIN asgF a ON a.cl = p.cl
+       |  JOIN n x ON x.vec_id = a.vec_id AND x.vec_id <> p.query_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM s
+       |)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos
+       |FROM r WHERE rnk <= $k ORDER BY query_id, rank""".stripMargin
+  }
 
   /** DuckDB twin of [[annIvf]]: per-label centroids from exact decimal sums
     * (order-independent; the decimal→double cast is a single correctly-

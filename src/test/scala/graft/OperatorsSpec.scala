@@ -138,6 +138,34 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("IVF-kmeans ANN: neighbors come from probed k-means lists with exact cosines") {
+    import org.apache.spark.sql.functions.col
+    val got = Similarity.annIvfKmeans(spark, sf, k = 5, nProbe = 2, nQueries = 4).collect()
+    assert(got.nonEmpty)
+    // every reported cosine equals the brute-force cosine for that pair
+    val brute = Similarity.topK(spark, sf, k = Int.MaxValue - 1, nQueries = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    got.foreach { r =>
+      val (q, n, c) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      assert(brute((q, n)) == c, s"cos($q,$n)")
+    }
+    // ranks are contiguous from 1 and cosine-descending per query
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to byRank.length).toSeq, s"query $q ranks")
+      val cs = byRank.map(_.getDouble(3))
+      assert(cs.zip(cs.drop(1)).forall { case (a, b) => a >= b }, s"query $q order")
+    }
+    // a cluster/codebook invariant: with nProbe = kClusters the search is
+    // exhaustive, so top-k must EQUAL brute force
+    val full = Similarity.annIvfKmeans(spark, sf, k = 5, nProbe = 8, nQueries = 4,
+      kClusters = 8).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bruteTop = Similarity.topK(spark, sf, k = 5, nQueries = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(full.toSeq == bruteTop.toSeq)
+  }
+
   test("fingerprint: equal texts collide, different texts don't (on fixture)") {
     val rows = TextAnalysis.fingerprint(spark, sf).collect()
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
