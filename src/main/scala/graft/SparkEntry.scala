@@ -60,6 +60,7 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "sim_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "sim_ann_ivf_kmeans" -> ((s: SparkSession, d: String) => Similarity.annIvfKmeans(s, d)),
+    "sim_quantize" -> (Similarity.quantize _),
     // -- text analysis --
     "text_tokens" -> (TextAnalysis.tokens _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -386,6 +387,8 @@ object SparkEntry {
     "otel_trace_log_join" -> OtelQueries.goldenTraceLogJoinOracleSql,
 
     "sim_ann_ivf_kmeans" -> Similarity.annIvfKmeansOracleSql(),
+
+    "sim_quantize" -> Similarity.quantizeOracleSql,
 
     "stream_window_counts" -> graft.streaming.StreamGate.windowCountsOracleSql,
     "stream_sessionize" -> graft.streaming.StreamGate.sessionizeOracleSql,

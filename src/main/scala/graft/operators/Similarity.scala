@@ -318,6 +318,82 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Int8 scalar quantization of the embedding table — the memory-budget
+    * half of the 100 TB ANN story (IVF prunes the search, SQ shrinks the
+    * lists 8×: 64 bytes/vector instead of 512). Per-dimension global
+    * min/max (one 64-key aggregate, collected like a centroid codebook and
+    * broadcast), then each component maps to
+    * `floor((x−mn)/(mx−mn)·255 + 0.5)` — three IEEE ops, bit-identical on
+    * any engine. Output per vector: an order-weighted integer checksum of
+    * the codes (`Σ qᵢ·(131·i+1)` — exact integer arithmetic that pins every
+    * code without array-dtype hazards in the gate), the code range, and the
+    * max absolute reconstruction error (max is order-independent; rounded
+    * to 6 decimals only at the end). */
+  def quantize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val stats = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    val mns = stats.map(_._2)
+    val mxs = stats.map(_._3)
+    val qUdf = udf { (v: Seq[Double]) =>
+      var checksum = 0L
+      var qMin = 255L
+      var qMax = 0L
+      var maxErr = 0.0
+      var i = 0
+      while (i < v.length) {
+        val x = v(i); val mn = mns(i); val mx = mxs(i)
+        val qi =
+          if (mx == mn) 0L
+          else {
+            val f = math.floor((x - mn) / (mx - mn) * 255.0 + 0.5)
+            math.max(0L, math.min(255L, f.toLong))
+          }
+        val xhat = if (mx == mn) mn else mn + qi * (mx - mn) / 255.0
+        val err = math.abs(x - xhat)
+        if (err > maxErr) maxErr = err
+        checksum += qi * (131L * i + 1L)
+        if (qi < qMin) qMin = qi
+        if (qi > qMax) qMax = qi
+        i += 1
+      }
+      (checksum, qMin, qMax, round6(maxErr))
+    }
+    e.withColumn("q", qUdf(col("v")))
+      .select(col("vec_id"), col("q._1").as("q_checksum"), col("q._2").as("q_min"),
+        col("q._3").as("q_max"), col("q._4").as("max_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB twin of [[quantize]]. */
+  def quantizeOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), d AS (
+       |  SELECT vec_id, i, v[i] AS x FROM e, unnest(range(1, 65)) AS t(i)
+       |), mm AS (
+       |  SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i
+       |), q AS (
+       |  SELECT vec_id, i, x, mn, mx,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE CAST(least(greatest(floor((x - mn) / (mx - mn) * 255 + 0.5), 0), 255) AS BIGINT)
+       |    END AS qi
+       |  FROM d JOIN mm USING (i)
+       |), r AS (
+       |  SELECT vec_id, i, qi,
+       |    abs(x - (CASE WHEN mx = mn THEN mn ELSE mn + qi * (mx - mn) / 255 END)) AS err
+       |  FROM q
+       |)
+       |SELECT vec_id,
+       |  CAST(sum(qi * (131 * (i - 1) + 1)) AS BIGINT) AS q_checksum,
+       |  CAST(min(qi) AS BIGINT) AS q_min,
+       |  CAST(max(qi) AS BIGINT) AS q_max,
+       |  ${Tables.portableRound6Sql("max(err)")} AS max_abs_err
+       |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   // ---- DuckDB oracle SQL (hyperplanes/centroid math inlined) ---------------
 
   /** `sig` SQL expression over a DOUBLE[] column `vcol`: one bit per

