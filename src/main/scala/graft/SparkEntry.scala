@@ -53,6 +53,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "dedup_groups" -> ((s: SparkSession, d: String) => Dedup.nearDupGroups(s, d)),
+    "dedup_cross" -> ((s: SparkSession, d: String) => Dedup.crossDedup(s, d)),
     // -- similarity search --
     "sim_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosinePairs(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Similarity.cosinePairsLsh(s, d)),
@@ -389,6 +390,8 @@ object SparkEntry {
     "sim_ann_ivf_kmeans" -> Similarity.annIvfKmeansOracleSql(),
 
     "sim_quantize" -> Similarity.quantizeOracleSql,
+
+    "dedup_cross" -> Dedup.crossDedupOracleSql(),
 
     "stream_window_counts" -> graft.streaming.StreamGate.windowCountsOracleSql,
     "stream_sessionize" -> graft.streaming.StreamGate.sessionizeOracleSql,

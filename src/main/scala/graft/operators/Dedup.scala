@@ -470,6 +470,113 @@ object Dedup {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
        |ORDER BY id1, id2""".stripMargin
 
+  // ---- incremental (cross-corpus) dedup ------------------------------------
+
+  /** Incremental-ingestion dedup: flag each NEW document (doc_id ≥
+    * `splitId`) that duplicates the EXISTING corpus (doc_id < `splitId`) —
+    * the shape every continuously-ingesting training pipeline runs on
+    * arrival, where new−new pairs are irrelevant and the existing side is
+    * orders of magnitude larger.
+    *
+    * Two signals per new document:
+    *   - `is_exact_dup`: byte-identical text exists in the old corpus
+    *     (md5 semi-join — 16-byte keys, text never shuffles);
+    *   - `max_jaccard` / `near_dup_of`: best capped-shingle Jaccard against
+    *     any old document (ties broken to the smallest old doc_id), via the
+    *     same doc-frequency-capped shingle join as [[ngramJaccardCapped]] —
+    *     only new×old hash collisions are generated, never new×new or
+    *     old×old pairs.
+    *
+    * Scale: the cap bounds hot-shingle fanout; the join output is (new,
+    * old) candidate pairs only. At 100 TB the old side's kept-shingle index
+    * is written once and reused across ingest batches — here both sides
+    * come from one table split for oracle-checkability. */
+  def crossDedup(spark: SparkSession, sfDir: String, splitId: Long = 250L,
+      maxDocFreq: Long = 20L): DataFrame = {
+    val sh = docShingleHashes(spark, sfDir).persist()
+    val ex = sh.select(col("doc_id"), explode(col("shh")).as("h"))
+    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select(col("h"))
+    val kept = ex.join(broadcast(hot), Seq("h"), "left_anti")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.doc_id") >= splitId && col("b.doc_id") < splitId)
+      .groupBy(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+      .agg(count(lit(1)).as("c"))
+    val scored = inter
+      .join(sizes.as("sa"), col("new_id") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("old_id") === col("sb.doc_id"))
+      .select(col("new_id"), col("old_id"),
+        (col("c") / (col("sa.n") + col("sb.n") - col("c"))).as("jaccard"))
+    val bestW = Window.partitionBy(col("new_id"))
+      .orderBy(col("jaccard").desc, col("old_id"))
+    val best = scored.withColumn("rnk", row_number().over(bestW))
+      .filter(col("rnk") === 1)
+      .select(col("new_id"), col("old_id").as("near_dup_of"),
+        col("jaccard").as("max_jaccard"))
+
+    val docs = documents(spark, sfDir)
+    val oldHashes = docs.filter(col("doc_id") < splitId)
+      .select(md5(col("text")).as("th")).distinct()
+    val newDocs = docs.filter(col("doc_id") >= splitId)
+      .select(col("doc_id"), md5(col("text")).as("th"))
+    val withExact = newDocs
+      .join(broadcast(oldHashes.withColumn("hit", lit(true))), Seq("th"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_exact_dup"))
+
+    val out = withExact
+      .join(best, withExact("doc_id") === best("new_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+        col("near_dup_of"))
+    materializeAndRelease(out, sh).orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[crossDedup]]. */
+  def crossDedupOracleSql(splitId: Long = 250L, maxDocFreq: Long = 20L): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       |  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+       |), hs AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(md5_number_lower(shingle) & 9223372036854775807 AS BIGINT) AS h
+       |  FROM sh
+       |), hot AS (
+       |  SELECT h FROM hs GROUP BY h HAVING count(*) > $maxDocFreq
+       |), kept AS (
+       |  SELECT doc_id, h FROM hs WHERE h NOT IN (SELECT h FROM hot)
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS c
+       |  FROM kept a JOIN kept b
+       |    ON a.h = b.h AND a.doc_id >= $splitId AND b.doc_id < $splitId
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT new_id, old_id, c / (sa.n + sb.n - c) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON new_id = sa.doc_id
+       |  JOIN sizes sb ON old_id = sb.doc_id
+       |), best AS (
+       |  SELECT new_id, old_id AS near_dup_of, jaccard AS max_jaccard FROM (
+       |    SELECT new_id, old_id, jaccard,
+       |      row_number() OVER (PARTITION BY new_id ORDER BY jaccard DESC, old_id) AS rnk
+       |    FROM scored
+       |  ) WHERE rnk = 1
+       |), old_h AS (
+       |  SELECT DISTINCT md5(text) AS th FROM documents WHERE doc_id < $splitId
+       |)
+       |SELECT d.doc_id,
+       |  (d.th IN (SELECT th FROM old_h)) AS is_exact_dup,
+       |  coalesce(b.max_jaccard, 0.0) AS max_jaccard,
+       |  b.near_dup_of
+       |FROM (SELECT doc_id, md5(text) AS th FROM documents WHERE doc_id >= $splitId) d
+       |LEFT JOIN best b ON d.doc_id = b.new_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- near-dup groups (connected components) ------------------------------
 
   /** Canonical dedup GROUPS: connected components over the verified

@@ -349,6 +349,43 @@ class OperatorsSpec extends SparkTestBase {
       "operator left a plan-level cache entry registered")
   }
 
+  test("cross dedup: flags only new-side docs, agrees with per-pair jaccard") {
+    import graft.functions.PortableHash
+    val splitId = 250L
+    val cap = 20L
+    val rows = Dedup.crossDedup(spark, sf, splitId, cap).collect()
+    val texts = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val newIds = texts.keys.filter(_ >= splitId).toSet
+    assert(rows.map(_.getLong(0)).toSet == newIds, "exactly the new side is emitted")
+    // exact-dup flag recompute
+    val oldTexts = texts.collect { case (id, t) if id < splitId => t }.toSet
+    rows.foreach { r =>
+      assert(r.getBoolean(1) == oldTexts.contains(texts(r.getLong(0))),
+        s"exact flag for ${r.getLong(0)}")
+    }
+    // max_jaccard recompute over capped shingle sets
+    def shingles(t: String): Set[Long] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 3) Set.empty
+      else (0 until toks.length - 2)
+        .map(i => PortableHash.md5Lower63(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")).toSet
+    }
+    val sets = texts.map { case (id, t) => id -> shingles(t) }
+    val df = sets.values.toSeq.flatten.groupBy(identity).view.mapValues(_.size)
+    val kept = sets.map { case (id, s) => id -> s.filter(h => df(h) <= cap) }
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val cands = kept.collect { case (o, so) if o < splitId =>
+        val sn = kept(id)
+        val c = (sn & so).size
+        (o, if (c == 0) 0.0 else c.toDouble / (sn.size + so.size - c))
+      }.filter(_._2 > 0)
+      val want = if (cands.isEmpty) 0.0 else cands.map(_._2).max
+      assert(r.getDouble(2) == want, s"max_jaccard for $id")
+    }
+  }
+
   test("capped jaccard matches a brute-force recompute over kept shingles") {
     import graft.functions.PortableHash
     val cap = 5L
