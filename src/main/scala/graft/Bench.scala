@@ -103,7 +103,16 @@ object Bench {
         pipeline(tmpDir.resolve(s"out$i").toString)
         (System.nanoTime() - t0) / 1e9
       }
+      // clean up (~600 MB/run of landing + output files otherwise
+      // accumulates in /tmp across rounds)
+      deleteRecursively(tmpDir.toFile)
       ((rows / (times.sum / times.length)).toLong, (rows / times.min).toLong)
     } catch { case _: Throwable => (-1L, -1L) }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

@@ -62,6 +62,10 @@ object PlanAudit {
       time("partitioned write, concurrent writers (no sort)")(
         graft.io.OtelWrite.write(flat, tmpDir.resolve("out3").toString, "otel_logs"))
       spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "0")
+      def rmRec(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmRec); f.delete(): Unit
+      }
+      rmRec(tmpDir.toFile) // ~600 MB/run otherwise accumulates in /tmp
     }
     if (which.isEmpty || which("jaccard")) {
       val sh = operators.Dedup.docShingles(spark, sfDir)
