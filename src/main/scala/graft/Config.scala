@@ -199,11 +199,10 @@ object Config {
     line
   }
 
-  /** File layer: each present key overrides the default (missing keys keep
-    * defaults — the reference's serde `#[serde(default)]` semantics). */
-  /** Every file-layer key the engine understands; anything else in a config
-    * file is a hard error — a typo'd knob must not silently run on defaults
-    * (the same contract the subset parser enforces for syntax). */
+  /** Every file-layer key the engine understands (see [[applyToml]]);
+    * anything else in a config file is a hard error — a typo'd knob must
+    * not silently run on defaults (the same contract the subset parser
+    * enforces for syntax). */
   private val KnownTomlKeys = Set(
     "batch.max_rows", "batch.max_bytes", "batch.max_age_secs", "batch.enabled",
     "request.max_payload_bytes",
@@ -214,6 +213,9 @@ object Config {
     "storage.r2.bucket", "storage.r2.account_id", "storage.r2.access_key_id",
     "storage.r2.secret_access_key", "storage.r2.endpoint", "storage.r2.prefix")
 
+  /** File layer: each present key overrides the default (missing keys keep
+    * defaults — the reference's serde `#[serde(default)]` semantics);
+    * unknown keys are rejected via [[KnownTomlKeys]]. */
   private def applyToml(c: GraftConfig, t: Map[String, String]): GraftConfig = {
     val unknown = t.keySet -- KnownTomlKeys
     if (unknown.nonEmpty)

@@ -13,21 +13,22 @@ import graft.transform.Otlp
   * come from [[Config.load]] — the reference's resolution chain (env >
   * GRAFT_CONFIG file > inline content > ./config.toml > defaults), so an
   * operator tunes the pipeline without touching the CLI. The output root is
-  * the CLI argument; passing the literal `config` takes it from the
+  * the CLI argument; passing the flag `--from-config` takes it from the
   * resolved storage backend instead (`cfg.outputRoot` — fs path or
-  * s3a://bucket/prefix).
+  * s3a://bucket/prefix; a flag spelling, not a bare word, so no real
+  * directory name can collide with it).
   *
-  * Usage: Ingest <logs|traces|metrics> <json|jsonl|protobuf> <inputPath...> <outputRoot|config>
+  * Usage: Ingest <logs|traces|metrics> <json|jsonl|protobuf> <inputPath...> <outputRoot|--from-config>
   */
 object Ingest {
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
-      "usage: Ingest <logs|traces|metrics> <json|jsonl|protobuf> <inputPath...> <outputRoot|config>")
+      "usage: Ingest <logs|traces|metrics> <json|jsonl|protobuf> <inputPath...> <outputRoot|--from-config>")
     val signal = args(0)
     val format = args(1)
     val inputs = args.slice(2, args.length - 1)
     val cfg = Config.load() // fails fast on malformed config, like the reference
-    val outRoot = if (args.last == "config") cfg.outputRoot else args.last
+    val outRoot = if (args.last == "--from-config") cfg.outputRoot else args.last
 
     // writability probe before any work — the reference validates the
     // output location at startup and exits with a clear error

@@ -41,6 +41,7 @@ object PlanAudit {
       val lines = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get("/root/reference/testdata/logs.jsonl"))
       val tmpDir = java.nio.file.Files.createTempDirectory("graft-audit-ingest")
+      try {
       val landingDir = tmpDir.resolve("landing")
       java.nio.file.Files.createDirectory(landingDir)
       val files = 32
@@ -62,10 +63,8 @@ object PlanAudit {
       time("partitioned write, concurrent writers (no sort)")(
         graft.io.OtelWrite.write(flat, tmpDir.resolve("out3").toString, "otel_logs"))
       spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "0")
-      def rmRec(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rmRec); f.delete(): Unit
-      }
-      rmRec(tmpDir.toFile) // ~600 MB/run otherwise accumulates in /tmp
+      // ~600 MB/run otherwise accumulates in /tmp (even on failure)
+      } finally graft.io.Storage.deleteRecursively(tmpDir.toFile)
     }
     if (which.isEmpty || which("jaccard")) {
       val sh = operators.Dedup.docShingles(spark, sfDir)

@@ -64,10 +64,13 @@ object FooterStamp {
       // atomic swap needs a filesystem with atomic rename-over, which
       // HDFS/local rename-to-existing is not; callers stamp tables that are
       // not concurrently read, e.g. as the final step of the ingest job.)
+      fs.delete(bak, false) // a stale .bak from a crashed run would wedge the rename
       if (!fs.rename(file, bak))
         throw new java.io.IOException(s"footer stamp: could not move $file aside")
       if (!fs.rename(tmp, file)) {
-        fs.rename(bak, file) // restore — the original still exists
+        if (!fs.rename(bak, file)) // restore — the original still exists in .bak
+          throw new java.io.IOException(
+            s"footer stamp: replace failed AND restore failed — original preserved at $bak")
         throw new java.io.IOException(s"footer stamp: could not move stamped copy into place for $file")
       }
       replaced = true

@@ -42,4 +42,12 @@ object Storage {
   def root(base: String, prefix: Option[String]): String =
     prefix.filter(_.nonEmpty).map(p => s"${base.stripSuffix("/")}/${p.stripPrefix("/")}")
       .getOrElse(base)
+
+  /** Recursive local-file delete — shared by the bench/audit mains' temp-dir
+    * cleanup (leaked landing/output files measurably degrade later runs). */
+  def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 }

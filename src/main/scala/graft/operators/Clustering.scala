@@ -143,18 +143,27 @@ object Clustering {
 
   /** The k-means fit as a reusable CTE body: `e`/`n` (vectors + norms),
     * unrolled iterations, ending in `cnF` = the fitted codebook with norms
-    * `(cl, cv, c_nrm)`. Shared by [[kmeansOracleSql]] and
-    * [[Similarity.annIvfKmeansOracleSql]]. */
-  private[operators] def kmeansCtes(k: Int, iters: Int): String = {
+    * `(cl, cv, c_nrm)`. Shared by [[kmeansOracleSql]] (unfiltered — the
+    * Spark `kmeans` feeds every vector) and
+    * [[Similarity.annIvfKmeansOracleSql]] (`filterZeroNorm = true` — its
+    * Spark side goes through `withVec`, which excludes zero/NaN-norm
+    * vectors; the oracle must fit/assign/probe over the same set or a
+    * single degenerate vector desynchronizes the engines). */
+  private[operators] def kmeansCtes(k: Int, iters: Int,
+      filterZeroNorm: Boolean = false): String = {
+    val where =
+      if (filterZeroNorm)
+        "\n  WHERE list_dot_product(v, v) > 0 AND NOT isnan(list_dot_product(v, v))"
+      else ""
     val sb = new StringBuilder
     sb.append(
       s"""e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
          |), n AS (
-         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e$where
          |), init AS (
          |  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS cl
-         |  FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= $k
+         |  FROM n QUALIFY row_number() OVER (ORDER BY vec_id) <= $k
          |), cent0 AS (
          |  SELECT cl, i, v[i] AS cx
          |  FROM init, unnest(range(1, 65)) AS t(i)

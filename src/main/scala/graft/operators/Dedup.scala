@@ -625,11 +625,15 @@ object Dedup {
   /** Connected-component labels (`doc_id`, `label` = component-min) over an
     * undirected edge list `(id1, id2)` — the reusable core of
     * [[nearDupGroups]], public so the scale path is testable on arbitrary
-    * graph shapes (chains, cycles, stars). */
+    * graph shapes (chains, cycles, stars). Self-loop edges are dropped at
+    * entry (they carry no pair information, and the two execution paths
+    * would otherwise disagree on whether a self-loop-only node appears —
+    * the star contraction's `v > u` filter discards it, union-find keeps
+    * it). */
   def componentLabels(pairsDf: DataFrame, smallCutoff: Long = 2L << 20): DataFrame = {
     val spark = pairsDf.sparkSession
     import spark.implicits._
-    val pairs = pairsDf.toDF("id1", "id2")
+    val pairs = pairsDf.toDF("id1", "id2").filter(col("id1") =!= col("id2"))
     val nEdges = pairs.count()
 
     val labels: DataFrame =

@@ -448,7 +448,7 @@ object Similarity {
       kClusters: Int = 8, kmIters: Int = 3): String = {
     val probeCos = Tables.portableRound6Sql(
       "list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm)")
-    s"""WITH ${Clustering.kmeansCtes(kClusters, kmIters)}
+    s"""WITH ${Clustering.kmeansCtes(kClusters, kmIters, filterZeroNorm = true)}
        |, asgF AS (
        |  SELECT vec_id, cl FROM (
        |    SELECT q.vec_id, c.cl,

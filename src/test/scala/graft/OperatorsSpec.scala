@@ -320,14 +320,16 @@ class OperatorsSpec extends SparkTestBase {
     val chain = (0L until 63L).map(i => (i, i + 1))
     val cycle = Seq((100L, 101L), (101L, 102L), (102L, 103L), (103L, 100L))
     val noisy = Seq((200L, 201L), (201L, 200L), (200L, 201L)) // dup + reversed
-    val edges = (chain ++ cycle ++ noisy).toDF("id1", "id2")
+    val selfLoop = Seq((300L, 300L)) // ignored by contract (both paths)
+    val edges = (chain ++ cycle ++ noisy ++ selfLoop).toDF("id1", "id2")
     // force the distributed star path
     val got = Dedup.componentLabels(edges, smallCutoff = 0L).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got.size == 64 + 4 + 2)
+    assert(got.size == 64 + 4 + 2, "self-loop-only node must not appear")
     (0L to 63L).foreach(i => assert(got(i) == 0L, s"chain node $i"))
     (100L to 103L).foreach(i => assert(got(i) == 100L, s"cycle node $i"))
     assert(got(200L) == 200L && got(201L) == 200L)
+    assert(!got.contains(300L))
     // and the driver union-find path agrees exactly
     val uf = Dedup.componentLabels(edges, smallCutoff = Long.MaxValue).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
