@@ -73,6 +73,7 @@ object SparkEntry {
     "mm_frame_stats" -> ((s: SparkSession, d: String) => Multimodal.frameStats(s, d)),
     // -- dataset assembly --
     "sample_split" -> (Sampling.sampleSplit _),
+    "sample_stratified" -> ((s: SparkSession, d: String) => Sampling.sampleStratified(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "cluster_kmeans" -> ((s: SparkSession, d: String) => Clustering.kmeans(s, d)),
     "dedup_decontaminate" -> ((s: SparkSession, d: String) => Sampling.decontaminate(s, d)),
@@ -392,6 +393,8 @@ object SparkEntry {
     "sim_quantize" -> Similarity.quantizeOracleSql,
 
     "dedup_cross" -> Dedup.crossDedupOracleSql(),
+
+    "sample_stratified" -> Sampling.sampleStratifiedOracleSql(),
 
     "stream_window_counts" -> graft.streaming.StreamGate.windowCountsOracleSql,
     "stream_sessionize" -> graft.streaming.StreamGate.sessionizeOracleSql,

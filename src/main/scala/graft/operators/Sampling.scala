@@ -112,6 +112,50 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Stratified (per-source rate) sampling — domain re-weighting: keep each
+    * document with its source's rate, decided by a salted-MD5 bucket
+    * compared against an INTEGER permille threshold (no FP anywhere, so the
+    * decision is bit-identical on any engine and stable under re-runs /
+    * repartitioning, like [[sampleSplit]]). Every document is emitted with
+    * its verdict so downstream stages can audit the rates.
+    *
+    * `ratesPermille` maps source → keep-rate in 1/1000ths; sources not in
+    * the map fall back to a deterministic hash-derived rate in [200, 800)
+    * (the gate/demo configuration — production callers pass their domain
+    * weights explicitly). Pure map, no shuffle. */
+  def sampleStratified(spark: SparkSession, sfDir: String,
+      ratesPermille: Map[String, Long] = Map.empty): DataFrame = {
+    val ratesB = ratesPermille // serializable copy for the closure
+    val keptUdf = udf { (docId: Long, source: String) =>
+      val bucket = PortableHash.md5Lower63("strat:" + docId.toString) % 1000000L
+      val rate = ratesB.getOrElse(source,
+        200L + PortableHash.md5Lower63("rate:" + source) % 600L)
+      bucket < rate * 1000L
+    }
+    documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        keptUdf(col("doc_id"), col("source")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[sampleStratified]] (explicit rates inlined as CASE
+    * arms; absent sources get the hash-derived fallback). */
+  def sampleStratifiedOracleSql(ratesPermille: Map[String, Long] = Map.empty): String = {
+    val fallback =
+      "200 + CAST(md5_number_lower('rate:' || source) & 9223372036854775807 AS BIGINT) % 600"
+    val rateExpr =
+      if (ratesPermille.isEmpty) fallback
+      else {
+        val arms = ratesPermille.toSeq.sortBy(_._1)
+          .map { case (s, r) => s"WHEN source = '$s' THEN $r" }.mkString(" ")
+        s"CASE $arms ELSE $fallback END"
+      }
+    s"""SELECT doc_id, source,
+       |  CAST(md5_number_lower('strat:' || doc_id) & 9223372036854775807 AS BIGINT) % 1000000
+       |    < ($rateExpr) * 1000 AS kept
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-source mixture statistics for domain weighting: document/token
     * counts, distinct languages, exact-decimal mean quality score. One
     * small-key groupBy. */

@@ -254,6 +254,31 @@ class OperatorsSpec extends SparkTestBase {
       again.map(r => (r.getLong(0), r.getString(3))).toSeq)
   }
 
+  test("stratified sampling: explicit rates honored, deterministic, rate-accurate") {
+    val rows = Sampling.sampleStratified(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.length == total, "every document is emitted with a verdict")
+    // deterministic across runs
+    val again = Sampling.sampleStratified(spark, sf).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+    // keep fraction per source tracks its hash-derived rate (within a loose
+    // binomial bound at fixture size)
+    val bySource = rows.groupBy(_.getString(1))
+    bySource.foreach { case (src, rs) =>
+      val rate = (200L + graft.functions.PortableHash.md5Lower63("rate:" + src) % 600L) / 1000.0
+      val kept = rs.count(_.getBoolean(2)).toDouble / rs.length
+      assert(math.abs(kept - rate) < 0.35, s"$src: kept=$kept rate=$rate")
+    }
+    // explicit rates override the fallback: rate 0 keeps nothing, 1000 keeps all
+    val src0 = rows.head.getString(1)
+    val forced = Sampling.sampleStratified(spark, sf,
+      Map(src0 -> 0L)).collect().filter(_.getString(1) == src0)
+    assert(forced.forall(!_.getBoolean(2)), "rate 0 must keep nothing")
+    val forcedAll = Sampling.sampleStratified(spark, sf,
+      Map(src0 -> 1000L)).collect().filter(_.getString(1) == src0)
+    assert(forcedAll.forall(_.getBoolean(2)), "rate 1000 must keep everything")
+  }
+
   test("pack sequences: chunks are contiguous per shard and start in-budget") {
     val budget = 512L
     val rows = Sampling.packSequences(spark, sf, budget = budget, nShards = 4).collect()
