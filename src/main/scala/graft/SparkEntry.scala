@@ -42,6 +42,7 @@ object SparkEntry {
     "q_window_rank" -> ((s: SparkSession, d: String) => QuerySurface.windowRank(s, d)),
     "q_set_ops" -> (QuerySurface.setOps _),
     "q_rollup" -> (QuerySurface.rollupCounts _),
+    "q_asof_join" -> (QuerySurface.asofJoin _),
     // -- analytic headliners (bench workhorses) --
     "q1_pricing" -> (QuerySurface.q1Pricing _),
     "q3_top_orders" -> (QuerySurface.q3TopOrders _),
@@ -395,6 +396,21 @@ object SparkEntry {
     "dedup_cross" -> Dedup.crossDedupOracleSql(),
 
     "sample_stratified" -> Sampling.sampleStratifiedOracleSql(),
+
+    "q_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |), p AS (
+        |  SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'
+        |)
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  c.event_id AS click_event_id, c.ts_us AS click_ts_us,
+        |  p.ts_us - c.ts_us AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        |ORDER BY p.event_id""".stripMargin,
 
     "stream_window_counts" -> graft.streaming.StreamGate.windowCountsOracleSql,
     "stream_sessionize" -> graft.streaming.StreamGate.sessionizeOracleSql,

@@ -179,6 +179,39 @@ object QuerySurface {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** q-asof-join (§2.5 gap — Spark has no native AS-OF join operator): for
+    * each purchase, the most recent click by the same user at or before it
+    * — the classic attribution join. Composed scalably instead of
+    * per-row subqueries or a range join: union the two tagged event sets
+    * and carry the latest click forward with `last(_, ignoreNulls)` over a
+    * per-user ordered window — ONE shuffle keyed by user_id, work linear in
+    * events, no candidate-pair explosion regardless of how many clicks
+    * precede a purchase. Ties are impossible on this data (µs timestamps,
+    * verified no duplicate (user, ts) click pairs); at-equal-ts clicks sort
+    * before purchases so the inclusive `click.ts ≤ purchase.ts` semantics
+    * match DuckDB's native ASOF JOIN, which the oracle uses. */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val tagged = e.filter(col("event_type").isin("click", "purchase"))
+      .withColumn("kind", when(col("event_type") === "click", 0).otherwise(1))
+      .withColumn("click_id", when(col("kind") === 0, col("event_id")))
+      .withColumn("click_ts", when(col("kind") === 0, col("ts_us")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("last_click_id").as("click_event_id"),
+        col("last_click_ts").as("click_ts_us"),
+        (col("ts_us") - col("last_click_ts")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   // ---- TPC-H-style headliners (bench workhorses over lineitem) ----
 
   /** Pricing-summary aggregate (TPC-H Q1 shape): wide multi-aggregate scan. */

@@ -297,6 +297,29 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("as-of join matches a brute-force most-recent-preceding-click scan") {
+    val clicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = QuerySurface.asofJoin(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (user, ts) = (r.getLong(1), r.getLong(2))
+      val preceding = clicks.getOrElse(user, Array.empty[(Long, Long, Long)])
+        .filter(_._3 <= ts)
+      if (preceding.isEmpty) {
+        assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5), s"purchase ${r.getLong(0)}")
+      } else {
+        val best = preceding.maxBy(_._3)
+        assert(r.getLong(3) == best._2, s"click id for purchase ${r.getLong(0)}")
+        assert(r.getLong(4) == best._3)
+        assert(r.getLong(5) == ts - best._3)
+      }
+    }
+  }
+
   test("near-dup groups match a union-find over the pair list") {
     val threshold = 0.2
     val pairs = Dedup.minhashLsh(spark, sf, threshold).collect()
