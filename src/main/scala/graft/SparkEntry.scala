@@ -43,6 +43,7 @@ object SparkEntry {
     "q_set_ops" -> (QuerySurface.setOps _),
     "q_rollup" -> (QuerySurface.rollupCounts _),
     "q_asof_join" -> (QuerySurface.asofJoin _),
+    "q_range_join" -> ((s: SparkSession, d: String) => QuerySurface.rangeJoin(s, d)),
     // -- analytic headliners (bench workhorses) --
     "q1_pricing" -> (QuerySurface.q1Pricing _),
     "q3_top_orders" -> (QuerySurface.q3TopOrders _),
@@ -411,6 +412,25 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |), err AS (
+        |  SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'error'
+        |), clk AS (
+        |  SELECT user_id, ts_us AS click_ts FROM e WHERE event_type = 'click'
+        |), m AS (
+        |  SELECT err.event_id, count(*) AS n_near_clicks,
+        |    min(abs(err.ts_us - clk.click_ts)) AS min_abs_gap_us
+        |  FROM err JOIN clk ON err.user_id = clk.user_id
+        |    AND abs(err.ts_us - clk.click_ts) <= 300000000
+        |  GROUP BY 1
+        |)
+        |SELECT err.event_id, err.user_id, err.ts_us,
+        |  coalesce(m.n_near_clicks, 0) AS n_near_clicks, m.min_abs_gap_us
+        |FROM err LEFT JOIN m USING (event_id)
+        |ORDER BY err.event_id""".stripMargin,
 
     "stream_window_counts" -> graft.streaming.StreamGate.windowCountsOracleSql,
     "stream_sessionize" -> graft.streaming.StreamGate.sessionizeOracleSql,

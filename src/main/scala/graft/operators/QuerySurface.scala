@@ -212,6 +212,42 @@ object QuerySurface {
       .orderBy(col("event_id"))
   }
 
+  /** q-range-join (§2.5 gap): clicks within ±`windowUs` of each error event
+    * by the same user — the "activity around an incident" band join.
+    * Composed as a BUCKETED equi-join: clicks key on
+    * `(user_id, ts div W)`, each error replicates to its 3 adjacent buckets,
+    * and the band predicate filters after the hash join — every matching
+    * pair meets exactly one replicated row (a click's bucket is unique), so
+    * no dedup is needed. Spark plans a naive `abs(a.ts−b.ts) ≤ W` condition
+    * as a broadcast-nested-loop join (quadratic, OOM at scale); the bucket
+    * form is a plain shuffled hash join with 3× replication of the anchor
+    * side only. */
+  def rangeJoin(spark: SparkSession, sfDir: String,
+      windowUs: Long = 5L * 60 * 1000000): DataFrame = {
+    val e = events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val err = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    // `div` = true integer division: float division + cast would round the
+    // double quotient before truncating and can mis-bucket near boundaries
+    val clk = e.filter(col("event_type") === "click")
+      .select(col("user_id"), expr(s"ts_us div $windowUs").as("bucket"),
+        col("ts_us").as("click_ts"))
+    val errRep = err.withColumn("b0", expr(s"ts_us div $windowUs"))
+      .withColumn("bucket", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+    val matched = errRep.join(clk, Seq("user_id", "bucket"))
+      .filter(abs(col("ts_us") - col("click_ts")) <= windowUs)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_near_clicks"),
+        min(abs(col("ts_us") - col("click_ts"))).as("min_abs_gap_us"))
+    err.join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        coalesce(col("n_near_clicks"), lit(0L)).as("n_near_clicks"),
+        col("min_abs_gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   // ---- TPC-H-style headliners (bench workhorses over lineitem) ----
 
   /** Pricing-summary aggregate (TPC-H Q1 shape): wide multi-aggregate scan. */

@@ -320,6 +320,25 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("range join matches a brute-force band scan") {
+    val w = 5L * 60 * 1000000
+    val clicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val got = QuerySurface.rangeJoin(spark, sf).collect()
+    assert(got.nonEmpty)
+    assert(got.exists(_.getLong(3) > 0), "fixture must contain in-band pairs")
+    got.foreach { r =>
+      val (user, ts) = (r.getLong(1), r.getLong(2))
+      val near = clicks.getOrElse(user, Array.empty[(Long, Long)])
+        .map(c => math.abs(ts - c._2)).filter(_ <= w)
+      assert(r.getLong(3) == near.length, s"count for error ${r.getLong(0)}")
+      if (near.isEmpty) assert(r.isNullAt(4))
+      else assert(r.getLong(4) == near.min, s"min gap for error ${r.getLong(0)}")
+    }
+  }
+
   test("near-dup groups match a union-find over the pair list") {
     val threshold = 0.2
     val pairs = Dedup.minhashLsh(spark, sf, threshold).collect()
