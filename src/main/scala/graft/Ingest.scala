@@ -73,6 +73,59 @@ object Ingest {
     spark.sparkContext.setLogLevel("WARN")
     cfg.applyStorage(spark) // s3a/R2 Hadoop conf when the backend needs it
 
+    val telemetry = new Telemetry(spark.sparkContext)
+    val counted = run(spark, cfg, signal, format, inputs.toSeq, outRoot, telemetry)
+
+    val summary = counted.map { case (t, n, p) =>
+      s""""$t":{"records":$n,"partitions":$p}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"ingest":$summary,"telemetry":${telemetry.summaryJson}}""")
+    spark.stop()
+  }
+
+  /** Expand input paths (files, directories, globs) to (path, bytes) via the
+    * Hadoop FS — the request-accounting unit: one landing file is one
+    * request body in the landing-dir model (SURVEY §2.1). */
+  private[graft] def listInputFiles(spark: SparkSession,
+      inputs: Seq[String]): Seq[(String, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    inputs.flatMap { in =>
+      val p = new org.apache.hadoop.fs.Path(in)
+      val fs = p.getFileSystem(conf)
+      Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty).flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+        else Seq(st)
+      }
+    }.map(st => (st.getPath.toString, st.getLen))
+  }
+
+  /** The full ingest pipeline as a callable: decode → flatten → partitioned
+    * write, with request/record/flush telemetry. Returns per-table
+    * (table, records, partitions).
+    *
+    * Request accounting happens driver-side on the file listing because the
+    * batch path is fail-fast: an oversized landing file increments
+    * `otlp.ingest.rejected` and then aborts (413 parity,
+    * /root/reference/src/handlers.rs:78-85) — accumulator updates from
+    * failed executor tasks would be dropped, so the guard cannot live in the
+    * decoder here. The streaming path ([[graft.streaming.OtlpStream]]) keeps
+    * its skip-and-count executor-side guard instead.
+    */
+  def run(spark: SparkSession, cfg: Config.GraftConfig, signal: String,
+      format: String, inputs: Seq[String], outRoot: String,
+      telemetry: Telemetry): Seq[(String, Long, Long)] = {
+    val t0 = System.nanoTime()
+
+    val files = listInputFiles(spark, inputs)
+    require(files.nonEmpty, s"no input files matched: ${inputs.mkString(", ")}")
+    telemetry.ingestRequests.add(files.size.toLong)
+    telemetry.ingestBytes.add(files.map(_._2).sum)
+    files.find(_._2 > cfg.request.maxPayloadBytes).foreach { case (p, len) =>
+      telemetry.ingestRejected.add(1L)
+      throw new IllegalArgumentException(
+        s"payload $p is $len bytes, exceeds max ${cfg.request.maxPayloadBytes} (reference 413)")
+    }
+
     def read(sig: OtlpRead.Signal) = format match {
       case "json" => OtlpRead.json(spark, sig, inputs: _*)
       case "jsonl" => OtlpRead.jsonl(spark, sig, inputs: _*)
@@ -85,43 +138,57 @@ object Ingest {
     // reference's 200 response body reports per-request counts
     // (/root/reference/src/handlers.rs:191-198), so the numbers come from
     // the batch being written, not a read-back of the (append-mode) table
-    def writeCounted(df: org.apache.spark.sql.DataFrame,
-        table: String): (String, Long, Long) = {
+    def writeCounted(df: org.apache.spark.sql.DataFrame, table: String,
+        flushes: org.apache.spark.util.LongAccumulator): (String, Long, Long) = {
       val flat = df.persist()
       val n = flat.count()
       val nParts =
         if (n == 0) 0L
         else OtelWrite.withPartitionColumns(flat)
           .select("service", "year", "month", "day", "hour").distinct().count()
-      if (n > 0) OtelWrite.write(flat, outRoot, table,
-        maxRecordsPerFile = cfg.writer.maxRecordsPerFile)
+      if (n > 0) {
+        OtelWrite.write(flat, outRoot, table,
+          maxRecordsPerFile = cfg.writer.maxRecordsPerFile)
+        // one completed batch write per table per run — the reference
+        // increments per completed batch flush (handlers.rs:682-687)
+        flushes.add(1L)
+      }
       flat.unpersist()
       (table, n, nParts)
     }
 
     val counted = signal match {
       case "logs" =>
-        Seq(writeCounted(Otlp.logs(read(OtlpRead.Logs)), "otel_logs"))
+        val out = Seq(writeCounted(Otlp.logs(read(OtlpRead.Logs)), "otel_logs",
+          telemetry.batchFlushes))
+        telemetry.ingestRecords.add(out.map(_._2).sum)
+        out
       case "traces" =>
-        Seq(writeCounted(Otlp.traces(read(OtlpRead.Traces)), "otel_traces"))
+        val out = Seq(writeCounted(Otlp.traces(read(OtlpRead.Traces)),
+          "otel_traces", telemetry.tracesFlushes))
+        telemetry.ingestRecords.add(out.map(_._2).sum)
+        out
       case "metrics" =>
         val pm = Otlp.metrics(read(OtlpRead.Metrics))
         val out = Seq(
-          writeCounted(pm.gauge, "otel_metrics_gauge"),
-          writeCounted(pm.sum, "otel_metrics_sum"),
-          writeCounted(pm.histogram, "otel_metrics_histogram"),
-          writeCounted(pm.expHistogram, "otel_metrics_exponential_histogram"))
+          writeCounted(pm.gauge, "otel_metrics_gauge", telemetry.metricsFlushes),
+          writeCounted(pm.sum, "otel_metrics_sum", telemetry.metricsFlushes),
+          writeCounted(pm.histogram, "otel_metrics_histogram",
+            telemetry.metricsFlushes),
+          writeCounted(pm.expHistogram, "otel_metrics_exponential_histogram",
+            telemetry.metricsFlushes))
         val skipped = pm.skipped.collect()
         if (skipped.nonEmpty)
           System.err.println("[ingest] skipped: " + skipped.mkString(", "))
+        // the reference's records counter for metrics counts ALL decoded
+        // data points, including skipped ones (handlers.rs:595-600)
+        telemetry.ingestRecords.add(
+          out.map(_._2).sum + skipped.map(_.getLong(1)).sum)
         out
       case other => throw new IllegalArgumentException(s"unknown signal: $other")
     }
 
-    val summary = counted.map { case (t, n, p) =>
-      s""""$t":{"records":$n,"partitions":$p}"""
-    }.mkString("{", ",", "}")
-    println(s"""{"ingest":$summary}""")
-    spark.stop()
+    telemetry.ingestLatencyMs.add((System.nanoTime() - t0) / 1000000L)
+    counted
   }
 }

@@ -122,6 +122,39 @@ object OtelQueries {
     l.join(t, "trace_hex").orderBy(col("trace_hex"))
   }
 
+  /** Histogram p95 over the golden `metrics_histogram` table — the
+    * reference's documented histogram-percentile query in its native array
+    * shape (docs/querying.md:97-108; schema docs/reference.md:94-162).
+    *
+    * Per row: cumulative-sum the `BucketCounts` list until it covers 95% of
+    * the total, then report the 1-based bucket index and its upper
+    * `ExplicitBounds` bound (NULL when p95 lands in the +Inf overflow bucket
+    * — BucketCounts has one more entry than ExplicitBounds). The threshold
+    * test is pure integer arithmetic (`20*cum >= 19*total`), so Spark and
+    * DuckDB agree bit-for-bit. A pure per-row map — no shuffle, no state:
+    * at 100 TB this is a scan + project that parallelizes perfectly.
+    */
+  def goldenHistP95(spark: SparkSession, sfDirIgnored: String): DataFrame =
+    spark.read.parquet(s"$GoldenDir/metrics_histogram.parquet")
+      .select(
+        unix_micros(col("Timestamp")).as("ts_us"),
+        col("MetricName").as("metric_name"),
+        col("BucketCounts"), col("ExplicitBounds"))
+      .withColumn("total_count",
+        expr("aggregate(BucketCounts, 0L, (acc, x) -> acc + x)"))
+      .withColumn("p95_idx",
+        expr("""CAST(filter(sequence(1, size(BucketCounts)),
+               |  i -> 20 * aggregate(slice(BucketCounts, 1, i), 0L,
+               |         (acc, x) -> acc + x) >= 19 * total_count)[0]
+               |AS BIGINT)""".stripMargin))
+      .withColumn("p95_bound",
+        expr("""IF(p95_idx <= size(ExplicitBounds),
+               |   try_element_at(ExplicitBounds, CAST(p95_idx AS INT)),
+               |   CAST(NULL AS DOUBLE))""".stripMargin))
+      .select(col("ts_us"), col("metric_name"), col("total_count"),
+        col("p95_idx"), col("p95_bound"))
+      .orderBy(col("ts_us"), col("metric_name"), col("total_count"))
+
   /** DuckDB twins over the same golden files. */
   def goldenSevCountsOracleSql: String =
     s"""SELECT ServiceName, SeverityText, count(*) AS n
@@ -133,6 +166,23 @@ object OtelQueries {
        |FROM read_parquet('$GoldenDir/traces.parquet')
        |WHERE ParentSpanId IS NULL
        |ORDER BY Duration DESC, TraceId LIMIT 10""".stripMargin
+
+  def goldenHistP95OracleSql: String =
+    s"""SELECT epoch_us(Timestamp) AS ts_us, MetricName AS metric_name,
+       |  CAST(list_aggregate(BucketCounts, 'sum') AS BIGINT) AS total_count,
+       |  CAST(list_filter(generate_series(1, len(BucketCounts)),
+       |    i -> 20*list_aggregate(BucketCounts[1:i], 'sum')
+       |         >= 19*list_aggregate(BucketCounts, 'sum'))[1] AS BIGINT) AS p95_idx,
+       |  CASE WHEN list_filter(generate_series(1, len(BucketCounts)),
+       |         i -> 20*list_aggregate(BucketCounts[1:i], 'sum')
+       |              >= 19*list_aggregate(BucketCounts, 'sum'))[1]
+       |       <= len(ExplicitBounds)
+       |    THEN ExplicitBounds[CAST(list_filter(generate_series(1, len(BucketCounts)),
+       |      i -> 20*list_aggregate(BucketCounts[1:i], 'sum')
+       |           >= 19*list_aggregate(BucketCounts, 'sum'))[1] AS INT)]
+       |    ELSE NULL END AS p95_bound
+       |FROM read_parquet('$GoldenDir/metrics_histogram.parquet')
+       |ORDER BY ts_us, metric_name, total_count""".stripMargin
 
   def goldenTraceLogJoinOracleSql: String =
     s"""WITH l AS (

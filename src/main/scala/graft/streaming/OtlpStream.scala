@@ -153,12 +153,20 @@ object OtlpStream {
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       maxRecordsPerFile: Long = 200000L,
       maxPayloadBytes: Long = 8L * 1024 * 1024,
-      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1000,
+      telemetry: Option[graft.Telemetry] = None): StreamingQuery = {
     import org.apache.spark.sql.{Encoders, Row}
     val parse: Array[Byte] => Row = graft.io.OtlpProtobuf.parseLogsRequest
     val limit = maxPayloadBytes
-    val rejected = spark.sparkContext.longAccumulator("otlp.ingest.rejected")
+    // capture bare accumulators, not the Telemetry instance — it holds the
+    // (non-serializable) SparkContext and this closure ships to executors
+    val tel = telemetry.getOrElse(new graft.Telemetry(spark.sparkContext))
+    val rejected = tel.ingestRejected
+    val requests = tel.ingestRequests
+    val bytesTotal = tel.ingestBytes
     val guarded: Array[Byte] => IterableOnce[Row] = { bytes =>
+      requests.add(1L)
+      bytesTotal.add(bytes.length.toLong)
       if (bytes.length > limit) {
         rejected.add(1L)
         System.err.println(
