@@ -238,11 +238,33 @@ object OtlpStream {
     * rows ≥ maxRows ∨ bytes ≥ maxBytes ∨ processing-time age ≥ maxAgeMs.
     * State lives per service key (the shuffle key); the timeout is
     * processing-time, not event-time — parity with the reference's
-    * background flusher (/root/reference/src/lib.rs:362-403). */
+    * background flusher (/root/reference/src/lib.rs:362-403).
+    *
+    * Reject-style backpressure (/root/reference/src/batch/mod.rs:181-194):
+    * a record whose arrival would push buffered bytes past
+    * `max(8×maxBytes, maxBytes)` (or the explicit `maxPendingBytes`) is
+    * DROPPED and counted in `rejected` instead of buffered — the buffer
+    * stays bounded even if downstream writes stall. The reference bounds a
+    * process-global total behind one mutex; here the bound is per service
+    * key, because keyed state IS the distributed unit — a global counter
+    * would serialize every executor through one lock, which is exactly what
+    * cannot scale to a 1000-executor cluster. Per-key 8×maxBytes gives the
+    * same bounded-pending guarantee per shuffle partition, and total state
+    * is bounded by (#active services × limit) regardless of input rate.
+    * The reference bails the whole request; a checkpointed stream must not
+    * throw (the poison record would replay forever), so skip+count is the
+    * stream-side parity, same as the oversized-payload guard above. */
   def serviceBatcher(records: Dataset[Record], maxRows: Long = 200000L,
       maxBytes: Long = 128L * 1024 * 1024,
-      maxAgeMs: Long = 10000L): Dataset[Flush] = {
+      maxAgeMs: Long = 10000L,
+      maxPendingBytes: Long = 0L,
+      rejected: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[Flush] = {
     import records.sparkSession.implicits._
+    // reference derivation: max_bytes.saturating_mul(8).max(max_bytes)
+    val pendingLimit =
+      if (maxPendingBytes > 0L) maxPendingBytes
+      else if (maxBytes > Long.MaxValue / 8L) Long.MaxValue
+      else math.max(maxBytes * 8L, maxBytes)
     records
       .groupByKey(_.service)
       .flatMapGroupsWithState[BufState, Flush](
@@ -259,12 +281,20 @@ object OtlpStream {
             var s = state.getOption.getOrElse(BufState(0L, 0L, Long.MaxValue, now + maxAgeMs))
             val flushes = scala.collection.mutable.ListBuffer.empty[Flush]
             it.foreach { r =>
+              // prospective-total check BEFORE buffering, like the reference
+              if (s.bytes + r.payloadBytes > pendingLimit) {
+                rejected.foreach(_.add(1L))
+                System.err.println(s"[otlp-stream] backpressure: buffered " +
+                  s"${s.bytes} + ${r.payloadBytes} bytes for '$service' exceeds " +
+                  s"limit $pendingLimit — record dropped (reference reject)")
+              } else {
               s = BufState(s.rows + 1, s.bytes + r.payloadBytes,
                 math.min(s.minBucket, r.minuteBucket), s.deadlineMs)
               if (s.rows >= maxRows || s.bytes >= maxBytes) {
                 val reason = if (s.rows >= maxRows) "rows" else "bytes"
                 flushes += Flush(service, s.rows, s.bytes, s.minBucket, reason)
                 s = BufState(0L, 0L, Long.MaxValue, now + maxAgeMs) // fresh buffer, fresh age clock
+              }
               }
             }
             if (s.rows > 0) {

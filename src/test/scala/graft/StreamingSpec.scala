@@ -204,4 +204,51 @@ class StreamingSpec extends SparkTestBase {
       s"svc-b should age-flush; got ${all.mkString(", ")}")
     q.stop()
   }
+
+  test("backpressure: pending-bytes guard drops + counts past 8×max_bytes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Record]
+    val rejected = spark.sparkContext.longAccumulator("otlp.ingest.rejected-bp")
+    // thresholds chosen so nothing flushes by rows/bytes: only the pending
+    // guard (250) and the age expiry (500 ms) can act
+    val flushes = OtlpStream.serviceBatcher(source.toDS(), maxRows = 1000000L,
+      maxBytes = 1L << 30, maxAgeMs = 500L,
+      maxPendingBytes = 250L, rejected = Some(rejected))
+    val q = flushes.writeStream
+      .format("memory")
+      .queryName("bp_flushes")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+
+    // burst: 100+100 buffer fine; the third record's prospective total
+    // (300) exceeds the 250 limit → dropped + counted, buffer unchanged;
+    // the giant 400-byte record is rejected even against an empty buffer
+    // (the reference bails on prospective > limit regardless of state)
+    source.addData(
+      Record("svc-bp", 0L, 100L), Record("svc-bp", 0L, 100L),
+      Record("svc-bp", 1L, 100L),
+      Record("svc-giant", 0L, 400L))
+
+    def poll(deadlineMs: Long)(pred: => Boolean): Unit = {
+      val until = System.currentTimeMillis() + deadlineMs
+      while (System.currentTimeMillis() < until && !pred) Thread.sleep(200)
+    }
+    poll(30000)(rejected.value >= 2L)
+    assert(rejected.value == 2L,
+      s"expected 2 rejected (over-limit + giant), got ${rejected.value}")
+
+    // the age flush proves the dropped records were never buffered:
+    // svc-bp flushes 2 rows / 200 bytes, svc-giant never flushes
+    poll(30000)(spark.table("bp_flushes").as[Flush].collect()
+      .exists(f => f.service == "svc-bp" && f.reason == "age"))
+    val got = spark.table("bp_flushes").as[Flush].collect().toSeq
+    assert(got.exists(f => f.service == "svc-bp" && f.reason == "age" &&
+      f.rows == 2 && f.bytes == 200L),
+      s"svc-bp should age-flush 2 rows/200 bytes; got ${got.mkString(", ")}")
+    assert(!got.exists(_.service == "svc-giant"),
+      s"svc-giant must never flush; got ${got.mkString(", ")}")
+    q.stop()
+  }
 }
