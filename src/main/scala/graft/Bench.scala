@@ -20,12 +20,14 @@ object Bench {
     Seq("nation", "region", "customer", "supplier", "orders", "lineitem",
       "events", "documents", "embeddings", "part")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-    // each query runs twice and the steady-state (second) time is reported —
-    // the reference's own harness (criterion, BASELINE.md §A) likewise
-    // reports warmed means, not first-execution codegen/JIT cost. The cache
-    // is cleared between runs and between queries: several operators persist
+    // each query runs once as warmup (codegen/JIT/page cache) and then THREE
+    // timed steady-state runs; the headline per-query figure is the MEDIAN
+    // and the min is emitted alongside. This VM's run-to-run variance is
+    // ±50% (documented in SCALE.md) — a single timed run cannot distinguish
+    // a real regression from noise, a median of three can. The cache is
+    // cleared between runs and between queries: several operators persist
     // intermediate frames internally, and Spark's CacheManager matches
-    // canonicalized plans, so without the clear the second run would time a
+    // canonicalized plans, so without the clear a later run would time a
     // cache read instead of the full pipeline (and caches would accumulate
     // across all queries). Only the JVM/codegen stays warm.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -39,20 +41,24 @@ object Bench {
         }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val (t1, ok1) = once()
-      val (t, ok) = if (ok1) once() else (t1, ok1)
+      val (tw, okw) = once() // warmup, discarded
+      val runs = if (okw) Seq.fill(3)(once()) else Seq((tw, okw))
       spark.catalog.clearCache()
-      (name, t, ok)
+      val ok = runs.forall(_._2)
+      val times = runs.map(_._1).sorted
+      (name, times(times.length / 2), times.head, ok)
     }
     // a failed query reports -1 (never a normal-looking elapsed time) and is
     // listed in "failed" so a crash can't pass as a fast success
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1) }
+    val qs = results.map { case (k, med, _, ok) => s"\"" + k + "\":" + (if (ok) med else -1) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val qsMin = results.map { case (k, _, min, ok) => s"\"" + k + "\":" + (if (ok) min else -1) }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, med, _, true) => med }.sum
     val (ingestMean, ingestBest) = ingestRowsPerSec(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","ingest_rows_per_s":$ingestMean,"ingest_rows_per_s_best":$ingestBest}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir","ingest_rows_per_s":$ingestMean,"ingest_rows_per_s_best":$ingestBest}""")
     spark.stop()
   }
 

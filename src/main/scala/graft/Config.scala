@@ -175,7 +175,13 @@ object Config {
           val value =
             if (raw.startsWith("\"")) {
               if (raw.length < 2 || !raw.endsWith("\"")) fail("unterminated string")
-              raw.substring(1, raw.length - 1)
+              val inner = raw.substring(1, raw.length - 1)
+              // loud-failure contract: `"a" junk "` would otherwise parse as
+              // `a" junk `; escapes are not part of the supported subset, so
+              // a backslash is rejected rather than silently passed through
+              if (inner.contains('"')) fail("embedded quote in string value")
+              if (inner.contains('\\')) fail("backslash escapes unsupported (subset syntax)")
+              inner
             } else if (raw == "true" || raw == "false") raw
             else if (raw.nonEmpty && raw.matches("-?[0-9_]+")) raw.replace("_", "")
             else fail("unsupported value (subset: string, integer, boolean)")
@@ -288,8 +294,10 @@ object Config {
         bucket = str("S3_BUCKET", c.storage.s3.bucket),
         region = str("S3_REGION", c.storage.s3.region),
         endpoint = opt("S3_ENDPOINT", c.storage.s3.endpoint),
-        // S3_PREFIX canonical; generic PREFIX honored for compatibility
-        prefix = opt("S3_PREFIX", opt("PREFIX", c.storage.s3.prefix)).map(normalizePrefix),
+        // generic PREFIX wins over S3_PREFIX when both are set — the
+        // reference applies PREFIX after S3_PREFIX (env_overrides.rs:82-88),
+        // so a config migrated from it keeps the same resolved prefix
+        prefix = opt("PREFIX", opt("S3_PREFIX", c.storage.s3.prefix)).map(normalizePrefix),
         // AWS standard variables, unprefixed (shared with the r2 branch)
         accessKeyId = env.getOrElse("AWS_ACCESS_KEY_ID", c.storage.s3.accessKeyId),
         secretAccessKey = env.getOrElse("AWS_SECRET_ACCESS_KEY", c.storage.s3.secretAccessKey)),

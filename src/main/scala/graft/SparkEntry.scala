@@ -50,7 +50,9 @@ object SparkEntry {
     "q5_region_revenue" -> (QuerySurface.q5RegionRevenue _),
     // -- dedup --
     "dedup_exact" -> (Dedup.exact _),
-    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    // uncapped = true: the gate intentionally verifies the exact all-pairs
+    // ground truth; the library DEFAULT is the doc-frequency-capped form
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d, uncapped = true)),
     "dedup_jaccard_capped" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardCapped(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),

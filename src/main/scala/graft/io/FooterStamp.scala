@@ -37,7 +37,24 @@ object FooterStamp {
   /** Rewrite one parquet file's footer with `extra` merged over its existing
     * key/value metadata (`extra` wins on key collisions). Row-group bytes
     * are copied verbatim. */
+  /** A crash between stampFile's two renames leaves the data only in the
+    * hidden `.{name}.stamp.bak` (which parquet directory reads skip). If the
+    * primary is missing but its .bak exists, restore it — so a crashed stamp
+    * run self-heals on the next invocation instead of silently losing the
+    * file from the table. Returns true if a restore happened. */
+  def healBak(file: Path, conf: Configuration): Boolean = {
+    val fs = file.getFileSystem(conf)
+    val bak = new Path(file.getParent, s".${file.getName}.stamp.bak")
+    if (!fs.exists(file) && fs.exists(bak)) {
+      if (!fs.rename(bak, file))
+        throw new java.io.IOException(
+          s"footer stamp: could not restore $file from orphaned $bak")
+      true
+    } else false
+  }
+
   def stampFile(file: Path, conf: Configuration, extra: Map[String, String]): Unit = {
+    healBak(file, conf)
     val in = HadoopInputFile.fromPath(file, conf)
     val reader = ParquetFileReader.open(in)
     val (schema, existingKv) =
@@ -91,8 +108,17 @@ object FooterStamp {
     val it = fs.listFiles(base, true)
     while (it.hasNext) {
       val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet"))
         files += st.getPath
+      else if (st.isFile && name.startsWith(".") && name.endsWith(".stamp.bak")) {
+        // orphaned backup from a crashed run: its primary never reappears in
+        // this listing (hidden files are skipped by parquet readers), so
+        // restore it here and stamp the restored primary like any other file
+        val primary = new Path(st.getPath.getParent,
+          name.stripPrefix(".").stripSuffix(".stamp.bak"))
+        if (healBak(primary, conf)) files += primary
+      }
     }
     files.foreach(stampFile(_, conf, extra))
     files.size.toLong

@@ -69,16 +69,28 @@ object Dedup {
     * [[tokenHashCache]]: corpora share an n-gram vocabulary, the digest
     * dominates the map pass, and caching a pure function cannot change
     * results; capped for adversarial vocabularies). */
+  /** Per-cache approximate-bytes budget for the executor-local hash memos
+    * (64 MB each): past it, entries stop being added and hashes are
+    * recomputed — correctness unaffected, memory bounded for the JVM
+    * lifetime. */
+  private val HashCacheMaxBytes = 64L << 20
+
   private val shingleHashCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val shingleHashCacheBytes = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def cachedShingleHash(s: String): Long = {
     val hit = shingleHashCache.get(s)
     if (hit ne null) hit.longValue()
     else {
       val h = PortableHash.md5Lower63(s)
-      if (shingleHashCache.size() < TokenHashCacheMax)
-        shingleHashCache.put(s, java.lang.Long.valueOf(h))
+      // cap by approximate BYTES, not entries: shingle keys are 3-gram
+      // strings, so an entry cap alone could pin hundreds of MB of long
+      // keys for the executor-JVM lifetime (~80 B object/node overhead +
+      // 2 B/char is close enough for a safety bound)
+      if (shingleHashCacheBytes.get() < HashCacheMaxBytes &&
+          shingleHashCache.putIfAbsent(s, java.lang.Long.valueOf(h)) == null)
+        shingleHashCacheBytes.addAndGet(80L + 2L * s.length)
       h
     }
   }
@@ -113,12 +125,24 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Exact pairwise n-gram Jaccard ≥ threshold: explode distinct shingle
-    * hashes, self-join on the 8-byte hash (the shuffle never carries text),
-    * count intersections; |A∪B| = |A|+|B|−|A∩B|. Integer counts → the
-    * jaccard division is bit-identical across engines. */
+  /** Pairwise n-gram Jaccard ≥ threshold. By DEFAULT this is the
+    * doc-frequency-capped form ([[ngramJaccardCapped]]) — on a real
+    * power-law corpus the uncapped self-join explodes quadratically on hot
+    * stopword shingles, so the unguarded form must not be the one a user
+    * reaches first. Pass `uncapped = true` (the explicit escape hatch) for
+    * the exact all-pairs baseline: distinct shingle hashes, self-join on
+    * the 8-byte hash (the shuffle never carries text), count intersections;
+    * |A∪B| = |A|+|B|−|A∩B|. Integer counts → the jaccard division is
+    * bit-identical across engines. Uncapped exists as LSH ground truth for
+    * verification-scale corpora only. */
   def ngramJaccard(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3, maxDocFreq: Long = 20L,
+      uncapped: Boolean = false): DataFrame =
+    if (!uncapped) ngramJaccardCapped(spark, sfDir, threshold, maxDocFreq)
+    else ngramJaccardUncapped(spark, sfDir, threshold)
+
+  private def ngramJaccardUncapped(spark: SparkSession, sfDir: String,
+      threshold: Double): DataFrame = {
     // persist: both self-join sides and the size lookup would otherwise
     // re-run the shingle extraction (3× the map work)
     val sh = docShingleHashes(spark, sfDir).persist()
@@ -305,15 +329,19 @@ object Dedup {
     * simply stop being added and hashes are recomputed. */
   private val tokenHashCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private val TokenHashCacheMax = 1 << 20
+  private val tokenHashCacheBytes = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def cachedTokenHash(t: String): Long = {
     val hit = tokenHashCache.get(t)
     if (hit ne null) hit.longValue()
     else {
       val h = PortableHash.md5Lower(t)
-      if (tokenHashCache.size() < TokenHashCacheMax)
-        tokenHashCache.put(t, java.lang.Long.valueOf(h))
+      // same approximate-bytes bound as the shingle cache (tokens are
+      // shorter, but an adversarial vocabulary of long tokens must not pin
+      // unbounded memory either)
+      if (tokenHashCacheBytes.get() < HashCacheMaxBytes &&
+          tokenHashCache.putIfAbsent(t, java.lang.Long.valueOf(h)) == null)
+        tokenHashCacheBytes.addAndGet(80L + 2L * t.length)
       h
     }
   }

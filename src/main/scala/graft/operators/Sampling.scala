@@ -146,8 +146,11 @@ object Sampling {
     val rateExpr =
       if (ratesPermille.isEmpty) fallback
       else {
+        // SQL-escape the source key — a value containing a single quote
+        // would otherwise break (or inject into) the generated oracle
         val arms = ratesPermille.toSeq.sortBy(_._1)
-          .map { case (s, r) => s"WHEN source = '$s' THEN $r" }.mkString(" ")
+          .map { case (s, r) => s"WHEN source = '${s.replace("'", "''")}' THEN $r" }
+          .mkString(" ")
         s"CASE $arms ELSE $fallback END"
       }
     s"""SELECT doc_id, source,

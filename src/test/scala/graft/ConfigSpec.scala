@@ -171,4 +171,30 @@ class ConfigSpec extends AnyFunSuite {
     }
     assert(noEq.getMessage.contains("expected key = value"))
   }
+
+  test("toml strings: embedded quotes and backslashes fail loudly") {
+    // `"a" junk "` starts and ends with a quote — must NOT parse as `a" junk `
+    val emb = intercept[IllegalArgumentException] {
+      Config.parseToml("key = \"a\" junk \"\n", "test")
+    }
+    assert(emb.getMessage.contains("embedded quote"))
+    val esc = intercept[IllegalArgumentException] {
+      Config.parseToml("key = \"a\\\\b\"\n", "test")
+    }
+    assert(esc.getMessage.contains("backslash"))
+    // plain strings still parse
+    assert(Config.parseToml("key = \"plain value\"\n", "test")("key") == "plain value")
+  }
+
+  test("generic PREFIX wins over S3_PREFIX, like the reference") {
+    val c = Config.load(Map(
+      s"${EnvPrefix}STORAGE_BACKEND" -> "s3",
+      s"${EnvPrefix}S3_BUCKET" -> "bkt",
+      s"${EnvPrefix}S3_REGION" -> "us-east-1",
+      s"${EnvPrefix}S3_PREFIX" -> "specific",
+      s"${EnvPrefix}PREFIX" -> "generic"), tmpDir())
+    // env_overrides.rs applies PREFIX after S3_PREFIX → PREFIX wins
+    // (normalizePrefix appends the trailing slash)
+    assert(c.storage.s3.prefix.contains("generic/"))
+  }
 }

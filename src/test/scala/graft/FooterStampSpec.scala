@@ -84,4 +84,40 @@ class FooterStampSpec extends SparkTestBase {
     assert(kv.get("k").contains("v2"))
     assert(spark.read.parquet(s"$root/otel_traces").count() == 1)
   }
+
+  test("a crash between the two renames self-heals from the .stamp.bak") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stamp3").toString
+    val df = Seq(("s", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "y"))
+      .toDF("ServiceName", "Timestamp", "Body")
+    OtelWrite.write(df, root, "otel_logs")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new Path(s"$root/otel_logs")
+    val fs = base.getFileSystem(conf)
+    val file = {
+      val it = fs.listFiles(base, true)
+      var found: Option[Path] = None
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) found = Some(st.getPath)
+      }
+      found.get
+    }
+    // simulate the crash window: original moved to .bak, replacement never
+    // landed — the table has silently lost the file
+    val bak = new Path(file.getParent, s".${file.getName}.stamp.bak")
+    assert(fs.rename(file, bak))
+    assert(!fs.exists(file))
+
+    // the next stampTable run must restore AND stamp the file
+    val n = FooterStamp.stampTable(spark, root, "otel_logs", Map("healed" -> "yes"))
+    assert(n == 1L)
+    assert(fs.exists(file) && !fs.exists(bak))
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    val kv = try r.getFooter.getFileMetaData.getKeyValueMetaData.asScala.toMap
+      finally r.close()
+    assert(kv.get("healed").contains("yes"))
+    assert(spark.read.parquet(s"$root/otel_logs").select("Body")
+      .as[String].collect().sameElements(Array("y")))
+  }
 }

@@ -62,7 +62,7 @@ class OperatorsSpec extends SparkTestBase {
   }
 
   test("minhash LSH finds the high-jaccard pairs that exact jaccard finds") {
-    val exact = Dedup.ngramJaccard(spark, sf, threshold = 0.6).collect()
+    val exact = Dedup.ngramJaccard(spark, sf, threshold = 0.6, uncapped = true).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minhashLsh(spark, sf, threshold = 0.2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -401,6 +401,13 @@ class OperatorsSpec extends SparkTestBase {
     val uf = Dedup.componentLabels(edges, smallCutoff = Long.MaxValue).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(uf == got)
+  }
+
+  test("ngramJaccard defaults to the doc-frequency-capped form") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(Dedup.ngramJaccard(spark, sf, threshold = 0.3)) ==
+      pairs(Dedup.ngramJaccardCapped(spark, sf, threshold = 0.3)))
   }
 
   test("dedup/similarity operators leave no CacheManager entries behind") {
