@@ -86,6 +86,25 @@ object PlanAudit {
       time("cosinePairs")(operators.Similarity.cosinePairs(spark, sfDir).count())
       operators.Similarity.cosinePairs(spark, sfDir).explain("formatted")
     }
+    if (which.isEmpty || which("recall")) {
+      // ANN retrieval quality: recall@5 of each approximate variant against
+      // the brute-force sim_topk baseline, printed next to its timing —
+      // an ANN path without a published recall number is unreviewable.
+      val k = 5
+      val exact = operators.Similarity.topK(spark, sfDir, k = k)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recallOf(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        val got = time(s"$name (k=$k)")(df
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
+        val hit = (got & exact).size
+        println(f"[audit] recall@$k $name: ${hit.toDouble / exact.size}%.3f ($hit/${exact.size})")
+      }
+      recallOf("sim_ann_lsh")(operators.Similarity.annLsh(spark, sfDir, k = k))
+      recallOf("sim_ann_ivf")(operators.Similarity.annIvf(spark, sfDir, k = k))
+      recallOf("sim_ann_ivf_kmeans")(operators.Similarity.annIvfKmeans(spark, sfDir, k = k))
+    }
     spark.stop()
   }
 }

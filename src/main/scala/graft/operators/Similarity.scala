@@ -201,16 +201,26 @@ object Similarity {
     sigUdf(v)
   }
 
-  /** LSH-bucketed ANN: queries search only their own signature bucket.
-    * Approximate (bucket boundaries lose some true neighbors) but the
-    * per-query cost drops from O(n) to O(bucket). */
+  /** Multi-probe LSH ANN: each query searches its own signature bucket PLUS
+    * every bucket at Hamming distance 1 (flip each of the nPlanes bits) —
+    * the standard multi-probe trick: a true neighbor split across one
+    * hyperplane is recovered, for (nPlanes+1)× the candidate cost instead
+    * of 2^nPlanes. Probing stays an EQUI-join (queries explode to probe
+    * signatures, data keeps one signature each), so at fleet scale this is
+    * a broadcast of (queries × probes) against the bucketed table — no
+    * candidate pair is produced twice because probe signatures are distinct.
+    * Measured at sf0.1: recall@5 0.075 single-probe → with Hamming-1
+    * probing (see SCALE.md), per-query cost still O(probed buckets). */
   def annLsh(spark: SparkSession, sfDir: String, k: Int = 5,
-      nQueries: Int = 8): DataFrame = {
+      nQueries: Int = 8, nPlanes: Int = 6): DataFrame = {
     val e = withVec(embeddings(spark, sfDir))
-      .withColumn("sig", lshSignature(col("v")))
+      .withColumn("sig", lshSignature(col("v"), nPlanes))
     val q = e.filter(col("vec_id") < nQueries)
-    val scored = broadcast(q).as("q").join(e.as("e"),
-        col("q.sig") === col("e.sig") && col("q.vec_id") =!= col("e.vec_id"))
+    val probes = q.withColumn("probe",
+      explode(array(col("sig") +:
+        (0 until nPlanes).map(p => col("sig").bitwiseXOR(lit(1L << p))): _*)))
+    val scored = broadcast(probes).as("q").join(e.as("e"),
+        col("q.probe") === col("e.sig") && col("q.vec_id") =!= col("e.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
         cosine(col("q.v"), col("q.nrm"), col("e.v"), col("e.nrm")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
@@ -421,18 +431,24 @@ object Similarity {
        |ORDER BY id1, id2""".stripMargin
 
   /** DuckDB twin of [[annLsh]]. */
-  def annLshOracleSql(k: Int = 5, nQueries: Int = 8, nPlanes: Int = 6): String =
+  def annLshOracleSql(k: Int = 5, nQueries: Int = 8, nPlanes: Int = 6): String = {
+    // probe masks: the bucket itself plus each single-bit flip (Hamming ≤ 1)
+    val masks = (0L +: (0 until nPlanes).map(1L << _)).mkString("[", ", ", "]")
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
        |    ${sigSqlExpr("v", nPlanes)} AS sig
        |  FROM e WHERE list_dot_product(v, v) > 0 AND NOT isnan(list_dot_product(v, v))
+       |), pr AS (
+       |  SELECT vec_id, v, nrm, xor(sig, CAST(t.f AS BIGINT)) AS probe
+       |  FROM n, unnest($masks) AS t(f)
+       |  WHERE vec_id < $nQueries
        |), s AS (
        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
        |    ${Tables.portableRound6Sql("list_dot_product(q.v, x.v) / (q.nrm * x.nrm)")} AS cos
-       |  FROM n q JOIN n x
-       |    ON q.vec_id < $nQueries AND q.sig = x.sig AND q.vec_id <> x.vec_id
+       |  FROM pr q JOIN n x
+       |    ON q.probe = x.sig AND q.vec_id <> x.vec_id
        |), r AS (
        |  SELECT query_id, neighbor_id, cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
@@ -440,6 +456,7 @@ object Similarity {
        |)
        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos
        |FROM r WHERE rnk <= $k ORDER BY query_id, rank""".stripMargin
+  }
 
   /** DuckDB twin of [[annIvfKmeans]]: the unrolled k-means fit CTEs
     * ([[Clustering.kmeansCtes]], ending in the fitted codebook `cnF`), final
