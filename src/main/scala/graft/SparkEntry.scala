@@ -88,6 +88,7 @@ object SparkEntry {
     "otel_slow_spans" -> ((s: SparkSession, d: String) => OtelQueries.goldenSlowSpans(s, d)),
     "otel_trace_log_join" -> (OtelQueries.goldenTraceLogJoin _),
     "otel_hist_p95" -> (OtelQueries.goldenHistP95 _),
+    "otel_exp_hist_p95" -> (OtelQueries.goldenExpHistP95 _),
     // -- event-time streaming operators over a replayed bounded stream --
     "stream_window_counts" -> (graft.streaming.StreamGate.windowCounts _),
     "stream_sessionize" -> (graft.streaming.StreamGate.sessionize _),
@@ -393,6 +394,7 @@ object SparkEntry {
     "otel_slow_spans" -> OtelQueries.goldenSlowSpansOracleSql,
     "otel_trace_log_join" -> OtelQueries.goldenTraceLogJoinOracleSql,
     "otel_hist_p95" -> OtelQueries.goldenHistP95OracleSql,
+    "otel_exp_hist_p95" -> OtelQueries.goldenExpHistP95OracleSql,
 
     "sim_ann_ivf_kmeans" -> Similarity.annIvfKmeansOracleSql(),
 

@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+import java.util.Base64
+
+/** Deterministic OTLP payload generator — the engine-side analog of the
+  * reference's `scripts/generate_testdata.py --size-mb` (same role: produce
+  * an arbitrarily large, reproducible landing corpus to drive the full
+  * pipeline at >golden scale). Everything derives from (seed, indices) via
+  * MD5, so two runs — or the generator and a spec recomputing expectations
+  * — agree exactly with no shared state.
+  *
+  * Log/trace linkage is deterministic: log record g (global index) points at
+  * trace key `g % TracesPerService` of its service; the traces generator
+  * emits exactly those traces, root spans erroring iff `key % 5 == 0`. A
+  * spec can therefore predict join cardinalities in closed form.
+  *
+  * Timestamps spread over 30 hours crossing a month boundary
+  * (2024-02-28T22:00Z onward), so the partitioned layout exercises
+  * year/month/day/hour pruning, not just service pruning.
+  */
+object TestDataGen {
+
+  val Services = 8
+  val TracesPerService = 200
+  val BaseNanos: Long = 1709157600L * 1000000000L // 2024-02-28T22:00:00Z
+  val HourNanos: Long = 3600L * 1000000000L
+  val SpanHours = 30 // crosses 2024-02-29 (leap day!) into 2024-03-01
+
+  private def md5(s: String): Array[Byte] =
+    MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+
+  private def b64(bytes: Array[Byte]): String =
+    Base64.getEncoder.encodeToString(bytes)
+
+  /** 16-byte trace id for (service, key) — shared by the logs and traces
+    * generators, which is what makes the cross-signal join land. */
+  def traceIdB64(svc: Int, key: Int, seed: Long): String =
+    b64(md5(s"trace:$seed:$svc:$key"))
+
+  def spanIdB64(tag: String, seed: Long): String =
+    b64(md5(s"span:$seed:$tag").take(8))
+
+  def service(i: Int): String = s"svc-$i"
+
+  /** Severity for global log record g: every 10th ERROR, every 10th+1 WARN,
+    * every 100th+55 FATAL (never collides with the ERROR slots), else INFO. */
+  def severity(g: Long): (String, Int) =
+    if (g % 100L == 55L) ("FATAL", 21)
+    else if (g % 10L == 0L) ("ERROR", 17)
+    else if (g % 10L == 1L) ("WARN", 13)
+    else ("INFO", 9)
+
+  /** Record timestamp: hour rotates through the 30-hour window by global
+    * index, seconds jitter derived from the index. */
+  def timeNanos(g: Long): Long =
+    BaseNanos + (g % SpanHours) * HourNanos + (g % 3391L) * 1000000000L % HourNanos
+
+  /** One envelope = one resourceLogs entry for one service with
+    * `recordsPerEnvelope` records — the request-body shape the reference's
+    * HTTP handler receives, one per line (jsonl). Returns total records. */
+  def writeLogs(dir: String, files: Int, envelopesPerFile: Int,
+      recordsPerEnvelope: Int, seed: Long = 7L): Long = {
+    Files.createDirectories(Paths.get(dir))
+    var g = 0L
+    for (f <- 0 until files) {
+      val sb = new StringBuilder(1 << 20)
+      for (e <- 0 until envelopesPerFile) {
+        val svc = ((f * envelopesPerFile + e) % Services)
+        sb.append(s"""{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"${service(svc)}"}}]},"scopeLogs":[{"scope":{"name":"graft-gen"},"logRecords":[""")
+        for (r <- 0 until recordsPerEnvelope) {
+          val (sevText, sevNum) = severity(g)
+          val traceKey = (g % TracesPerService).toInt
+          if (r > 0) sb.append(',')
+          sb.append(s"""{"timeUnixNano":"${timeNanos(g)}","severityNumber":$sevNum,"severityText":"$sevText","body":{"stringValue":"event $g from ${service(svc)}"},"attributes":[{"key":"gen.seq","value":{"intValue":"$g"}}],"traceId":"${traceIdB64(svc, traceKey, seed)}","spanId":"${spanIdB64(s"log:$g", seed)}"}""")
+          g += 1L
+        }
+        sb.append("]}]}]}\n")
+      }
+      Files.write(Paths.get(dir, f"logs-$f%03d.jsonl"),
+        sb.toString.getBytes(StandardCharsets.UTF_8))
+    }
+    g
+  }
+
+  /** Traces for every (service, key) pair: one root span (SERVER, errored
+    * iff key % 5 == 0) plus `childrenPerTrace` INTERNAL children. One
+    * envelope per trace, `tracesPerFile` lines per file. Returns total
+    * spans. */
+  def writeTraces(dir: String, tracesPerFile: Int,
+      childrenPerTrace: Int, seed: Long = 7L): Long = {
+    Files.createDirectories(Paths.get(dir))
+    var spans = 0L
+    var fileIdx = 0
+    var sb = new StringBuilder(1 << 20)
+    var inFile = 0
+    def flush(): Unit = if (inFile > 0) {
+      Files.write(Paths.get(dir, f"traces-$fileIdx%03d.jsonl"),
+        sb.toString.getBytes(StandardCharsets.UTF_8))
+      fileIdx += 1; inFile = 0; sb = new StringBuilder(1 << 20)
+    }
+    for (svc <- 0 until Services; key <- 0 until TracesPerService) {
+      val tid = traceIdB64(svc, key, seed)
+      val root = spanIdB64(s"root:$svc:$key", seed)
+      val g = (svc * TracesPerService + key).toLong
+      val t0 = timeNanos(g)
+      val rootDur = 1000000L * (1L + (g % 997L)) // up to ~1 s, deterministic
+      val status =
+        if (key % 5 == 0) """{"code":"STATUS_CODE_ERROR"}""" else "{}"
+      sb.append(s"""{"resourceSpans":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"${service(svc)}"}}]},"scopeSpans":[{"scope":{"name":"graft-gen"},"spans":[""")
+      sb.append(s"""{"traceId":"$tid","spanId":"$root","name":"${service(svc)}.handle","kind":"SPAN_KIND_SERVER","startTimeUnixNano":"$t0","endTimeUnixNano":"${t0 + rootDur}","status":$status}""")
+      spans += 1L
+      for (c <- 0 until childrenPerTrace) {
+        val cid = spanIdB64(s"child:$svc:$key:$c", seed)
+        val cs = t0 + 1000000L * (c + 1)
+        sb.append(s""",{"traceId":"$tid","spanId":"$cid","parentSpanId":"$root","name":"${service(svc)}.step$c","kind":"SPAN_KIND_INTERNAL","startTimeUnixNano":"$cs","endTimeUnixNano":"${cs + 500000L}","status":{}}""")
+        spans += 1L
+      }
+      sb.append("]}]}]}\n")
+      inFile += 1
+      if (inFile >= tracesPerFile) flush()
+    }
+    flush()
+    spans
+  }
+
+  /** CLI: TestDataGen <logs|traces> <dir> ... (defaults produce ~20k log
+    * records / 8k spans — ≥200× the golden corpus). */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: TestDataGen <logs|traces> <dir> [sizes...]")
+    val n = args(0) match {
+      case "logs" => writeLogs(args(1),
+        files = if (args.length > 2) args(2).toInt else 8,
+        envelopesPerFile = if (args.length > 3) args(3).toInt else 250,
+        recordsPerEnvelope = if (args.length > 4) args(4).toInt else 10)
+      case "traces" => writeTraces(args(1),
+        tracesPerFile = if (args.length > 2) args(2).toInt else 200,
+        childrenPerTrace = if (args.length > 3) args(3).toInt else 4)
+      case other => throw new IllegalArgumentException(s"unknown kind: $other")
+    }
+    println(s"""{"generated":$n}""")
+  }
+}

@@ -686,48 +686,58 @@ object Dedup {
         }
         val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
         nodes.map(d => (d, find(d))).toSeq.toDF("doc_id", "label")
-      } else {
-        // ---- alternating large-star / small-star ----
-        // large-star: every node u points its LARGER neighbors at
-        // m = min(N(u) ∪ {u}); small-star: orient edges (larger → smaller),
-        // then point u and its smaller non-min neighbors at the min.
-        // Connectivity is preserved by both; the fixpoint is one star per
-        // component centered at its min node.
-        def largeStar(e: DataFrame): DataFrame = {
-          val both = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
-          val mins = both.groupBy(col("u")).agg(min(col("v")).as("mv"))
-            .select(col("u"), least(col("u"), col("mv")).as("m"))
-          both.join(mins, "u").filter(col("v") > col("u"))
-            .select(col("v").as("u"), col("m").as("v")).distinct()
-        }
-        def smallStar(e: DataFrame): DataFrame = {
-          val oriented = e.select(greatest(col("u"), col("v")).as("u"),
-            least(col("u"), col("v")).as("v")).distinct()
-          val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
-          val nbr = oriented.join(mins, "u").filter(col("v") =!= col("m"))
-            .select(col("v").as("u"), col("m").as("v"))
-          nbr.union(mins.select(col("u"), col("m").as("v"))).distinct()
-        }
-        var e = pairs.select(col("id1").as("u"), col("id2").as("v"))
-          .localCheckpoint(true)
-        var converged = false
-        var rounds = 0
-        while (!converged) {
-          val next = smallStar(largeStar(e)).localCheckpoint(true)
-          // fixpoint = identical edge set; both sides are distinct, so
-          // equal counts + empty one-sided difference ⇒ set equality
-          converged = next.count() == e.count() && next.except(e).isEmpty
-          e = next
-          rounds += 1
-        }
-        System.err.println(
-          s"[componentLabels] star contraction converged in $rounds rounds ($nEdges edges)")
-        // fixpoint edges are (member → component-min) stars; centers label
-        // themselves
-        e.select(col("u").as("doc_id"), col("v").as("label"))
-          .union(e.select(col("v").as("doc_id"), col("v").as("label")).distinct())
-      }
+      } else starContraction(pairs)._1
     labels
+  }
+
+  /** The distributed CC path: alternating large-star / small-star
+    * (Kiveris et al.). large-star: every node u points its LARGER neighbors
+    * at m = min(N(u) ∪ {u}); small-star: orient edges (larger → smaller),
+    * then point u and its smaller non-min neighbors at the min.
+    * Connectivity is preserved by both; the fixpoint is one star per
+    * component centered at its min node. Returns (labels, rounds) —
+    * rounds is O(log n) (proven on adversarial chains in OperatorsSpec and
+    * executed at 2.1M edges in CcScaleSpec). */
+  private[graft] def starContraction(pairsDf: DataFrame): (DataFrame, Int) = {
+    val pairs = pairsDf.toDF("id1", "id2").filter(col("id1") =!= col("id2"))
+    def largeStar(e: DataFrame): DataFrame = {
+      val both = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      val mins = both.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      both.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).distinct()
+      val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val nbr = oriented.join(mins, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      nbr.union(mins.select(col("u"), col("m").as("v"))).distinct()
+    }
+    var e = pairs.select(col("id1").as("u"), col("id2").as("v"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      val t0 = System.nanoTime()
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // fixpoint = identical edge set; both sides are distinct, so
+      // equal counts + empty one-sided difference ⇒ set equality
+      val n = next.count()
+      converged = n == e.count() && next.except(e).isEmpty
+      e = next
+      rounds += 1
+      System.err.println(f"[componentLabels] round $rounds: ${
+        (System.nanoTime() - t0) / 1e9}%.1f s ($n edges)")
+    }
+    System.err.println(
+      s"[componentLabels] star contraction converged in $rounds rounds")
+    // fixpoint edges are (member → component-min) stars; centers label
+    // themselves
+    (e.select(col("u").as("doc_id"), col("v").as("label"))
+      .union(e.select(col("v").as("doc_id"), col("v").as("label")).distinct()),
+      rounds)
   }
 
   /** DuckDB twin of [[nearDupGroups]]: the minhash pair pipeline (shared

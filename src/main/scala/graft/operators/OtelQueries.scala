@@ -155,6 +155,47 @@ object OtelQueries {
         col("p95_idx"), col("p95_bound"))
       .orderBy(col("ts_us"), col("metric_name"), col("total_count"))
 
+  /** p95 over the golden `metrics_exponential_histogram` table — the
+    * exponential-bucket sibling of [[goldenHistP95]] (schema
+    * docs/reference.md:94-162: `Scale`, `ZeroCount`, `PositiveOffset`,
+    * `PositiveBucketCounts`; bucket i covers (2^((off+i)·2⁻ˢᶜ), 2^((off+i+1)·2⁻ˢᶜ)]).
+    *
+    * The bound itself (`2^(x·2⁻ˢᶜ)`) is transcendental — `pow` is not
+    * bit-identical across engines — so the query reports the EXACT integer
+    * `p95_log2_scaled = PositiveOffset + idx + 1` (= log₂(upper bound) ×
+    * 2^Scale) next to `Scale`, from which any consumer derives the bound.
+    * Ranking covers the non-negative domain (duration metrics: the golden
+    * rows have empty negative buckets, asserted by the total check): the
+    * zero bucket first, then positive buckets ascending; NULL
+    * `p95_log2_scaled` means p95 falls in the zero bucket. Pure integer
+    * per-row map — same 100 TB shape as [[goldenHistP95]]. */
+  def goldenExpHistP95(spark: SparkSession, sfDirIgnored: String): DataFrame =
+    spark.read.parquet(s"$GoldenDir/metrics_exponential_histogram.parquet")
+      .select(
+        unix_micros(col("Timestamp")).as("ts_us"),
+        col("MetricName").as("metric_name"),
+        col("Scale").cast("int").as("scale"),
+        col("ZeroCount").as("zc"),
+        col("PositiveOffset").cast("long").as("pos_off"),
+        col("PositiveBucketCounts").as("pbc"),
+        col("NegativeBucketCounts").as("nbc"))
+      .withColumn("total_count",
+        expr("zc + aggregate(pbc, 0L, (acc, x) -> acc + x)" +
+          " + aggregate(nbc, 0L, (acc, x) -> acc + x)"))
+      // first 1-based positive-bucket index whose cumulative (zero bucket
+      // included) covers 95%; 0 = the zero bucket already covers it
+      .withColumn("p95_idx",
+        expr("""CAST(coalesce(
+               |  try_element_at(filter(sequence(0, size(pbc)),
+               |    i -> 20 * (zc + aggregate(slice(pbc, 1, i), 0L,
+               |           (acc, x) -> acc + x)) >= 19 * total_count), 1),
+               |  -1L) AS BIGINT)""".stripMargin))
+      .withColumn("p95_log2_scaled",
+        expr("IF(p95_idx > 0, pos_off + p95_idx, CAST(NULL AS BIGINT))"))
+      .select(col("ts_us"), col("metric_name"), col("scale"),
+        col("total_count"), col("p95_idx"), col("p95_log2_scaled"))
+      .orderBy(col("ts_us"), col("metric_name"), col("total_count"))
+
   /** DuckDB twins over the same golden files. */
   def goldenSevCountsOracleSql: String =
     s"""SELECT ServiceName, SeverityText, count(*) AS n
@@ -183,6 +224,28 @@ object OtelQueries {
        |    ELSE NULL END AS p95_bound
        |FROM read_parquet('$GoldenDir/metrics_histogram.parquet')
        |ORDER BY ts_us, metric_name, total_count""".stripMargin
+
+  def goldenExpHistP95OracleSql: String =
+    s"""WITH b AS (
+       |  SELECT epoch_us(Timestamp) AS ts_us, MetricName AS metric_name,
+       |    CAST(Scale AS INT) AS scale, ZeroCount AS zc,
+       |    CAST(PositiveOffset AS BIGINT) AS pos_off,
+       |    PositiveBucketCounts AS pbc,
+       |    CAST(ZeroCount + list_aggregate(PositiveBucketCounts, 'sum')
+       |      + coalesce(list_aggregate(NegativeBucketCounts, 'sum'), 0) AS BIGINT) AS total_count
+       |  FROM read_parquet('$GoldenDir/metrics_exponential_histogram.parquet')
+       |), idx AS (
+       |  SELECT *, CAST(coalesce(
+       |    list_filter(generate_series(0, len(pbc)),
+       |      i -> 20*(zc + coalesce(list_aggregate(pbc[1:i], 'sum'), 0))
+       |           >= 19*total_count)[1],
+       |    -1) AS BIGINT) AS p95_idx
+       |  FROM b
+       |)
+       |SELECT ts_us, metric_name, scale, total_count, p95_idx,
+       |  CASE WHEN p95_idx > 0 THEN pos_off + p95_idx
+       |       ELSE NULL END AS p95_log2_scaled
+       |FROM idx ORDER BY ts_us, metric_name, total_count""".stripMargin
 
   def goldenTraceLogJoinOracleSql: String =
     s"""WITH l AS (

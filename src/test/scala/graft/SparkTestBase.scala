@@ -33,11 +33,14 @@ trait SparkTestBase extends AnyFunSuite {
 }
 
 object SparkTestBase {
+  // default 4 cores keeps the suite's partition-boundary coverage honest;
+  // the opt-in scale specs (CcScaleSpec) override via env for wall-time
+  private val cores = sys.env.getOrElse("GRAFT_TEST_CORES", "4")
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master(s"local[$cores]")
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
