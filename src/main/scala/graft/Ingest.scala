@@ -89,6 +89,11 @@ object Ingest {
   private[graft] def listInputFiles(spark: SparkSession,
       inputs: Seq[String]): Seq[(String, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
+    // skip hidden/marker files (`.`-prefixed, `_SUCCESS` etc.) exactly like
+    // Spark's own file index — they are never decoded, so they must not
+    // count as requests nor trip the payload guard
+    def visible(name: String): Boolean =
+      !name.startsWith(".") && !name.startsWith("_")
     inputs.flatMap { in =>
       val p = new org.apache.hadoop.fs.Path(in)
       val fs = p.getFileSystem(conf)
@@ -96,7 +101,8 @@ object Ingest {
         if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
         else Seq(st)
       }
-    }.map(st => (st.getPath.toString, st.getLen))
+    }.filter(st => visible(st.getPath.getName))
+      .map(st => (st.getPath.toString, st.getLen))
   }
 
   /** The full ingest pipeline as a callable: decode → flatten → partitioned
@@ -120,11 +126,16 @@ object Ingest {
     require(files.nonEmpty, s"no input files matched: ${inputs.mkString(", ")}")
     telemetry.ingestRequests.add(files.size.toLong)
     telemetry.ingestBytes.add(files.map(_._2).sum)
-    files.find(_._2 > cfg.request.maxPayloadBytes).foreach { case (p, len) =>
-      telemetry.ingestRejected.add(1L)
-      throw new IllegalArgumentException(
-        s"payload $p is $len bytes, exceeds max ${cfg.request.maxPayloadBytes} (reference 413)")
-    }
+    // 413 parity applies to REQUEST bodies. For protobuf and multiline json
+    // one file IS one request body; jsonl is the bulk landing format where
+    // each LINE is an envelope — a large jsonl file of small envelopes is
+    // legitimate and must not be rejected on file size.
+    if (format != "jsonl")
+      files.find(_._2 > cfg.request.maxPayloadBytes).foreach { case (p, len) =>
+        telemetry.ingestRejected.add(1L)
+        throw new IllegalArgumentException(
+          s"payload $p is $len bytes, exceeds max ${cfg.request.maxPayloadBytes} (reference 413)")
+      }
 
     def read(sig: OtlpRead.Signal) = format match {
       case "json" => OtlpRead.json(spark, sig, inputs: _*)

@@ -74,7 +74,10 @@ object PlanAudit {
       val joined = ex.as("a").join(ex.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       time("self-join count")(joined.count())
-      time("full ngramJaccard")(operators.Dedup.ngramJaccard(spark, sfDir).count())
+      // uncapped = true: this section decomposes the all-pairs self-join;
+      // the library default is the capped form and would time something else
+      time("full ngramJaccard (uncapped)")(
+        operators.Dedup.ngramJaccard(spark, sfDir, uncapped = true).count())
     }
     if (which("kmeans")) {
       time("kmeans iters=0")(operators.Clustering.kmeans(spark, sfDir, 8, 0).count())

@@ -41,7 +41,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // under a query filter, restrict the oracle map to the selection: a
+    // reused outDir may hold stale parquet from other queries produced by
+    // older code, and a full oracle map would let a compare mark them green
+    // — without an entry they surface as ROWS-ONLY (visibly unverified)
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

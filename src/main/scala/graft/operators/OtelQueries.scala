@@ -142,11 +142,15 @@ object OtelQueries {
         col("BucketCounts"), col("ExplicitBounds"))
       .withColumn("total_count",
         expr("aggregate(BucketCounts, 0L, (acc, x) -> acc + x)"))
+      // empty-array guard: sequence(1, 0) yields the DESCENDING [1, 0] in
+      // Spark (inferred step -1) while DuckDB's generate_series(1, 0) is
+      // empty — NULL on both engines instead
       .withColumn("p95_idx",
-        expr("""CAST(filter(sequence(1, size(BucketCounts)),
+        expr("""IF(size(BucketCounts) = 0, CAST(NULL AS BIGINT),
+               |CAST(filter(sequence(1, size(BucketCounts)),
                |  i -> 20 * aggregate(slice(BucketCounts, 1, i), 0L,
                |         (acc, x) -> acc + x) >= 19 * total_count)[0]
-               |AS BIGINT)""".stripMargin))
+               |AS BIGINT))""".stripMargin))
       .withColumn("p95_bound",
         expr("""IF(p95_idx <= size(ExplicitBounds),
                |   try_element_at(ExplicitBounds, CAST(p95_idx AS INT)),
@@ -210,7 +214,7 @@ object OtelQueries {
 
   def goldenHistP95OracleSql: String =
     s"""SELECT epoch_us(Timestamp) AS ts_us, MetricName AS metric_name,
-       |  CAST(list_aggregate(BucketCounts, 'sum') AS BIGINT) AS total_count,
+       |  CAST(coalesce(list_aggregate(BucketCounts, 'sum'), 0) AS BIGINT) AS total_count,
        |  CAST(list_filter(generate_series(1, len(BucketCounts)),
        |    i -> 20*list_aggregate(BucketCounts[1:i], 'sum')
        |         >= 19*list_aggregate(BucketCounts, 'sum'))[1] AS BIGINT) AS p95_idx,
@@ -231,7 +235,7 @@ object OtelQueries {
        |    CAST(Scale AS INT) AS scale, ZeroCount AS zc,
        |    CAST(PositiveOffset AS BIGINT) AS pos_off,
        |    PositiveBucketCounts AS pbc,
-       |    CAST(ZeroCount + list_aggregate(PositiveBucketCounts, 'sum')
+       |    CAST(ZeroCount + coalesce(list_aggregate(PositiveBucketCounts, 'sum'), 0)
        |      + coalesce(list_aggregate(NegativeBucketCounts, 'sum'), 0) AS BIGINT) AS total_count
        |  FROM read_parquet('$GoldenDir/metrics_exponential_histogram.parquet')
        |), idx AS (

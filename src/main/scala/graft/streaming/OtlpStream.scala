@@ -159,7 +159,13 @@ object OtlpStream {
     val parse: Array[Byte] => Row = graft.io.OtlpProtobuf.parseLogsRequest
     val limit = maxPayloadBytes
     // capture bare accumulators, not the Telemetry instance — it holds the
-    // (non-serializable) SparkContext and this closure ships to executors
+    // (non-serializable) SparkContext and this closure ships to executors.
+    // NOTE: transformation-side accumulator updates are AT-LEAST-ONCE —
+    // stage retries / speculative tasks / checkpoint-recovery replay can
+    // re-count a payload (the Spark accumulator contract). Operationally
+    // equivalent to the reference's counters under client retries; the
+    // batch path (Ingest.run) does its accounting driver-side and stays
+    // exactly-once.
     val tel = telemetry.getOrElse(new graft.Telemetry(spark.sparkContext))
     val rejected = tel.ingestRejected
     val requests = tel.ingestRequests
@@ -253,7 +259,17 @@ object OtlpStream {
     * is bounded by (#active services × limit) regardless of input rate.
     * The reference bails the whole request; a checkpointed stream must not
     * throw (the poison record would replay forever), so skip+count is the
-    * stream-side parity, same as the oversized-payload guard above. */
+    * stream-side parity, same as the oversized-payload guard above.
+    *
+    * Reachability note: this batcher flushes SYNCHRONOUSLY inside the
+    * state function, so under the default 8×maxBytes derivation the guard
+    * only fires for a single record larger than ~7×maxBytes — buffered
+    * bytes reset at each flush and cannot creep toward the limit the way
+    * the reference's async-writer pending total can. The guard earns its
+    * keep when `maxPendingBytes` is configured below maxBytes (an
+    * operational cap on per-key state) and as the contract for any future
+    * async sink; the reject accounting and semantics are identical either
+    * way. */
   def serviceBatcher(records: Dataset[Record], maxRows: Long = 200000L,
       maxBytes: Long = 128L * 1024 * 1024,
       maxAgeMs: Long = 10000L,

@@ -5,16 +5,16 @@ import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 
 /** Executes the distributed connected-components path at REAL size: a
-  * 2.1M-edge synthetic graph mixing 366 chains of 4096 nodes (depth —
+  * 2.09M-edge synthetic graph mixing 5,860 chains of 256 nodes (depth —
   * drives the O(log diameter) round count; the adversarial worst case is
   * separately proven on small chains in OperatorsSpec) with 600 width-1000
-  * stars (fan-out), forced onto star contraction with smallCutoff=0,
-  * checked label-for-label against the driver union-find and against the
-  * known component structure.
+  * stars (fan-out), forced onto star contraction, checked label-for-label
+  * against the driver union-find and against the known component
+  * structure.
   *
-  * Opt-in (minutes of shuffle work on the local[4] test session): set
-  * GRAFT_SLOW_TESTS=1. Measured result recorded in SCALE.md (Dedup
-  * section).
+  * Opt-in (≈1 min at GRAFT_TEST_CORES=32, much longer on the default
+  * local[4]): set GRAFT_SLOW_TESTS=1. Measured result recorded in SCALE.md
+  * (Dedup section).
   */
 class CcScaleSpec extends SparkTestBase {
 

@@ -68,8 +68,10 @@ class TelemetrySpec extends SparkTestBase {
     val tel = new Telemetry(spark.sparkContext)
     val out = tmp("graft-tel-rej")
     val cfg = Config.GraftConfig(request = Config.RequestConfig(maxPayloadBytes = 64L))
+    // json = one envelope per file = one request body (the 413 unit);
+    // jsonl is exempt from the file-size guard — see the next test
     val e = intercept[IllegalArgumentException] {
-      Ingest.run(spark, cfg, "logs", "jsonl", Seq(s"$ref/logs.jsonl"), out, tel)
+      Ingest.run(spark, cfg, "logs", "json", Seq(s"$ref/log.json"), out, tel)
     }
     assert(e.getMessage.contains("exceeds max"))
     val s = tel.snapshot
@@ -77,6 +79,18 @@ class TelemetrySpec extends SparkTestBase {
     assert(s(Telemetry.IngestRequests) == 1L) // counted before the reject
     assert(s(Telemetry.BatchFlushes) == 0L) // nothing written
     assert(!new java.io.File(out, "otel_logs").exists())
+  }
+
+  test("bulk jsonl landing files are NOT size-guarded (line = request)") {
+    val tel = new Telemetry(spark.sparkContext)
+    val out = tmp("graft-tel-bulk")
+    // a limit far below the golden file size: jsonl must still ingest —
+    // its request analog is the line, not the file
+    val cfg = Config.GraftConfig(request = Config.RequestConfig(maxPayloadBytes = 64L))
+    val counted = Ingest.run(spark, cfg, "logs", "jsonl",
+      Seq(s"$ref/logs.jsonl"), out, tel)
+    assert(counted.map(_._2).sum == 81)
+    assert(tel.snapshot(Telemetry.IngestRejected) == 0L)
   }
 
   test("summaryJson is one stable sorted-key JSON object") {
