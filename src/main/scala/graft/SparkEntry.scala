@@ -42,6 +42,7 @@ object SparkEntry {
     "q_window_rank" -> ((s: SparkSession, d: String) => QuerySurface.windowRank(s, d)),
     "q_set_ops" -> (QuerySurface.setOps _),
     "q_rollup" -> (QuerySurface.rollupCounts _),
+    "q_pivot" -> (QuerySurface.pivotReturns _),
     "q_asof_join" -> (QuerySurface.asofJoin _),
     "q_range_join" -> ((s: SparkSession, d: String) => QuerySurface.rangeJoin(s, d)),
     // -- analytic headliners (bench workhorses) --
@@ -68,6 +69,7 @@ object SparkEntry {
     "sim_quantize" -> (Similarity.quantize _),
     // -- text analysis --
     "text_tokens" -> (TextAnalysis.tokens _),
+    "text_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
     "text_quality" -> (TextAnalysis.quality _),
     "text_langid" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
@@ -198,6 +200,10 @@ object SparkEntry {
         |FROM events
         |GROUP BY ROLLUP (event_type, date_trunc('day', ts))
         |ORDER BY event_type, day_us""".stripMargin,
+
+    "q_pivot" -> QuerySurface.pivotReturnsOracleSql,
+
+    "text_top_terms" -> TextAnalysis.topTermsOracleSql(),
 
     "q_sessionize" ->
       """WITH e AS (

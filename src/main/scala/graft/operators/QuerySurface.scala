@@ -343,4 +343,26 @@ object QuerySurface {
       .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
         coalesce(col("day_us"), lit(-1L)).as("day_us"), col("n"))
       .orderBy(col("event_type"), col("day_us"))
+
+  /** Pivot (cross-tab): quantity totals per line-status × return-flag.
+    * Explicit pivot values keep the plan static (no extra distinct-values
+    * job, and at 100 TB an unbounded pivot column set is an anti-pattern
+    * anyway); the aggregation is one partial-aggregatable groupBy —
+    * Spark compiles pivot to exactly the conditional-aggregation form the
+    * oracle spells out. Decimal-exact sums per [[Tables.exactSum]]. */
+  def pivotReturns(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(Tables.exactSum(col("l_quantity")))
+      .orderBy(col("l_linestatus"))
+
+  def pivotReturnsOracleSql: String = {
+    def arm(v: String) =
+      s"""CAST(round(SUM(CASE WHEN l_returnflag = '$v'
+         |  THEN CAST(l_quantity AS DECIMAL(28,4)) END), 2) AS DOUBLE) AS "$v""""
+        .stripMargin.replace("\n", " ")
+    s"""SELECT l_linestatus, ${arm("A")}, ${arm("N")}, ${arm("R")}
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -310,5 +311,50 @@ object TextAnalysis {
       .select(col("doc_id"), fpUdf(col("text")).as("fingerprint"),
         winnowUdf(col("text")).as("winnow_min"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Stop-terms dropped from the vocabulary head — the function-word tier
+    * that dominates raw frequency but carries no tokenizer signal. */
+  val StopTerms: Seq[String] = Seq("a", "the")
+
+  /** Per-source vocabulary head: top-k terms by corpus frequency after a
+    * stoplist drop — the vocabulary-pruning / tokenizer-training statistic
+    * (which terms earn merges, per domain).
+    *
+    * Scale shape: explode → (source, term) groupBy is the only big shuffle
+    * and it partial-aggregates map-side (counts are associative); the
+    * window top-k then runs over the AGGREGATED table (|sources| × |vocab|
+    * rows, orders of magnitude smaller than the corpus), partitioned by
+    * source. Deterministic tiebreak: count desc, then term. */
+  def topTerms(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val ex = documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "" && !col("term").isin(StopTerms: _*))
+    val counts = ex.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("term"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("term"), col("n"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** DuckDB twin of [[topTerms]]. */
+  def topTermsOracleSql(k: Int = 5): String = {
+    val stop = StopTerms.map(s => s"'${s.replace("'", "''")}'").mkString(", ")
+    s"""WITH ex AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+       |), f AS (
+       |  SELECT source, term, count(*) AS n FROM ex
+       |  WHERE term <> '' AND term NOT IN ($stop)
+       |  GROUP BY 1, 2
+       |), r AS (
+       |  SELECT source, term, n,
+       |    row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rank
+       |  FROM f
+       |)
+       |SELECT source, CAST(rank AS BIGINT) AS rank, term, n
+       |FROM r WHERE rank <= $k ORDER BY source, rank""".stripMargin
   }
 }

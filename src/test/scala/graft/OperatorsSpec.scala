@@ -403,6 +403,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(uf == got)
   }
 
+  test("pivot produces one column per return flag with decimal-exact sums") {
+    val rows = QuerySurface.pivotReturns(spark, sf).collect()
+    val cols = QuerySurface.pivotReturns(spark, sf).columns
+    assert(cols.toSeq == Seq("l_linestatus", "A", "N", "R"))
+    assert(rows.map(_.getString(0)).toSeq == Seq("F", "O"))
+    // the cross-tab must partition the total: sum of cells == exact total
+    val cells = rows.flatMap(r => Seq(1, 2, 3).map(i =>
+      if (r.isNullAt(i)) 0.0 else r.getDouble(i))).sum
+    val total = Tables.lineitem(spark, sf)
+      .agg(Tables.exactSum(col("l_quantity"))).head().getDouble(0)
+    assert(math.abs(cells - total) < 1e-6, s"$cells vs $total")
+  }
+
+  test("topTerms: k ranked terms per source, stoplist dropped") {
+    val rows = TextAnalysis.topTerms(spark, sf, k = 5).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_.getLong(1)).toSeq.sorted == (1L to 5L), src)
+      // counts non-increasing with rank; stop terms never appear
+      assert(rs.sortBy(_.getLong(1)).map(_.getLong(3)).sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1)), src)
+      assert(!rs.exists(r => TextAnalysis.StopTerms.contains(r.getString(2))), src)
+    }
+  }
+
   test("ngramJaccard defaults to the doc-frequency-capped form") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
