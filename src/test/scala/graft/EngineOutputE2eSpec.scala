@@ -11,11 +11,21 @@ import graft.operators.OtelQueries
   * tables the engine itself wrote — with closed-form expected counts from
   * the generator's formulas, and a partition-pruning assertion on the plan.
   */
-class EngineOutputE2eSpec extends SparkTestBase {
+class EngineOutputE2eSpec extends SparkTestBase
+    with org.scalatest.BeforeAndAfterAll {
+
+  // deleteOnExit cannot remove non-empty dirs — this suite writes ~70 MB
+  // per run and leaked /tmp measurably degraded ingest throughput in
+  // round 3, so clean up explicitly
+  private val created = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+  override def afterAll(): Unit = {
+    created.foreach(graft.io.Storage.deleteRecursively)
+    super.afterAll()
+  }
 
   private def tmp(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix).toFile
-    d.deleteOnExit()
+    created += d
     d.getAbsolutePath
   }
 
