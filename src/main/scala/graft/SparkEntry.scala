@@ -91,6 +91,8 @@ object SparkEntry {
     "otel_trace_log_join" -> (OtelQueries.goldenTraceLogJoin _),
     "otel_hist_p95" -> (OtelQueries.goldenHistP95 _),
     "otel_exp_hist_p95" -> (OtelQueries.goldenExpHistP95 _),
+    "otel_gauge_hourly" -> (OtelQueries.goldenGaugeHourly _),
+    "otel_sum_totals" -> (OtelQueries.goldenSumTotals _),
     // -- event-time streaming operators over a replayed bounded stream --
     "stream_window_counts" -> (graft.streaming.StreamGate.windowCounts _),
     "stream_sessionize" -> (graft.streaming.StreamGate.sessionize _),
@@ -401,6 +403,8 @@ object SparkEntry {
     "otel_trace_log_join" -> OtelQueries.goldenTraceLogJoinOracleSql,
     "otel_hist_p95" -> OtelQueries.goldenHistP95OracleSql,
     "otel_exp_hist_p95" -> OtelQueries.goldenExpHistP95OracleSql,
+    "otel_gauge_hourly" -> OtelQueries.goldenGaugeHourlyOracleSql,
+    "otel_sum_totals" -> OtelQueries.goldenSumTotalsOracleSql,
 
     "sim_ann_ivf_kmeans" -> Similarity.annIvfKmeansOracleSql(),
 

@@ -200,6 +200,34 @@ object OtelQueries {
         col("total_count"), col("p95_idx"), col("p95_log2_scaled"))
       .orderBy(col("ts_us"), col("metric_name"), col("total_count"))
 
+  /** Hourly gauge averages over the golden gauge table — the documented
+    * metrics roll-up (docs/querying.md:84-95) in its native shape:
+    * date_trunc('hour') × MetricName, decimal-exact average
+    * ([[Tables.exactAvg]] — order-independent, bit-identical in DuckDB).
+    * One small-key groupBy; partial aggregation makes it a map-side
+    * combine at any scale. */
+  def goldenGaugeHourly(spark: SparkSession, sfDirIgnored: String): DataFrame =
+    spark.read.parquet(s"$GoldenDir/metrics_gauge.parquet")
+      .groupBy(
+        unix_micros(date_trunc("hour", col("Timestamp"))).as("hour_us"),
+        col("MetricName").as("metric_name"))
+      .agg(count(lit(1)).as("n"), Tables.exactAvg(col("Value")).as("avg_value"))
+      .orderBy(col("hour_us"), col("metric_name"))
+
+  /** Per-(service, metric) totals over the golden sum table with the
+    * temporality/monotonic dimensions surfaced — the counter-table
+    * aggregation shape (docs/reference.md sum schema). Decimal-exact
+    * totals. */
+  def goldenSumTotals(spark: SparkSession, sfDirIgnored: String): DataFrame =
+    spark.read.parquet(s"$GoldenDir/metrics_sum.parquet")
+      .groupBy(col("ServiceName").as("service_name"),
+        col("MetricName").as("metric_name"),
+        col("AggregationTemporality").cast("int").as("temporality"),
+        col("IsMonotonic").as("is_monotonic"))
+      .agg(count(lit(1)).as("n_points"),
+        Tables.exactSum(col("Value"), scale = 6, roundTo = 6).as("total"))
+      .orderBy(col("service_name"), col("metric_name"), col("temporality"))
+
   /** DuckDB twins over the same golden files. */
   def goldenSevCountsOracleSql: String =
     s"""SELECT ServiceName, SeverityText, count(*) AS n
@@ -228,6 +256,22 @@ object OtelQueries {
        |    ELSE NULL END AS p95_bound
        |FROM read_parquet('$GoldenDir/metrics_histogram.parquet')
        |ORDER BY ts_us, metric_name, total_count""".stripMargin
+
+  def goldenGaugeHourlyOracleSql: String =
+    s"""SELECT epoch_us(date_trunc('hour', Timestamp)) AS hour_us,
+       |  MetricName AS metric_name, count(*) AS n,
+       |  ${Tables.portableRound6Sql(
+            "CAST(SUM(CAST(Value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(Value)")} AS avg_value
+       |FROM read_parquet('$GoldenDir/metrics_gauge.parquet')
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def goldenSumTotalsOracleSql: String =
+    s"""SELECT ServiceName AS service_name, MetricName AS metric_name,
+       |  CAST(AggregationTemporality AS INT) AS temporality,
+       |  IsMonotonic AS is_monotonic, count(*) AS n_points,
+       |  CAST(round(SUM(CAST(Value AS DECIMAL(28,6))), 6) AS DOUBLE) AS total
+       |FROM read_parquet('$GoldenDir/metrics_sum.parquet')
+       |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3""".stripMargin
 
   def goldenExpHistP95OracleSql: String =
     s"""WITH b AS (
