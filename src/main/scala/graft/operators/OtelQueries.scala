@@ -205,7 +205,14 @@ object OtelQueries {
     * date_trunc('hour') × MetricName, decimal-exact average
     * ([[Tables.exactAvg]] — order-independent, bit-identical in DuckDB).
     * One small-key groupBy; partial aggregation makes it a map-side
-    * combine at any scale. */
+    * combine at any scale.
+    *
+    * Magnitude note: for averages past portableRound6's exact-rounding
+    * bound (|x| > 2⁵³/10⁶ ≈ 9.0e9 — the golden memory.available average
+    * sits at 8.59e9, inside it), the floor/multiply formula remains a pure
+    * IEEE map computed identically by both engines, so the CROSS-ENGINE
+    * hash equality the gate needs still holds; only the "exactly 6
+    * decimals" reading degrades. */
   def goldenGaugeHourly(spark: SparkSession, sfDirIgnored: String): DataFrame =
     spark.read.parquet(s"$GoldenDir/metrics_gauge.parquet")
       .groupBy(
@@ -226,7 +233,10 @@ object OtelQueries {
         col("IsMonotonic").as("is_monotonic"))
       .agg(count(lit(1)).as("n_points"),
         Tables.exactSum(col("Value"), scale = 6, roundTo = 6).as("total"))
-      .orderBy(col("service_name"), col("metric_name"), col("temporality"))
+      // full grouping key in the sort — a non-unique ORDER BY is exactly
+      // the nondeterminism the gate's row-by-row compare cannot tolerate
+      .orderBy(col("service_name"), col("metric_name"), col("temporality"),
+        col("is_monotonic"))
 
   /** DuckDB twins over the same golden files. */
   def goldenSevCountsOracleSql: String =
@@ -257,8 +267,13 @@ object OtelQueries {
        |FROM read_parquet('$GoldenDir/metrics_histogram.parquet')
        |ORDER BY ts_us, metric_name, total_count""".stripMargin
 
+  // `AT TIME ZONE 'UTC'` first: the golden Timestamp is TIMESTAMPTZ and
+  // DuckDB's date_trunc on TIMESTAMPTZ truncates in the SESSION time zone
+  // (a half-hour-offset host would shift hour_us by 30 min); converting to
+  // naive UTC makes the truncation host-independent, matching Spark's
+  // UTC-pinned session.
   def goldenGaugeHourlyOracleSql: String =
-    s"""SELECT epoch_us(date_trunc('hour', Timestamp)) AS hour_us,
+    s"""SELECT epoch_us(date_trunc('hour', Timestamp AT TIME ZONE 'UTC')) AS hour_us,
        |  MetricName AS metric_name, count(*) AS n,
        |  ${Tables.portableRound6Sql(
             "CAST(SUM(CAST(Value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(Value)")} AS avg_value
@@ -271,7 +286,7 @@ object OtelQueries {
        |  IsMonotonic AS is_monotonic, count(*) AS n_points,
        |  CAST(round(SUM(CAST(Value AS DECIMAL(28,6))), 6) AS DOUBLE) AS total
        |FROM read_parquet('$GoldenDir/metrics_sum.parquet')
-       |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3""".stripMargin
+       |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin
 
   def goldenExpHistP95OracleSql: String =
     s"""WITH b AS (
