@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Clustering, Dedup, Multimodal, OtelQueries, QuerySurface, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Multimodal, OtelQueries, QuerySurface, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7.
   *
@@ -96,6 +96,15 @@ object SparkEntry {
     // -- event-time streaming operators over a replayed bounded stream --
     "stream_window_counts" -> (graft.streaming.StreamGate.windowCounts _),
     "stream_sessionize" -> (graft.streaming.StreamGate.sessionize _),
+    "stream_dedup" -> (graft.streaming.StreamGate.dedupKeys _),
+
+    // -- sketches / scale statistics (round 4) --
+    "q_approx_distinct" -> (Sketches.approxDistinctKmv _),
+    "q_heavy_hitters" -> (Sketches.heavyHitters _),
+    "q_median_disc" -> (Sketches.medianDisc _),
+    "q_bloom_join" -> (Sketches.bloomJoin _),
+    "dedup_passage" -> (Dedup.passageDedup _),
+    "text_inverted_index" -> (TextAnalysis.invertedIndex _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -450,5 +459,13 @@ object SparkEntry {
 
     "stream_window_counts" -> graft.streaming.StreamGate.windowCountsOracleSql,
     "stream_sessionize" -> graft.streaming.StreamGate.sessionizeOracleSql,
+    "stream_dedup" -> graft.streaming.StreamGate.dedupKeysOracleSql,
+
+    "q_approx_distinct" -> Sketches.approxDistinctKmvOracleSql,
+    "q_heavy_hitters" -> Sketches.heavyHittersOracleSql,
+    "q_median_disc" -> Sketches.medianDiscOracleSql,
+    "q_bloom_join" -> Sketches.bloomJoinOracleSql,
+    "dedup_passage" -> Dedup.passageDedupOracleSql,
+    "text_inverted_index" -> TextAnalysis.invertedIndexOracleSql,
   )
 }

@@ -766,4 +766,72 @@ object Dedup {
        |SELECT grp.doc_id, grp.group_id, gs.group_size
        |FROM grp JOIN gs USING (group_id)
        |ORDER BY grp.doc_id""".stripMargin
+
+  // ---- passage-level dedup -------------------------------------------------
+
+  private val PassageTokens = 8
+
+  /** Sub-document (passage-level) duplication: every OVERLAPPING 8-token
+    * window of every document is hashed, and windows shared by ≥2 distinct
+    * documents are reported with their occurrence/document counts. This is
+    * the exact-substring complement to the whole-document dedup family —
+    * boilerplate headers, license blocks, and templated spans duplicate at
+    * passage granularity long before whole documents do (the Lee et al.
+    * "Deduplicating Training Data" ExactSubstr case, expressed relationally:
+    * overlapping windows make shared runs alignment-invariant, where
+    * non-overlapping chunking would miss any duplicate shifted by <8
+    * tokens).
+    *
+    * Scale shape: explode is a pure map (n−7 windows per doc), then ONE
+    * count-per-hash aggregate with map-side partial combine; only 8-byte
+    * window hashes shuffle, never window text. Hot boilerplate windows
+    * concentrate on single reducers only as single (hash, count) partials —
+    * counts merge associatively, so skew is absorbed by the partial
+    * aggregate rather than a row pileup (unlike the pair-join dedups above,
+    * which need the doc-frequency cap for the same corpus shape).
+    */
+  def passageDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= PassageTokens) // sequence(0, n<0) would step backwards
+    val passages = docs.select(
+      col("doc_id"),
+      explode(transform(
+        sequence(lit(0), size(col("t")) - PassageTokens),
+        i => array_join(slice(col("t"), i + 1, lit(PassageTokens)), " "))).as("passage"))
+    passages
+      .withColumn("passage_hash", passageHashUdf(col("passage")))
+      .groupBy(col("passage_hash"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("passage_hash"))
+  }
+
+  private val passageHashUdf = udf { (s: String) => PortableHash.md5Lower63(s) }
+
+  /** DuckDB twin of [[passageDedup]] (same windows, same 63-bit md5 hash;
+    * `generate_series(0, n)` with n<0 is empty, mirroring the ≥8-token
+    * filter). */
+  def passageDedupOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), w AS (
+       |  SELECT doc_id, unnest(generate_series(0, len(t) - $PassageTokens)) AS i, t
+       |  FROM toks
+       |), p AS (
+       |  SELECT doc_id,
+       |    CAST(md5_number_lower(array_to_string(t[i+1:i+$PassageTokens], ' '))
+       |      & 9223372036854775807 AS BIGINT) AS passage_hash
+       |  FROM w
+       |), g AS (
+       |  SELECT passage_hash, count(*) AS n_occ,
+       |    count(DISTINCT doc_id) AS n_docs,
+       |    min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |  FROM p GROUP BY passage_hash
+       |)
+       |SELECT * FROM g WHERE n_docs >= 2
+       |ORDER BY n_docs DESC, n_occ DESC, passage_hash""".stripMargin
 }

@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+import Tables._
+
+/** Sketch- and statistics-flavored query operators that matter at 100 TB:
+  * approximate distinct counting (KMV), heavy-hitter / skew detection,
+  * exact discrete percentiles, and bloom-filter-pruned semi-joins.
+  *
+  * None of these exist in the reference (its query surface is plain
+  * scan/filter/agg over parquet — SURVEY §2.4/§2.5); they are the standard
+  * additions a training-data pipeline needs once tables stop fitting a
+  * single node:
+  *
+  *   - [[approxDistinctKmv]]: cardinality without a full distinct shuffle —
+  *     the k smallest hash values per group summarize billions of keys in
+  *     k·8 bytes. Spark's own `approx_count_distinct` (HLL++) is the
+  *     codegen'd production choice but is engine-specific; the KMV estimator
+  *     here is built from a portable md5 hash so an independent engine
+  *     reproduces it bit-for-bit (the gate requirement).
+  *   - [[heavyHitters]]: find the keys that would skew a shuffle BEFORE
+  *     running the join/agg that they skew — the decision input for salting
+  *     (SCALE.md). Pure integer arithmetic: flag when count·n_keys > τ·total.
+  *   - [[medianDisc]]: exact discrete percentiles (p50/p95) via a single
+  *     window pass — `percentile_disc` semantics written out explicitly
+  *     (row_number + ceil-index) so both engines compute the identical rule
+  *     rather than trusting two implementations to agree on interpolation.
+  *   - [[bloomJoin]]: the runtime-filter join pattern — build a bloom filter
+  *     on the small filtered side, broadcast it into the big side's scan to
+  *     drop non-joining rows pre-shuffle, then exact-confirm with a semi
+  *     join. At 100 TB this turns a full-fact-table shuffle into a
+  *     ~selectivity-sized one; the final semi join keeps semantics exact, so
+  *     the bloom's false positives only cost (bounded) wasted rows, never
+  *     wrong answers.
+  */
+object Sketches {
+
+  private val md5Lower63Udf = udf { (s: String) => PortableHash.md5Lower63(s) }
+
+  // ---- KMV approximate distinct ----
+
+  private val KmvK = 16
+
+  /** Distinct `user_id` count per `event_type`, estimated from the k=16
+    * minimum 63-bit md5 hash values (KMV / bottom-k sketch: with the kth
+    * smallest hash hₖ over a hash space of size M, E[distinct] ≈ (k−1)·M/hₖ).
+    * Groups with fewer than k distinct keys report the exact count (the
+    * sketch IS the full key set there). The exact distinct count is emitted
+    * alongside so the estimate's error is visible in the result itself.
+    *
+    * Scale shape: the expensive part is one shuffle of (event_type, user_id)
+    * pairs — same as any distinct — but the per-group state is k longs, so
+    * the sketch union is a `LIMIT k` merge, not a set union. (At production
+    * scale you'd fold the bottom-k per partition before shuffling — Spark's
+    * partial TakeOrdered does this — or use `approx_count_distinct`; this
+    * form keeps every intermediate oracle-checkable.)
+    */
+  def approxDistinctKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val h = d.withColumn("h", md5Lower63Udf(col("user_id").cast("string")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val sketch = h.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+      .groupBy(col("event_type"))
+      .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("k_n"))
+    val exact = d.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    val est = when(col("k_n") < KmvK, col("n_exact").cast("double"))
+      .otherwise(lit((KmvK - 1).toDouble) * lit(9.223372036854775808e18) /
+        col("kth_hash").cast("double"))
+    exact.join(sketch, "event_type")
+      .select(col("event_type"), col("n_exact"), col("kth_hash"),
+        est.as("est_distinct"))
+      .withColumn("rel_err",
+        abs(col("est_distinct") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[approxDistinctKmv]] (same hash, same ceil-free
+    * estimator, same under-k fallback). */
+  def approxDistinctKmvOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT DISTINCT event_type, user_id FROM events
+       |), h AS (
+       |  SELECT event_type,
+       |    CAST(md5_number_lower(CAST(user_id AS VARCHAR)) & 9223372036854775807 AS BIGINT) AS h
+       |  FROM d
+       |), r AS (
+       |  SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM h
+       |), sk AS (
+       |  SELECT event_type, max(h) AS kth_hash, count(*) AS k_n
+       |  FROM r WHERE rn <= $KmvK GROUP BY event_type
+       |), n AS (
+       |  SELECT event_type, count(*) AS n_exact FROM d GROUP BY event_type
+       |)
+       |SELECT n.event_type, n.n_exact, sk.kth_hash,
+       |  CASE WHEN sk.k_n < $KmvK THEN CAST(n.n_exact AS DOUBLE)
+       |       ELSE ${KmvK - 1}.0 * 9223372036854775808.0 / CAST(sk.kth_hash AS DOUBLE)
+       |  END AS est_distinct,
+       |  abs(CASE WHEN sk.k_n < $KmvK THEN CAST(n.n_exact AS DOUBLE)
+       |           ELSE ${KmvK - 1}.0 * 9223372036854775808.0 / CAST(sk.kth_hash AS DOUBLE)
+       |      END - CAST(n.n_exact AS DOUBLE)) / CAST(n.n_exact AS DOUBLE) AS rel_err
+       |FROM n JOIN sk USING (event_type)
+       |ORDER BY event_type""".stripMargin
+
+  // ---- Heavy hitters / skew detection ----
+
+  /** Keys whose frequency exceeds 6/5 of the mean — the pre-flight skew
+    * probe for a planned shuffle on `user_id`. The flag predicate is pure
+    * integer arithmetic (`5·c·U > 6·T` ⟺ c > 1.2·mean) so it is exact on
+    * any engine; the reported `skew_ratio` (c·U/T, i.e. multiples of the
+    * mean) is one IEEE division.
+    *
+    * Scale shape: one count-per-key aggregate (map-side partial combine) +
+    * a single-row global total broadcast — O(distinct keys) state, no
+    * second full shuffle. The output is exactly the salt list you'd feed a
+    * skew-join mitigation (SCALE.md §skew).
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val totals = counts.agg(
+      count(lit(1)).as("n_users"), sum(col("n_events")).as("total_events"))
+    counts.crossJoin(broadcast(totals))
+      .filter(lit(5L) * col("n_events") * col("n_users") >
+        lit(6L) * col("total_events"))
+      .select(col("user_id"), col("n_events"), col("n_users"),
+        col("total_events"),
+        (col("n_events") * col("n_users") /
+          col("total_events").cast("double")).as("skew_ratio"))
+      .orderBy(col("n_events").desc, col("user_id"))
+  }
+
+  /** DuckDB twin of [[heavyHitters]]. DuckDB's SUM over BIGINT returns
+    * HUGEINT — cast back so the dtype matches Spark's LongType. */
+  def heavyHittersOracleSql: String =
+    """WITH c AS (
+      |  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+      |), s AS (
+      |  SELECT count(*) AS n_users, CAST(sum(n_events) AS BIGINT) AS total_events FROM c
+      |)
+      |SELECT user_id, n_events, n_users, total_events,
+      |  (n_events * n_users) / CAST(total_events AS DOUBLE) AS skew_ratio
+      |FROM c, s
+      |WHERE 5 * n_events * n_users > 6 * total_events
+      |ORDER BY n_events DESC, user_id""".stripMargin
+
+  // ---- Exact discrete percentiles ----
+
+  /** Exact p50/p95 of `l_extendedprice` per `l_returnflag`, computed as
+    * `percentile_disc` written out longhand: rank every value, pick the one
+    * at index ⌈q·n⌉ (p50 → ⌈n/2⌉, p95 → ⌈19n/20⌉). Selected values are
+    * returned verbatim (no arithmetic on doubles), so the result is
+    * bit-identical on any engine — unlike interpolating percentile
+    * built-ins, whose interpolation formulas differ subtly across engines.
+    * Equal values may tie arbitrarily in rank order, but the VALUE at a
+    * given rank is invariant under tie permutation.
+    *
+    * Scale shape: one shuffle (window partition per group) — same cost as
+    * any per-group sort. For 100 TB you'd use `approx_percentile`
+    * (t-digest) instead; this is the exact baseline with cross-engine
+    * determinism.
+    */
+  def medianDisc(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    // `div`, not `/`: Spark's `/` on longs is fractional (returns double);
+    // `div` is the truncating integer division that matches DuckDB's `//`.
+    lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 1) div 2"),
+          col("l_extendedprice"))).as("p50_disc"),
+        max(when(col("rn") === expr("(19 * n + 19) div 20"),
+          col("l_extendedprice"))).as("p95_disc"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** DuckDB twin of [[medianDisc]] — the identical longhand rule
+    * (DuckDB `//` ≡ Spark `div` on integers). */
+  def medianDiscOracleSql: String =
+    """WITH r AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem
+      |)
+      |SELECT l_returnflag, max(n) AS n,
+      |  max(CASE WHEN rn = (n + 1) // 2 THEN l_extendedprice END) AS p50_disc,
+      |  max(CASE WHEN rn = (19 * n + 19) // 20 THEN l_extendedprice END) AS p95_disc
+      |FROM r GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---- Bloom-filter-pruned semi-join ----
+
+  /** Revenue of lineitems belonging to URGENT orders, executed as the
+    * runtime-filter pattern: (1) build a bloom filter over the ~3k urgent
+    * `o_orderkey`s (driver-side sketch of the SMALL side — a few hundred KB
+    * regardless of fact-table size); (2) broadcast it and drop non-matching
+    * lineitems at the scan (codegen'd predicate, no shuffle yet); (3)
+    * exact-confirm the survivors with a broadcast LEFT SEMI join so bloom
+    * false positives (fpp 1%) cannot leak into the result. The aggregate
+    * then shuffles only true matches. Answer ≡ plain semi-join; the bloom
+    * changes WHERE rows die, not WHICH rows survive — so the oracle is the
+    * plain semi-join SQL.
+    *
+    * At 100 TB this is the difference between shuffling the whole fact
+    * table and shuffling `sel·|fact|`: the same mechanism Spark's AQE
+    * runtime row-group filtering automates, written explicitly so the
+    * pruning is visible (and measurable) in the plan.
+    */
+  def bloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = urgent.stat.bloomFilter("o_orderkey", 4000L, 0.01)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf { (k: Long) => bloomB.value.mightContainLong(k) }
+    val pruned = lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      .filter(mightContain(col("l_orderkey")))
+    val agg = pruned
+      .join(broadcast(urgent), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        exactSum(col("l_extendedprice")).as("revenue"))
+    // evaluate eagerly so the broadcast bloom can be released before return
+    val result = agg.localCheckpoint(true)
+    bloomB.unpersist()
+    result.orderBy(col("l_returnflag"))
+  }
+
+  /** DuckDB twin of [[bloomJoin]] — the bloom is an execution detail, the
+    * semantics are the plain semi-join. */
+  def bloomJoinOracleSql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,4))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+}

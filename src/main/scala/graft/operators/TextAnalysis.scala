@@ -357,4 +357,53 @@ object TextAnalysis {
        |SELECT source, CAST(rank AS BIGINT) AS rank, term, n
        |FROM r WHERE rank <= $k ORDER BY source, rank""".stripMargin
   }
+
+  // ---- inverted index ------------------------------------------------------
+
+  private val PostingsCap = 20
+
+  /** Inverted-index build: term → document frequency + the first 20 doc ids
+    * (sorted ascending, comma-joined). The index is the retrieval-side twin
+    * of [[topTerms]] — BM25/boolean retrieval, contamination lookup, and
+    * targeted corpus surgery ("delete every doc containing X") all start
+    * from this table. Posting lists are emitted as joined strings so the
+    * result is dtype-stable across engines (array columns round-trip
+    * differently through pandas).
+    *
+    * Scale shape: explode → one distinct + one aggregate, all keyed on the
+    * term — the classic inverted-index shuffle. The postings cap bounds
+    * per-term reducer output (a stopword's full posting list would be the
+    * corpus itself); production would shard hot terms' lists
+    * ([[PostingsCap]]-sized blocks per reducer) — the cap here is the
+    * honest small-scale stand-in that keeps the operator's output bounded
+    * per key.
+    */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    ex.groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(
+          transform(
+            slice(sort_array(collect_set(col("doc_id"))), 1, PostingsCap),
+            _.cast("string")),
+          ",").as("postings"))
+      .orderBy(col("term"))
+  }
+
+  /** DuckDB twin of [[invertedIndex]]. */
+  def invertedIndexOracleSql: String =
+    s"""WITH ex AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents
+       |), f AS (
+       |  SELECT DISTINCT term, doc_id FROM ex WHERE term <> ''
+       |)
+       |SELECT term, count(*) AS n_docs,
+       |  array_to_string(list_sort(list(doc_id))[1:$PostingsCap], ',') AS postings
+       |FROM f GROUP BY term
+       |ORDER BY term""".stripMargin
 }

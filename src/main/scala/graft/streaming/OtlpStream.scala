@@ -344,6 +344,23 @@ object OtlpStream {
         col("window.end").as("window_end"),
         col("ServiceName"), col("SeverityText"), col("n"))
 
+  /** EXTENSION (like [[logCountsByWindow]]): event-time streaming
+    * deduplication — emit each distinct key once, with state bounded by the
+    * watermark. `dropDuplicatesWithinWatermark` keeps a key's state only
+    * until the watermark passes `eventTime + delay`, so a key re-arriving
+    * within the window is suppressed (at-least-once transport → effectively
+    * exactly-once rows) while state stays O(keys-per-window) instead of
+    * O(all keys ever) — the property that lets this run forever on an
+    * unbounded stream. The caller projects the key columns afterward;
+    * non-key columns of the retained row are whichever arrival won the
+    * state race, so only the key projection is deterministic.
+    *
+    * `eventTimeCol` must already be a TimestampType column of `df`. */
+  def dedupWithinWatermark(df: DataFrame, eventTimeCol: String,
+      watermarkDelay: String, keys: Seq[String]): DataFrame =
+    df.withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** A session-stream input event. */
   final case class SessionEvent(user_id: Long, event_id: Long, tsUs: Long)
 

@@ -110,7 +110,31 @@ object StreamGate {
       .orderBy(col("user_id"), col("session_start_us"))
   }
 
+  /** Watermarked streaming dedup over the replayed stream: the distinct
+    * (user_id, event_type) keys seen, each emitted exactly once via
+    * [[OtlpStream.dedupWithinWatermark]] (state expires with the
+    * watermark). Only the key columns are projected — WHICH physical row
+    * wins the first-arrival race across 32 tasks is nondeterministic, but
+    * the distinct key set is a pure function of the data, which is what
+    * makes a streaming dedup oracle-checkable at all. */
+  def dedupKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = eventsStream(spark, sfDir)
+      .select(col("ts"), col("user_id"), col("event_type"))
+    val deduped = OtlpStream.dedupWithinWatermark(keyed, "ts",
+      WindowDelay, Seq("user_id", "event_type"))
+    runToMemory(spark, deduped)
+      .select(col("user_id"), col("event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   // ---- DuckDB twins --------------------------------------------------------
+
+  /** DuckDB twin of [[dedupKeys]]: with every event inside one replayed
+    * batch, watermark expiry never drops state before all arrivals are
+    * seen, so the emitted set is exactly the distinct key set. */
+  def dedupKeysOracleSql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
 
   /** DuckDB twin of [[windowCounts]]: same tumbling windows, restricted to
     * those the final watermark (`floor(max_ts_ms) - delay`) has passed. */
