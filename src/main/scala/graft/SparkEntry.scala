@@ -43,6 +43,7 @@ object SparkEntry {
     "q_set_ops" -> (QuerySurface.setOps _),
     "q_rollup" -> (QuerySurface.rollupCounts _),
     "q_pivot" -> (QuerySurface.pivotReturns _),
+    "q_cube" -> (QuerySurface.cubeCounts _),
     "q_asof_join" -> (QuerySurface.asofJoin _),
     "q_range_join" -> ((s: SparkSession, d: String) => QuerySurface.rangeJoin(s, d)),
     // -- analytic headliners (bench workhorses) --
@@ -67,6 +68,7 @@ object SparkEntry {
     "sim_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "sim_ann_ivf_kmeans" -> ((s: SparkSession, d: String) => Similarity.annIvfKmeans(s, d)),
     "sim_quantize" -> (Similarity.quantize _),
+    "sim_rp_project" -> ((s: SparkSession, d: String) => Similarity.randomProjection(s, d)),
     // -- text analysis --
     "text_tokens" -> (TextAnalysis.tokens _),
     "text_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
@@ -213,6 +215,7 @@ object SparkEntry {
         |ORDER BY event_type, day_us""".stripMargin,
 
     "q_pivot" -> QuerySurface.pivotReturnsOracleSql,
+    "q_cube" -> QuerySurface.cubeCountsOracleSql,
 
     "text_top_terms" -> TextAnalysis.topTermsOracleSql(),
 
@@ -418,6 +421,7 @@ object SparkEntry {
     "sim_ann_ivf_kmeans" -> Similarity.annIvfKmeansOracleSql(),
 
     "sim_quantize" -> Similarity.quantizeOracleSql,
+    "sim_rp_project" -> Similarity.randomProjectionOracleSql,
 
     "dedup_cross" -> Dedup.crossDedupOracleSql(),
 

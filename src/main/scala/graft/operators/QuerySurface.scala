@@ -344,6 +344,34 @@ object QuerySurface {
         coalesce(col("day_us"), lit(-1L)).as("day_us"), col("n"))
       .orderBy(col("event_type"), col("day_us"))
 
+  /** CUBE grouping sets: counts + decimal-exact value sums over every
+    * subset of (event_type, day) — the full 2^k grouping-set lattice where
+    * [[rollupCounts]] computes only the hierarchy prefix. Spark expands
+    * CUBE into one Expand + one partial-aggregatable hash aggregate (rows
+    * ×4 at the map side, NOT four scans) — the right trade at 100 TB when
+    * the alternative is re-reading the fact table per grouping set.
+    * Sentinel-coalesced like the rollup so every output cell is non-null
+    * and totally ordered. */
+  def cubeCounts(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .withColumn("day_us",
+        unix_micros(date_trunc("day", col("ts"))))
+      .cube(col("event_type"), col("day_us"))
+      .agg(count(lit(1)).as("n"), Tables.exactSum(col("value")).as("sum_value"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day_us"), lit(-1L)).as("day_us"),
+        col("n"), col("sum_value"))
+      .orderBy(col("event_type"), col("day_us"))
+
+  def cubeCountsOracleSql: String =
+    """SELECT coalesce(event_type, 'ALL') AS event_type,
+      |  coalesce(epoch_us(date_trunc('day', ts)), -1) AS day_us,
+      |  count(*) AS n,
+      |  CAST(round(SUM(CAST(value AS DECIMAL(28,4))), 2) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY CUBE (event_type, date_trunc('day', ts))
+      |ORDER BY event_type, day_us""".stripMargin
+
   /** Pivot (cross-tab): quantity totals per line-status × return-flag.
     * Explicit pivot values keep the plan static (no extra distinct-values
     * job, and at 100 TB an unbounded pivot column set is an anti-pattern

@@ -536,4 +536,50 @@ object Similarity {
        |)
        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos
        |FROM r WHERE rnk <= $k ORDER BY query_id, rank""".stripMargin
+
+  // ---- Johnson–Lindenstrauss random projection -----------------------------
+
+  private val RpDims = 8
+
+  /** Seeded signed-uniform projection matrix (8 × 64), distinct seed from
+    * the LSH [[hyperplanes]]. Inlined as literals into both the Spark plan
+    * and the oracle SQL, like the hyperplanes. */
+  private[operators] def rpPlanes(nOut: Int = RpDims, dim: Int = 64): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(13)
+    Seq.fill(nOut)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+  }
+
+  /** Johnson–Lindenstrauss random projection: every 64-d embedding mapped to
+    * 8 signed-uniform projection coordinates — the dimensionality-reduction
+    * step in front of a coarse index (project → bucket/search in 8-d →
+    * exact-rerank in 64-d), and the real-valued generalization of the
+    * sign-only [[lshSignature]]. Each coordinate is one [[dot]] against a
+    * literal plane: a pure codegen'd map over the scan, no shuffle, no
+    * broadcast (the 8×64 matrix lives in the plan), so at 100 TB this runs
+    * at scan speed and shrinks what the downstream index must hold by 8×.
+    * Coordinates are portableRound6-rounded only at output (the projection
+    * itself is left-fold IEEE — bit-identical to `list_dot_product`). */
+  def randomProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    val planes = rpPlanes()
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val projCols = planes.zipWithIndex.map { case (plane, j) =>
+      Tables.portableRound6(dot(col("v"), typedLit(plane))).as(s"p${j + 1}")
+    }
+    e.select(col("vec_id") +: projCols: _*).orderBy(col("vec_id"))
+  }
+
+  /** DuckDB twin of [[randomProjection]] (plane literals inlined). */
+  def randomProjectionOracleSql: String = {
+    val projExprs = rpPlanes().zipWithIndex.map { case (plane, j) =>
+      val lit = plane.map(_.toString).mkString("[", ", ", "]")
+      s"${Tables.portableRound6Sql(s"list_dot_product(v, $lit)")} AS p${j + 1}"
+    }.mkString(",\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |)
+       |SELECT vec_id,
+       |  $projExprs
+       |FROM e ORDER BY vec_id""".stripMargin
+  }
 }

@@ -105,6 +105,31 @@ class SketchesSpec extends SparkTestBase {
     assert(rows.head.getAs[Long]("n_docs") == direct)
   }
 
+  test("cube grouping sets reconcile: each lattice level sums to the total") {
+    val rows = QuerySurface.cubeCounts(spark, sf).collect()
+    val total = rows.filter(r =>
+      r.getString(0) == "ALL" && r.getLong(1) == -1L)
+    assert(total.length == 1)
+    val n = total.head.getAs[Long]("n")
+    // level (type, ALL-days), level (ALL, day), and leaf level each sum to n
+    val byType = rows.filter(r => r.getString(0) != "ALL" && r.getLong(1) == -1L)
+    val byDay = rows.filter(r => r.getString(0) == "ALL" && r.getLong(1) != -1L)
+    val leaves = rows.filter(r => r.getString(0) != "ALL" && r.getLong(1) != -1L)
+    assert(byType.map(_.getAs[Long]("n")).sum == n)
+    assert(byDay.map(_.getAs[Long]("n")).sum == n)
+    assert(leaves.map(_.getAs[Long]("n")).sum == n)
+  }
+
+  test("random projection: deterministic and JL-contractive on average") {
+    val a = Similarity.randomProjection(spark, sf).collect()
+    val b = Similarity.randomProjection(spark, sf).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)), "not deterministic")
+    assert(a.nonEmpty && a.head.length == 9) // vec_id + 8 coords
+    // projected coordinates must not all collapse to zero, and must vary
+    val p1 = a.map(_.getAs[Double]("p1"))
+    assert(p1.distinct.length > a.length / 2, "projection collapsed")
+  }
+
   test("streaming dedup emits exactly the batch-distinct key set") {
     val streamed = graft.streaming.StreamGate.dedupKeys(spark, sf)
     val batch = Tables.events(spark, sf)
