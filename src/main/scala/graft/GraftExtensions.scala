@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AnyValueToJsonExpr, AttrsToJsonExpr, VectorDotExpr}
+import graft.functions.{AnyValueToJsonExpr, AttrsToJsonExpr, KmvBottomKAgg, VectorDotExpr}
 
 /** The library's Catalyst extension point: registers the custom expressions
   * as SQL functions so `spark.sql` users get them too —
@@ -53,6 +53,23 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "any_value_json takes 1 argument")
         AnyValueToJsonExpr(children.head)
+      }),
+    (FunctionIdentifier("kmv_bottomk"),
+      info("kmv_bottomk",
+        "kmv_bottomk(hash, k) - bottom-k (KMV) distinct sketch: struct(kth_hash, k_n)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kmv_bottomk takes 2 arguments")
+        val kExpr = children(1)
+        require(kExpr.foldable, "kmv_bottomk: k must be a literal")
+        val k = kExpr.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"kmv_bottomk: k must be an integer literal, got $other")
+        }
+        // return the bare AggregateFunction — the analyzer wraps it in an
+        // AggregateExpression, as with Spark's own registered aggregates
+        KmvBottomKAgg(children.head, k)
       })
   )
 

@@ -31,7 +31,8 @@ object PlanAudit {
       // pushdown / broadcast / codegen audit of the query surface
       for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
           if Set("q_filter_time", "q_scan_project", "q_topk", "q5_region_revenue",
-            "q_join_equi", "q1_pricing", "q3_top_orders").contains(name)) {
+            "q_join_equi", "q1_pricing", "q3_top_orders",
+            "q_bloom_join", "q_cube", "q_approx_distinct").contains(name)) {
         println(s"\n======== $name ========")
         fn(spark, sfDir).explain("formatted")
       }
@@ -78,6 +79,28 @@ object PlanAudit {
       // the library default is the capped form and would time something else
       time("full ngramJaccard (uncapped)")(
         operators.Dedup.ngramJaccard(spark, sfDir, uncapped = true).count())
+    }
+    if (which("capped")) {
+      // stage decomposition of dedup_jaccard_capped (r4 bench flagged it)
+      val sh = operators.Dedup.docShingleHashes(spark, sfDir).persist()
+      time("shingle hashes materialize")(sh.count())
+      val ex = sh.select(col("doc_id"), explode(col("shh")).as("h"))
+      time("explode count")(ex.count())
+      val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 20).select(col("h"))
+      time("hot-shingle count")(println(s"[audit] hot shingles: ${hot.count()}"))
+      val kept = ex.join(broadcast(hot), Seq("h"), "left_anti")
+      time("kept count")(println(s"[audit] kept rows: ${kept.count()}"))
+      val inter = kept.as("a").join(kept.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("c"))
+      time("intersection count")(println(s"[audit] pairs: ${inter.count()}"))
+      sh.unpersist()
+      time("full ngramJaccardCapped (1st)")(
+        operators.Dedup.ngramJaccardCapped(spark, sfDir).count())
+      time("full ngramJaccardCapped (2nd)")(
+        operators.Dedup.ngramJaccardCapped(spark, sfDir).count())
     }
     if (which("kmeans")) {
       time("kmeans iters=0")(operators.Clustering.kmeans(spark, sfDir, 8, 0).count())

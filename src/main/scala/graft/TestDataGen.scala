@@ -90,7 +90,8 @@ object TestDataGen {
     * envelope per trace, `tracesPerFile` lines per file. Returns total
     * spans. */
   def writeTraces(dir: String, tracesPerFile: Int,
-      childrenPerTrace: Int, seed: Long = 7L): Long = {
+      childrenPerTrace: Int, seed: Long = 7L,
+      grandchildrenPerChild: Int = 0): Long = {
     Files.createDirectories(Paths.get(dir))
     var spans = 0L
     var fileIdx = 0
@@ -117,6 +118,12 @@ object TestDataGen {
         val cs = t0 + 1000000L * (c + 1)
         sb.append(s""",{"traceId":"$tid","spanId":"$cid","parentSpanId":"$root","name":"${service(svc)}.step$c","kind":"SPAN_KIND_INTERNAL","startTimeUnixNano":"$cs","endTimeUnixNano":"${cs + 500000L}","status":{}}""")
         spans += 1L
+        for (gc <- 0 until grandchildrenPerChild) {
+          val gid = spanIdB64(s"gchild:$svc:$key:$c:$gc", seed)
+          val gs = cs + 100000L * (gc + 1)
+          sb.append(s""",{"traceId":"$tid","spanId":"$gid","parentSpanId":"$cid","name":"${service(svc)}.step$c.sub$gc","kind":"SPAN_KIND_INTERNAL","startTimeUnixNano":"$gs","endTimeUnixNano":"${gs + 50000L}","status":{}}""")
+          spans += 1L
+        }
       }
       sb.append("]}]}]}\n")
       inFile += 1

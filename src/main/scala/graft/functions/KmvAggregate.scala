@@ -1,0 +1,114 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+/** Bottom-k (KMV) sketch state: the k smallest DISTINCT hash values seen.
+  * A `TreeSet` keeps them sorted and deduplicated; k is sketch-sized
+  * (tens), so the boxed set costs nothing against the rows it summarizes. */
+final class KmvBuffer(val k: Int) {
+  val set = new java.util.TreeSet[java.lang.Long]()
+  def add(h: Long): Unit = {
+    set.add(h)
+    if (set.size > k) set.pollLast()
+  }
+}
+
+/** Native KMV (bottom-k) sketch aggregate — the engine's custom-UDAF
+  * surface, sibling of the scalar [[VectorDotExpr]] / [[AttrsToJsonExpr]]
+  * expressions and registered in SQL as `kmv_bottomk(hash, k)` via
+  * [[graft.GraftExtensions]].
+  *
+  * Semantics: over a group's 63-bit hash column, keep the k smallest
+  * distinct values; emit `struct(kth_hash, k_n)` where `kth_hash` is the
+  * largest kept value (the KMV order statistic) and `k_n` how many were
+  * kept (< k means the group's full distinct set fits in the sketch — the
+  * caller reports the exact count). Distinct cardinality ≈ (k−1)·2⁶³/hₖ.
+  *
+  * Why an imperative aggregate and not a window: state is k longs per
+  * group, `update` is O(log k) against rows, and `merge` is a k-way set
+  * union — so the plan is a standard partial/final hash aggregate with
+  * map-side combine. The window formulation (row_number over hash order)
+  * sorts every group's full distinct key set; this one never materializes
+  * it. That is the difference between a sketch and a sort at 100 TB, and
+  * it is why this aggregate exists natively rather than as a composed
+  * query. (The [[graft.operators.Sketches]] gate query uses it; the DuckDB
+  * oracle recomputes the same order statistic by window, which is the
+  * correct oracle trade — DuckDB sees 10⁴ rows, the engine sees 10¹².)
+  */
+case class KmvBottomKAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvBuffer] {
+
+  require(k >= 2 && k <= 65536, s"kmv_bottomk: k must be in [2, 65536], got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("kth_hash", LongType, nullable = false),
+    StructField("k_n", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kmv_bottomk requires a BIGINT hash column, got ${other.sql}")
+  }
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    val it = other.set.iterator()
+    while (it.hasNext) buffer.add(it.next())
+    buffer
+  }
+
+  override def eval(buffer: KmvBuffer): Any =
+    if (buffer.set.isEmpty) null
+    else InternalRow(buffer.set.last().longValue(), buffer.set.size.toLong)
+
+  override def serialize(buffer: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buffer.set.size)
+    bb.putInt(buffer.set.size)
+    val it = buffer.set.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new KmvBuffer(k)
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvBottomKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvBottomKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvBottomKAgg =
+    copy(child = newChildren.head)
+  override def prettyName: String = "kmv_bottomk"
+}
+
+object KmvAggregate {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  /** Column API: `kmvBottomK(hashCol, k)` → struct(kth_hash, k_n). */
+  def kmvBottomK(hash: Column, k: Int): Column =
+    column(KmvBottomKAgg(expression(hash), k).toAggregateExpression())
+}

@@ -78,6 +78,70 @@ object OtelQueries {
         Tables.exactAvg(col("Duration").cast("double")).as("avg_duration_ns"))
       .orderBy(col("hour"), col("ServiceName"))
 
+  /** Span-tree assembly: BFS depth labeling over the (TraceId, SpanId,
+    * ParentSpanId) hierarchy, then a per-trace summary — the trace-waterfall
+    * primitive (how deep did the call tree go, how many spans, which root).
+    * The reference stores the parent linkage but offers no assembly query;
+    * this is the natural next question a trace UI asks of the table.
+    *
+    * Algorithm: iterative frontier joins (roots at depth 1, then children
+    * of the frontier at depth+1), each level `localCheckpoint`ed so the
+    * lineage stays flat — the bounded-iteration BFS sibling of the
+    * [[Dedup]] connected-components loop. Iterations = tree depth (call
+    * trees are shallow — tens, not thousands), each a hash join keyed on
+    * (TraceId, SpanId): at fleet scale, pre-partitioning the span table by
+    * TraceId co-locates every level's probe side. Spans whose parent id
+    * never resolves within the trace (truncated ingest, sampled-out
+    * parents) are reported per-trace as `n_orphans` rather than silently
+    * dropped — on real telemetry, partial traces are the common case.
+    *
+    * Output (one row per trace, TraceId-ordered): `n_spans`, `max_depth`
+    * (0 if the trace has no null-parent root at all), `n_roots`,
+    * `n_orphans`, and the earliest root's name + duration. */
+  def traceDepth(traces: DataFrame, maxDepth: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = traces.select(col("TraceId"), col("SpanId"),
+      col("ParentSpanId"), col("SpanName"), col("Timestamp"), col("Duration"))
+    // materialize each BFS level AND detach it from its origin plan:
+    // localCheckpoint alone keeps the origin plan's constraints (with
+    // pre-checkpoint attribute ids), and Union's constraint rewrite throws
+    // a missing-attribute lookup when two related-lineage checkpoints meet.
+    // Rebuilding from the checkpointed RDD + schema yields a constraint-free
+    // LogicalRDD with fresh ids — safe to union and re-join arbitrarily.
+    def level(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true)
+      c.sparkSession.createDataFrame(c.rdd, c.schema)
+    }
+    var frontier = level(spans.filter(col("ParentSpanId").isNull)
+      .select(col("TraceId"), col("SpanId"), lit(1).as("depth")))
+    var reached = frontier
+    var d = 1
+    while (d < maxDepth && !frontier.isEmpty) {
+      frontier = level(spans.as("s").join(frontier.as("f"),
+          col("s.TraceId") === col("f.TraceId") &&
+            col("s.ParentSpanId") === col("f.SpanId"))
+        .select(col("s.TraceId").as("TraceId"), col("s.SpanId").as("SpanId"),
+          (col("f.depth") + 1).as("depth")))
+      reached = reached.union(frontier)
+      d += 1
+    }
+    val labeled = spans.join(reached, Seq("TraceId", "SpanId"), "left")
+    val rootW = Window.partitionBy(col("TraceId"))
+      .orderBy(col("Timestamp"), col("SpanId"))
+    val firstRoot = spans.filter(col("ParentSpanId").isNull)
+      .withColumn("rn", row_number().over(rootW))
+      .filter(col("rn") === 1)
+      .select(col("TraceId"), col("SpanName").as("root_name"),
+        col("Duration").as("root_duration_ns"))
+    labeled.groupBy(col("TraceId"))
+      .agg(count(lit(1)).as("n_spans"),
+        coalesce(max(col("depth")), lit(0)).cast("long").as("max_depth"),
+        sum(when(col("depth") === 1, 1L).otherwise(0L)).as("n_roots"),
+        sum(when(col("depth").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .join(firstRoot, Seq("TraceId"), "left")
+      .orderBy(col("TraceId"))
+  }
+
   // ---- gate-verified variants over the reference's golden parquet ----------
   // The sfDir argument is ignored: these read the reference's own golden
   // tables (read-only), so the documented telemetry query surface is

@@ -46,33 +46,36 @@ object Sketches {
   private val KmvK = 16
 
   /** Distinct `user_id` count per `event_type`, estimated from the k=16
-    * minimum 63-bit md5 hash values (KMV / bottom-k sketch: with the kth
-    * smallest hash hₖ over a hash space of size M, E[distinct] ≈ (k−1)·M/hₖ).
-    * Groups with fewer than k distinct keys report the exact count (the
-    * sketch IS the full key set there). The exact distinct count is emitted
-    * alongside so the estimate's error is visible in the result itself.
+    * minimum DISTINCT 63-bit md5 hash values (KMV / bottom-k sketch: with
+    * the kth smallest hash hₖ over a hash space of size M,
+    * E[distinct] ≈ (k−1)·M/hₖ). Groups whose sketch holds fewer than k
+    * hashes report the exact count (the sketch IS the full key set there).
+    * The exact distinct count is emitted alongside so the estimate's error
+    * is visible in the result itself.
     *
-    * Scale shape: the expensive part is one shuffle of (event_type, user_id)
-    * pairs — same as any distinct — but the per-group state is k longs, so
-    * the sketch union is a `LIMIT k` merge, not a set union. (At production
-    * scale you'd fold the bottom-k per partition before shuffling — Spark's
-    * partial TakeOrdered does this — or use `approx_count_distinct`; this
-    * form keeps every intermediate oracle-checkable.)
+    * The sketch is the engine's native UDAF
+    * ([[graft.functions.KmvBottomKAgg]], SQL `kmv_bottomk(hash, k)`): a
+    * partial/final hash aggregate whose state is k longs per group — rows
+    * fold into per-partition sketches map-side and only k·8-byte sketches
+    * shuffle, with no pre-`distinct` and no per-group sort. That is the
+    * 100 TB shape; the window formulation this replaces sorted every
+    * group's full distinct key set. (DuckDB's oracle recomputes the same
+    * order statistic BY window — correct there, it sees 10⁴ rows.)
     */
   def approxDistinctKmv(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = events(spark, sfDir)
-      .select(col("event_type"), col("user_id")).distinct()
-    val h = d.withColumn("h", md5Lower63Udf(col("user_id").cast("string")))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-    val sketch = h.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= KmvK)
-      .groupBy(col("event_type"))
-      .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("k_n"))
-    val exact = d.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    val ev = events(spark, sfDir)
+    val h = ev.select(col("event_type"),
+      col("user_id"),
+      md5Lower63Udf(col("user_id").cast("string")).as("h"))
+    val sketch = h.groupBy(col("event_type"))
+      .agg(graft.functions.KmvAggregate.kmvBottomK(col("h"), KmvK).as("kmv"),
+        countDistinct(col("user_id")).as("n_exact"))
+      .select(col("event_type"), col("n_exact"),
+        col("kmv.kth_hash").as("kth_hash"), col("kmv.k_n").as("k_n"))
     val est = when(col("k_n") < KmvK, col("n_exact").cast("double"))
       .otherwise(lit((KmvK - 1).toDouble) * lit(9.223372036854775808e18) /
         col("kth_hash").cast("double"))
-    exact.join(sketch, "event_type")
+    sketch
       .select(col("event_type"), col("n_exact"), col("kth_hash"),
         est.as("est_distinct"))
       .withColumn("rel_err",
@@ -82,14 +85,13 @@ object Sketches {
   }
 
   /** DuckDB twin of [[approxDistinctKmv]] (same hash, same ceil-free
-    * estimator, same under-k fallback). */
+    * estimator, same under-k fallback; distinct-HASH bottom-k, mirroring
+    * the native sketch's dedup-by-hash-value state). */
   def approxDistinctKmvOracleSql: String =
-    s"""WITH d AS (
-       |  SELECT DISTINCT event_type, user_id FROM events
-       |), h AS (
-       |  SELECT event_type,
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
        |    CAST(md5_number_lower(CAST(user_id AS VARCHAR)) & 9223372036854775807 AS BIGINT) AS h
-       |  FROM d
+       |  FROM events
        |), r AS (
        |  SELECT event_type, h,
        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
@@ -98,7 +100,8 @@ object Sketches {
        |  SELECT event_type, max(h) AS kth_hash, count(*) AS k_n
        |  FROM r WHERE rn <= $KmvK GROUP BY event_type
        |), n AS (
-       |  SELECT event_type, count(*) AS n_exact FROM d GROUP BY event_type
+       |  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events
+       |  GROUP BY event_type
        |)
        |SELECT n.event_type, n.n_exact, sk.kth_hash,
        |  CASE WHEN sk.k_n < $KmvK THEN CAST(n.n_exact AS DOUBLE)

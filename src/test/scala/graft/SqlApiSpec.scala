@@ -69,4 +69,42 @@ class SqlApiSpec extends SparkTestBase {
         |)) AS j""".stripMargin).collect().head.getString(0)
     assert(js == """{"a":true,"b":"x"}""", js)
   }
+
+  test("kmv_bottomk aggregate: SQL == Column API == brute-force order statistic") {
+    GraftExtensions.register(spark)
+    register()
+    import org.apache.spark.sql.functions._
+    val hashed = Tables.events(spark, sf).select(col("event_type"),
+      udf((s: String) => graft.functions.PortableHash.md5Lower63(s))
+        .apply(col("user_id").cast("string")).as("h"))
+    hashed.createOrReplaceTempView("hashed_events")
+    val viaSql = spark.sql(
+      """SELECT event_type, kmv_bottomk(h, 8).kth_hash AS kth,
+        |       kmv_bottomk(h, 8).k_n AS k_n
+        |FROM hashed_events GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .collect()
+    val viaCol = hashed.groupBy(col("event_type"))
+      .agg(graft.functions.KmvAggregate.kmvBottomK(col("h"), 8).as("kmv"))
+      .select(col("event_type"), col("kmv.kth_hash"), col("kmv.k_n"))
+      .orderBy(col("event_type")).collect()
+    assert(viaSql.map(_.toSeq.toList).toList == viaCol.map(_.toSeq.toList).toList)
+    // brute force: kth smallest distinct hash per group
+    val brute = hashed.distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues { rows =>
+        val hs = rows.map(_.getLong(1)).distinct.sorted.take(8)
+        (hs.last, hs.length.toLong)
+      }.toMap
+    viaSql.foreach { r =>
+      val (kth, kn) = brute(r.getString(0))
+      assert(r.getLong(1) == kth && r.getLong(2) == kn, s"mismatch: $r vs ($kth,$kn)")
+    }
+    // the aggregate must plan partial/final (map-side combine), not a sort
+    val plan = hashed.groupBy(col("event_type"))
+      .agg(graft.functions.KmvAggregate.kmvBottomK(col("h"), 8))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_kmv_bottomk") || plan.contains("ObjectHashAggregate"),
+      s"expected a partial aggregate plan, got:\n$plan")
+    assert(!plan.toLowerCase.contains("sortaggregate") || plan.contains("ObjectHashAggregate"),
+      s"sketch must not require sorting every group:\n$plan")
+  }
 }
