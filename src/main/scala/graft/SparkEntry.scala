@@ -95,6 +95,7 @@ object SparkEntry {
     "otel_exp_hist_p95" -> (OtelQueries.goldenExpHistP95 _),
     "otel_gauge_hourly" -> (OtelQueries.goldenGaugeHourly _),
     "otel_sum_totals" -> (OtelQueries.goldenSumTotals _),
+    "otel_trace_depth" -> (OtelQueries.goldenTraceDepth _),
     // -- event-time streaming operators over a replayed bounded stream --
     "stream_window_counts" -> (graft.streaming.StreamGate.windowCounts _),
     "stream_sessionize" -> (graft.streaming.StreamGate.sessionize _),
@@ -417,6 +418,7 @@ object SparkEntry {
     "otel_exp_hist_p95" -> OtelQueries.goldenExpHistP95OracleSql,
     "otel_gauge_hourly" -> OtelQueries.goldenGaugeHourlyOracleSql,
     "otel_sum_totals" -> OtelQueries.goldenSumTotalsOracleSql,
+    "otel_trace_depth" -> OtelQueries.goldenTraceDepthOracleSql,
 
     "sim_ann_ivf_kmeans" -> Similarity.annIvfKmeansOracleSql(),
 

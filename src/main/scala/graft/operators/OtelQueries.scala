@@ -302,6 +302,48 @@ object OtelQueries {
       .orderBy(col("service_name"), col("metric_name"), col("temporality"),
         col("is_monotonic"))
 
+  /** [[traceDepth]] over the golden traces, gate-shaped: hex trace id,
+    * per-trace assembly summary. The goldens are 19 single-span traces —
+    * 6 true roots and 13 partial traces whose parent never arrived — so
+    * the row exercises exactly the orphan-accounting path a trace UI needs
+    * on sampled/truncated real telemetry. (The depth-3 assembly itself is
+    * closed-form-verified on a generated corpus in TraceAssemblySpec; the
+    * DuckDB twin recomputes depth with a recursive CTE.) */
+  def goldenTraceDepth(spark: SparkSession, sfDirIgnored: String): DataFrame =
+    traceDepth(spark.read.parquet(s"$GoldenDir/traces.parquet"))
+      .select(lower(hex(col("TraceId"))).as("trace_hex"),
+        col("n_spans"), col("max_depth"), col("n_roots"), col("n_orphans"),
+        col("root_name"), col("root_duration_ns"))
+      .orderBy(col("trace_hex"))
+
+  def goldenTraceDepthOracleSql: String =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT TraceId, SpanId, ParentSpanId, SpanName, Timestamp, Duration
+       |  FROM read_parquet('$GoldenDir/traces.parquet')
+       |), d(TraceId, SpanId, depth) AS (
+       |  SELECT TraceId, SpanId, 1 FROM t WHERE ParentSpanId IS NULL
+       |  UNION ALL
+       |  SELECT s.TraceId, s.SpanId, b.depth + 1
+       |  FROM t s JOIN d b
+       |    ON s.TraceId = b.TraceId AND s.ParentSpanId = b.SpanId
+       |), roots AS (
+       |  SELECT TraceId, SpanName AS root_name, Duration AS root_duration_ns,
+       |    row_number() OVER (PARTITION BY TraceId ORDER BY Timestamp, SpanId) AS rn
+       |  FROM t WHERE ParentSpanId IS NULL
+       |)
+       |SELECT lower(hex(t.TraceId)) AS trace_hex,
+       |  count(*) AS n_spans,
+       |  CAST(coalesce(max(d.depth), 0) AS BIGINT) AS max_depth,
+       |  CAST(sum(CASE WHEN d.depth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_roots,
+       |  CAST(sum(CASE WHEN d.depth IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       |  any_value(r.root_name) AS root_name,
+       |  any_value(r.root_duration_ns) AS root_duration_ns
+       |FROM t
+       |LEFT JOIN d ON t.TraceId = d.TraceId AND t.SpanId = d.SpanId
+       |LEFT JOIN (SELECT * FROM roots WHERE rn = 1) r ON t.TraceId = r.TraceId
+       |GROUP BY t.TraceId
+       |ORDER BY trace_hex""".stripMargin
+
   /** DuckDB twins over the same golden files. */
   def goldenSevCountsOracleSql: String =
     s"""SELECT ServiceName, SeverityText, count(*) AS n
