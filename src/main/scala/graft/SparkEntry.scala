@@ -44,6 +44,9 @@ object SparkEntry {
     "q_rollup" -> (QuerySurface.rollupCounts _),
     "q_pivot" -> (QuerySurface.pivotReturns _),
     "q_cube" -> (QuerySurface.cubeCounts _),
+    "q_running_total" -> (QuerySurface.runningTotal _),
+    "q_event_rate" -> (QuerySurface.eventRate _),
+    "q_outer_join" -> (QuerySurface.outerJoinDaily _),
     "q_asof_join" -> (QuerySurface.asofJoin _),
     "q_range_join" -> ((s: SparkSession, d: String) => QuerySurface.rangeJoin(s, d)),
     // -- analytic headliners (bench workhorses) --
@@ -72,6 +75,7 @@ object SparkEntry {
     // -- text analysis --
     "text_tokens" -> (TextAnalysis.tokens _),
     "text_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
+    "text_rarity" -> (TextAnalysis.rarity _),
     "text_quality" -> (TextAnalysis.quality _),
     "text_langid" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
@@ -217,6 +221,9 @@ object SparkEntry {
 
     "q_pivot" -> QuerySurface.pivotReturnsOracleSql,
     "q_cube" -> QuerySurface.cubeCountsOracleSql,
+    "q_running_total" -> QuerySurface.runningTotalOracleSql,
+    "q_event_rate" -> QuerySurface.eventRateOracleSql,
+    "q_outer_join" -> QuerySurface.outerJoinDailyOracleSql,
 
     "text_top_terms" -> TextAnalysis.topTermsOracleSql(),
 
@@ -473,5 +480,6 @@ object SparkEntry {
     "q_bloom_join" -> Sketches.bloomJoinOracleSql,
     "dedup_passage" -> Dedup.passageDedupOracleSql,
     "text_inverted_index" -> TextAnalysis.invertedIndexOracleSql,
+    "text_rarity" -> TextAnalysis.rarityOracleSql,
   )
 }

@@ -372,6 +372,109 @@ object QuerySurface {
       |GROUP BY CUBE (event_type, date_trunc('day', ts))
       |ORDER BY event_type, day_us""".stripMargin
 
+  /** Running (cumulative) totals: per event_type, day-by-day event counts
+    * with a running sum over days — the analytic-frame (ROWS UNBOUNDED
+    * PRECEDING) surface. The window partitions by event_type and orders by
+    * day, so the cumulative pass shuffles once on the group key and runs
+    * linearly per partition; counts are integers, so the running sum is
+    * exact on any engine. At scale the trap is the frame without a
+    * PARTITION BY — a single global cumulative order serializes the table
+    * through one task. */
+  def runningTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(spark, sfDir)
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("running_n", sum(col("n")).over(w))
+      .orderBy(col("event_type"), col("day_us"))
+  }
+
+  def runningTotalOracleSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT event_type, day_us, n,
+      |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day_us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS running_n
+      |FROM daily ORDER BY event_type, day_us""".stripMargin
+
+  /** Per-series rate (the PromQL `rate()` shape): for each user ordered by
+    * event time, the value delta and per-second rate against the previous
+    * event — windowed `lag` + per-row IEEE arithmetic (deterministic given
+    * operand order, no accumulation). One shuffle on the series key;
+    * state per row is O(1). Zero-gap pairs (same µs timestamp) are
+    * excluded rather than emitting engine-dependent ±Infinity. */
+  def eventRate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .filter(col("prev_ts_us").isNotNull && col("ts_us") =!= col("prev_ts_us"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        (col("value") - col("prev_value")).as("delta"),
+        ((col("value") - col("prev_value")) /
+          ((col("ts_us") - col("prev_ts_us")).cast("double") / lit(1e6)))
+          .as("rate_per_s"))
+      .orderBy(col("event_id"))
+  }
+
+  def eventRateOracleSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+      |), l AS (
+      |  SELECT event_id, user_id, ts_us, value,
+      |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts_us,
+      |    lag(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_value
+      |  FROM e
+      |)
+      |SELECT event_id, user_id, ts_us,
+      |  value - prev_value AS delta,
+      |  (value - prev_value) / (CAST(ts_us - prev_ts_us AS DOUBLE) / 1e6) AS rate_per_s
+      |FROM l WHERE prev_ts_us IS NOT NULL AND ts_us <> prev_ts_us
+      |ORDER BY event_id""".stripMargin
+
+  /** FULL OUTER join: per-day purchase volume vs error volume — days where
+    * either side is absent survive with nulls coalesced to zero. Join keys
+    * are day buckets (bounded cardinality); at fleet scale both sides are
+    * pre-aggregated before the join, so the outer join shuffles day-level
+    * rows, not events. */
+  def outerJoinDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    def side(t: String, as: String): DataFrame =
+      events(spark, sfDir).filter(col("event_type") === t)
+        .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+        .agg(count(lit(1)).as(as))
+    side("purchase", "n_purchases").as("p")
+      .join(side("error", "n_errors").as("e"), Seq("day_us"), "full_outer")
+      .select(col("day_us"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+      .orderBy(col("day_us"))
+  }
+
+  def outerJoinDailyOracleSql: String =
+    """WITH p AS (
+      |  SELECT epoch_us(date_trunc('day', ts)) AS day_us, count(*) AS n_purchases
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+      |), e AS (
+      |  SELECT epoch_us(date_trunc('day', ts)) AS day_us, count(*) AS n_errors
+      |  FROM events WHERE event_type = 'error' GROUP BY 1
+      |)
+      |SELECT coalesce(p.day_us, e.day_us) AS day_us,
+      |  coalesce(n_purchases, 0) AS n_purchases,
+      |  coalesce(n_errors, 0) AS n_errors
+      |FROM p FULL OUTER JOIN e ON p.day_us = e.day_us
+      |ORDER BY day_us""".stripMargin
+
   /** Pivot (cross-tab): quantity totals per line-status × return-flag.
     * Explicit pivot values keep the plan static (no extra distinct-values
     * job, and at 100 TB an unbounded pivot column set is an anti-pattern

@@ -358,6 +358,70 @@ object TextAnalysis {
        |FROM r WHERE rank <= $k ORDER BY source, rank""".stripMargin
   }
 
+  // ---- rarity / tf-idf-style scoring ---------------------------------------
+
+  /** Document rarity scoring — the TF-IDF-family novelty signal with
+    * rational arithmetic only (no log: transcendental functions are not
+    * correctly-rounded and diverge across libm implementations; N/df is
+    * monotone in idf and equally rankable). Per document: mean inverse
+    * document frequency of its tokens (Σ N/df(tok) over token OCCURRENCES,
+    * divided by token count) plus the rarest token and its df. High scores
+    * flag novel/rare vocabulary; low scores flag boilerplate — the
+    * standard corpus-curation axis next to [[quality]] and [[repetition]].
+    *
+    * Scale shape: one doc-frequency aggregate over exploded (token, doc)
+    * pairs — term-keyed, partial-combining — then a broadcast-joinable df
+    * table (|vocab| rows) back onto the explode. The df table is the only
+    * shared state; at web scale it broadcast-prunes to the query's vocab
+    * slice. Arithmetic is fixed-point: per-occurrence idf =
+    * ⌊N·10⁶/df⌋ (truncating integer division, identical on any engine),
+    * summed as exact integers; only the final mean is one IEEE division.
+    * Decimal division would NOT be portable here — engines disagree on the
+    * quotient's derived scale. Long overflow bound: N·10⁶ ≤ 2⁶³ up to
+    * N≈9×10¹² docs. */
+  def rarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val nDocs = docs.count() // one tiny job; N is a literal in the oracle too
+    val pairs = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val df = pairs.select(col("tok"), col("doc_id")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val joined = pairs.join(broadcast(df), "tok")
+    joined.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(expr(s"(${nDocs}L * 1000000L) div df")).as("sum_idf_scaled"),
+        max(col("df")).as("max_df"),
+        min(col("df")).as("min_df"))
+      .withColumn("mean_idf",
+        col("sum_idf_scaled").cast("double") /
+          (col("n_toks") * lit(1000000L)).cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[rarity]] — N recomputed as a scalar subquery (the
+    * Spark side inlines `documents.count()` at build time, so both engines
+    * see the sf-dependent N), same fixed-point rule (`//` ≡ Spark `div`). */
+  def rarityOracleSql: String =
+    """WITH n AS (
+      |  SELECT count(*) AS nd FROM documents
+      |), pairs AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), p AS (
+      |  SELECT doc_id, tok FROM pairs WHERE tok <> ''
+      |), df AS (
+      |  SELECT tok, count(*) AS df
+      |  FROM (SELECT DISTINCT tok, doc_id FROM p) GROUP BY tok
+      |)
+      |SELECT doc_id, count(*) AS n_toks,
+      |  CAST(sum((n.nd * 1000000) // df.df) AS BIGINT) AS sum_idf_scaled,
+      |  CAST(max(df.df) AS BIGINT) AS max_df,
+      |  CAST(min(df.df) AS BIGINT) AS min_df,
+      |  CAST(sum((n.nd * 1000000) // df.df) AS DOUBLE)
+      |    / CAST(count(*) * 1000000 AS DOUBLE) AS mean_idf
+      |FROM p JOIN df USING (tok), n
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- inverted index ------------------------------------------------------
 
   private val PostingsCap = 20
