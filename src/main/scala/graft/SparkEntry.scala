@@ -104,6 +104,7 @@ object SparkEntry {
     "stream_window_counts" -> (graft.streaming.StreamGate.windowCounts _),
     "stream_sessionize" -> (graft.streaming.StreamGate.sessionize _),
     "stream_dedup" -> (graft.streaming.StreamGate.dedupKeys _),
+    "stream_enrich_join" -> (graft.streaming.StreamGate.enrichJoin _),
 
     // -- sketches / scale statistics (round 4) --
     "q_approx_distinct" -> (Sketches.approxDistinctKmv _),
@@ -473,6 +474,7 @@ object SparkEntry {
     "stream_window_counts" -> graft.streaming.StreamGate.windowCountsOracleSql,
     "stream_sessionize" -> graft.streaming.StreamGate.sessionizeOracleSql,
     "stream_dedup" -> graft.streaming.StreamGate.dedupKeysOracleSql,
+    "stream_enrich_join" -> graft.streaming.StreamGate.enrichJoinOracleSql,
 
     "q_approx_distinct" -> Sketches.approxDistinctKmvOracleSql,
     "q_heavy_hitters" -> Sketches.heavyHittersOracleSql,

@@ -127,7 +127,51 @@ object StreamGate {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Stream-static enrichment join over the replayed stream: each event
+    * joins a STATIC dimension table (nation, keyed by `user_id % 25`) and
+    * the enriched stream aggregates into watermarked 1-hour windows per
+    * nation. This is the remaining streaming join pattern (stream ⋈ static
+    * — Spark broadcasts or re-reads the static side per micro-batch; no
+    * state, unlike stream-stream joins which hold both sides), and the
+    * standard fleet shape: telemetry keyed by a small slowly-changing
+    * dimension. Emitted subset = windows the final watermark passed, same
+    * determinism argument as [[windowCounts]]. */
+  def enrichJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = graft.operators.Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+    val shaped = eventsStream(spark, sfDir)
+      .select(col("ts").as("Timestamp"),
+        expr("user_id % 25").as("k"))
+      .join(nation, col("k") === col("n_nationkey"))
+    val agg = shaped
+      .withWatermark("Timestamp", WindowDelay)
+      .groupBy(window(col("Timestamp"), "1 hour"), col("n_name"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("n_name"), col("n"))
+    runToMemory(spark, agg)
+      .orderBy(col("window_start_us"), col("n_name"))
+  }
+
   // ---- DuckDB twins --------------------------------------------------------
+
+  /** DuckDB twin of [[enrichJoin]]: the batch join + the same
+    * watermark-passed window subset. */
+  def enrichJoinOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) AS ts_us, user_id % 25 AS k FROM events
+       |), wm AS (
+       |  SELECT max(ts_us) // 1000 - $WindowDelayMs AS wm_ms FROM e
+       |), j AS (
+       |  SELECT (e.ts_us // 3600000000) * 3600000000 AS window_start_us,
+       |    n.n_name
+       |  FROM e JOIN nation n ON e.k = n.n_nationkey
+       |)
+       |SELECT window_start_us, n_name, count(*) AS n
+       |FROM j, wm
+       |WHERE (window_start_us + 3600000000) // 1000 <= wm_ms
+       |GROUP BY 1, 2
+       |ORDER BY window_start_us, n_name""".stripMargin
 
   /** DuckDB twin of [[dedupKeys]]: with every event inside one replayed
     * batch, watermark expiry never drops state before all arrivals are

