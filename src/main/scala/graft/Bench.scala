@@ -20,6 +20,14 @@ object Bench {
     Seq("nation", "region", "customer", "supplier", "orders", "lineitem",
       "events", "documents", "embeddings", "part")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    // Ingest bench runs TWICE: once here (clean JVM, before the query sweep)
+    // and once after it. Round 4's driver artifact recorded 3,030 rows/s —
+    // 18× below round 3 on unchanged ingest code — and the single
+    // end-of-sweep run with no per-pass breakdown could not distinguish VM
+    // contention / end-of-sweep memory state from a real regression. Two
+    // placements plus per-pass wall times make ordering effects visible in
+    // one artifact.
+    val ingestPre = ingestRowsPerSec(spark)
     // each query runs once as warmup (codegen/JIT/page cache) and then THREE
     // timed steady-state runs; the headline per-query figure is the MEDIAN
     // and the min is emitted alongside. This VM's run-to-run variance is
@@ -67,20 +75,43 @@ object Bench {
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, med, _, true) => med }.sum
-    val (ingestMean, ingestBest) = ingestRowsPerSec(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir","ingest_rows_per_s":$ingestMean,"ingest_rows_per_s_best":$ingestBest}""")
+    // same GC hygiene the sweep gives each query, so a pre/post ingest gap
+    // measures page-cache/VM state rather than trivially-collectable
+    // checkpoint blocks from the final queries
+    System.gc()
+    val ingestPost = ingestRowsPerSec(spark)
+    def ingestJson(r: IngestResult): String = {
+      val passes = r.passSeconds.map(t => f"$t%.3f").mkString("[", ",", "]")
+      s"""{"rows":${r.rows},"pass_s":$passes,"rows_per_s_mean":${r.meanRowsPerSec},"rows_per_s_best":${r.bestRowsPerSec}}"""
+    }
+    // headline = pre-sweep mean: measured on a clean JVM, directly comparable
+    // to a standalone run; the post-sweep figure quantifies ordering effects
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir","ingest_rows_per_s":${ingestPre.meanRowsPerSec},"ingest_rows_per_s_best":${ingestPre.bestRowsPerSec},"ingest_pre":${ingestJson(ingestPre)},"ingest_post":${ingestJson(ingestPost)}}""")
     spark.stop()
+  }
+
+  /** One ingest-bench execution: total records written per pass, each timed
+    * pass's wall seconds (warmup excluded), and the derived mean/best
+    * throughput. `rows = -1` marks a failed execution. */
+  final case class IngestResult(rows: Long, passSeconds: Seq[Double]) {
+    def meanRowsPerSec: Long =
+      if (rows < 0 || passSeconds.isEmpty) -1L
+      else (rows / (passSeconds.sum / passSeconds.length)).toLong
+    def bestRowsPerSec: Long =
+      if (rows < 0 || passSeconds.isEmpty) -1L else (rows / passSeconds.min).toLong
   }
 
   /** The reference's own headline metric: ingest throughput in records/s
     * (BASELINE.md §A, perf_audit.py's `10_000 / e2e_ms_p50 × 1000`).
     * Replicates the golden 81-record logs.jsonl corpus to ~200k records in
     * a temp landing file, then times the full decode→flatten→parquet-write
-    * pipeline. Returns (mean, best) of the warmed steady-state passes — the
-    * headline `ingest_rows_per_s` is the MEAN, matching a criterion-style
-    * warmed-mean statistic (best-of-N would flatter the engine vs the
-    * reference harness); the best is emitted under its own explicit key. */
-  private def ingestRowsPerSec(spark: SparkSession): (Long, Long) = {
+    * pipeline. Returns the per-pass wall times of the warmed steady-state
+    * passes — the headline `ingest_rows_per_s` is the MEAN, matching a
+    * criterion-style warmed-mean statistic (best-of-N would flatter the
+    * engine vs the reference harness); the best and the raw pass times are
+    * emitted under their own explicit keys so a contended pass is visible
+    * in the artifact rather than silently averaged away. */
+  private def ingestRowsPerSec(spark: SparkSession): IngestResult = {
     try {
       val src = java.nio.file.Paths.get("/root/reference/testdata/logs.jsonl")
       val lines = java.nio.file.Files.readAllLines(src)
@@ -115,18 +146,18 @@ object Bench {
               graft.io.OtlpRead.jsonl(spark, graft.io.OtlpRead.Logs, landingDir.toString)),
             out, "otel_logs")
         pipeline(tmpDir.resolve("warmup").toString)
-        val times = (1 to 2).map { i =>
+        val times = (1 to 3).map { i =>
           val t0 = System.nanoTime()
           pipeline(tmpDir.resolve(s"out$i").toString)
           (System.nanoTime() - t0) / 1e9
         }
-        ((rows / (times.sum / times.length)).toLong, (rows / times.min).toLong)
+        IngestResult(rows, times)
       } finally {
         // ~600 MB/run of landing + output files otherwise accumulates in
         // /tmp across rounds (including FAILED rounds — hence finally) and
         // measurably degrades later ingest throughput
         graft.io.Storage.deleteRecursively(tmpDir.toFile)
       }
-    } catch { case _: Throwable => (-1L, -1L) }
+    } catch { case _: Throwable => IngestResult(-1L, Nil) }
   }
 }

@@ -29,10 +29,14 @@ object PlanAudit {
 
     if (which("plans")) {
       // pushdown / broadcast / codegen audit of the query surface
+      // q_bloom_join is deliberately absent: its eager localCheckpoint means
+      // explain() would run the whole query and then print only an opaque
+      // LogicalRDD scan — PlanSpec asserts its shape from the
+      // un-checkpointed pipeline pieces instead
       for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
           if Set("q_filter_time", "q_scan_project", "q_topk", "q5_region_revenue",
             "q_join_equi", "q1_pricing", "q3_top_orders",
-            "q_bloom_join", "q_cube", "q_approx_distinct").contains(name)) {
+            "q_cube", "q_approx_distinct").contains(name)) {
         println(s"\n======== $name ========")
         fn(spark, sfDir).explain("formatted")
       }
@@ -127,7 +131,16 @@ object PlanAudit {
         val hit = (got & exact).size
         println(f"[audit] recall@$k $name: ${hit.toDouble / exact.size}%.3f ($hit/${exact.size})")
       }
-      recallOf("sim_ann_lsh")(operators.Similarity.annLsh(spark, sfDir, k = k))
+      // LSH prints its candidate count per configuration next to recall —
+      // the two coordinates of every recall/cost point SCALE.md tabulates
+      for ((tables, radius) <- Seq((1, 1), (1, 2), (3, 1), (4, 1))) {
+        val cand = operators.Similarity.annLshCandidates(spark, sfDir,
+          probeRadius = radius, nTables = tables).count()
+        println(s"[audit] sim_ann_lsh tables=$tables radius=$radius candidates: $cand")
+        recallOf(s"sim_ann_lsh(tables=$tables, radius=$radius)")(
+          operators.Similarity.annLsh(spark, sfDir, k = k,
+            probeRadius = radius, nTables = tables))
+      }
       recallOf("sim_ann_ivf")(operators.Similarity.annIvf(spark, sfDir, k = k))
       recallOf("sim_ann_ivf_kmeans")(operators.Similarity.annIvfKmeans(spark, sfDir, k = k))
     }

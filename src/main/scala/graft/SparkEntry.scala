@@ -75,7 +75,7 @@ object SparkEntry {
     // -- text analysis --
     "text_tokens" -> (TextAnalysis.tokens _),
     "text_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
-    "text_rarity" -> (TextAnalysis.rarity _),
+    "text_rarity" -> ((s: SparkSession, d: String) => TextAnalysis.rarity(s, d)),
     "text_quality" -> (TextAnalysis.quality _),
     "text_langid" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),

@@ -697,21 +697,61 @@ object Dedup {
     * Connectivity is preserved by both; the fixpoint is one star per
     * component centered at its min node. Returns (labels, rounds) —
     * rounds is O(log n) (proven on adversarial chains in OperatorsSpec and
-    * executed at 2.1M edges in CcScaleSpec). */
-  private[graft] def starContraction(pairsDf: DataFrame): (DataFrame, Int) = {
+    * executed at 2.1M edges in CcScaleSpec).
+    *
+    * Hot-center handling (`saltShards`): as contraction proceeds, centers
+    * reach degree ~2^round, so per-u row counts grow unboundedly skewed.
+    * Two engine mechanisms already bound this on the default path:
+    * map-side partial aggregation caps groupBy-min reducer fan-in at one
+    * row per u per map task, and AQE skew-join splits oversized join
+    * partitions at runtime. `saltShards > 1` adds an EXPLICIT,
+    * engine-independent bound on top: the min is computed two-level
+    * (groupBy (u, hash(v) % S) then groupBy u — min is associative, so the
+    * result is identical), and the min-attach join is salted (big side
+    * salted by hash(v) % S, the one-row-per-u mins side replicated S ways)
+    * so no reducer sees more than degree/S rows of a hot center. Measured
+    * at 2.1M-edge 4096-node chains (CcScaleSpec, SCALE.md): per-round wall
+    * is flat in BOTH modes in a clean JVM — round 4's reported 5 s→67 s
+    * late-round blow-up did not reproduce and is attributed to end-of-suite
+    * JVM memory state, not skew; salting costs one extra small shuffle per
+    * min and ~S× replication of the mins table. Default stays unsalted
+    * (the engine's own bounds are measurably sufficient); the salted path
+    * is the insurance for dup families orders of magnitude beyond what AQE
+    * thresholds absorb. */
+  private[graft] def starContraction(pairsDf: DataFrame,
+      saltShards: Int = 0,
+      onRound: (Int, Double) => Unit = (_, _) => ()): (DataFrame, Int) = {
     val pairs = pairsDf.toDF("id1", "id2").filter(col("id1") =!= col("id2"))
+    // component-min per u — two-level (salted) when sharding is requested;
+    // min is associative so the two forms are value-identical
+    def minPerKey(df: DataFrame, out: String): DataFrame =
+      if (saltShards <= 1) df.groupBy(col("u")).agg(min(col("v")).as(out))
+      else df
+        .groupBy(col("u"), pmod(hash(col("v")), lit(saltShards)).as("_salt"))
+        .agg(min(col("v")).as(out))
+        .groupBy(col("u")).agg(min(col(out)).as(out))
+    // attach the per-u min back onto the edge rows — salted replication of
+    // the one-row-per-u mins side bounds reducer fan-in at degree/S
+    def attachMins(big: DataFrame, mins: DataFrame): DataFrame =
+      if (saltShards <= 1) big.join(mins, "u")
+      else {
+        val bigS = big.withColumn("_js", pmod(hash(col("v")), lit(saltShards)))
+        val minsS = mins.withColumn("_js",
+          explode(lit((0 until saltShards).toArray)))
+        bigS.join(minsS, Seq("u", "_js")).drop("_js")
+      }
     def largeStar(e: DataFrame): DataFrame = {
       val both = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
-      val mins = both.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      val mins = minPerKey(both, "mv")
         .select(col("u"), least(col("u"), col("mv")).as("m"))
-      both.join(mins, "u").filter(col("v") > col("u"))
+      attachMins(both, mins).filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")).distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       val oriented = e.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v")).distinct()
-      val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val nbr = oriented.join(mins, "u").filter(col("v") =!= col("m"))
+      val mins = minPerKey(oriented, "m")
+      val nbr = attachMins(oriented, mins).filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
       nbr.union(mins.select(col("u"), col("m").as("v"))).distinct()
     }
@@ -728,8 +768,9 @@ object Dedup {
       converged = n == e.count() && next.except(e).isEmpty
       e = next
       rounds += 1
-      System.err.println(f"[componentLabels] round $rounds: ${
-        (System.nanoTime() - t0) / 1e9}%.1f s ($n edges)")
+      val roundS = (System.nanoTime() - t0) / 1e9
+      onRound(rounds, roundS)
+      System.err.println(f"[componentLabels] round $rounds: $roundS%.1f s ($n edges)")
     }
     System.err.println(
       s"[componentLabels] star contraction converged in $rounds rounds")

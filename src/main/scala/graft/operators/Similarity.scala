@@ -177,14 +177,18 @@ object Similarity {
     * fixed-seed PRNG, shipped as a literal (nPlanes × dim) matrix (and
     * inlined into the DuckDB oracle SQL as double literals — Double.toString
     * round-trips, so both engines evaluate the same IEEE doubles). */
-  private[operators] def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(7)
+  private[operators] def hyperplanes(nPlanes: Int, dim: Int,
+      seed: Int = 7): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
   }
 
-  /** Random-hyperplane LSH signature (one bit per plane, packed to a long). */
-  def lshSignature(v: Column, nPlanes: Int = 6, dim: Int = 64): Column = {
-    val planes = hyperplanes(nPlanes, dim).map(_.toArray).toArray
+  /** Random-hyperplane LSH signature (one bit per plane, packed to a long).
+    * `seed` picks the hyperplane set — distinct seeds give the independent
+    * hash tables of multi-table LSH. */
+  def lshSignature(v: Column, nPlanes: Int = 6, dim: Int = 64,
+      seed: Int = 7): Column = {
+    val planes = hyperplanes(nPlanes, dim, seed).map(_.toArray).toArray
     val sigUdf = udf { (vec: Seq[Double]) =>
       var sig = 0L
       var p = 0
@@ -201,28 +205,37 @@ object Similarity {
     sigUdf(v)
   }
 
-  /** Multi-probe LSH ANN: each query searches its own signature bucket PLUS
-    * every bucket at Hamming distance 1 (flip each of the nPlanes bits) —
-    * the standard multi-probe trick: a true neighbor split across one
-    * hyperplane is recovered, for (nPlanes+1)× the candidate cost instead
-    * of 2^nPlanes. Probing stays an EQUI-join (queries explode to probe
-    * signatures, data keeps one signature each), so at fleet scale this is
-    * a broadcast of (queries × probes) against the bucketed table — no
-    * candidate pair is produced twice because probe signatures are distinct.
-    * Measured at sf0.1: recall@5 0.075 single-probe → with Hamming-1
-    * probing (see SCALE.md), per-query cost still O(probed buckets). */
+  /** All XOR masks within Hamming distance `radius` of 0, ascending — the
+    * multi-probe bucket set. nPlanes=6: radius 1 → 7 masks, radius 2 → 22. */
+  private[operators] def probeMasks(nPlanes: Int, radius: Int): Seq[Long] =
+    (0L until (1L << nPlanes)).filter(m => java.lang.Long.bitCount(m) <= radius)
+
+  /** Multi-table, multi-probe LSH ANN: `nTables` independent hyperplane
+    * sets (distinct PRNG seeds) each bucket the corpus; every query probes,
+    * in EACH table, its own signature bucket plus every bucket within
+    * Hamming distance `probeRadius` (bit-flip masks). A true neighbor is
+    * found if ANY table keeps it within the probe radius — the OR over
+    * independent tables is the classical LSH recall amplifier, and it buys
+    * recall linearly in candidate cost where deeper single-table radii pay
+    * combinatorially (C(nPlanes, r) new probes per radius step).
+    *
+    * Probing stays an EQUI-join on (table, signature) — queries explode to
+    * (table, probe-signature) rows, the corpus explodes to its nTables
+    * (table, signature) index entries — so at fleet scale this is a
+    * broadcast of (queries × tables × probes) against L bucketed index
+    * tables; candidates found by several tables collapse in one distinct.
+    *
+    * Recall@5 vs exact, measured at sf0.1 (PlanAudit, SCALE.md): 0.075
+    * single-probe → 0.300 at 1 table/radius 1 (7 probes, 1,810 candidates)
+    * → 0.500 at 1 table/radius 2 (22 probes, 5,517 candidates) → the
+    * default 4 tables/radius 1 reaches the shippable coarse tier at ~4× the
+    * radius-1 candidate count. Tables and radius are the two recall/cost
+    * knobs; tables amplify independent views, radius digs deeper per view. */
   def annLsh(spark: SparkSession, sfDir: String, k: Int = 5,
-      nQueries: Int = 8, nPlanes: Int = 6): DataFrame = {
-    val e = withVec(embeddings(spark, sfDir))
-      .withColumn("sig", lshSignature(col("v"), nPlanes))
-    val q = e.filter(col("vec_id") < nQueries)
-    val probes = q.withColumn("probe",
-      explode(array(col("sig") +:
-        (0 until nPlanes).map(p => col("sig").bitwiseXOR(lit(1L << p))): _*)))
-    val scored = broadcast(probes).as("q").join(e.as("e"),
-        col("q.probe") === col("e.sig") && col("q.vec_id") =!= col("e.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
-        cosine(col("q.v"), col("q.nrm"), col("e.v"), col("e.nrm")).as("cos"))
+      nQueries: Int = 8, nPlanes: Int = 6, probeRadius: Int = 1,
+      nTables: Int = 4): DataFrame = {
+    val scored = annLshCandidates(spark, sfDir, nQueries, nPlanes, probeRadius,
+      nTables)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -230,6 +243,38 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cos"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-table seed: table t's hyperplane set. Table 0 is the historical
+    * single-table seed, so nTables=1 reproduces the old signatures. */
+  private[operators] def tableSeed(t: Int): Int = 7 + 31 * t
+
+  /** The scored candidate set [[annLsh]] ranks — exposed so PlanAudit can
+    * report the candidate count (the cost side of the recall/cost point)
+    * without duplicating the probe pipeline. Distinct on the full row:
+    * a neighbor surfaced by several tables scores identically (same
+    * vectors, same IEEE dot product), so duplicates collapse exactly. */
+  private[graft] def annLshCandidates(spark: SparkSession, sfDir: String,
+      nQueries: Int = 8, nPlanes: Int = 6, probeRadius: Int = 1,
+      nTables: Int = 4): DataFrame = {
+    val tabled = withVec(embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until nTables).map(t =>
+          struct(lit(t).as("t"),
+            lshSignature(col("v"), nPlanes, seed = tableSeed(t)).as("s"))): _*))
+          .as("b"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("b.t").as("t"), col("b.s").as("sig"))
+    val probes = tabled.filter(col("vec_id") < nQueries)
+      .withColumn("probe",
+        explode(array(probeMasks(nPlanes, probeRadius)
+          .map(m => col("sig").bitwiseXOR(lit(m))): _*)))
+    broadcast(probes).as("q").join(tabled.as("e"),
+        col("q.t") === col("e.t") && col("q.probe") === col("e.sig") &&
+          col("q.vec_id") =!= col("e.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
+        cosine(col("q.v"), col("q.nrm"), col("e.v"), col("e.nrm")).as("cos"))
+      .distinct()
   }
 
   /** IVF-style ANN: coarse centroids = per-`label` mean vectors (stand-in for
@@ -408,9 +453,10 @@ object Similarity {
 
   /** `sig` SQL expression over a DOUBLE[] column `vcol`: one bit per
     * hyperplane, bit p set iff dot(v, plane_p) > 0 — identical accumulation
-    * order to [[lshSignature]] (list_dot_product is a left-to-right fold). */
-  private def sigSqlExpr(vcol: String, nPlanes: Int): String =
-    hyperplanes(nPlanes, 64).zipWithIndex.map { case (plane, p) =>
+    * order to [[lshSignature]] (list_dot_product is a left-to-right fold).
+    * `seed` selects the hyperplane set, mirroring [[tableSeed]]. */
+  private def sigSqlExpr(vcol: String, nPlanes: Int, seed: Int = 7): String =
+    hyperplanes(nPlanes, 64, seed).zipWithIndex.map { case (plane, p) =>
       val lit = plane.map(_.toString).mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product($vcol, $lit) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
@@ -430,25 +476,36 @@ object Similarity {
        |WHERE ${Tables.portableRound6Sql("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)")} >= $threshold
        |ORDER BY id1, id2""".stripMargin
 
-  /** DuckDB twin of [[annLsh]]. */
-  def annLshOracleSql(k: Int = 5, nQueries: Int = 8, nPlanes: Int = 6): String = {
-    // probe masks: the bucket itself plus each single-bit flip (Hamming ≤ 1)
-    val masks = (0L +: (0 until nPlanes).map(1L << _)).mkString("[", ", ", "]")
+  /** DuckDB twin of [[annLsh]]: per-table signature columns, a UNION ALL
+    * index CTE (one (table, sig) entry per vector per table — the same
+    * shape as the Spark side's explode), Hamming-`probeRadius` probe masks
+    * per table, and a DISTINCT over (query, neighbor, cos) to collapse
+    * candidates surfaced by several tables. */
+  def annLshOracleSql(k: Int = 5, nQueries: Int = 8, nPlanes: Int = 6,
+      probeRadius: Int = 1, nTables: Int = 4): String = {
+    val masks = probeMasks(nPlanes, probeRadius).mkString("[", ", ", "]")
+    val sigCols = (0 until nTables).map(t =>
+      s"${sigSqlExpr("v", nPlanes, tableSeed(t))} AS sig$t").mkString(",\n    ")
+    val index = (0 until nTables).map(t =>
+      s"SELECT vec_id, v, nrm, $t AS t, sig$t AS sig FROM n")
+      .mkString("\n  UNION ALL\n  ")
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
-       |    ${sigSqlExpr("v", nPlanes)} AS sig
+       |    $sigCols
        |  FROM e WHERE list_dot_product(v, v) > 0 AND NOT isnan(list_dot_product(v, v))
+       |), b AS (
+       |  $index
        |), pr AS (
-       |  SELECT vec_id, v, nrm, xor(sig, CAST(t.f AS BIGINT)) AS probe
-       |  FROM n, unnest($masks) AS t(f)
+       |  SELECT vec_id, v, nrm, t, xor(sig, CAST(m.f AS BIGINT)) AS probe
+       |  FROM b, unnest($masks) AS m(f)
        |  WHERE vec_id < $nQueries
        |), s AS (
-       |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |  SELECT DISTINCT q.vec_id AS query_id, x.vec_id AS neighbor_id,
        |    ${Tables.portableRound6Sql("list_dot_product(q.v, x.v) / (q.nrm * x.nrm)")} AS cos
-       |  FROM pr q JOIN n x
-       |    ON q.probe = x.sig AND q.vec_id <> x.vec_id
+       |  FROM pr q JOIN b x
+       |    ON q.t = x.t AND q.probe = x.sig AND q.vec_id <> x.vec_id
        |), r AS (
        |  SELECT query_id, neighbor_id, cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk

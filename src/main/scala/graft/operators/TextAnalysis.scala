@@ -370,16 +370,23 @@ object TextAnalysis {
     * standard corpus-curation axis next to [[quality]] and [[repetition]].
     *
     * Scale shape: one doc-frequency aggregate over exploded (token, doc)
-    * pairs — term-keyed, partial-combining — then a broadcast-joinable df
-    * table (|vocab| rows) back onto the explode. The df table is the only
-    * shared state; at web scale it broadcast-prunes to the query's vocab
-    * slice. Arithmetic is fixed-point: per-occurrence idf =
+    * pairs — term-keyed, partial-combining — then the df table (|vocab|
+    * rows) joins back onto the explode. The join strategy is SIZE-AWARE:
+    * |vocab| is corpus-dependent and open-ended (web-scale corpora reach
+    * billions of distinct tokens), so the df side is broadcast only when its
+    * measured row count is ≤ `broadcastVocabLimit` (default 2,000,000 rows ≈
+    * tens of MB — well inside executor memory); above the threshold the join
+    * falls back to a token-keyed shuffle join, which the explode side
+    * already partitions for. The vocab count is one small aggregate job over
+    * the already-shuffled df table, the same pattern as the `nDocs` probe.
+    * Arithmetic is fixed-point: per-occurrence idf =
     * ⌊N·10⁶/df⌋ (truncating integer division, identical on any engine),
     * summed as exact integers; only the final mean is one IEEE division.
     * Decimal division would NOT be portable here — engines disagree on the
     * quotient's derived scale. Long overflow bound: N·10⁶ ≤ 2⁶³ up to
     * N≈9×10¹² docs. */
-  def rarity(spark: SparkSession, sfDir: String): DataFrame = {
+  def rarity(spark: SparkSession, sfDir: String,
+             broadcastVocabLimit: Long = 2000000L): DataFrame = {
     val docs = documents(spark, sfDir)
     val nDocs = docs.count() // one tiny job; N is a literal in the oracle too
     val pairs = docs.select(col("doc_id"),
@@ -387,7 +394,14 @@ object TextAnalysis {
       .filter(col("tok") =!= "")
     val df = pairs.select(col("tok"), col("doc_id")).distinct()
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val joined = pairs.join(broadcast(df), "tok")
+    // size-aware join strategy: broadcast is a measured decision, not a hint
+    // baked into the plan regardless of |vocab|. hint("shuffle_hash") on the
+    // over-threshold path ALSO suppresses Spark's own size-estimated
+    // auto-broadcast, so the fallback genuinely exercises the shuffle join.
+    val dfSized =
+      if (df.count() <= broadcastVocabLimit) broadcast(df)
+      else df.hint("shuffle_hash")
+    val joined = pairs.join(dfSized, "tok")
     joined.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"),
         sum(expr(s"(${nDocs}L * 1000000L) div df")).as("sum_idf_scaled"),

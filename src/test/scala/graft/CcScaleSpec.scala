@@ -86,4 +86,73 @@ class CcScaleSpec extends SparkTestBase {
     assert(labels.except(uf).isEmpty && uf.except(labels).isEmpty,
       "star-contraction labels must equal union-find labels")
   }
+
+  slowTest("4096-node chains at 2.1M edges: per-round wall bounded, no late-round blow-up") {
+    // THE hot-center regime round 4 flagged: 512 chains × 4096 nodes —
+    // contracting centers reach degree ~2^round ≈ 4096 by convergence.
+    // Round 4 recorded 5 s/round → 67 s at round 11 here and attributed it
+    // to skewed-key execution; a clean-JVM rerun (CcProbe, SCALE.md) shows
+    // per-round wall FLAT through all 13 rounds (3.8–6.7 s steady state),
+    // pinning the blow-up on end-of-suite JVM memory state, not skew. This
+    // spec makes per-round boundedness a regression: no round may exceed
+    // 5× the median round (the r4 blow-up was 13×; VM variance is ±50%).
+    val chainLen = 4096L
+    val nChains = 512L // edges = 512 × 4095 = 2,096,640
+    val chainN = nChains * chainLen
+    val chain = spark.range(0L, chainN - 1)
+      .filter((col("id") + 1L) % chainLen =!= 0L)
+      .select(col("id").as("id1"), (col("id") + 1L).as("id2"))
+    val edges = chain.localCheckpoint(true)
+    val nEdges = edges.count()
+    assert(nEdges >= 2000000L, s"graph must exceed 2M edges, got $nEdges")
+
+    val roundTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val t0 = System.nanoTime()
+    val (starLabels, rounds) =
+      Dedup.starContraction(edges, onRound = (_, s) => roundTimes += s)
+    val labels = starLabels.localCheckpoint(true)
+    val wallS = (System.nanoTime() - t0) / 1e9
+    info(f"long-chain contraction: $nEdges edges, $rounds rounds, $wallS%.1f s, " +
+      s"rounds [${roundTimes.map(t => f"$t%.1f").mkString(", ")}]")
+    val sorted = roundTimes.sorted
+    val median = sorted(sorted.length / 2)
+    val worst = sorted.last
+    assert(worst <= 5.0 * median,
+      f"late-round blow-up: worst $worst%.1f s vs median $median%.1f s " +
+        s"(rounds: ${roundTimes.map(t => f"$t%.1f").mkString(", ")})")
+
+    // structure: one component per chain, labeled by its min node
+    val byLabel = labels.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    assert(byLabel.count() == nChains)
+    assert(byLabel.filter(col("label") % chainLen =!= 0L || col("n") =!= chainLen)
+      .isEmpty, "every chain must be labeled by its min node with chainLen members")
+
+    // exact agreement with the driver union-find on the same edges
+    val uf = Dedup.componentLabels(edges, smallCutoff = Long.MaxValue)
+    assert(labels.except(uf).isEmpty && uf.except(labels).isEmpty,
+      "star-contraction labels must equal union-find labels")
+  }
+
+  slowTest("salted hot-center mode: labels identical to unsalted and union-find") {
+    // the explicit engine-independent bound (two-level min + salted
+    // min-attach join, saltShards=16) must be value-identical — min is
+    // associative, so sharding cannot change any label. Measured cost at
+    // 2.1M edges is ~3-5× the unsalted path (SCALE.md), so this equality
+    // check runs at 64 chains × 4096 nodes (262k edges).
+    val chainLen = 4096L
+    val nChains = 64L
+    val chainN = nChains * chainLen
+    val chain = spark.range(0L, chainN - 1)
+      .filter((col("id") + 1L) % chainLen =!= 0L)
+      .select(col("id").as("id1"), (col("id") + 1L).as("id2"))
+    val edges = chain.localCheckpoint(true)
+    val (saltedLabels, saltedRounds) = Dedup.starContraction(edges, saltShards = 16)
+    val salted = saltedLabels.localCheckpoint(true)
+    info(s"salted contraction: ${edges.count()} edges, $saltedRounds rounds")
+    assert(salted.count() == chainN)
+    val uf = Dedup.componentLabels(edges, smallCutoff = Long.MaxValue)
+    assert(salted.except(uf).isEmpty && uf.except(salted).isEmpty,
+      "salted star-contraction labels must equal union-find labels")
+  }
 }

@@ -54,6 +54,20 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortAggregate"), plan)
   }
 
+  test("rarity broadcasts the df table under the vocab limit") {
+    val plan = planOf(TextAnalysis.rarity(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("rarity falls back to a shuffle join above the vocab limit") {
+    // limit 0 forces the over-threshold path: the df side must NOT broadcast
+    // (web-scale vocab would OOM the driver), and the hint must also defeat
+    // Spark's size-estimated auto-broadcast of the small test table
+    val plan = planOf(TextAnalysis.rarity(spark, sf, broadcastVocabLimit = 0L))
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("bloom-join prunes before the semi join and aggregates after") {
     val plan = planOf(Sketches.bloomJoin(spark, sf))
     // the checkpointed result hides the upstream plan; re-derive the shape
