@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AnyValueToJsonExpr, AttrsToJsonExpr, KmvBottomKAgg, VectorDotExpr}
+import graft.functions.{AnyValueToJsonExpr, AttrsToJsonExpr, KmvBottomKAgg, QsketchBottomKAgg, VectorDotExpr}
 
 /** The library's Catalyst extension point: registers the custom expressions
   * as SQL functions so `spark.sql` users get them too —
@@ -70,6 +70,21 @@ object GraftExtensions {
         // return the bare AggregateFunction — the analyzer wraps it in an
         // AggregateExpression, as with Spark's own registered aggregates
         KmvBottomKAgg(children.head, k)
+      }),
+    (FunctionIdentifier("qsketch_bottomk"),
+      info("qsketch_bottomk",
+        "qsketch_bottomk(hash, value, k) - deterministic bottom-k-by-hash quantile sample: value-sorted array<double>"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "qsketch_bottomk takes 3 arguments")
+        val kExpr = children(2)
+        require(kExpr.foldable, "qsketch_bottomk: k must be a literal")
+        val k = kExpr.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"qsketch_bottomk: k must be an integer literal, got $other")
+        }
+        QsketchBottomKAgg(children(0), children(1), k)
       })
   )
 

@@ -108,8 +108,10 @@ object SparkEntry {
 
     // -- sketches / scale statistics (round 4) --
     "q_approx_distinct" -> (Sketches.approxDistinctKmv _),
+    "q_approx_distinct_est" -> (Sketches.approxDistinctKmvEstimate _),
     "q_heavy_hitters" -> (Sketches.heavyHitters _),
     "q_median_disc" -> (Sketches.medianDisc _),
+    "q_approx_percentile" -> (Sketches.approxPercentile _),
     "q_bloom_join" -> (Sketches.bloomJoin _),
     "dedup_passage" -> (Dedup.passageDedup _),
     "text_inverted_index" -> (TextAnalysis.invertedIndex _),
@@ -477,8 +479,10 @@ object SparkEntry {
     "stream_enrich_join" -> graft.streaming.StreamGate.enrichJoinOracleSql,
 
     "q_approx_distinct" -> Sketches.approxDistinctKmvOracleSql,
+    "q_approx_distinct_est" -> Sketches.approxDistinctKmvEstimateOracleSql,
     "q_heavy_hitters" -> Sketches.heavyHittersOracleSql,
     "q_median_disc" -> Sketches.medianDiscOracleSql,
+    "q_approx_percentile" -> Sketches.approxPercentileOracleSql,
     "q_bloom_join" -> Sketches.bloomJoinOracleSql,
     "dedup_passage" -> Dedup.passageDedupOracleSql,
     "text_inverted_index" -> TextAnalysis.invertedIndexOracleSql,

@@ -61,6 +61,12 @@ object Sketches {
     * 100 TB shape; the window formulation this replaces sorted every
     * group's full distinct key set. (DuckDB's oracle recomputes the same
     * order statistic BY window — correct there, it sees 10⁴ rows.)
+    *
+    * NOTE: this gate form deliberately ALSO computes the exact
+    * `countDistinct` so the estimate's error is visible in the result —
+    * which means the gate query itself pays the exact-distinct shuffle the
+    * sketch exists to avoid. The operator a user reaches for at scale is
+    * [[approxDistinctKmvEstimate]], which carries sketch cost only.
     */
   def approxDistinctKmv(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = events(spark, sfDir)
@@ -113,13 +119,61 @@ object Sketches {
        |FROM n JOIN sk USING (event_type)
        |ORDER BY event_type""".stripMargin
 
+  /** Estimate-ONLY KMV distinct count — the scale-path variant of
+    * [[approxDistinctKmv]]: identical sketch, NO exact `countDistinct`
+    * alongside, so the whole plan is one partial/final ObjectHashAggregate
+    * over k-long sketches (nothing in the query is proportional to group
+    * cardinality). Under-k groups report `k_n` itself — the sketch then
+    * holds the group's entire distinct hash set, so the "estimate" is exact
+    * there by construction. This is the operator to use when the answer is
+    * wanted, not the error probe. */
+  def approxDistinctKmvEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    val h = ev.select(col("event_type"),
+      md5Lower63Udf(col("user_id").cast("string")).as("h"))
+    h.groupBy(col("event_type"))
+      .agg(graft.functions.KmvAggregate.kmvBottomK(col("h"), KmvK).as("kmv"))
+      .select(col("event_type"),
+        col("kmv.kth_hash").as("kth_hash"), col("kmv.k_n").as("k_n"),
+        when(col("kmv.k_n") < KmvK, col("kmv.k_n").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(9.223372036854775808e18) /
+            col("kmv.kth_hash").cast("double")).as("est_distinct"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[approxDistinctKmvEstimate]] — the same bottom-k order
+    * statistic with the under-k fallback to the kept-hash count. */
+  def approxDistinctKmvEstimateOracleSql: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
+       |    CAST(md5_number_lower(CAST(user_id AS VARCHAR)) & 9223372036854775807 AS BIGINT) AS h
+       |  FROM events
+       |), r AS (
+       |  SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM h
+       |), sk AS (
+       |  SELECT event_type, max(h) AS kth_hash, count(*) AS k_n
+       |  FROM r WHERE rn <= $KmvK GROUP BY event_type
+       |)
+       |SELECT event_type, kth_hash, k_n,
+       |  CASE WHEN k_n < $KmvK THEN CAST(k_n AS DOUBLE)
+       |       ELSE ${KmvK - 1}.0 * 9223372036854775808.0 / CAST(kth_hash AS DOUBLE)
+       |  END AS est_distinct
+       |FROM sk ORDER BY event_type""".stripMargin
+
   // ---- Heavy hitters / skew detection ----
 
   /** Keys whose frequency exceeds 6/5 of the mean — the pre-flight skew
     * probe for a planned shuffle on `user_id`. The flag predicate is pure
     * integer arithmetic (`5·c·U > 6·T` ⟺ c > 1.2·mean) so it is exact on
     * any engine; the reported `skew_ratio` (c·U/T, i.e. multiples of the
-    * mean) is one IEEE division.
+    * mean) is one IEEE division. The predicate's products are computed in
+    * DECIMAL(38,0): `5·n_events·n_users` exceeds a 64-bit long once
+    * count·cardinality passes ~1.8×10¹⁸ (e.g. 10¹⁰ events of one key ×
+    * 10⁹ keys — squarely the regime this probe targets), and non-ANSI
+    * Spark would WRAP silently where DuckDB promotes to HUGEINT; decimal
+    * is exact to 10³⁸ on both engines, beyond any physical dataset.
     *
     * Scale shape: one count-per-key aggregate (map-side partial combine) +
     * a single-row global total broadcast — O(distinct keys) state, no
@@ -131,9 +185,10 @@ object Sketches {
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
     val totals = counts.agg(
       count(lit(1)).as("n_users"), sum(col("n_events")).as("total_events"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     counts.crossJoin(broadcast(totals))
-      .filter(lit(5L) * col("n_events") * col("n_users") >
-        lit(6L) * col("total_events"))
+      .filter(lit(5L) * dec(col("n_events")) * dec(col("n_users")) >
+        lit(6L) * dec(col("total_events")))
       .select(col("user_id"), col("n_events"), col("n_users"),
         col("total_events"),
         (col("n_events") * col("n_users") /
@@ -152,7 +207,7 @@ object Sketches {
       |SELECT user_id, n_events, n_users, total_events,
       |  (n_events * n_users) / CAST(total_events AS DOUBLE) AS skew_ratio
       |FROM c, s
-      |WHERE 5 * n_events * n_users > 6 * total_events
+      |WHERE 5 * CAST(n_events AS HUGEINT) * n_users > 6 * CAST(total_events AS HUGEINT)
       |ORDER BY n_events DESC, user_id""".stripMargin
 
   // ---- Exact discrete percentiles ----
@@ -205,6 +260,100 @@ object Sketches {
       |FROM r GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---- Sketch percentiles (deterministic bottom-k-by-hash sample) ----
+
+  private val QsketchK = 256
+
+  /** Sketch-estimated p50/p95 of `l_extendedprice` per `l_returnflag` next
+    * to the exact longhand values and the realized relative error — the
+    * sketch sibling of [[medianDisc]] and the percentile twin of
+    * [[approxDistinctKmv]]'s error-probe shape.
+    *
+    * The sketch ([[graft.functions.QsketchBottomKAgg]], SQL
+    * `qsketch_bottomk(hash, value, k)`) keeps the k=256 rows with the
+    * smallest portable row-key hashes — a deterministic uniform sample —
+    * and the estimate applies the SAME ⌈q·n⌉ index rule as the exact side,
+    * over the sample. No RNG, no order sensitivity: the sample is a pure
+    * function of the row set, so DuckDB recomputes it exactly (rank by
+    * hash, keep k, identical index rule) — the property KLL/GK/t-digest
+    * compaction sketches cannot give (their state is arrival-order-
+    * dependent). Production tolerance tuning is just k; rank error is
+    * ~√(1/2k) ≈ 4% at k=256.
+    *
+    * Scale shape: the sketch side is one partial/final ObjectHashAggregate
+    * of k·16-byte states (PlanSpec-asserted) — the 100 TB path. The exact
+    * side (here, for error visibility) pays [[medianDisc]]'s per-group
+    * window sort; drop it and the query is pure sketch cost. */
+  def approxPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir)
+    val h = li.select(col("l_returnflag"), col("l_extendedprice"),
+      md5Lower63Udf(concat_ws("|",
+        col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"))).as("h"))
+    val sk = h.groupBy(col("l_returnflag"))
+      .agg(graft.functions.QsketchAggregate
+        .qsketchBottomK(col("h"), col("l_extendedprice"), QsketchK).as("sample"))
+      .select(col("l_returnflag"), size(col("sample")).cast("long").as("m_sample"),
+        element_at(col("sample"),
+          expr("(size(sample) + 1) div 2").cast("int")).as("est_p50"),
+        element_at(col("sample"),
+          expr("(19 * size(sample) + 19) div 20").cast("int")).as("est_p95"))
+    val exact = medianDisc(spark, sfDir)
+    sk.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("n"), col("m_sample"),
+        col("p50_disc"), col("est_p50"),
+        (abs(col("est_p50") - col("p50_disc")) / col("p50_disc")).as("rel_err_p50"),
+        col("p95_disc"), col("est_p95"),
+        (abs(col("est_p95") - col("p95_disc")) / col("p95_disc")).as("rel_err_p95"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** DuckDB twin of [[approxPercentile]]: the identical bottom-k-by-hash
+    * sample (DISTINCT (flag, hash, value), rank by (hash, value), keep k)
+    * and the identical longhand index rule on both the sample and the full
+    * data. */
+  def approxPercentileOracleSql: String =
+    s"""WITH src AS (
+       |  SELECT l_returnflag, l_extendedprice AS v,
+       |    CAST(md5_number_lower(
+       |      CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+       |    ) & 9223372036854775807 AS BIGINT) AS h
+       |  FROM lineitem
+       |), d AS (
+       |  SELECT DISTINCT l_returnflag, h, v FROM src
+       |), rk AS (
+       |  SELECT l_returnflag, v,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h, v) AS rn
+       |  FROM d
+       |), sm AS (
+       |  SELECT l_returnflag, v,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS vr,
+       |    count(*) OVER (PARTITION BY l_returnflag) AS m
+       |  FROM rk WHERE rn <= $QsketchK
+       |), est AS (
+       |  SELECT l_returnflag, CAST(max(m) AS BIGINT) AS m_sample,
+       |    max(CASE WHEN vr = (m + 1) // 2 THEN v END) AS est_p50,
+       |    max(CASE WHEN vr = (19 * m + 19) // 20 THEN v END) AS est_p95
+       |  FROM sm GROUP BY l_returnflag
+       |), ex AS (
+       |  SELECT l_returnflag, max(n) AS n,
+       |    max(CASE WHEN rn = (n + 1) // 2 THEN l_extendedprice END) AS p50_disc,
+       |    max(CASE WHEN rn = (19 * n + 19) // 20 THEN l_extendedprice END) AS p95_disc
+       |  FROM (
+       |    SELECT l_returnflag, l_extendedprice,
+       |      row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+       |      count(*) OVER (PARTITION BY l_returnflag) AS n
+       |    FROM lineitem
+       |  ) GROUP BY l_returnflag
+       |)
+       |SELECT e.l_returnflag, x.n, e.m_sample,
+       |  x.p50_disc, e.est_p50,
+       |  abs(e.est_p50 - x.p50_disc) / x.p50_disc AS rel_err_p50,
+       |  x.p95_disc, e.est_p95,
+       |  abs(e.est_p95 - x.p95_disc) / x.p95_disc AS rel_err_p95
+       |FROM est e JOIN ex x USING (l_returnflag)
+       |ORDER BY e.l_returnflag""".stripMargin
+
   // ---- Bloom-filter-pruned semi-join ----
 
   /** Revenue of lineitems belonging to URGENT orders, executed as the
@@ -227,7 +376,14 @@ object Sketches {
     val urgent = orders(spark, sfDir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    val bloom = urgent.stat.bloomFilter("o_orderkey", 4000L, 0.01)
+    // size the filter from the build side's MEASURED count (one small job
+    // over the already-filtered dimension, same pattern as rarity's vocab
+    // probe): a constant would saturate as sf grows — an over-full bloom's
+    // mightContain degrades toward always-true and the pruning stage
+    // silently becomes a no-op (still correct via the semi join, but the
+    // shuffle-reduction claim would vanish)
+    val bloom = urgent.stat.bloomFilter("o_orderkey",
+      math.max(urgent.count(), 1L), 0.01)
     val bloomB = spark.sparkContext.broadcast(bloom)
     val mightContain = udf { (k: Long) => bloomB.value.mightContainLong(k) }
     val pruned = lineitem(spark, sfDir)

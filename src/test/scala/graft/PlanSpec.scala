@@ -54,6 +54,19 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortAggregate"), plan)
   }
 
+  test("qsketch percentile sample plans as partial/final ObjectHashAggregate") {
+    val hashed = Tables.lineitem(spark, sf).select(col("l_returnflag"),
+      col("l_extendedprice"),
+      udf((s: String) => graft.functions.PortableHash.md5Lower63(s))
+        .apply(col("l_orderkey").cast("string")).as("h"))
+    val plan = planOf(hashed.groupBy(col("l_returnflag"))
+      .agg(graft.functions.QsketchAggregate
+        .qsketchBottomK(col("h"), col("l_extendedprice"), 256)))
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_qsketch_bottomk"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
+
   test("rarity broadcasts the df table under the vocab limit") {
     val plan = planOf(TextAnalysis.rarity(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan)
