@@ -98,7 +98,13 @@ object OtelQueries {
     * Output (one row per trace, TraceId-ordered): `n_spans`, `max_depth`
     * (0 if the trace has no null-parent root at all), `n_roots`,
     * `n_orphans`, and the earliest root's name + duration. */
-  def traceDepth(traces: DataFrame, maxDepth: Int = 64): DataFrame = {
+  /** BFS depth cap shared by [[traceDepth]] and its recursive-CTE oracle:
+    * spans deeper than this are reported as orphans BY CONTRACT (both
+    * engines apply the same cap, so the gate cannot silently diverge on
+    * pathologically deep traces). 64 is far beyond real call trees. */
+  val TraceMaxDepth = 64
+
+  def traceDepth(traces: DataFrame, maxDepth: Int = TraceMaxDepth): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spans = traces.select(col("TraceId"), col("SpanId"),
       col("ParentSpanId"), col("SpanName"), col("Timestamp"), col("Duration"))
@@ -326,6 +332,7 @@ object OtelQueries {
        |  SELECT s.TraceId, s.SpanId, b.depth + 1
        |  FROM t s JOIN d b
        |    ON s.TraceId = b.TraceId AND s.ParentSpanId = b.SpanId
+       |  WHERE b.depth < $TraceMaxDepth
        |), roots AS (
        |  SELECT TraceId, SpanName AS root_name, Duration AS root_duration_ns,
        |    row_number() OVER (PARTITION BY TraceId ORDER BY Timestamp, SpanId) AS rn

@@ -44,8 +44,16 @@ object StreamGate {
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
     // the file-stream source requires a directory or glob (a literal file
-    // path fails basePath inference) — the [s] glob matches exactly this file
-    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/event[s].parquet")
+    // path fails basePath inference) — the [s] glob matches exactly this file.
+    // maxFilesPerTrigger is pinned to MaxValue: every oracle twin's
+    // determinism argument (notably [[dedupKeysOracleSql]]'s "state never
+    // expires mid-replay") assumes the WHOLE replay lands in ONE micro-batch;
+    // if events.parquet ever becomes a multi-part directory, an inherited
+    // smaller setting would split the replay across batches, let watermark
+    // expiry drop dedup state between them, and make the gate flaky.
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", Int.MaxValue)
+      .parquet(s"$sfDir/event[s].parquet")
     schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

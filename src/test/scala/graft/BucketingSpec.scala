@@ -35,17 +35,60 @@ class BucketingSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS events_bucketed_test")
   }
 
+  test("bucketed events: per-user join runs with zero hash exchanges") {
+    spark.sql("DROP TABLE IF EXISTS events_bucketed_join_test")
+    Bucketing.writeEventsBucketed(spark, sf, "events_bucketed_join_test", buckets = 8)
+    // disable auto-broadcast: a BroadcastHashJoin would also be
+    // exchange-free but would prove nothing about the bucket layout — the
+    // claim under test is that BOTH the aggregate and the shuffle join
+    // inherit HashPartitioning(user_id) from the bucket spec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t = spark.table("events_bucketed_join_test")
+      val perUser = t.groupBy(org.apache.spark.sql.functions.col("user_id"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val joined = t.join(perUser, "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      val hashExchanges = plan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning"))
+      assert(hashExchanges == 0,
+        s"bucketed join should need no exchange on either side:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"join must be a shuffle-family join satisfied by buckets:\n$plan")
+      // and the numbers agree with the plain pipeline
+      val n = joined.count()
+      val plainEvents = operators.Tables.events(spark, sf).count()
+      assert(n == plainEvents, s"join must keep all $plainEvents events, got $n")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS events_bucketed_join_test")
+    }
+  }
+
   test("cluster-partitioned embeddings: probes prune to the probed lists") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-ivf-layout").toString + "/emb"
     Bucketing.writeEmbeddingsByCluster(spark, sf, path, k = 4, iters = 1)
 
     val probed = Bucketing.probeClusters(spark, path, Seq(0L, 2L))
-    // the cluster predicate must be a partition filter (pruned at listing
-    // time), not a post-scan data filter
+    // the cluster predicate must be a NON-EMPTY partition filter (pruned at
+    // listing time), not a post-scan data filter
     val scan = probed.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters") && scan.contains("cluster"),
-      s"cluster filter should prune partitions:\n$scan")
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(scan).isDefined,
+      s"cluster filter should appear inside PartitionFilters:\n$scan")
+    // and the pruning must be REAL: the scan's numFiles metric after
+    // execution counts only the probed clusters' files, strictly fewer
+    // than the directory holds across all 4 clusters
+    val scanExec = probed.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    probed.collect()
+    val filesRead = scanExec.metrics("numFiles").value
+    val totalFiles = spark.read.parquet(path).inputFiles.length
+    assert(filesRead > 0 && filesRead < totalFiles,
+      s"probe must read fewer files ($filesRead) than the table has ($totalFiles)")
 
     // probe result = exactly the vectors assigned to those clusters
     val assign = operators.Clustering.kmeans(spark, sf, k = 4, iters = 1)
