@@ -96,6 +96,7 @@ object SparkEntry {
     "otel_slow_spans" -> ((s: SparkSession, d: String) => OtelQueries.goldenSlowSpans(s, d)),
     "otel_trace_log_join" -> (OtelQueries.goldenTraceLogJoin _),
     "otel_hist_p95" -> (OtelQueries.goldenHistP95 _),
+    "otel_hist_p95_scale" -> ((s: SparkSession, d: String) => OtelQueries.histP95AtScale(s, d)),
     "otel_exp_hist_p95" -> (OtelQueries.goldenExpHistP95 _),
     "otel_gauge_hourly" -> (OtelQueries.goldenGaugeHourly _),
     "otel_sum_totals" -> (OtelQueries.goldenSumTotals _),
@@ -425,6 +426,7 @@ object SparkEntry {
     "otel_slow_spans" -> OtelQueries.goldenSlowSpansOracleSql,
     "otel_trace_log_join" -> OtelQueries.goldenTraceLogJoinOracleSql,
     "otel_hist_p95" -> OtelQueries.goldenHistP95OracleSql,
+    "otel_hist_p95_scale" -> OtelQueries.histP95AtScaleOracleSql(),
     "otel_exp_hist_p95" -> OtelQueries.goldenExpHistP95OracleSql,
     "otel_gauge_hourly" -> OtelQueries.goldenGaugeHourlyOracleSql,
     "otel_sum_totals" -> OtelQueries.goldenSumTotalsOracleSql,

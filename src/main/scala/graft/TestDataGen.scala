@@ -133,6 +133,57 @@ object TestDataGen {
     spans
   }
 
+  /** Deterministic sf-scale OTLP-histogram table, generated from
+    * `spark.range(n)` with PURE ARITHMETIC — no files, no RNG — so the
+    * DuckDB oracle regenerates the identical table from `range(n)` and the
+    * gate's hash compare covers a ≥10⁴-row histogram input (the golden
+    * `metrics_histogram` table the array-p95 query was first verified on
+    * has only 3 rows). Layout coverage by construction:
+    *
+    *   - bucket-count length rotates 1..8 (`id % 8` explicit bounds + the
+    *     +Inf overflow bucket; `id % 8 == 0` → NO explicit bounds, counts
+    *     = [overflow] only — every such row's p95 lands in overflow);
+    *   - every 97th row is the EMPTY histogram (both arrays zero-length —
+    *     the `sequence(1,0)` descending-range trap row);
+    *   - every 89th row has ALL-ZERO counts (total_count = 0);
+    *   - every 11th row is overflow-heavy (100 in the +Inf bucket) so p95
+    *     falls past the last explicit bound → NULL p95_bound;
+    *   - bound spacing varies per row (`10 + id % 13`).
+    *
+    * Schema matches the reference's histogram columns
+    * (`/root/reference/docs/reference.md:94-162`): `BucketCounts` BIGINT[],
+    * `ExplicitBounds` DOUBLE[], plus the generator's `hist_id`. */
+  def histograms(spark: org.apache.spark.sql.SparkSession,
+      n: Long = 10000L): org.apache.spark.sql.DataFrame =
+    spark.range(n).selectExpr(
+      "id AS hist_id",
+      """IF(id % 97 = 0 OR id % 8 = 0, array(),
+        |   transform(sequence(1, CAST(id % 8 AS INT)),
+        |     j -> CAST(j * (10 + id % 13) AS DOUBLE))) AS ExplicitBounds""".stripMargin,
+      """IF(id % 97 = 0, array(),
+        |   transform(sequence(1, CAST(id % 8 AS INT) + 1),
+        |     j -> IF(id % 89 = 0, 0L,
+        |          IF(id % 11 = 0 AND j = CAST(id % 8 AS INT) + 1, 100L,
+        |             (id * 31 + j * 17) % 5)))) AS BucketCounts""".stripMargin)
+
+  /** DuckDB CTE regenerating [[histograms]] bit-identically (same modulo
+    * arithmetic over non-negative ids — `%` agrees across engines there).
+    * Exposed so the oracle SQL and the Spark generator share one source of
+    * truth for the layout rules. */
+  def histogramsSqlCte(n: Long = 10000L): String =
+    s"""hist AS (
+       |  SELECT id AS hist_id,
+       |    CASE WHEN id % 97 = 0 OR id % 8 = 0 THEN CAST([] AS DOUBLE[])
+       |         ELSE list_transform(generate_series(1, CAST(id % 8 AS INT)),
+       |                j -> CAST(j * (10 + id % 13) AS DOUBLE)) END AS ExplicitBounds,
+       |    CASE WHEN id % 97 = 0 THEN CAST([] AS BIGINT[])
+       |         ELSE list_transform(generate_series(1, CAST(id % 8 AS INT) + 1),
+       |                j -> CAST(CASE WHEN id % 89 = 0 THEN 0
+       |                     WHEN id % 11 = 0 AND j = id % 8 + 1 THEN 100
+       |                     ELSE (id * 31 + j * 17) % 5 END AS BIGINT)) END AS BucketCounts
+       |  FROM range($n) t(id)
+       |)""".stripMargin
+
   /** CLI: TestDataGen <logs|traces> <dir> ... (defaults produce ~20k log
     * records / 8k spans — ≥200× the golden corpus). */
   def main(args: Array[String]): Unit = {

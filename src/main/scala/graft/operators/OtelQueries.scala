@@ -229,6 +229,52 @@ object OtelQueries {
         col("p95_idx"), col("p95_bound"))
       .orderBy(col("ts_us"), col("metric_name"), col("total_count"))
 
+  /** [[goldenHistP95]]'s per-row array-p95, at sf scale: the same
+    * cumulative-threshold rule (`20·cum ≥ 19·total`, pure integer — the
+    * engines agree bit-for-bit) over the 10⁴-row generated histogram table
+    * ([[graft.TestDataGen.histograms]]) whose layouts rotate through 1–8
+    * buckets, empty arrays, all-zero counts, and overflow-heavy rows. The
+    * golden table proved the operator on 3 real rows; this entry proves it
+    * per-row across every layout class at 10³× that volume. Still a pure
+    * scan+project map — no shuffle, the 100 TB shape. */
+  def histP95AtScale(spark: SparkSession, sfDirIgnored: String,
+      n: Long = 10000L): DataFrame =
+    graft.TestDataGen.histograms(spark, n)
+      .withColumn("total_count",
+        expr("aggregate(BucketCounts, 0L, (acc, x) -> acc + x)"))
+      .withColumn("p95_idx",
+        expr("""IF(size(BucketCounts) = 0, CAST(NULL AS BIGINT),
+               |CAST(filter(sequence(1, size(BucketCounts)),
+               |  i -> 20 * aggregate(slice(BucketCounts, 1, i), 0L,
+               |         (acc, x) -> acc + x) >= 19 * total_count)[0]
+               |AS BIGINT))""".stripMargin))
+      .withColumn("p95_bound",
+        expr("""IF(p95_idx <= size(ExplicitBounds),
+               |   try_element_at(ExplicitBounds, CAST(p95_idx AS INT)),
+               |   CAST(NULL AS DOUBLE))""".stripMargin))
+      .select(col("hist_id"), col("total_count"), col("p95_idx"), col("p95_bound"))
+      .orderBy(col("hist_id"))
+
+  /** DuckDB twin of [[histP95AtScale]]: the shared generation CTE + the
+    * golden oracle's list-cumulative rule. */
+  def histP95AtScaleOracleSql(n: Long = 10000L): String =
+    s"""WITH ${graft.TestDataGen.histogramsSqlCte(n)}
+       |SELECT hist_id,
+       |  CAST(coalesce(list_aggregate(BucketCounts, 'sum'), 0) AS BIGINT) AS total_count,
+       |  CAST(list_filter(generate_series(1, len(BucketCounts)),
+       |    i -> 20 * list_aggregate(BucketCounts[1:i], 'sum')
+       |         >= 19 * coalesce(list_aggregate(BucketCounts, 'sum'), 0))[1] AS BIGINT) AS p95_idx,
+       |  CASE WHEN list_filter(generate_series(1, len(BucketCounts)),
+       |         i -> 20 * list_aggregate(BucketCounts[1:i], 'sum')
+       |              >= 19 * coalesce(list_aggregate(BucketCounts, 'sum'), 0))[1]
+       |       <= len(ExplicitBounds)
+       |    THEN ExplicitBounds[CAST(list_filter(generate_series(1, len(BucketCounts)),
+       |           i -> 20 * list_aggregate(BucketCounts[1:i], 'sum')
+       |                >= 19 * coalesce(list_aggregate(BucketCounts, 'sum'), 0))[1] AS INT)]
+       |    ELSE CAST(NULL AS DOUBLE) END AS p95_bound
+       |FROM hist
+       |ORDER BY hist_id""".stripMargin
+
   /** p95 over the golden `metrics_exponential_histogram` table — the
     * exponential-bucket sibling of [[goldenHistP95]] (schema
     * docs/reference.md:94-162: `Scale`, `ZeroCount`, `PositiveOffset`,
