@@ -704,20 +704,26 @@ object Dedup {
     * Two engine mechanisms already bound this on the default path:
     * map-side partial aggregation caps groupBy-min reducer fan-in at one
     * row per u per map task, and AQE skew-join splits oversized join
-    * partitions at runtime. `saltShards > 1` adds an EXPLICIT,
-    * engine-independent bound on top: the min is computed two-level
-    * (groupBy (u, hash(v) % S) then groupBy u — min is associative, so the
-    * result is identical), and the min-attach join is salted (big side
-    * salted by hash(v) % S, the one-row-per-u mins side replicated S ways)
-    * so no reducer sees more than degree/S rows of a hot center. Measured
-    * at 2.1M-edge 4096-node chains (CcScaleSpec, SCALE.md): per-round wall
-    * is flat in BOTH modes in a clean JVM — round 4's reported 5 s→67 s
+    * partitions at runtime. `saltShards > 1` adds the EXPLICIT,
+    * engine-independent bound on top: the min is computed two-level —
+    * groupBy (u, hash(v) % S), then groupBy u — min is associative, so the
+    * result is identical and no reducer key ever aggregates more than
+    * (degree/S + partitions) rows even on an engine without map-side
+    * combine.
+    *
+    * Measured at 4096-node chains (CcProbe / CcScaleSpec, SCALE.md):
+    * per-round wall is FLAT in both modes in a clean JVM — 2.7–8.1 s/round
+    * over 13 rounds at 2.1M edges unsalted; round 4's reported 5 s→67 s
     * late-round blow-up did not reproduce and is attributed to end-of-suite
-    * JVM memory state, not skew; salting costs one extra small shuffle per
-    * min and ~S× replication of the mins table. Default stays unsalted
-    * (the engine's own bounds are measurably sufficient); the salted path
-    * is the insurance for dup families orders of magnitude beyond what AQE
-    * thresholds absorb. */
+    * JVM memory state, not skew. A third variant that ALSO salted the
+    * min-attach join (big side by hash(v) % S, mins replicated S ways) was
+    * built, measured, and REMOVED: it introduced its own late-round
+    * super-linear regime (~4×/round from round 10 — 3 s → 246 s by round
+    * 12 at just 262k edges, tracking the 2^round hot-center degree) where
+    * the plain join stays flat, so the join-side guard is left to AQE's
+    * runtime skew split rather than static replication. Default stays
+    * unsalted; the salted min is the insurance for engines/pipelines
+    * without map-side combine. */
   private[graft] def starContraction(pairsDf: DataFrame,
       saltShards: Int = 0,
       onRound: (Int, Double) => Unit = (_, _) => ()): (DataFrame, Int) = {
@@ -730,28 +736,18 @@ object Dedup {
         .groupBy(col("u"), pmod(hash(col("v")), lit(saltShards)).as("_salt"))
         .agg(min(col("v")).as(out))
         .groupBy(col("u")).agg(min(col(out)).as(out))
-    // attach the per-u min back onto the edge rows — salted replication of
-    // the one-row-per-u mins side bounds reducer fan-in at degree/S
-    def attachMins(big: DataFrame, mins: DataFrame): DataFrame =
-      if (saltShards <= 1) big.join(mins, "u")
-      else {
-        val bigS = big.withColumn("_js", pmod(hash(col("v")), lit(saltShards)))
-        val minsS = mins.withColumn("_js",
-          explode(lit((0 until saltShards).toArray)))
-        bigS.join(minsS, Seq("u", "_js")).drop("_js")
-      }
     def largeStar(e: DataFrame): DataFrame = {
       val both = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
       val mins = minPerKey(both, "mv")
         .select(col("u"), least(col("u"), col("mv")).as("m"))
-      attachMins(both, mins).filter(col("v") > col("u"))
+      both.join(mins, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")).distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       val oriented = e.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v")).distinct()
       val mins = minPerKey(oriented, "m")
-      val nbr = attachMins(oriented, mins).filter(col("v") =!= col("m"))
+      val nbr = oriented.join(mins, "u").filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
       nbr.union(mins.select(col("u"), col("m").as("v"))).distinct()
     }

@@ -135,11 +135,12 @@ class CcScaleSpec extends SparkTestBase {
   }
 
   slowTest("salted hot-center mode: labels identical to unsalted and union-find") {
-    // the explicit engine-independent bound (two-level min + salted
-    // min-attach join, saltShards=16) must be value-identical — min is
-    // associative, so sharding cannot change any label. Measured cost at
-    // 2.1M edges is ~3-5× the unsalted path (SCALE.md), so this equality
-    // check runs at 64 chains × 4096 nodes (262k edges).
+    // the explicit engine-independent bound (two-level groupBy-min,
+    // saltShards=16) must be value-identical — min is associative, so
+    // sharding cannot change any label. Measured flat per-round at this
+    // size (1.6–5.9 s × 13 rounds, CcProbe / SCALE.md); the variant that
+    // also salted the min-attach join was measured super-linear late-round
+    // and removed (see starContraction scaladoc).
     val chainLen = 4096L
     val nChains = 64L
     val chainN = nChains * chainLen
