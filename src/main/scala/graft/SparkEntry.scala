@@ -47,6 +47,8 @@ object SparkEntry {
     "q_running_total" -> (QuerySurface.runningTotal _),
     "q_event_rate" -> (QuerySurface.eventRate _),
     "q_outer_join" -> (QuerySurface.outerJoinDaily _),
+    "q_anti_join" -> (QuerySurface.antiJoin _),
+    "q_corr_subquery" -> (QuerySurface.corrSubquery _),
     "q_asof_join" -> (QuerySurface.asofJoin _),
     "q_range_join" -> ((s: SparkSession, d: String) => QuerySurface.rangeJoin(s, d)),
     // -- analytic headliners (bench workhorses) --
@@ -86,6 +88,7 @@ object SparkEntry {
     // -- dataset assembly --
     "sample_split" -> (Sampling.sampleSplit _),
     "sample_stratified" -> ((s: SparkSession, d: String) => Sampling.sampleStratified(s, d)),
+    "sample_weighted" -> ((s: SparkSession, d: String) => Sampling.sampleWeighted(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "cluster_kmeans" -> ((s: SparkSession, d: String) => Clustering.kmeans(s, d)),
     "dedup_decontaminate" -> ((s: SparkSession, d: String) => Sampling.decontaminate(s, d)),
@@ -228,6 +231,8 @@ object SparkEntry {
     "q_running_total" -> QuerySurface.runningTotalOracleSql,
     "q_event_rate" -> QuerySurface.eventRateOracleSql,
     "q_outer_join" -> QuerySurface.outerJoinDailyOracleSql,
+    "q_anti_join" -> QuerySurface.antiJoinOracleSql,
+    "q_corr_subquery" -> QuerySurface.corrSubqueryOracleSql,
 
     "text_top_terms" -> TextAnalysis.topTermsOracleSql(),
 
@@ -440,6 +445,7 @@ object SparkEntry {
     "dedup_cross" -> Dedup.crossDedupOracleSql(),
 
     "sample_stratified" -> Sampling.sampleStratifiedOracleSql(),
+    "sample_weighted" -> Sampling.sampleWeightedOracleSql(),
 
     "q_asof_join" ->
       """WITH e AS (

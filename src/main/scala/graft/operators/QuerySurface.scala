@@ -496,4 +496,72 @@ object QuerySurface {
     s"""SELECT l_linestatus, ${arm("A")}, ${arm("N")}, ${arm("R")}
        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** ANTI join — customers with no URGENT orders, summarized per nation
+    * (the TPC-H Q22 family; the retention/garbage-collection query shape:
+    * "which entities have no qualifying activity" — the predicate on the
+    * filter side keeps the result non-degenerate at every sf: every
+    * customer has SOME order, ~2% have no urgent one). `left_anti` keeps
+    * the probe side streaming: Spark broadcasts the filtered side when
+    * small and degrades to a shuffled anti-join on the key otherwise —
+    * never a subquery re-scan per row. Decimal-exact balance sum per
+    * [[Tables.exactSum]]. */
+  def antiJoin(spark: SparkSession, sfDir: String): DataFrame =
+    customer(spark, sfDir)
+      .join(orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        exactSum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy(col("c_nationkey"))
+
+  /** DuckDB twin of [[antiJoin]] (NOT EXISTS ≡ left anti join). */
+  def antiJoinOracleSql: String =
+    """SELECT c_nationkey, count(*) AS n_customers,
+      |  CAST(round(SUM(CAST(c_acctbal AS DECIMAL(28,4))), 2) AS DOUBLE) AS total_acctbal
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** Correlated-aggregate filter — lineitems whose quantity is below 20%
+    * of their part's average (the TPC-H Q17 shape: "small-quantity order
+    * revenue"). The correlated scalar subquery is DECORRELATED by hand
+    * into one per-part aggregate + an equi-join — the plan Catalyst's
+    * subquery rewrite produces, written explicitly so the join is visibly
+    * partial-aggregatable and key-partitioned (at 100 TB the per-part
+    * aggregate is map-side-combined and the join shuffles on the same
+    * key). The 20%-of-average predicate is evaluated in DECIMAL
+    * (`5·n·qty < sum_qty` — all-positive integer-scaled arithmetic, no
+    * division), so both engines decide every row identically; a raw
+    * `avg()` comparison would hinge on FP summation order. */
+  def corrSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir).select(col("l_partkey"),
+      col("l_quantity").cast("decimal(28,4)").as("qty"),
+      col("l_extendedprice"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_items"))
+    li.join(perPart, "l_partkey")
+      .filter(lit(5L) * col("qty") * col("n_items") < col("sum_qty"))
+      .agg(count(lit(1)).as("n_below"),
+        exactSum(col("l_extendedprice")).as("revenue_below"))
+  }
+
+  /** DuckDB twin of [[corrSubquery]] — the same hand-decorrelated form
+    * with the identical decimal predicate. */
+  def corrSubqueryOracleSql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(l_quantity AS DECIMAL(28,4)) AS qty,
+      |    l_extendedprice
+      |  FROM lineitem
+      |), pp AS (
+      |  SELECT l_partkey, SUM(qty) AS sum_qty, count(*) AS n_items
+      |  FROM li GROUP BY l_partkey
+      |)
+      |SELECT count(*) AS n_below,
+      |  CAST(round(SUM(CAST(li.l_extendedprice AS DECIMAL(28,4))), 2) AS DOUBLE) AS revenue_below
+      |FROM li JOIN pp USING (l_partkey)
+      |WHERE 5 * li.qty * pp.n_items < pp.sum_qty""".stripMargin
 }

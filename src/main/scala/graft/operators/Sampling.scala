@@ -159,6 +159,50 @@ object Sampling {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic WEIGHTED sampling — k documents per source, selection
+    * probability proportional to document size (priority sampling:
+    * priority = hash/weight, keep the k smallest priorities). The
+    * classical weighted-reservoir key (Efraimidis–Spirakis u^(1/w)) needs
+    * a pow — not cross-engine-portable and RNG-seeded; the integer form
+    * `⌊h/w⌋` (portable `div` ≡ DuckDB `//`, h = 63-bit md5 of the doc id)
+    * keeps the same size-biased ordering while being a pure function of
+    * the row set: no RNG, re-runs and engines agree row-for-row, and
+    * incremental arrival cannot reshuffle earlier picks.
+    *
+    * Scale shape: weight + priority are a map pass; the per-source top-k
+    * is one window over (source) — at fleet scale the same per-group
+    * top-k every `topTerms`-style query pays, and k rows per source is
+    * the only state that survives. */
+  def sampleWeighted(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val prio = documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        greatest(col("n_chars"), lit(1L)).as("weight"),
+        udf((id: Long) => PortableHash.md5Lower63("wsample:" + id.toString))
+          .apply(col("doc_id")).as("h"))
+      .withColumn("priority", expr("h div weight"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority"), col("doc_id"))
+    prio.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("doc_id"), col("weight"),
+        col("priority"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** DuckDB twin of [[sampleWeighted]] (`//` ≡ Spark `div`). */
+  def sampleWeightedOracleSql(k: Int = 10): String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id, greatest(n_chars, 1) AS weight,
+       |    CAST(md5_number_lower('wsample:' || doc_id) & 9223372036854775807 AS BIGINT) AS h
+       |  FROM documents
+       |), p AS (
+       |  SELECT source, doc_id, weight, h // weight AS priority,
+       |    row_number() OVER (PARTITION BY source ORDER BY h // weight, doc_id) AS rank
+       |  FROM d
+       |)
+       |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, weight, priority
+       |FROM p WHERE rank <= $k ORDER BY source, rank""".stripMargin
+
   /** Per-source mixture statistics for domain weighting: document/token
     * counts, distinct languages, exact-decimal mean quality score. One
     * small-key groupBy. */
