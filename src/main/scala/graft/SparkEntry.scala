@@ -49,6 +49,7 @@ object SparkEntry {
     "q_outer_join" -> (QuerySurface.outerJoinDaily _),
     "q_anti_join" -> (QuerySurface.antiJoin _),
     "q_corr_subquery" -> (QuerySurface.corrSubquery _),
+    "q_gap_fill" -> (QuerySurface.gapFill _),
     "q_asof_join" -> (QuerySurface.asofJoin _),
     "q_range_join" -> ((s: SparkSession, d: String) => QuerySurface.rangeJoin(s, d)),
     // -- analytic headliners (bench workhorses) --
@@ -233,6 +234,7 @@ object SparkEntry {
     "q_outer_join" -> QuerySurface.outerJoinDailyOracleSql,
     "q_anti_join" -> QuerySurface.antiJoinOracleSql,
     "q_corr_subquery" -> QuerySurface.corrSubqueryOracleSql,
+    "q_gap_fill" -> QuerySurface.gapFillOracleSql,
 
     "text_top_terms" -> TextAnalysis.topTermsOracleSql(),
 

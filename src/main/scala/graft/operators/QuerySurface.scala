@@ -564,4 +564,64 @@ object QuerySurface {
       |  CAST(round(SUM(CAST(li.l_extendedprice AS DECIMAL(28,4))), 2) AS DOUBLE) AS revenue_below
       |FROM li JOIN pp USING (l_partkey)
       |WHERE 5 * li.qty * pp.n_items < pp.sum_qty""".stripMargin
+
+  private val HourUs = 3600000000L
+
+  /** Time-series gap fill — the resample/densify operator every monitoring
+    * and feature pipeline needs: per event type, a COMPLETE hourly grid
+    * from the series' first to last hour (missing hours materialized, not
+    * skipped), each gap row carrying n=0, a gap flag, and the last
+    * observed hourly average carried FORWARD (the step-interpolation a
+    * dashboard or a training-feature join expects).
+    *
+    * Scale shape: the aggregate is an ordinary partial-combining groupBy;
+    * the grid is generated per KEY with `sequence` (grid size = time span
+    * ÷ bucket, independent of row count — generating it never touches the
+    * fact table); the fill is one window per series ordered by the grid.
+    * The forward-fill COPIES already-rounded decimal-exact averages
+    * (`last(..., ignoreNulls)` ≡ DuckDB `last_value(... IGNORE NULLS)`),
+    * so no new arithmetic is introduced and the result stays
+    * engine-portable. The first grid row per series is by construction an
+    * observed hour (the grid starts at min observed), so `last_avg` is
+    * never NULL. */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val series = events(spark, sfDir)
+      .groupBy(col("event_type"),
+        (expr(s"unix_micros(ts) div $HourUs") * lit(HourUs)).as("hour_us"))
+      .agg(count(lit(1)).as("n"), exactAvg(col("value")).as("avg_value"))
+    val grid = series.groupBy(col("event_type"))
+      .agg(min(col("hour_us")).as("mn"), max(col("hour_us")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), lit(HourUs))).as("hour_us"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
+    grid.join(series, Seq("event_type", "hour_us"), "left")
+      .select(col("event_type"), col("hour_us"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("n").isNull.as("is_gap"),
+        last(col("avg_value"), ignoreNulls = true).over(w).as("last_avg"))
+      .orderBy(col("event_type"), col("hour_us"))
+  }
+
+  /** DuckDB twin of [[gapFill]] (`generate_series` grid + `last_value
+    * IGNORE NULLS` forward fill — both engines copy the same rounded
+    * values). */
+  def gapFillOracleSql: String =
+    s"""WITH s AS (
+       |  SELECT event_type, (epoch_us(ts) // $HourUs) * $HourUs AS hour_us,
+       |    count(*) AS n,
+       |    ${Tables.exactAvgSql("value")} AS avg_value
+       |  FROM events GROUP BY 1, 2
+       |), b AS (
+       |  SELECT event_type, min(hour_us) AS mn, max(hour_us) AS mx
+       |  FROM s GROUP BY 1
+       |), g AS (
+       |  SELECT event_type, unnest(generate_series(mn, mx, $HourUs)) AS hour_us
+       |  FROM b
+       |)
+       |SELECT g.event_type, g.hour_us, coalesce(s.n, 0) AS n,
+       |  (s.n IS NULL) AS is_gap,
+       |  last_value(s.avg_value IGNORE NULLS)
+       |    OVER (PARTITION BY g.event_type ORDER BY g.hour_us) AS last_avg
+       |FROM g LEFT JOIN s USING (event_type, hour_us)
+       |ORDER BY g.event_type, g.hour_us""".stripMargin
 }

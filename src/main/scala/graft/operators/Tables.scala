@@ -103,6 +103,10 @@ object Tables {
   def exactAvg(c: Column): Column =
     portableRound6(sum(c.cast("decimal(28,6)")).cast("double") / count(c))
 
+  /** DuckDB twin of [[exactAvg]] as a SQL fragment over column `x`. */
+  def exactAvgSql(x: String): String =
+    portableRound6Sql(s"CAST(SUM(CAST($x AS DECIMAL(28,6))) AS DOUBLE) / COUNT($x)")
+
   /** Eagerly materialize `out` and release the intermediate caches it was
     * built from. Operators that `persist()` a mid-pipeline frame (self-join
     * inputs, signature tables) must not return a lazy plan that still
