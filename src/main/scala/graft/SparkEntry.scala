@@ -110,6 +110,7 @@ object SparkEntry {
     "stream_sessionize" -> (graft.streaming.StreamGate.sessionize _),
     "stream_dedup" -> (graft.streaming.StreamGate.dedupKeys _),
     "stream_enrich_join" -> (graft.streaming.StreamGate.enrichJoin _),
+    "stream_stream_join" -> (graft.streaming.StreamGate.streamStreamJoin _),
 
     // -- sketches / scale statistics (round 4) --
     "q_approx_distinct" -> (Sketches.approxDistinctKmv _),
@@ -487,6 +488,7 @@ object SparkEntry {
     "stream_sessionize" -> graft.streaming.StreamGate.sessionizeOracleSql,
     "stream_dedup" -> graft.streaming.StreamGate.dedupKeysOracleSql,
     "stream_enrich_join" -> graft.streaming.StreamGate.enrichJoinOracleSql,
+    "stream_stream_join" -> graft.streaming.StreamGate.streamStreamJoinOracleSql,
 
     "q_approx_distinct" -> Sketches.approxDistinctKmvOracleSql,
     "q_approx_distinct_est" -> Sketches.approxDistinctKmvEstimateOracleSql,

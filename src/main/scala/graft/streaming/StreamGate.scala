@@ -161,7 +161,59 @@ object StreamGate {
       .orderBy(col("window_start_us"), col("n_name"))
   }
 
+  /** STREAM-STREAM interval join over two replays of the event stream —
+    * the last streaming join pattern ([[enrichJoin]] covers stream ⋈
+    * static): purchases join errors by the same user within ±30 minutes
+    * of event time. Both sides carry watermarks and the join condition
+    * carries the time interval, which is exactly what lets Spark BOUND the
+    * join state: each side's rows are dropped once the other side's
+    * watermark passes their `ts` + interval — without the time bound the
+    * state is "all rows ever seen" and the join cannot run forever.
+    *
+    * Determinism: INNER stream-stream joins emit a pair the micro-batch
+    * both halves have arrived in; with the whole replay in one
+    * AvailableNow batch every matching pair is emitted there, so the
+    * result is the plain batch interval join — a pure function of the
+    * data, which the DuckDB twin recomputes directly. */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val e = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val joined = p.join(e,
+      col("user_id") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("e_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
+    runToMemory(spark, joined.select(col("user_id"),
+        col("purchase_id"), col("error_id"),
+        unix_micros(col("p_ts")).as("purchase_ts_us"),
+        unix_micros(col("e_ts")).as("error_ts_us")))
+      .orderBy(col("user_id"), col("purchase_id"), col("error_id"))
+  }
+
   // ---- DuckDB twins --------------------------------------------------------
+
+  /** DuckDB twin of [[streamStreamJoin]]: the plain batch interval join
+    * (single-batch replay ⇒ the stream emits every matching pair). */
+  def streamStreamJoinOracleSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+      |  FROM events WHERE event_type = 'purchase'
+      |), e AS (
+      |  SELECT user_id, event_id AS error_id, epoch_us(ts) AS e_us
+      |  FROM events WHERE event_type = 'error'
+      |)
+      |SELECT p.user_id, p.purchase_id, e.error_id,
+      |  p.p_us AS purchase_ts_us, e.e_us AS error_ts_us
+      |FROM p JOIN e ON p.user_id = e.user_id
+      |  AND e.e_us BETWEEN p.p_us - 1800000000 AND p.p_us + 1800000000
+      |ORDER BY p.user_id, p.purchase_id, e.error_id""".stripMargin
 
   /** DuckDB twin of [[enrichJoin]]: the batch join + the same
     * watermark-passed window subset. */
