@@ -50,6 +50,7 @@ object SparkEntry {
     "q_anti_join" -> (QuerySurface.antiJoin _),
     "q_corr_subquery" -> (QuerySurface.corrSubquery _),
     "q_gap_fill" -> (QuerySurface.gapFill _),
+    "q_moving_avg" -> (QuerySurface.movingAvg _),
     "q_asof_join" -> (QuerySurface.asofJoin _),
     "q_range_join" -> ((s: SparkSession, d: String) => QuerySurface.rangeJoin(s, d)),
     // -- analytic headliners (bench workhorses) --
@@ -101,6 +102,7 @@ object SparkEntry {
     "otel_trace_log_join" -> (OtelQueries.goldenTraceLogJoin _),
     "otel_hist_p95" -> (OtelQueries.goldenHistP95 _),
     "otel_hist_p95_scale" -> ((s: SparkSession, d: String) => OtelQueries.histP95AtScale(s, d)),
+    "otel_exp_hist_p95_scale" -> ((s: SparkSession, d: String) => OtelQueries.expHistP95AtScale(s, d)),
     "otel_exp_hist_p95" -> (OtelQueries.goldenExpHistP95 _),
     "otel_gauge_hourly" -> (OtelQueries.goldenGaugeHourly _),
     "otel_sum_totals" -> (OtelQueries.goldenSumTotals _),
@@ -236,6 +238,7 @@ object SparkEntry {
     "q_anti_join" -> QuerySurface.antiJoinOracleSql,
     "q_corr_subquery" -> QuerySurface.corrSubqueryOracleSql,
     "q_gap_fill" -> QuerySurface.gapFillOracleSql,
+    "q_moving_avg" -> QuerySurface.movingAvgOracleSql,
 
     "text_top_terms" -> TextAnalysis.topTermsOracleSql(),
 
@@ -435,6 +438,7 @@ object SparkEntry {
     "otel_trace_log_join" -> OtelQueries.goldenTraceLogJoinOracleSql,
     "otel_hist_p95" -> OtelQueries.goldenHistP95OracleSql,
     "otel_hist_p95_scale" -> OtelQueries.histP95AtScaleOracleSql(),
+    "otel_exp_hist_p95_scale" -> OtelQueries.expHistP95AtScaleOracleSql(),
     "otel_exp_hist_p95" -> OtelQueries.goldenExpHistP95OracleSql,
     "otel_gauge_hourly" -> OtelQueries.goldenGaugeHourlyOracleSql,
     "otel_sum_totals" -> OtelQueries.goldenSumTotalsOracleSql,

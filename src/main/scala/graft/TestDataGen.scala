@@ -184,6 +184,47 @@ object TestDataGen {
        |  FROM range($n) t(id)
        |)""".stripMargin
 
+  /** Deterministic sf-scale EXPONENTIAL-histogram table — the
+    * [[histograms]] sibling for the OTLP exponential form
+    * (`/root/reference/docs/reference.md:94-162`: `Scale`, `ZeroCount`,
+    * `PositiveOffset`, `PositiveBucketCounts`). Layout coverage:
+    *
+    *   - scale rotates −2..5 (`id % 8 − 2` — negative scales = coarse
+    *     power-of-4/16 buckets are legal and exercised);
+    *   - positive-bucket count rotates 0..6 (`id % 7`; 0 → zero-count-only
+    *     rows whose p95 falls in the zero bucket);
+    *   - every 83rd row is fully EMPTY (zero count 0, no buckets);
+    *   - every 13th row is tail-heavy (count 90 in the LAST positive
+    *     bucket) so p95 lands at the highest index;
+    *   - `PositiveOffset` varies −20..19 (`id % 40 − 20`).
+    */
+  def expHistograms(spark: org.apache.spark.sql.SparkSession,
+      n: Long = 10000L): org.apache.spark.sql.DataFrame =
+    spark.range(n).selectExpr(
+      "id AS hist_id",
+      "CAST(id % 8 - 2 AS INT) AS Scale",
+      "IF(id % 83 = 0, 0L, 1L + id % 5) AS ZeroCount",
+      "CAST(id % 40 - 20 AS BIGINT) AS PositiveOffset",
+      """IF(id % 83 = 0 OR id % 7 = 0, array(),
+        |   transform(sequence(1, CAST(id % 7 AS INT)),
+        |     j -> IF(id % 13 = 0 AND j = CAST(id % 7 AS INT), 90L,
+        |             (id * 29 + j * 11) % 6))) AS PositiveBucketCounts""".stripMargin)
+
+  /** DuckDB CTE regenerating [[expHistograms]] bit-identically. */
+  def expHistogramsSqlCte(n: Long = 10000L): String =
+    s"""ehist AS (
+       |  SELECT id AS hist_id,
+       |    CAST(id % 8 - 2 AS INT) AS Scale,
+       |    CAST(CASE WHEN id % 83 = 0 THEN 0 ELSE 1 + id % 5 END AS BIGINT) AS ZeroCount,
+       |    CAST(id % 40 - 20 AS BIGINT) AS PositiveOffset,
+       |    CASE WHEN id % 83 = 0 OR id % 7 = 0 THEN CAST([] AS BIGINT[])
+       |         ELSE list_transform(generate_series(1, CAST(id % 7 AS INT)),
+       |                j -> CAST(CASE WHEN id % 13 = 0 AND j = id % 7 THEN 90
+       |                     ELSE (id * 29 + j * 11) % 6 END AS BIGINT)) END
+       |      AS PositiveBucketCounts
+       |  FROM range($n) t(id)
+       |)""".stripMargin
+
   /** CLI: TestDataGen <logs|traces> <dir> ... (defaults produce ~20k log
     * records / 8k spans — ≥200× the golden corpus). */
   def main(args: Array[String]): Unit = {

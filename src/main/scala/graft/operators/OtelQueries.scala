@@ -275,6 +275,52 @@ object OtelQueries {
        |FROM hist
        |ORDER BY hist_id""".stripMargin
 
+  /** [[goldenExpHistP95]]'s integer p95 rule at sf scale, over the
+    * generated 10⁴-row exponential-histogram table
+    * ([[graft.TestDataGen.expHistograms]]): scales −2..5, zero-bucket-only
+    * rows, empty rows, tail-heavy rows, varying offsets. Same pure-integer
+    * per-row map as the golden form. */
+  def expHistP95AtScale(spark: SparkSession, sfDirIgnored: String,
+      n: Long = 10000L): DataFrame =
+    graft.TestDataGen.expHistograms(spark, n)
+      .select(col("hist_id"), col("Scale").as("scale"),
+        col("ZeroCount").as("zc"), col("PositiveOffset").as("pos_off"),
+        col("PositiveBucketCounts").as("pbc"))
+      .withColumn("total_count",
+        expr("zc + aggregate(pbc, 0L, (acc, x) -> acc + x)"))
+      .withColumn("p95_idx",
+        expr("""CAST(coalesce(
+               |  try_element_at(filter(sequence(0, size(pbc)),
+               |    i -> 20 * (zc + aggregate(slice(pbc, 1, i), 0L,
+               |           (acc, x) -> acc + x)) >= 19 * total_count), 1),
+               |  -1L) AS BIGINT)""".stripMargin))
+      .withColumn("p95_log2_scaled",
+        expr("IF(p95_idx > 0, pos_off + p95_idx, CAST(NULL AS BIGINT))"))
+      .select(col("hist_id"), col("scale"), col("total_count"),
+        col("p95_idx"), col("p95_log2_scaled"))
+      .orderBy(col("hist_id"))
+
+  /** DuckDB twin of [[expHistP95AtScale]]: shared generation CTE + the
+    * golden exp-hist oracle's list rule. */
+  def expHistP95AtScaleOracleSql(n: Long = 10000L): String =
+    s"""WITH ${graft.TestDataGen.expHistogramsSqlCte(n)}
+       |SELECT hist_id, Scale AS scale,
+       |  CAST(ZeroCount + coalesce(list_aggregate(PositiveBucketCounts, 'sum'), 0) AS BIGINT) AS total_count,
+       |  CAST(coalesce(list_filter(generate_series(0, len(PositiveBucketCounts)),
+       |    i -> 20 * (ZeroCount + coalesce(list_aggregate(PositiveBucketCounts[1:i], 'sum'), 0))
+       |         >= 19 * (ZeroCount + coalesce(list_aggregate(PositiveBucketCounts, 'sum'), 0)))[1],
+       |    -1) AS BIGINT) AS p95_idx,
+       |  CASE WHEN coalesce(list_filter(generate_series(0, len(PositiveBucketCounts)),
+       |    i -> 20 * (ZeroCount + coalesce(list_aggregate(PositiveBucketCounts[1:i], 'sum'), 0))
+       |         >= 19 * (ZeroCount + coalesce(list_aggregate(PositiveBucketCounts, 'sum'), 0)))[1],
+       |    -1) > 0
+       |    THEN PositiveOffset + coalesce(list_filter(generate_series(0, len(PositiveBucketCounts)),
+       |      i -> 20 * (ZeroCount + coalesce(list_aggregate(PositiveBucketCounts[1:i], 'sum'), 0))
+       |           >= 19 * (ZeroCount + coalesce(list_aggregate(PositiveBucketCounts, 'sum'), 0)))[1], -1)
+       |    ELSE CAST(NULL AS BIGINT) END AS p95_log2_scaled
+       |FROM ehist
+       |ORDER BY hist_id""".stripMargin
+
   /** p95 over the golden `metrics_exponential_histogram` table — the
     * exponential-bucket sibling of [[goldenHistP95]] (schema
     * docs/reference.md:94-162: `Scale`, `ZeroCount`, `PositiveOffset`,

@@ -602,6 +602,56 @@ object QuerySurface {
       .orderBy(col("event_type"), col("hour_us"))
   }
 
+  private val DayUs = 86400000000L
+
+  /** RANGE-frame moving average — the 7-day rolling mean of daily totals
+    * per event type, the smoothing window every metrics dashboard and
+    * trend feature computes. The frame is a RANGE (value-based: all days
+    * within 6 days before the current row), not ROWS: on a series with
+    * missing days the ROWS form silently averages over a *wider* time
+    * span, which is the classic moving-average bug — RANGE keeps the
+    * window anchored to time.
+    *
+    * Scale shape: the daily aggregate is an ordinary partial-combining
+    * groupBy; the window then runs over the AGGREGATED series (days ×
+    * types, orders of magnitude smaller than the events). The frame sum
+    * re-casts the day totals to DECIMAL so a frame's sum is
+    * order-independent — a double frame-sum's association order is
+    * engine-internal. */
+  def movingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = events(spark, sfDir)
+      .groupBy(col("event_type"),
+        (expr(s"unix_micros(ts) div $DayUs") * lit(DayUs)).as("day_us"))
+      .agg(exactSum(col("value")).as("day_total"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_us"))
+      .rangeBetween(-6L * DayUs, 0L)
+    daily
+      .withColumn("n_days", count(lit(1)).over(w))
+      .withColumn("ma7", Tables.portableRound6(
+        sum(col("day_total").cast("decimal(28,6)")).over(w).cast("double") /
+          col("n_days")))
+      .select(col("event_type"), col("day_us"), col("day_total"),
+        col("n_days"), col("ma7"))
+      .orderBy(col("event_type"), col("day_us"))
+  }
+
+  /** DuckDB twin of [[movingAvg]] — identical RANGE frame over µs longs,
+    * identical decimal frame sum. */
+  def movingAvgOracleSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, (epoch_us(ts) // $DayUs) * $DayUs AS day_us,
+       |    CAST(round(SUM(CAST(value AS DECIMAL(28,4))), 2) AS DOUBLE) AS day_total
+       |  FROM events GROUP BY 1, 2
+       |)
+       |SELECT event_type, day_us, day_total,
+       |  COUNT(*) OVER w AS n_days,
+       |  ${Tables.portableRound6Sql(
+            "CAST(SUM(CAST(day_total AS DECIMAL(28,6))) OVER w AS DOUBLE) / (COUNT(*) OVER w)")} AS ma7
+       |FROM daily
+       |WINDOW w AS (PARTITION BY event_type ORDER BY day_us
+       |  RANGE BETWEEN ${6L * DayUs} PRECEDING AND CURRENT ROW)
+       |ORDER BY event_type, day_us""".stripMargin
+
   /** DuckDB twin of [[gapFill]] (`generate_series` grid + `last_value
     * IGNORE NULLS` forward fill — both engines copy the same rounded
     * values). */

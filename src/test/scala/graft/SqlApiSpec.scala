@@ -107,4 +107,34 @@ class SqlApiSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("sortaggregate") || plan.contains("ObjectHashAggregate"),
       s"sketch must not require sorting every group:\n$plan")
   }
+
+  test("qsketch_bottomk aggregate: SQL == Column API == brute-force sample") {
+    GraftExtensions.register(spark)
+    register()
+    import org.apache.spark.sql.functions._
+    val hashed = Tables.events(spark, sf).select(col("event_type"),
+      col("value"),
+      udf((s: String) => graft.functions.PortableHash.md5Lower63(s))
+        .apply(col("event_id").cast("string")).as("h"))
+    hashed.createOrReplaceTempView("qsketch_events")
+    val viaSql = spark.sql(
+      """SELECT event_type, qsketch_bottomk(h, value, 16) AS sample
+        |FROM qsketch_events GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .collect()
+    val viaCol = hashed.groupBy(col("event_type"))
+      .agg(graft.functions.QsketchAggregate
+        .qsketchBottomK(col("h"), col("value"), 16).as("sample"))
+      .orderBy(col("event_type")).collect()
+    assert(viaSql.map(_.toSeq.toList).toList == viaCol.map(_.toSeq.toList).toList)
+    // brute force: values of the 16 smallest (h, value) pairs, value-sorted
+    val brute = hashed.collect()
+      .groupBy(_.getString(0)).view.mapValues { rows =>
+        rows.map(r => (r.getLong(2), r.getDouble(1))).distinct
+          .sortBy(identity).take(16).map(_._2).sorted.toList
+      }.toMap
+    viaSql.foreach { r =>
+      assert(r.getSeq[Double](1).toList == brute(r.getString(0)),
+        s"sample mismatch for ${r.getString(0)}")
+    }
+  }
 }
