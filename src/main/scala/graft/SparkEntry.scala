@@ -51,6 +51,9 @@ object SparkEntry {
     "q_corr_subquery" -> (QuerySurface.corrSubquery _),
     "q_gap_fill" -> (QuerySurface.gapFill _),
     "q_moving_avg" -> (QuerySurface.movingAvg _),
+    "q_semi_join" -> (QuerySurface.semiJoin _),
+    "q_grouping_sets" -> (QuerySurface.groupingSets _),
+    "q_session_window" -> (QuerySurface.sessionWindow _),
     "q_asof_join" -> (QuerySurface.asofJoin _),
     "q_range_join" -> ((s: SparkSession, d: String) => QuerySurface.rangeJoin(s, d)),
     // -- analytic headliners (bench workhorses) --
@@ -239,6 +242,9 @@ object SparkEntry {
     "q_corr_subquery" -> QuerySurface.corrSubqueryOracleSql,
     "q_gap_fill" -> QuerySurface.gapFillOracleSql,
     "q_moving_avg" -> QuerySurface.movingAvgOracleSql,
+    "q_semi_join" -> QuerySurface.semiJoinOracleSql,
+    "q_grouping_sets" -> QuerySurface.groupingSetsOracleSql,
+    "q_session_window" -> QuerySurface.sessionWindowOracleSql,
 
     "text_top_terms" -> TextAnalysis.topTermsOracleSql(),
 

@@ -602,7 +602,119 @@ object QuerySurface {
       .orderBy(col("event_type"), col("hour_us"))
   }
 
+  /** SEMI join — orders with at least one heavy lineitem (>48 qty),
+    * summarized per priority. `left_semi` is the EXISTS shape that
+    * returns each left row at most once with no right-side columns: the
+    * probe never duplicates rows (an inner join + distinct would shuffle
+    * the duplicates first), and the filtered build side broadcasts when
+    * small. Complements [[antiJoin]] (NOT EXISTS) and the bloom-pruned
+    * variant ([[Sketches.bloomJoin]], which adds the pre-shuffle runtime
+    * filter on top of this exact shape). */
+  def semiJoin(spark: SparkSession, sfDir: String): DataFrame =
+    orders(spark, sfDir)
+      .join(lineitem(spark, sfDir)
+          .filter(col("l_quantity") > lit(48.0)).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+
+  /** DuckDB twin of [[semiJoin]] (EXISTS ≡ left semi join). */
+  def semiJoinOracleSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 2) AS DOUBLE) AS total_price
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48.0)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   private val DayUs = 86400000000L
+
+  /** Explicit GROUPING SETS — the chosen-subset lattice between
+    * [[rollupCounts]] (prefix sets) and [[cubeCounts]] (all 2^k sets):
+    * per (type, day), per type, and the grand total — skipping the
+    * per-day-across-types set a CUBE would also pay for. Spark compiles
+    * it to the same single-scan Expand + partial hash aggregate; grouping
+    * flags disambiguate the NULL meaning ("aggregated over" vs a null
+    * value). Issued through `spark.sql` over the normalized events view —
+    * GROUPING SETS has no DataFrame-API form, and the SQL front end IS
+    * part of the engine's surface (SqlApiSpec). */
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    events(spark, sfDir).createOrReplaceTempView("graft_gs_events")
+    spark.sql(
+      s"""SELECT event_type,
+         |  (unix_micros(ts) div $DayUs) * $DayUs AS day_us,
+         |  CAST(grouping(event_type) AS INT) AS g_type,
+         |  CAST(grouping((unix_micros(ts) div $DayUs) * $DayUs) AS INT) AS g_day,
+         |  count(*) AS n
+         |FROM graft_gs_events
+         |GROUP BY GROUPING SETS (
+         |  (event_type, (unix_micros(ts) div $DayUs) * $DayUs),
+         |  (event_type), ())
+         |ORDER BY g_type, g_day, event_type, day_us""".stripMargin)
+  }
+
+  /** DuckDB twin of [[groupingSets]]. */
+  def groupingSetsOracleSql: String =
+    s"""SELECT event_type,
+       |  (epoch_us(ts) // $DayUs) * $DayUs AS day_us,
+       |  CAST(GROUPING(event_type) AS INT) AS g_type,
+       |  CAST(GROUPING((epoch_us(ts) // $DayUs) * $DayUs) AS INT) AS g_day,
+       |  count(*) AS n
+       |FROM events
+       |GROUP BY GROUPING SETS (
+       |  (event_type, (epoch_us(ts) // $DayUs) * $DayUs),
+       |  (event_type), ())
+       |ORDER BY g_type, g_day, event_type, day_us""".stripMargin
+
+  /** Native `session_window` aggregation — Spark's own sessionization
+    * operator (one groupBy over a dynamic-gap window, merged internally)
+    * instead of the gaps-and-islands window formulation ([[sessionize]]):
+    * per (user, session) event counts with the session's [start, end+gap)
+    * bounds. One shuffle on the session key, sessions merge in the
+    * aggregate — no per-user global sort, which is exactly why the native
+    * operator is the 100 TB form of this query. The oracle recomputes the
+    * same sessions longhand (lag > gap ⇒ new island). */
+  def sessionWindow(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+
+  /** DuckDB twin of [[sessionWindow]]: gaps-and-islands with
+    * end = last event + gap (Spark's session_window end bound). The gap
+    * test is `>=`, not `>`: session windows are HALF-OPEN [start,
+    * ts+gap), so an event exactly `gap` after its predecessor starts a
+    * NEW session — the off-by-one every hand-rolled sessionizer gets
+    * wrong on exact-boundary data. */
+  def sessionWindowOracleSql: String = {
+    val gapUs = 30L * 60 * 1000000
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+       |), s AS (
+       |  SELECT user_id, ts_us,
+       |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) >= $gapUs
+       |         OR lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM e
+       |), sid AS (
+       |  SELECT user_id, ts_us,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM s
+       |)
+       |SELECT user_id, min(ts_us) AS session_start_us,
+       |  max(ts_us) + $gapUs AS session_end_us,
+       |  count(*) AS n_events
+       |FROM sid GROUP BY user_id, session_id
+       |ORDER BY user_id, session_start_us""".stripMargin
+  }
 
   /** RANGE-frame moving average — the 7-day rolling mean of daily totals
     * per event type, the smoothing window every metrics dashboard and
