@@ -36,7 +36,9 @@ object PlanAudit {
       for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
           if Set("q_filter_time", "q_scan_project", "q_topk", "q5_region_revenue",
             "q_join_equi", "q1_pricing", "q3_top_orders",
-            "q_cube", "q_approx_distinct").contains(name)) {
+            "q_cube", "q_approx_distinct",
+            "q_semi_join", "q_anti_join", "q_corr_subquery",
+            "q_session_window", "q_gap_fill", "q_moving_avg").contains(name)) {
         println(s"\n======== $name ========")
         fn(spark, sfDir).explain("formatted")
       }

@@ -737,13 +737,16 @@ object QuerySurface {
       .agg(exactSum(col("value")).as("day_total"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day_us"))
       .rangeBetween(-6L * DayUs, 0L)
+    // both frame aggregates expressed over the SAME window spec, so
+    // Catalyst fuses them into one Window node (one sort, one pass) —
+    // deriving ma7 from a previously-projected n_days column would
+    // force a second Window over the first's output
     daily
-      .withColumn("n_days", count(lit(1)).over(w))
-      .withColumn("ma7", Tables.portableRound6(
-        sum(col("day_total").cast("decimal(28,6)")).over(w).cast("double") /
-          col("n_days")))
       .select(col("event_type"), col("day_us"), col("day_total"),
-        col("n_days"), col("ma7"))
+        count(lit(1)).over(w).as("n_days"),
+        Tables.portableRound6(
+          sum(col("day_total").cast("decimal(28,6)")).over(w).cast("double") /
+            count(lit(1)).over(w)).as("ma7"))
       .orderBy(col("event_type"), col("day_us"))
   }
 
