@@ -401,6 +401,12 @@ class OperatorsSpec extends SparkTestBase {
     val uf = Dedup.componentLabels(edges, smallCutoff = Long.MaxValue).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(uf == got)
+    // the salted two-level-min mode is label-identical on the same shapes
+    // (min is associative — sharding must not change any label); the
+    // at-scale run lives in CcScaleSpec, this pins the branch always-on
+    val salted = Dedup.starContraction(edges, saltShards = 4)._1.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(salted == got)
   }
 
   test("pivot produces one column per return flag with decimal-exact sums") {
