@@ -123,6 +123,8 @@ object SparkEntry {
     "q_heavy_hitters" -> (Sketches.heavyHitters _),
     "q_median_disc" -> (Sketches.medianDisc _),
     "q_approx_percentile" -> (Sketches.approxPercentile _),
+    "q_percentile_cont" -> (Sketches.percentileCont _),
+    "q_corr" -> (Sketches.corrStats _),
     "q_bloom_join" -> (Sketches.bloomJoin _),
     "dedup_passage" -> (Dedup.passageDedup _),
     "text_inverted_index" -> (TextAnalysis.invertedIndex _),
@@ -505,6 +507,8 @@ object SparkEntry {
     "q_heavy_hitters" -> Sketches.heavyHittersOracleSql,
     "q_median_disc" -> Sketches.medianDiscOracleSql,
     "q_approx_percentile" -> Sketches.approxPercentileOracleSql,
+    "q_percentile_cont" -> Sketches.percentileContOracleSql,
+    "q_corr" -> Sketches.corrStatsOracleSql,
     "q_bloom_join" -> Sketches.bloomJoinOracleSql,
     "dedup_passage" -> Dedup.passageDedupOracleSql,
     "text_inverted_index" -> TextAnalysis.invertedIndexOracleSql,

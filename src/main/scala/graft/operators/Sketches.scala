@@ -260,6 +260,134 @@ object Sketches {
       |FROM r GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** INTERPOLATED percentiles (`percentile_cont` semantics) written
+    * longhand — the sibling of [[medianDisc]] for the continuous
+    * definition: rank position `q·(n−1)` splits into an integer rank and
+    * a fractional remainder via INTEGER arithmetic in q's denominator
+    * (halves for p50, twentieths for p95 — `pos = 19·(n−1)`,
+    * `lo = pos div 20`, `rem = pos mod 20`), and the interpolation
+    * `v_lo + (v_hi − v_lo)·rem/20` is a fixed three-op IEEE sequence over
+    * verbatim rank values — both engines produce identical bits, which a
+    * builtin `percentile_cont` does not guarantee (interpolation formulas
+    * and their op order are implementation details). Same one-window cost
+    * as [[medianDisc]]; [[approxPercentile]] is the sketch path. */
+  def percentileCont(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n - 1) div 2 + 1"),
+          col("l_extendedprice"))).as("lo50"),
+        max(when(col("rn") === expr("(n - 1) div 2 + 2"),
+          col("l_extendedprice"))).as("hi50"),
+        max(expr("(n - 1) % 2")).as("rem2"),
+        max(when(col("rn") === expr("(19 * (n - 1)) div 20 + 1"),
+          col("l_extendedprice"))).as("lo95"),
+        max(when(col("rn") === expr("(19 * (n - 1)) div 20 + 2"),
+          col("l_extendedprice"))).as("hi95"),
+        max(expr("(19 * (n - 1)) % 20")).as("rem20"))
+      .select(col("l_returnflag"), col("n"),
+        (col("lo50") + (coalesce(col("hi50"), col("lo50")) - col("lo50")) *
+          (col("rem2").cast("double") / lit(2.0))).as("p50_cont"),
+        (col("lo95") + (coalesce(col("hi95"), col("lo95")) - col("lo95")) *
+          (col("rem20").cast("double") / lit(20.0))).as("p95_cont"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** DuckDB twin of [[percentileCont]] — identical integer rank split and
+    * IEEE interpolation order. */
+  def percentileContOracleSql: String =
+    """WITH r AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem
+      |), a AS (
+      |  SELECT l_returnflag, max(n) AS n,
+      |    max(CASE WHEN rn = (n - 1) // 2 + 1 THEN l_extendedprice END) AS lo50,
+      |    max(CASE WHEN rn = (n - 1) // 2 + 2 THEN l_extendedprice END) AS hi50,
+      |    max((n - 1) % 2) AS rem2,
+      |    max(CASE WHEN rn = (19 * (n - 1)) // 20 + 1 THEN l_extendedprice END) AS lo95,
+      |    max(CASE WHEN rn = (19 * (n - 1)) // 20 + 2 THEN l_extendedprice END) AS hi95,
+      |    max((19 * (n - 1)) % 20) AS rem20
+      |  FROM r GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, n,
+      |  lo50 + (coalesce(hi50, lo50) - lo50) * (CAST(rem2 AS DOUBLE) / 2.0) AS p50_cont,
+      |  lo95 + (coalesce(hi95, lo95) - lo95) * (CAST(rem20 AS DOUBLE) / 20.0) AS p95_cont
+      |FROM a ORDER BY l_returnflag""".stripMargin
+
+  // ---- Correlation from exact moment sums ----
+
+  /** Pearson correlation of quantity vs extended price per return flag —
+    * the statistical-profiling aggregate, computed the CROSS-ENGINE way:
+    * the five moment sums (Σx, Σy, Σx², Σy², Σxy) accumulate in DECIMAL
+    * (order-independent, exact), and only the final closed-form
+    * combination `(n·Σxy − Σx·Σy) / (√(n·Σx²−Σx²ᵗᵒᵗ)·√(n·Σy²−Σy²ᵗᵒᵗ))`
+    * runs in IEEE doubles — a fixed op sequence over identical inputs
+    * (sqrt is correctly rounded by IEEE-754), so both engines produce the
+    * same bits. A builtin `corr()` instead accumulates running FP moments
+    * whose values depend on partition order — the gate could never hash
+    * it. Same trick as [[Tables.exactAvg]], extended to second moments.
+    *
+    * Scale shape: one partial-combining groupBy carrying five decimal
+    * accumulators — no second pass, no window, no collect.
+    *
+    * DECIMAL(17,2) inputs are chosen deliberately: both columns are exact
+    * at 2 decimals (TPC-H money/quantity; asserted against the data), and
+    * 17+17 keeps the PRODUCT precision at 34–35 digits — inside BOTH
+    * engines' exact 38-digit range. Wider input casts silently break one
+    * side or the other: DuckDB computes DECIMAL(18,·) products in int64
+    * and overflows at runtime, Spark caps (19,4)×(19,4) at precision 38
+    * by ROUNDING the scale-8 product to scale 7 (allowPrecisionLoss) —
+    * a value-level divergence the gate would catch. */
+  def corrStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir).select(col("l_returnflag"),
+      col("l_quantity").cast("decimal(17,2)").as("x"),
+      col("l_extendedprice").cast("decimal(17,2)").as("y"))
+    val agg = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val nD = col("n").cast("double")
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    agg.select(col("l_returnflag"), col("n"),
+      Tables.portableRound6(
+        (nD * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (sqrt(nD * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+            sqrt(nD * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+        .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** DuckDB twin of [[corrStats]] — identical decimal moments, identical
+    * IEEE combination order. */
+  def corrStatsOracleSql: String = {
+    val round = (e: String) => Tables.portableRound6Sql(e)
+    s"""WITH m AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |    SUM(CAST(l_quantity AS DECIMAL(17,2))) AS sx,
+       |    SUM(CAST(l_extendedprice AS DECIMAL(17,2))) AS sy,
+       |    SUM(CAST(l_quantity AS DECIMAL(17,2)) * CAST(l_quantity AS DECIMAL(17,2))) AS sxx,
+       |    SUM(CAST(l_extendedprice AS DECIMAL(17,2)) * CAST(l_extendedprice AS DECIMAL(17,2))) AS syy,
+       |    SUM(CAST(l_quantity AS DECIMAL(17,2)) * CAST(l_extendedprice AS DECIMAL(17,2))) AS sxy
+       |  FROM lineitem GROUP BY l_returnflag
+       |)
+       |SELECT l_returnflag, n,
+       |  ${round("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""")}
+       |    AS corr_qty_price
+       |FROM m ORDER BY l_returnflag""".stripMargin
+  }
+
   // ---- Sketch percentiles (deterministic bottom-k-by-hash sample) ----
 
   private val QsketchK = 256
