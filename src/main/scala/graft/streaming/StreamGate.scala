@@ -190,11 +190,23 @@ object StreamGate {
       col("user_id") === col("e_user") &&
         col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
         col("e_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
-    runToMemory(spark, joined.select(col("user_id"),
-        col("purchase_id"), col("error_id"),
-        unix_micros(col("p_ts")).as("purchase_ts_us"),
-        unix_micros(col("e_ts")).as("error_ts_us")))
-      .orderBy(col("user_id"), col("purchase_id"), col("error_id"))
+    // unlike the windowed aggregations (measured partition-independent,
+    // see runToMemory), the stream-stream join pays FOUR keyed state
+    // stores per shuffle partition (two sides × two stores), and at gate
+    // scale store setup dominates: measured 5.3-8.3 s at 32 partitions vs
+    // 2.4-3.7 s at 8 (SsjProbe, same 370-row result — the output is
+    // partitioning-independent by the gate's own revalidation). State
+    // partitions are a per-query start-time setting, so cap for this
+    // stream and restore; production sizes this to join-key cardinality.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      runToMemory(spark, joined.select(col("user_id"),
+          col("purchase_id"), col("error_id"),
+          unix_micros(col("p_ts")).as("purchase_ts_us"),
+          unix_micros(col("e_ts")).as("error_ts_us")))
+        .orderBy(col("user_id"), col("purchase_id"), col("error_id"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   // ---- DuckDB twins --------------------------------------------------------
