@@ -24,6 +24,48 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("every SparkEntry query has an oracle twin (and no orphan oracles)") {
+    // a queries entry without oracleSql silently downgrades the driver's
+    // check to rows-only; an oracleSql without a query is dead SQL — both
+    // are authoring bugs this pins at suite speed
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      s"queries-only: ${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet}; " +
+        s"oracles-only: ${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
+  }
+
+  test("qsketch percentile: full sample is capped at k and error-bounded; " +
+      "under-k groups are exact") {
+    val rows = Sketches.approxPercentile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val m = r.getAs[Long]("m_sample")
+      assert(m == math.min(n, 256L), s"sample size must be min(n, k): $r")
+      if (n <= 256)
+        assert(r.getAs[Double]("rel_err_p50") == 0.0 &&
+          r.getAs[Double]("rel_err_p95") == 0.0,
+          s"under-k group: sample IS the group, estimates must be exact: $r")
+      else {
+        // rank error ~ sqrt(1/2k) ≈ 4.4% at k=256; prices are roughly
+        // uniform so value error tracks rank error — allow a wide 3σ band
+        assert(r.getAs[Double]("rel_err_p50") < 0.25, s"p50 off: $r")
+        assert(r.getAs[Double]("rel_err_p95") < 0.25, s"p95 off: $r")
+      }
+    }
+  }
+
+  test("estimate-only KMV agrees with the error-probe form's estimates") {
+    val probe = Sketches.approxDistinctKmv(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("est_distinct")).toMap
+    val est = Sketches.approxDistinctKmvEstimate(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("est_distinct")).toMap
+    // same sketch, same estimator — the only difference is under-k
+    // fallback source (k_n vs n_exact), identical when the sketch holds
+    // the full set (distinct hashes == distinct keys, collision-free at
+    // this scale)
+    assert(est == probe, s"estimate-only form diverged: $est vs $probe")
+  }
+
   test("heavy hitters: flagged set is exactly the >1.2x-mean keys") {
     val flagged = Sketches.heavyHitters(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_events")).toMap
