@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "dedup_groups" -> ((s: SparkSession, d: String) => Dedup.nearDupGroups(s, d)),
+    "dedup_survivors" -> ((s: SparkSession, d: String) => Dedup.dedupSurvivors(s, d)),
     "dedup_cross" -> ((s: SparkSession, d: String) => Dedup.crossDedup(s, d)),
     // -- similarity search --
     "sim_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosinePairs(s, d)),
@@ -428,6 +429,7 @@ object SparkEntry {
     // -- generated oracles: hash constants/PRNG coefficients inlined --
     "dedup_jaccard_capped" -> operators.Dedup.ngramJaccardCappedOracleSql(),
     "dedup_groups" -> operators.Dedup.nearDupGroupsOracleSql(),
+    "dedup_survivors" -> operators.Dedup.dedupSurvivorsOracleSql(),
     "dedup_minhash_lsh" -> operators.Dedup.minhashOracleSql(),
     "dedup_simhash" -> operators.Dedup.simhashOracleSql(),
     "dedup_embedding_lsh" -> operators.Similarity.cosinePairsLshOracleSql(),

@@ -690,6 +690,43 @@ object Dedup {
     labels
   }
 
+  /** Canonical-survivor selection — the dedup pipeline's actual OUTPUT:
+    * every document labeled keep/drop, where a near-dup family
+    * ([[nearDupGroups]]) keeps exactly its minimum-id member and
+    * singletons (documents in no verified pair) keep themselves. This is
+    * the row set a curation pipeline writes back (or the drop set it
+    * deletes); [[nearDupGroups]] answers "which docs form one identity",
+    * this answers "which physical rows survive".
+    *
+    * Scale shape: the group table is |docs-in-some-pair| rows (orders of
+    * magnitude sparser than the corpus), so the corpus-side join is a
+    * broadcast/semi-join probe — the full corpus never shuffles; keep is
+    * a pure projection after it. */
+  def dedupSurvivors(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val groups = nearDupGroups(spark, sfDir, threshold)
+      .select(col("doc_id"), col("group_id"))
+    documents(spark, sfDir).select(col("doc_id"))
+      .join(groups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"),
+        (col("group_id").isNull || col("group_id") === col("doc_id"))
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[dedupSurvivors]] — the groups oracle embedded as a
+    * derived table, same left join + keep rule. */
+  def dedupSurvivorsOracleSql(threshold: Double = 0.3): String =
+    s"""SELECT d.doc_id,
+       |  coalesce(g.group_id, d.doc_id) AS group_id,
+       |  (g.group_id IS NULL OR g.group_id = d.doc_id) AS keep
+       |FROM documents d
+       |LEFT JOIN (
+       |${nearDupGroupsOracleSql(threshold)}
+       |) g ON d.doc_id = g.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** The distributed CC path: alternating large-star / small-star
     * (Kiveris et al.). large-star: every node u points its LARGER neighbors
     * at m = min(N(u) ∪ {u}); small-star: orient edges (larger → smaller),
