@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Clustering, Dedup, Multimodal, OtelQueries, QuerySurface, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Bucketing, Clustering, Dedup, Multimodal, Mutations, OtelQueries, QuerySurface, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7.
   *
@@ -129,6 +129,13 @@ object SparkEntry {
     "q_bloom_join" -> (Sketches.bloomJoin _),
     "dedup_passage" -> (Dedup.passageDedup _),
     "text_inverted_index" -> (TextAnalysis.invertedIndex _),
+
+    // -- round 5 additions: skew pattern, profiling, PII, CDC, layout --
+    "q_salted_agg" -> (Sketches.saltedAgg _),
+    "q_profile" -> (Sketches.groupProfile _),
+    "text_pii_scrub" -> (TextAnalysis.piiScrub _),
+    "q_cdc_apply" -> (Mutations.cdcApply _),
+    "q_zorder" -> (Bucketing.zOrderKeys _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -515,5 +522,11 @@ object SparkEntry {
     "dedup_passage" -> Dedup.passageDedupOracleSql,
     "text_inverted_index" -> TextAnalysis.invertedIndexOracleSql,
     "text_rarity" -> TextAnalysis.rarityOracleSql,
+
+    "q_salted_agg" -> Sketches.saltedAggOracleSql,
+    "q_profile" -> Sketches.groupProfileOracleSql,
+    "text_pii_scrub" -> TextAnalysis.piiScrubOracleSql,
+    "q_cdc_apply" -> Mutations.cdcApplyOracleSql,
+    "q_zorder" -> Bucketing.zOrderKeysOracleSql,
   )
 }

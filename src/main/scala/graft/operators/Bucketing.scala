@@ -51,6 +51,106 @@ object Bucketing {
       clusters: Seq[Long]): DataFrame =
     spark.read.parquet(path).filter(col("cluster").isin(clusters: _*))
 
+  // ---- Z-order (multi-dimensional clustering) ----
+
+  /** Interleave the low 16 bits of two non-negative longs into a Morton
+    * (z-order) key: bit i of `a` lands at position 2i+1, bit i of `b` at
+    * 2i. Rows sorted by this key are simultaneously clustered on BOTH
+    * dimensions, so parquet row-group min/max stats prune selective
+    * predicates on either column (or a box on both) — the data-skipping
+    * layout for a table queried along two axes, where a single-column sort
+    * only ever helps one axis. Pure bit arithmetic (32 shift/mask/or ops),
+    * codegen'd, no shuffle.
+    */
+  def zOrderKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  /** DuckDB twin of [[zOrderKey]] as a SQL fragment over two BIGINT
+    * expressions (same 32-term interleave, `|`-folded). */
+  def zOrderKeySql(a: String, b: String): String =
+    (0 until 16).map { i =>
+      s"(((($a) >> $i) & 1) << ${2 * i + 1}) | (((($b) >> $i) & 1) << ${2 * i})"
+    }.mkString("(", ") | (", ")")
+
+  /** `events` with its two query axes (`user_id`, `value`) normalized onto
+    * the full 16-bit budget (min-max scaling from one broadcast stats row)
+    * and folded into a z-key. Normalization is NOT optional: raw values
+    * that only occupy the low bits leave the interleave's high bits — the
+    * ones that decide file/row-group boundaries — constant, and the layout
+    * degenerates to a single-column sort. Production systems use
+    * rank/range-ids (percentile buckets) per column for the same reason;
+    * min-max is the deterministic stand-in that an oracle can recompute
+    * exactly (rank-based needs a sort and a tie rule). All scaling is IEEE
+    * double arithmetic + floor — identical on any engine; the stats agg is
+    * one map-side-combined pass producing a single broadcast row.
+    */
+  private def eventsWithZKey(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val stats = ev.agg(
+      min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
+      min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val ubits = least(floor(
+      (col("user_id") - col("umin")) * lit(65535.0) /
+        greatest(col("umax") - col("umin"), lit(1L))), lit(65535L)).cast("long")
+    val vbits = least(floor(
+      (col("value") - col("vmin")) * lit(65535.0) /
+        when(col("vmax") > col("vmin"), col("vmax") - col("vmin")).otherwise(lit(1.0))),
+      lit(65535L)).cast("long")
+    ev.crossJoin(broadcast(stats))
+      .withColumn("ubits", ubits)
+      .withColumn("vbits", vbits)
+      .withColumn("zkey", zOrderKey(col("ubits"), col("vbits")))
+      .drop("umin", "umax", "vmin", "vmax")
+  }
+
+  /** Land `events` z-ordered on (user_id, value): range-partition by the
+    * z-key (so files own contiguous z-ranges) and sort within partitions
+    * (so row groups within a file do too). Downstream, a predicate on
+    * either dimension touches only the files/row groups whose min/max
+    * z-range can contain it — BucketingSpec measures the file-level
+    * pruning on both axes. */
+  def writeEventsZOrdered(spark: SparkSession, sfDir: String, path: String,
+      files: Int = 8): Unit = {
+    eventsWithZKey(spark, sfDir)
+      .repartitionByRange(files, col("zkey"))
+      .sortWithinPartitions(col("zkey"), col("event_id"))
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .parquet(path)
+  }
+
+  /** Gate query for the z-key computation itself: the first 200 events in
+    * z-order. Verifies the interleave bit-for-bit against DuckDB's
+    * recomputation (the layout benefit is asserted separately in
+    * BucketingSpec — an oracle can check the KEY, not the file layout). */
+  def zOrderKeys(spark: SparkSession, sfDir: String): DataFrame =
+    eventsWithZKey(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ubits"), col("vbits"), col("zkey"))
+      .orderBy(col("zkey"), col("event_id"))
+      .limit(200)
+
+  /** DuckDB twin of [[zOrderKeys]] — same stats row, same IEEE scaling,
+    * same 32-term interleave. */
+  def zOrderKeysOracleSql: String = {
+    val z = zOrderKeySql("ubits", "vbits")
+    s"""WITH s AS (
+       |  SELECT min(user_id) AS umin, max(user_id) AS umax,
+       |    min(value) AS vmin, max(value) AS vmax
+       |  FROM events
+       |), e AS (
+       |  SELECT event_id, user_id,
+       |    least(CAST(floor((user_id - umin) * 65535.0 / greatest(umax - umin, 1)) AS BIGINT), 65535) AS ubits,
+       |    least(CAST(floor((value - vmin) * 65535.0 /
+       |      (CASE WHEN vmax > vmin THEN vmax - vmin ELSE 1.0 END)) AS BIGINT), 65535) AS vbits
+       |  FROM events, s
+       |)
+       |SELECT event_id, user_id, ubits, vbits, ($z) AS zkey
+       |FROM e ORDER BY zkey, event_id LIMIT 200""".stripMargin
+  }
+
   /** Per-user session counts over the bucketed table — same logic as
     * QuerySurface.sessionize but reading the bucketed layout; the window's
     * required HashPartitioning(user_id) is satisfied by the bucket spec, so

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Mutation semantics over immutable parquet: CDC / upsert apply.
+  *
+  * The reference is append-only (landing OTLP batches as new parquet files —
+  * `/root/reference/src/writer/mod.rs` has no update path), but any table a
+  * pipeline maintains long-term (dedup registries, document metadata, SCD
+  * dimensions) needs MERGE semantics: apply a changelog of
+  * insert/update/delete rows to a base snapshot and produce the next
+  * snapshot. Lakehouse table formats automate the bookkeeping; the engine
+  * operation underneath is exactly [[applyChangelog]] — union the base with
+  * the changelog, keep the latest version per key, drop deletes.
+  *
+  * Scale shape: ONE shuffle by the primary key (the window partition), with
+  * the changelog typically ≪ base. At fleet scale you'd avoid rewriting
+  * unchanged partitions by pre-bucketing base AND changelog on the key
+  * ([[Bucketing]]) — then the merge is exchange-free and per-bucket — and by
+  * partition-pruning the rewrite to partitions the changelog touches. The
+  * row-level rule below is what runs inside each bucket either way.
+  */
+object Mutations {
+
+  /** Latest-wins merge: `base` rows carry seq 0, `changes` rows seq 1 with
+    * an `op` in I/U/D; per key the highest-seq row wins and `D` rows erase
+    * the key. Output = the post-merge snapshot.
+    *
+    * Implemented as union + per-key window (row_number over seq DESC)
+    * rather than a full outer join: one shuffle, no null-handling asymmetry
+    * between inserts and updates, and identical physical shape whether a
+    * key has zero, one, or many changelog entries (the window rule also
+    * generalizes to multi-version changelogs by widening `seq`).
+    */
+  def applyChangelog(base: DataFrame, changes: DataFrame,
+      keyCol: String, opCol: String): DataFrame = {
+    val seqd = base.withColumn(opCol, lit("B")).withColumn("seq", lit(0L))
+      .unionByName(changes.withColumn("seq", lit(1L)))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("seq").desc)
+    seqd.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col(opCol) =!= "D")
+      .drop("rn", "seq")
+  }
+
+  /** Gate query: apply a deterministic changelog derived from `orders`
+    * itself (no RNG — DuckDB rebuilds the identical changelog):
+    * keys ≡ 0 (mod 10) get an update (+1000.0 on the price, one IEEE add),
+    * keys ≡ 1 a delete, and keys ≡ 2 spawn an insert under a fresh key
+    * (base key + 10⁸, price doubled). The result is the merged snapshot.
+    */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"), lit("U").as("op"))
+    val deletes = base.filter(col("o_orderkey") % 10 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lit("D").as("op"))
+    val inserts = base.filter(col("o_orderkey") % 10 === 2)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        col("o_custkey"), (col("o_totalprice") * 2.0).as("o_totalprice"),
+        lit("I").as("op"))
+    val changes = updates.unionByName(deletes).unionByName(inserts)
+    applyChangelog(base, changes, "o_orderkey", "op")
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** DuckDB twin of [[cdcApply]] — same changelog construction, same
+    * latest-wins + delete-filter rule written longhand. */
+  def cdcApplyOracleSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |), ch AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice, 'U' AS op
+      |  FROM base WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice, 'D' FROM base WHERE o_orderkey % 10 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice * 2.0, 'I'
+      |  FROM base WHERE o_orderkey % 10 = 2
+      |), u AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, 'B' AS op, 0 AS seq FROM base
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice, op, 1 FROM ch
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+      |  FROM u
+      |)
+      |SELECT o_orderkey, o_custkey, o_totalprice, op
+      |FROM r WHERE rn = 1 AND op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+}

@@ -537,4 +537,105 @@ object Sketches {
       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
+
+  // ---- Salted (two-level) aggregation ----
+
+  private val SaltBuckets = 8
+
+  /** Per-user event count and value total computed as a TWO-LEVEL salted
+    * aggregate: `groupBy(user_id, salt)` partial → `groupBy(user_id)` merge,
+    * with `salt = event_id mod 8`. The result is IDENTICAL to the direct
+    * `groupBy(user_id)` (count and decimal sum are associative+commutative,
+    * so regrouping cannot change them) — which is exactly the point: this is
+    * the skew mitigation [[heavyHitters]] feeds, expressed as a first-class
+    * operator with an oracle that proves the rewrite is semantics-preserving.
+    *
+    * Scale shape: a key whose rows would all land on one reducer (the
+    * 10¹⁰-row hot user) is split across 8 reducers in level 1; level 2
+    * merges 8 partial rows per key. Level-1 output is ≤ 8·|keys| rows, so
+    * the second shuffle is negligible. The salt is derived from a data
+    * column (`event_id`), not `rand()`, keeping the pipeline deterministic
+    * and retry-safe (a rand() salt re-rolls on task retry — same aggregate
+    * result here, but non-reproducible intermediate partitions; the gate
+    * also requires engine-portable determinism end-to-end).
+    *
+    * The decimal value sum is associative exactly (decimal addition), so
+    * partial-then-merge equals single-level; the final round-to-double
+    * happens once, after the merge.
+    */
+  def saltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val partial = events(spark, sfDir)
+      .withColumn("salt", pmod(col("event_id"), lit(SaltBuckets.toLong)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(28,4)")).as("pv"))
+    partial
+      .groupBy(col("user_id"))
+      .agg(sum(col("pn")).as("n_events"),
+        round(sum(col("pv")), 2).cast("double").as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB twin of [[saltedAgg]]: the DIRECT single-level aggregate — the
+    * oracle's job is to certify that salting is invisible in the result. */
+  def saltedAggOracleSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(28,4))), 2) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- Per-group profiling ----
+
+  /** One-pass-per-branch data profile of `events` by `event_type`: row
+    * count, exact user cardinality, min/max of `value` (raw picks — no
+    * arithmetic, so bit-identical on any engine), and the deterministic
+    * MODE user (most events; ties broken toward the smallest `user_id`,
+    * written longhand as a count + row_number pick so both engines apply
+    * the identical tie rule — engine-native `mode()`/`arg_max` leave ties
+    * unspecified).
+    *
+    * Scale shape: the profile branch is one map-side-combined aggregate
+    * over (type) + one over (type,user) topped by a per-type window on the
+    * AGGREGATED counts (|types|·|users| rows, not raw rows) — the same
+    * "window over aggregates, never over raw" rule as
+    * [[TextAnalysis.topTerms]]. This is the pre-flight profiling every
+    * pipeline run does before choosing join strategies and salt lists.
+    */
+  def groupProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    val base = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("user_id")).as("n_users"),
+      min(col("value")).as("min_value"),
+      max(col("value")).as("max_value"))
+    val perUser = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("un"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("un").desc, col("user_id"))
+    val mode = perUser
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("user_id").as("top_user"),
+        col("un").as("top_user_n"))
+    base.join(mode, Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[groupProfile]] — identical longhand mode rule. */
+  def groupProfileOracleSql: String =
+    """WITH base AS (
+      |  SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+      |    min(value) AS min_value, max(value) AS max_value
+      |  FROM events GROUP BY event_type
+      |), pu AS (
+      |  SELECT event_type, user_id, count(*) AS un
+      |  FROM events GROUP BY 1, 2
+      |), m AS (
+      |  SELECT event_type, user_id AS top_user, un AS top_user_n,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY un DESC, user_id) AS rn
+      |  FROM pu
+      |)
+      |SELECT b.event_type, b.n, b.n_users, b.min_value, b.max_value,
+      |  m.top_user, m.top_user_n
+      |FROM base b JOIN m ON b.event_type = m.event_type AND m.rn = 1
+      |ORDER BY b.event_type""".stripMargin
 }

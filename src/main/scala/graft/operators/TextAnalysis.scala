@@ -484,4 +484,83 @@ object TextAnalysis {
        |  array_to_string(list_sort(list(doc_id))[1:$PostingsCap], ',') AS postings
        |FROM f GROUP BY term
        |ORDER BY term""".stripMargin
+
+  // ---- PII detection / redaction ----
+
+  /** Patterns restricted to the syntax subset Java regex and RE2 (DuckDB)
+    * interpret identically: ASCII classes, `\b`, `\d`, bounded repetition —
+    * no backrefs, no lookaround (RE2 has neither). */
+  private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[operators] val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Generic PII scrub over any text column: count and redact emails, IPv4
+    * addresses, and phone-shaped digit runs, in that fixed order (each
+    * replacement sees the previous one's output, so the order is part of
+    * the operator contract and is mirrored exactly in the oracle).
+    * Pure per-row regex work — codegen'd `RegExpReplace`/`RegExpCount`, no
+    * shuffle, embarrassingly parallel: the 100 TB cost is one scan.
+    */
+  def piiScrubCols(text: Column): (Column, Column, Column, Column) = {
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>")
+    (regexp_count(text, lit(EmailRe)).cast("bigint"),
+      regexp_count(text, lit(Ipv4Re)).cast("bigint"),
+      regexp_count(text, lit(PhoneRe)).cast("bigint"),
+      scrubbed)
+  }
+
+  /** Gate query: the synthetic corpus carries no PII, so the gate derives a
+    * deterministic PII-bearing text from each row (email/IP/phone built
+    * from `doc_id` arithmetic — no RNG, so DuckDB reconstructs the same
+    * input) and then runs the scrub. The operator under test is
+    * [[piiScrubCols]]; the injection is test scaffolding, mirrored
+    * literally in the oracle.
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val injected = documents(spark, sfDir).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com ip 10."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 256).cast("string"),
+        lit(".17 call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("txt"))
+    val (emails, ips, phones, scrubbed) = piiScrubCols(col("txt"))
+    injected.select(
+      col("doc_id"),
+      emails.as("n_emails"),
+      ips.as("n_ipv4"),
+      phones.as("n_phone"),
+      scrubbed.as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[piiScrub]] — same injection, same patterns, same
+    * replacement order ('g' flag: DuckDB replaces first-match-only by
+    * default where Spark replaces all). */
+  def piiScrubOracleSql: String =
+    s"""WITH inj AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com ip 10.'
+       |      || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+       |      || '.17 call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(txt, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(txt, '$Ipv4Re')) AS BIGINT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(txt, '$PhoneRe')) AS BIGINT) AS n_phone,
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(txt, '$EmailRe', '<EMAIL>', 'g'),
+       |      '$Ipv4Re', '<IP>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+       |FROM inj ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bucketing, Mutations, Sketches, Tables, TextAnalysis}
+
+/** Round-5 operator semantics: salted aggregation identity, profiling mode
+  * rule, PII scrub, CDC apply, and the z-order layout (key correctness +
+  * measured file skipping on both dimensions). */
+class Round5OpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("saltedAgg: two-level salted aggregate equals the direct groupBy") {
+    val salted = Sketches.saltedAgg(spark, sf)
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(28,4)")), 2).cast("double").as("sum_value"))
+      .orderBy(col("user_id"))
+    assertFrameEqual(salted, direct, Seq("user_id"))
+  }
+
+  test("groupProfile: mode is the max-count user with lowest-id tie-break") {
+    val prof = Sketches.groupProfile(spark, sf).collect()
+    val byTypeUser = Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getString(0))
+    prof.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val counts = byTypeUser(t).map(x => x.getAs[Long]("user_id") -> x.getAs[Long]("n"))
+      val want = counts.minBy { case (u, n) => (-n, u) }
+      assert((r.getAs[Long]("top_user"), r.getAs[Long]("top_user_n")) == want,
+        s"mode mismatch for $t")
+      assert(r.getAs[Long]("n") == counts.map(_._2).sum)
+    }
+  }
+
+  test("piiScrub: counts found PII, redacts it all, and is idempotent") {
+    val out = TextAnalysis.piiScrub(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // injection plants exactly one of each per doc
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_emails") == 1L)
+      assert(r.getAs[Long]("n_ipv4") == 1L)
+      assert(r.getAs[Long]("n_phone") == 1L)
+      val s = r.getAs[String]("scrubbed")
+      assert(s.contains("<EMAIL>") && s.contains("<IP>") && s.contains("<PHONE>"))
+    }
+    // a second scrub over the scrubbed text finds nothing and changes nothing
+    val (e2, i2, p2, s2) = TextAnalysis.piiScrubCols(col("scrubbed"))
+    val second = out.select(col("scrubbed"), e2.as("e"), i2.as("i"), p2.as("p"),
+      s2.as("again")).collect()
+    second.foreach { r =>
+      assert(r.getAs[Long]("e") == 0L && r.getAs[Long]("i") == 0L &&
+        r.getAs[Long]("p") == 0L)
+      assert(r.getAs[String]("again") == r.getAs[String]("scrubbed"))
+    }
+  }
+
+  test("cdcApply: deletes erased, updates applied, inserts present, rest untouched") {
+    val base = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val snap = Mutations.cdcApply(spark, sf).collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        (r.getAs[Double]("o_totalprice"), r.getAs[String]("op"))).toMap
+
+    base.foreach { case (k, p) =>
+      (k % 10) match {
+        case 0 => assert(snap(k) == (p + 1000.0, "U"), s"update missing for $k")
+        case 1 => assert(!snap.contains(k), s"delete not applied for $k")
+        case 2 =>
+          assert(snap(k) == (p, "B"), s"insert source row must survive for $k")
+          assert(snap(k + 100000000L) == (p * 2.0, "I"), s"insert missing for $k")
+        case _ => assert(snap(k) == (p, "B"), s"untouched row changed for $k")
+      }
+    }
+    val expectedRows = base.size - base.count(_._1 % 10 == 1) +
+      base.count(_._1 % 10 == 2)
+    assert(snap.size == expectedRows)
+  }
+
+  test("zOrderKey: interleaves bits exactly") {
+    val df = spark.range(1)
+      .select(
+        Bucketing.zOrderKey(lit(0xFFFFL), lit(0L)).as("a"),
+        Bucketing.zOrderKey(lit(0L), lit(0xFFFFL)).as("b"),
+        Bucketing.zOrderKey(lit(1L), lit(1L)).as("c"),
+        Bucketing.zOrderKey(lit(0xFFFFL), lit(0xFFFFL)).as("d"),
+        Bucketing.zOrderKey(lit(5L), lit(3L)).as("e"))
+      .collect().head
+    assert(df.getLong(0) == 0xAAAAAAAAL) // a-bits at odd positions
+    assert(df.getLong(1) == 0x55555555L) // b-bits at even positions
+    assert(df.getLong(2) == 3L)
+    assert(df.getLong(3) == 0xFFFFFFFFL)
+    // a=101b → positions 1,5 → 0b100010 = 34; b=011b → positions 0,2 → 5
+    assert(df.getLong(4) == (34L | 5L))
+  }
+
+  test("z-ordered layout: file-level min/max skip on BOTH dimensions") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-zorder").toString + "/events_z"
+    Bucketing.writeEventsZOrdered(spark, sf, dir, files = 8)
+
+    val files = spark.read.parquet(dir).inputFiles.sorted
+    assert(files.length >= 6, s"expected ~8 files, got ${files.length}")
+    val stats = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("user_id")), max(col("user_id")),
+          min(col("value")), max(col("value"))).collect().head
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    }
+    val ev = Tables.events(spark, sf)
+      .agg(min(col("user_id")), max(col("user_id")),
+        min(col("value")), max(col("value"))).collect().head
+    val (uMin, uMax) = (ev.getLong(0), ev.getLong(1))
+    val (vMin, vMax) = (ev.getDouble(2), ev.getDouble(3))
+
+    // predicates covering the TOP quarter of each axis: a z-ordered layout
+    // must leave some files' min/max ranges entirely outside (the top end
+    // discriminates because z-curve file boundaries are high-bit-major)
+    val uCut = uMax - (uMax - uMin) / 4
+    val vCut = vMax - (vMax - vMin) / 4
+    val uOverlap = stats.count { case (_, hi, _, _) => hi >= uCut }
+    val vOverlap = stats.count { case (_, _, _, hi) => hi >= vCut }
+    assert(uOverlap < files.length,
+      s"user-axis predicate should skip files: $uOverlap of ${files.length} overlap\n${stats.mkString("\n")}")
+    assert(vOverlap < files.length,
+      s"value-axis predicate should skip files: $vOverlap of ${files.length} overlap\n${stats.mkString("\n")}")
+    // and the layout is lossless
+    assert(spark.read.parquet(dir).count() == Tables.events(spark, sf).count())
+  }
+}
