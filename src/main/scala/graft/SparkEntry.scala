@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Bucketing, Clustering, Dedup, Multimodal, Mutations, OtelQueries, QuerySurface, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Bucketing, Clustering, Dedup, Graph, Multimodal, Mutations, OtelQueries, QuerySurface, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7.
   *
@@ -136,6 +136,8 @@ object SparkEntry {
     "text_pii_scrub" -> (TextAnalysis.piiScrub _),
     "q_cdc_apply" -> (Mutations.cdcApply _),
     "q_zorder" -> (Bucketing.zOrderKeys _),
+    "q_pagerank" -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
+    "q_skyline" -> (QuerySurface.skyline _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -528,5 +530,7 @@ object SparkEntry {
     "text_pii_scrub" -> TextAnalysis.piiScrubOracleSql,
     "q_cdc_apply" -> Mutations.cdcApplyOracleSql,
     "q_zorder" -> Bucketing.zOrderKeysOracleSql,
+    "q_pagerank" -> Graph.pageRankOracleSql(),
+    "q_skyline" -> QuerySurface.skylineOracleSql,
   )
 }

@@ -789,4 +789,75 @@ object QuerySurface {
        |    OVER (PARTITION BY g.event_type ORDER BY g.hour_us) AS last_avg
        |FROM g LEFT JOIN s USING (event_type, hour_us)
        |ORDER BY g.event_type, g.hour_us""".stripMargin
+
+  // ---- 2D skyline (Pareto frontier) ----
+
+  /** Pareto frontier of a (maximize benefit, minimize cost) point set —
+    * keep the rows no other row strictly dominates. The data-selection
+    * primitive for "best quality at every budget" curves (quality-vs-length
+    * corpus filtering, cost-vs-coverage source picks).
+    *
+    * Distributed in TWO PHASES via the skyline decomposition identity
+    * `sky(A ∪ B) = sky(sky(A) ∪ sky(B))`: phase 1 computes a local frontier
+    * inside each of 16 salt partitions (per-partition window — parallel,
+    * bounded memory), phase 2 re-applies the same rule to the survivors
+    * (≤ the union of 16 frontiers — tiny). A direct global-window skyline
+    * would sort everything into ONE partition; the salted form is
+    * result-identical (any split works for the identity) and keeps every
+    * stage partition-parallel.
+    *
+    * Dominance test per partition, windowed: sort by benefit DESC; a row is
+    * dominated iff some strictly-higher-benefit row has cost ≤ its own
+    * (RANGE-framed running min excludes benefit-ties) or some equal-benefit
+    * row has strictly smaller cost. Both columns are BIGINT so the RANGE
+    * frame and every comparison are exact on both engines.
+    */
+  def skyline2D(df: DataFrame, idCol: String, benefitCol: String,
+      costCol: String, salts: Int = 16): DataFrame = {
+    def localSkyline(in: DataFrame, parts: Seq[String]): DataFrame = {
+      val pcols = parts.map(col)
+      val wStrict = Window.partitionBy(pcols: _*).orderBy(col(benefitCol).desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wTies = Window.partitionBy((pcols :+ col(benefitCol)): _*)
+      in.withColumn("mn_higher", min(col(costCol)).over(wStrict))
+        .withColumn("mn_tie", min(col(costCol)).over(wTies))
+        .filter((col("mn_higher").isNull || col(costCol) < col("mn_higher")) &&
+          col(costCol) === col("mn_tie"))
+        .drop("mn_higher", "mn_tie")
+    }
+    val salted = df.withColumn("_salt", pmod(col(idCol), lit(salts.toLong)))
+    val local = localSkyline(salted, Seq("_salt")).drop("_salt")
+    localSkyline(local, Nil)
+  }
+
+  /** Gate query: the per-user (total purchase value in cents — maximize,
+    * event count — minimize) frontier over `events`. Cents keep the
+    * benefit axis integral (exact decimal→long, exact RANGE frame). */
+  def skyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg((sum(col("value").cast("decimal(28,4)")) * 100)
+          .cast("long").as("total_cents"),
+        count(lit(1)).as("n_events"))
+    skyline2D(perUser, "user_id", "total_cents", "n_events")
+      .orderBy(col("total_cents").desc, col("user_id"))
+  }
+
+  /** DuckDB twin of [[skyline]] — the frontier written as the direct
+    * NOT EXISTS dominance test (obviously correct; the salted two-phase
+    * form is the execution strategy, not the semantics). */
+  def skylineOracleSql: String =
+    """WITH agg AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,4))) * 100 AS BIGINT) AS total_cents,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT user_id, total_cents, n_events FROM agg u
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM agg v
+      |  WHERE (v.total_cents > u.total_cents AND v.n_events <= u.n_events)
+      |     OR (v.total_cents >= u.total_cents AND v.n_events < u.n_events)
+      |)
+      |ORDER BY total_cents DESC, user_id""".stripMargin
 }

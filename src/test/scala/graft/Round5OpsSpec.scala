@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bucketing, Mutations, Sketches, Tables, TextAnalysis}
+import graft.operators.{Bucketing, Graph, Mutations, QuerySurface, Sketches, Tables, TextAnalysis}
 
 /** Round-5 operator semantics: salted aggregation identity, profiling mode
   * rule, PII scrub, CDC apply, and the z-order layout (key correctness +
@@ -98,6 +98,52 @@ class Round5OpsSpec extends SparkTestBase {
     assert(df.getLong(3) == 0xFFFFFFFFL)
     // a=101b → positions 1,5 → 0b100010 = 34; b=011b → positions 0,2 → 5
     assert(df.getLong(4) == (34L | 5L))
+  }
+
+  test("pageRank: matches an exact driver-side fixed-point reference") {
+    val got = Graph.pageRank(spark, sf, iterations = 3, topK = 1000).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_fp")).toMap
+
+    // reference implementation: same integer fixed-point rules, plain maps
+    val e = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = e ++ e.map { case (s, d) => (d, s) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val scale = 1000000000000L
+    var r = deg.keys.map(_ -> scale).toMap
+    (1 to 3).foreach { _ =>
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d) => contrib(d) += r(s) / deg(s) }
+      r = r.keys.map(k => k -> (15L * scale / 100L + contrib(k) * 85L / 100L)).toMap
+    }
+    assert(got.size == r.size)
+    r.foreach { case (k, v) =>
+      assert(got(k) == v, s"rank mismatch at node $k: spark=${got(k)} ref=$v")
+    }
+  }
+
+  test("skyline: salted two-phase frontier equals brute-force dominance") {
+    val pts = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg((sum(col("value").cast("decimal(28,4)")) * 100).cast("long").as("b"),
+        count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = pts.filter { case (_, b, c) =>
+      !pts.exists { case (_, b2, c2) =>
+        (b2 > b && c2 <= c) || (b2 >= b && c2 < c)
+      }
+    }.map(_._1).toSet
+    val got = QuerySurface.skyline(spark, sf).collect()
+      .map(_.getAs[Long]("user_id")).toSet
+    assert(got == want, s"frontier mismatch: got $got want $want")
+    // decomposition identity: frontier is salt-count independent
+    val perUser = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg((sum(col("value").cast("decimal(28,4)")) * 100).cast("long").as("total_cents"),
+        count(lit(1)).as("n_events"))
+    val oneSalt = QuerySurface.skyline2D(perUser, "user_id", "total_cents", "n_events",
+      salts = 1).collect().map(_.getAs[Long]("user_id")).toSet
+    assert(oneSalt == want)
   }
 
   test("z-ordered layout: file-level min/max skip on BOTH dimensions") {
