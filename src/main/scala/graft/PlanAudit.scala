@@ -38,7 +38,11 @@ object PlanAudit {
             "q_join_equi", "q1_pricing", "q3_top_orders",
             "q_cube", "q_approx_distinct",
             "q_semi_join", "q_anti_join", "q_corr_subquery",
-            "q_session_window", "q_gap_fill", "q_moving_avg").contains(name)) {
+            "q_session_window", "q_gap_fill", "q_moving_avg",
+            // round-5 additions; q_pagerank is absent for the same reason
+            // as q_bloom_join (per-round localCheckpoint → opaque scan)
+            "q_salted_agg", "q_profile", "q_cdc_apply", "q_zorder",
+            "q_skyline").contains(name)) {
         println(s"\n======== $name ========")
         fn(spark, sfDir).explain("formatted")
       }
