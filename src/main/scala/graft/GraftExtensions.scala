@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AnyValueToJsonExpr, AttrsToJsonExpr, KmvBottomKAgg, QsketchBottomKAgg, VectorDotExpr}
+import graft.functions.{AnyValueToJsonExpr, AttrsToJsonExpr, KmvBottomKAgg, KmvBottomKSetAgg, QsketchBottomKAgg, VectorDotExpr}
 
 /** The library's Catalyst extension point: registers the custom expressions
   * as SQL functions so `spark.sql` users get them too —
@@ -70,6 +70,21 @@ object GraftExtensions {
         // return the bare AggregateFunction — the analyzer wraps it in an
         // AggregateExpression, as with Spark's own registered aggregates
         KmvBottomKAgg(children.head, k)
+      }),
+    (FunctionIdentifier("kmv_bottomk_set"),
+      info("kmv_bottomk_set",
+        "kmv_bottomk_set(hash, k) - bottom-k (KMV) sketch as a sorted array<bigint>, for sketch set algebra"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kmv_bottomk_set takes 2 arguments")
+        val kExpr = children(1)
+        require(kExpr.foldable, "kmv_bottomk_set: k must be a literal")
+        val k = kExpr.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"kmv_bottomk_set: k must be an integer literal, got $other")
+        }
+        KmvBottomKSetAgg(children.head, k)
       }),
     (FunctionIdentifier("qsketch_bottomk"),
       info("qsketch_bottomk",

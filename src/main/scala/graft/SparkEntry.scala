@@ -138,6 +138,7 @@ object SparkEntry {
     "q_zorder" -> (Bucketing.zOrderKeys _),
     "q_pagerank" -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
     "q_skyline" -> (QuerySurface.skyline _),
+    "q_kmv_overlap" -> (Sketches.kmvOverlap _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -532,5 +533,6 @@ object SparkEntry {
     "q_zorder" -> Bucketing.zOrderKeysOracleSql,
     "q_pagerank" -> Graph.pageRankOracleSql(),
     "q_skyline" -> QuerySurface.skylineOracleSql,
+    "q_kmv_overlap" -> Sketches.kmvOverlapOracleSql,
   )
 }

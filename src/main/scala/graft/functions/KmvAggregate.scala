@@ -105,10 +105,89 @@ case class KmvBottomKAgg(child: Expression, k: Int,
   override def prettyName: String = "kmv_bottomk"
 }
 
+/** Bottom-k sketch that emits the FULL sorted hash set (`array<bigint>`)
+  * instead of just the order statistic — the form sketch ALGEBRA needs:
+  * two groups' sets support union (merge + re-truncate) and intersection
+  * estimates downstream, which `(kth_hash, k_n)` alone cannot. Same
+  * buffer, update, and merge as [[KmvBottomKAgg]]; state is still k longs
+  * per group, and the output array is sketch-sized, never data-sized.
+  * Registered in SQL as `kmv_bottomk_set(hash, k)`. */
+case class KmvBottomKSetAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvBuffer] {
+
+  require(k >= 2 && k <= 65536, s"kmv_bottomk_set: k must be in [2, 65536], got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kmv_bottomk_set requires a BIGINT hash column, got ${other.sql}")
+  }
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    val it = other.set.iterator()
+    while (it.hasNext) buffer.add(it.next())
+    buffer
+  }
+
+  override def eval(buffer: KmvBuffer): Any =
+    if (buffer.set.isEmpty) null
+    else {
+      val vs = new Array[Long](buffer.set.size)
+      val it = buffer.set.iterator()
+      var i = 0
+      while (it.hasNext) { vs(i) = it.next().longValue(); i += 1 }
+      // TreeSet iterates ascending — already sorted
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(vs)
+    }
+
+  override def serialize(buffer: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buffer.set.size)
+    bb.putInt(buffer.set.size)
+    val it = buffer.set.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new KmvBuffer(k)
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvBottomKSetAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvBottomKSetAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvBottomKSetAgg =
+    copy(child = newChildren.head)
+  override def prettyName: String = "kmv_bottomk_set"
+}
+
 object KmvAggregate {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   /** Column API: `kmvBottomK(hashCol, k)` → struct(kth_hash, k_n). */
   def kmvBottomK(hash: Column, k: Int): Column =
     column(KmvBottomKAgg(expression(hash), k).toAggregateExpression())
+
+  /** Column API: `kmvBottomKSet(hashCol, k)` → sorted array<bigint>. */
+  def kmvBottomKSet(hash: Column, k: Int): Column =
+    column(KmvBottomKSetAgg(expression(hash), k).toAggregateExpression())
 }

@@ -538,6 +538,121 @@ object Sketches {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---- KMV set algebra: cross-source overlap estimation ----
+
+  private val OverlapK = 256
+
+  /** Estimated pairwise content overlap between sources, from bottom-k
+    * sketch ALGEBRA alone: per source, a k=256 KMV sketch of its distinct
+    * word-3-gram shingle hashes (native [[graft.functions.KmvBottomKSetAgg]]
+    * — one partial/final aggregate, k longs of state per source, the corpus
+    * never sorts); then for each source pair, the standard KMV combination:
+    * bottom-k of the sketch union estimates |A∪B|, the fraction of that
+    * union sketch present in BOTH sides estimates Jaccard, and their
+    * product estimates |A∩B|. This is the cross-corpus contamination /
+    * duplication triage that runs BEFORE any pairwise dedup join: 10⁴
+    * sources → 10⁸ pair estimates from 10⁴ sketches of k longs each,
+    * without touching the corpus again.
+    *
+    * The gate emits the exact overlap alongside (same error-probe pattern
+    * as [[approxDistinctKmv]]) — the exact column is a vocab self-join the
+    * sketch path exists to avoid; at scale use the estimate columns only.
+    * Determinism: hashes are portable md5, the sketch is an order
+    * statistic (no RNG), and the estimate arithmetic is division +
+    * multiply mirrored expression-for-expression in the oracle.
+    */
+  def kmvOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = documents(spark, sfDir)
+      .select(col("source"),
+        explode(Dedup.shingleUdf(split(col("text"), " "))).as("shingle"))
+    val hashed = sh.select(col("source"), md5Lower63Udf(col("shingle")).as("h"))
+    val sk = hashed.groupBy(col("source"))
+      .agg(graft.functions.KmvAggregate.kmvBottomKSet(col("h"), OverlapK).as("sk"))
+    val pairs = sk.select(col("source").as("source_a"), col("sk").as("ska"))
+      .crossJoin(broadcast(
+        sk.select(col("source").as("source_b"), col("sk").as("skb"))))
+      .filter(col("source_a") < col("source_b"))
+      .withColumn("u", slice(array_sort(array_union(col("ska"), col("skb"))),
+        1, OverlapK))
+      .withColumn("ku", size(col("u")).cast("long"))
+      .withColumn("kth", element_at(col("u"), size(col("u"))))
+      .withColumn("c",
+        size(array_intersect(col("u"), array_intersect(col("ska"), col("skb"))))
+          .cast("long"))
+    val exact = hashed.dropDuplicates("source", "h")
+    val exactPairs = exact.as("x")
+      .join(exact.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_exact"))
+    val estUnion = when(col("ku") < OverlapK, col("ku").cast("double"))
+      .otherwise(lit((OverlapK - 1).toDouble) * lit(9223372036854775808.0) /
+        col("kth").cast("double"))
+    pairs.join(exactPairs, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        (col("c").cast("double") / col("ku").cast("double")).as("est_jaccard"),
+        ((col("c").cast("double") / col("ku").cast("double")) * estUnion)
+          .as("est_overlap"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact_overlap"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** DuckDB twin of [[kmvOverlap]]: sketches recomputed as windows over
+    * the distinct hash sets (fine at oracle scale), identical estimate
+    * arithmetic. */
+  def kmvOverlapOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, string_split(text, ' ') AS w FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       |  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+       |), h AS (
+       |  SELECT DISTINCT source,
+       |    CAST(md5_number_lower(shingle) & 9223372036854775807 AS BIGINT) AS h
+       |  FROM sh
+       |), r AS (
+       |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM h
+       |), sk AS (
+       |  SELECT source, h FROM r WHERE rn <= $OverlapK
+       |), pairs AS (
+       |  SELECT a.source AS sa, b.source AS sb
+       |  FROM (SELECT DISTINCT source FROM sk) a, (SELECT DISTINCT source FROM sk) b
+       |  WHERE a.source < b.source
+       |), u0 AS (
+       |  SELECT p.sa, p.sb, s.h
+       |  FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+       |  GROUP BY 1, 2, 3
+       |), u AS (
+       |  SELECT sa, sb, h,
+       |    row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS ru
+       |  FROM u0
+       |), uk AS (
+       |  SELECT sa, sb, max(h) AS kth, count(*) AS ku
+       |  FROM u WHERE ru <= $OverlapK GROUP BY 1, 2
+       |), iu AS (
+       |  SELECT u.sa, u.sb, count(*) AS c
+       |  FROM u
+       |  JOIN sk x ON x.source = u.sa AND x.h = u.h
+       |  JOIN sk y ON y.source = u.sb AND y.h = u.h
+       |  WHERE u.ru <= $OverlapK GROUP BY 1, 2
+       |), ex AS (
+       |  SELECT xa.source AS sa, xb.source AS sb, count(*) AS n
+       |  FROM h xa JOIN h xb ON xa.h = xb.h AND xa.source < xb.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT uk.sa AS source_a, uk.sb AS source_b,
+       |  COALESCE(iu.c, 0) / CAST(uk.ku AS DOUBLE) AS est_jaccard,
+       |  (COALESCE(iu.c, 0) / CAST(uk.ku AS DOUBLE)) *
+       |    (CASE WHEN uk.ku < $OverlapK THEN CAST(uk.ku AS DOUBLE)
+       |          ELSE ${OverlapK - 1}.0 * 9223372036854775808.0 / CAST(uk.kth AS DOUBLE)
+       |     END) AS est_overlap,
+       |  CAST(COALESCE(ex.n, 0) AS BIGINT) AS n_exact_overlap
+       |FROM uk
+       |LEFT JOIN iu ON uk.sa = iu.sa AND uk.sb = iu.sb
+       |LEFT JOIN ex ON uk.sa = ex.sa AND uk.sb = ex.sb
+       |ORDER BY source_a, source_b""".stripMargin
+
   // ---- Salted (two-level) aggregation ----
 
   private val SaltBuckets = 8

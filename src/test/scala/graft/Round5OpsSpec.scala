@@ -146,6 +146,25 @@ class Round5OpsSpec extends SparkTestBase {
     assert(oneSalt == want)
   }
 
+  test("kmvOverlap: estimator contract — bounds per pair, unbiased in aggregate") {
+    val rows = Sketches.kmvOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (j, est) = (r.getAs[Double]("est_jaccard"), r.getAs[Double]("est_overlap"))
+      assert(j >= 0.0 && j <= 1.0, s"jaccard out of range: $j")
+      assert(est >= 0.0)
+    }
+    // per-pair intersections here are small (jaccard·k ≈ 5 union-sketch
+    // samples → large per-pair variance, inherent to KMV at k=256), but the
+    // estimator is unbiased: over all 190 pairs the errors must cancel
+    val sumEst = rows.map(_.getAs[Double]("est_overlap")).sum
+    val sumExact = rows.map(_.getAs[Long]("n_exact_overlap")).sum.toDouble
+    assert(sumExact > 0)
+    val relErr = math.abs(sumEst - sumExact) / sumExact
+    assert(relErr < 0.35,
+      s"aggregate overlap estimate off by ${relErr * 100}%: est=$sumEst exact=$sumExact")
+  }
+
   test("z-ordered layout: file-level min/max skip on BOTH dimensions") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-zorder").toString + "/events_z"

@@ -108,6 +108,42 @@ class SqlApiSpec extends SparkTestBase {
       s"sketch must not require sorting every group:\n$plan")
   }
 
+  test("kmv_bottomk_set aggregate: SQL == Column API == brute-force set") {
+    GraftExtensions.register(spark)
+    register()
+    import org.apache.spark.sql.functions._
+    val hashed = Tables.events(spark, sf).select(col("event_type"),
+      udf((s: String) => graft.functions.PortableHash.md5Lower63(s))
+        .apply(col("user_id").cast("string")).as("h"))
+    hashed.createOrReplaceTempView("hashed_events_set")
+    val viaSql = spark.sql(
+      """SELECT event_type, kmv_bottomk_set(h, 8) AS sk
+        |FROM hashed_events_set GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .collect()
+    val viaCol = hashed.groupBy(col("event_type"))
+      .agg(graft.functions.KmvAggregate.kmvBottomKSet(col("h"), 8).as("sk"))
+      .orderBy(col("event_type")).collect()
+    assert(viaSql.map(_.getSeq[Long](1).toList).toList ==
+      viaCol.map(_.getSeq[Long](1).toList).toList)
+    // brute force: the 8 smallest distinct hashes per group, ascending
+    val brute = hashed.distinct().collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).distinct.sorted.take(8).toList).toMap
+    viaSql.foreach { r =>
+      assert(r.getSeq[Long](1).toList == brute(r.getString(0)),
+        s"set mismatch for ${r.getString(0)}")
+    }
+    // and the set form agrees with the (kth_hash, k_n) form
+    val pair = hashed.groupBy(col("event_type"))
+      .agg(graft.functions.KmvAggregate.kmvBottomK(col("h"), 8).as("kmv"))
+      .orderBy(col("event_type")).collect()
+    viaSql.zip(pair).foreach { case (s, p) =>
+      val set = s.getSeq[Long](1)
+      val st = p.getStruct(1)
+      assert(set.last == st.getLong(0) && set.length.toLong == st.getLong(1))
+    }
+  }
+
   test("qsketch_bottomk aggregate: SQL == Column API == brute-force sample") {
     GraftExtensions.register(spark)
     register()
