@@ -139,6 +139,7 @@ object SparkEntry {
     "q_pagerank" -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
     "q_skyline" -> (QuerySurface.skyline _),
     "q_kmv_overlap" -> (Sketches.kmvOverlap _),
+    "text_lm_score" -> ((s: SparkSession, d: String) => TextAnalysis.lmScore(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -534,5 +535,6 @@ object SparkEntry {
     "q_pagerank" -> Graph.pageRankOracleSql(),
     "q_skyline" -> QuerySurface.skylineOracleSql,
     "q_kmv_overlap" -> Sketches.kmvOverlapOracleSql,
+    "text_lm_score" -> TextAnalysis.lmScoreOracleSql,
   )
 }

@@ -485,6 +485,73 @@ object TextAnalysis {
        |FROM f GROUP BY term
        |ORDER BY term""".stripMargin
 
+  // ---- Bigram language-model scoring ----
+
+  /** Per-document bigram-LM predictability score — the shape of the
+    * CCNet-style LM quality filter, with the model self-trained on the
+    * corpus: every adjacent token pair scores `P(w2|w1) =
+    * count(w1,w2)/count(w1 ·)` in fixed point (⌊c_bi·10⁶/c_pre⌋,
+    * truncating integer division — no transcendentals, no FP accumulation,
+    * identical on any engine), and the doc reports the mean and min over
+    * its positions. Low mean = unpredictable/garbled text; min flags the
+    * single most surprising transition. In production the count tables
+    * come from a held-out reference corpus (swap the `bi`-derived model
+    * frames for a read of that table — the scoring join is unchanged);
+    * perplexity's exp/log is deliberately absent, mean-P ranks documents
+    * monotonically enough for filtering and stays oracle-exact.
+    *
+    * Scale shape: bigram explode (map-only) → two count aggregates
+    * (map-side combined) → model join, size-aware like [[rarity]]:
+    * broadcast under the threshold, shuffle_hash above (the hint also
+    * suppresses auto-broadcast, so the fallback is real). Overflow:
+    * c_bi·10⁶ ≤ 2⁶³ up to ~9×10¹² occurrences of one bigram.
+    */
+  def lmScore(spark: SparkSession, sfDir: String,
+      broadcastVocabLimit: Long = 2000000L): DataFrame = {
+    val toks = documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val bi = toks.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> named_struct('w1', w[i], 'w2', w[i + 1]))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bi"))
+    val pc = bi.groupBy(col("w1")).agg(count(lit(1)).as("c_pre"))
+    val (bcSized, pcSized) =
+      if (bc.count() <= broadcastVocabLimit) (broadcast(bc), broadcast(pc))
+      else (bc.hint("shuffle_hash"), pc.hint("shuffle_hash"))
+    bi.join(bcSized, Seq("w1", "w2")).join(pcSized, Seq("w1"))
+      .select(col("doc_id"), expr("(c_bi * 1000000L) div c_pre").as("p_fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_fp")).as("s"),
+        min(col("p_fp")).as("min_p_fp"))
+      .withColumn("avg_p_fp", expr("s div n_bigrams"))
+      .drop("s")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[lmScore]] — 1-based list indexing where Spark's
+    * bracket indexing is 0-based; same fixed-point rules (`//` ≡ `div`). */
+  def lmScoreOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), bi AS (
+      |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |  FROM toks, unnest(range(1, len(w))) AS t(i)
+      |), bc AS (
+      |  SELECT w1, w2, count(*) AS c_bi FROM bi GROUP BY 1, 2
+      |), pc AS (
+      |  SELECT w1, count(*) AS c_pre FROM bi GROUP BY 1
+      |), sc AS (
+      |  SELECT doc_id, (bc.c_bi * 1000000) // pc.c_pre AS p_fp
+      |  FROM bi JOIN bc USING (w1, w2) JOIN pc USING (w1)
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(min(p_fp) AS BIGINT) AS min_p_fp,
+      |  CAST(sum(p_fp) // count(*) AS BIGINT) AS avg_p_fp
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- PII detection / redaction ----
 
   /** Patterns restricted to the syntax subset Java regex and RE2 (DuckDB)

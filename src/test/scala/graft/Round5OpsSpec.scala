@@ -165,6 +165,30 @@ class Round5OpsSpec extends SparkTestBase {
       s"aggregate overlap estimate off by ${relErr * 100}%: est=$sumEst exact=$sumExact")
   }
 
+  test("lmScore: matches an exact driver-side fixed-point recompute") {
+    val texts = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val bigrams = texts.flatMap { case (id, t) =>
+      val w = t.split(" ", -1)
+      w.indices.dropRight(1).map(i => (id, w(i), w(i + 1)))
+    }
+    val cBi = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.length.toLong).toMap
+    val cPre = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val want = bigrams.groupBy(_._1).view.mapValues { bs =>
+      val ps = bs.map(b => cBi((b._2, b._3)) * 1000000L / cPre(b._2))
+      (bs.length.toLong, ps.sum / bs.length, ps.min)
+    }.toMap
+    val got = TextAnalysis.lmScore(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (n, avg, mn) = want(id)
+      assert(r.getAs[Long]("n_bigrams") == n, s"n_bigrams mismatch doc $id")
+      assert(r.getAs[Long]("avg_p_fp") == avg, s"avg mismatch doc $id")
+      assert(r.getAs[Long]("min_p_fp") == mn, s"min mismatch doc $id")
+    }
+  }
+
   test("z-ordered layout: file-level min/max skip on BOTH dimensions") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-zorder").toString + "/events_z"
