@@ -140,6 +140,8 @@ object SparkEntry {
     "q_skyline" -> (QuerySurface.skyline _),
     "q_kmv_overlap" -> (Sketches.kmvOverlap _),
     "text_lm_score" -> ((s: SparkSession, d: String) => TextAnalysis.lmScore(s, d)),
+    "q_funnel" -> (QuerySurface.funnel _),
+    "q_retention" -> (QuerySurface.retention _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -536,5 +538,7 @@ object SparkEntry {
     "q_skyline" -> QuerySurface.skylineOracleSql,
     "q_kmv_overlap" -> Sketches.kmvOverlapOracleSql,
     "text_lm_score" -> TextAnalysis.lmScoreOracleSql,
+    "q_funnel" -> QuerySurface.funnelOracleSql,
+    "q_retention" -> QuerySurface.retentionOracleSql,
   )
 }

@@ -790,6 +790,105 @@ object QuerySurface {
        |FROM g LEFT JOIN s USING (event_type, hour_us)
        |ORDER BY g.event_type, g.hour_us""".stripMargin
 
+  // ---- Funnel analysis (ordered multi-stage conversion) ----
+
+  /** Per-user ordered funnel signup → click → purchase: a user converts a
+    * stage only if that stage's event happens AT OR AFTER their previous
+    * stage's conversion time (min-qualifying-timestamp semantics). Reports
+    * per-stage user counts and conversion rates.
+    *
+    * Scale shape: three per-user aggregates chained by joins, every one
+    * map-side combined and keyed on `user_id` — after the first shuffle
+    * the key partitioning is reused (no new exchange per stage, AQE plans
+    * the three aggs over one layout), and nothing is ever ordered
+    * globally. The window-free formulation matters: a per-user sort-based
+    * funnel (collect events, walk the array) carries the full event list
+    * per user through the shuffle; this carries one timestamp per stage.
+    * Timestamps compare as epoch-µs integers.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts_us") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts_us") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+    val n1 = s1.agg(count(lit(1)).as("n_signup"))
+    val n2 = s2.agg(count(lit(1)).as("n_click_after"))
+    val n3 = s3.agg(count(lit(1)).as("n_purchase_after"))
+    n1.crossJoin(n2).crossJoin(n3)
+      .select(col("n_signup"), col("n_click_after"), col("n_purchase_after"),
+        (col("n_click_after").cast("double") / col("n_signup").cast("double"))
+          .as("rate_click"),
+        (col("n_purchase_after").cast("double") / col("n_click_after").cast("double"))
+          .as("rate_purchase"))
+  }
+
+  /** DuckDB twin of [[funnel]]. */
+  def funnelOracleSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+      |), s1 AS (
+      |  SELECT user_id, min(ts_us) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY 1
+      |), s2 AS (
+      |  SELECT ev.user_id, min(ts_us) AS t2
+      |  FROM ev JOIN s1 USING (user_id)
+      |  WHERE event_type = 'click' AND ts_us >= t1 GROUP BY 1
+      |), s3 AS (
+      |  SELECT ev.user_id, min(ts_us) AS t3
+      |  FROM ev JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND ts_us >= t2 GROUP BY 1
+      |)
+      |SELECT (SELECT count(*) FROM s1) AS n_signup,
+      |  (SELECT count(*) FROM s2) AS n_click_after,
+      |  (SELECT count(*) FROM s3) AS n_purchase_after,
+      |  CAST((SELECT count(*) FROM s2) AS DOUBLE)
+      |    / CAST((SELECT count(*) FROM s1) AS DOUBLE) AS rate_click,
+      |  CAST((SELECT count(*) FROM s3) AS DOUBLE)
+      |    / CAST((SELECT count(*) FROM s2) AS DOUBLE) AS rate_purchase""".stripMargin
+
+  // ---- Cohort retention ----
+
+  /** Weekly cohort retention matrix: users are cohorted by their first
+    * active epoch-week (integer `ts_us div week_µs` — no calendar
+    * dependence, identical on any engine), and each (cohort_week, offset)
+    * cell counts the cohort's users active `offset` weeks later.
+    *
+    * Scale shape: distinct (user, week) activity → per-user min for the
+    * cohort (both map-side combined, keyed on user) → count per
+    * (cohort, offset) cell. The matrix is |weeks|² rows regardless of user
+    * count — aggregation output, never raw rows.
+    */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val act = events(spark, sfDir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div ${weekUs}L").as("week"))
+      .distinct()
+    val cohort = act.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    act.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** DuckDB twin of [[retention]]. */
+  def retentionOracleSql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+      |), cohort AS (
+      |  SELECT user_id, min(week) AS cohort_week FROM act GROUP BY 1
+      |)
+      |SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_users
+      |FROM act JOIN cohort USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   // ---- 2D skyline (Pareto frontier) ----
 
   /** Pareto frontier of a (maximize benefit, minimize cost) point set —

@@ -189,6 +189,48 @@ class Round5OpsSpec extends SparkTestBase {
     }
   }
 
+  test("funnel: stage counts match brute force and are monotone") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    def stageMin(tp: String, after: Map[Long, Long]): Map[Long, Long] =
+      byUser.flatMap { case (u, rows) =>
+        val gate = after.get(u)
+        if (after.nonEmpty && gate.isEmpty) None
+        else {
+          val ts = rows.filter(r => r._2 == tp && gate.forall(r._3 >= _)).map(_._3)
+          if (ts.isEmpty) None else Some(u -> ts.min)
+        }
+      }
+    val s1 = stageMin("signup", Map.empty)
+    val s2 = stageMin("click", s1)
+    val s3 = stageMin("purchase", s2)
+    val r = QuerySurface.funnel(spark, sf).collect().head
+    assert(r.getAs[Long]("n_signup") == s1.size)
+    assert(r.getAs[Long]("n_click_after") == s2.size)
+    assert(r.getAs[Long]("n_purchase_after") == s3.size)
+    assert(s1.size >= s2.size && s2.size >= s3.size)
+  }
+
+  test("retention: cohort matrix matches brute force") {
+    val weekUs = 7L * 86400L * 1000000L
+    val act = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / weekUs)).distinct
+    val cohort = act.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = act.groupBy { case (u, w) => (cohort(u), w - cohort(u)) }
+      .view.mapValues(_.length.toLong).toMap
+    val got = QuerySurface.retention(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset")) ->
+        r.getAs[Long]("n_users")).toMap
+    assert(got == want)
+    // offset-0 cell counts the whole cohort by construction
+    got.keys.map(_._1).foreach { cw =>
+      assert(got((cw, 0L)) == cohort.count(_._2 == cw))
+    }
+  }
+
   test("z-ordered layout: file-level min/max skip on BOTH dimensions") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-zorder").toString + "/events_z"
