@@ -43,7 +43,7 @@ object Graph {
     * every node has out-degree ≥ 1.
     */
   def pageRank(spark: SparkSession, sfDir: String, iterations: Int = 5,
-      topK: Int = 50): DataFrame = {
+      topK: Int = 50, checkpointEvery: Int = 1): DataFrame = {
     val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
     val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
     val fwd = li.join(od, col("l_orderkey") === col("o_orderkey"))
@@ -56,7 +56,7 @@ object Graph {
     val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
 
     var ranks = nodes.withColumn("r", lit(Scale))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = edges
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .join(deg, "src")
@@ -66,7 +66,10 @@ object Graph {
         .select(col("id"),
           (lit(15L * Scale / 100L) +
             expr("(coalesce(c, 0L) * 85) div 100")).as("r"))
-        .localCheckpoint(true)
+      // bounded iteration counts tolerate a longer lineage; checkpoint
+      // cadence is a measured knob (tools.PrProbe), every round by default
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks
       .select(col("id"),
