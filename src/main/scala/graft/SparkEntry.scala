@@ -142,6 +142,7 @@ object SparkEntry {
     "text_lm_score" -> ((s: SparkSession, d: String) => TextAnalysis.lmScore(s, d)),
     "q_funnel" -> (QuerySurface.funnel _),
     "q_retention" -> (QuerySurface.retention _),
+    "mm_near_dup" -> ((s: SparkSession, d: String) => Multimodal.nearDupMedia(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -540,5 +541,6 @@ object SparkEntry {
     "text_lm_score" -> TextAnalysis.lmScoreOracleSql,
     "q_funnel" -> QuerySurface.funnelOracleSql,
     "q_retention" -> QuerySurface.retentionOracleSql,
+    "mm_near_dup" -> Multimodal.nearDupMediaOracleSql(),
   )
 }

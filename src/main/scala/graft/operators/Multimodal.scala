@@ -181,4 +181,126 @@ object Multimodal {
         sha2(col("content"), 256).as("sha256"),
         md5(col("content")).as("md5"))
       .orderBy(col("doc_id"))
+
+  // ---- Perceptual near-dup over the binary payload ----
+
+  /** 63-bit byte-gradient signature (the dHash shape): sample 64 positions
+    * evenly across the payload, set bit j when sample j is byte-wise
+    * smaller than sample j+1. The real counterpart hashes pixel gradients
+    * of a decoded, downscaled image — identical signature algebra, decode
+    * swapped into this stub. 63 bits, not 64: the sign bit stays clear so
+    * the banding arithmetic (and the oracle's `<<`) never touches signed
+    * overflow — same convention as the 63-bit SimHash/MD5 hashes. */
+  private[operators] def dhashStub(content: Array[Byte]): Long = {
+    val n = content.length
+    if (n < 2) 0L
+    else {
+      var sig = 0L
+      var j = 0
+      while (j < 63) {
+        val p = (j.toLong * (n - 1)) / 63
+        val q = ((j + 1).toLong * (n - 1)) / 63
+        if ((content(p.toInt) & 0xff) < (content(q.toInt) & 0xff)) sig |= 1L << j
+        j += 1
+      }
+      sig
+    }
+  }
+
+  /** Near-duplicate media pairs by perceptual signature: dHash per payload
+    * (inside the partition-wise decode loop, where a production pipeline
+    * already sits), then the same 16-bit-band blocking + hamming verify as
+    * SimHash — candidates are band-bucket collisions only, never all
+    * pairs; identical payloads collide on every band at hamming 0.
+    *
+    * Scale shape: one decode pass (map), a 4×-exploded band-bucket
+    * shuffle whose key space is 2¹⁶·4, candidate verify on sketch-sized
+    * rows. The signature is 8 bytes per asset — the join never carries
+    * payloads. */
+  def nearDupMediaPairs(media: Dataset[Media],
+      maxHamming: Int = 6): DataFrame = {
+    import media.sparkSession.implicits._
+    val sigs = media
+      .mapPartitions(it => it.map(m => (m.doc_id, dhashStub(m.content))))
+      .toDF("doc_id", "sig")
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bandSig"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("sig"),
+        col("bs.band").as("band"), col("bs.bandSig").as("bandSig"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandSig") === col("b.bandSig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Gate query: the synthetic corpus carries no byte-level near-dups (its
+    * closest band-colliding pair sits at hamming 10), so the gate builds
+    * them deterministically — every 5th document gains a variant under a
+    * fresh id with ONE character substituted at position 51. The
+    * substitution is length-preserving, so the 63 sampled positions stay
+    * aligned and only gradients adjacent to the edit can flip: variant
+    * pairs land at hamming ≤ 2, and ≤3 flipped bits can dirty at most 3 of
+    * the 4 bands, so a clean band — and thus candidacy — is guaranteed by
+    * pigeonhole. The operator under test is [[nearDupMediaPairs]]; the
+    * corpus augmentation is scaffolding, mirrored exactly in the oracle. */
+  def nearDupMedia(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 6): DataFrame = {
+    import spark.implicits._
+    val base = documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val variants = base
+      .filter(col("doc_id") % 5 === 0 && length(col("text")) >= 52)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(substring(col("text"), 1, 50), lit("Z"),
+          expr("substring(text, 52)")).as("text"))
+    val media = base.unionByName(variants)
+      .select(col("doc_id"), lit("text/plain").as("mime"),
+        encode(col("text"), "UTF-8").as("content"))
+      .as[Media]
+    nearDupMediaPairs(media, maxHamming)
+  }
+
+  /** DuckDB twin of [[nearDupMedia]] — the 63 sampled byte comparisons
+    * written out longhand over chars (the corpus is pure ASCII, so
+    * char == byte; `mm_features` relies on the same equivalence), then
+    * identical banding and verification. */
+  def nearDupMediaOracleSql(maxHamming: Int = 6): String = {
+    val sigTerms = (0 until 63).map { j =>
+      s"(CASE WHEN unicode(substr(text, CAST(($j * (n - 1)) // 63 AS INTEGER) + 1, 1)) < " +
+        s"unicode(substr(text, CAST((${j + 1} * (n - 1)) // 63 AS INTEGER) + 1, 1)) " +
+        s"THEN CAST(1 AS BIGINT) << $j ELSE 0 END)"
+    }.mkString(" +\n      ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, substr(text, 1, 50) || 'Z' || substr(text, 52)
+       |  FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 52
+       |), t AS (
+       |  SELECT doc_id, text, length(text) AS n FROM corpus
+       |), sig AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n < 2 THEN 0 ELSE
+       |      $sigTerms
+       |    END AS sig
+       |  FROM t
+       |), banded AS (
+       |  SELECT doc_id, sig, b.band, (sig >> (16 * b.band)) & 65535 AS bandsig
+       |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+       |)
+       |SELECT id1, id2, hamming FROM cand
+       |WHERE hamming <= $maxHamming
+       |ORDER BY id1, id2""".stripMargin
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bucketing, Graph, Mutations, QuerySurface, Sketches, Tables, TextAnalysis}
+import graft.operators.{Bucketing, Graph, Multimodal, Mutations, QuerySurface, Sketches, Tables, TextAnalysis}
 
 /** Round-5 operator semantics: salted aggregation identity, profiling mode
   * rule, PII scrub, CDC apply, and the z-order layout (key correctness +
@@ -228,6 +228,20 @@ class Round5OpsSpec extends SparkTestBase {
     // offset-0 cell counts the whole cohort by construction
     got.keys.map(_._1).foreach { cw =>
       assert(got((cw, 0L)) == cohort.count(_._2 == cw))
+    }
+  }
+
+  test("nearDupMedia: every planted variant is recalled against its original") {
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0 && length(col("text")) >= 52)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty)
+    val pairs = Multimodal.nearDupMedia(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Long]("hamming")))
+    planted.foreach { id =>
+      val hit = pairs.find(p => p._1 == id && p._2 == id + 1000000L)
+      assert(hit.isDefined, s"variant of $id not recalled")
+      assert(hit.get._3 <= 2, s"variant pair of $id at hamming ${hit.get._3}")
     }
   }
 
