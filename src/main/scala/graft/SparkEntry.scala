@@ -143,6 +143,7 @@ object SparkEntry {
     "q_funnel" -> (QuerySurface.funnel _),
     "q_retention" -> (QuerySurface.retention _),
     "mm_near_dup" -> ((s: SparkSession, d: String) => Multimodal.nearDupMedia(s, d)),
+    "q_join_card" -> (Sketches.joinCardProbe _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -542,5 +543,6 @@ object SparkEntry {
     "q_funnel" -> QuerySurface.funnelOracleSql,
     "q_retention" -> QuerySurface.retentionOracleSql,
     "mm_near_dup" -> Multimodal.nearDupMediaOracleSql(),
+    "q_join_card" -> Sketches.joinCardProbeOracleSql,
   )
 }

@@ -538,6 +538,49 @@ object Sketches {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---- Join cardinality / fan-out probe ----
+
+  /** Pre-flight join-size probe for `lineitem ⋈ orders` on the order key:
+    * |A ⋈ B| = Σₖ c_A(k)·c_B(k) computed from the two count-per-key
+    * tables — integer-exact, and the count tables are a tiny fraction of
+    * the join's own cost (no wide rows move, partial aggregation
+    * map-side). Also reports the maximum per-key fan-out (max c_A·c_B),
+    * the number that says whether one hot key will dominate the real
+    * join's reducers — together with [[heavyHitters]] and [[groupProfile]]
+    * this is the probe set a pipeline runs BEFORE committing to a join
+    * strategy (broadcast? salt? bucket?). Products go through
+    * DECIMAL(38,0) like the heavy-hitter predicate: c·c then Σ can pass
+    * 2⁶³ at fleet-scale fan-outs, and non-ANSI Spark would wrap silently;
+    * the final values are cast back to BIGINT (callers at that scale keep
+    * the decimal form).
+    */
+  def joinCardProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val cl = lineitem(spark, sfDir).groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("ca"))
+    val co = orders(spark, sfDir).groupBy(col("o_orderkey").as("k"))
+      .agg(count(lit(1)).as("cb"))
+    cl.join(co, "k")
+      .select((dec(col("ca")) * dec(col("cb"))).as("prod"))
+      .agg(sum(col("prod")).cast("long").as("predicted_join_rows"),
+        max(col("prod")).cast("long").as("max_key_fanout"),
+        count(lit(1)).as("n_join_keys"))
+  }
+
+  /** DuckDB twin of [[joinCardProbe]] — the predicted count is also
+    * literally checkable as `count(*)` of the real join; both forms agree
+    * by definition of the formula. */
+  def joinCardProbeOracleSql: String =
+    """WITH cl AS (
+      |  SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY 1
+      |), co AS (
+      |  SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1
+      |)
+      |SELECT CAST(sum(ca * cb) AS BIGINT) AS predicted_join_rows,
+      |  CAST(max(ca * cb) AS BIGINT) AS max_key_fanout,
+      |  count(*) AS n_join_keys
+      |FROM cl JOIN co USING (k)""".stripMargin
+
   // ---- KMV set algebra: cross-source overlap estimation ----
 
   private val OverlapK = 256

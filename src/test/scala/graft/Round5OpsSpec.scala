@@ -245,6 +245,16 @@ class Round5OpsSpec extends SparkTestBase {
     }
   }
 
+  test("joinCardProbe: prediction equals the real join's row count") {
+    val r = Sketches.joinCardProbe(spark, sf).collect().head
+    val real = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(r.getAs[Long]("predicted_join_rows") == real)
+    assert(r.getAs[Long]("max_key_fanout") >= 1L)
+    assert(r.getAs[Long]("n_join_keys") >= 1L)
+  }
+
   test("z-ordered layout: file-level min/max skip on BOTH dimensions") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-zorder").toString + "/events_z"
