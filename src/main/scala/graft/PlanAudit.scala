@@ -42,7 +42,8 @@ object PlanAudit {
             // round-5 additions; q_pagerank is absent for the same reason
             // as q_bloom_join (per-round localCheckpoint → opaque scan)
             "q_salted_agg", "q_profile", "q_cdc_apply", "q_zorder",
-            "q_skyline").contains(name)) {
+            "q_skyline", "q_funnel", "q_retention", "q_join_card",
+            "text_lm_score").contains(name)) {
         println(s"\n======== $name ========")
         fn(spark, sfDir).explain("formatted")
       }
