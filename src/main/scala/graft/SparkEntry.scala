@@ -144,6 +144,7 @@ object SparkEntry {
     "q_retention" -> (QuerySurface.retention _),
     "mm_near_dup" -> ((s: SparkSession, d: String) => Multimodal.nearDupMedia(s, d)),
     "q_join_card" -> (Sketches.joinCardProbe _),
+    "q_equi_depth" -> (Sketches.equiDepth _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -544,5 +545,6 @@ object SparkEntry {
     "q_retention" -> QuerySurface.retentionOracleSql,
     "mm_near_dup" -> Multimodal.nearDupMediaOracleSql(),
     "q_join_card" -> Sketches.joinCardProbeOracleSql,
+    "q_equi_depth" -> Sketches.equiDepthOracleSql,
   )
 }

@@ -538,6 +538,57 @@ object Sketches {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---- Equi-depth histogram boundaries ----
+
+  private val EquiDepthBuckets = 8
+
+  /** Equi-depth (equi-height) histogram boundaries of `value` per
+    * `event_type`: boundary i (1..B−1) is the value at rank ⌈i·n/B⌉ —
+    * `percentile_disc` at B−1 evenly spaced quantiles, written with the
+    * same longhand row_number + ceil-index rule as [[medianDisc]] so the
+    * picked values transfer verbatim across engines. Equal values may tie
+    * arbitrarily in rank, but the VALUE at a rank is tie-invariant.
+    *
+    * This is the statistics artifact the rank-based layouts consume:
+    * optimizer column stats, range-id assignment for production z-ordering
+    * ([[Bucketing]] — min-max is the oracle-portable stand-in there), and
+    * `repartitionByRange`'s boundary sampling made exact. Cost: one window
+    * per group (a per-group sort) — the exact baseline; the sketch path at
+    * 100 TB is [[approxPercentile]]'s bottom-k sample evaluated at B−1
+    * quantiles.
+    */
+  def equiDepth(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val ranked = events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+    val counts = ranked.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    ranked.join(counts, "event_type")
+      .crossJoin(broadcast(
+        spark.range(1, EquiDepthBuckets).toDF("bucket_idx")))
+      .filter(col("rn") ===
+        expr(s"(bucket_idx * n + ${EquiDepthBuckets - 1}) div $EquiDepthBuckets"))
+      .select(col("event_type"), col("bucket_idx"),
+        col("value").as("boundary"))
+      .orderBy(col("event_type"), col("bucket_idx"))
+  }
+
+  /** DuckDB twin of [[equiDepth]] — `⌈i·n/B⌉ = (i·n + B−1) // B`. */
+  def equiDepthOracleSql: String =
+    s"""WITH ranked AS (
+       |  SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+       |  FROM events
+       |), n AS (
+       |  SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+       |)
+       |SELECT r.event_type, b.i AS bucket_idx, r.value AS boundary
+       |FROM ranked r
+       |JOIN n ON r.event_type = n.event_type
+       |JOIN (SELECT unnest(range(1, $EquiDepthBuckets)) AS i) b
+       |  ON r.rn = (b.i * n.n + ${EquiDepthBuckets - 1}) // $EquiDepthBuckets
+       |ORDER BY r.event_type, bucket_idx""".stripMargin
+
   // ---- Join cardinality / fan-out probe ----
 
   /** Pre-flight join-size probe for `lineitem ⋈ orders` on the order key:

@@ -517,11 +517,15 @@ object TextAnalysis {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bi"))
     val pc = bi.groupBy(col("w1")).agg(count(lit(1)).as("c_pre"))
-    val (bcSized, pcSized) =
-      if (bc.count() <= broadcastVocabLimit) (broadcast(bc), broadcast(pc))
-      else (bc.hint("shuffle_hash"), pc.hint("shuffle_hash"))
-    bi.join(bcSized, Seq("w1", "w2")).join(pcSized, Seq("w1"))
-      .select(col("doc_id"), expr("(c_bi * 1000000L) div c_pre").as("p_fp"))
+    // fold the prefix counts INTO the bigram model (model-side join of two
+    // count tables) so the 10⁶×-larger exploded side joins ONCE, not twice
+    val model = bc.join(pc, "w1")
+      .select(col("w1"), col("w2"), expr("(c_bi * 1000000L) div c_pre").as("p_fp"))
+    val modelSized =
+      if (model.count() <= broadcastVocabLimit) broadcast(model)
+      else model.hint("shuffle_hash")
+    bi.join(modelSized, Seq("w1", "w2"))
+      .select(col("doc_id"), col("p_fp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("p_fp")).as("s"),

@@ -255,6 +255,27 @@ class Round5OpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_join_keys") >= 1L)
   }
 
+  test("equiDepth: boundaries are the exact order statistics") {
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    val got = Sketches.equiDepth(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val vs = byType(r.getAs[String]("event_type"))
+      val i = r.getAs[Long]("bucket_idx")
+      val idx = ((i * vs.length + 7) / 8).toInt // ceil(i*n/8), 1-based
+      assert(r.getAs[Double]("boundary") == vs(idx - 1),
+        s"boundary $i of ${r.getAs[String]("event_type")} mismatch")
+    }
+    // 7 boundaries per group, non-decreasing
+    got.groupBy(_.getAs[String]("event_type")).values.foreach { rows =>
+      assert(rows.length == 7)
+      val bs = rows.sortBy(_.getAs[Long]("bucket_idx")).map(_.getAs[Double]("boundary"))
+      assert(bs.zip(bs.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("z-ordered layout: file-level min/max skip on BOTH dimensions") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-zorder").toString + "/events_z"
