@@ -145,6 +145,7 @@ object SparkEntry {
     "mm_near_dup" -> ((s: SparkSession, d: String) => Multimodal.nearDupMedia(s, d)),
     "q_join_card" -> (Sketches.joinCardProbe _),
     "q_equi_depth" -> (Sketches.equiDepth _),
+    "q_zorder_ranked" -> ((s: SparkSession, d: String) => Bucketing.zOrderKeysRanked(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -546,5 +547,6 @@ object SparkEntry {
     "mm_near_dup" -> Multimodal.nearDupMediaOracleSql(),
     "q_join_card" -> Sketches.joinCardProbeOracleSql,
     "q_equi_depth" -> Sketches.equiDepthOracleSql,
+    "q_zorder_ranked" -> Bucketing.zOrderKeysRankedOracleSql,
   )
 }

@@ -151,6 +151,72 @@ object Bucketing {
        |FROM e ORDER BY zkey, event_id LIMIT 200""".stripMargin
   }
 
+  /** Rank-based z-order keys — the production form of [[zOrderKeys]]'
+    * min-max normalization: each dimension's range-id is its rank among
+    * the 256 boundaries of a DETERMINISTIC uniform sample
+    * (`qsketch_bottomk` — k smallest row-hash rows, a pure function of
+    * the row set, no RNG), so ids spread uniformly regardless of the
+    * data's distribution (min-max collapses under outliers: one extreme
+    * value crushes everything else into a few ids; ranks cannot). This is
+    * what `repartitionByRange` does internally with a nondeterministic
+    * sample — here the sample is portable, so the oracle recomputes the
+    * exact layout key. One global agg produces the two 256-double
+    * boundary arrays (broadcast, no driver collect); assignment is a
+    * per-row HOF count of boundaries ≤ v.
+    */
+  def zOrderKeysRanked(spark: SparkSession, sfDir: String,
+      limit: Int = 200): DataFrame = {
+    import graft.functions.QsketchAggregate.qsketchBottomK
+    val hUdf = udf { (s: String) => graft.functions.PortableHash.md5Lower63(s) }
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("h", hUdf(col("event_id").cast("string")))
+    val sk = ev.agg(
+      qsketchBottomK(col("h"), col("user_id").cast("double"), 256).as("su"),
+      qsketchBottomK(col("h"), col("value"), 256).as("sv"))
+    val bu = least(size(filter(col("su"),
+      b => b <= col("user_id").cast("double"))), lit(255)).cast("long")
+    val bv = least(size(filter(col("sv"),
+      b => b <= col("value"))), lit(255)).cast("long")
+    ev.crossJoin(broadcast(sk))
+      .withColumn("bu", bu)
+      .withColumn("bv", bv)
+      .withColumn("zkey", zOrderKey(col("bu"), col("bv")))
+      .select(col("event_id"), col("bu"), col("bv"), col("zkey"))
+      .orderBy(col("zkey"), col("event_id"))
+      .limit(limit)
+  }
+
+  /** DuckDB twin of [[zOrderKeysRanked]] — identical bottom-k-by-hash
+    * sample per dimension (the qsketch rule: DISTINCT (h, v), rank by
+    * (h, v), keep k), identical rank assignment. */
+  def zOrderKeysRankedOracleSql: String = {
+    val z = zOrderKeySql("bu", "bv")
+    s"""WITH src AS (
+       |  SELECT event_id, user_id, value,
+       |    CAST(md5_number_lower(CAST(event_id AS VARCHAR)) & 9223372036854775807 AS BIGINT) AS h
+       |  FROM events
+       |), du AS (
+       |  SELECT DISTINCT h, CAST(user_id AS DOUBLE) AS x FROM src
+       |), ru AS (
+       |  SELECT x, row_number() OVER (ORDER BY h, x) AS rn FROM du
+       |), su AS (
+       |  SELECT list(x ORDER BY x) AS arr FROM ru WHERE rn <= 256
+       |), dv AS (
+       |  SELECT DISTINCT h, value AS x FROM src
+       |), rv AS (
+       |  SELECT x, row_number() OVER (ORDER BY h, x) AS rn FROM dv
+       |), sv AS (
+       |  SELECT list(x ORDER BY x) AS arr FROM rv WHERE rn <= 256
+       |), e AS (
+       |  SELECT event_id,
+       |    least(CAST(len(list_filter(su.arr, b -> b <= CAST(user_id AS DOUBLE))) AS BIGINT), 255) AS bu,
+       |    least(CAST(len(list_filter(sv.arr, b -> b <= value)) AS BIGINT), 255) AS bv
+       |  FROM src, su, sv
+       |)
+       |SELECT event_id, bu, bv, ($z) AS zkey
+       |FROM e ORDER BY zkey, event_id LIMIT 200""".stripMargin
+  }
+
   /** Per-user session counts over the bucketed table — same logic as
     * QuerySurface.sessionize but reading the bucketed layout; the window's
     * required HashPartitioning(user_id) is satisfied by the bucket spec, so

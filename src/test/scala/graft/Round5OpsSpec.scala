@@ -276,6 +276,23 @@ class Round5OpsSpec extends SparkTestBase {
     }
   }
 
+  test("zOrderKeysRanked: range-ids spread the full budget and are deterministic") {
+    val rows = Bucketing.zOrderKeysRanked(spark, sf, limit = Int.MaxValue).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bu") >= 0 && r.getAs[Long]("bu") <= 255)
+      assert(r.getAs[Long]("bv") >= 0 && r.getAs[Long]("bv") <= 255)
+    }
+    // rank normalization spreads ids across the budget even though the raw
+    // user_id range is tiny (0..14 at sf0.001) — min-max would too, but
+    // ranks also survive outlier-skewed columns; here assert the spread
+    val bus = rows.map(_.getAs[Long]("bu")).distinct
+    assert(bus.min < 64 && bus.max > 192, s"bu not spread: ${bus.sorted.toList}")
+    // pure function of the row set: a second run is identical
+    val again = Bucketing.zOrderKeysRanked(spark, sf, limit = Int.MaxValue).collect()
+    assert(rows.map(_.toSeq.toList).toList == again.map(_.toSeq.toList).toList)
+  }
+
   test("z-ordered layout: file-level min/max skip on BOTH dimensions") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-zorder").toString + "/events_z"
