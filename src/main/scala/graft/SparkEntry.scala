@@ -146,6 +146,8 @@ object SparkEntry {
     "q_join_card" -> (Sketches.joinCardProbe _),
     "q_equi_depth" -> (Sketches.equiDepth _),
     "q_zorder_ranked" -> ((s: SparkSession, d: String) => Bucketing.zOrderKeysRanked(s, d)),
+    "q_multi_distinct" -> (QuerySurface.multiDistinct _),
+    "q_window_stats" -> (QuerySurface.windowStats _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -548,5 +550,7 @@ object SparkEntry {
     "q_join_card" -> Sketches.joinCardProbeOracleSql,
     "q_equi_depth" -> Sketches.equiDepthOracleSql,
     "q_zorder_ranked" -> Bucketing.zOrderKeysRankedOracleSql,
+    "q_multi_distinct" -> QuerySurface.multiDistinctOracleSql,
+    "q_window_stats" -> QuerySurface.windowStatsOracleSql,
   )
 }

@@ -790,6 +790,73 @@ object QuerySurface {
        |FROM g LEFT JOIN s USING (event_type, hour_us)
        |ORDER BY g.event_type, g.hour_us""".stripMargin
 
+  // ---- Multiple DISTINCT aggregates ----
+
+  /** Several COUNT(DISTINCT …) over different columns in one aggregate —
+    * Catalyst plans this with one Expand (row replicated per distinct
+    * group) + two-phase aggregation, NOT one scan per distinct column;
+    * the single-pass multi-distinct shape matters at 100 TB where each
+    * extra scan is a table read. Also carries a plain count and an exact
+    * decimal sum to show mixed distinct/non-distinct planning. */
+  def multiDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(get_json_object(col("props"), "$.k").cast("long")).as("n_k"),
+        count(lit(1)).as("n_events"),
+        exactSum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  /** DuckDB twin of [[multiDistinct]]. */
+  def multiDistinctOracleSql: String =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS n_users,
+      |  count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+      |  count(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(28,4))), 2) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- Distribution window functions ----
+
+  /** percent_rank / cume_dist / ntile over a UNIQUE total order per group
+    * — the distribution-analytic window family. The unique (value,
+    * event_id) ordering is what makes all three engine-deterministic:
+    * with ties unbroken, cume_dist and ntile assignments are
+    * implementation-defined. Output restricted to each type's top-20 by
+    * the same order so the gate stays small; the rank columns are
+    * computed over the FULL group before the cut. */
+  def windowStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("pct_rank", Tables.portableRound6(percent_rank().over(w)))
+      .withColumn("cume", Tables.portableRound6(cume_dist().over(w)))
+      .withColumn("tile", ntile(10).over(w).cast("long"))
+      .filter(col("rn") <= 20)
+      .select(col("event_type"), col("rn").cast("long").as("rn"),
+        col("event_id"), col("value"), col("pct_rank"), col("cume"), col("tile"))
+      .orderBy(col("event_type"), col("rn"))
+  }
+
+  /** DuckDB twin of [[windowStats]]. */
+  def windowStatsOracleSql: String =
+    s"""WITH r AS (
+       |  SELECT event_type, event_id, value,
+       |    row_number() OVER w AS rn,
+       |    ${Tables.portableRound6Sql("percent_rank() OVER w")} AS pct_rank,
+       |    ${Tables.portableRound6Sql("cume_dist() OVER w")} AS cume,
+       |    CAST(ntile(10) OVER w AS BIGINT) AS tile
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+       |)
+       |SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id, value,
+       |  pct_rank, cume, tile
+       |FROM r WHERE rn <= 20
+       |ORDER BY event_type, rn""".stripMargin
+
   // ---- Funnel analysis (ordered multi-stage conversion) ----
 
   /** Per-user ordered funnel signup → click → purchase: a user converts a

@@ -43,6 +43,14 @@ class PlanSpec extends SparkTestBase {
       s"cube must scan the fact table exactly once:\n$plan")
   }
 
+  test("multi-distinct plans ONE scan with Expand, not a scan per distinct") {
+    val plan = planOf(QuerySurface.multiDistinct(spark, sf))
+    assert("Expand".r.findAllIn(plan).nonEmpty,
+      s"multiple COUNT(DISTINCT) must plan via Expand:\n$plan")
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"multi-distinct must scan the fact table exactly once:\n$plan")
+  }
+
   test("KMV sketch plans as partial/final ObjectHashAggregate (no sort)") {
     val hashed = Tables.events(spark, sf).select(col("event_type"),
       udf((s: String) => graft.functions.PortableHash.md5Lower63(s))
