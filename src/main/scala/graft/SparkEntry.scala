@@ -148,6 +148,7 @@ object SparkEntry {
     "q_zorder_ranked" -> ((s: SparkSession, d: String) => Bucketing.zOrderKeysRanked(s, d)),
     "q_multi_distinct" -> (QuerySurface.multiDistinct _),
     "q_window_stats" -> (QuerySurface.windowStats _),
+    "q_outliers" -> (Sketches.outlierFences _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -552,5 +553,6 @@ object SparkEntry {
     "q_zorder_ranked" -> Bucketing.zOrderKeysRankedOracleSql,
     "q_multi_distinct" -> QuerySurface.multiDistinctOracleSql,
     "q_window_stats" -> QuerySurface.windowStatsOracleSql,
+    "q_outliers" -> Sketches.outlierFencesOracleSql,
   )
 }

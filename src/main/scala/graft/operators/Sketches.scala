@@ -589,6 +589,61 @@ object Sketches {
        |  ON r.rn = (b.i * n.n + ${EquiDepthBuckets - 1}) // $EquiDepthBuckets
        |ORDER BY r.event_type, bucket_idx""".stripMargin
 
+  // ---- IQR outlier fences ----
+
+  /** Tukey-fence outlier profile of `value` per `event_type`: discrete
+    * quartiles (the [[medianDisc]] rank rule — picked values verbatim),
+    * fences at q1 − 1.5·IQR and q3 + 1.5·IQR (three IEEE ops per fence,
+    * deterministic), and the count of rows outside each fence — the
+    * numeric data-cleaning gate a pipeline runs before training-statistics
+    * aggregation. Scale shape: one window per group for the quartiles
+    * (exact baseline; the sketch path is [[approxPercentile]]'s sample at
+    * p25/p75), then a broadcast of the |groups|-row fence table back onto
+    * the fact scan — the fact side never shuffles for the count.
+    */
+  def outlierFences(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir).select(col("event_type"), col("value"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val ranked = ev.withColumn("rn", row_number().over(w))
+    val counts = ranked.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val quarts = ranked.join(counts, "event_type")
+      .filter(col("rn") === expr("(n + 3) div 4") ||
+        col("rn") === expr("(3 * n + 3) div 4"))
+      .groupBy(col("event_type"), col("n"))
+      .agg(min(col("value")).as("q1"), max(col("value")).as("q3"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    ev.join(broadcast(quarts), "event_type")
+      .groupBy(col("event_type"), col("n"), col("q1"), col("q3"))
+      .agg(
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_high"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[outlierFences]] — `⌈n/4⌉ = (n+3)//4`, same verbatim
+    * quartile picks and IEEE fence arithmetic. */
+  def outlierFencesOracleSql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |), quarts AS (
+      |  SELECT event_type, n, min(value) AS q1, max(value) AS q3
+      |  FROM ranked
+      |  WHERE rn = (n + 3) // 4 OR rn = (3 * n + 3) // 4
+      |  GROUP BY 1, 2
+      |), fences AS (
+      |  SELECT *, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+      |  FROM quarts
+      |)
+      |SELECT f.event_type, f.n, f.q1, f.q3,
+      |  CAST(sum(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(sum(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+      |FROM events e JOIN fences f USING (event_type)
+      |GROUP BY 1, 2, 3, 4 ORDER BY f.event_type""".stripMargin
+
   // ---- Join cardinality / fan-out probe ----
 
   /** Pre-flight join-size probe for `lineitem ⋈ orders` on the order key:

@@ -293,6 +293,25 @@ class Round5OpsSpec extends SparkTestBase {
     assert(rows.map(_.toSeq.toList).toList == again.map(_.toSeq.toList).toList)
   }
 
+  test("outlierFences: quartiles and counts match brute force") {
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    val got = Sketches.outlierFences(spark, sf).collect()
+    assert(got.length == byType.size)
+    got.foreach { r =>
+      val vs = byType(r.getAs[String]("event_type"))
+      val n = vs.length
+      val q1 = vs((n + 3) / 4 - 1)
+      val q3 = vs((3 * n + 3) / 4 - 1)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Double]("q1") == q1 && r.getAs[Double]("q3") == q3)
+      val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+      assert(r.getAs[Long]("n_low") == vs.count(_ < lo))
+      assert(r.getAs[Long]("n_high") == vs.count(_ > hi))
+    }
+  }
+
   test("z-ordered layout: file-level min/max skip on BOTH dimensions") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-zorder").toString + "/events_z"
