@@ -173,13 +173,25 @@ object Bucketing {
     val sk = ev.agg(
       qsketchBottomK(col("h"), col("user_id").cast("double"), 256).as("su"),
       qsketchBottomK(col("h"), col("value"), 256).as("sv"))
-    val bu = least(size(filter(col("su"),
-      b => b <= col("user_id").cast("double"))), lit(255)).cast("long")
-    val bv = least(size(filter(col("sv"),
-      b => b <= col("value"))), lit(255)).cast("long")
-    ev.crossJoin(broadcast(sk))
-      .withColumn("bu", bu)
-      .withColumn("bv", bv)
+    // bounded driver collect (≤512 doubles — same class as the k-means
+    // codebook collects); rank assignment is then a binary-search UDF:
+    // the HOF `size(filter(arr, b -> b <= v))` form is semantically
+    // identical but runs interpreted at O(k) per row — measured 2.7 s
+    // bench median at sf0.1 vs 0.5 s warm for this O(log k) loop (QProbe)
+    val row = sk.collect().head
+    val su = row.getSeq[Double](0).toArray
+    val sv = row.getSeq[Double](1).toArray
+    def mkUb(arr: Array[Double]) = udf { (v: Double) =>
+      var lo = 0; var hi = arr.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (arr(m) <= v) lo = m + 1 else hi = m
+      }
+      math.min(lo.toLong, 255L)
+    }
+    val (ubU, ubV) = (mkUb(su), mkUb(sv))
+    ev.withColumn("bu", ubU(col("user_id").cast("double")))
+      .withColumn("bv", ubV(col("value")))
       .withColumn("zkey", zOrderKey(col("bu"), col("bv")))
       .select(col("event_id"), col("bu"), col("bv"), col("zkey"))
       .orderBy(col("zkey"), col("event_id"))
