@@ -149,6 +149,7 @@ object SparkEntry {
     "q_multi_distinct" -> (QuerySurface.multiDistinct _),
     "q_window_stats" -> (QuerySurface.windowStats _),
     "q_outliers" -> (Sketches.outlierFences _),
+    "q_scd2" -> (QuerySurface.scd2 _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -554,5 +555,6 @@ object SparkEntry {
     "q_multi_distinct" -> QuerySurface.multiDistinctOracleSql,
     "q_window_stats" -> QuerySurface.windowStatsOracleSql,
     "q_outliers" -> Sketches.outlierFencesOracleSql,
+    "q_scd2" -> QuerySurface.scd2OracleSql,
   )
 }

@@ -857,6 +857,49 @@ object QuerySurface {
        |FROM r WHERE rn <= 20
        |ORDER BY event_type, rn""".stripMargin
 
+  // ---- SCD2 intervalization ----
+
+  /** Slowly-changing-dimension (type 2) history from an event log: per
+    * user, consecutive events with the SAME type collapse to one state
+    * row, and each surviving state gets a half-open validity interval
+    * [valid_from, valid_to) closed by the next state change (NULL = still
+    * current). The standard changelog→dimension-history build, as two
+    * window passes over one `user_id` shuffle: a lag to detect changes, a
+    * lead over the survivors to close intervals. Timestamps are epoch-µs
+    * integers; the (ts, event_id) tiebreak makes the sequence — and hence
+    * the intervals — engine-exact.
+    */
+  def scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val changes = events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("event_id").as("change_event_id"),
+        col("event_type"), col("ts_us").as("valid_from_us"), col("valid_to_us"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("change_event_id"))
+  }
+
+  /** DuckDB twin of [[scd2]]. */
+  def scd2OracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+      |), c AS (
+      |  SELECT *, lag(event_type) OVER w AS prev_type
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |), ch AS (
+      |  SELECT user_id, event_id, event_type, ts_us FROM c
+      |  WHERE prev_type IS NULL OR prev_type <> event_type
+      |)
+      |SELECT user_id, event_id AS change_event_id, event_type,
+      |  ts_us AS valid_from_us,
+      |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us
+      |FROM ch ORDER BY user_id, valid_from_us, change_event_id""".stripMargin
+
   // ---- Funnel analysis (ordered multi-stage conversion) ----
 
   /** Per-user ordered funnel signup → click → purchase: a user converts a

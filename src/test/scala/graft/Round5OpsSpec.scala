@@ -312,6 +312,26 @@ class Round5OpsSpec extends SparkTestBase {
     }
   }
 
+  test("scd2: intervals tile each user's timeline without gaps or overlaps") {
+    val rows = QuerySurface.scd2(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("valid_from_us"),
+        Option(r.get(r.fieldIndex("valid_to_us")).asInstanceOf[java.lang.Long])))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { iv =>
+      val sorted = iv.sortBy(_._3)
+      // each interval's end is the next interval's start; one open tail
+      sorted.sliding(2).foreach {
+        case Array((_, t1, _, to1), (_, t2, from2, _)) =>
+          assert(to1.contains(from2), "gap or overlap in validity chain")
+          assert(t1 != t2, "consecutive identical states must collapse")
+        case _ =>
+      }
+      assert(sorted.last._4.isEmpty, "last state must be open-ended")
+      assert(sorted.init.forall(_._4.isDefined))
+    }
+  }
+
   test("z-ordered layout: file-level min/max skip on BOTH dimensions") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-zorder").toString + "/events_z"
