@@ -35,12 +35,21 @@ object Mutations {
     * between inserts and updates, and identical physical shape whether a
     * key has zero, one, or many changelog entries (the window rule also
     * generalizes to multi-version changelogs by widening `seq`).
+    *
+    * CONTRACT: the changelog must carry at most one row per (key, seq) —
+    * two same-seq rows for one key have no defined order and a
+    * row_number pick between them would be nondeterministic. The `op` DESC
+    * tiebreak below makes even that case deterministic (U beats I beats D
+    * lexicographically), but callers should treat same-seq duplicates as
+    * a malformed changelog, not a feature; real CDC streams carry a
+    * monotonic LSN for `seq`.
     */
   def applyChangelog(base: DataFrame, changes: DataFrame,
       keyCol: String, opCol: String): DataFrame = {
     val seqd = base.withColumn(opCol, lit("B")).withColumn("seq", lit(0L))
       .unionByName(changes.withColumn("seq", lit(1L)))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("seq").desc)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("seq").desc, col(opCol).desc)
     seqd.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col(opCol) =!= "D")
       .drop("rn", "seq")
