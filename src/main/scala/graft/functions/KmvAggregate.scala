@@ -20,6 +20,63 @@ final class KmvBuffer(val k: Int) {
   }
 }
 
+/** Shared plumbing for the two KMV aggregates: identical buffer lifecycle,
+  * update, merge, and serde — the subclasses differ only in what they EMIT
+  * from the final sketch (the order statistic vs the full set). Keeping
+  * one copy means a future change to the sketch rule or wire format
+  * cannot silently apply to one aggregate and not the other. */
+abstract class KmvBottomKBase extends TypedImperativeAggregate[KmvBuffer] {
+  def child: Expression
+  def k: Int
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+
+  // k is validated here (analysis time), NOT in the constructor body: a
+  // base-class-body require would also run during Java deserialization on
+  // executors, where subclass fields are not yet populated (k reads 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 2 || k > 65536)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: k must be in [2, 65536], got $k")
+    else child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BIGINT hash column, got ${other.sql}")
+    }
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    val it = other.set.iterator()
+    while (it.hasNext) buffer.add(it.next())
+    buffer
+  }
+
+  override def serialize(buffer: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buffer.set.size)
+    bb.putInt(buffer.set.size)
+    val it = buffer.set.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new KmvBuffer(k)
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+}
+
 /** Native KMV (bottom-k) sketch aggregate — the engine's custom-UDAF
   * surface, sibling of the scalar [[VectorDotExpr]] / [[AttrsToJsonExpr]]
   * expressions and registered in SQL as `kmv_bottomk(hash, k)` via
@@ -44,56 +101,15 @@ final class KmvBuffer(val k: Int) {
   */
 case class KmvBottomKAgg(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[KmvBuffer] {
+    extends KmvBottomKBase {
 
-  require(k >= 2 && k <= 65536, s"kmv_bottomk: k must be in [2, 65536], got $k")
-
-  override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = true
   override def dataType: DataType = StructType(Seq(
     StructField("kth_hash", LongType, nullable = false),
     StructField("k_n", LongType, nullable = false)))
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"kmv_bottomk requires a BIGINT hash column, got ${other.sql}")
-  }
-
-  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
-
-  override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
-    val v = child.eval(input)
-    if (v != null) buffer.add(v.asInstanceOf[Long])
-    buffer
-  }
-
-  override def merge(buffer: KmvBuffer, other: KmvBuffer): KmvBuffer = {
-    val it = other.set.iterator()
-    while (it.hasNext) buffer.add(it.next())
-    buffer
-  }
-
   override def eval(buffer: KmvBuffer): Any =
     if (buffer.set.isEmpty) null
     else InternalRow(buffer.set.last().longValue(), buffer.set.size.toLong)
-
-  override def serialize(buffer: KmvBuffer): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 8 * buffer.set.size)
-    bb.putInt(buffer.set.size)
-    val it = buffer.set.iterator()
-    while (it.hasNext) bb.putLong(it.next())
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = new KmvBuffer(k)
-    var i = 0
-    while (i < n) { buf.add(bb.getLong); i += 1 }
-    buf
-  }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvBottomKAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -109,38 +125,15 @@ case class KmvBottomKAgg(child: Expression, k: Int,
   * instead of just the order statistic — the form sketch ALGEBRA needs:
   * two groups' sets support union (merge + re-truncate) and intersection
   * estimates downstream, which `(kth_hash, k_n)` alone cannot. Same
-  * buffer, update, and merge as [[KmvBottomKAgg]]; state is still k longs
-  * per group, and the output array is sketch-sized, never data-sized.
-  * Registered in SQL as `kmv_bottomk_set(hash, k)`. */
+  * buffer, update, and merge as [[KmvBottomKAgg]] (shared via
+  * [[KmvBottomKBase]]); state is still k longs per group, and the output
+  * array is sketch-sized, never data-sized. Registered in SQL as
+  * `kmv_bottomk_set(hash, k)`. */
 case class KmvBottomKSetAgg(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[KmvBuffer] {
+    extends KmvBottomKBase {
 
-  require(k >= 2 && k <= 65536, s"kmv_bottomk_set: k must be in [2, 65536], got $k")
-
-  override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"kmv_bottomk_set requires a BIGINT hash column, got ${other.sql}")
-  }
-
-  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
-
-  override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
-    val v = child.eval(input)
-    if (v != null) buffer.add(v.asInstanceOf[Long])
-    buffer
-  }
-
-  override def merge(buffer: KmvBuffer, other: KmvBuffer): KmvBuffer = {
-    val it = other.set.iterator()
-    while (it.hasNext) buffer.add(it.next())
-    buffer
-  }
 
   override def eval(buffer: KmvBuffer): Any =
     if (buffer.set.isEmpty) null
@@ -152,23 +145,6 @@ case class KmvBottomKSetAgg(child: Expression, k: Int,
       // TreeSet iterates ascending — already sorted
       org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(vs)
     }
-
-  override def serialize(buffer: KmvBuffer): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 8 * buffer.set.size)
-    bb.putInt(buffer.set.size)
-    val it = buffer.set.iterator()
-    while (it.hasNext) bb.putLong(it.next())
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = new KmvBuffer(k)
-    var i = 0
-    while (i < n) { buf.add(bb.getLong); i += 1 }
-    buf
-  }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvBottomKSetAgg =
     copy(mutableAggBufferOffset = newOffset)

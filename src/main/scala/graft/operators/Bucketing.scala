@@ -161,8 +161,9 @@ object Bucketing {
     * what `repartitionByRange` does internally with a nondeterministic
     * sample — here the sample is portable, so the oracle recomputes the
     * exact layout key. One global agg produces the two 256-double
-    * boundary arrays (broadcast, no driver collect); assignment is a
-    * per-row HOF count of boundaries ≤ v.
+    * boundary arrays; they are collected to the driver (a BOUNDED
+    * ≤512-double collect, the k-means-codebook class) and assignment is
+    * an O(log k) binary-search UDF per row.
     */
   def zOrderKeysRanked(spark: SparkSession, sfDir: String,
       limit: Int = 200): DataFrame = {

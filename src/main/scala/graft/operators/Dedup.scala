@@ -40,7 +40,7 @@ object Dedup {
     * ~1 ms/doc at sf0.1; this loop is ~1000× faster with identical output
     * (first-occurrence order, like array_distinct). One map pass, no
     * shuffle. */
-  private[operators] val shingleUdf = udf { (toks: Seq[String]) =>
+  private val shingleUdf = udf { (toks: Seq[String]) =>
     if (toks.length < 3) Seq.empty[String]
     else {
       val seen = new java.util.LinkedHashSet[String]()

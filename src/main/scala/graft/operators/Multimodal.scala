@@ -236,8 +236,11 @@ object Multimodal {
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long")
           .as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct: hamming is a pure function of the
+      // pair, so this is semantically identical and the dedup shuffle
+      // carries only survivors, not the (dominant) far-pair population
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy(col("id1"), col("id2"))
   }
 

@@ -97,7 +97,7 @@ object Mutations {
       |  UNION ALL
       |  SELECT o_orderkey, o_custkey, o_totalprice, op, 1 FROM ch
       |), r AS (
-      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn
       |  FROM u
       |)
       |SELECT o_orderkey, o_custkey, o_totalprice, op

@@ -1043,9 +1043,13 @@ object QuerySurface {
     * event count — minimize) frontier over `events`. Cents keep the
     * benefit axis integral (exact decimal→long, exact RANGE frame). */
   def skyline(spark: SparkSession, sfDir: String): DataFrame = {
+    // explicit floor before the long cast: Spark's decimal→long CAST
+    // truncates but DuckDB's rounds half-up, so a bare cast diverges the
+    // moment a value carries sub-cent precision; floor-then-cast is the
+    // same one rule on both engines
     val perUser = events(spark, sfDir)
       .groupBy(col("user_id"))
-      .agg((sum(col("value").cast("decimal(28,4)")) * 100)
+      .agg(floor(sum(col("value").cast("decimal(28,4)")) * 100)
           .cast("long").as("total_cents"),
         count(lit(1)).as("n_events"))
     skyline2D(perUser, "user_id", "total_cents", "n_events")
@@ -1058,7 +1062,7 @@ object QuerySurface {
   def skylineOracleSql: String =
     """WITH agg AS (
       |  SELECT user_id,
-      |    CAST(SUM(CAST(value AS DECIMAL(28,4))) * 100 AS BIGINT) AS total_cents,
+      |    CAST(floor(SUM(CAST(value AS DECIMAL(28,4))) * 100) AS BIGINT) AS total_cents,
       |    count(*) AS n_events
       |  FROM events GROUP BY user_id
       |)

@@ -713,7 +713,7 @@ object Sketches {
   def kmvOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = documents(spark, sfDir)
       .select(col("source"),
-        explode(Dedup.shingleUdf(split(col("text"), " "))).as("shingle"))
+        explode(Dedup.shingleCol(col("text"))).as("shingle"))
     val hashed = sh.select(col("source"), md5Lower63Udf(col("shingle")).as("h"))
     val sk = hashed.groupBy(col("source"))
       .agg(graft.functions.KmvAggregate.kmvBottomKSet(col("h"), OverlapK).as("sk"))

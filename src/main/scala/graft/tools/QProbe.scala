@@ -8,7 +8,11 @@ import org.apache.spark.sql.SparkSession
   * read the later reps. */
 object QProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    if (args.length < 2) {
+      System.err.println("usage: QProbe <sfDir> <queryName> [reps]")
+      sys.exit(2)
+    }
+    val sfDir = args(0)
     val name = args(1)
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder()

@@ -126,7 +126,7 @@ class Round5OpsSpec extends SparkTestBase {
 
   test("skyline: salted two-phase frontier equals brute-force dominance") {
     val pts = Tables.events(spark, sf).groupBy(col("user_id"))
-      .agg((sum(col("value").cast("decimal(28,4)")) * 100).cast("long").as("b"),
+      .agg(floor(sum(col("value").cast("decimal(28,4)")) * 100).cast("long").as("b"),
         count(lit(1)).as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val want = pts.filter { case (_, b, c) =>
@@ -139,7 +139,7 @@ class Round5OpsSpec extends SparkTestBase {
     assert(got == want, s"frontier mismatch: got $got want $want")
     // decomposition identity: frontier is salt-count independent
     val perUser = Tables.events(spark, sf).groupBy(col("user_id"))
-      .agg((sum(col("value").cast("decimal(28,4)")) * 100).cast("long").as("total_cents"),
+      .agg(floor(sum(col("value").cast("decimal(28,4)")) * 100).cast("long").as("total_cents"),
         count(lit(1)).as("n_events"))
     val oneSalt = QuerySurface.skyline2D(perUser, "user_id", "total_cents", "n_events",
       salts = 1).collect().map(_.getAs[Long]("user_id")).toSet
