@@ -150,6 +150,7 @@ object SparkEntry {
     "q_window_stats" -> (QuerySurface.windowStats _),
     "q_outliers" -> (Sketches.outlierFences _),
     "q_scd2" -> (QuerySurface.scd2 _),
+    "q_triangles" -> (Graph.triangles _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -556,5 +557,6 @@ object SparkEntry {
     "q_window_stats" -> QuerySurface.windowStatsOracleSql,
     "q_outliers" -> Sketches.outlierFencesOracleSql,
     "q_scd2" -> QuerySurface.scd2OracleSql,
+    "q_triangles" -> Graph.trianglesOracleSql,
   )
 }

@@ -81,6 +81,77 @@ object Graph {
       .limit(topK)
   }
 
+  private val CoPurchaseMinShared = 2
+
+  /** Triangle census of the supplier co-purchase graph: suppliers are
+    * linked when ≥2 customers bought from both (the projection of the
+    * bipartite purchase graph), and the output counts nodes, edges,
+    * wedges (open 2-paths) and triangles — the global clustering
+    * structure, all integer-exact.
+    *
+    * Shape: the classic node-iterator join — edges are kept id-ordered
+    * (src < dst) so each triangle is generated exactly once by joining
+    * e1(a,b)⋈e2(b,c)⋈e3(a,c); wedges come from the degree aggregate
+    * (Σ d·(d−1)/2), never from materializing paths. At web scale the
+    * id-ordering is replaced by DEGREE-ordering (orient each edge toward
+    * the higher-degree endpoint) which provably bounds the join fan-out
+    * per node at O(√|E|) — same plan, different orientation rule; the
+    * projection join itself is the skew point (a customer buying from k
+    * suppliers emits k² pairs) and is capped in production exactly like
+    * the doc-frequency-capped Jaccard ([[Dedup.ngramJaccardCapped]]).
+    */
+  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+    val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(od, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val edges = cs.as("a").join(cs.as("b"),
+        col("a.c") === col("b.c") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("src"), col("b.s").as("dst"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= CoPurchaseMinShared)
+      .select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    val deg = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(edges.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(d) div 2").as("n_edges"),
+      expr("sum(d * (d - 1) div 2)").as("n_wedges"))
+    stats.crossJoin(tri)
+  }
+
+  /** DuckDB twin of [[triangles]]. */
+  def trianglesOracleSql: String =
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), e AS (
+       |  SELECT a.s AS src, b.s AS dst
+       |  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+       |  GROUP BY 1, 2 HAVING count(*) >= $CoPurchaseMinShared
+       |), deg AS (
+       |  SELECT v, count(*) AS d FROM (
+       |    SELECT src AS v FROM e UNION ALL SELECT dst FROM e
+       |  ) GROUP BY v
+       |), tri AS (
+       |  SELECT count(*) AS n_triangles
+       |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+       |    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+       |)
+       |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       |  CAST((SELECT sum(d) FROM deg) // 2 AS BIGINT) AS n_edges,
+       |  CAST((SELECT sum((d * (d - 1)) // 2) FROM deg) AS BIGINT) AS n_wedges,
+       |  tri.n_triangles
+       |FROM tri""".stripMargin
+
   /** DuckDB twin of [[pageRank]]: the five rounds unrolled as chained CTEs
     * with the identical integer fixed-point rules. DuckDB's BIGINT sums
     * widen to HUGEINT — every accumulated value is cast back so dtypes

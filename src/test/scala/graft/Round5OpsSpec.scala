@@ -332,6 +332,31 @@ class Round5OpsSpec extends SparkTestBase {
     }
   }
 
+  test("triangles: census matches a driver-side brute force") {
+    val cs = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySupPair = cs.groupBy(_._1).values.flatMap { sup =>
+      val ss = sup.map(_._2).distinct.sorted
+      for (i <- ss.indices; j <- i + 1 until ss.length) yield (ss(i), ss(j))
+    }.toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    val edges = bySupPair.filter(_._2 >= 2).keySet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val deg = nodes.map(v => v -> edges.count(e => e._1 == v || e._2 == v)).toMap
+    val wedges = deg.values.map(d => d.toLong * (d - 1) / 2).sum
+    val edgeSeq = edges.toSeq
+    val triangles = (for {
+      (a, b) <- edgeSeq; (b2, c) <- edgeSeq
+      if b2 == b && edges.contains((a, c))
+    } yield (a, b, c)).size
+    val r = graft.operators.Graph.triangles(spark, sf).collect().head
+    assert(r.getAs[Long]("n_nodes") == nodes.size)
+    assert(r.getAs[Long]("n_edges") == edges.size)
+    assert(r.getAs[Long]("n_wedges") == wedges)
+    assert(r.getAs[Long]("n_triangles") == triangles)
+  }
+
   test("z-ordered layout: file-level min/max skip on BOTH dimensions") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-zorder").toString + "/events_z"
