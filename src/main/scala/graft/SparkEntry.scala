@@ -117,6 +117,7 @@ object SparkEntry {
     "stream_dedup" -> (graft.streaming.StreamGate.dedupKeys _),
     "stream_enrich_join" -> (graft.streaming.StreamGate.enrichJoin _),
     "stream_stream_join" -> (graft.streaming.StreamGate.streamStreamJoin _),
+    "stream_upsert" -> (graft.streaming.StreamGate.upsertSnapshot _),
 
     // -- sketches / scale statistics (round 4) --
     "q_approx_distinct" -> (Sketches.approxDistinctKmv _),
@@ -525,6 +526,7 @@ object SparkEntry {
     "stream_dedup" -> graft.streaming.StreamGate.dedupKeysOracleSql,
     "stream_enrich_join" -> graft.streaming.StreamGate.enrichJoinOracleSql,
     "stream_stream_join" -> graft.streaming.StreamGate.streamStreamJoinOracleSql,
+    "stream_upsert" -> graft.streaming.StreamGate.upsertSnapshotOracleSql,
 
     "q_approx_distinct" -> Sketches.approxDistinctKmvOracleSql,
     "q_approx_distinct_est" -> Sketches.approxDistinctKmvEstimateOracleSql,

@@ -306,4 +306,66 @@ object StreamGate {
        |WHERE session_id < last_session
        |   OR (session_end_us + $SessionGapUs) // 1000 < wm_ms
        |ORDER BY user_id, session_start_us""".stripMargin
+
+  /** Streaming upsert materialization — the `foreachBatch` MERGE pattern:
+    * each micro-batch is merged latest-wins (by event time, unique
+    * tiebreak) into a parquet snapshot keyed on `user_id`, and the gate
+    * returns the final snapshot: every user's most recent event. This is
+    * the streaming-CDC sink shape (Delta/Iceberg MERGE inside
+    * foreachBatch); with plain parquet the merge rewrites the snapshot —
+    * fine for a gate probe, while production uses a merge-on-read format
+    * or partition-pruned rewrites. The per-batch rule is associative
+    * (latest-wins with a total tiebreak), so the final snapshot is a pure
+    * function of the data regardless of how the replay batches.
+    */
+  /** The per-batch MERGE rule, shared with the multi-batch spec: read the
+    * current snapshot (if any), union the batch, keep the latest row per
+    * user (total tiebreak), rewrite. The localCheckpoint detaches the
+    * merged frame from the snapshot files BEFORE they are overwritten. */
+  private[graft] def mergeBatchInto(snapDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = batch.sparkSession
+    val existing =
+      if (new java.io.File(snapDir).exists) sess.read.parquet(snapDir)
+      else sess.createDataFrame(
+        sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val merged = existing.unionByName(batch)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(snapDir)
+  }
+
+  def upsertSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val snapDir = java.nio.file.Files
+      .createTempDirectory("graft-upsert").toString + "/snap"
+    val stream = eventsStream(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val q = stream.writeStream
+      .foreachBatch(mergeBatchInto(snapDir) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(snapDir)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("ts_us").as("last_ts_us"))
+      .orderBy(col("user_id"))
+      .localCheckpoint(true)
+  }
+
+  /** DuckDB twin of [[upsertSnapshot]]: the latest event per user. */
+  def upsertSnapshotOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+      |  FROM e
+      |)
+      |SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+      |  ts_us AS last_ts_us
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 }

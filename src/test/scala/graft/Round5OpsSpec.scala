@@ -357,6 +357,38 @@ class Round5OpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_triangles") == triangles)
   }
 
+  test("stream upsert: snapshot is batch-count independent") {
+    import org.apache.spark.sql.streaming.Trigger
+    // split events into 4 files so maxFilesPerTrigger=1 forces 4 batches
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-upsert-multi").toString + "/events"
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    ev.repartition(4).write.parquet(srcDir)
+    val snapDir = java.nio.file.Files
+      .createTempDirectory("graft-upsert-multi").toString + "/snap"
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch(graft.streaming.StreamGate.mergeBatchInto(snapDir) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(snapDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("event_id"), r.getAs[Long]("ts_us"))).toMap
+    // latest event per user by (ts, id), computed directly
+    val want = ev.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.maxBy(e => (e._3, e._2))).toMap
+    assert(got.size == want.size)
+    want.foreach { case (u, (_, id, ts)) =>
+      assert(got(u) == (id, ts), s"user $u snapshot mismatch after 4 batches")
+    }
+  }
+
   test("z-ordered layout: file-level min/max skip on BOTH dimensions") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-zorder").toString + "/events_z"
