@@ -81,24 +81,35 @@ object Graph {
       .limit(topK)
   }
 
-  private val CoPurchaseMinShared = 2
+  private val CoPurchaseTopEdges = 5000
 
-  /** Triangle census of the supplier co-purchase graph: suppliers are
-    * linked when ≥2 customers bought from both (the projection of the
-    * bipartite purchase graph), and the output counts nodes, edges,
-    * wedges (open 2-paths) and triangles — the global clustering
-    * structure, all integer-exact.
+  /** Triangle census of the supplier co-purchase BACKBONE: project the
+    * bipartite purchase graph onto suppliers (edge weight = shared
+    * customers), keep the [[CoPurchaseTopEdges]] strongest edges
+    * (deterministic (weight DESC, src, dst) order — top-k backbone
+    * sparsification), and count nodes, edges, wedges (open 2-paths) and
+    * triangles — the clustering structure, all integer-exact.
+    *
+    * Why top-k and not a weight threshold: on uniform purchase data the
+    * projection is near-COMPLETE (measured: 1000 suppliers → 499,500
+    * qualifying edges at any small fixed threshold at sf0.1; the census
+    * then honestly computes C(1000,3)≈1.7·10⁸ triangles in ~70 s), and no
+    * fixed threshold is sf-robust — the shared-count distribution shifts
+    * with data volume. The top-k backbone is size-BOUNDED by construction
+    * at every sf (plans as TakeOrderedAndProject: per-partition heaps, k
+    * rows to the driver merge), which is the standard sparsification
+    * before clustering-structure analysis of a dense similarity graph.
     *
     * Shape: the classic node-iterator join — edges are kept id-ordered
     * (src < dst) so each triangle is generated exactly once by joining
     * e1(a,b)⋈e2(b,c)⋈e3(a,c); wedges come from the degree aggregate
     * (Σ d·(d−1)/2), never from materializing paths. At web scale the
     * id-ordering is replaced by DEGREE-ordering (orient each edge toward
-    * the higher-degree endpoint) which provably bounds the join fan-out
-    * per node at O(√|E|) — same plan, different orientation rule; the
-    * projection join itself is the skew point (a customer buying from k
-    * suppliers emits k² pairs) and is capped in production exactly like
-    * the doc-frequency-capped Jaccard ([[Dedup.ngramJaccardCapped]]).
+    * the higher-degree endpoint), bounding join fan-out per node at
+    * O(√|E|); the projection join itself is the skew point (a customer
+    * buying from k suppliers emits k² pairs) and is capped in production
+    * exactly like the doc-frequency-capped Jaccard
+    * ([[Dedup.ngramJaccardCapped]]).
     */
   def triangles(spark: SparkSession, sfDir: String): DataFrame = {
     val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
@@ -110,7 +121,8 @@ object Graph {
         col("a.c") === col("b.c") && col("a.s") < col("b.s"))
       .groupBy(col("a.s").as("src"), col("b.s").as("dst"))
       .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= CoPurchaseMinShared)
+      .orderBy(col("shared").desc, col("src"), col("dst"))
+      .limit(CoPurchaseTopEdges)
       .select(col("src"), col("dst"))
       .localCheckpoint(true)
     val deg = edges.select(col("src").as("v"))
@@ -133,10 +145,13 @@ object Graph {
     s"""WITH cs AS (
        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-       |), e AS (
-       |  SELECT a.s AS src, b.s AS dst
+       |), w AS (
+       |  SELECT a.s AS src, b.s AS dst, count(*) AS shared
        |  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
-       |  GROUP BY 1, 2 HAVING count(*) >= $CoPurchaseMinShared
+       |  GROUP BY 1, 2
+       |), e AS (
+       |  SELECT src, dst FROM w
+       |  ORDER BY shared DESC, src, dst LIMIT $CoPurchaseTopEdges
        |), deg AS (
        |  SELECT v, count(*) AS d FROM (
        |    SELECT src AS v FROM e UNION ALL SELECT dst FROM e

@@ -341,7 +341,9 @@ class Round5OpsSpec extends SparkTestBase {
       val ss = sup.map(_._2).distinct.sorted
       for (i <- ss.indices; j <- i + 1 until ss.length) yield (ss(i), ss(j))
     }.toSeq.groupBy(identity).view.mapValues(_.size).toMap
-    val edges = bySupPair.filter(_._2 >= 2).keySet
+    val edges = bySupPair.toSeq
+      .sortBy { case ((s1, s2), n) => (-n, s1, s2) }
+      .take(5000).map(_._1).toSet
     val nodes = edges.flatMap(e => Seq(e._1, e._2))
     val deg = nodes.map(v => v -> edges.count(e => e._1 == v || e._2 == v)).toMap
     val wedges = deg.values.map(d => d.toLong * (d - 1) / 2).sum
