@@ -151,7 +151,7 @@ object SparkEntry {
     "q_window_stats" -> (QuerySurface.windowStats _),
     "q_outliers" -> (Sketches.outlierFences _),
     "q_scd2" -> (QuerySurface.scd2 _),
-    "q_triangles" -> (Graph.triangles _),
+    "q_triangles" -> ((s: SparkSession, d: String) => Graph.triangles(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):

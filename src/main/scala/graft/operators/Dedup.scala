@@ -406,8 +406,11 @@ object Dedup {
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
           .as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct (hamming is a pure function of the
+      // pair): the dedup shuffle carries only survivors, not every
+      // band-colliding far pair — same reorder as Multimodal.nearDupMedia
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy(col("id1"), col("id2"))
   }
 

@@ -87,8 +87,10 @@ object Graph {
     * bipartite purchase graph onto suppliers (edge weight = shared
     * customers), keep the [[CoPurchaseTopEdges]] strongest edges
     * (deterministic (weight DESC, src, dst) order — top-k backbone
-    * sparsification), and count nodes, edges, wedges (open 2-paths) and
-    * triangles — the clustering structure, all integer-exact.
+    * sparsification), and count nodes, edges, wedges (ALL 2-paths, open
+    * or closed — each triangle contributes 3; this is the denominator of
+    * the global clustering coefficient 3·triangles/wedges) and triangles
+    * — the clustering structure, all integer-exact.
     *
     * Why top-k and not a weight threshold: on uniform purchase data the
     * projection is near-COMPLETE (measured: 1000 suppliers → 499,500
@@ -111,7 +113,8 @@ object Graph {
     * exactly like the doc-frequency-capped Jaccard
     * ([[Dedup.ngramJaccardCapped]]).
     */
-  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+  def triangles(spark: SparkSession, sfDir: String,
+      topEdges: Int = CoPurchaseTopEdges): DataFrame = {
     val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
     val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
     val cs = li.join(od, col("l_orderkey") === col("o_orderkey"))
@@ -122,7 +125,7 @@ object Graph {
       .groupBy(col("a.s").as("src"), col("b.s").as("dst"))
       .agg(count(lit(1)).as("shared"))
       .orderBy(col("shared").desc, col("src"), col("dst"))
-      .limit(CoPurchaseTopEdges)
+      .limit(topEdges)
       .select(col("src"), col("dst"))
       .localCheckpoint(true)
     val deg = edges.select(col("src").as("v"))

@@ -307,17 +307,6 @@ object StreamGate {
        |   OR (session_end_us + $SessionGapUs) // 1000 < wm_ms
        |ORDER BY user_id, session_start_us""".stripMargin
 
-  /** Streaming upsert materialization — the `foreachBatch` MERGE pattern:
-    * each micro-batch is merged latest-wins (by event time, unique
-    * tiebreak) into a parquet snapshot keyed on `user_id`, and the gate
-    * returns the final snapshot: every user's most recent event. This is
-    * the streaming-CDC sink shape (Delta/Iceberg MERGE inside
-    * foreachBatch); with plain parquet the merge rewrites the snapshot —
-    * fine for a gate probe, while production uses a merge-on-read format
-    * or partition-pruned rewrites. The per-batch rule is associative
-    * (latest-wins with a total tiebreak), so the final snapshot is a pure
-    * function of the data regardless of how the replay batches.
-    */
   /** The per-batch MERGE rule, shared with the multi-batch spec: read the
     * current snapshot (if any), union the batch, keep the latest row per
     * user (total tiebreak), rewrite. The localCheckpoint detaches the
@@ -339,9 +328,20 @@ object StreamGate {
     merged.write.mode("overwrite").parquet(snapDir)
   }
 
+  /** Streaming upsert materialization — the `foreachBatch` MERGE pattern:
+    * each micro-batch is merged latest-wins (by event time, unique
+    * tiebreak) into a parquet snapshot keyed on `user_id`, and the gate
+    * returns the final snapshot: every user's most recent event. This is
+    * the streaming-CDC sink shape (a table format's MERGE inside
+    * foreachBatch); with plain parquet the merge rewrites the snapshot —
+    * fine for a gate probe, while production uses a merge-on-read format
+    * or partition-pruned rewrites. The per-batch rule is associative
+    * (latest-wins with a total tiebreak), so the final snapshot is a pure
+    * function of the data regardless of how the replay batches.
+    */
   def upsertSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
-    val snapDir = java.nio.file.Files
-      .createTempDirectory("graft-upsert").toString + "/snap"
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-upsert")
+    val snapDir = tmpRoot.toString + "/snap"
     val stream = eventsStream(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
@@ -350,11 +350,15 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(snapDir)
+    val out = spark.read.parquet(snapDir)
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("event_type").as("last_event_type"), col("ts_us").as("last_ts_us"))
       .orderBy(col("user_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // detached from the files — safe to delete them
+    // the gate/bench call this repeatedly; without cleanup every run leaks
+    // one snapshot directory into /tmp
+    org.apache.commons.io.FileUtils.deleteQuietly(tmpRoot.toFile)
+    out
   }
 
   /** DuckDB twin of [[upsertSnapshot]]: the latest event per user. */

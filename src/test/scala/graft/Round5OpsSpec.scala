@@ -357,6 +357,23 @@ class Round5OpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_edges") == edges.size)
     assert(r.getAs[Long]("n_wedges") == wedges)
     assert(r.getAs[Long]("n_triangles") == triangles)
+
+    // sf0.001 has fewer than 5000 edges, so exercise the top-k CUT with a
+    // binding limit: the boundary must follow the (weight, src, dst) order
+    val k = 10
+    val topEdges = bySupPair.toSeq
+      .sortBy { case ((s1, s2), n) => (-n, s1, s2) }
+      .take(k).map(_._1).toSet
+    val topSeq = topEdges.toSeq
+    val topTriangles = (for {
+      (a, b) <- topSeq; (b2, c) <- topSeq
+      if b2 == b && topEdges.contains((a, c))
+    } yield (a, b, c)).size
+    val rk = graft.operators.Graph.triangles(spark, sf, topEdges = k)
+      .collect().head
+    assert(rk.getAs[Long]("n_edges") == topEdges.size)
+    assert(rk.getAs[Long]("n_triangles") == topTriangles,
+      s"binding-cut census mismatch at k=$k")
   }
 
   test("stream upsert: snapshot is batch-count independent") {
