@@ -136,21 +136,35 @@ object Bench {
           f += 1
         }
         val rows = 81L * copiesPerFile * files
-        // warmup pass (JIT, parquet committer, page cache), then two timed
-        // steady-state passes, mean reported — the reference's criterion bench
-        // likewise reports warmed statistics, not cold starts; a single timed
-        // pass at ~5 s is dominated by system noise (observed 2× run-to-run)
-        def pipeline(out: String): Unit =
+        // ADAPTIVE warmup (JIT, parquet committer, page cache), then three
+        // timed steady-state passes, mean reported — the reference's
+        // criterion bench likewise reports warmed statistics, not cold
+        // starts. One fixed warmup pass proved insufficient under the
+        // driver's full-sbt run (round 5: pre-sweep passes at 10.5-12.6 s
+        // cold vs the same artifact's 3.7 s warm best — cold page cache +
+        // JVM warmup, not a stall): warm until consecutive passes
+        // stabilize (latest within ±30% of the previous — a big drop means
+        // still warming, a big jump means transient contention), max 4
+        // passes, so the timed mean measures the engine, not the VM's
+        // first-touch costs.
+        def pipeline(out: String): Double = {
+          val t0 = System.nanoTime()
           graft.io.OtelWrite.write(
             graft.transform.Otlp.logs(
               graft.io.OtlpRead.jsonl(spark, graft.io.OtlpRead.Logs, landingDir.toString)),
             out, "otel_logs")
-        pipeline(tmpDir.resolve("warmup").toString)
-        val times = (1 to 3).map { i =>
-          val t0 = System.nanoTime()
-          pipeline(tmpDir.resolve(s"out$i").toString)
           (System.nanoTime() - t0) / 1e9
         }
+        var prev = pipeline(tmpDir.resolve("warmup0").toString)
+        var w = 1
+        var steady = false
+        while (w < 4 && !steady) {
+          val cur = pipeline(tmpDir.resolve(s"warmup$w").toString)
+          steady = cur >= prev * 0.7 && cur <= prev * 1.3
+          prev = cur
+          w += 1
+        }
+        val times = (1 to 3).map(i => pipeline(tmpDir.resolve(s"out$i").toString))
         IngestResult(rows, times)
       } finally {
         // ~600 MB/run of landing + output files otherwise accumulates in

@@ -42,7 +42,11 @@ object Config {
   case class WriterConfig(
       maxRecordsPerFile: Long = 200000L,
       triggerIntervalSecs: Long = 10L,
-      maxFilesPerTrigger: Int = 1000)
+      maxFilesPerTrigger: Int = 1000,
+      /** Stamp `graft.schema_version` into the footers of the files each
+        * ingest run just wrote ([[graft.io.FooterStamp]]). Off by default:
+        * the stamp is a second sequential read+write of every new file. */
+      footerStamp: Boolean = false)
 
   case class S3Config(
       bucket: String = "",
@@ -213,7 +217,7 @@ object Config {
     "batch.max_rows", "batch.max_bytes", "batch.max_age_secs", "batch.enabled",
     "request.max_payload_bytes",
     "writer.max_records_per_file", "writer.trigger_interval_secs",
-    "writer.max_files_per_trigger",
+    "writer.max_files_per_trigger", "writer.footer_stamp",
     "storage.backend", "storage.fs.path",
     "storage.s3.bucket", "storage.s3.region", "storage.s3.endpoint", "storage.s3.prefix",
     "storage.r2.bucket", "storage.r2.account_id", "storage.r2.access_key_id",
@@ -243,7 +247,8 @@ object Config {
       writer = c.writer.copy(
         maxRecordsPerFile = long("writer.max_records_per_file", c.writer.maxRecordsPerFile),
         triggerIntervalSecs = long("writer.trigger_interval_secs", c.writer.triggerIntervalSecs),
-        maxFilesPerTrigger = int("writer.max_files_per_trigger", c.writer.maxFilesPerTrigger)),
+        maxFilesPerTrigger = int("writer.max_files_per_trigger", c.writer.maxFilesPerTrigger),
+        footerStamp = bool("writer.footer_stamp", c.writer.footerStamp)),
       storage = c.storage.copy(
         backend = t.get("storage.backend").map(normalizeBackend).getOrElse(c.storage.backend),
         path = str("storage.fs.path", c.storage.path),
@@ -285,7 +290,10 @@ object Config {
       writer = c0.writer.copy(
         maxRecordsPerFile = long("MAX_RECORDS_PER_FILE", c0.writer.maxRecordsPerFile),
         triggerIntervalSecs = long("TRIGGER_INTERVAL_SECS", c0.writer.triggerIntervalSecs),
-        maxFilesPerTrigger = int("MAX_FILES_PER_TRIGGER", c0.writer.maxFilesPerTrigger)))
+        maxFilesPerTrigger = int("MAX_FILES_PER_TRIGGER", c0.writer.maxFilesPerTrigger),
+        footerStamp = get("FOOTER_STAMP")
+          .map(parseBool(s"${EnvPrefix}FOOTER_STAMP", _))
+          .getOrElse(c0.writer.footerStamp)))
 
     c = c.copy(storage = c.storage.copy(
       backend = get("STORAGE_BACKEND").map(normalizeBackend).getOrElse(c.storage.backend),

@@ -163,6 +163,17 @@ object Ingest {
         // one completed batch write per table per run — the reference
         // increments per completed batch flush (handlers.rs:682-687)
         flushes.add(1L)
+        // opt-in schema-version footer stamp (writer.footer_stamp /
+        // GRAFT_FOOTER_STAMP): tag the table's files with the signal's
+        // schema version as the final step of the run. stampTable walks the
+        // whole table dir — idempotent over files stamped by earlier runs
+        // (same key, same value), and the batch-ingest model writes each
+        // run to a bounded set of new partition files.
+        if (cfg.writer.footerStamp)
+          graft.io.FooterStamp.schemaVersionFor(table).foreach { v =>
+            graft.io.FooterStamp.stampTable(spark, outRoot, table,
+              Map(graft.io.FooterStamp.SchemaVersionKey -> v))
+          }
       }
       flat.unpersist()
       (table, n, nParts)

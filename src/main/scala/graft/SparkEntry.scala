@@ -115,7 +115,8 @@ object SparkEntry {
     "stream_window_counts" -> (graft.streaming.StreamGate.windowCounts _),
     "stream_sessionize" -> (graft.streaming.StreamGate.sessionize _),
     "stream_dedup" -> (graft.streaming.StreamGate.dedupKeys _),
-    "stream_enrich_join" -> (graft.streaming.StreamGate.enrichJoin _),
+    "stream_enrich_join" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamGate.enrichJoin(s, d)),
     "stream_stream_join" -> (graft.streaming.StreamGate.streamStreamJoin _),
     "stream_upsert" -> (graft.streaming.StreamGate.upsertSnapshot _),
 
@@ -152,6 +153,8 @@ object SparkEntry {
     "q_outliers" -> (Sketches.outlierFences _),
     "q_scd2" -> (QuerySurface.scd2 _),
     "q_triangles" -> ((s: SparkSession, d: String) => Graph.triangles(s, d)),
+    "q_triangles_degree" -> ((s: SparkSession, d: String) =>
+      Graph.triangles(s, d, degreeOrdered = true)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -559,6 +562,7 @@ object SparkEntry {
     "q_window_stats" -> QuerySurface.windowStatsOracleSql,
     "q_outliers" -> Sketches.outlierFencesOracleSql,
     "q_scd2" -> QuerySurface.scd2OracleSql,
-    "q_triangles" -> Graph.trianglesOracleSql,
+    "q_triangles" -> Graph.trianglesOracleSql(),
+    "q_triangles_degree" -> Graph.trianglesOracleSql(degreeOrdered = true),
   )
 }

@@ -763,41 +763,72 @@ object Dedup {
     * the plain join stays flat, so the join-side guard is left to AQE's
     * runtime skew split rather than static replication. Default stays
     * unsalted; the salted min is the insurance for engines/pipelines
-    * without map-side combine. */
+    * without map-side combine.
+    *
+    * AUTO-ENGAGEMENT (`saltShards = 0`, the default): callers should not
+    * have to guess when the insurance pays. Each round already counts the
+    * checkpointed edge frame for the convergence check; the auto path adds
+    * one max-degree aggregate over the same cached blocks and switches
+    * `minPerKey` to the two-level form for any round whose max contracting
+    * degree exceeds `autoSaltDegree` ([[AutoSaltDegree]] — past this, a
+    * single reducer key aggregates enough rows that the explicit bound is
+    * worth its extra shuffle even WITH map-side combine). Because min is
+    * associative, engaging per-round changes no label; `saltShards > 1`
+    * still forces salting unconditionally, and any other non-zero value
+    * (1 or negative) pins the unsalted form with no probe — the
+    * measured-default escape hatch. */
+  private[graft] val AutoSaltDegree: Long = 1L << 21 // 2M rows into one reducer key
+  private[graft] val AutoSaltShards: Int = 64
+
   private[graft] def starContraction(pairsDf: DataFrame,
       saltShards: Int = 0,
-      onRound: (Int, Double) => Unit = (_, _) => ()): (DataFrame, Int) = {
+      autoSaltDegree: Long = AutoSaltDegree,
+      onRound: (Int, Double) => Unit = (_, _) => (),
+      onAutoSalt: (Int, Long) => Unit = (_, _) => ()): (DataFrame, Int) = {
     val pairs = pairsDf.toDF("id1", "id2").filter(col("id1") =!= col("id2"))
-    // component-min per u — two-level (salted) when sharding is requested;
-    // min is associative so the two forms are value-identical
-    def minPerKey(df: DataFrame, out: String): DataFrame =
-      if (saltShards <= 1) df.groupBy(col("u")).agg(min(col("v")).as(out))
+    // component-min per u — two-level (salted) when sharding is in force
+    // this round; min is associative so the two forms are value-identical
+    def minPerKey(df: DataFrame, out: String, shards: Int): DataFrame =
+      if (shards <= 1) df.groupBy(col("u")).agg(min(col("v")).as(out))
       else df
-        .groupBy(col("u"), pmod(hash(col("v")), lit(saltShards)).as("_salt"))
+        .groupBy(col("u"), pmod(hash(col("v")), lit(shards)).as("_salt"))
         .agg(min(col("v")).as(out))
         .groupBy(col("u")).agg(min(col(out)).as(out))
-    def largeStar(e: DataFrame): DataFrame = {
+    def largeStar(e: DataFrame, shards: Int): DataFrame = {
       val both = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
-      val mins = minPerKey(both, "mv")
+      val mins = minPerKey(both, "mv", shards)
         .select(col("u"), least(col("u"), col("mv")).as("m"))
       both.join(mins, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")).distinct()
     }
-    def smallStar(e: DataFrame): DataFrame = {
+    def smallStar(e: DataFrame, shards: Int): DataFrame = {
       val oriented = e.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v")).distinct()
-      val mins = minPerKey(oriented, "m")
+      val mins = minPerKey(oriented, "m", shards)
       val nbr = oriented.join(mins, "u").filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
       nbr.union(mins.select(col("u"), col("m").as("v"))).distinct()
     }
+    // max degree over both edge directions of the cached frame — the skew
+    // signal the auto-salt decision reads (hot contraction centers)
+    def maxDegree(e: DataFrame): Long =
+      e.select(col("u")).union(e.select(col("v").as("u")))
+        .groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .agg(max(col("d"))).collect().headOption
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
     var e = pairs.select(col("id1").as("u"), col("id2").as("v"))
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged) {
       val t0 = System.nanoTime()
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val shards =
+        if (saltShards > 1) saltShards
+        else if (saltShards == 0 && maxDegree(e) > autoSaltDegree) {
+          onAutoSalt(rounds + 1, autoSaltDegree)
+          AutoSaltShards
+        } else 0
+      val next = smallStar(largeStar(e, shards), shards).localCheckpoint(true)
       // fixpoint = identical edge set; both sides are distinct, so
       // equal counts + empty one-sided difference ⇒ set equality
       val n = next.count()

@@ -62,10 +62,16 @@ object Graph {
         .join(deg, "src")
         .select(col("dst").as("id"), expr("r div d").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("c"))
+      // damping split as (c div 100)*85 + ((c%100)*85) div 100 — identical
+      // to (c*85) div 100 for c ≥ 0 (c = 100q+r ⇒ 85q + (85r) div 100) but
+      // never multiplies the full sum by 85 first, so the headroom bound is
+      // set by Σranks itself (~|V|·10¹²), not Σranks·85: a hub absorbing
+      // nearly all rank mass stays overflow-safe to ~9·10⁶ nodes even in a
+      // star-shaped graph (worst-case mass concentration)
       ranks = nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(15L * Scale / 100L) +
-            expr("(coalesce(c, 0L) * 85) div 100")).as("r"))
+            expr("(coalesce(c, 0L) div 100) * 85 + ((coalesce(c, 0L) % 100) * 85) div 100")).as("r"))
       // bounded iteration counts tolerate a longer lineage; checkpoint
       // cadence is a measured knob (tools.PrProbe), every round by default
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
@@ -82,58 +88,78 @@ object Graph {
   }
 
   private val CoPurchaseTopEdges = 5000
+  private val MaxSuppliersPerCustomer = 100
 
-  /** Triangle census of the supplier co-purchase BACKBONE: project the
-    * bipartite purchase graph onto suppliers (edge weight = shared
-    * customers), keep the [[CoPurchaseTopEdges]] strongest edges
-    * (deterministic (weight DESC, src, dst) order — top-k backbone
-    * sparsification), and count nodes, edges, wedges (ALL 2-paths, open
-    * or closed — each triangle contributes 3; this is the denominator of
-    * the global clustering coefficient 3·triangles/wedges) and triangles
-    * — the clustering structure, all integer-exact.
-    *
-    * Why top-k and not a weight threshold: on uniform purchase data the
-    * projection is near-COMPLETE (measured: 1000 suppliers → 499,500
-    * qualifying edges at any small fixed threshold at sf0.1; the census
-    * then honestly computes C(1000,3)≈1.7·10⁸ triangles in ~70 s), and no
-    * fixed threshold is sf-robust — the shared-count distribution shifts
-    * with data volume. The top-k backbone is size-BOUNDED by construction
-    * at every sf (plans as TakeOrderedAndProject: per-partition heaps, k
-    * rows to the driver merge), which is the standard sparsification
-    * before clustering-structure analysis of a dense similarity graph.
-    *
-    * Shape: the classic node-iterator join — edges are kept id-ordered
-    * (src < dst) so each triangle is generated exactly once by joining
-    * e1(a,b)⋈e2(b,c)⋈e3(a,c); wedges come from the degree aggregate
-    * (Σ d·(d−1)/2), never from materializing paths. At web scale the
-    * id-ordering is replaced by DEGREE-ordering (orient each edge toward
-    * the higher-degree endpoint), bounding join fan-out per node at
-    * O(√|E|); the projection join itself is the skew point (a customer
-    * buying from k suppliers emits k² pairs) and is capped in production
-    * exactly like the doc-frequency-capped Jaccard
-    * ([[Dedup.ngramJaccardCapped]]).
-    */
-  def triangles(spark: SparkSession, sfDir: String,
-      topEdges: Int = CoPurchaseTopEdges): DataFrame = {
-    val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
-    val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
-    val cs = li.join(od, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
-    val edges = cs.as("a").join(cs.as("b"),
+  /** Per-customer fan-out cap for the bipartite→supplier projection: keep
+    * each customer's `cap` lowest-id suppliers (row_number under the (c, s)
+    * total order — deterministic on every engine). The projection self-join
+    * then emits at most C(cap, 2) pairs per customer instead of C(k, 2) for
+    * a customer buying from k suppliers — the k² skew point of the census,
+    * and the dominant term at 100× on a power-law purchase graph. Same
+    * pattern as the doc-frequency cap in [[Dedup]]'s capped Jaccard: bound
+    * the quadratic blow-up BEFORE the join, accept a documented
+    * approximation of the backbone weights for hot keys. */
+  private[graft] def cappedSuppliers(cs: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cs.withColumn("_rn",
+        row_number().over(Window.partitionBy(col("c")).orderBy(col("s"))))
+      .filter(col("_rn") <= cap)
+      .drop("_rn")
+  }
+
+  /** The capped projection pair stream (pre-aggregation): one row per
+    * (customer, supplier-pair). Exposed for the spec that plants a hot
+    * customer and asserts the emitted pair count is bounded by the cap,
+    * not k². */
+  private[graft] def supplierPairs(cs: DataFrame, cap: Int): DataFrame = {
+    val capped = cappedSuppliers(cs, cap)
+    capped.as("a").join(capped.as("b"),
         col("a.c") === col("b.c") && col("a.s") < col("b.s"))
-      .groupBy(col("a.s").as("src"), col("b.s").as("dst"))
+      .select(col("a.s").as("src"), col("b.s").as("dst"))
+  }
+
+  /** Top-k co-purchase backbone from a (c, s) purchase frame: aggregate the
+    * capped pair stream to shared-customer weights, keep the `topEdges`
+    * strongest under the deterministic (weight DESC, src, dst) total
+    * order. Plans as TakeOrderedAndProject (per-partition heaps, k rows to
+    * the driver merge) — size-bounded at every sf. */
+  private[graft] def coPurchaseEdges(cs: DataFrame, topEdges: Int,
+      cap: Int): DataFrame =
+    supplierPairs(cs, cap)
+      .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("shared"))
       .orderBy(col("shared").desc, col("src"), col("dst"))
       .limit(topEdges)
       .select(col("src"), col("dst"))
-      .localCheckpoint(true)
+
+  /** Triangle/wedge census over an id-ordered (src < dst) distinct edge
+    * list. Wedges (ALL 2-paths, open or closed — each triangle contributes
+    * 3; the denominator of the global clustering coefficient
+    * 3·triangles/wedges) come from the degree aggregate Σ d·(d−1)/2, never
+    * from materializing paths.
+    *
+    * Triangle counting is the classic node-iterator join
+    * e1(a,b)⋈e2(b,c)⋈e3(a,c) under a TOTAL ORDER on vertices, which
+    * generates each triangle exactly once. `degreeOrdered = false` uses the
+    * vertex id as the order; `degreeOrdered = true` uses (degree, id) — the
+    * web-scale orientation: every edge points toward its higher-(degree,id)
+    * endpoint, so a node's join fan-out (out-degree) is bounded at O(√|E|)
+    * regardless of its raw degree (a node with out-degree > √(2|E|) would
+    * need that many HIGHER-degree neighbors, and there can only be < √(2|E|)
+    * of those). The census is identical under any total order — only the
+    * join width distribution changes — which the spec asserts on a
+    * star-heavy graph. */
+  private[graft] def censusFromEdges(edgesIn: DataFrame,
+      degreeOrdered: Boolean): DataFrame = {
+    val edges = edgesIn.localCheckpoint(true)
     val deg = edges.select(col("src").as("v"))
       .unionByName(edges.select(col("dst").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    val tri = edges.as("e1")
-      .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
-      .join(edges.as("e3"),
+      .localCheckpoint(true)
+    val oriented = if (degreeOrdered) orientByDegree(edges, deg) else edges
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(oriented.as("e3"),
         col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
       .agg(count(lit(1)).as("n_triangles"))
     val stats = deg.agg(
@@ -143,11 +169,81 @@ object Graph {
     stats.crossJoin(tri)
   }
 
-  /** DuckDB twin of [[triangles]]. */
-  def trianglesOracleSql: String =
-    s"""WITH cs AS (
+  /** Re-orient id-ordered edges under the (degree, id) total order: src
+    * becomes the lower-(d, v) endpoint. Exposed for the join-width spec. */
+  private[graft] def orientByDegree(edges: DataFrame, deg: DataFrame): DataFrame = {
+    val withDeg = edges
+      .join(deg.select(col("v").as("src"), col("d").as("ds")), "src")
+      .join(deg.select(col("v").as("dst"), col("d").as("dd")), "dst")
+    val srcFirst = col("ds") < col("dd") ||
+      (col("ds") === col("dd") && col("src") < col("dst"))
+    withDeg.select(
+      when(srcFirst, col("src")).otherwise(col("dst")).as("src"),
+      when(srcFirst, col("dst")).otherwise(col("src")).as("dst"))
+  }
+
+  /** Triangle census of the supplier co-purchase BACKBONE: project the
+    * bipartite purchase graph onto suppliers (edge weight = shared
+    * customers, per-customer fan-out capped — [[cappedSuppliers]]), keep
+    * the [[CoPurchaseTopEdges]] strongest edges (top-k backbone
+    * sparsification), and count nodes, edges, wedges and triangles — the
+    * clustering structure, all integer-exact.
+    *
+    * Why top-k and not a weight threshold: on uniform purchase data the
+    * projection is near-COMPLETE (measured: 1000 suppliers → 499,500
+    * qualifying edges at any small fixed threshold at sf0.1; the census
+    * then honestly computes C(1000,3)≈1.7·10⁸ triangles in ~70 s), and no
+    * fixed threshold is sf-robust — the shared-count distribution shifts
+    * with data volume. The top-k backbone is size-BOUNDED by construction
+    * at every sf, which is the standard sparsification before
+    * clustering-structure analysis of a dense similarity graph.
+    *
+    * `degreeOrdered` switches the census join from id-ordering to
+    * (degree, id)-ordering ([[censusFromEdges]]) — same census, join
+    * fan-out bounded at O(√|E|) per node on skewed backbones. */
+  def triangles(spark: SparkSession, sfDir: String,
+      topEdges: Int = CoPurchaseTopEdges,
+      maxSuppliersPerCustomer: Int = MaxSuppliersPerCustomer,
+      degreeOrdered: Boolean = false): DataFrame = {
+    val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+    val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(od, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    censusFromEdges(
+      coPurchaseEdges(cs, topEdges, maxSuppliersPerCustomer), degreeOrdered)
+  }
+
+  /** DuckDB twin of [[triangles]] — identical cap, backbone, and vertex
+    * order (id or (degree, id)). */
+  def trianglesOracleSql(degreeOrdered: Boolean = false): String = {
+    val triSource =
+      if (degreeOrdered)
+        s"""od AS (
+           |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
+           |              THEN e.src ELSE e.dst END AS src,
+           |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
+           |              THEN e.dst ELSE e.src END AS dst
+           |  FROM e JOIN deg da ON e.src = da.v JOIN deg db ON e.dst = db.v
+           |), tri AS (
+           |  SELECT count(*) AS n_triangles
+           |  FROM od e1 JOIN od e2 ON e1.dst = e2.src
+           |    JOIN od e3 ON e3.src = e1.src AND e3.dst = e2.dst
+           |)""".stripMargin
+      else
+        s"""tri AS (
+           |  SELECT count(*) AS n_triangles
+           |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+           |    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+           |)""".stripMargin
+    s"""WITH cs0 AS (
        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), cs AS (
+       |  SELECT c, s FROM (
+       |    SELECT c, s, row_number() OVER (PARTITION BY c ORDER BY s) AS rn
+       |    FROM cs0
+       |  ) WHERE rn <= $MaxSuppliersPerCustomer
        |), w AS (
        |  SELECT a.s AS src, b.s AS dst, count(*) AS shared
        |  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
@@ -159,16 +255,13 @@ object Graph {
        |  SELECT v, count(*) AS d FROM (
        |    SELECT src AS v FROM e UNION ALL SELECT dst FROM e
        |  ) GROUP BY v
-       |), tri AS (
-       |  SELECT count(*) AS n_triangles
-       |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
-       |    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
-       |)
+       |), $triSource
        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
        |  CAST((SELECT sum(d) FROM deg) // 2 AS BIGINT) AS n_edges,
        |  CAST((SELECT sum((d * (d - 1)) // 2) FROM deg) AS BIGINT) AS n_wedges,
        |  tri.n_triangles
        |FROM tri""".stripMargin
+  }
 
   /** DuckDB twin of [[pageRank]]: the five rounds unrolled as chained CTEs
     * with the identical integer fixed-point rules. DuckDB's BIGINT sums
@@ -178,7 +271,7 @@ object Graph {
     val rounds = (1 to iterations).map { i =>
       s"""r$i AS (
          |  SELECT n.id,
-         |    CAST(${15L * Scale / 100L} + (COALESCE(s.c, 0) * 85) // 100 AS BIGINT) AS r
+         |    CAST(${15L * Scale / 100L} + (COALESCE(s.c, 0) // 100) * 85 + ((COALESCE(s.c, 0) % 100) * 85) // 100 AS BIGINT) AS r
          |  FROM n LEFT JOIN (
          |    SELECT e.dst AS id, SUM(r.r // deg.d) AS c
          |    FROM e JOIN r${i - 1} r ON e.src = r.id JOIN deg ON e.src = deg.src

@@ -257,7 +257,14 @@ object Multimodal {
   def nearDupMedia(spark: SparkSession, sfDir: String,
       maxHamming: Int = 6): DataFrame = {
     import spark.implicits._
+    // the oracle samples CHAR positions while the engine hashes UTF-8 BYTES
+    // (char == byte only for ASCII), so the ASCII assumption is ENFORCED on
+    // both sides, not assumed: a non-ASCII document would silently diverge
+    // engine vs oracle (byte-vs-char indexing shifts every sampled
+    // position). The synthetic corpus is pure ASCII today — the filter is
+    // the guard that keeps the gate honest if that ever changes.
     val base = documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
     val variants = base
       .filter(col("doc_id") % 5 === 0 && length(col("text")) >= 52)
       .select((col("doc_id") + 1000000L).as("doc_id"),
@@ -280,11 +287,14 @@ object Multimodal {
         s"unicode(substr(text, CAST((${j + 1} * (n - 1)) // 63 AS INTEGER) + 1, 1)) " +
         s"THEN CAST(1 AS BIGINT) << $j ELSE 0 END)"
     }.mkString(" +\n      ")
-    s"""WITH corpus AS (
+    s"""WITH ascii_docs AS (
        |  SELECT doc_id, text FROM documents
+       |  WHERE regexp_matches(text, '^[\\x00-\\x7F]*$$')
+       |), corpus AS (
+       |  SELECT doc_id, text FROM ascii_docs
        |  UNION ALL
        |  SELECT doc_id + 1000000, substr(text, 1, 50) || 'Z' || substr(text, 52)
-       |  FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 52
+       |  FROM ascii_docs WHERE doc_id % 5 = 0 AND length(text) >= 52
        |), t AS (
        |  SELECT doc_id, text, length(text) AS n FROM corpus
        |), sig AS (

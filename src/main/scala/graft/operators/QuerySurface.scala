@@ -932,11 +932,16 @@ object QuerySurface {
     val n1 = s1.agg(count(lit(1)).as("n_signup"))
     val n2 = s2.agg(count(lit(1)).as("n_click_after"))
     val n3 = s3.agg(count(lit(1)).as("n_purchase_after"))
+    // empty upstream stages yield NULL rates, not NaN/Infinity — NaN cells
+    // are a fragile surface for the hash gate and for downstream consumers,
+    // and the oracle mirrors the rule with NULLIF
     n1.crossJoin(n2).crossJoin(n3)
       .select(col("n_signup"), col("n_click_after"), col("n_purchase_after"),
-        (col("n_click_after").cast("double") / col("n_signup").cast("double"))
+        when(col("n_signup") > 0,
+          col("n_click_after").cast("double") / col("n_signup").cast("double"))
           .as("rate_click"),
-        (col("n_purchase_after").cast("double") / col("n_click_after").cast("double"))
+        when(col("n_click_after") > 0,
+          col("n_purchase_after").cast("double") / col("n_click_after").cast("double"))
           .as("rate_purchase"))
   }
 
@@ -959,9 +964,9 @@ object QuerySurface {
       |  (SELECT count(*) FROM s2) AS n_click_after,
       |  (SELECT count(*) FROM s3) AS n_purchase_after,
       |  CAST((SELECT count(*) FROM s2) AS DOUBLE)
-      |    / CAST((SELECT count(*) FROM s1) AS DOUBLE) AS rate_click,
+      |    / NULLIF(CAST((SELECT count(*) FROM s1) AS DOUBLE), 0) AS rate_click,
       |  CAST((SELECT count(*) FROM s3) AS DOUBLE)
-      |    / CAST((SELECT count(*) FROM s2) AS DOUBLE) AS rate_purchase""".stripMargin
+      |    / NULLIF(CAST((SELECT count(*) FROM s2) AS DOUBLE), 0) AS rate_purchase""".stripMargin
 
   // ---- Cohort retention ----
 

@@ -61,22 +61,73 @@ object StreamGate {
     }
   }
 
+  /** RAM-backed checkpoint root for the replay gates, when the host has a
+    * tmpfs. A streaming checkpoint is offset/commit logs plus state-store
+    * delta files — ephemeral BY DESIGN here (each gate replay starts a
+    * fresh checkpoint and discards it), while production checkpoints go to
+    * durable storage. Measured (StreamProbe, sf0.1, interleaved): tmpfs vs
+    * the disk-backed /tmp default is a WASH on this host — the page cache
+    * absorbs the small delta writes — so the explicit root is kept for
+    * deterministic cleanup (each gate deletes its checkpoint on exit
+    * rather than relying on Spark's best-effort temp deletion), not for
+    * speed. */
+  @volatile private[graft] var checkpointRoot: Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val root = new java.io.File(shm, "graft-stream-ckpt")
+      root.mkdirs()
+      Some(root.toString)
+    } else None
+  }
+
+  /** State partitions for every replay gate. Stateful operators pay one
+    * state store per shuffle partition per micro-batch (load + commit +
+    * delta file), and at gate scale store setup dominates the actual work:
+    * measured across ALL stateful gates (StreamPartProbe, sf0.1,
+    * interleaved reps ×2 — superseding the round-4 "changed nothing" note,
+    * which predated the tmpfs/phase instrumentation), 8 partitions is
+    * 1.4-1.8× faster than 32 on every gate (window_counts 3.3-4.0→2.1-2.3 s,
+    * sessionize 2.6-3.4→1.6-1.9 s, dedup 2.3-2.5→1.2-1.4 s, enrich
+    * 2.9-3.8→2.1-2.5 s) and 4 is flat vs 8 — the same sweet spot SsjProbe
+    * found for the stream-stream join. Results are partition-count
+    * independent (revalidated at 7 vs 32 in round 5). Production sizes
+    * state partitions to key cardinality; the gate's key spaces are
+    * hundreds-to-thousands. */
+  private[graft] val StatePartitions = "8"
+
   /** Drain a bounded stream into a uniquely-named memory sink, detach the
     * result (localCheckpoint — the ContextCleaner reclaims it), drop the
-    * sink view. (Measured: the ~2.5 s per replay is micro-batch machinery —
-    * fresh checkpoint + query planning + the no-data watermark batch — not
-    * state-store parallelism; capping shuffle partitions to 8 for the
-    * stream's duration changed nothing, so the session setting is left
-    * untouched.) */
+    * sink view. State partitions are capped at [[StatePartitions]] for the
+    * query's start (a per-query start-time setting — the session value is
+    * restored immediately). The residual ~1.5 s per replay is micro-batch
+    * machinery: query planning, two WAL'd micro-batches (data + no-data
+    * watermark flush), and the memory-sink collect; the checkpoint lives
+    * under [[checkpointRoot]] when a tmpfs exists and is deleted after the
+    * drain. Measured NON-levers, for the record (StreamProbe /
+    * StreamPhaseProbe): tmpfs vs disk checkpoint is a wash (page cache
+    * absorbs the deltas), and 4 gates run concurrently cost the same wall
+    * as sequentially (executor saturation, state-store lock contention). */
   private def runToMemory(spark: SparkSession, df: DataFrame): DataFrame = {
     val name = s"graft_stream_gate_${runId.incrementAndGet()}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val ckpt = checkpointRoot.map(r => s"$r/$name")
+    // the conf must stay pinned through awaitTermination: micro-batches
+    // plan asynchronously after start() returns, and the state partition
+    // count is fixed from the conf at first-batch planning
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+      val writer = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+      ckpt.foreach(writer.option("checkpointLocation", _))
+      writer.start().awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      ckpt.foreach(c =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(c)))
+    }
     val out = spark.table(name).localCheckpoint(true)
     spark.catalog.dropTempView(name)
     out
@@ -143,22 +194,35 @@ object StreamGate {
     * state, unlike stream-stream joins which hold both sides), and the
     * standard fleet shape: telemetry keyed by a small slowly-changing
     * dimension. Emitted subset = windows the final watermark passed, same
-    * determinism argument as [[windowCounts]]. */
-  def enrichJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val nation = graft.operators.Tables.nation(spark, sfDir)
+    * determinism argument as [[windowCounts]].
+    *
+    * The static side is CACHED and materialized before the stream starts
+    * (`cacheStatic`, default on): Spark re-plans the static side of a
+    * stream-static join on EVERY micro-batch, so an uncached dimension is
+    * re-read from parquet per batch — free-looking at 25 rows, but the
+    * re-read is a full scan of the dimension at production scale and the
+    * cache is the standard fix. The knob exists so StreamProbe can measure
+    * both forms. */
+  def enrichJoin(spark: SparkSession, sfDir: String,
+      cacheStatic: Boolean = true): DataFrame = {
+    val nation0 = graft.operators.Tables.nation(spark, sfDir)
       .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
-    val shaped = eventsStream(spark, sfDir)
-      .select(col("ts").as("Timestamp"),
-        expr("user_id % 25").as("k"))
-      .join(nation, col("k") === col("n_nationkey"))
-    val agg = shaped
-      .withWatermark("Timestamp", WindowDelay)
-      .groupBy(window(col("Timestamp"), "1 hour"), col("n_name"))
-      .agg(count(lit(1)).as("n"))
-      .select(unix_micros(col("window.start")).as("window_start_us"),
-        col("n_name"), col("n"))
-    runToMemory(spark, agg)
-      .orderBy(col("window_start_us"), col("n_name"))
+    val nation = if (cacheStatic) nation0.cache() else nation0
+    if (cacheStatic) nation.count() // materialize before the replay starts
+    try {
+      val shaped = eventsStream(spark, sfDir)
+        .select(col("ts").as("Timestamp"),
+          expr("user_id % 25").as("k"))
+        .join(nation, col("k") === col("n_nationkey"))
+      val agg = shaped
+        .withWatermark("Timestamp", WindowDelay)
+        .groupBy(window(col("Timestamp"), "1 hour"), col("n_name"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("n_name"), col("n"))
+      runToMemory(spark, agg)
+        .orderBy(col("window_start_us"), col("n_name"))
+    } finally if (cacheStatic) nation.unpersist()
   }
 
   /** STREAM-STREAM interval join over two replays of the event stream —
@@ -190,23 +254,16 @@ object StreamGate {
       col("user_id") === col("e_user") &&
         col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
         col("e_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
-    // unlike the windowed aggregations (measured partition-independent,
-    // see runToMemory), the stream-stream join pays FOUR keyed state
-    // stores per shuffle partition (two sides × two stores), and at gate
-    // scale store setup dominates: measured 5.3-8.3 s at 32 partitions vs
-    // 2.4-3.7 s at 8 (SsjProbe, same 370-row result — the output is
-    // partitioning-independent by the gate's own revalidation). State
-    // partitions are a per-query start-time setting, so cap for this
-    // stream and restore; production sizes this to join-key cardinality.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      runToMemory(spark, joined.select(col("user_id"),
-          col("purchase_id"), col("error_id"),
-          unix_micros(col("p_ts")).as("purchase_ts_us"),
-          unix_micros(col("e_ts")).as("error_ts_us")))
-        .orderBy(col("user_id"), col("purchase_id"), col("error_id"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // the stream-stream join pays FOUR keyed state stores per shuffle
+    // partition (two sides × two stores) — the gate that first exposed the
+    // state-partition cost (SsjProbe: 5.3-8.3 s at 32 partitions vs
+    // 2.4-3.7 s at 8, same 370-row result). runToMemory now applies the
+    // measured cap to every replay gate (see StatePartitions).
+    runToMemory(spark, joined.select(col("user_id"),
+        col("purchase_id"), col("error_id"),
+        unix_micros(col("p_ts")).as("purchase_ts_us"),
+        unix_micros(col("e_ts")).as("error_ts_us")))
+      .orderBy(col("user_id"), col("purchase_id"), col("error_id"))
   }
 
   // ---- DuckDB twins --------------------------------------------------------
@@ -315,8 +372,15 @@ object StreamGate {
       batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.expressions.Window
     val sess = batch.sparkSession
+    // snapshot existence goes through the Hadoop FS, not java.io.File — the
+    // gate only ever passes a local tmp dir, but foreachBatch MERGE is the
+    // production CDC-sink shape and an HDFS/S3 snapDir probed with
+    // java.io.File would always read false, silently rebuilding every batch
+    // from an empty base
+    val snapPath = new org.apache.hadoop.fs.Path(snapDir)
+    val snapFs = snapPath.getFileSystem(sess.sparkContext.hadoopConfiguration)
     val existing =
-      if (new java.io.File(snapDir).exists) sess.read.parquet(snapDir)
+      if (snapFs.exists(snapPath)) sess.read.parquet(snapDir)
       else sess.createDataFrame(
         sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
     val w = Window.partitionBy(col("user_id"))
@@ -345,11 +409,16 @@ object StreamGate {
     val stream = eventsStream(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
-    val q = stream.writeStream
+    val ckptName = s"graft_stream_gate_upsert_${runId.incrementAndGet()}"
+    val ckpt = checkpointRoot.map(r => s"$r/$ckptName")
+    val writer = stream.writeStream
       .foreachBatch(mergeBatchInto(snapDir) _)
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    ckpt.foreach(writer.option("checkpointLocation", _))
+    val q = writer.start()
+    try q.awaitTermination()
+    finally ckpt.foreach(c =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(c)))
     val out = spark.read.parquet(snapDir)
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("event_type").as("last_event_type"), col("ts_us").as("last_ts_us"))
