@@ -156,4 +156,37 @@ class CcScaleSpec extends SparkTestBase {
     assert(salted.except(uf).isEmpty && uf.except(salted).isEmpty,
       "salted star-contraction labels must equal union-find labels")
   }
+
+  test("auto-salt: the two-level min engages from the measured degree, not a caller knob") {
+    // round-6 verdict task 4: callers should not have to guess when the
+    // hot-center insurance pays. A 3000-leaf star exceeds the (spec-lowered)
+    // degree threshold, so starContraction — called with the DEFAULT
+    // saltShards = 0 — must probe the max contracting degree, engage the
+    // salted min on its own, and still produce union-find-identical labels
+    // (min is associative; sharding cannot change any label). Fast (not
+    // slow-gated): the production AutoSaltDegree needs millions of edges to
+    // trip, which is exactly why the threshold is a parameter.
+    val leaves = 3000L
+    val star = spark.range(1L, leaves + 1)
+      .select(lit(0L).as("id1"), col("id").as("id2"))
+    val edges = star.localCheckpoint(true)
+    val engaged = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val (autoLabels, _) = Dedup.starContraction(edges,
+      autoSaltDegree = 1000L, onAutoSalt = (round, thr) => engaged += ((round, thr)))
+    val auto = autoLabels.localCheckpoint(true)
+    assert(engaged.nonEmpty, "auto-salt must engage on a 3000-degree center")
+    assert(engaged.head._1 == 1, "the probe reads the FIRST round's degree")
+    val uf = Dedup.componentLabels(edges, smallCutoff = Long.MaxValue)
+    assert(auto.count() == leaves + 1)
+    assert(auto.except(uf).isEmpty && uf.except(auto).isEmpty,
+      "auto-salted labels must equal union-find labels")
+
+    // pinned-unsalted escape hatch: saltShards = 1 must not probe
+    val pinnedEngaged = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val (pinnedLabels, _) = Dedup.starContraction(edges, saltShards = 1,
+      autoSaltDegree = 1000L, onAutoSalt = (r, t) => pinnedEngaged += ((r, t)))
+    assert(pinnedEngaged.isEmpty, "saltShards = 1 pins the unsalted form, no probe")
+    val pinned = pinnedLabels.localCheckpoint(true)
+    assert(pinned.except(uf).isEmpty && uf.except(pinned).isEmpty)
+  }
 }
