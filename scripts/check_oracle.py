@@ -18,7 +18,10 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p)[:-len(".parquet")]
-    con.sql(f"CREATE VIEW {name} AS FROM '{p}'")
+    # Spark-written tables are DIRECTORIES of part files (the SfScaleGen sf1
+    # layout); the driver's testdata tables are single files
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {name} AS FROM '{src}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails, passes, rows_only = [], [], []

@@ -82,11 +82,12 @@ object Bench {
     val ingestPost = ingestRowsPerSec(spark)
     def ingestJson(r: IngestResult): String = {
       val passes = r.passSeconds.map(t => f"$t%.3f").mkString("[", ",", "]")
-      s"""{"rows":${r.rows},"pass_s":$passes,"rows_per_s_mean":${r.meanRowsPerSec},"rows_per_s_best":${r.bestRowsPerSec}}"""
+      s"""{"rows":${r.rows},"pass_s":$passes,"rows_per_s_median":${r.medianRowsPerSec},"rows_per_s_mean":${r.meanRowsPerSec},"rows_per_s_best":${r.bestRowsPerSec}}"""
     }
-    // headline = pre-sweep mean: measured on a clean JVM, directly comparable
-    // to a standalone run; the post-sweep figure quantifies ordering effects
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir","ingest_rows_per_s":${ingestPre.meanRowsPerSec},"ingest_rows_per_s_best":${ingestPre.bestRowsPerSec},"ingest_pre":${ingestJson(ingestPre)},"ingest_post":${ingestJson(ingestPost)}}""")
+    // headline = pre-sweep MEDIAN pass: measured on a clean JVM, directly
+    // comparable to a standalone run, and robust to a single mid-run VM
+    // stall (round-7 verdict task 2); mean/best/raw passes stay alongside
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir","ingest_rows_per_s":${ingestPre.medianRowsPerSec},"ingest_rows_per_s_best":${ingestPre.bestRowsPerSec},"ingest_pre":${ingestJson(ingestPre)},"ingest_post":${ingestJson(ingestPost)}}""")
     spark.stop()
   }
 
@@ -99,6 +100,15 @@ object Bench {
       else (rows / (passSeconds.sum / passSeconds.length)).toLong
     def bestRowsPerSec: Long =
       if (rows < 0 || passSeconds.isEmpty) -1L else (rows / passSeconds.min).toLong
+    // Headline statistic: the MEDIAN pass. The mean let a single mid-run VM
+    // stall own the round-6 headline (passes [4.07, 5.43, 27.17] s → mean
+    // 16.8k rows/s vs a warm band of ~50k on the same artifact); the median
+    // of three discards one stalled pass while still punishing a systematic
+    // slowdown (two slow passes move the median). Raw passes + mean + best
+    // stay in the artifact so nothing is hidden.
+    def medianRowsPerSec: Long =
+      if (rows < 0 || passSeconds.isEmpty) -1L
+      else (rows / passSeconds.sorted.apply(passSeconds.length / 2)).toLong
   }
 
   /** The reference's own headline metric: ingest throughput in records/s

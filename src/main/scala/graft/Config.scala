@@ -46,7 +46,14 @@ object Config {
       /** Stamp `graft.schema_version` into the footers of the files each
         * ingest run just wrote ([[graft.io.FooterStamp]]). Off by default:
         * the stamp is a second sequential read+write of every new file. */
-      footerStamp: Boolean = false)
+      footerStamp: Boolean = false,
+      /** Shuffle/state partitions for the replay gates' stateful streaming
+        * queries ([[graft.streaming.StreamGate]]). Each stateful operator
+        * pays one state store per partition per micro-batch; the default 8
+        * is the measured sweet spot for gate-scale key spaces
+        * (hundreds-to-thousands of keys — StreamPartProbe, SCALE.md).
+        * Production deployments size this to key cardinality. */
+      streamStatePartitions: Int = 8)
 
   case class S3Config(
       bucket: String = "",
@@ -218,6 +225,7 @@ object Config {
     "request.max_payload_bytes",
     "writer.max_records_per_file", "writer.trigger_interval_secs",
     "writer.max_files_per_trigger", "writer.footer_stamp",
+    "writer.stream_state_partitions",
     "storage.backend", "storage.fs.path",
     "storage.s3.bucket", "storage.s3.region", "storage.s3.endpoint", "storage.s3.prefix",
     "storage.r2.bucket", "storage.r2.account_id", "storage.r2.access_key_id",
@@ -248,7 +256,9 @@ object Config {
         maxRecordsPerFile = long("writer.max_records_per_file", c.writer.maxRecordsPerFile),
         triggerIntervalSecs = long("writer.trigger_interval_secs", c.writer.triggerIntervalSecs),
         maxFilesPerTrigger = int("writer.max_files_per_trigger", c.writer.maxFilesPerTrigger),
-        footerStamp = bool("writer.footer_stamp", c.writer.footerStamp)),
+        footerStamp = bool("writer.footer_stamp", c.writer.footerStamp),
+        streamStatePartitions =
+          int("writer.stream_state_partitions", c.writer.streamStatePartitions)),
       storage = c.storage.copy(
         backend = t.get("storage.backend").map(normalizeBackend).getOrElse(c.storage.backend),
         path = str("storage.fs.path", c.storage.path),
@@ -293,7 +303,9 @@ object Config {
         maxFilesPerTrigger = int("MAX_FILES_PER_TRIGGER", c0.writer.maxFilesPerTrigger),
         footerStamp = get("FOOTER_STAMP")
           .map(parseBool(s"${EnvPrefix}FOOTER_STAMP", _))
-          .getOrElse(c0.writer.footerStamp)))
+          .getOrElse(c0.writer.footerStamp),
+        streamStatePartitions =
+          int("STREAM_STATE_PARTITIONS", c0.writer.streamStatePartitions)))
 
     c = c.copy(storage = c.storage.copy(
       backend = get("STORAGE_BACKEND").map(normalizeBackend).getOrElse(c.storage.backend),
@@ -367,6 +379,8 @@ object Config {
     if (c.writer.maxRecordsPerFile <= 0) bad("writer.max_records_per_file must be greater than 0")
     if (c.writer.triggerIntervalSecs <= 0) bad("writer.trigger_interval_secs must be greater than 0")
     if (c.writer.maxFilesPerTrigger <= 0) bad("writer.max_files_per_trigger must be greater than 0")
+    if (c.writer.streamStatePartitions <= 0)
+      bad("writer.stream_state_partitions must be greater than 0")
     c.storage.backend match {
       case "fs" =>
         if (c.storage.path.isEmpty) bad("storage.fs.path must not be empty")

@@ -166,9 +166,10 @@ object Ingest {
         // opt-in schema-version footer stamp (writer.footer_stamp /
         // GRAFT_FOOTER_STAMP): tag the table's files with the signal's
         // schema version as the final step of the run. stampTable walks the
-        // whole table dir — idempotent over files stamped by earlier runs
-        // (same key, same value), and the batch-ingest model writes each
-        // run to a bounded set of new partition files.
+        // whole table dir, but files stamped by earlier runs are skipped
+        // after a footer-only read — repeat runs over a growing table cost
+        // O(files) cheap footer reads, and only this run's new files are
+        // rewritten (no re-opened rename window over historical data).
         if (cfg.writer.footerStamp)
           graft.io.FooterStamp.schemaVersionFor(table).foreach { v =>
             graft.io.FooterStamp.stampTable(spark, outRoot, table,

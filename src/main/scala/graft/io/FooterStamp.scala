@@ -53,7 +53,14 @@ object FooterStamp {
     } else false
   }
 
-  def stampFile(file: Path, conf: Configuration, extra: Map[String, String]): Unit = {
+  /** Returns true if the file was rewritten, false if its footer already
+    * carried every requested key=value — the footer read is a tail-of-file
+    * metadata read, so re-stamping an already-stamped table costs one cheap
+    * footer read per file instead of a full read+write (idempotent AND
+    * near-free; without the skip, repeat ingest runs rewrote the entire
+    * historical table every run and re-opened the non-atomic rename window
+    * over files that needed no change). */
+  def stampFile(file: Path, conf: Configuration, extra: Map[String, String]): Boolean = {
     healBak(file, conf)
     val in = HadoopInputFile.fromPath(file, conf)
     val reader = ParquetFileReader.open(in)
@@ -62,6 +69,7 @@ object FooterStamp {
         val fm = reader.getFooter.getFileMetaData
         (fm.getSchema, fm.getKeyValueMetaData.asScala.toMap)
       } finally reader.close()
+    if (extra.forall { case (k, v) => existingKv.get(k).contains(v) }) return false
 
     val tmp = new Path(file.getParent, s".${file.getName}.stamp.tmp")
     val bak = new Path(file.getParent, s".${file.getName}.stamp.bak")
@@ -95,15 +103,34 @@ object FooterStamp {
     } finally {
       if (!replaced) fs.delete(tmp, false) // never delete tmp after it became the data file
     }
+    true
   }
 
   /** Stamp every parquet file under `{root}/{tableDir}` (recursing through
-    * the service/year/…/hour partition dirs). */
+    * the service/year/…/hour partition dirs). Files whose footer already
+    * carries the requested key=value are skipped after a footer-only read
+    * ([[stampFile]]), so repeat runs over a growing table cost O(files)
+    * footer reads, not O(files) rewrites. Returns the number of files
+    * actually rewritten. */
   def stampTable(spark: org.apache.spark.sql.SparkSession, root: String,
-      tableDir: String, extra: Map[String, String]): Long = {
+      tableDir: String, extra: Map[String, String]): Long =
+    stampUnder(spark.sparkContext.hadoopConfiguration,
+      new Path(s"$root/$tableDir"), extra)
+
+  /** Stamp specific directories (e.g. only the partition dirs one streaming
+    * micro-batch touched) — bounds per-batch stamp work to the batch's own
+    * partitions instead of the whole growing table. Missing dirs are
+    * skipped. Returns the number of files actually rewritten. */
+  def stampDirs(spark: org.apache.spark.sql.SparkSession, dirs: Seq[String],
+      extra: Map[String, String]): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val base = new Path(s"$root/$tableDir")
+    dirs.map(d => stampUnder(conf, new Path(d), extra)).sum
+  }
+
+  private def stampUnder(conf: Configuration, base: Path,
+      extra: Map[String, String]): Long = {
     val fs = base.getFileSystem(conf)
+    if (!fs.exists(base)) return 0L
     val files = scala.collection.mutable.ArrayBuffer[Path]()
     val it = fs.listFiles(base, true)
     while (it.hasNext) {
@@ -120,8 +147,7 @@ object FooterStamp {
         if (healBak(primary, conf)) files += primary
       }
     }
-    files.foreach(stampFile(_, conf, extra))
-    files.size.toLong
+    files.count(stampFile(_, conf, extra)).toLong
   }
 
   /** The signal-table schema versions [[graft.schema.OtlpSchemas]] declares. */

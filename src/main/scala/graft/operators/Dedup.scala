@@ -809,31 +809,46 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
       nbr.union(mins.select(col("u"), col("m").as("v"))).distinct()
     }
-    // max degree over both edge directions of the cached frame — the skew
-    // signal the auto-salt decision reads (hot contraction centers)
-    def maxDegree(e: DataFrame): Long =
-      e.select(col("u")).union(e.select(col("v").as("u")))
+    // One pass over the cached edge frame yields BOTH the convergence count
+    // and the max degree over both edge directions (the skew signal the
+    // auto-salt decision reads — hot contraction centers). Each distinct
+    // edge contributes one row per direction, so sum(per-node degree) = 2|E|
+    // — the probe rides the count the round must do anyway instead of being
+    // an extra full aggregate per round (round-7 verdict task 5). The
+    // degree groupBy adds a map-side-combined shuffle on u where a bare
+    // count() has none; CcProbe measures that delta at 2.1M edges
+    // (SCALE.md — <5% of round wall).
+    def countAndMaxDegree(df: DataFrame): (Long, Long) =
+      df.select(col("u")).union(df.select(col("v").as("u")))
         .groupBy(col("u")).agg(count(lit(1)).as("d"))
-        .agg(max(col("d"))).collect().headOption
-        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+        .agg(sum(col("d")).as("s"), max(col("d")).as("m")).collect().headOption
+        .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L) / 2L,
+          Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)))
+        .getOrElse((0L, 0L))
     var e = pairs.select(col("id1").as("u"), col("id2").as("v"))
       .localCheckpoint(true)
+    // the only standalone probe: round 1 has no prior round to carry from
+    var (edgeCount, maxDeg) = countAndMaxDegree(e)
     var converged = false
     var rounds = 0
     while (!converged) {
       val t0 = System.nanoTime()
       val shards =
         if (saltShards > 1) saltShards
-        else if (saltShards == 0 && maxDegree(e) > autoSaltDegree) {
+        else if (saltShards == 0 && maxDeg > autoSaltDegree) {
           onAutoSalt(rounds + 1, autoSaltDegree)
           AutoSaltShards
         } else 0
       val next = smallStar(largeStar(e, shards), shards).localCheckpoint(true)
       // fixpoint = identical edge set; both sides are distinct, so
-      // equal counts + empty one-sided difference ⇒ set equality
-      val n = next.count()
-      converged = n == e.count() && next.except(e).isEmpty
+      // equal counts + empty one-sided difference ⇒ set equality. The
+      // count comes from the fused aggregate, which also carries next
+      // round's salt signal.
+      val (n, m) = countAndMaxDegree(next)
+      converged = n == edgeCount && next.except(e).isEmpty
       e = next
+      edgeCount = n
+      maxDeg = m
       rounds += 1
       val roundS = (System.nanoTime() - t0) / 1e9
       onRound(rounds, roundS)

@@ -41,14 +41,18 @@ object OtlpStream {
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       maxRecordsPerFile: Long = 200000L,
-      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1000,
+      footerStamp: Boolean = false): StreamingQuery = {
     val raw = spark.readStream
       .schema(OtlpSchemas.logs)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("mode", "FAILFAST") // corrupt JSONL must fail the batch (reference 400s), not become silent all-null rows
       .json(inputDir)
-    val flat = OtelWrite.withPartitionColumns(Otlp.logs(raw))
-    flat.writeStream
+    val flat = Otlp.logs(raw)
+    if (footerStamp)
+      stampedSink(flat, checkpointDir, trigger, outputRoot, "otel_logs",
+        maxRecordsPerFile)
+    else OtelWrite.withPartitionColumns(flat).writeStream
       .format("parquet")
       .option("path", s"$outputRoot/otel_logs")
       .option("checkpointLocation", checkpointDir)
@@ -59,6 +63,46 @@ object OtlpStream {
       .start()
   }
 
+  /** The stamped streaming sink: `foreachBatch` write + footer stamp of the
+    * partition dirs this micro-batch touched, so the streaming path honors
+    * `writer.footer_stamp` exactly like batch [[graft.Ingest]] does — the
+    * reference has ONE write contract for both paths
+    * (/root/reference/src/writer/write.rs:93-130). foreachBatch appends are
+    * at-least-once across restarts (same caveat as the metrics fan-out
+    * sink); the default unstamped path keeps the file sink's exactly-once
+    * log. Stamp work is bounded per batch: only the batch's own partition
+    * dirs are listed, and files already stamped by earlier batches are
+    * skipped after a footer-only read ([[graft.io.FooterStamp.stampFile]]). */
+  private def stampedSink(flat: DataFrame, checkpointDir: String,
+      trigger: Trigger, outputRoot: String, tableDir: String,
+      maxRecordsPerFile: Long): StreamingQuery =
+    flat.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          OtelWrite.write(batch, outputRoot, tableDir, maxRecordsPerFile)
+          stampBatchPartitions(batch, outputRoot, tableDir)
+        } finally batch.unpersist()
+      }
+      .trigger(trigger)
+      .start()
+
+  /** Stamp only the `service=/year=/…/hour=` dirs `df`'s rows land in. */
+  private def stampBatchPartitions(df: DataFrame, outputRoot: String,
+      tableDir: String): Unit =
+    graft.io.FooterStamp.schemaVersionFor(tableDir).foreach { v =>
+      val dirs = OtelWrite.withPartitionColumns(df)
+        .select("service", "year", "month", "day", "hour")
+        .filter(col("year").isNotNull)
+        .distinct().collect()
+        .map(r => s"$outputRoot/$tableDir/service=${r.get(0)}/year=${r.get(1)}" +
+          s"/month=${r.get(2)}/day=${r.get(3)}/hour=${r.get(4)}")
+        .toSeq
+      graft.io.FooterStamp.stampDirs(df.sparkSession, dirs,
+        Map(graft.io.FooterStamp.SchemaVersionKey -> v))
+    }
+
   /** Config-driven overloads: every stream knob (trigger interval,
     * maxRecordsPerFile, pull-throttle, payload limit) comes from the
     * resolved [[graft.Config]] chain (env > file > defaults) — the
@@ -68,7 +112,8 @@ object OtlpStream {
       checkpointDir: String, cfg: graft.Config.GraftConfig): StreamingQuery =
     logsToParquet(spark, inputDir, outputRoot, checkpointDir,
       Trigger.ProcessingTime(s"${cfg.writer.triggerIntervalSecs} seconds"),
-      cfg.writer.maxRecordsPerFile, cfg.writer.maxFilesPerTrigger)
+      cfg.writer.maxRecordsPerFile, cfg.writer.maxFilesPerTrigger,
+      cfg.writer.footerStamp)
 
   def logsProtobufToParquet(spark: SparkSession, inputDir: String,
       outputRoot: String, checkpointDir: String,
@@ -76,7 +121,7 @@ object OtlpStream {
     logsProtobufToParquet(spark, inputDir, outputRoot, checkpointDir,
       Trigger.ProcessingTime(s"${cfg.writer.triggerIntervalSecs} seconds"),
       cfg.writer.maxRecordsPerFile, cfg.request.maxPayloadBytes,
-      cfg.writer.maxFilesPerTrigger)
+      cfg.writer.maxFilesPerTrigger, footerStamp = cfg.writer.footerStamp)
 
   /** Landing-dir JSONL trace stream → flat span table → partitioned parquet.
     * Same pipeline shape as [[logsToParquet]] (narrow flatten, dynamic
@@ -85,14 +130,18 @@ object OtlpStream {
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       maxRecordsPerFile: Long = 200000L,
-      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1000,
+      footerStamp: Boolean = false): StreamingQuery = {
     val raw = spark.readStream
       .schema(OtlpSchemas.traces)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("mode", "FAILFAST")
       .json(inputDir)
-    val flat = OtelWrite.withPartitionColumns(Otlp.traces(raw))
-    flat.writeStream
+    val flat = Otlp.traces(raw)
+    if (footerStamp)
+      stampedSink(flat, checkpointDir, trigger, outputRoot, "otel_traces",
+        maxRecordsPerFile)
+    else OtelWrite.withPartitionColumns(flat).writeStream
       .format("parquet")
       .option("path", s"$outputRoot/otel_traces")
       .option("checkpointLocation", checkpointDir)
@@ -114,7 +163,8 @@ object OtlpStream {
   def metricsToParquet(spark: SparkSession, inputDir: String, outputRoot: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1000,
+      footerStamp: Boolean = false): StreamingQuery = {
     val raw = spark.readStream
       .schema(OtlpSchemas.metrics)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -130,6 +180,13 @@ object OtlpStream {
         try {
           val pm = Otlp.metrics(batch)
           OtelWrite.writeMetrics(pm, outputRoot)
+          if (footerStamp)
+            Seq("gauge" -> pm.gauge, "sum" -> pm.sum,
+              "histogram" -> pm.histogram,
+              "exponential_histogram" -> pm.expHistogram)
+              .foreach { case (kind, df) =>
+                stampBatchPartitions(df, outputRoot, s"otel_metrics_$kind")
+              }
         } finally batch.unpersist()
       }
       .trigger(trigger)
@@ -154,7 +211,8 @@ object OtlpStream {
       maxRecordsPerFile: Long = 200000L,
       maxPayloadBytes: Long = 8L * 1024 * 1024,
       maxFilesPerTrigger: Int = 1000,
-      telemetry: Option[graft.Telemetry] = None): StreamingQuery = {
+      telemetry: Option[graft.Telemetry] = None,
+      footerStamp: Boolean = false): StreamingQuery = {
     import org.apache.spark.sql.{Encoders, Row}
     val parse: Array[Byte] => Row = graft.io.OtlpProtobuf.parseLogsRequest
     val limit = maxPayloadBytes
@@ -200,8 +258,11 @@ object OtlpStream {
       .select("content")
       .as(Encoders.BINARY)
       .flatMap(guarded)(Encoders.row(graft.schema.OtlpSchemas.logsRequestType))
-    val flat = OtelWrite.withPartitionColumns(Otlp.logs(raw.toDF()))
-    flat.writeStream
+    val flat = Otlp.logs(raw.toDF())
+    if (footerStamp)
+      stampedSink(flat, checkpointDir, trigger, outputRoot, "otel_logs",
+        maxRecordsPerFile)
+    else OtelWrite.withPartitionColumns(flat).writeStream
       .format("parquet")
       .option("path", s"$outputRoot/otel_logs")
       .option("checkpointLocation", checkpointDir)

@@ -92,12 +92,17 @@ object StreamGate {
     * found for the stream-stream join. Results are partition-count
     * independent (revalidated at 7 vs 32 in round 5). Production sizes
     * state partitions to key cardinality; the gate's key spaces are
-    * hundreds-to-thousands. */
-  private[graft] val StatePartitions = "8"
+    * hundreds-to-thousands — hence a CONFIG knob, not a constant:
+    * `writer.stream_state_partitions` / `GRAFT_STREAM_STATE_PARTITIONS`
+    * (round-7 verdict task 8). The resolved-config value seeds the default;
+    * [[statePartitions]] stays assignable for probes/specs. */
+  @volatile private[graft] var statePartitions: Int =
+    try graft.Config.load().writer.streamStatePartitions
+    catch { case scala.util.control.NonFatal(_) => 8 }
 
   /** Drain a bounded stream into a uniquely-named memory sink, detach the
     * result (localCheckpoint — the ContextCleaner reclaims it), drop the
-    * sink view. State partitions are capped at [[StatePartitions]] for the
+    * sink view. State partitions are capped at [[statePartitions]] for the
     * query's start (a per-query start-time setting — the session value is
     * restored immediately). The residual ~1.5 s per replay is micro-batch
     * machinery: query planning, two WAL'd micro-batches (data + no-data
@@ -107,15 +112,31 @@ object StreamGate {
     * StreamPhaseProbe): tmpfs vs disk checkpoint is a wash (page cache
     * absorbs the deltas), and 4 gates run concurrently cost the same wall
     * as sequentially (executor saturation, state-store lock contention). */
-  private def runToMemory(spark: SparkSession, df: DataFrame): DataFrame = {
+  /** Serializes replays: the save/restore of the session-global shuffle
+    * partitions below is not re-entrant — two concurrent replays could read
+    * each other's "8" as the value to restore and pin the session
+    * (StreamPhaseProbe measured concurrent replays as a wall-clock wash vs
+    * sequential anyway — executor saturation — so the lock costs nothing). */
+  private val replayLock = new Object
+
+  private def runToMemory(spark: SparkSession, df: DataFrame): DataFrame = replayLock.synchronized {
     val name = s"graft_stream_gate_${runId.incrementAndGet()}"
-    val ckpt = checkpointRoot.map(r => s"$r/$name")
+    // checkpoint names must be unique ACROSS JVMs, not just within this one:
+    // a stale same-named dir (crashed JVM whose finally-delete never ran, or
+    // a concurrent probe JVM) carries committed offsets, and an AvailableNow
+    // query that finds them resumes past the data and drains NOTHING — the
+    // gate would silently return an empty frame. UUID suffix + delete-before-
+    // start close both the collision and the stale-dir case.
+    val ckpt = checkpointRoot.map(r =>
+      s"$r/$name-${java.util.UUID.randomUUID().toString.take(8)}")
+    ckpt.foreach(c =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(c)))
     // the conf must stay pinned through awaitTermination: micro-batches
     // plan asynchronously after start() returns, and the state partition
     // count is fixed from the conf at first-batch planning
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
       val writer = df.writeStream
         .format("memory")
         .queryName(name)
@@ -258,7 +279,7 @@ object StreamGate {
     // partition (two sides × two stores) — the gate that first exposed the
     // state-partition cost (SsjProbe: 5.3-8.3 s at 32 partitions vs
     // 2.4-3.7 s at 8, same 370-row result). runToMemory now applies the
-    // measured cap to every replay gate (see StatePartitions).
+    // measured cap to every replay gate (see statePartitions).
     runToMemory(spark, joined.select(col("user_id"),
         col("purchase_id"), col("error_id"),
         unix_micros(col("p_ts")).as("purchase_ts_us"),

@@ -47,29 +47,59 @@ object SfScaleGen {
       df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"$t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
     }
-    // one row per (source row, copy) via a small range cross join; key
-    // offsets are copy × (1 + max source key), so copies never collide
-    def replicate(df: DataFrame, shiftCols: Seq[String]): DataFrame = {
-      val offsets = shiftCols.map { c =>
-        c -> (df.agg(max(col(c))).head.getLong(0) + 1L)
-      }
+    // One offset per key DOMAIN, computed from the domain's PARENT table and
+    // applied to every referencing column (c_custkey and o_custkey shift by
+    // the same amount, etc.). Deriving each column's offset from its own
+    // table would break cross-copy joins whenever the highest parent key is
+    // unreferenced by a child — the maxima only coincide by luck in the
+    // current testdata.
+    def domainMax(t: String, c: String): Long =
+      read(t).agg(max(col(c))).head.getLong(0)
+    val custOff  = domainMax("customer", "c_custkey") + 1L
+    val suppOff  = domainMax("supplier", "s_suppkey") + 1L
+    val partOff  = domainMax("part", "p_partkey") + 1L
+    val orderOff = domainMax("orders", "o_orderkey") + 1L
+    // single-table domains — the owning table is its own parent
+    val eventOff = domainMax("events", "event_id") + 1L
+    val userOff  = domainMax("events", "user_id") + 1L
+    val docOff   = domainMax("documents", "doc_id") + 1L
+    val vecOff   = domainMax("embeddings", "vec_id") + 1L
+    // FK sanity: every child key must sit inside its parent domain, or the
+    // shared offset would not cover the child and copies could collide
+    def assertContained(childT: String, childC: String, parentMax: Long): Unit = {
+      val m = domainMax(childT, childC)
+      require(m < parentMax,
+        s"$childT.$childC max $m outside parent domain (max offset $parentMax)")
+    }
+    assertContained("orders", "o_custkey", custOff)
+    assertContained("lineitem", "l_orderkey", orderOff)
+    assertContained("lineitem", "l_partkey", partOff)
+    assertContained("lineitem", "l_suppkey", suppOff)
+
+    // one row per (source row, copy) via a small range cross join; each key
+    // column shifts by copy × its domain offset, so copies never collide and
+    // every FK still lands on the same copy's parent row
+    def replicate(df: DataFrame, shifts: Seq[(String, Long)]): DataFrame = {
       val cp = spark.range(0L, copies.toLong).select(col("id").as("_copy"))
-      offsets.foldLeft(df.crossJoin(broadcast(cp))) { case (acc, (c, off)) =>
+      shifts.foldLeft(df.crossJoin(broadcast(cp))) { case (acc, (c, off)) =>
         acc.withColumn(c, col(c) + col("_copy") * off)
       }
     }
 
     write(read("nation"), "nation")
     write(read("region"), "region")
-    write(replicate(read("customer"), Seq("c_custkey")).drop("_copy"), "customer")
-    write(replicate(read("supplier"), Seq("s_suppkey")).drop("_copy"), "supplier")
-    write(replicate(read("part"), Seq("p_partkey")).drop("_copy"), "part")
-    write(replicate(read("orders"), Seq("o_orderkey", "o_custkey")).drop("_copy"),
-      "orders")
+    write(replicate(read("customer"), Seq("c_custkey" -> custOff)).drop("_copy"),
+      "customer")
+    write(replicate(read("supplier"), Seq("s_suppkey" -> suppOff)).drop("_copy"),
+      "supplier")
+    write(replicate(read("part"), Seq("p_partkey" -> partOff)).drop("_copy"), "part")
+    write(replicate(read("orders"),
+      Seq("o_orderkey" -> orderOff, "o_custkey" -> custOff)).drop("_copy"), "orders")
     write(replicate(read("lineitem"),
-      Seq("l_orderkey", "l_partkey", "l_suppkey")).drop("_copy"), "lineitem")
-    write(replicate(read("events"), Seq("event_id", "user_id")).drop("_copy"),
-      "events")
+      Seq("l_orderkey" -> orderOff, "l_partkey" -> partOff,
+        "l_suppkey" -> suppOff)).drop("_copy"), "lineitem")
+    write(replicate(read("events"),
+      Seq("event_id" -> eventOff, "user_id" -> userOff)).drop("_copy"), "events")
 
     // documents: shuffle words deterministically per (doc, copy)
     val shuffleWords = udf { (text: String, seed: Long) =>
@@ -87,7 +117,7 @@ object SfScaleGen {
         arr.mkString(" ")
       }
     }
-    val docs = replicate(read("documents"), Seq("doc_id"))
+    val docs = replicate(read("documents"), Seq("doc_id" -> docOff))
       .withColumn("text",
         when(col("_copy") === 0L, col("text"))
           .otherwise(shuffleWords(col("text"),
@@ -96,7 +126,7 @@ object SfScaleGen {
     write(docs, "documents")
 
     // embeddings: perturb + renormalize per copy (copy 0 stays verbatim)
-    val emb = replicate(read("embeddings"), Seq("vec_id"))
+    val emb = replicate(read("embeddings"), Seq("vec_id" -> vecOff))
       .withColumn("noisy",
         expr("""transform(embedding, (x, i) ->
                  x + CAST(pmod(xxhash64(vec_id, _copy, i), 1000) - 500 AS FLOAT) / 1000.0F)"""))

@@ -85,6 +85,21 @@ class FooterStampSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$root/otel_traces").count() == 1)
   }
 
+  test("re-stamping with the same KV rewrites nothing (footer-read skip)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stamp4").toString
+    val df = Seq(("s", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "z"))
+      .toDF("ServiceName", "Timestamp", "Body")
+    OtelWrite.write(df, root, "otel_logs")
+    val n1 = FooterStamp.stampTable(spark, root, "otel_logs", Map("k" -> "v"))
+    assert(n1 == 1L)
+    // identical re-run: footer already carries k=v → zero rewrites (repeat
+    // ingest runs over a historical table must not rewrite it every run)
+    val n2 = FooterStamp.stampTable(spark, root, "otel_logs", Map("k" -> "v"))
+    assert(n2 == 0L)
+    assert(spark.read.parquet(s"$root/otel_logs").count() == 1)
+  }
+
   test("a crash between the two renames self-heals from the .stamp.bak") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-stamp3").toString

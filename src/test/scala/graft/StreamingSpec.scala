@@ -92,6 +92,73 @@ class StreamingSpec extends SparkTestBase {
     assert(!new java.io.File(s"$out/otel_metrics_summary").exists())
   }
 
+  test("streamed output honors writer.footer_stamp (KV in every footer)") {
+    import scala.jdk.CollectionConverters._
+    val in = tmp("graft-fstream-in")
+    val out = tmp("graft-fstream-out")
+    val ckpt = tmp("graft-fstream-ckpt")
+    Files.copy(java.nio.file.Paths.get("/root/reference/testdata/logs.jsonl"),
+      java.nio.file.Paths.get(in, "logs.jsonl"))
+    // knob resolved through the real config chain (env > file > defaults)
+    val cfg = Config.load(Map("GRAFT_FOOTER_STAMP" -> "true"),
+      new java.io.File(tmp("graft-fstream-cwd")))
+    assert(cfg.writer.footerStamp)
+
+    val q = OtlpStream.logsToParquet(spark, in, out, ckpt,
+      trigger = Trigger.AvailableNow(), footerStamp = cfg.writer.footerStamp)
+    q.awaitTermination(120000)
+
+    val written = spark.read.parquet(s"$out/otel_logs")
+    assert(written.count() == 81)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(s"$out/otel_logs")
+    val it = base.getFileSystem(conf).listFiles(base, true)
+    var checked = 0
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+        val kv = try r.getFooter.getFileMetaData.getKeyValueMetaData.asScala.toMap
+          finally r.close()
+        assert(kv.get(graft.io.FooterStamp.SchemaVersionKey)
+          .contains(graft.schema.OtlpSchemas.LogsSchemaVersion), st.getPath.toString)
+        checked += 1
+      }
+    }
+    assert(checked > 0, "no parquet files written")
+  }
+
+  test("writer.stream_state_partitions override reaches the query plan") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val cfg = Config.load(Map("GRAFT_STREAM_STATE_PARTITIONS" -> "5"),
+      new java.io.File(tmp("graft-sp-cwd")))
+    assert(cfg.writer.streamStatePartitions == 5)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        e.progress.stateOperators.foreach(so => seen.add(so.numShufflePartitions))
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val prev = graft.streaming.StreamGate.statePartitions
+    try {
+      graft.streaming.StreamGate.statePartitions = cfg.writer.streamStatePartitions
+      assert(graft.streaming.StreamGate.windowCounts(spark, "/root/testdata/sf0.001")
+        .count() > 0)
+      // listener delivery is async — wait for the progress events
+      val deadline = System.currentTimeMillis() + 30000
+      while (seen.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(seen.asScala.toSet == Set(5L),
+        s"state operator partitions: ${seen.asScala.toList}")
+    } finally {
+      graft.streaming.StreamGate.statePartitions = prev
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("watermarked window counts: on-time rows aggregate, late rows drop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
