@@ -152,7 +152,11 @@ object SparkEntry {
     "q_window_stats" -> (QuerySurface.windowStats _),
     "q_outliers" -> (Sketches.outlierFences _),
     "q_scd2" -> (QuerySurface.scd2 _),
-    "q_triangles" -> ((s: SparkSession, d: String) => Graph.triangles(s, d)),
+    // both orientations stay gated: q_triangles is the id-ordered CONTROL
+    // (explicit — the library default is now degree-ordered, the round-7
+    // measured winner at every scale), q_triangles_degree the default path
+    "q_triangles" -> ((s: SparkSession, d: String) =>
+      Graph.triangles(s, d, degreeOrdered = false)),
     "q_triangles_degree" -> ((s: SparkSession, d: String) =>
       Graph.triangles(s, d, degreeOrdered = true)),
   )
@@ -562,7 +566,7 @@ object SparkEntry {
     "q_window_stats" -> QuerySurface.windowStatsOracleSql,
     "q_outliers" -> Sketches.outlierFencesOracleSql,
     "q_scd2" -> QuerySurface.scd2OracleSql,
-    "q_triangles" -> Graph.trianglesOracleSql(),
+    "q_triangles" -> Graph.trianglesOracleSql(degreeOrdered = false),
     "q_triangles_degree" -> Graph.trianglesOracleSql(degreeOrdered = true),
   )
 }

@@ -200,11 +200,19 @@ object Graph {
     *
     * `degreeOrdered` switches the census join from id-ordering to
     * (degree, id)-ordering ([[censusFromEdges]]) — same census, join
-    * fan-out bounded at O(√|E|) per node on skewed backbones. */
+    * fan-out bounded at O(√|E|) per node on skewed backbones. The degree
+    * order is the DEFAULT by measurement (round-7 sf1 sweep,
+    * `target/scalesweep_r7.log`): on the real co-purchase backbone it wins
+    * at BOTH measured scales — 3.30 vs 4.34 s at sf0.1, 18.54 vs 35.99 s
+    * at sf1 — and on a synthetic hub backbone (TriOrientProbe) the gap
+    * widens with skew, while its extra cost (two broadcast-sized degree
+    * joins over ≤[[CoPurchaseTopEdges]] edges) is fixed and tiny. No
+    * measured crossover favors id-ordering; it stays reachable as the
+    * `degreeOrdered = false` control (gate `q_triangles`). */
   def triangles(spark: SparkSession, sfDir: String,
       topEdges: Int = CoPurchaseTopEdges,
       maxSuppliersPerCustomer: Int = MaxSuppliersPerCustomer,
-      degreeOrdered: Boolean = false): DataFrame = {
+      degreeOrdered: Boolean = true): DataFrame = {
     val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
     val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
     val cs = li.join(od, col("l_orderkey") === col("o_orderkey"))
@@ -215,8 +223,8 @@ object Graph {
   }
 
   /** DuckDB twin of [[triangles]] — identical cap, backbone, and vertex
-    * order (id or (degree, id)). */
-  def trianglesOracleSql(degreeOrdered: Boolean = false): String = {
+    * order (id or (degree, id); default mirrors [[triangles]]). */
+  def trianglesOracleSql(degreeOrdered: Boolean = true): String = {
     val triSource =
       if (degreeOrdered)
         s"""od AS (
