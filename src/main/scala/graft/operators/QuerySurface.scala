@@ -252,8 +252,14 @@ object QuerySurface {
 
   /** Pricing-summary aggregate (TPC-H Q1 shape): wide multi-aggregate scan. */
   def q1Pricing(spark: SparkSession, sfDir: String): DataFrame =
-    lineitem(spark, sfDir)
-      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+    {
+      val li = lineitem(spark, sfDir)
+      // cast the LITERAL to the column's physical type (TIMESTAMP or
+      // TIMESTAMP_NTZ depending on testdata generation) so the predicate
+      // lands on the raw column and stays pushable to the parquet scan
+      li.filter(col("l_shipdate") <=
+        lit("1998-09-02 00:00:00").cast(li.schema("l_shipdate").dataType))
+    }
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         exactSum(col("l_quantity")).as("sum_qty"),

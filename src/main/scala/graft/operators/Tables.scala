@@ -27,19 +27,28 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads as a
-    * raw long (spark.sql.legacy.parquet.nanosAsLong=true — set by
-    * Verify/Bench/tests). Normalize to a µs TimestampType here with integer
-    * division (the ns epoch value exceeds 2^53, so float division would lose
-    * microseconds). */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = table(spark, sfDir, "events")
-    df.schema("ts").dataType match {
+  /** `events.ts` has shipped as three physical types across driver testdata
+    * generations: TIMESTAMP(NANOS) (read as a raw ns long under
+    * spark.sql.legacy.parquet.nanosAsLong=true — set by Verify/Bench/tests),
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ — the
+    * current generation), and TIMESTAMP(MICROS, adjusted) (read as
+    * TimestampType). Normalize all three to a µs TimestampType: ns via
+    * integer division (the ns epoch value exceeds 2^53, so float division
+    * would lose microseconds), NTZ via cast — value-preserving because every
+    * graft session pins spark.sql.session.timeZone=UTC, matching DuckDB's
+    * epoch_us(ntz) which also reads the wall-clock as UTC. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(table(spark, sfDir, "events"), "ts")
+
+  /** See [[events]]: ns-long / TIMESTAMP_NTZ / TIMESTAMP → µs TimestampType. */
+  def normalizeTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(c, col(c).cast("timestamp"))
       case _ => df
     }
-  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
@@ -66,6 +75,13 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.filter(col("ts") >= lit(fromUs * 1000L) && col("ts") < lit(untilUs * 1000L))
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // filter on the RAW NTZ column with NTZ literals (constant-folded),
+        // so the predicate stays pushable; normalize the type only after
+        val fromNtz = timestamp_micros(lit(fromUs)).cast("timestamp_ntz")
+        val untilNtz = timestamp_micros(lit(untilUs)).cast("timestamp_ntz")
+        df.filter(col("ts") >= fromNtz && col("ts") < untilNtz)
+          .withColumn("ts", col("ts").cast("timestamp"))
       case _ =>
         df.filter(col("ts") >= timestamp_micros(lit(fromUs)) &&
           col("ts") < timestamp_micros(lit(untilUs)))

@@ -57,6 +57,10 @@ object StreamGate {
     schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // µs NTZ testdata generation: value-preserving under the pinned
+        // UTC session zone (see Tables.normalizeTs)
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

@@ -33,10 +33,14 @@ object StreamPhaseProbe {
       val path = s"$sfDir/events.parquet"
       val schema = spark.read.parquet(path).schema
       lap("schema")
-      val raw = spark.readStream.schema(schema)
+      val raw0 = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", Int.MaxValue)
         .parquet(s"$sfDir/event[s].parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw0.withColumn("ts", col("ts").cast("timestamp"))
+      }
       val agg = raw.select(col("ts").as("Timestamp"), col("event_type"))
         .withWatermark("Timestamp", "2 minutes")
         .groupBy(window(col("Timestamp"), "1 minute"), col("event_type"))

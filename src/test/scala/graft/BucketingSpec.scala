@@ -9,8 +9,19 @@ class BucketingSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** DROP TABLE alone can't clear residue from a crashed earlier JVM: the
+    * in-memory catalog starts empty, so the drop is a no-op while the
+    * warehouse LOCATION dir survives on disk and fails the next create
+    * with LOCATION_ALREADY_EXISTS. Clear both. */
+  private def dropManaged(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    org.apache.commons.io.FileUtils.deleteQuietly(loc)
+  }
+
   test("bucketed events: windowed session counts run exchange-free and agree") {
-    spark.sql("DROP TABLE IF EXISTS events_bucketed_test")
+    dropManaged("events_bucketed_test")
     Bucketing.writeEventsBucketed(spark, sf, "events_bucketed_test", buckets = 8)
 
     val bucketed = Bucketing.sessionCountsBucketed(spark, "events_bucketed_test")
@@ -36,7 +47,7 @@ class BucketingSpec extends SparkTestBase {
   }
 
   test("bucketed events: per-user join runs with zero hash exchanges") {
-    spark.sql("DROP TABLE IF EXISTS events_bucketed_join_test")
+    dropManaged("events_bucketed_join_test")
     Bucketing.writeEventsBucketed(spark, sf, "events_bucketed_join_test", buckets = 8)
     // disable auto-broadcast: a BroadcastHashJoin would also be
     // exchange-free but would prove nothing about the bucket layout — the
