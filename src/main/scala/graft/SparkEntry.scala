@@ -43,6 +43,7 @@ object SparkEntry {
     "q_set_ops" -> (QuerySurface.setOps _),
     "q_rollup" -> (QuerySurface.rollupCounts _),
     "q_pivot" -> (QuerySurface.pivotReturns _),
+    "q_unpivot" -> (QuerySurface.unpivotMeasures _),
     "q_cube" -> (QuerySurface.cubeCounts _),
     "q_running_total" -> (QuerySurface.runningTotal _),
     "q_event_rate" -> (QuerySurface.eventRate _),
@@ -85,6 +86,7 @@ object SparkEntry {
     "text_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
     "text_rarity" -> ((s: SparkSession, d: String) => TextAnalysis.rarity(s, d)),
     "text_quality" -> (TextAnalysis.quality _),
+    "text_quality_ntile" -> (TextAnalysis.qualityNtile _),
     "text_langid" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     // -- multimodal columns --
@@ -267,6 +269,7 @@ object SparkEntry {
         |ORDER BY event_type, day_us""".stripMargin,
 
     "q_pivot" -> QuerySurface.pivotReturnsOracleSql,
+    "q_unpivot" -> QuerySurface.unpivotMeasuresOracleSql,
     "q_cube" -> QuerySurface.cubeCountsOracleSql,
     "q_running_total" -> QuerySurface.runningTotalOracleSql,
     "q_event_rate" -> QuerySurface.eventRateOracleSql,
@@ -407,6 +410,8 @@ object SparkEntry {
         |  n_distinct / n_tokens AS diversity,
         |  ${operators.TextAnalysis.qualityScoreSqlExpr("n_distinct", "n_stop", "n_tokens")} AS quality_score
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "text_quality_ntile" -> operators.TextAnalysis.qualityNtileOracleSql,
 
     "text_langid" ->
       """WITH t AS (

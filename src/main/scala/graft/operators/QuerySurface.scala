@@ -494,6 +494,41 @@ object QuerySurface {
       .agg(Tables.exactSum(col("l_quantity")))
       .orderBy(col("l_linestatus"))
 
+  /** Wide→long melt (the inverse reshaping of [[pivotReturns]]): unpivot
+    * lineitem's four numeric measures into `(measure, value)` rows, then
+    * aggregate per (returnflag, measure). The melt itself is a NARROW
+    * per-row transform — Spark plans `Dataset.unpivot` as an Expand (no
+    * shuffle, no UDF), so at 100 TB the 4× row growth streams through the
+    * scan stage; the only exchange is the 12-group aggregate, map-side
+    * combined to almost nothing. */
+  def unpivotMeasures(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(Tables.exactSum(col("value"), 8, 2).as("sum_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  def unpivotMeasuresOracleSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+      |)
+      |SELECT l_returnflag, measure,
+      |  CAST(round(SUM(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_value,
+      |  count(*) AS n
+      |FROM m GROUP BY l_returnflag, measure
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   def pivotReturnsOracleSql: String = {
     def arm(v: String) =
       s"""CAST(round(SUM(CASE WHEN l_returnflag = '$v'

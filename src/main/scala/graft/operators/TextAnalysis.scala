@@ -94,6 +94,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Decile binning of the quality score — the "keep only the top quality
+    * buckets" selection step of a training-data pipeline. `ntile(10)` over
+    * a TOTAL order (score, then doc_id as the tie-break) makes bucket
+    * boundaries deterministic and engine-identical: both Spark and DuckDB
+    * implement the SQL-standard distribution where the first `n mod 10`
+    * buckets take the extra row.
+    *
+    * Scale shape: an unpartitioned ntile is a GLOBAL sort — exact decile
+    * ranks genuinely need a total order, and Spark plans this as one
+    * range-partitioned sort (no single-machine collect), but at 100 TB the
+    * production form is approximate bucket BOUNDARIES from a quantile
+    * sketch joined back as a broadcast range lookup — that form is gated
+    * as `q_equi_depth`. This gate is its exact reference. */
+  def qualityNtile(spark: SparkSession, sfDir: String): DataFrame =
+    quality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("quality_score"), col("doc_id")))
+          .cast("long"))
+      .orderBy(col("doc_id"))
+
+  def qualityNtileOracleSql: String =
+    s"""WITH b AS (
+       |  $qualityCountsSqlCte
+       |), q AS (
+       |  SELECT doc_id,
+       |    ${qualityScoreSqlExpr("n_distinct", "n_stop", "n_tokens")} AS quality_score
+       |  FROM b
+       |)
+       |SELECT doc_id, quality_score,
+       |  CAST(ntile(10) OVER (ORDER BY quality_score, doc_id) AS BIGINT) AS decile
+       |FROM q ORDER BY doc_id""".stripMargin
+
   /** Language-ID: argmax of per-language marker-word counts; ties resolve in
     * language-code order (the chained CASE order, identical in the oracle). */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
