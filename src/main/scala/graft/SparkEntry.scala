@@ -161,6 +161,14 @@ object SparkEntry {
       Graph.triangles(s, d, degreeOrdered = false)),
     "q_triangles_degree" -> ((s: SparkSession, d: String) =>
       Graph.triangles(s, d, degreeOrdered = true)),
+
+    // -- round 7 additions: retrieval, linkage, semantic dedup, BFS, MMR --
+    "q_decay_agg" -> (QuerySurface.decayAgg _),
+    "q_fuzzy_join" -> ((s: SparkSession, d: String) => QuerySurface.fuzzyJoin(s, d)),
+    "text_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25(s, d)),
+    "q_bfs" -> ((s: SparkSession, d: String) => Graph.bfsHops(s, d)),
+    "dedup_semantic" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
+    "sim_mmr" -> ((s: SparkSession, d: String) => Similarity.mmr(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -412,6 +420,13 @@ object SparkEntry {
         |FROM b ORDER BY doc_id""".stripMargin,
 
     "text_quality_ntile" -> operators.TextAnalysis.qualityNtileOracleSql,
+
+    "q_decay_agg" -> operators.QuerySurface.decayAggOracleSql,
+    "q_fuzzy_join" -> operators.QuerySurface.fuzzyJoinOracleSql(),
+    "text_bm25" -> operators.TextAnalysis.bm25OracleSql(),
+    "q_bfs" -> operators.Graph.bfsHopsOracleSql(),
+    "dedup_semantic" -> operators.Similarity.semanticDedupOracleSql(),
+    "sim_mmr" -> operators.Similarity.mmrOracleSql(),
 
     "text_langid" ->
       """WITH t AS (

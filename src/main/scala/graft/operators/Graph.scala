@@ -222,6 +222,27 @@ object Graph {
       coPurchaseEdges(cs, topEdges, maxSuppliersPerCustomer), degreeOrdered)
   }
 
+  /** The capped co-purchase backbone as shared oracle CTEs (`cs0`, `cs`,
+    * `w`, `e`) — one definition for the [[trianglesOracleSql]] and
+    * [[bfsHopsOracleSql]] twins, mirroring [[coPurchaseEdges]]. */
+  private def backboneSqlCtes: String =
+    s"""cs0 AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), cs AS (
+       |  SELECT c, s FROM (
+       |    SELECT c, s, row_number() OVER (PARTITION BY c ORDER BY s) AS rn
+       |    FROM cs0
+       |  ) WHERE rn <= $MaxSuppliersPerCustomer
+       |), w AS (
+       |  SELECT a.s AS src, b.s AS dst, count(*) AS shared
+       |  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+       |  GROUP BY 1, 2
+       |), e AS (
+       |  SELECT src, dst FROM w
+       |  ORDER BY shared DESC, src, dst LIMIT $CoPurchaseTopEdges
+       |)""".stripMargin
+
   /** DuckDB twin of [[triangles]] — identical cap, backbone, and vertex
     * order (id or (degree, id); default mirrors [[triangles]]). */
   def trianglesOracleSql(degreeOrdered: Boolean = true): String = {
@@ -244,22 +265,7 @@ object Graph {
            |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
            |    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
            |)""".stripMargin
-    s"""WITH cs0 AS (
-       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-       |), cs AS (
-       |  SELECT c, s FROM (
-       |    SELECT c, s, row_number() OVER (PARTITION BY c ORDER BY s) AS rn
-       |    FROM cs0
-       |  ) WHERE rn <= $MaxSuppliersPerCustomer
-       |), w AS (
-       |  SELECT a.s AS src, b.s AS dst, count(*) AS shared
-       |  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
-       |  GROUP BY 1, 2
-       |), e AS (
-       |  SELECT src, dst FROM w
-       |  ORDER BY shared DESC, src, dst LIMIT $CoPurchaseTopEdges
-       |), deg AS (
+    s"""WITH $backboneSqlCtes, deg AS (
        |  SELECT v, count(*) AS d FROM (
        |    SELECT src AS v FROM e UNION ALL SELECT dst FROM e
        |  ) GROUP BY v
@@ -308,5 +314,68 @@ object Graph {
        |  r AS rank_fp
        |FROM r$iterations
        |ORDER BY rank_fp DESC, id LIMIT $topK""".stripMargin
+  }
+
+  /** Single-source BFS hop counts over the UNDIRECTED co-purchase backbone
+    * ([[coPurchaseEdges]] — same cap + top-k sparsification as
+    * [[triangles]]): distance from the lowest-id backbone node, `hops`
+    * synchronous frontier rounds. The third member of the iterative-graph
+    * family — CC propagates min-labels to fixpoint ([[Dedup]]), PageRank
+    * propagates mass a fixed round count, BFS propagates min-distance —
+    * and the building block of reachability, k-hop neighbourhoods, and
+    * graph-radius estimates over similarity graphs.
+    *
+    * Round = frontier⋈edges (shuffle keyed on the edge source) then a
+    * min-hop aggregate — all integers, deterministic under any
+    * partitioning. Unreached nodes are absent (no sentinel rows). On the
+    * ≤[[CoPurchaseTopEdges]]-edge backbone every round is broadcast-sized;
+    * at full-graph scale the same loop runs as shuffle joins with the
+    * [[pageRank]] checkpoint discipline (here the 4-round lineage is
+    * bounded, so per-round checkpoints would only add blocking I/O). */
+  def bfsHops(spark: SparkSession, sfDir: String, hops: Int = 4,
+      topEdges: Int = CoPurchaseTopEdges,
+      maxSuppliersPerCustomer: Int = MaxSuppliersPerCustomer): DataFrame = {
+    val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+    val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(od, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val edges = coPurchaseEdges(cs, topEdges, maxSuppliersPerCustomer)
+      .localCheckpoint(true)
+    val und = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+    var dist = edges.agg(least(min(col("src")), min(col("dst"))).as("v"))
+      .select(col("v"), lit(0L).as("hop"))
+    for (h <- 1 to hops) {
+      val next = dist.as("d").join(und.as("g"), col("d.v") === col("g.u"))
+        .select(col("g.v").as("v"), lit(h.toLong).as("hop"))
+      dist = dist.unionByName(next)
+        .groupBy(col("v")).agg(min(col("hop")).as("hop"))
+    }
+    dist.orderBy(col("v"))
+  }
+
+  /** DuckDB twin of [[bfsHops]] — the frontier rounds unrolled as chained
+    * CTEs over the shared backbone. */
+  def bfsHopsOracleSql(hops: Int = 4): String = {
+    val rounds = (1 to hops).map { h =>
+      s"""d$h AS (
+         |  SELECT v, CAST(min(hop) AS BIGINT) AS hop FROM (
+         |    SELECT v, hop FROM d${h - 1}
+         |    UNION ALL
+         |    SELECT und.v, $h AS hop FROM d${h - 1} d JOIN und ON d.v = und.u
+         |  ) GROUP BY v
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $backboneSqlCtes, und AS (
+       |  SELECT src AS u, dst AS v FROM e
+       |  UNION ALL
+       |  SELECT dst AS u, src AS v FROM e
+       |), d0 AS (
+       |  SELECT least((SELECT min(src) FROM e), (SELECT min(dst) FROM e)) AS v,
+       |    CAST(0 AS BIGINT) AS hop
+       |),
+       |$rounds
+       |SELECT v, hop FROM d$hops ORDER BY v""".stripMargin
   }
 }

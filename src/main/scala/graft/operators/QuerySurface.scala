@@ -1119,4 +1119,124 @@ object QuerySurface {
       |     OR (v.total_cents >= u.total_cents AND v.n_events < u.n_events)
       |)
       |ORDER BY total_cents DESC, user_id""".stripMargin
+
+  // ---- recency-decayed aggregation ----------------------------------------
+
+  /** Per-user recency-weighted engagement score: each event contributes
+    * `value · 2^(-age_hours)` with age measured back from the corpus' newest
+    * event and the exponent capped at 40 (2⁻⁴⁰ ≈ 10⁻¹² is already below the
+    * 10⁻⁶ fixed-point resolution; the cap also keeps the shift in BIGINT
+    * range). The decayed-sum-by-key shape is the standard freshness prior of
+    * feed ranking and training-data recency weighting; the usual `exp(-Δt/τ)`
+    * is deliberately a power of two here — `2^(-n)` for integer `n` is one
+    * exact right-shift, so the whole aggregate is integer arithmetic
+    * (`⌊value·10⁶⌋ div 2ⁿ`, summed exactly) and cross-engine reproducible,
+    * where `exp` would hit libm divergence (the [[TextAnalysis.lmScore]]
+    * rule). A τ-parameterized half-life is the same query with
+    * `age div τ_hours` as the exponent.
+    *
+    * Scale shape: one tiny max-ts aggregate broadcast back (no window over
+    * the full table), then a map pass + one partial-combined sum keyed on
+    * user_id — the minimal two-job plan; no skew surface beyond the keyed
+    * agg itself. Overflow: `⌊value·10⁶⌋ ≤ 5·10⁸` per row; 2⁶³/5·10⁸ ≈
+    * 1.8·10¹⁰ rows per USER before the sum could wrap — not reachable. */
+  def decayAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    val maxTs = ev.agg(max(col("ts_us")).as("max_us"))
+    ev.crossJoin(broadcast(maxTs))
+      .withColumn("age_h",
+        least(expr("(max_us - ts_us) div 3600000000"), lit(40L)))
+      .withColumn("decayed_fp",
+        expr("floor(value * 1000000) div shiftleft(1L, cast(age_h as int))"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("decayed_fp")).as("decayed_fp_sum"))
+      .withColumn("decayed_score",
+        col("decayed_fp_sum").cast("double") / lit(1000000.0))
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB twin of [[decayAgg]] — same hour bucketing, same exact
+    * shift-divide fixed point (`//` ≡ Spark `div`: operands non-negative). */
+  def decayAggOracleSql: String =
+    """WITH m AS (
+      |  SELECT max(epoch_us(ts)) AS max_us FROM events
+      |), e AS (
+      |  SELECT user_id,
+      |    CAST(floor(value * 1000000) AS BIGINT) //
+      |      (CAST(1 AS BIGINT) << CAST(least((m.max_us - epoch_us(ts)) // 3600000000, 40) AS INT))
+      |      AS decayed_fp
+      |  FROM events, m
+      |)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(decayed_fp) AS BIGINT) AS decayed_fp_sum,
+      |  CAST(sum(decayed_fp) AS DOUBLE) / 1000000.0 AS decayed_score
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- fuzzy (approximate-string) join ------------------------------------
+
+  /** Block size cap for [[fuzzyJoin]]: at most this many names per block
+    * enter the pairwise edit-distance kernel. */
+  val FuzzyBlockCap = 300
+
+  /** Approximate-string self-join of part names — the record-linkage /
+    * entity-resolution primitive: find name pairs within Levenshtein
+    * distance `maxDist` (near-misses only; distance 0 is [[Dedup.exact]]'s
+    * job). The classic blocking strategy bounds the quadratic kernel: pairs
+    * are generated only within a blocking key (here the name's first token
+    * — production uses phonetic codes or sorted-neighbourhood windows), and
+    * each block is capped at [[FuzzyBlockCap]] members under the
+    * deterministic p_partkey order before the self-join, so a hot block
+    * emits at most C(cap, 2) candidate pairs instead of C(|block|, 2) —
+    * the same bound-the-blowup-BEFORE-the-join rule as
+    * [[Graph.cappedSuppliers]] and [[Dedup]]'s capped Jaccard. Levenshtein
+    * is pure integer DP, identical on both engines.
+    *
+    * Scale shape: one window (shuffle on the block key) for the cap, one
+    * equi-join on the block key for the pairs; candidate count is
+    * ≤ C(cap,2)·|blocks| by construction. Skewed block keys are exactly
+    * what the cap absorbs. */
+  def fuzzyJoin(spark: SparkSession, sfDir: String,
+      maxDist: Int = 3, blockCap: Int = FuzzyBlockCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = part(spark, sfDir)
+      .select(col("p_partkey"), col("p_name"),
+        split(col("p_name"), " ").getItem(0).as("blk"))
+    val capped = p
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("blk")).orderBy(col("p_partkey"))))
+      .filter(col("_rn") <= blockCap)
+      .drop("_rn")
+    capped.as("a").join(capped.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      .filter(col("dist") >= 1 && col("dist") <= maxDist)
+      .select(col("a.p_partkey").as("a_key"), col("b.p_partkey").as("b_key"),
+        col("a.p_name").as("a_name"), col("b.p_name").as("b_name"),
+        col("dist").cast("long").as("dist"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
+  /** DuckDB twin of [[fuzzyJoin]] — same blocking key, cap, and edit
+    * distance (both engines implement unweighted Levenshtein). */
+  def fuzzyJoinOracleSql(maxDist: Int = 3, blockCap: Int = FuzzyBlockCap): String =
+    s"""WITH p AS (
+       |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+       |  FROM part
+       |), capped AS (
+       |  SELECT p_partkey, p_name, blk FROM (
+       |    SELECT p_partkey, p_name, blk,
+       |      row_number() OVER (PARTITION BY blk ORDER BY p_partkey) AS rn
+       |    FROM p
+       |  ) WHERE rn <= $blockCap
+       |)
+       |SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+       |  a.p_name AS a_name, b.p_name AS b_name,
+       |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+       |FROM capped a JOIN capped b
+       |  ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+       |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND $maxDist
+       |ORDER BY a_key, b_key""".stripMargin
 }

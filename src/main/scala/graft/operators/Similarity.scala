@@ -639,4 +639,189 @@ object Similarity {
        |  $projExprs
        |FROM e ORDER BY vec_id""".stripMargin
   }
+
+  // ---- semantic dedup (SemDeDup) -------------------------------------------
+
+  /** SemDeDup-style semantic deduplication: cluster the embeddings with the
+    * [[Clustering]] spherical k-means codebook, then WITHIN each cluster
+    * drop every vector that has a lower-id cluster-mate with cosine ≥
+    * `threshold` — the keep-one-representative rule of the SemDeDup paper
+    * (Abbas et al. 2023), with the lowest vec_id as the deterministic
+    * representative. Emits every vector with its cluster and keep flag, so
+    * downstream can either filter survivors or audit the pruned set.
+    *
+    * Scale design: clustering makes the quadratic LOCAL — candidate pairs
+    * are generated per cluster (an equi-join on the cluster id, shuffle
+    * keyed on it), never across the corpus, and the per-cluster pair count
+    * is the operator's tuning knob: production sizes k so E[|cluster|] is
+    * a few thousand (k ≈ N/4096 in the paper), keeping each reducer's
+    * C(|cluster|, 2) kernel bounded. The codebook itself stays k·dim
+    * doubles on the driver (the [[Clustering.fit]] collect), assignment is
+    * one broadcast map pass. A skewed (hot) cluster is absorbed the same
+    * way as every other quadratic in this library — raise k or cap the
+    * per-cluster membership before the self-join; at gate scale k=8 on 500
+    * vectors the blow-up is the point being verified, not a hazard. */
+  def semanticDedup(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 3, threshold: Double = 0.4): DataFrame = {
+    val e = withVec(embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v"), col("nrm")).persist()
+    val centroids = Clustering.fit(e.select(col("vec_id"), col("v")), k, iters)
+    val assigned = e
+      .withColumn("cl",
+        Clustering.assignUdf(centroids)(col("v")).getField("_1").cast("long"))
+      .select(col("vec_id"), col("cl"), col("v"), col("nrm"))
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cl") === col("b.cl") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.v"), col("a.nrm"), col("b.v"), col("b.nrm"))
+        >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("_dropped", lit(true))
+    val out = assigned
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cl").as("cluster"),
+        coalesce(!col("_dropped"), lit(true)).as("keep"))
+    Tables.materializeAndRelease(out, e).orderBy(col("vec_id"))
+  }
+
+  /** DuckDB twin of [[semanticDedup]] — the k-means fit reuses
+    * [[Clustering.kmeansCtes]] (zero-norm-filtered, matching [[withVec]]),
+    * the final assignment mirrors the argmax, and the drop rule is the
+    * same lower-id-mate EXISTS. */
+  def semanticDedupOracleSql(k: Int = 8, iters: Int = 3,
+      threshold: Double = 0.4): String = {
+    val assignCos = Tables.portableRound6Sql(
+      "list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm)")
+    val pairCos = Tables.portableRound6Sql(
+      "list_dot_product(a.v, b.v) / (a.nrm * b.nrm)")
+    s"""WITH ${Clustering.kmeansCtes(k, iters, filterZeroNorm = true)}, asgF AS (
+       |  SELECT vec_id, cl, v, nrm FROM (
+       |    SELECT q.vec_id, c.cl, q.v, q.nrm,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        $assignCos DESC, c.cl) AS rnk
+       |    FROM n q CROSS JOIN cnF c
+       |  ) WHERE rnk = 1
+       |), dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asgF a JOIN asgF b ON a.cl = b.cl AND a.vec_id < b.vec_id
+       |  WHERE $pairCos >= $threshold
+       |)
+       |SELECT f.vec_id, CAST(f.cl AS BIGINT) AS cluster,
+       |  f.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+       |FROM asgF f ORDER BY f.vec_id""".stripMargin
+  }
+
+  // ---- MMR diverse selection ----------------------------------------------
+
+  /** Maximal-Marginal-Relevance selection: from the `poolSize` most
+    * query-similar vectors, greedily pick `k` that balance relevance
+    * against redundancy — `argmax λ·cos(q,d) − (1−λ)·max_{s∈sel} cos(d,s)`
+    * per step (λ = 0.7, ties to the smaller vec_id). The diverse-subset
+    * primitive of retrieval reranking and training-data diversity
+    * selection (the greedy step of facility-location / k-center coreset
+    * picking).
+    *
+    * Scale split: the DISTRIBUTED part is the candidate pool — an exact
+    * top-`poolSize` cosine scan (TakeOrderedAndProject; at 100 TB the pool
+    * instead comes from [[annIvf]]/[[annLsh]], same contract). The greedy
+    * loop is inherently sequential (each pick conditions the next), so it
+    * runs on the DRIVER over the bounded pool (`poolSize`·dim doubles —
+    * the [[Clustering.fit]] codebook pattern), with the identical
+    * round-to-6 arithmetic as the oracle's unrolled CTE chain. Driver
+    * memory is O(poolSize·dim), never O(n). */
+  def mmr(spark: SparkSession, sfDir: String, k: Int = 10,
+      poolSize: Int = 50, queryId: Long = 0L,
+      lambda: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val e = withVec(embeddings(spark, sfDir))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val pool = e.as("e").crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        cosine(col("v"), col("nrm"), col("qv"), col("qn")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(poolSize)
+      .select(col("vec_id"), col("rel"), col("v"), col("nrm"))
+      .as[(Long, Double, Seq[Double], Double)]
+      .collect() // bounded: poolSize rows of dim doubles
+    // greedy MMR on the pool — arithmetic mirrors the oracle CTEs exactly:
+    // left-fold dots, nrm-product division, round6 per comparison value
+    def cosOf(a: (Long, Double, Seq[Double], Double),
+        b: (Long, Double, Seq[Double], Double)): Double = {
+      val (va, vb) = (a._3, b._3)
+      var acc = 0.0
+      var i = 0
+      while (i < va.length) { acc += va(i) * vb(i); i += 1 }
+      round6(acc / (a._4 * b._4))
+    }
+    val remaining = scala.collection.mutable.ArrayBuffer(
+      pool.sortBy(p => (-p._2, p._1)): _*)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Double, Seq[Double], Double)]
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    while (selected.size < k && remaining.nonEmpty) {
+      val (best, mmrScore) =
+        if (selected.isEmpty) (remaining.head, remaining.head._2)
+        else remaining.iterator.map { d =>
+          val maxSim = selected.iterator.map(s => cosOf(d, s)).max
+          (d, round6(lambda * d._2 - (1.0 - lambda) * maxSim))
+        }.minBy { case (d, sc) => (-sc, d._1) }
+      picks += ((selected.size + 1L, best._1, mmrScore))
+      selected += best
+      remaining -= best
+    }
+    picks.toSeq.toDF("rank", "vec_id", "mmr")
+  }
+
+  /** DuckDB twin of [[mmr]] — the greedy picks unrolled as chained CTEs;
+    * each step is an argmax over (remaining candidates ⋈ pairwise cosines
+    * to the already-selected). */
+  def mmrOracleSql(k: Int = 10, poolSize: Int = 50, queryId: Long = 0L,
+      lambda: Double = 0.7): String = {
+    val relCos = Tables.portableRound6Sql(
+      "list_dot_product(e.v, q.qv) / (e.nrm * q.qn)")
+    val pairCos = Tables.portableRound6Sql(
+      "list_dot_product(a.v, b.v) / (a.nrm * b.nrm)")
+    val oneMinus = 1.0 - lambda
+    val steps = (2 to k).map { i =>
+      val stepScore = Tables.portableRound6Sql(
+        s"$lambda * c.rel - $oneMinus * max(p.cos)")
+      s""", s$i AS MATERIALIZED (
+         |  SELECT vec_id, mmr, CAST($i AS BIGINT) AS rank FROM (
+         |    SELECT c.vec_id, $stepScore AS mmr
+         |    FROM cand c JOIN pc p ON p.a = c.vec_id
+         |    WHERE p.b IN (SELECT vec_id FROM sel${i - 1})
+         |      AND c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |    GROUP BY c.vec_id, c.rel
+         |  ) ORDER BY mmr DESC, vec_id LIMIT 1
+         |), sel$i AS MATERIALIZED (
+         |  SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i
+         |)""".stripMargin
+    }.mkString("\n")
+    s"""WITH e0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0
+       |  WHERE sqrt(list_dot_product(v, v)) > 0
+       |    AND NOT isnan(sqrt(list_dot_product(v, v)))
+       |), q AS (
+       |  SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = $queryId
+       |), cand0 AS (
+       |  SELECT e.vec_id, e.v, e.nrm, $relCos AS rel
+       |  FROM n e, q WHERE e.vec_id <> $queryId
+       |), cand AS MATERIALIZED (
+       |  SELECT vec_id, v, nrm, rel FROM cand0
+       |  QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) <= $poolSize
+       |), pc AS MATERIALIZED (
+       |  SELECT a.vec_id AS a, b.vec_id AS b, $pairCos AS cos
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+       |), s1 AS MATERIALIZED (
+       |  SELECT vec_id, rel AS mmr, CAST(1 AS BIGINT) AS rank
+       |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+       |), sel1 AS MATERIALIZED (
+       |  SELECT * FROM s1
+       |)
+       |$steps
+       |SELECT rank, vec_id, mmr FROM sel$k ORDER BY rank""".stripMargin
+  }
 }

@@ -518,6 +518,109 @@ object TextAnalysis {
        |FROM f GROUP BY term
        |ORDER BY term""".stripMargin
 
+  // ---- BM25 retrieval ------------------------------------------------------
+
+  /** The fixed retrieval query for the [[bm25]] gate (terms chosen to span
+    * common-to-rare document frequencies in the synthetic corpus). */
+  val Bm25QueryTerms = Seq("spark", "window", "merge")
+
+  private val Bm25TopK = 20
+
+  /** BM25 retrieval: score every document against [[Bm25QueryTerms]] and
+    * return the top-[[Bm25TopK]] — the standard lexical ranking on top of
+    * [[invertedIndex]], and the retrieval half of contamination checking and
+    * targeted corpus surgery.
+    *
+    * The tf-saturation core of BM25 — `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with k1=1.2, b=0.75 — is evaluated in 10⁻⁶ fixed point with truncating
+    * integer division at every step: avgdl = T/N (T = corpus tokens, N =
+    * docs) is quantized ONCE as `avgdl_fp = T·10⁶ div N`, the denominator is
+    * `tf·10⁶ + 0.3·10⁶ + (0.9·10⁶·dl·10⁶) div avgdl_fp` (k1·(1−b) = 0.3,
+    * k1·b = 0.9), and the numerator is `tf·2.2·10⁶` (k1+1 = 2.2) — every
+    * intermediate is bounded by PER-DOCUMENT quantities (dl ≤ 10⁶ keeps all
+    * products < 2·10¹⁸ regardless of corpus size, unlike the multiply-
+    * through-by-T form which overflows at ~10¹¹ corpus tokens). The idf
+    * factor is the Robertson–Sparck-Jones RATIO `(N−df+0.5)/(df+0.5)` in
+    * the same fixed point — its `log` is deliberately absent (the
+    * [[lmScore]] rule: no transcendentals, libm results are not
+    * engine-portable). Per term the ranking is monotone-identical to
+    * log-idf BM25; across terms rare terms weigh heavier than the log form
+    * — documented, deterministic, and the saturation behaviour (the part
+    * that makes BM25 BM25) stays exact to the 10⁻⁶ quantization.
+    *
+    * Scale shape: the term filter collapses the explode to query-term
+    * postings BEFORE any shuffle (predicate on the exploded term — Catalyst
+    * pushes it into the generate), df is a |q|-row aggregate joined back by
+    * broadcast, and the final ranking is top-k (TakeOrderedAndProject).
+    * N and T are two tiny scalar aggregates (the [[rarity]] `nDocs`
+    * pattern), inlined as literals on both engines. Overflow bound:
+    * `idf_fp·sat_fp < 2·N·10⁶ · 2.2·10⁶` — safe to N ≈ 10⁶ docs at 10⁻⁶
+    * scale; past that drop idf to 10⁻³ scale. */
+  def bm25(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Bm25QueryTerms, k: Int = Bm25TopK): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val nDocs = docs.count() // tiny scalar job; literal in the oracle too
+    val totToks = docs
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("t"))
+      .collect()(0).getLong(0)
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"),
+      explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isInCollection(terms))
+    val avgdlFp = totToks * 1000000L / nDocs
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "term")
+      .withColumn("idf_fp",
+        expr(s"((2 * (${nDocs}L - df) + 1) * 1000000L) div (2 * df + 1)"))
+      .withColumn("sat_fp",
+        expr(s"(tf * 2200000L * 1000000L) div " +
+          s"(tf * 1000000L + 300000L + (900000L * dl * 1000000L) div ${avgdlFp}L)"))
+      .withColumn("contrib_fp", expr("(idf_fp * sat_fp) div 1000000L"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("contrib_fp")).as("score_fp"))
+      .withColumn("score", col("score_fp").cast("double") / lit(1000000.0))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[bm25]] — N and T recomputed as scalar subqueries,
+    * identical fixed-point algebra. */
+  def bm25OracleSql(terms: Seq[String] = Bm25QueryTerms,
+      k: Int = Bm25TopK): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH n AS (
+       |  SELECT count(*) AS nd,
+       |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS tt
+       |  FROM documents
+       |), a AS (
+       |  SELECT nd, (tt * 1000000) // nd AS avgdl_fp FROM n
+       |), toks AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    unnest(string_split(text, ' ')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+       |  FROM toks WHERE term IN ($termList)
+       |  GROUP BY doc_id, term
+       |), df AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), scored AS (
+       |  SELECT tf.doc_id,
+       |    (((2 * (a.nd - df.df) + 1) * 1000000) // (2 * df.df + 1) *
+       |     ((tf.tf * 2200000 * 1000000) //
+       |      (tf.tf * 1000000 + 300000 + (900000 * tf.dl * 1000000) // a.avgdl_fp)))
+       |     // 1000000 AS contrib_fp
+       |  FROM tf JOIN df USING (term), a
+       |)
+       |SELECT doc_id, count(*) AS n_hit,
+       |  CAST(sum(contrib_fp) AS BIGINT) AS score_fp,
+       |  CAST(sum(contrib_fp) AS DOUBLE) / 1000000.0 AS score
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score_fp DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   // ---- Bigram language-model scoring ----
 
   /** Per-document bigram-LM predictability score — the shape of the

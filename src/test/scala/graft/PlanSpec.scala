@@ -101,4 +101,27 @@ class PlanSpec extends SparkTestBase {
       semiPlan.contains("LeftSemi"), semiPlan)
     assert(plan.nonEmpty)
   }
+
+  test("bm25 ranks via TakeOrderedAndProject with the df side broadcast") {
+    val plan = planOf(TextAnalysis.bm25(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // no global sort anywhere: top-k is the only ordering operator
+    assert(!plan.contains("SortExec"), plan)
+  }
+
+  test("fuzzy join plans one equi-join on the block key, never a cartesian") {
+    val plan = planOf(QuerySurface.fuzzyJoin(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("decay agg broadcasts the one-row max-ts side") {
+    val plan = planOf(QuerySurface.decayAgg(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    // exactly one wide shuffle: the user_id aggregate (the max-ts agg is a
+    // single-partition exchange, not keyed)
+    assert(plan.contains("HashAggregate"), plan)
+  }
 }
