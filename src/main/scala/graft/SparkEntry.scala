@@ -169,6 +169,9 @@ object SparkEntry {
     "q_bfs" -> ((s: SparkSession, d: String) => Graph.bfsHops(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "sim_mmr" -> ((s: SparkSession, d: String) => Similarity.mmr(s, d)),
+    "text_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.collocations(s, d)),
+    "q_table_diff" -> (Mutations.tableDiff _),
+    "sim_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -427,6 +430,9 @@ object SparkEntry {
     "q_bfs" -> operators.Graph.bfsHopsOracleSql(),
     "dedup_semantic" -> operators.Similarity.semanticDedupOracleSql(),
     "sim_mmr" -> operators.Similarity.mmrOracleSql(),
+    "text_collocations" -> operators.TextAnalysis.collocationsOracleSql(),
+    "q_table_diff" -> operators.Mutations.tableDiffOracleSql,
+    "sim_knn_graph" -> operators.Similarity.knnGraphOracleSql(),
 
     "text_langid" ->
       """WITH t AS (

@@ -103,4 +103,72 @@ object Mutations {
       |SELECT o_orderkey, o_custkey, o_totalprice, op
       |FROM r WHERE rn = 1 AND op <> 'D'
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Snapshot diff / reconciliation: given two versions of a keyed table,
+    * emit every key whose state changed — `added` (new only), `removed`
+    * (old only), or `changed` (both, different payload) — the dataset-
+    * versioning QA step behind regression checks, incremental re-publish,
+    * and audit diffs. The snapshots here are derived deterministically
+    * from `events` (old = event_id % 100 < 98, new = event_id % 100 >= 2
+    * with value doubled on every 10th id), so both engines reconstruct
+    * identical inputs; swap the two derivations for two real table reads
+    * — the diff join is unchanged.
+    *
+    * Scale shape: ONE full-outer shuffle join on the key — no window, no
+    * driver state; `unchanged` rows (the overwhelming majority at 100 TB)
+    * are filtered AFTER the join by a cheap codegen'd predicate, and at
+    * production scale the join keys would be bucketed so the diff is
+    * exchange-free on re-runs. Payload comparison is exact integer cents
+    * (`floor(value·100)` — one defined rule on both engines, the skyline
+    * cast discipline). */
+  def tableDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        expr("floor(value * 100)").cast("long").as("cents"))
+    val old = base.filter(col("event_id") % 100 < 98)
+      .select(col("event_id"), col("event_type").as("old_type"),
+        col("cents").as("old_cents"))
+    val nw = base.filter(col("event_id") % 100 >= 2)
+      .select(col("event_id"), col("event_type").as("new_type"),
+        when(col("event_id") % 10 === 0, col("cents") * 2)
+          .otherwise(col("cents")).as("new_cents"))
+    old.join(nw, Seq("event_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_cents").isNull, lit("added"))
+          .when(col("new_cents").isNull, lit("removed"))
+          .when(col("old_cents") =!= col("new_cents") ||
+            col("old_type") =!= col("new_type"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("event_id"), col("status"),
+        col("old_type"), col("old_cents"), col("new_type"), col("new_cents"))
+      .orderBy(col("event_id"))
+  }
+
+  /** DuckDB twin of [[tableDiff]] — same snapshot derivations, same
+    * full-outer reconciliation. */
+  def tableDiffOracleSql: String =
+    """WITH base AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), old AS (
+      |  SELECT event_id, event_type AS old_type, cents AS old_cents
+      |  FROM base WHERE event_id % 100 < 98
+      |), nw AS (
+      |  SELECT event_id, event_type AS new_type,
+      |    CASE WHEN event_id % 10 = 0 THEN cents * 2 ELSE cents END AS new_cents
+      |  FROM base WHERE event_id % 100 >= 2
+      |), j AS (
+      |  SELECT coalesce(old.event_id, nw.event_id) AS event_id,
+      |    old_type, old_cents, new_type, new_cents,
+      |    CASE WHEN old_cents IS NULL THEN 'added'
+      |         WHEN new_cents IS NULL THEN 'removed'
+      |         WHEN old_cents <> new_cents OR old_type <> new_type THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM old FULL OUTER JOIN nw ON old.event_id = nw.event_id
+      |)
+      |SELECT event_id, status, old_type, old_cents, new_type, new_cents
+      |FROM j WHERE status <> 'unchanged'
+      |ORDER BY event_id""".stripMargin
 }

@@ -640,6 +640,78 @@ object Similarity {
        |FROM e ORDER BY vec_id""".stripMargin
   }
 
+  // ---- kNN-graph construction ---------------------------------------------
+
+  /** Full approximate kNN-GRAPH construction: every vector's top-`k`
+    * cosine neighbors among LSH-bucket candidates — the all-source twin of
+    * [[annLsh]]'s query-set search, and the input to kNN-graph algorithms
+    * (UMAP/t-SNE embeddings, graph-based ANN indexes, [[semanticDedup]]'s
+    * connected variant, label propagation over similarity edges).
+    *
+    * Candidates are pairs sharing a (table, signature) bucket in ANY of
+    * `nTables` independent hyperplane sets — an EQUI-join on the composite
+    * bucket key, so the whole build is: one map pass to sign (nTables rows
+    * per vector), one shuffle on the bucket key, per-bucket pairwise
+    * cosine, a distinct to collapse multi-table hits (identical IEEE
+    * doubles), and a per-source top-k window. Σ bucket² is the cost knob:
+    * nPlanes sizes the buckets (production picks planes ≈ log₂(n/b̄) to
+    * pin the expected bucket size b̄, adding tables for recall — the
+    * [[annLsh]] amplifier). A vector with fewer than k bucket-mates emits
+    * fewer than k edges; isolated vectors emit none (no sentinel rows). */
+  def knnGraph(spark: SparkSession, sfDir: String, k: Int = 5,
+      nPlanes: Int = 6, nTables: Int = 2): DataFrame = {
+    val e = withVec(embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val sigs = (0 until nTables).map { t =>
+      e.withColumn("t", lit(t))
+        .withColumn("sig", lshSignature(col("v"), nPlanes, 64, tableSeed(t)))
+    }.reduce(_.unionByName(_))
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        cosine(col("a.v"), col("a.nrm"), col("b.v"), col("b.nrm")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank").cast("long").as("rank"),
+        col("dst"), col("cos"))
+      .orderBy(col("src"), col("rank"))
+  }
+
+  /** DuckDB twin of [[knnGraph]] — per-table signature index via UNION
+    * ALL, same distinct-then-rank pipeline. */
+  def knnGraphOracleSql(k: Int = 5, nPlanes: Int = 6,
+      nTables: Int = 2): String = {
+    val idx = (0 until nTables).map { t =>
+      s"""  SELECT vec_id, v, nrm, $t AS t,
+         |    ${sigSqlExpr("v", nPlanes, tableSeed(t))} AS sig
+         |  FROM n""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+       |  FROM e WHERE list_dot_product(v, v) > 0
+       |    AND NOT isnan(list_dot_product(v, v))
+       |), idx AS (
+       |$idx
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+       |    ${Tables.portableRound6Sql("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)")} AS cos
+       |  FROM idx a JOIN idx b ON a.t = b.t AND a.sig = b.sig
+       |    AND a.vec_id <> b.vec_id
+       |)
+       |SELECT src, CAST(rank AS BIGINT) AS rank, dst, cos FROM (
+       |  SELECT src, dst, cos,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+       |  FROM cand
+       |) WHERE rank <= $k
+       |ORDER BY src, rank""".stripMargin
+  }
+
   // ---- semantic dedup (SemDeDup) -------------------------------------------
 
   /** SemDeDup-style semantic deduplication: cluster the embeddings with the

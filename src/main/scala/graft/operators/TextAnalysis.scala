@@ -692,6 +692,81 @@ object TextAnalysis {
       |  CAST(sum(p_fp) // count(*) AS BIGINT) AS avg_p_fp
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- collocation / phrase mining ----
+
+  private val CollocMinSupport = 5L
+  private val CollocTopK = 30
+
+  /** Collocation mining: the `CollocTopK` adjacent-word pairs with the
+    * highest LIFT `c_xy·N / (c_x·c_y)` among bigrams seen at least
+    * [[CollocMinSupport]] times — the phrase-discovery step before
+    * tokenizer/vocab training (PMI ranks identically: PMI = log lift, and
+    * log is monotone — dropping it keeps the ranking and the no-
+    * transcendentals rule). Lift is evaluated in 10⁻⁶ fixed point with two
+    * truncating divisions in a FIXED order (`((c_xy·10⁶ div c_x)·N) div
+    * c_y` — the floor composition is part of the operator contract,
+    * mirrored in the oracle); N is the total token count, used for both
+    * the unigram and bigram denominators (the standard approximation —
+    * they differ by one per document).
+    *
+    * Scale shape: one bigram explode (map-only) feeding two count
+    * aggregates (map-side combined, term-keyed); the unigram table joins
+    * onto the BIGRAM COUNT table (|bigram vocab| rows), never onto the
+    * exploded corpus — the [[lmScore]] model-side-join rule — and the
+    * ranking is top-k (TakeOrderedAndProject). Overflow: the first floor
+    * is ≤ 10⁶ (c_xy ≤ c_x), so the product is bounded by N·10⁶ — safe to
+    * N ≈ 9·10¹² tokens. */
+  def collocations(spark: SparkSession, sfDir: String,
+      minSupport: Long = CollocMinSupport, k: Int = CollocTopK): DataFrame = {
+    val toks = documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val uni = toks.select(explode(col("w")).as("tok"))
+    val nToks = uni.count() // one tiny scalar job; a literal in the oracle
+    val uc = uni.groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
+    val bi = toks.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> named_struct('w1', w[i], 'w2', w[i + 1]))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minSupport)
+    bc.join(uc.withColumnRenamed("tok", "w1").withColumnRenamed("c_uni", "c_x"), "w1")
+      .join(uc.withColumnRenamed("tok", "w2").withColumnRenamed("c_uni", "c_y"), "w2")
+      .withColumn("lift_fp",
+        expr(s"(((c_xy * 1000000L) div c_x) * ${nToks}L) div c_y"))
+      .select(col("w1"), col("w2"), col("c_xy"), col("lift_fp"),
+        (col("lift_fp").cast("double") / lit(1000000.0)).as("lift"))
+      .orderBy(col("lift_fp").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[collocations]] — same fixed floor order, N as a
+    * scalar subquery. */
+  def collocationsOracleSql(minSupport: Long = CollocMinSupport,
+      k: Int = CollocTopK): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), uni AS (
+       |  SELECT unnest(w) AS tok FROM toks
+       |), n AS (
+       |  SELECT count(*) AS nt FROM uni
+       |), uc AS (
+       |  SELECT tok, count(*) AS c_uni FROM uni GROUP BY tok
+       |), bi AS (
+       |  SELECT w[i] AS w1, w[i+1] AS w2
+       |  FROM toks, unnest(range(1, len(w))) AS t(i)
+       |), bc AS (
+       |  SELECT w1, w2, count(*) AS c_xy FROM bi GROUP BY 1, 2
+       |  HAVING count(*) >= $minSupport
+       |)
+       |SELECT bc.w1, bc.w2, bc.c_xy,
+       |  CAST((((bc.c_xy * 1000000) // ux.c_uni) * n.nt) // uy.c_uni AS BIGINT)
+       |    AS lift_fp,
+       |  CAST((((bc.c_xy * 1000000) // ux.c_uni) * n.nt) // uy.c_uni AS DOUBLE)
+       |    / 1000000.0 AS lift
+       |FROM bc JOIN uc ux ON bc.w1 = ux.tok JOIN uc uy ON bc.w2 = uy.tok, n
+       |ORDER BY lift_fp DESC, bc.w1, bc.w2 LIMIT $k""".stripMargin
+
   // ---- PII detection / redaction ----
 
   /** Patterns restricted to the syntax subset Java regex and RE2 (DuckDB)

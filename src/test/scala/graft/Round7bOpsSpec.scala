@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, QuerySurface, Similarity, Tables, TextAnalysis}
+import graft.operators.{Graph, Mutations, QuerySurface, Similarity, Tables, TextAnalysis}
 
 /** Round-7 second-batch operators: recency-decay aggregation, fuzzy join,
   * BM25 retrieval, BFS hops, semantic dedup, MMR selection. Each test
@@ -192,5 +192,101 @@ class Round7bOpsSpec extends SparkTestBase {
         r.getAs[Double]("mmr"))).toVector
     assert(got == expected)
     assert(got.map(_._2).distinct.size == 10, "picks must be distinct")
+  }
+
+  test("collocations: lift ranking matches a from-scratch bigram recomputation") {
+    val texts = Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val tokLists = texts.map(_.split(" ", -1).toSeq)
+    val nToks = tokLists.map(_.length.toLong).sum
+    val uc = tokLists.flatten.groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+    val bc = tokLists.filter(_.length >= 2)
+      .flatMap(w => w.zip(w.tail))
+      .groupBy(identity).map { case (b, o) => b -> o.length.toLong }
+      .filter(_._2 >= 5L)
+    val expected = bc.toSeq.map { case ((w1, w2), cxy) =>
+      (w1, w2, cxy, ((cxy * 1000000L) / uc(w1)) * nToks / uc(w2))
+    }.sortBy { case (w1, w2, _, l) => (-l, w1, w2) }.take(30)
+
+    val got = TextAnalysis.collocations(spark, sf).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c_xy"), r.getAs[Long]("lift_fp"))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "corpus should contain supported bigrams")
+    // lift > 1 means the pair co-occurs above independence — the top of the
+    // ranking must be genuine collocations, not noise
+    assert(got.head._4 > 1000000L, s"top lift should exceed 1.0: ${got.head}")
+  }
+
+  test("table diff: added/removed/changed statuses match a from-scratch reconciliation") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        math.floor(r.getAs[Double]("value") * 100).toLong))
+    val old = ev.filter(_._1 % 100 < 98).map(e => e._1 -> (e._2, e._3)).toMap
+    val nw = ev.filter(_._1 % 100 >= 2)
+      .map(e => e._1 -> (e._2, if (e._1 % 10 == 0) e._3 * 2 else e._3)).toMap
+    val expected = (old.keySet ++ nw.keySet).toSeq.sorted.flatMap { id =>
+      (old.get(id), nw.get(id)) match {
+        case (None, Some(n)) => Some((id, "added", null, null, n._1, n._2))
+        case (Some(o), None) => Some((id, "removed", o._1, o._2, null, null))
+        case (Some(o), Some(n)) if o != n =>
+          Some((id, "changed", o._1, o._2, n._1, n._2))
+        case _ => None
+      }
+    }
+    val got = Mutations.tableDiff(spark, sf).collect().map { r =>
+      (r.getAs[Long]("event_id"), r.getAs[String]("status"),
+        r.getAs[String]("old_type"),
+        if (r.isNullAt(r.fieldIndex("old_cents"))) null else r.getAs[Long]("old_cents"),
+        r.getAs[String]("new_type"),
+        if (r.isNullAt(r.fieldIndex("new_cents"))) null else r.getAs[Long]("new_cents"))
+    }.toSeq
+    assert(got.map(t => (t._1, t._2)) == expected.map(t => (t._1, t._2)))
+    assert(got == expected.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)))
+    assert(Set("added", "removed", "changed").subsetOf(got.map(_._2).toSet),
+      "the synthetic snapshots must exercise all three statuses")
+  }
+
+  test("knn graph: edges match a recomputation over the operator's own LSH buckets") {
+    def round6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val vecs = base.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    val norms = vecs.map { case (id, v) => id -> math.sqrt(v.map(x => x * x).sum) }
+      .filter(_._2 > 0)
+    // signatures via the PUBLIC lshSignature with the operator's table
+    // seeds (tableSeed(t) = 7 + 31t); the signature function itself is
+    // covered by the LSH pair/ANN specs
+    val sigs = (0 until 2).flatMap { t =>
+      base.withColumn("v",
+          org.apache.spark.sql.functions.transform(col("embedding"), x => x.cast("double")))
+        .withColumn("sig", Similarity.lshSignature(col("v"), 6, 64, 7 + 31 * t))
+        .select(col("vec_id"), col("sig")).collect()
+        .map(r => (t, r.getAs[Long]("sig"), r.getAs[Long]("vec_id")))
+    }.filter(s => norms.contains(s._3))
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (vecs(a), vecs(b))
+      var (acc, i) = (0.0, 0)
+      while (i < va.length) { acc += va(i) * vb(i); i += 1 }
+      round6(acc / (norms(a) * norms(b)))
+    }
+    val cand = sigs.groupBy(s => (s._1, s._2)).values.flatMap { bucket =>
+      for (a <- bucket; b <- bucket; if a._3 != b._3) yield (a._3, b._3)
+    }.toSet
+    val expected = cand.groupBy(_._1).toSeq.flatMap { case (src, es) =>
+      es.toSeq.map { case (_, dst) => (dst, cos(src, dst)) }
+        .distinct
+        .sortBy { case (dst, c) => (-c, dst) }
+        .take(5).zipWithIndex
+        .map { case ((dst, c), i) => (src, i + 1L, dst, c) }
+    }.sortBy(e => (e._1, e._2))
+
+    val got = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("rank"),
+        r.getAs[Long]("dst"), r.getAs[Double]("cos"))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
   }
 }
