@@ -172,6 +172,13 @@ object SparkEntry {
     "text_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.collocations(s, d)),
     "q_table_diff" -> (Mutations.tableDiff _),
     "sim_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
+
+    // -- round 7 cont.: k-core, anomaly, paths, span dedup, reservoir --
+    "q_kcore" -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
+    "q_anomaly" -> ((s: SparkSession, d: String) => QuerySurface.anomalyZscore(s, d)),
+    "q_event_paths" -> ((s: SparkSession, d: String) => QuerySurface.eventPaths(s, d)),
+    "dedup_span_coverage" -> (Dedup.spanCoverage _),
+    "sample_reservoir" -> ((s: SparkSession, d: String) => Sampling.sampleReservoir(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -433,6 +440,12 @@ object SparkEntry {
     "text_collocations" -> operators.TextAnalysis.collocationsOracleSql(),
     "q_table_diff" -> operators.Mutations.tableDiffOracleSql,
     "sim_knn_graph" -> operators.Similarity.knnGraphOracleSql(),
+
+    "q_kcore" -> operators.Graph.kcoreOracleSql(),
+    "q_anomaly" -> operators.QuerySurface.anomalyZscoreOracleSql(),
+    "q_event_paths" -> operators.QuerySurface.eventPathsOracleSql(),
+    "dedup_span_coverage" -> operators.Dedup.spanCoverageOracleSql,
+    "sample_reservoir" -> operators.Sampling.sampleReservoirOracleSql(),
 
     "text_langid" ->
       """WITH t AS (

@@ -957,4 +957,106 @@ object Dedup {
        |)
        |SELECT * FROM g WHERE n_docs >= 2
        |ORDER BY n_docs DESC, n_occ DESC, passage_hash""".stripMargin
+
+  /** Positional 63-bit hashes of every [[PassageTokens]]-token sliding
+    * window — [[passageDedup]]'s windows WITH their start offsets kept
+    * (no dedup), so span arithmetic downstream can reason about overlap. */
+  private val gramPosHashUdf = udf { (toks: Seq[String]) =>
+    if (toks.length < PassageTokens) Seq.empty[Long]
+    else {
+      val out = new Array[Long](toks.length - PassageTokens + 1)
+      var i = 0
+      while (i + PassageTokens <= toks.length) {
+        val sb = new StringBuilder(toks(i))
+        var j = i + 1
+        while (j < i + PassageTokens) { sb.append(' ').append(toks(j)); j += 1 }
+        out(i) = PortableHash.md5Lower63(sb.toString)
+        i += 1
+      }
+      out.toSeq
+    }
+  }
+
+  /** Per-document duplicated-SPAN coverage — the accounting pass of
+    * substring-level dedup ("how much of this document is verbatim text
+    * shared with other documents?"): every [[PassageTokens]]-token sliding
+    * window whose hash occurs in ≥2 distinct documents marks the token
+    * interval `[i, i+P)` as duplicated, and the per-document coverage is
+    * the size of the UNION of those intervals — computed exactly with one
+    * ordered window pass (positions sorted per doc; a position covers
+    * `min(P, next_pos − pos)` new tokens, the last covers P), never by
+    * materializing per-token rows. Training-data pipelines threshold
+    * `dup_ratio` to drop boilerplate-heavy documents, complementing
+    * [[passageDedup]] (which ranks the shared passages themselves) and
+    * whole-doc near-dup (which cannot see partial-overlap contamination).
+    *
+    * Scale shape: linear positional explode (docs × positions, the
+    * passage-dedup shape), one 8-byte-key groupBy for the cross-doc test,
+    * one left-semi join back, and a window partitioned by `doc_id`
+    * (high-cardinality — no hot partition). The ratio is integer fixed
+    * point (`·10⁶ div n_tokens`) so the gate hash is engine-exact. */
+  def spanCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val pos = docs
+      .select(col("doc_id"), posexplode(gramPosHashUdf(col("t"))).as(Seq("i", "gh")))
+    val dup = pos.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("gh"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val cov = pos.join(dup, Seq("gh"), "left_semi")
+      .withColumn("nxt", lead(col("i"), 1).over(w))
+      .withColumn("contrib",
+        when(col("nxt").isNull, lit(PassageTokens))
+          .otherwise(least(lit(PassageTokens), col("nxt") - col("i"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_positions"),
+        sum(col("contrib")).as("dup_tokens"))
+    docs.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_positions"), lit(0L)).as("dup_positions"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        expr("(coalesce(dup_tokens, 0L) * 1000000L) div n_tokens").as("dup_ratio_fp"))
+      .withColumn("dup_ratio", col("dup_ratio_fp").cast("double") / lit(1000000.0))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[spanCoverage]] — same windows, hash, interval-union
+    * rule, and fixed-point ratio. */
+  def spanCoverageOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), w AS (
+       |  SELECT doc_id, unnest(generate_series(0, len(t) - $PassageTokens)) AS i, t
+       |  FROM toks
+       |), p AS (
+       |  SELECT doc_id, i,
+       |    CAST(md5_number_lower(array_to_string(t[i+1:i+$PassageTokens], ' '))
+       |      & 9223372036854775807 AS BIGINT) AS gh
+       |  FROM w
+       |), d AS (
+       |  SELECT gh FROM p GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+       |), dp AS (
+       |  SELECT p.doc_id, p.i,
+       |    lead(p.i) OVER (PARTITION BY p.doc_id ORDER BY p.i) AS nxt
+       |  FROM p JOIN d USING (gh)
+       |), cov AS (
+       |  SELECT doc_id, count(*) AS dup_positions,
+       |    CAST(sum(CASE WHEN nxt IS NULL THEN $PassageTokens
+       |                  ELSE least($PassageTokens, nxt - i) END) AS BIGINT)
+       |      AS dup_tokens
+       |  FROM dp GROUP BY doc_id
+       |), n AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |)
+       |SELECT n.doc_id, n.n_tokens,
+       |  coalesce(cov.dup_positions, 0) AS dup_positions,
+       |  coalesce(cov.dup_tokens, 0) AS dup_tokens,
+       |  (coalesce(cov.dup_tokens, 0) * 1000000) // n.n_tokens AS dup_ratio_fp,
+       |  CAST((coalesce(cov.dup_tokens, 0) * 1000000) // n.n_tokens AS DOUBLE)
+       |    / 1000000.0 AS dup_ratio
+       |FROM n LEFT JOIN cov ON n.doc_id = cov.doc_id
+       |ORDER BY n.doc_id""".stripMargin
 }

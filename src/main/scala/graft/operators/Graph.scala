@@ -378,4 +378,106 @@ object Graph {
        |$rounds
        |SELECT v, hop FROM d$hops ORDER BY v""".stripMargin
   }
+
+  /** Default degree threshold / round count for [[kcore]]. */
+  val KcoreK = 4
+  val KcoreRounds = 8
+
+  /** K-core peel of the co-purchase backbone — the fourth iterative-graph
+    * shape next to CC (min-label fixpoint, [[Dedup]]), PageRank (mass,
+    * fixed rounds) and BFS (min-distance): each round REMOVES every node
+    * whose current degree is below `k`, and removing a node lowers its
+    * neighbours' degrees, so the peel cascades. The surviving subgraph is
+    * the standard density/robustness core used to size community detection
+    * and to prune similarity graphs before clustering.
+    *
+    * The gate runs a FIXED `rounds` count (not run-to-fixpoint) so the
+    * DuckDB twin can unroll the identical rounds as chained CTEs — same
+    * contract as the PageRank/BFS gates; KcoreScaleSpec proves the pinned
+    * count REACHES the fixpoint on the gate data (the last two rounds are
+    * equal), so the cap hides no divergence. Production peels to fixpoint
+    * with the convergence count the loop already computes.
+    *
+    * Emits one row per round — `(round, nodes_remaining, edges_remaining)`
+    * — the peel profile, so the gate verifies every intermediate state,
+    * not just the final core.
+    *
+    * Scale shape: per round, one degree aggregate (map-side combined) and
+    * two left-semi joins keyed on the edge endpoints, with per-round
+    * `localCheckpoint` lineage truncation — the [[pageRank]] discipline.
+    * On the ≤[[CoPurchaseTopEdges]]-edge backbone every round is
+    * broadcast-sized; on a full 100 TB edge list the same loop is
+    * shuffle-bound and linear in surviving edges per round (the peel
+    * SHRINKS the frame monotonically, so later rounds cost less, and the
+    * round-count cap bounds the iteration like PageRank's). The per-round
+    * driver values are two scalar counts — bounded at any scale. */
+  def kcore(spark: SparkSession, sfDir: String, k: Int = KcoreK,
+      rounds: Int = KcoreRounds, topEdges: Int = CoPurchaseTopEdges,
+      maxSuppliersPerCustomer: Int = MaxSuppliersPerCustomer): DataFrame = {
+    val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+    val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(od, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    peelProfile(spark,
+      coPurchaseEdges(cs, topEdges, maxSuppliersPerCustomer), k, rounds)
+  }
+
+  /** The peel loop of [[kcore]] over an arbitrary (src, dst) edge frame —
+    * exposed for the spec's synthetic-graph and fixpoint assertions. */
+  private[graft] def peelProfile(spark: SparkSession, edges0: DataFrame,
+      k: Int, rounds: Int): DataFrame = {
+    var e = edges0.localCheckpoint(true)
+    def endpoints(edges: DataFrame): DataFrame =
+      edges.select(col("src").as("v")).unionByName(edges.select(col("dst").as("v")))
+    def summary(r: Int, edges: DataFrame): (Int, Long, Long) =
+      (r, endpoints(edges).distinct().count(), edges.count())
+    val profile = scala.collection.mutable.ArrayBuffer(summary(0, e))
+    for (r <- 1 to rounds) {
+      val keep = endpoints(e)
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("v"))
+      e = e.join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      profile += summary(r, e)
+    }
+    import spark.implicits._
+    profile.toSeq.toDF("round", "nodes_remaining", "edges_remaining")
+      .orderBy(col("round"))
+  }
+
+  /** DuckDB twin of [[kcore]] — the peel rounds unrolled as chained CTEs
+    * over the shared backbone, one profile row per round. Every round CTE
+    * is MATERIALIZED: DuckDB inlines CTEs by default, and each round
+    * references its predecessor three times (degree count ×2 + the peel
+    * join), so inlining would expand the scan tree 3^rounds-fold — the
+    * first symptom is fd exhaustion on the re-opened parquet files. */
+  def kcoreOracleSql(k: Int = KcoreK, rounds: Int = KcoreRounds): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""keep$r AS MATERIALIZED (
+         |  SELECT v FROM (
+         |    SELECT v, count(*) AS d FROM (
+         |      SELECT src AS v FROM e${r - 1} UNION ALL SELECT dst FROM e${r - 1}
+         |    ) GROUP BY v
+         |  ) WHERE d >= $k
+         |), e$r AS MATERIALIZED (
+         |  SELECT p.src, p.dst FROM e${r - 1} p
+         |  JOIN keep$r a ON p.src = a.v JOIN keep$r b ON p.dst = b.v
+         |)""".stripMargin
+    }.mkString(",\n")
+    val profile = (0 to rounds).map { r =>
+      s"""SELECT $r AS round,
+         |  (SELECT count(*) FROM (SELECT DISTINCT v FROM (
+         |     SELECT src AS v FROM e$r UNION ALL SELECT dst FROM e$r))) AS nodes_remaining,
+         |  (SELECT count(*) FROM e$r) AS edges_remaining""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $backboneSqlCtes, e0 AS MATERIALIZED (
+       |  SELECT src, dst FROM e
+       |),
+       |$roundCtes
+       |SELECT * FROM (
+       |$profile
+       |) ORDER BY round""".stripMargin
+  }
 }

@@ -1239,4 +1239,127 @@ object QuerySurface {
        |  ON a.blk = b.blk AND a.p_partkey < b.p_partkey
        |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND $maxDist
        |ORDER BY a_key, b_key""".stripMargin
+
+  // ---- rolling z-score anomaly detection ----------------------------------
+
+  /** Rolling-window size / minimum history / threshold for [[anomalyZscore]]. */
+  val AnomalyWindow = 20
+  val AnomalyMinPrev = 8
+  val AnomalyZ = 3
+
+  /** Per-user rolling z-score anomaly flags over the event stream: an event
+    * is anomalous when its value deviates from the mean of the user's
+    * previous ≤[[AnomalyWindow]] events by more than [[AnomalyZ]] sample
+    * standard deviations (at least [[AnomalyMinPrev]] events of history).
+    * The self-referential rolling baseline is the standard first-pass
+    * monitor for metric streams and data-quality drift.
+    *
+    * Determinism: the z-test is evaluated WITHOUT sqrt or division —
+    * values enter 10⁻⁶ fixed point (`⌊v·10⁶⌋`, the [[decayAgg]] rule), and
+    * `|v−μ| > z·σ` is squared out to `(n·v − S)² > z²·(n·Q − S²)` over the
+    * window's exact integer sums S=Σv, Q=Σv² (multiply both sides by n²;
+    * σ² here is the population variance over the window). Both sides are
+    * DECIMAL(38,0)-exact: n·v ≤ 20·5·10⁸ = 10¹⁰ squares to 10²⁰ — past
+    * BIGINT, inside decimal 38 — so the flag is bit-identical across
+    * engines and partitionings where a double sqrt/mean pipeline would
+    * diverge in the last ulp and flip boundary rows.
+    *
+    * Scale shape: ONE window pass partitioned by `user_id` (millions of
+    * modest partitions at 100 TB — no hot key, unlike a per-event_type
+    * partitioning whose handful of giant partitions would serialize;
+    * exactly-20-row ROWS frames keep per-row state O(window)). Emits only
+    * the flagged rows. */
+  def anomalyZscore(spark: SparkSession, sfDir: String,
+      window: Int = AnomalyWindow, minPrev: Int = AnomalyMinPrev,
+      z: Int = AnomalyZ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-window, -1)
+    events(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("value"),
+        expr("CAST(floor(value * 1000000) AS DECIMAL(38,0))").as("v_fp"))
+      .withColumn("n_prev", count(col("v_fp")).over(w).cast("long"))
+      .withColumn("s_fp", sum(col("v_fp")).over(w).cast("decimal(38,0)"))
+      .withColumn("q_fp", sum(expr("v_fp * v_fp")).over(w).cast("decimal(38,0)"))
+      .filter(col("n_prev") >= minPrev &&
+        expr(s"(n_prev * v_fp - s_fp) * (n_prev * v_fp - s_fp)" +
+          s" > $z * $z * (n_prev * q_fp - s_fp * s_fp)"))
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("value"),
+        col("n_prev"))
+      .orderBy(col("event_id"))
+  }
+
+  /** DuckDB twin of [[anomalyZscore]] — identical fixed-point squared-out
+    * z-test (DuckDB BIGINT products widen to HUGEINT, which covers the
+    * 10²⁰ bound the same way Spark's DECIMAL(38,0) does). */
+  def anomalyZscoreOracleSql(window: Int = AnomalyWindow,
+      minPrev: Int = AnomalyMinPrev, z: Int = AnomalyZ): String =
+    s"""WITH e AS (
+       |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, value,
+       |    CAST(floor(value * 1000000) AS HUGEINT) AS v_fp
+       |  FROM events
+       |), roll AS (
+       |  SELECT event_id, ts_us, user_id, value, v_fp,
+       |    count(v_fp) OVER w AS n_prev,
+       |    sum(v_fp) OVER w AS s_fp,
+       |    sum(v_fp * v_fp) OVER w AS q_fp
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+       |               ROWS BETWEEN $window PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT event_id, ts_us, user_id, value, CAST(n_prev AS BIGINT) AS n_prev
+       |FROM roll
+       |WHERE n_prev >= $minPrev
+       |  AND (n_prev * v_fp - s_fp) * (n_prev * v_fp - s_fp)
+       |      > $z * $z * (n_prev * q_fp - s_fp * s_fp)
+       |ORDER BY event_id""".stripMargin
+
+  // ---- sequential path mining ---------------------------------------------
+
+  /** Path length / result size for [[eventPaths]]. */
+  val PathLen = 3
+  val PathTopK = 20
+
+  /** Top-k event-type trigram paths: each user's event sequence (ordered by
+    * time, event_id tiebreak) contributes one path per sliding window of
+    * [[PathLen]] consecutive events; paths are counted corpus-wide and the
+    * [[PathTopK]] most frequent returned — the sequential-pattern shape
+    * under funnel discovery, session-flow analysis, and next-event models
+    * (the n-gram LM over the event alphabet rather than words).
+    *
+    * Scale shape: one window pass partitioned by `user_id` (two `lead`s,
+    * same high-cardinality partitioning as [[anomalyZscore]]) and one
+    * map-side-combined count whose key space is bounded by |event_type|³
+    * (tiny), finished by TakeOrderedAndProject — no unbounded state
+    * anywhere. */
+  def eventPaths(spark: SparkSession, sfDir: String, k: Int = PathTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[eventPaths]] — same per-user order and tiebreaks. */
+  def eventPathsOracleSql(k: Int = PathTopK): String =
+    s"""WITH seq AS (
+       |  SELECT event_type,
+       |    lead(event_type, 1) OVER w AS e2,
+       |    lead(event_type, 2) OVER w AS e3
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+       |)
+       |SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+       |FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+       |GROUP BY 1 ORDER BY n DESC, path LIMIT $k""".stripMargin
 }

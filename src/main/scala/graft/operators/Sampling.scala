@@ -298,4 +298,62 @@ object Sampling {
        |SELECT doc_id, shard, n_tokens,
        |  CAST((cum - n_tokens) // $budget AS BIGINT) AS chunk_id
        |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Per-group sample size / pre-aggregation salt width for
+    * [[sampleReservoir]]. */
+  val ReservoirK = 25
+  val ReservoirSalts = 32
+
+  /** Deterministic fixed-size per-group sample — the reservoir-sampling
+    * analog under this library's no-RNG rule: within each `source`, keep
+    * the [[ReservoirK]] documents with the smallest salted-MD5 rank
+    * (tiebreak doc_id). A hash rank is a uniform random order that any
+    * engine can recompute, so the "reservoir" is stable under re-runs,
+    * repartitioning, and data arrival order — the properties streaming
+    * reservoir algorithms buy with per-run RNG state, here for free.
+    *
+    * Scale shape: `source` is a LOW-cardinality group key, so a single
+    * `row_number` window would funnel each group through one partition (a
+    * hot-partition serialization at 100 TB). Instead the top-k runs in two
+    * levels — per (source, hash-salt) candidate top-k under the window,
+    * then the final top-k over ≤ [[ReservoirSalts]]·k survivors per group
+    * — the [[QuerySurface.saltedAgg]] rewrite applied to order statistics.
+    * Identical output to the single-window form by construction (each
+    * salt's global top-k members survive its local top-k), which is what
+    * the single-window DuckDB twin certifies. */
+  def sampleReservoir(spark: SparkSession, sfDir: String,
+      k: Int = ReservoirK, salts: Int = ReservoirSalts): DataFrame = {
+    val ranked = documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        hashUdf(lit("rsv:"), col("doc_id")).as("h"))
+    val local = ranked
+      .withColumn("salt", col("h") % salts)
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy(col("source"), col("salt"))
+          .orderBy(col("h"), col("doc_id"))))
+      .filter(col("lrn") <= k)
+    local
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("rn").cast("long").as("rn"),
+        col("doc_id"), col("h"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  /** DuckDB twin of [[sampleReservoir]] — the SINGLE-window form; matching
+    * it certifies the two-level salted rewrite is semantics-preserving. */
+  def sampleReservoirOracleSql(k: Int = ReservoirK): String =
+    s"""WITH r AS (
+       |  SELECT source, doc_id,
+       |    CAST(md5_number_lower('rsv:' || doc_id) & 9223372036854775807 AS BIGINT) AS h
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT source, doc_id, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+       |  FROM r
+       |)
+       |SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, h
+       |FROM ranked WHERE rn <= $k
+       |ORDER BY source, rn""".stripMargin
 }

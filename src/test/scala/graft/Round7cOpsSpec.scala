@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+import graft.operators.{Dedup, Graph, QuerySurface, Sampling, Tables}
+
+/** Round-7 third-batch operators: k-core peel, rolling z-score anomalies,
+  * event-path mining, duplicated-span coverage, per-group reservoir sample.
+  * Same contract as [[Round7bOpsSpec]]: every test recomputes the expected
+  * result from the raw tables with independent Scala code and compares
+  * exactly. */
+class Round7cOpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("kcore: peel cascades on a chain-plus-triangle graph and reaches fixpoint") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 feeding triangle {5,6,7}: a k=2 peel removes the
+    // chain one node PER ROUND (each removal exposes the next), then stops
+    // at the triangle — the cascade is what distinguishes k-core from a
+    // one-shot degree filter
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (5L, 7L), (6L, 7L)).toDF("src", "dst")
+    val got = Graph.peelProfile(spark, edges, k = 2, rounds = 8)
+      .collect().map(r => (r.getAs[Int]("round"),
+        r.getAs[Long]("nodes_remaining"), r.getAs[Long]("edges_remaining")))
+      .sortBy(_._1)
+    val expected = Seq((0, 7L, 7L), (1, 6L, 6L), (2, 5L, 5L), (3, 4L, 4L),
+      (4, 3L, 3L), (5, 3L, 3L), (6, 3L, 3L), (7, 3L, 3L), (8, 3L, 3L))
+    assert(got.toSeq == expected)
+  }
+
+  test("kcore: the gate's pinned round count reaches the fixpoint on gate data") {
+    val profile = Graph.kcore(spark, sf).collect()
+      .map(r => (r.getAs[Int]("round"),
+        r.getAs[Long]("nodes_remaining"), r.getAs[Long]("edges_remaining")))
+      .sortBy(_._1)
+    // last two rounds equal ⇒ the peel converged inside the unrolled count,
+    // so the fixed-round oracle contract hides no divergence
+    assert(profile(Graph.KcoreRounds)._2 == profile(Graph.KcoreRounds - 1)._2)
+    assert(profile(Graph.KcoreRounds)._3 == profile(Graph.KcoreRounds - 1)._3)
+  }
+
+  test("anomaly: flagged rows match a from-scratch fixed-point z-test") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("value")).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("user_id"), r.getAs[Double]("value")))
+    val expected = ev.groupBy(_._3).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._1))
+      sorted.indices.flatMap { i =>
+        val win = sorted.slice(math.max(0, i - QuerySurface.AnomalyWindow), i)
+        val n = BigInt(win.length)
+        if (win.length < QuerySurface.AnomalyMinPrev) None
+        else {
+          val v = BigInt(math.floor(sorted(i)._4 * 1000000).toLong)
+          val s = win.map(r => BigInt(math.floor(r._4 * 1000000).toLong)).sum
+          val q = win.map { r =>
+            val f = BigInt(math.floor(r._4 * 1000000).toLong); f * f
+          }.sum
+          val dev = n * v - s
+          if (dev * dev > BigInt(QuerySurface.AnomalyZ) * QuerySurface.AnomalyZ *
+              (n * q - s * s))
+            Some(sorted(i)._1)
+          else None
+        }
+      }
+    }.toSet
+    val got = QuerySurface.anomalyZscore(spark, sf).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    assert(got == expected)
+    assert(got.nonEmpty) // the corpus produces flags at this sf
+  }
+
+  test("event paths: top trigrams match a from-scratch sliding-window count") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("us"), r.getAs[String]("event_type")))
+    val counts = ev.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._3, r._2)).map(_._4).sliding(3)
+        .filter(_.length == 3).map(_.mkString(">"))
+    }.toSeq.groupBy(identity).map { case (p, occ) => (p, occ.length.toLong) }
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(QuerySurface.PathTopK)
+    val got = QuerySurface.eventPaths(spark, sf).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n"))).toSeq
+    assert(got == expected)
+  }
+
+  test("span coverage: interval-union token counts match a brute-force recompute") {
+    val P = 8
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text").split(" ")))
+    val grams = docs.flatMap { case (id, t) =>
+      (0 to t.length - P).map(i =>
+        (id, i, PortableHash.md5Lower63(t.slice(i, i + P).mkString(" "))))
+    }
+    val dupHashes = grams.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.length >= 2).keySet
+    val expected = docs.map { case (id, t) =>
+      val pos = grams.filter(g => g._1 == id && dupHashes(g._3)).map(_._2).sorted
+      val covered = pos.zipAll(pos.drop(1).map(Some(_)), -1, None).map {
+        case (p, Some(nxt)) => math.min(P, nxt - p)
+        case (_, None) => P
+      }.sum.toLong
+      val n = t.length.toLong
+      val ratioFp = if (pos.isEmpty) 0L else covered * 1000000L / n
+      (id, n, pos.length.toLong, if (pos.isEmpty) 0L else covered, ratioFp)
+    }.sortBy(_._1).toSeq
+    val got = Dedup.spanCoverage(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("dup_positions"), r.getAs[Long]("dup_tokens"),
+        r.getAs[Long]("dup_ratio_fp"))).toSeq
+    assert(got == expected)
+    // overlapping-span arithmetic is actually exercised: some doc must
+    // carry adjacent duplicated positions (contribution < P)
+    assert(expected.exists(e => e._3 >= 2 && e._4 < e._3 * P))
+  }
+
+  test("reservoir sample: two-level salted top-k equals the single-window rank") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      rows.map { case (id, _) => (id, PortableHash.md5Lower63("rsv:" + id)) }
+        .sortBy { case (id, h) => (h, id) }
+        .take(Sampling.ReservoirK)
+        .zipWithIndex
+        .map { case ((id, h), i) => (src, i + 1L, id, h) }
+    }.sortBy(r => (r._1, r._2))
+    val got = Sampling.sampleReservoir(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rn"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("h"))).toSeq
+    assert(got == expected)
+  }
+}
