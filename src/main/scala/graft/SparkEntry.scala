@@ -179,6 +179,7 @@ object SparkEntry {
     "q_event_paths" -> ((s: SparkSession, d: String) => QuerySurface.eventPaths(s, d)),
     "dedup_span_coverage" -> (Dedup.spanCoverage _),
     "sample_reservoir" -> ((s: SparkSession, d: String) => Sampling.sampleReservoir(s, d)),
+    "sim_ann_pq" -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -446,6 +447,7 @@ object SparkEntry {
     "q_event_paths" -> operators.QuerySurface.eventPathsOracleSql(),
     "dedup_span_coverage" -> operators.Dedup.spanCoverageOracleSql,
     "sample_reservoir" -> operators.Sampling.sampleReservoirOracleSql(),
+    "sim_ann_pq" -> operators.Similarity.annPqOracleSql(),
 
     "text_langid" ->
       """WITH t AS (

@@ -62,7 +62,16 @@ object Clustering {
     * [[Similarity.annIvfKmeans]] (IVF with a real learned codebook). The
     * caller manages caching of `e` (both users persist it around the
     * iteration loop). */
-  private[operators] def fit(e: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+  private[operators] def fit(e: DataFrame, k: Int, iters: Int): Array[Array[Double]] =
+    fitWith(e, k, iters, assignUdf)
+
+  /** [[fit]] with a pluggable assignment rule — [[assignUdf]] (cosine
+    * argmax, spherical k-means) for [[kmeans]]/IVF, [[assignL2Udf]]
+    * (squared-Euclidean argmin) for [[Similarity.annPq]]'s subspace
+    * codebooks. The init and decimal-exact update are identical. */
+  private[operators] def fitWith(e: DataFrame, k: Int, iters: Int,
+      assign: Array[Array[Double]] =>
+        org.apache.spark.sql.expressions.UserDefinedFunction): Array[Array[Double]] = {
     import e.sparkSession.implicits._
     // init: the k smallest-vec_id vectors; cluster labels are RANK POSITIONS
     // (0-based), not raw vec_ids — the oracle labels identically, so sparse
@@ -73,7 +82,7 @@ object Clustering {
       .map(_._2.toArray)
     var it = 0
     while (it < iters) {
-      val assigned = e.withColumn("a", assignUdf(centroids)(col("v")))
+      val assigned = e.withColumn("a", assign(centroids)(col("v")))
         .select(col("vec_id"), col("a._1").as("cluster"), col("v"))
       // update: decimal-exact per-(cluster, dim) means, rounded to 6
       val means = assigned
@@ -121,6 +130,50 @@ object Clustering {
         (best, bestCos)
       }
     }
+
+  /** Squared-Euclidean distance with the cross-engine association contract:
+    * `round6(a·a − 2·a·b + b·b)` — three SEQUENTIAL dot products combined
+    * left-to-right, exactly what the DuckDB twin's
+    * `list_dot_product(a,a) - 2*list_dot_product(a,b) + list_dot_product(b,b)`
+    * evaluates, so both engines round the identical IEEE value. A direct
+    * `Σ(aᵢ−bᵢ)²` loop would associate differently and could flip the
+    * rounded 6th digit on boundary pairs. */
+  private[operators] def sqDist6(a: Array[Double], b: Array[Double]): Double = {
+    var aa = 0.0; var ab = 0.0; var bb = 0.0
+    var i = 0
+    while (i < a.length) {
+      aa += a(i) * a(i); ab += a(i) * b(i); bb += b(i) * b(i); i += 1
+    }
+    round6(aa - 2.0 * ab + bb)
+  }
+
+  /** L2 assignment for [[fitWith]]: (argmin cluster, round6 sq-distance),
+    * ties to the smaller cluster id; NaN distances rank LAST (DuckDB
+    * `ORDER BY dist ASC` places NaN after every finite value — the mirror
+    * of [[assignUdf]]'s NaN-first rule under DESC). */
+  /** (argmin cluster, round6 sq-distance) under the cross-engine rules:
+    * ties to the smaller cluster id; NaN distances rank LAST (DuckDB
+    * `ORDER BY dist ASC` places NaN after every finite value — the mirror
+    * of [[assignUdf]]'s NaN-first rule under DESC). */
+  private[operators] def argminL2(v: Array[Double],
+      cents: Array[Array[Double]]): (Int, Double) = {
+    def better(cand: Double, best: Double): Boolean =
+      if (cand.isNaN) false else best.isNaN || cand < best
+    var best = 0
+    var bestDist = Double.NaN
+    var c = 0
+    while (c < cents.length) {
+      val d = sqDist6(v, cents(c))
+      if (c == 0 || better(d, bestDist)) { bestDist = d; best = c }
+      c += 1
+    }
+    (best, bestDist)
+  }
+
+  /** L2 assignment for [[fitWith]] — [[argminL2]] as a UDF. */
+  private[operators] def assignL2Udf(cents: Array[Array[Double]]):
+      org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Double]) => argminL2(v.toArray, cents) }
 
   /** DuckDB twin of [[kmeans]] — the iterations unrolled as generated CTEs
     * (long centroid format (cl, i, cx); assignment via a row_number argmax

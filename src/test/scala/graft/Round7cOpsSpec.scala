@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
-import graft.operators.{Dedup, Graph, QuerySurface, Sampling, Tables}
+import graft.operators.{Dedup, Graph, QuerySurface, Sampling, Similarity, Tables}
 
 /** Round-7 third-batch operators: k-core peel, rolling z-score anomalies,
   * event-path mining, duplicated-span coverage, per-group reservoir sample.
@@ -137,5 +137,51 @@ class Round7cOpsSpec extends SparkTestBase {
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("rn"),
         r.getAs[Long]("doc_id"), r.getAs[Long]("h"))).toSeq
     assert(got == expected)
+  }
+
+  test("PQ ANN: well-formed per-query rankings, recall floor vs exact L2, determinism") {
+    val rows = Similarity.annPq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adist"),
+        r.getAs[Double]("dist")))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == (0L until 8L).toSet)
+    byQ.values.foreach { qr =>
+      val sorted = qr.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to 5L))
+      // exact re-rank distances are non-decreasing in rank; all finite ≥ 0
+      assert(sorted.map(_._5).sliding(2).forall(p => p.head <= p.last))
+      assert(sorted.forall(r => r._5 >= 0.0 && !r._5.isNaN))
+      assert(sorted.forall(_._3 >= 0L))
+    }
+    // recall floor vs brute-force exact L2 top-5 (same tie rule)
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Double]]("v").toArray))
+    val queries = e.filter(_._1 < 8)
+    val exact = queries.flatMap { case (qid, qv) =>
+      e.filter(_._1 != qid)
+        .map { case (nid, nv) =>
+          var aa = 0.0; var ab = 0.0; var bb = 0.0
+          var i = 0
+          while (i < qv.length) {
+            aa += qv(i) * qv(i); ab += qv(i) * nv(i); bb += nv(i) * nv(i); i += 1
+          }
+          (nid, aa - 2 * ab + bb)
+        }
+        .sortBy { case (nid, d) => (d, nid) }.take(5)
+        .map { case (nid, _) => (qid, nid) }
+    }.toSet
+    val got = rows.map(r => (r._1, r._3)).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@5 vs exact L2 = $recall")
+    // deterministic end to end (codebook fit, codes, ADC, re-rank)
+    val again = Similarity.annPq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adist"),
+        r.getAs[Double]("dist")))
+    assert(rows.toSeq == again.toSeq)
   }
 }
