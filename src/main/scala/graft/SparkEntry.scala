@@ -180,6 +180,8 @@ object SparkEntry {
     "dedup_span_coverage" -> (Dedup.spanCoverage _),
     "sample_reservoir" -> ((s: SparkSession, d: String) => Sampling.sampleReservoir(s, d)),
     "sim_ann_pq" -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
+    "q_delta_agg" -> (Mutations.deltaAgg _),
+    "text_keywords" -> ((s: SparkSession, d: String) => TextAnalysis.keywords(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -448,6 +450,8 @@ object SparkEntry {
     "dedup_span_coverage" -> operators.Dedup.spanCoverageOracleSql,
     "sample_reservoir" -> operators.Sampling.sampleReservoirOracleSql(),
     "sim_ann_pq" -> operators.Similarity.annPqOracleSql(),
+    "q_delta_agg" -> operators.Mutations.deltaAggOracleSql,
+    "text_keywords" -> operators.TextAnalysis.keywordsOracleSql(),
 
     "text_langid" ->
       """WITH t AS (

@@ -171,4 +171,50 @@ object Mutations {
       |SELECT event_id, status, old_type, old_cents, new_type, new_cents
       |FROM j WHERE status <> 'unchanged'
       |ORDER BY event_id""".stripMargin
+
+  /** Incremental view maintenance for algebraic aggregates: a stored
+    * per-supplier aggregate (count / sum / max over the 80% "base" slice of
+    * lineitem) is brought current by merging the 20% "delta" slice's
+    * PARTIAL aggregate — `sum` of counts and sums, `max` of maxes — without
+    * re-scanning the base rows. The oracle computes the same view by DIRECT
+    * full aggregation, certifying merge ≡ recompute: the algebraic-merge
+    * law every lakehouse materialized view and every partial/final
+    * aggregate plan relies on, surfaced as a first-class operator.
+    *
+    * Scale shape: this is THE 100 TB aggregation pattern — the base
+    * aggregate is a stored table keyed like the view (read, never
+    * re-derived), so each refresh scans and shuffles only the delta
+    * (insert-only here; retractable aggregates need count/sum pairs, and
+    * max needs re-derivation only on deletes of the max row). Both partials
+    * are map-side combined; the merge shuffles |keys| rows, not |rows|.
+    * Integer cents keep every value engine-exact. */
+  def deltaAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_orderkey"),
+        expr("CAST(floor(l_quantity * 100) AS BIGINT)").as("qty_cents"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"), sum(col("qty_cents")).as("s"),
+          max(col("qty_cents")).as("mx"))
+    val base = partial(li.filter(col("l_orderkey") % 10 < 8))
+    val delta = partial(li.filter(col("l_orderkey") % 10 >= 8))
+    base.unionByName(delta)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("n")).as("n_items"), sum(col("s")).as("sum_qty_cents"),
+        max(col("mx")).as("max_qty_cents"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** DuckDB twin of [[deltaAgg]] — the DIRECT full aggregate (no
+    * base/delta split): matching it is the merge-equals-recompute
+    * certificate. */
+  def deltaAggOracleSql: String =
+    """SELECT l_suppkey,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_qty_cents,
+      |  max(CAST(floor(l_quantity * 100) AS BIGINT)) AS max_qty_cents
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |ORDER BY l_suppkey""".stripMargin
 }

@@ -767,6 +767,74 @@ object TextAnalysis {
        |FROM bc JOIN uc ux ON bc.w1 = ux.tok JOIN uc uy ON bc.w2 = uy.tok, n
        |ORDER BY lift_fp DESC, bc.w1, bc.w2 LIMIT $k""".stripMargin
 
+  // ---- per-document keyword extraction ----
+
+  /** Keywords kept per document by [[keywords]]. */
+  val KeywordsPerDoc = 3
+
+  /** Per-document TF-IDF keyword extraction: each document's top
+    * [[KeywordsPerDoc]] terms by `tf · idf_fp`, where `tf` is the term's
+    * in-document occurrence count and `idf_fp = (N·10⁶) div df` is the
+    * [[rarity]] fixed-point inverse document frequency (no log — the
+    * integer ratio is order-equivalent for ranking within a document and
+    * engine-exact, per the lm-score no-transcendentals rule). Ties break
+    * to the lexicographically smaller term. The per-doc keyword set is the
+    * standard lightweight document descriptor for tagging, routing, and
+    * near-dup triage.
+    *
+    * Scale shape: one token explode (linear), one distinct+groupBy for the
+    * df table (8-byte-ish keys), a size-aware df join (broadcast under the
+    * [[rarity]] vocabulary threshold), and a `row_number` window
+    * partitioned by `doc_id` — high-cardinality, no hot partition. */
+  def keywords(spark: SparkSession, sfDir: String,
+      k: Int = KeywordsPerDoc): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val nDocs = docs.count() // one tiny scalar job; a literal in the oracle
+    val pairs = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val df = pairs.select(col("tok"), col("doc_id")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val tf = pairs.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_fp").desc, col("tok"))
+    tf.join(broadcast(df), "tok")
+      .withColumn("score_fp", expr(s"tf * ((${nDocs}L * 1000000L) div df)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("tok"), col("tf"), col("df"), col("score_fp"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** DuckDB twin of [[keywords]] — same tf/df derivations, fixed-point
+    * score, and tie rule; N as a scalar subquery. */
+  def keywordsOracleSql(k: Int = KeywordsPerDoc): String =
+    s"""WITH pairs AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), p AS (
+       |  SELECT doc_id, tok FROM pairs WHERE tok <> ''
+       |), n AS (
+       |  SELECT count(*) AS nd FROM documents
+       |), dfs AS (
+       |  SELECT tok, count(DISTINCT doc_id) AS df FROM p GROUP BY tok
+       |), tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM p GROUP BY doc_id, tok
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.tok, tf.tf, dfs.df,
+       |    tf.tf * ((n.nd * 1000000) // dfs.df) AS score_fp
+       |  FROM tf JOIN dfs ON tf.tok = dfs.tok, n
+       |)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, tf, df,
+       |  CAST(score_fp AS BIGINT) AS score_fp
+       |FROM (
+       |  SELECT doc_id, tok, tf, df, score_fp,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score_fp DESC, tok) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+
   // ---- PII detection / redaction ----
 
   /** Patterns restricted to the syntax subset Java regex and RE2 (DuckDB)

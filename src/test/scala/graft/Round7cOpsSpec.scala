@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
-import graft.operators.{Dedup, Graph, QuerySurface, Sampling, Similarity, Tables}
+import graft.operators.{Dedup, Graph, Mutations, QuerySurface, Sampling, Similarity, Tables, TextAnalysis}
 
 /** Round-7 third-batch operators: k-core peel, rolling z-score anomalies,
   * event-path mining, duplicated-span coverage, per-group reservoir sample.
@@ -183,5 +183,43 @@ class Round7cOpsSpec extends SparkTestBase {
         r.getAs[Long]("neighbor_id"), r.getAs[Double]("adist"),
         r.getAs[Double]("dist")))
     assert(rows.toSeq == again.toSeq)
+  }
+
+  test("delta agg: incremental base+delta merge equals a from-scratch full recompute") {
+    val li = Tables.lineitem(spark, sf)
+      .selectExpr("l_suppkey", "CAST(floor(l_quantity * 100) AS BIGINT) AS qc")
+      .collect()
+      .map(r => (r.getAs[Long]("l_suppkey"), r.getAs[Long]("qc")))
+    val expected = li.groupBy(_._1).map { case (k, rows) =>
+      (k, rows.length.toLong, rows.map(_._2).sum, rows.map(_._2).max)
+    }.toSeq.sortBy(_._1)
+    val got = Mutations.deltaAgg(spark, sf).collect()
+      .map(r => (r.getAs[Long]("l_suppkey"), r.getAs[Long]("n_items"),
+        r.getAs[Long]("sum_qty_cents"), r.getAs[Long]("max_qty_cents"))).toSeq
+    assert(got == expected)
+  }
+
+  test("keywords: per-doc tf-idf top-k matches a from-scratch recompute") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").split(" ").filter(_.nonEmpty)))
+    val nDocs = docs.length.toLong
+    val dfs = docs.flatMap { case (id, toks) => toks.distinct.map((_, id)) }
+      .groupBy(_._1).map { case (t, occ) => (t, occ.length.toLong) }
+    val expected = docs.flatMap { case (id, toks) =>
+      toks.groupBy(identity).map { case (t, occ) =>
+        (id, t, occ.length.toLong, dfs(t),
+          occ.length.toLong * (nDocs * 1000000L / dfs(t)))
+      }.toSeq.sortBy { case (_, t, _, _, s) => (-s, t) }
+        .take(TextAnalysis.KeywordsPerDoc)
+        .zipWithIndex
+        .map { case ((_, t, tf, df, s), i) => (id, i + 1L, t, tf, df, s) }
+    }.sortBy(r => (r._1, r._2)).toSeq
+    val got = TextAnalysis.keywords(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
+        r.getAs[String]("tok"), r.getAs[Long]("tf"), r.getAs[Long]("df"),
+        r.getAs[Long]("score_fp"))).toSeq
+    assert(got == expected)
   }
 }
