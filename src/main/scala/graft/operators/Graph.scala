@@ -428,19 +428,28 @@ object Graph {
   private[graft] def peelProfile(spark: SparkSession, edges0: DataFrame,
       k: Int, rounds: Int): DataFrame = {
     var e = edges0.localCheckpoint(true)
-    def endpoints(edges: DataFrame): DataFrame =
+    def degrees(edges: DataFrame): DataFrame =
       edges.select(col("src").as("v")).unionByName(edges.select(col("dst").as("v")))
-    def summary(r: Int, edges: DataFrame): (Int, Long, Long) =
-      (r, endpoints(edges).distinct().count(), edges.count())
-    val profile = scala.collection.mutable.ArrayBuffer(summary(0, e))
-    for (r <- 1 to rounds) {
-      val keep = endpoints(e)
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("v"))
-      e = e.join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+    // the round's degree frame serves twice — the keep-set AND the profile
+    // row (nodes = |deg|, edges = Σd/2): the fuse-the-probe-into-existing-
+    // work rule (CC auto-salt). deg is NOT checkpointed: it is one cheap
+    // aggregate over the checkpointed e, recomputed lazily inside the next
+    // round's checkpoint job — one fewer materialization per round, and
+    // the per-round frames are bounded by the top-k backbone anyway.
+    def summary(r: Int, deg: DataFrame): (Int, Long, Long) = {
+      val row = deg.agg(count(lit(1)), expr("coalesce(sum(d), 0L) div 2")).head
+      (r, row.getLong(0), row.getLong(1))
+    }
+    var deg = degrees(e)
+    val profile = scala.collection.mutable.ArrayBuffer(summary(0, deg))
+    for (r <- 1 to rounds) {
+      val keep = deg.filter(col("d") >= k).select(col("v"))
+      e = e.join(broadcast(keep.withColumnRenamed("v", "src")), Seq("src"), "left_semi")
+        .join(broadcast(keep.withColumnRenamed("v", "dst")), Seq("dst"), "left_semi")
         .localCheckpoint(true)
-      profile += summary(r, e)
+      deg = degrees(e)
+      profile += summary(r, deg)
     }
     import spark.implicits._
     profile.toSeq.toDF("round", "nodes_remaining", "edges_remaining")
