@@ -1280,9 +1280,15 @@ object QuerySurface {
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("value"),
         expr("CAST(floor(value * 1000000) AS DECIMAL(38,0))").as("v_fp"))
-      .withColumn("n_prev", count(col("v_fp")).over(w).cast("long"))
-      .withColumn("s_fp", sum(col("v_fp")).over(w).cast("decimal(38,0)"))
-      .withColumn("q_fp", sum(expr("v_fp * v_fp")).over(w).cast("decimal(38,0)"))
+      .withColumn("v2_fp", expr("v_fp * v_fp"))
+      // all three aggregates declared over the SAME frame in ONE projection
+      // so Catalyst fuses them into a single Window operator (one pass, one
+      // sort) — chaining withColumns with a derived input splits the plan
+      // into two Window nodes (PlanSpec-asserted)
+      .select(col("*"),
+        count(col("v_fp")).over(w).cast("long").as("n_prev"),
+        sum(col("v_fp")).over(w).cast("decimal(38,0)").as("s_fp"),
+        sum(col("v2_fp")).over(w).cast("decimal(38,0)").as("q_fp"))
       .filter(col("n_prev") >= minPrev &&
         expr(s"(n_prev * v_fp - s_fp) * (n_prev * v_fp - s_fp)" +
           s" > $z * $z * (n_prev * q_fp - s_fp * s_fp)"))

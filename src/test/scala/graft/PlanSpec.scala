@@ -124,4 +124,38 @@ class PlanSpec extends SparkTestBase {
     // single-partition exchange, not keyed)
     assert(plan.contains("HashAggregate"), plan)
   }
+
+  test("event paths finish with TakeOrderedAndProject over one window pass") {
+    val plan = planOf(QuerySurface.eventPaths(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Sort [n"), plan) // no global sort of the counts
+    assert(plan.split("Window").length - 1 <= 1, plan) // both leads share one window
+  }
+
+  test("anomaly z-test runs as ONE window operator (count+sum+sum share the frame)") {
+    val plan = planOf(QuerySurface.anomalyZscore(spark, sf))
+    assert(plan.split("\\bWindow\\b").length - 1 == 1, plan)
+  }
+
+  test("keywords broadcast the df vocabulary side") {
+    val plan = planOf(TextAnalysis.keywords(spark, sf))
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("delta agg merge plans partial/final hash aggregates, no sort-based agg") {
+    val plan = planOf(Mutations.deltaAgg(spark, sf))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
+
+  test("span coverage shuffles 8-byte gram keys, never document text") {
+    // the dup-hash groupBy and the left-semi join key on `gh` (a LongType
+    // hash); the only stage carrying `text` is the pre-explode scan
+    val df = Dedup.spanCoverage(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("LeftSemi"), plan)
+    val exchanges = plan.split("Exchange hashpartitioning").toSeq.tail
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(e => !e.takeWhile(_ != ')').contains("text")), plan)
+  }
 }
