@@ -182,6 +182,7 @@ object SparkEntry {
     "sim_ann_pq" -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
     "q_delta_agg" -> (Mutations.deltaAgg _),
     "text_keywords" -> ((s: SparkSession, d: String) => TextAnalysis.keywords(s, d)),
+    "q_hilbert" -> (Bucketing.hilbertKeys _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -452,6 +453,7 @@ object SparkEntry {
     "sim_ann_pq" -> operators.Similarity.annPqOracleSql(),
     "q_delta_agg" -> operators.Mutations.deltaAggOracleSql,
     "text_keywords" -> operators.TextAnalysis.keywordsOracleSql(),
+    "q_hilbert" -> operators.Bucketing.hilbertKeysOracleSql,
 
     "text_langid" ->
       """WITH t AS (

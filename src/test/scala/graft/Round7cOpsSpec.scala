@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
-import graft.operators.{Dedup, Graph, Mutations, QuerySurface, Sampling, Similarity, Tables, TextAnalysis}
+import graft.operators.{Bucketing, Dedup, Graph, Mutations, QuerySurface, Sampling, Similarity, Tables, TextAnalysis}
 
 /** Round-7 third-batch operators: k-core peel, rolling z-score anomalies,
   * event-path mining, duplicated-span coverage, per-group reservoir sample.
@@ -197,6 +197,43 @@ class Round7cOpsSpec extends SparkTestBase {
       .map(r => (r.getAs[Long]("l_suppkey"), r.getAs[Long]("n_items"),
         r.getAs[Long]("sum_qty_cents"), r.getAs[Long]("max_qty_cents"))).toSeq
     assert(got == expected)
+  }
+
+  test("hilbert index: inverse round-trip and the no-long-jumps adjacency property") {
+    // independent INVERSE implementation (d → (x, y), the standard
+    // quadrant-unwinding form — note its rotation uses the CURRENT level
+    // size, unlike the forward map's full-grid reflection)
+    def d2xy(d: Long): (Long, Long) = {
+      var (x, y) = (0L, 0L)
+      var t = d
+      var s = 1L
+      while (s < 65536L) {
+        val rx = 1L & (t / 2)
+        val ry = 1L & (t ^ rx)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val tmp = x; x = y; y = tmp
+        }
+        x += s * rx
+        y += s * ry
+        t /= 4
+        s <<= 1
+      }
+      (x, y)
+    }
+    // round-trip over a deterministic spread of the 2^32 key space
+    val ds = (0L until 4096L).map(i => i * 1048573L % 4294967296L)
+    ds.foreach { d =>
+      val (x, y) = d2xy(d)
+      assert(Bucketing.hilbertIndex(x, y) == d, s"round-trip failed at d=$d")
+    }
+    // the Hilbert continuity guarantee: consecutive keys are grid-adjacent
+    // (Manhattan distance exactly 1) — the property the z-curve lacks
+    (0L until 2048L).foreach { d =>
+      val (x1, y1) = d2xy(d)
+      val (x2, y2) = d2xy(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L, s"jump at d=$d")
+    }
   }
 
   test("keywords: per-doc tf-idf top-k matches a from-scratch recompute") {
