@@ -183,6 +183,9 @@ object SparkEntry {
     "q_delta_agg" -> (Mutations.deltaAgg _),
     "text_keywords" -> ((s: SparkSession, d: String) => TextAnalysis.keywords(s, d)),
     "q_hilbert" -> (Bucketing.hilbertKeys _),
+    "q_sssp" -> ((s: SparkSession, d: String) => Graph.sssp(s, d)),
+    "q_er_clusters" -> (QuerySurface.erClusters _),
+    "text_tfidf_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfPairs(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -454,6 +457,9 @@ object SparkEntry {
     "q_delta_agg" -> operators.Mutations.deltaAggOracleSql,
     "text_keywords" -> operators.TextAnalysis.keywordsOracleSql(),
     "q_hilbert" -> operators.Bucketing.hilbertKeysOracleSql,
+    "q_sssp" -> operators.Graph.ssspOracleSql(),
+    "q_er_clusters" -> operators.QuerySurface.erClustersOracleSql(),
+    "text_tfidf_pairs" -> operators.TextAnalysis.tfidfPairsOracleSql(),
 
     "text_langid" ->
       """WITH t AS (

@@ -125,12 +125,17 @@ object Graph {
     * the driver merge) — size-bounded at every sf. */
   private[graft] def coPurchaseEdges(cs: DataFrame, topEdges: Int,
       cap: Int): DataFrame =
+    coPurchaseWeightedEdges(cs, topEdges, cap).select(col("src"), col("dst"))
+
+  /** [[coPurchaseEdges]] with the shared-customer weight kept — the
+    * weighted form [[sssp]] relaxes over. */
+  private[graft] def coPurchaseWeightedEdges(cs: DataFrame, topEdges: Int,
+      cap: Int): DataFrame =
     supplierPairs(cs, cap)
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("shared"))
       .orderBy(col("shared").desc, col("src"), col("dst"))
       .limit(topEdges)
-      .select(col("src"), col("dst"))
 
   /** Triangle/wedge census over an id-ordered (src < dst) distinct edge
     * list. Wedges (ALL 2-paths, open or closed — each triangle contributes
@@ -382,6 +387,76 @@ object Graph {
   /** Default degree threshold / round count for [[kcore]]. */
   val KcoreK = 4
   val KcoreRounds = 8
+
+  /** Relaxation rounds for [[sssp]]. */
+  val SsspRounds = 4
+
+  /** Weighted single-source shortest paths by synchronous Bellman–Ford
+    * relaxation — the weighted generalization of [[bfsHops]], completing
+    * the iterative-graph family (CC: min-label fixpoint; PageRank: mass,
+    * fixed rounds; BFS: min-hop; SSSP: min-plus). Edge cost is the integer
+    * `⌈10⁶/shared⌉`-style reciprocal `1000000 div shared` of the backbone's
+    * shared-customer weight (strong ties are cheap to traverse — the
+    * standard similarity→distance inversion), so every distance is exact
+    * integer arithmetic and the gate is hash-checkable.
+    *
+    * Each round: frontier⋈edges keyed on the edge source (one shuffle),
+    * candidate distance `d + w`, then a min aggregate per node merged with
+    * the previous round's labels — relax `rounds` times (paths of ≤ rounds
+    * edges; the unweighted analog is exactly [[bfsHops]]'s contract). On
+    * the ≤[[CoPurchaseTopEdges]]-edge backbone every round is
+    * broadcast-sized; at full scale the loop is the [[pageRank]] shape
+    * (shuffle joins + per-round checkpoint). */
+  def sssp(spark: SparkSession, sfDir: String, rounds: Int = SsspRounds,
+      topEdges: Int = CoPurchaseTopEdges,
+      maxSuppliersPerCustomer: Int = MaxSuppliersPerCustomer): DataFrame = {
+    val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+    val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(od, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val edges = coPurchaseWeightedEdges(cs, topEdges, maxSuppliersPerCustomer)
+      .withColumn("w", expr("1000000L div shared"))
+      .localCheckpoint(true)
+    val und = edges.select(col("src").as("u"), col("dst").as("v"), col("w"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v"), col("w")))
+    var dist = edges.agg(least(min(col("src")), min(col("dst"))).as("v"))
+      .select(col("v"), lit(0L).as("d"))
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.as("f").join(und.as("g"), col("f.v") === col("g.u"))
+        .select(col("g.v").as("v"), (col("f.d") + col("g.w")).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("v")).agg(min(col("d")).as("d"))
+    }
+    dist.orderBy(col("v"))
+  }
+
+  /** DuckDB twin of [[sssp]] — relaxation rounds unrolled over the shared
+    * backbone with the weight column kept. */
+  def ssspOracleSql(rounds: Int = SsspRounds): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""d$r AS (
+         |  SELECT v, CAST(min(d) AS BIGINT) AS d FROM (
+         |    SELECT v, d FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT und.v, f.d + und.w AS d FROM d${r - 1} f JOIN und ON f.v = und.u
+         |  ) GROUP BY v
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $backboneSqlCtes, ew AS (
+       |  SELECT src, dst, CAST(1000000 // shared AS BIGINT) AS w FROM w
+       |  ORDER BY shared DESC, src, dst LIMIT $CoPurchaseTopEdges
+       |), und AS (
+       |  SELECT src AS u, dst AS v, w FROM ew
+       |  UNION ALL
+       |  SELECT dst AS u, src AS v, w FROM ew
+       |), d0 AS (
+       |  SELECT least((SELECT min(src) FROM ew), (SELECT min(dst) FROM ew)) AS v,
+       |    CAST(0 AS BIGINT) AS d
+       |),
+       |$roundCtes
+       |SELECT v, d FROM d$rounds ORDER BY v""".stripMargin
+  }
 
   /** K-core peel of the co-purchase backbone — the fourth iterative-graph
     * shape next to CC (min-label fixpoint, [[Dedup]]), PageRank (mass,

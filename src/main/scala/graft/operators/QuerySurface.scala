@@ -1219,10 +1219,11 @@ object QuerySurface {
       .orderBy(col("a_key"), col("b_key"))
   }
 
-  /** DuckDB twin of [[fuzzyJoin]] — same blocking key, cap, and edit
-    * distance (both engines implement unweighted Levenshtein). */
-  def fuzzyJoinOracleSql(maxDist: Int = 3, blockCap: Int = FuzzyBlockCap): String =
-    s"""WITH p AS (
+  /** The blocking + cap + Levenshtein-filter CTEs of [[fuzzyJoinOracleSql]]
+    * — shared with [[erClustersOracleSql]], which clusters the same pair
+    * list. */
+  private def fuzzyPairsSqlCtes(maxDist: Int, blockCap: Int): String =
+    s"""p AS (
        |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
        |  FROM part
        |), capped AS (
@@ -1231,14 +1232,72 @@ object QuerySurface {
        |      row_number() OVER (PARTITION BY blk ORDER BY p_partkey) AS rn
        |    FROM p
        |  ) WHERE rn <= $blockCap
+       |), fpairs AS (
+       |  SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+       |    a.p_name AS a_name, b.p_name AS b_name,
+       |    CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+       |  FROM capped a JOIN capped b
+       |    ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+       |  WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND $maxDist
+       |)""".stripMargin
+
+  /** DuckDB twin of [[fuzzyJoin]] — same blocking key, cap, and edit
+    * distance (both engines implement unweighted Levenshtein). */
+  def fuzzyJoinOracleSql(maxDist: Int = 3, blockCap: Int = FuzzyBlockCap): String =
+    s"""WITH ${fuzzyPairsSqlCtes(maxDist, blockCap)}
+       |SELECT a_key, b_key, a_name, b_name, dist
+       |FROM fpairs ORDER BY a_key, b_key""".stripMargin
+
+  // ---- entity resolution (fuzzy pairs → clusters → canonical records) -----
+
+  /** End-to-end entity resolution over part names — the composition the
+    * record-linkage literature calls blocking → pairwise matching →
+    * clustering → survivorship, built from this library's own pieces:
+    * [[fuzzyJoin]]'s capped blocked Levenshtein pairs become an undirected
+    * match graph, [[Dedup.componentLabels]] labels its connected components
+    * (min-id label, the size-gated union-find/star-contraction machinery),
+    * and each cluster's lowest-key member is the canonical (survivor)
+    * record. Emits one row per part that matched anything; singletons are
+    * absent by CC convention (they need no resolution).
+    *
+    * Scale shape: inherits the pieces' — the pair kernel is blocked and
+    * capped BEFORE the quadratic step, CC auto-switches between driver
+    * union-find (bounded edges) and the salted star-contraction loop, and
+    * the final size join keys on the cluster label. */
+  def erClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = fuzzyJoin(spark, sfDir).select(col("a_key"), col("b_key"))
+    val labels = graft.operators.Dedup.componentLabels(pairs)
+      .select(col("doc_id").as("p_partkey"), col("label").as("cluster_id"))
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("p_partkey"), col("cluster_id"), col("cluster_size"),
+        (col("p_partkey") === col("cluster_id")).as("is_canonical"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** DuckDB twin of [[erClusters]] — the fuzzy pair CTEs plus recursive
+    * min-label reachability (the [[Dedup.nearDupGroupsOracleSql]] pattern). */
+  def erClustersOracleSql(maxDist: Int = 3, blockCap: Int = FuzzyBlockCap): String =
+    s"""WITH RECURSIVE ${fuzzyPairsSqlCtes(maxDist, blockCap)},
+       |edges AS (
+       |  SELECT a_key AS a, b_key AS b FROM fpairs
+       |  UNION
+       |  SELECT b_key, a_key FROM fpairs
+       |), reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), grp AS (
+       |  SELECT a AS p_partkey, min(b) AS cluster_id FROM reach GROUP BY a
+       |), gs AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM grp GROUP BY cluster_id
        |)
-       |SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
-       |  a.p_name AS a_name, b.p_name AS b_name,
-       |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-       |FROM capped a JOIN capped b
-       |  ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-       |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND $maxDist
-       |ORDER BY a_key, b_key""".stripMargin
+       |SELECT grp.p_partkey, grp.cluster_id, gs.cluster_size,
+       |  grp.p_partkey = grp.cluster_id AS is_canonical
+       |FROM grp JOIN gs USING (cluster_id)
+       |ORDER BY grp.p_partkey""".stripMargin
 
   // ---- rolling z-score anomaly detection ----------------------------------
 

@@ -835,6 +835,98 @@ object TextAnalysis {
        |  FROM scored
        |) WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
 
+  // ---- sparse TF-IDF similarity join --------------------------------------
+
+  /** Document-frequency cap / cosine threshold for [[tfidfPairs]]. */
+  val TfidfDfCap = 25
+  val TfidfThreshold = 0.5
+
+  /** Sparse-vector document similarity join — the TF-IDF/inverted-index
+    * complement to the dense-embedding pair ops ([[Similarity]]): documents
+    * are TF-IDF vectors over DISCRIMINATIVE terms only (2 ≤ df ≤
+    * [[TfidfDfCap]] — df=1 terms cannot pair, and frequent terms carry no
+    * signal while exploding the index join: the same df-cap rule as the
+    * capped Jaccard), candidate pairs come from the inverted index
+    * (self-join on the term), and cosine is computed in the capped-term
+    * subspace with exact integer weights `tf·⌊N·10³/df⌋` — dot products and
+    * squared norms are DECIMAL/HUGEINT-exact sums of integer products, and
+    * only the final `dot/√(n1²)·√(n2²)` runs in doubles (the casts of
+    * identical exact integers are correctly rounded on both engines, so
+    * round6 sees bit-identical inputs).
+    *
+    * Scale shape: the index join's fan-out is ≤C(dfCap, 2) pairs per term
+    * by construction; the pair aggregate shuffles on the (d1, d2) key;
+    * norms are one map-side-combined aggregate joined back by doc id.
+    * At 100 TB this is exactly the shape of sparse candidate generation in
+    * hybrid (BM25 + dense) retrieval pipelines. */
+  def tfidfPairs(spark: SparkSession, sfDir: String, dfCap: Int = TfidfDfCap,
+      threshold: Double = TfidfThreshold): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val nDocs = docs.count() // scalar; a literal in the oracle
+    val pairs = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val dfs = pairs.select(col("tok"), col("doc_id")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+    val w = pairs.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(dfs), "tok")
+      .withColumn("w_fp", expr(s"tf * ((${nDocs}L * 1000L) div df)"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sum(expr("CAST(w_fp AS DECIMAL(20,0)) * w_fp")).as("nsq"))
+    val dots = w.as("a").join(w.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum(expr("CAST(a.w_fp AS DECIMAL(20,0)) * b.w_fp")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("d1"), col("nsq").as("nsq1")), "d1")
+      .join(norms.select(col("doc_id").as("d2"), col("nsq").as("nsq2")), "d2")
+      .withColumn("cos", Tables.portableRound6(
+        col("dot").cast("double") /
+          (sqrt(col("nsq1").cast("double")) * sqrt(col("nsq2").cast("double")))))
+      .filter(col("cos") >= threshold)
+      .select(col("d1"), col("d2"), col("n_shared_terms"), col("cos"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** DuckDB twin of [[tfidfPairs]] — same capped vocabulary, integer
+    * weights, HUGEINT-exact sums, and double association. */
+  def tfidfPairsOracleSql(dfCap: Int = TfidfDfCap,
+      threshold: Double = TfidfThreshold): String =
+    s"""WITH p AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), pp AS (
+       |  SELECT doc_id, tok FROM p WHERE tok <> ''
+       |), n AS (
+       |  SELECT count(*) AS nd FROM documents
+       |), dfs AS (
+       |  SELECT tok, count(DISTINCT doc_id) AS df FROM pp GROUP BY tok
+       |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $dfCap
+       |), w AS (
+       |  SELECT t.doc_id, t.tok, t.tf * ((n.nd * 1000) // dfs.df) AS w_fp
+       |  FROM (SELECT doc_id, tok, count(*) AS tf FROM pp GROUP BY 1, 2) t
+       |  JOIN dfs ON t.tok = dfs.tok, n
+       |), norms AS (
+       |  SELECT doc_id, sum(CAST(w_fp AS HUGEINT) * w_fp) AS nsq
+       |  FROM w GROUP BY doc_id
+       |), dots AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared_terms,
+       |    sum(CAST(a.w_fp AS HUGEINT) * b.w_fp) AS dot
+       |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d1, d2, n_shared_terms,
+       |  ${Tables.portableRound6Sql(
+            "CAST(dot AS DOUBLE) / (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE)))")} AS cos
+       |FROM dots
+       |JOIN norms n1 ON n1.doc_id = d1
+       |JOIN norms n2 ON n2.doc_id = d2
+       |WHERE ${Tables.portableRound6Sql(
+            "CAST(dot AS DOUBLE) / (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE)))")} >= $threshold
+       |ORDER BY d1, d2""".stripMargin
+
   // ---- PII detection / redaction ----
 
   /** Patterns restricted to the syntax subset Java regex and RE2 (DuckDB)

@@ -236,6 +236,95 @@ class Round7cOpsSpec extends SparkTestBase {
     }
   }
 
+  test("sssp: relaxed distances match a from-scratch Bellman-Ford over a recomputed backbone") {
+    // independent pipeline recompute: distinct purchases → per-customer cap
+    // (sort-based) → pair counts → top-5000 backbone → weights → 4 rounds
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val od = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cs = li.flatMap { case (ok, s) => od.get(ok).map(c => (c, s)) }.distinct
+    val capped = cs.groupBy(_._1).values.flatMap(g =>
+      g.map(_._2).sorted.take(100).map(s => (g.head._1, s))).toSeq
+    val weights = capped.groupBy(_._1).values.flatMap { g =>
+      val ss = g.map(_._2).sorted
+      for (i <- ss.indices; j <- (i + 1) until ss.length) yield (ss(i), ss(j))
+    }.groupBy(identity).map { case ((a, b), occ) => (a, b, occ.size.toLong) }
+      .toSeq.sortBy { case (a, b, n) => (-n, a, b) }.take(5000)
+      .map { case (a, b, n) => (a, b, 1000000L / n) }
+    val und = weights.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val src = weights.flatMap(e => Seq(e._1, e._2)).min
+    var dist = Map(src -> 0L)
+    for (_ <- 1 to Graph.SsspRounds) {
+      val relaxed = und.flatMap { case (u, v, w) => dist.get(u).map(d => (v, d + w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (v, ds) => (v, ds.map(_._2).min) }
+    }
+    val expected = dist.toSeq.sortBy(_._1)
+    val got = Graph.sssp(spark, sf).collect()
+      .map(r => (r.getAs[Long]("v"), r.getAs[Long]("d"))).toSeq
+    assert(got == expected)
+    // weighted relaxation is genuinely exercised: some multi-hop distance
+    // is CHEAPER than a direct heavy edge would be, i.e. not all hops equal
+    assert(got.map(_._2).distinct.length > Graph.SsspRounds + 1)
+  }
+
+  test("ER clusters: component labels match a from-scratch union-find over the fuzzy pairs") {
+    val pairs = QuerySurface.fuzzyJoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_key"), r.getAs[Long]("b_key")))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val byRoot = members.groupBy(find)
+    val expected = byRoot.toSeq.flatMap { case (root, ms) =>
+      ms.map(m => (m, root, ms.length.toLong, m == root))
+    }.sortBy(_._1)
+    val got = QuerySurface.erClusters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("is_canonical"))).toSeq
+    assert(got == expected)
+    assert(expected.exists(_._3 >= 3)) // a transitive (multi-pair) cluster exists
+  }
+
+  test("tfidf pairs: sparse cosine matches a from-scratch exact-integer recompute") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").split(" ").filter(_.nonEmpty)))
+    val nDocs = docs.length.toLong
+    val dfs = docs.flatMap { case (id, t) => t.distinct.map((_, id)) }
+      .groupBy(_._1).map { case (t, o) => (t, o.length.toLong) }
+      .filter { case (_, df) => df >= 2 && df <= TextAnalysis.TfidfDfCap }
+    val w = docs.flatMap { case (id, toks) =>
+      toks.groupBy(identity).collect { case (t, occ) if dfs.contains(t) =>
+        ((id, t), occ.length.toLong * (nDocs * 1000L / dfs(t)))
+      }
+    }.toMap
+    val nsq = w.groupBy(_._1._1).map { case (id, ws) =>
+      (id, ws.values.map(x => BigInt(x) * x).sum)
+    }
+    def r6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val byTok = w.toSeq.map { case ((id, t), wf) => (t, id, wf) }.groupBy(_._1)
+    val expected = byTok.values.flatMap { g =>
+      for (a <- g; b <- g; if a._2 < b._2) yield ((a._2, b._2), BigInt(a._3) * b._3)
+    }.groupBy(_._1).toSeq.map { case ((d1, d2), prods) =>
+      val dot = prods.map(_._2).sum
+      val cos = r6(dot.toDouble / (math.sqrt(nsq(d1).toDouble) * math.sqrt(nsq(d2).toDouble)))
+      (d1, d2, prods.size.toLong, cos)
+    }.filter(_._4 >= TextAnalysis.TfidfThreshold).sortBy(p => (p._1, p._2))
+    val got = TextAnalysis.tfidfPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Long]("n_shared_terms"), r.getAs[Double]("cos"))).toSeq
+    assert(got == expected)
+  }
+
   test("keywords: per-doc tf-idf top-k matches a from-scratch recompute") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
