@@ -121,6 +121,7 @@ object SparkEntry {
       graft.streaming.StreamGate.enrichJoin(s, d)),
     "stream_stream_join" -> (graft.streaming.StreamGate.streamStreamJoin _),
     "stream_upsert" -> (graft.streaming.StreamGate.upsertSnapshot _),
+    "stream_anomaly" -> (graft.streaming.StreamGate.anomalies _),
 
     // -- sketches / scale statistics (round 4) --
     "q_approx_distinct" -> (Sketches.approxDistinctKmv _),
@@ -587,6 +588,10 @@ object SparkEntry {
     "stream_enrich_join" -> graft.streaming.StreamGate.enrichJoinOracleSql,
     "stream_stream_join" -> graft.streaming.StreamGate.streamStreamJoinOracleSql,
     "stream_upsert" -> graft.streaming.StreamGate.upsertSnapshotOracleSql,
+    // batch/stream parity: the custom-state streaming anomaly gate reuses
+    // the batch operator's oracle VERBATIM (single-batch replay ⇒ identical
+    // flags — the parity is the checked property)
+    "stream_anomaly" -> operators.QuerySurface.anomalyZscoreOracleSql(),
 
     "q_approx_distinct" -> Sketches.approxDistinctKmvOracleSql,
     "q_approx_distinct_est" -> Sketches.approxDistinctKmvEstimateOracleSql,

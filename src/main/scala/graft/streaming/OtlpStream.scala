@@ -482,6 +482,67 @@ object OtlpStream {
       }
   }
 
+  /** Input row for [[rollingAnomalyStream]]. */
+  final case class AnomEvent(event_id: Long, tsUs: Long, user_id: Long,
+      value: Double)
+
+  /** Per-user rolling buffer: the last ≤window (tsUs, event_id, v_fp)
+    * triples, time-ordered (public: state-encoder codegen constructs it). */
+  final case class AnomState(ts: Seq[Long], ids: Seq[Long], vfp: Seq[Long])
+
+  /** Flagged anomaly (matches the batch `q_anomaly` row shape). */
+  final case class AnomFlag(event_id: Long, ts_us: Long, user_id: Long,
+      value: Double, n_prev: Long)
+
+  /** Streaming twin of the batch rolling z-score operator
+    * ([[graft.operators.QuerySurface.anomalyZscore]]): per-user custom
+    * state (`flatMapGroupsWithState`) carries the last ≤`window` fixed-
+    * point values, each arriving event is tested with the identical
+    * squared-out integer z-test — `(n·v−S)² > z²(n·Q−S²)` over BigInt, no
+    * sqrt/division — and flagged rows are emitted in append mode. State
+    * per user is O(window) regardless of stream length — the property the
+    * batch window cannot give an unbounded stream.
+    *
+    * Ordering contract: events are sorted by (tsUs, event_id) WITHIN each
+    * group-batch before processing, so a replay that lands in one
+    * micro-batch (the gate's AvailableNow contract) reproduces the batch
+    * operator exactly — same oracle. Incremental runs stay exact while
+    * batches arrive time-ordered per user (the landing-dir model);
+    * out-of-order arrival within a watermark would need an event-time
+    * reorder buffer in front (the [[sessionizeStream]] timeout pattern) —
+    * documented, not implemented. */
+  def rollingAnomalyStream(events: Dataset[AnomEvent], window: Int = 20,
+      minPrev: Int = 8, z: Int = 3): Dataset[AnomFlag] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomState, AnomFlag](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[AnomEvent], state: GroupState[AnomState]) =>
+          val s = state.getOption.getOrElse(AnomState(Nil, Nil, Nil))
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          s.ts.indices.foreach(i => buf += ((s.ts(i), s.ids(i), s.vfp(i))))
+          val flags = scala.collection.mutable.ListBuffer.empty[AnomFlag]
+          it.toArray.sortBy(e => (e.tsUs, e.event_id)).foreach { e =>
+            val vFp = math.floor(e.value * 1000000).toLong
+            val n = BigInt(buf.length)
+            if (buf.length >= minPrev) {
+              val sSum = buf.iterator.map(t => BigInt(t._3)).sum
+              val qSum = buf.iterator.map(t => BigInt(t._3) * t._3).sum
+              val dev = n * vFp - sSum
+              if (dev * dev > BigInt(z) * z * (n * qSum - sSum * sSum))
+                flags += AnomFlag(e.event_id, e.tsUs, user, e.value, buf.length.toLong)
+            }
+            buf += ((e.tsUs, e.event_id, vFp))
+            if (buf.length > window) buf.remove(0)
+          }
+          state.update(AnomState(buf.map(_._1).toSeq, buf.map(_._2).toSeq,
+            buf.map(_._3).toSeq))
+          flags.iterator
+      }
+  }
+
   /** Batch-mode compaction of an hour of landed small files into
     * maxRecordsPerFile-sized parquet — the "optimal file sizes" goal of the
     * reference's batcher applied after the fact. One shuffle keyed by the

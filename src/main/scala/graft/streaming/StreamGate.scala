@@ -250,6 +250,24 @@ object StreamGate {
     } finally if (cacheStatic) nation.unpersist()
   }
 
+  /** Custom-state streaming gate: the rolling z-score anomaly detector
+    * ([[OtlpStream.rollingAnomalyStream]], per-user flatMapGroupsWithState
+    * with an O(window) buffer) over the replayed events. With the whole
+    * replay in one micro-batch (the [[eventsStream]] contract) the emitted
+    * flags are IDENTICAL to the batch `q_anomaly` operator, so this gate
+    * reuses the batch oracle verbatim — batch/stream parity as a checked
+    * property, not a claim. */
+  def anomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsUs"),
+        col("user_id"), col("value"))
+      .as[OtlpStream.AnomEvent]
+    val flags = OtlpStream.rollingAnomalyStream(ev)
+    runToMemory(spark, flags.toDF())
+      .orderBy(col("event_id"))
+  }
+
   /** STREAM-STREAM interval join over two replays of the event stream —
     * the last streaming join pattern ([[enrichJoin]] covers stream ⋈
     * static): purchases join errors by the same user within ±30 minutes

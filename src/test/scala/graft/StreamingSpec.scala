@@ -318,4 +318,16 @@ class StreamingSpec extends SparkTestBase {
       s"svc-giant must never flush; got ${got.mkString(", ")}")
     q.stop()
   }
+
+  test("custom-state anomaly stream reproduces the batch operator exactly (parity)") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("ts_us"),
+        r.getAs[Long]("user_id"), r.getAs[Double]("value"),
+        r.getAs[Long]("n_prev"))).toSeq
+    val streamed = rows(graft.streaming.StreamGate.anomalies(spark, sf))
+    val batch = rows(graft.operators.QuerySurface.anomalyZscore(spark, sf))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
