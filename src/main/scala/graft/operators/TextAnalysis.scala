@@ -858,7 +858,15 @@ object TextAnalysis {
     * by construction; the pair aggregate shuffles on the (d1, d2) key;
     * norms are one map-side-combined aggregate joined back by doc id.
     * At 100 TB this is exactly the shape of sparse candidate generation in
-    * hybrid (BM25 + dense) retrieval pipelines. */
+    * hybrid (BM25 + dense) retrieval pipelines. The ABSOLUTE df cap is the
+    * fan-out guard and deliberately does NOT scale with N — "discriminative"
+    * is a density notion, so a corpus that multiplies every term's df
+    * (e.g. the replicated sf1 sweep corpus, where both engines agree on an
+    * empty result because no term stays under the cap) legitimately yields
+    * fewer candidates; production tunes `dfCap` to the corpus' df
+    * distribution (a percentile of the df table this pipeline already
+    * builds), never to a fraction of N — a relative cap re-inflates the
+    * C(df,2) blow-up the cap exists to prevent. */
   def tfidfPairs(spark: SparkSession, sfDir: String, dfCap: Int = TfidfDfCap,
       threshold: Double = TfidfThreshold): DataFrame = {
     val docs = documents(spark, sfDir)
