@@ -187,6 +187,7 @@ object SparkEntry {
     "q_sssp" -> ((s: SparkSession, d: String) => Graph.sssp(s, d)),
     "q_er_clusters" -> (QuerySurface.erClusters _),
     "text_tfidf_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfPairs(s, d)),
+    "q_basket_pairs" -> ((s: SparkSession, d: String) => QuerySurface.basketPairs(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -461,6 +462,7 @@ object SparkEntry {
     "q_sssp" -> operators.Graph.ssspOracleSql(),
     "q_er_clusters" -> operators.QuerySurface.erClustersOracleSql(),
     "text_tfidf_pairs" -> operators.TextAnalysis.tfidfPairsOracleSql(),
+    "q_basket_pairs" -> operators.QuerySurface.basketPairsOracleSql(),
 
     "text_langid" ->
       """WITH t AS (

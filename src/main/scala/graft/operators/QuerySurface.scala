@@ -1299,6 +1299,89 @@ object QuerySurface {
        |FROM grp JOIN gs USING (cluster_id)
        |ORDER BY grp.p_partkey""".stripMargin
 
+  // ---- frequent itemset (market-basket) pair mining -----------------------
+
+  /** Per-basket item cap / result size for [[basketPairs]]. */
+  val BasketCap = 50
+  val BasketTopK = 20
+
+  /** Top-k co-occurring part pairs across order baskets with association
+    * metrics — the frequent-itemset primitive (A-priori's k=2 level, which
+    * dominates practical association mining): support (baskets containing
+    * both), confidence P(b|a), and lift P(ab)/(P(a)·P(b)), the latter two
+    * in truncating fixed point with a FIXED division order
+    * (`((sup_ab·N) div sup_a)·10⁶ div sup_b` — both engines truncate
+    * identically; headroom: sup_ab·N ≤ N², then ·10⁶ — safe to ~3·10⁶
+    * baskets, one fixed-point digit per 10× beyond, the [[Graph.pageRank]]
+    * scaling note pattern).
+    *
+    * Scale shape: per-basket fan-out capped at C([[BasketCap]], 2) BEFORE
+    * the pair self-join (the [[Graph.cappedSuppliers]] rule — TPC-H
+    * baskets hold ≤7 items, the cap is the power-law insurance), pair
+    * counts shuffle on the (a, b) key with map-side combine,
+    * TakeOrderedAndProject bounds the result, and the per-item support
+    * join touches only the k survivors. */
+  def basketPairs(spark: SparkSession, sfDir: String, cap: Int = BasketCap,
+      k: Int = BasketTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = li.select(col("l_orderkey")).distinct().count()
+    val sup = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("sup"))
+    val capped = li.withColumn("_rn", row_number().over(
+        Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))))
+      .filter(col("_rn") <= cap).drop("_rn")
+    val top = capped.as("a").join(capped.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .orderBy(col("sup_ab").desc, col("part_a"), col("part_b"))
+      .limit(k)
+    top
+      .join(broadcast(sup.withColumnRenamed("l_partkey", "part_a")
+        .withColumnRenamed("sup", "sup_a")), "part_a")
+      .join(broadcast(sup.withColumnRenamed("l_partkey", "part_b")
+        .withColumnRenamed("sup", "sup_b")), "part_b")
+      .withColumn("conf_fp", expr("(sup_ab * 1000000L) div sup_a"))
+      .withColumn("lift_fp",
+        expr(s"((sup_ab * ${nOrders}L) div sup_a) * 1000000L div sup_b"))
+      .select(col("part_a"), col("part_b"), col("sup_ab"), col("sup_a"),
+        col("sup_b"), col("conf_fp"), col("lift_fp"))
+      .orderBy(col("sup_ab").desc, col("part_a"), col("part_b"))
+  }
+
+  /** DuckDB twin of [[basketPairs]] — same cap, tie order, and fixed
+    * truncating-division order. */
+  def basketPairsOracleSql(cap: Int = BasketCap, k: Int = BasketTopK): String =
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), n AS (
+       |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM li
+       |), sup AS (
+       |  SELECT l_partkey, count(*) AS sup FROM li GROUP BY l_partkey
+       |), capped AS (
+       |  SELECT l_orderkey, l_partkey FROM (
+       |    SELECT l_orderkey, l_partkey,
+       |      row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+       |    FROM li
+       |  ) WHERE rn <= $cap
+       |), top AS (
+       |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       |    count(*) AS sup_ab
+       |  FROM capped a JOIN capped b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  ORDER BY sup_ab DESC, part_a, part_b LIMIT $k
+       |)
+       |SELECT part_a, part_b, top.sup_ab, sa.sup AS sup_a, sb.sup AS sup_b,
+       |  (top.sup_ab * 1000000) // sa.sup AS conf_fp,
+       |  ((top.sup_ab * n.n_orders) // sa.sup) * 1000000 // sb.sup AS lift_fp
+       |FROM top
+       |JOIN sup sa ON sa.l_partkey = part_a
+       |JOIN sup sb ON sb.l_partkey = part_b, n
+       |ORDER BY top.sup_ab DESC, part_a, part_b""".stripMargin
+
   // ---- rolling z-score anomaly detection ----------------------------------
 
   /** Rolling-window size / minimum history / threshold for [[anomalyZscore]]. */

@@ -325,6 +325,29 @@ class Round7cOpsSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("basket pairs: support/confidence/lift match a from-scratch recompute") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nOrders = li.map(_._1).distinct.length.toLong
+    val sup = li.groupBy(_._2).map { case (p, o) => (p, o.length.toLong) }
+    val pairCounts = li.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted.take(QuerySurface.BasketCap)
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case ((a, b), occ) => (a, b, occ.size.toLong) }
+    val expected = pairCounts.toSeq
+      .sortBy { case (a, b, n) => (-n, a, b) }.take(QuerySurface.BasketTopK)
+      .map { case (a, b, n) =>
+        (a, b, n, sup(a), sup(b), n * 1000000L / sup(a),
+          n * nOrders / sup(a) * 1000000L / sup(b))
+      }
+    val got = QuerySurface.basketPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Long]("sup_ab"), r.getAs[Long]("sup_a"), r.getAs[Long]("sup_b"),
+        r.getAs[Long]("conf_fp"), r.getAs[Long]("lift_fp"))).toSeq
+    assert(got == expected)
+  }
+
   test("keywords: per-doc tf-idf top-k matches a from-scratch recompute") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
