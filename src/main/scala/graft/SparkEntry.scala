@@ -188,6 +188,10 @@ object SparkEntry {
     "q_er_clusters" -> (QuerySurface.erClusters _),
     "text_tfidf_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfPairs(s, d)),
     "q_basket_pairs" -> ((s: SparkSession, d: String) => QuerySurface.basketPairs(s, d)),
+    "q_trend" -> (QuerySurface.trendFit _),
+    "q_ab_test" -> (QuerySurface.abTest _),
+    "q_dq_checks" -> (QuerySurface.dqChecks _),
+    "q_tvd_drift" -> (QuerySurface.tvdDrift _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -463,6 +467,10 @@ object SparkEntry {
     "q_er_clusters" -> operators.QuerySurface.erClustersOracleSql(),
     "text_tfidf_pairs" -> operators.TextAnalysis.tfidfPairsOracleSql(),
     "q_basket_pairs" -> operators.QuerySurface.basketPairsOracleSql(),
+    "q_trend" -> operators.QuerySurface.trendFitOracleSql,
+    "q_ab_test" -> operators.QuerySurface.abTestOracleSql,
+    "q_dq_checks" -> operators.QuerySurface.dqChecksOracleSql,
+    "q_tvd_drift" -> operators.QuerySurface.tvdDriftOracleSql,
 
     "text_langid" ->
       """WITH t AS (

@@ -1299,6 +1299,303 @@ object QuerySurface {
        |FROM grp JOIN gs USING (cluster_id)
        |ORDER BY grp.p_partkey""".stripMargin
 
+  // ---- grouped trend fitting (OLS) ----------------------------------------
+
+  /** Per-series linear trend over hourly event counts — ordinary least
+    * squares in EXACT integer arithmetic: for each event_type, hours are
+    * re-indexed from the series' own first hour (t = hour − min_hour, so
+    * every moment sum stays far inside BIGINT at any sf), y = events in
+    * that hour, and the closed-form slope `(nΣty − ΣtΣy)/(nΣt² − (Σt)²)`
+    * is emitted as a 10⁻⁶ fixed-point truncating division plus its exact
+    * integer numerator/denominator (the rational answer itself, for
+    * consumers that refuse rounding). The slope-over-buckets shape is the
+    * capacity-planning / drift-trend primitive on metric streams.
+    *
+    * Scale shape: one time-bucket aggregate (map-side combined), one
+    * per-series min join (broadcast-scale — |series| keys), one moment
+    * aggregate per series. No windows, no sorts beyond the final tiny
+    * ORDER BY. */
+  def trendFit(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("y"))
+    val h0 = hourly.groupBy(col("event_type")).agg(min(col("h")).as("h0"))
+    hourly.join(broadcast(h0), "event_type")
+      .withColumn("t", col("h") - col("h0"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("t")).as("st"), sum(col("y")).as("sy"),
+        sum(col("t") * col("y")).as("sty"), sum(col("t") * col("t")).as("stt"))
+      .filter(col("n_buckets") >= 2)
+      .withColumn("num", expr("n_buckets * sty - st * sy"))
+      .withColumn("den", expr("n_buckets * stt - st * st"))
+      .withColumn("slope_fp", expr("(num * 1000000L) div den"))
+      .select(col("event_type"), col("n_buckets"), col("sy").as("total_events"),
+        col("num"), col("den"), col("slope_fp"),
+        (col("slope_fp").cast("double") / lit(1000000.0)).as("slope_per_hour"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[trendFit]] — identical re-indexed moments and
+    * truncating fixed-point slope. */
+  def trendFitOracleSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS y
+      |  FROM events GROUP BY 1, 2
+      |), h0 AS (
+      |  SELECT event_type, min(h) AS h0 FROM hourly GROUP BY 1
+      |), m AS (
+      |  SELECT hourly.event_type,
+      |    count(*) AS n_buckets,
+      |    CAST(sum(h - h0) AS BIGINT) AS st,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum((h - h0) * y) AS BIGINT) AS sty,
+      |    CAST(sum((h - h0) * (h - h0)) AS BIGINT) AS stt
+      |  FROM hourly JOIN h0 USING (event_type) GROUP BY 1
+      |)
+      |SELECT event_type, n_buckets, sy AS total_events,
+      |  CAST(n_buckets * sty - st * sy AS BIGINT) AS num,
+      |  CAST(n_buckets * stt - st * st AS BIGINT) AS den,
+      |  CAST(((n_buckets * sty - st * sy) * 1000000)
+      |    // (n_buckets * stt - st * st) AS BIGINT) AS slope_fp,
+      |  CAST(CAST(((n_buckets * sty - st * sy) * 1000000)
+      |    // (n_buckets * stt - st * st) AS BIGINT) AS DOUBLE) / 1000000.0
+      |    AS slope_per_hour
+      |FROM m WHERE n_buckets >= 2
+      |ORDER BY event_type""".stripMargin
+
+  // ---- two-cohort A/B comparison ------------------------------------------
+
+  /** Squared z threshold for [[abTest]] (1.96² at 95%). */
+  val AbZsq = 3.841459
+
+  /** The z² expression shared verbatim by the Spark `expr` and the DuckDB
+    * twin — identical IEEE op sequence over exact integer inputs. */
+  private val AbZsqExprSql: String = {
+    val diff = "(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    val va = "((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE) * CAST(na AS DOUBLE)))"
+    val vb = "((CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)))"
+    s"($diff * $diff) / ($va + $vb)"
+  }
+
+  /** Per-event-type two-cohort (A/B) comparison of `value`: cohorts are a
+    * deterministic user split (even/odd user_id — the RNG-free assignment
+    * rule, like [[graft.operators.Sampling.sampleSplit]]), and the Welch z
+    * statistic is computed from EXACT integer moment sums (n, Σv, Σv² per
+    * cohort in 10⁻⁶ fixed point, DECIMAL-exact) so the only floating-point
+    * work is the final closed-form expression over identical exact
+    * integers — both engines run the same IEEE sequence and round6 sees
+    * bit-identical values (the [[graft.operators.TextAnalysis.tfidfPairs]]
+    * cast argument). Emits means, the z², and the significance flag — the
+    * experimentation-analysis primitive.
+    *
+    * Scale shape: ONE map-side-combined aggregate keyed on (event_type,
+    * cohort) — six numbers per key — then a self-merge of the two cohort
+    * rows per type. No row ever leaves the aggregate. */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val moments = events(spark, sfDir)
+      .select(col("event_type"), (col("user_id") % 2 === 0).as("is_a"),
+        expr("CAST(floor(value * 1000000) AS DECIMAL(38,0))").as("v_fp"))
+      .groupBy(col("event_type"), col("is_a"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v_fp")).cast("decimal(38,0)").as("s"),
+        sum(expr("v_fp * v_fp")).cast("decimal(38,0)").as("q"))
+    val a = moments.filter(col("is_a"))
+      .select(col("event_type"), col("n").as("na"), col("s").as("sa"), col("q").as("qa"))
+    val b = moments.filter(!col("is_a"))
+      .select(col("event_type"), col("n").as("nb"), col("s").as("sb"), col("q").as("qb"))
+    a.join(b, "event_type")
+      .withColumn("mean_a", Tables.portableRound6(
+        col("sa").cast("double") / col("na") / lit(1000000.0)))
+      .withColumn("mean_b", Tables.portableRound6(
+        col("sb").cast("double") / col("nb") / lit(1000000.0)))
+      // Welch: z² = (μa−μb)² / (va/na + vb/nb), variances population-form;
+      // every input is an exact integer cast to double, the square is an
+      // explicit self-multiply (pow(x, 2) may route through libm — not
+      // guaranteed correctly rounded on every engine), and the 10⁶ moment
+      // scaling cancels between numerator (10¹²) and variance sum (10¹²)
+      .withColumn("z_sq", Tables.portableRound6(expr(AbZsqExprSql)))
+      .withColumn("significant", col("z_sq") > lit(AbZsq))
+      .select(col("event_type"), col("na"), col("nb"), col("mean_a"),
+        col("mean_b"), col("z_sq"), col("significant"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[abTest]] — identical exact moments and IEEE
+    * expression order (the z² expression string is SHARED with the Spark
+    * side, so the op sequence cannot drift). */
+  def abTestOracleSql: String = {
+    val zExpr = AbZsqExprSql
+    s"""WITH m AS (
+       |  SELECT event_type, user_id % 2 = 0 AS is_a, count(*) AS n,
+       |    sum(CAST(floor(value * 1000000) AS HUGEINT)) AS s,
+       |    sum(CAST(floor(value * 1000000) AS HUGEINT)
+       |      * CAST(floor(value * 1000000) AS HUGEINT)) AS q
+       |  FROM events GROUP BY 1, 2
+       |), a AS (
+       |  SELECT event_type, n AS na, s AS sa, q AS qa FROM m WHERE is_a
+       |), b AS (
+       |  SELECT event_type, n AS nb, s AS sb, q AS qb FROM m WHERE NOT is_a
+       |)
+       |SELECT a.event_type, na, nb,
+       |  ${Tables.portableRound6Sql("CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1000000.0")} AS mean_a,
+       |  ${Tables.portableRound6Sql("CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1000000.0")} AS mean_b,
+       |  ${Tables.portableRound6Sql(zExpr)} AS z_sq,
+       |  ${Tables.portableRound6Sql(zExpr)} > $AbZsq AS significant
+       |FROM a JOIN b USING (event_type)
+       |ORDER BY a.event_type""".stripMargin
+  }
+
+  // ---- data-quality expectation checks ------------------------------------
+
+  /** Data-quality expectation suite over the star schema — the
+    * dbt-test / Great-Expectations primitive as one operator: each rule
+    * evaluates to a violation count, single-table rules COMPILE INTO ONE
+    * conditional-aggregate scan per table (never a pass per rule — at
+    * 100 TB the scan is the cost and rules are free riders on it), and
+    * the referential rules are anti-join counts. Emits `(rule,
+    * violations)` — a report whose all-zeros row set is the pass state.
+    *
+    * Scale shape: one scan per table + two anti-join aggregates; every
+    * output is a scalar per rule. */
+  def dqChecks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = lineitem(spark, sfDir)
+    val od = orders(spark, sfDir)
+    val liRow = li.agg(
+      sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"),
+      sum(when(col("l_quantity") < 0 || col("l_quantity") > 60, 1L)
+        .otherwise(0L)).as("range_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+        .otherwise(0L)).as("range_disc")).head
+    val odRow = od.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_pk"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust")).head
+    val orphanLi = li.join(od.select(col("o_orderkey").as("l_orderkey")),
+      Seq("l_orderkey"), "left_anti").count()
+    val orphanOd = od.join(
+      customer(spark, sfDir).select(col("c_custkey").as("o_custkey")),
+      Seq("o_custkey"), "left_anti").count()
+    Seq(
+      ("lineitem.l_quantity not null", liRow.getAs[Long]("null_qty")),
+      ("lineitem.l_quantity in [0,60]", liRow.getAs[Long]("range_qty")),
+      ("lineitem.l_discount in [0,1]", liRow.getAs[Long]("range_disc")),
+      ("orders.o_orderkey unique", odRow.getAs[Long]("dup_pk")),
+      ("orders.o_custkey not null", odRow.getAs[Long]("null_cust")),
+      ("lineitem.l_orderkey references orders", orphanLi),
+      ("orders.o_custkey references customer", orphanOd))
+      .toDF("rule", "violations")
+      .orderBy(col("rule"))
+  }
+
+  /** DuckDB twin of [[dqChecks]] — same rules, same anti-join semantics. */
+  def dqChecksOracleSql: String =
+    """SELECT rule, violations FROM (
+      |  SELECT 'lineitem.l_quantity not null' AS rule,
+      |    CAST(count(*) FILTER (l_quantity IS NULL) AS BIGINT) AS violations
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.l_quantity in [0,60]',
+      |    CAST(count(*) FILTER (l_quantity < 0 OR l_quantity > 60) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.l_discount in [0,1]',
+      |    CAST(count(*) FILTER (l_discount < 0 OR l_discount > 1) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders.o_orderkey unique',
+      |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey not null',
+      |    CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey references orders',
+      |    CAST((SELECT count(*) FROM lineitem
+      |          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey references customer',
+      |    CAST((SELECT count(*) FROM orders
+      |          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+      |) ORDER BY rule""".stripMargin
+
+  // ---- distribution drift (total variation distance) ----------------------
+
+  /** Value-bucket width for [[tvdDrift]]. */
+  val DriftBucket = 50L
+
+  /** Distribution drift between the first and second time halves of each
+    * event series: values bucket at width [[DriftBucket]], per-half bucket
+    * proportions go to 10⁻⁶ fixed point (`cnt·10⁶ div n`, truncating), and
+    * the drift score is the total variation distance `Σ|p₁−p₂| div 2` —
+    * the PSI/KL alternative with NO logarithm, so the whole metric is
+    * integer-exact cross-engine (the no-transcendentals rule). The split
+    * point is the integer midpoint of the observed µs range — a pure
+    * function of the data. Per-type drift plus the per-bucket breakdown
+    * feed monitoring and retraining triggers.
+    *
+    * Scale shape: one bucket-count aggregate keyed (type, half, bucket),
+    * one full-outer self-merge per (type, bucket), one per-type sum. */
+  def tvdDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        expr(s"CAST(floor(value / $DriftBucket) AS BIGINT)").as("bucket"))
+    val bounds = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    val halves = ev.crossJoin(broadcast(bounds))
+      .withColumn("half", when(col("us") * 2 <= col("lo") + col("hi"), 1L).otherwise(2L))
+      .groupBy(col("event_type"), col("half"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val n = halves.groupBy(col("event_type"), col("half"))
+      .agg(sum(col("cnt")).as("n"))
+    val p = halves.join(n, Seq("event_type", "half"))
+      .withColumn("p_fp", expr("(cnt * 1000000L) div n"))
+    val p1 = p.filter(col("half") === 1L)
+      .select(col("event_type"), col("bucket"), col("p_fp").as("p1"))
+    val p2 = p.filter(col("half") === 2L)
+      .select(col("event_type"), col("bucket"), col("p_fp").as("p2"))
+    p1.join(p2, Seq("event_type", "bucket"), "full_outer")
+      .select(col("event_type"),
+        abs(coalesce(col("p1"), lit(0L)) - coalesce(col("p2"), lit(0L))).as("d"))
+      .groupBy(col("event_type"))
+      .agg(expr("sum(d) div 2").as("tvd_fp"), count(lit(1)).as("n_buckets"))
+      .withColumn("tvd", col("tvd_fp").cast("double") / lit(1000000.0))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[tvdDrift]] — identical split, buckets, fixed-point
+    * proportions, and TVD fold. */
+  def tvdDriftOracleSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, epoch_us(ts) AS us,
+       |    CAST(floor(value / $DriftBucket) AS BIGINT) AS bucket
+       |  FROM events
+       |), b AS (
+       |  SELECT min(us) AS lo, max(us) AS hi FROM ev
+       |), halves AS (
+       |  SELECT event_type,
+       |    CASE WHEN us * 2 <= lo + hi THEN 1 ELSE 2 END AS half,
+       |    bucket, count(*) AS cnt
+       |  FROM ev, b GROUP BY 1, 2, 3
+       |), n AS (
+       |  SELECT event_type, half, CAST(sum(cnt) AS BIGINT) AS n
+       |  FROM halves GROUP BY 1, 2
+       |), p AS (
+       |  SELECT halves.event_type, halves.half, halves.bucket,
+       |    (cnt * 1000000) // n.n AS p_fp
+       |  FROM halves JOIN n USING (event_type, half)
+       |), j AS (
+       |  SELECT coalesce(p1.event_type, p2.event_type) AS event_type,
+       |    abs(coalesce(p1.p_fp, 0) - coalesce(p2.p_fp, 0)) AS d
+       |  FROM (SELECT * FROM p WHERE half = 1) p1
+       |  FULL OUTER JOIN (SELECT * FROM p WHERE half = 2) p2
+       |    ON p1.event_type = p2.event_type AND p1.bucket = p2.bucket
+       |)
+       |SELECT event_type, CAST(sum(d) // 2 AS BIGINT) AS tvd_fp,
+       |  count(*) AS n_buckets,
+       |  CAST(CAST(sum(d) // 2 AS BIGINT) AS DOUBLE) / 1000000.0 AS tvd
+       |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- frequent itemset (market-basket) pair mining -----------------------
 
   /** Per-basket item cap / result size for [[basketPairs]]. */
