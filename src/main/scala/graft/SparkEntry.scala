@@ -192,6 +192,8 @@ object SparkEntry {
     "q_ab_test" -> (QuerySurface.abTest _),
     "q_dq_checks" -> (QuerySurface.dqChecks _),
     "q_tvd_drift" -> (QuerySurface.tvdDrift _),
+    "q_k_anonymity" -> ((s: SparkSession, d: String) => QuerySurface.kAnonymity(s, d)),
+    "pack_chunks_overlap" -> ((s: SparkSession, d: String) => Sampling.chunkOverlap(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -471,6 +473,8 @@ object SparkEntry {
     "q_ab_test" -> operators.QuerySurface.abTestOracleSql,
     "q_dq_checks" -> operators.QuerySurface.dqChecksOracleSql,
     "q_tvd_drift" -> operators.QuerySurface.tvdDriftOracleSql,
+    "q_k_anonymity" -> operators.QuerySurface.kAnonymityOracleSql(),
+    "pack_chunks_overlap" -> operators.Sampling.chunkOverlapOracleSql(),
 
     "text_langid" ->
       """WITH t AS (

@@ -1299,6 +1299,45 @@ object QuerySurface {
        |FROM grp JOIN gs USING (cluster_id)
        |ORDER BY grp.p_partkey""".stripMargin
 
+  // ---- k-anonymity audit ---------------------------------------------------
+
+  /** Anonymity threshold / balance-bucket width for [[kAnonymity]]. */
+  val KAnonK = 5L
+  val KAnonBalBucket = 1000L
+
+  /** K-anonymity audit over the customer table — the privacy-governance
+    * primitive for training-data release: customers group by their
+    * quasi-identifier tuple (nation, market segment, account-balance
+    * bucket), and any group smaller than k = [[KAnonK]] is a
+    * re-identification risk (its members are distinguishable by attributes
+    * an adversary can plausibly know). Emits the risky groups with their
+    * sizes plus the affected-row count per group — the report a release
+    * gate thresholds on; the remediation (suppress or widen buckets) is a
+    * re-run with coarser quasi-identifiers.
+    *
+    * Scale shape: ONE map-side-combined aggregate on the QI tuple; the
+    * risky subset is a filter on the aggregate, never a second scan. */
+  def kAnonymity(spark: SparkSession, sfDir: String, k: Long = KAnonK): DataFrame =
+    customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        expr(s"CAST(floor(c_acctbal / $KAnonBalBucket) AS BIGINT)").as("bal_bucket"))
+      .groupBy(col("nationkey"), col("mktsegment"), col("bal_bucket"))
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+      .orderBy(col("nationkey"), col("mktsegment"), col("bal_bucket"))
+
+  /** DuckDB twin of [[kAnonymity]]. */
+  def kAnonymityOracleSql(k: Long = KAnonK): String =
+    s"""SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       |  c_mktsegment AS mktsegment,
+       |  CAST(floor(c_acctbal / $KAnonBalBucket) AS BIGINT) AS bal_bucket,
+       |  count(*) AS group_size
+       |FROM customer
+       |GROUP BY 1, 2, 3
+       |HAVING count(*) < $k
+       |ORDER BY nationkey, mktsegment, bal_bucket""".stripMargin
+
   // ---- grouped trend fitting (OLS) ----------------------------------------
 
   /** Per-series linear trend over hourly event counts — ordinary least

@@ -341,6 +341,75 @@ object Sampling {
       .orderBy(col("source"), col("rn"))
   }
 
+  /** Chunk length / stride (words) for [[chunkOverlap]]. */
+  val ChunkLen = 64
+  val ChunkStride = 48
+
+  /** Overlapping document chunking — the RAG/retrieval-indexing complement
+    * to [[packSequences]] (which packs whole documents into budgets, never
+    * splitting): each document yields fixed [[ChunkLen]]-word windows at
+    * stride [[ChunkStride]] (the overlap keeps boundary-spanning passages
+    * retrievable), each chunk carrying its offset, length, and a portable
+    * 63-bit content hash (chunk-level dedup/lineage key — two docs sharing
+    * a verbatim chunk collide here, by design). The final (short) window
+    * is kept iff it adds tokens beyond the previous chunk. Pure per-row
+    * explode — linear, no shuffle; chunk identity is (doc_id, chunk_id).
+    */
+  def chunkOverlap(spark: SparkSession, sfDir: String, len: Int = ChunkLen,
+      stride: Int = ChunkStride): DataFrame = {
+    val chunkUdf = udf { (toks: Seq[String]) =>
+      val n = toks.length
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var i = 0
+      var cid = 0L
+      while (i < n) {
+        val w = math.min(len, n - i)
+        out += ((cid, i.toLong, w.toLong,
+          PortableHash.md5Lower63(toks.slice(i, i + w).mkString(" "))))
+        cid += 1L
+        if (i + len >= n) i = n else i += stride
+      }
+      out.toSeq
+    }
+    documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(chunkUdf(col("t"))).as("c"))
+      .select(col("doc_id"), col("c._1").as("chunk_id"),
+        col("c._2").as("start_tok"), col("c._3").as("n_toks"),
+        col("c._4").as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** DuckDB twin of [[chunkOverlap]] — stride positions via range(), the
+    * same keep-final-window rule, and the portable chunk hash. */
+  def chunkOverlapOracleSql(len: Int = ChunkLen, stride: Int = ChunkStride): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n
+       |  FROM documents
+       |), pos AS (
+       |  -- stride starts strictly below n; the loop's "jump to end" rule
+       |  -- means a start is emitted iff start = 0 or start < n
+       |  SELECT doc_id, w, n, unnest(range(0, greatest(n, 1), $stride)) AS i
+       |  FROM t
+       |), keepers AS (
+       |  -- the Spark loop jumps to n once a window reaches the end, so a
+       |  -- start position i > 0 survives only if the PREVIOUS start's
+       |  -- window did not already cover the tail: i - $stride + $len < n
+       |  SELECT doc_id, w, n, i FROM pos
+       |  WHERE i = 0 OR i - $stride + $len < n
+       |), c AS (
+       |  SELECT doc_id, i,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_id,
+       |    least($len, n - i) AS n_toks,
+       |    CAST(md5_number_lower(array_to_string(w[i+1:i+least($len, n - i)], ' '))
+       |      & 9223372036854775807 AS BIGINT) AS chunk_hash
+       |  FROM keepers
+       |)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(i AS BIGINT) AS start_tok, CAST(n_toks AS BIGINT) AS n_toks,
+       |  chunk_hash
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   /** DuckDB twin of [[sampleReservoir]] — the SINGLE-window form; matching
     * it certifies the two-level salted rewrite is semantics-preserving. */
   def sampleReservoirOracleSql(k: Int = ReservoirK): String =

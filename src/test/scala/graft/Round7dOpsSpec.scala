@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{QuerySurface, Tables}
+import graft.functions.PortableHash
+import graft.operators.{QuerySurface, Sampling, Tables}
 
 /** Round-7 fourth-batch operators: OLS trend fitting, two-cohort A/B z²,
   * data-quality expectations, TVD distribution drift. Same contract as the
@@ -81,6 +82,57 @@ class Round7dOpsSpec extends SparkTestBase {
       .map(_.getLong(0)).toSet
     assert((li -- ods.map(_._1).toSet).isEmpty)
     assert(ods.map(_._2).forall(custs.contains))
+  }
+
+  test("k-anonymity: risky quasi-identifier groups match a direct recompute") {
+    val cs = Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.floor(r.getDouble(2) / QuerySurface.KAnonBalBucket).toLong))
+    val expected = cs.groupBy(identity).map { case (qi, rows) => (qi, rows.length.toLong) }
+      .filter(_._2 < QuerySurface.KAnonK)
+      .toSeq.map { case ((n, m, b), sz) => (n, m, b, sz) }
+      .sortBy(t => (t._1, t._2, t._3))
+    val got = QuerySurface.kAnonymity(spark, sf).collect()
+      .map(r => (r.getAs[Long]("nationkey"), r.getAs[String]("mktsegment"),
+        r.getAs[Long]("bal_bucket"), r.getAs[Long]("group_size"))).toSeq
+    assert(got == expected)
+    assert(expected.nonEmpty) // the sparse QI space genuinely flags groups
+  }
+
+  test("chunk overlap: windows, strides, tail rule, and hashes match a recompute") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+    val (len, stride) = (Sampling.ChunkLen, Sampling.ChunkStride)
+    val expected = docs.flatMap { case (id, t) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+      var i = 0; var cid = 0L
+      while (i < t.length) {
+        val w = math.min(len, t.length - i)
+        out += ((id, cid, i.toLong, w.toLong,
+          PortableHash.md5Lower63(t.slice(i, i + w).mkString(" "))))
+        cid += 1
+        if (i + len >= t.length) i = t.length else i += stride
+      }
+      out
+    }.sortBy(c => (c._1, c._2)).toSeq
+    val got = Sampling.chunkOverlap(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("n_toks"),
+        r.getAs[Long]("chunk_hash"))).toSeq
+    assert(got == expected)
+    // coverage + overlap: every token of every doc falls in some chunk, and
+    // consecutive chunks overlap by len - stride
+    docs.foreach { case (id, t) =>
+      val cs = expected.filter(_._1 == id)
+      assert(cs.map(c => c._3 + c._4).max == t.length)
+      cs.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 == a._3 + stride && a._3 + a._4 > b._3)
+        case _ =>
+      }
+    }
   }
 
   test("tvd drift: fixed-point total variation distance matches a recompute") {
