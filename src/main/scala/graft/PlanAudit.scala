@@ -150,6 +150,25 @@ object PlanAudit {
       }
       recallOf("sim_ann_ivf")(operators.Similarity.annIvf(spark, sfDir, k = k))
       recallOf("sim_ann_ivf_kmeans")(operators.Similarity.annIvfKmeans(spark, sfDir, k = k))
+      // PQ approximates L2 distance, so its recall is measured against the
+      // exact L2 top-k — matching the metric, not the cosine baseline above
+      val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+        .collect().map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[scala.collection.Seq[Double]]("v").toArray))
+      val exactL2 = vecs.filter(_._1 < 8).flatMap { case (qid, qv) =>
+        vecs.filter(_._1 != qid).map { case (nid, nv) =>
+          var d = 0.0; var i = 0
+          while (i < qv.length) { val t = qv(i) - nv(i); d += t * t; i += 1 }
+          (nid, d)
+        }.sortBy { case (nid, d) => (d, nid) }.take(k).map(p => (qid, p._1))
+      }.toSet
+      val gotPq = time(s"sim_ann_pq (k=$k)")(
+        operators.Similarity.annPq(spark, sfDir, k = k)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
+      val hitPq = (gotPq & exactL2).size
+      println(f"[audit] recall@$k sim_ann_pq (vs exact L2): ${hitPq.toDouble / exactL2.size}%.3f ($hitPq/${exactL2.size})")
     }
     spark.stop()
   }
