@@ -194,6 +194,8 @@ object SparkEntry {
     "q_tvd_drift" -> (QuerySurface.tvdDrift _),
     "q_k_anonymity" -> ((s: SparkSession, d: String) => QuerySurface.kAnonymity(s, d)),
     "pack_chunks_overlap" -> ((s: SparkSession, d: String) => Sampling.chunkOverlap(s, d)),
+    "q_assortativity" -> ((s: SparkSession, d: String) => Graph.assortativity(s, d)),
+    "sim_rrf" -> ((s: SparkSession, d: String) => Similarity.rrfFusion(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -475,6 +477,8 @@ object SparkEntry {
     "q_tvd_drift" -> operators.QuerySurface.tvdDriftOracleSql,
     "q_k_anonymity" -> operators.QuerySurface.kAnonymityOracleSql(),
     "pack_chunks_overlap" -> operators.Sampling.chunkOverlapOracleSql(),
+    "q_assortativity" -> operators.Graph.assortativityOracleSql,
+    "sim_rrf" -> operators.Similarity.rrfFusionOracleSql(),
 
     "text_langid" ->
       """WITH t AS (

@@ -388,6 +388,93 @@ object Graph {
   val KcoreK = 4
   val KcoreRounds = 8
 
+  /** Degree assortativity of the co-purchase backbone — the Pearson
+    * correlation of endpoint degrees over the symmetrized edge list, the
+    * standard one-number summary of whether hubs attach to hubs
+    * (assortative, r>0) or to leaves (disassortative, r<0; most similarity
+    * and co-occurrence graphs are). All five moment sums are EXACT BIGINT
+    * (degrees are bounded by the top-k backbone), and only the final
+    * closed-form r is computed in doubles from those identical exact
+    * integers, round6'd — the [[QuerySurface.abTest]] determinism
+    * pattern. Emits the moments alongside r so consumers can re-derive.
+    *
+    * Scale shape: one degree aggregate, two broadcast-scale degree joins
+    * onto the edge list, one global moment aggregate — no windows. On a
+    * full 100 TB edge list the same plan holds with the degree join
+    * becoming a shuffle join on the vertex id. */
+  def assortativity(spark: SparkSession, sfDir: String,
+      topEdges: Int = CoPurchaseTopEdges,
+      maxSuppliersPerCustomer: Int = MaxSuppliersPerCustomer): DataFrame = {
+    val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+    val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(od, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    assortativityOf(
+      coPurchaseEdges(cs, topEdges, maxSuppliersPerCustomer).localCheckpoint(true))
+  }
+
+  /** The moment/correlation core of [[assortativity]] over an arbitrary
+    * (src, dst) edge frame — exposed for the spec's non-regular synthetic
+    * graph (the gate backbones at small sf are complete, hence degenerate
+    * NULL r). */
+  private[graft] def assortativityOf(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    und
+      .join(deg.select(col("u"), col("d").as("x")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("y")), "v")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("assortativity",
+        when(expr(AssortativityGuardSql), lit(null).cast("double"))
+          .otherwise(Tables.portableRound6(expr(AssortativityRSql))))
+      .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+        col("syy"), col("assortativity"))
+  }
+
+  /** Integer-exact degenerate-case guard shared with the oracle: a REGULAR
+    * graph (the complete sf0.01 backbone) has zero degree variance on one
+    * or both axes, making r 0/0 — emitted as NULL on both engines (ANSI
+    * Spark would otherwise throw on the division). */
+  private val AssortativityGuardSql =
+    "n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0"
+
+  /** The closed-form r over exact integer moments — one string, both
+    * engines. */
+  private val AssortativityRSql =
+    """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      | (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |  sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin
+
+  /** DuckDB twin of [[assortativity]] — shared backbone, identical exact
+    * moments and IEEE expression. */
+  def assortativityOracleSql: String = {
+    val rExpr = AssortativityRSql
+    s"""WITH $backboneSqlCtes, und AS (
+       |  SELECT src AS u, dst AS v FROM e
+       |  UNION ALL
+       |  SELECT dst, src FROM e
+       |), deg AS (
+       |  SELECT u, count(*) AS d FROM und GROUP BY u
+       |), m AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(dx.d) AS BIGINT) AS sx, CAST(sum(dy.d) AS BIGINT) AS sy,
+       |    CAST(sum(dx.d * dy.d) AS BIGINT) AS sxy,
+       |    CAST(sum(dx.d * dx.d) AS BIGINT) AS sxx,
+       |    CAST(sum(dy.d * dy.d) AS BIGINT) AS syy
+       |  FROM und JOIN deg dx ON und.u = dx.u JOIN deg dy ON und.v = dy.u
+       |)
+       |SELECT n, sx, sy, sxy, sxx, syy,
+       |  CASE WHEN $AssortativityGuardSql THEN NULL
+       |       ELSE ${Tables.portableRound6Sql(rExpr)} END AS assortativity
+       |FROM m""".stripMargin
+  }
+
   /** Relaxation rounds for [[sssp]]. */
   val SsspRounds = 4
 

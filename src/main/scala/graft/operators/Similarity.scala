@@ -1018,6 +1018,97 @@ object Similarity {
   /** ADC shortlist size multiplier for [[annPq]]'s exact re-rank stage. */
   val ShortlistFactor = 10
 
+  // ---- reciprocal-rank fusion ---------------------------------------------
+
+  /** RRF constant / per-ranker pool depth for [[rrfFusion]]. */
+  val RrfC = 60L
+  val RrfPool = 10
+
+  /** Reciprocal-rank fusion of two rankers — the standard hybrid-retrieval
+    * combiner (fuse sparse and dense rankings without score calibration):
+    * each query's candidates are ranked independently by cosine similarity
+    * (descending) and by exact L2 distance (ascending), each ranker
+    * contributes `⌊10⁶/(C + rank)⌋` for its top-[[RrfPool]] placements
+    * (C = [[RrfC]], the published constant; truncating integer division —
+    * no floats in the fusion), and the fused top-k per query is returned
+    * with the constituent ranks. Cosine and L2 disagree exactly when
+    * vector NORMS differ — the disagreement RRF exists to absorb.
+    *
+    * Scale shape: one broadcast-queries candidate join (the [[topK]]
+    * shape), two rank windows over the same per-query partition, one
+    * fused top-k. At scale each ranker is replaced by its ANN form
+    * ([[annLsh]]/[[annPq]]) feeding the same fusion — the gate fuses the
+    * EXACT rankers so the oracle stays one self-contained query. */
+  def rrfFusion(spark: SparkSession, sfDir: String, k: Int = 5,
+      pool: Int = RrfPool, nQueries: Int = 8): DataFrame = {
+    val e = withVec(embeddings(spark, sfDir))
+    val q = e.filter(col("vec_id") < nQueries)
+    val base = broadcast(q).as("q").join(e.as("e"),
+        col("q.vec_id") =!= col("e.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
+        cosine(col("q.v"), col("q.nrm"), col("e.v"), col("e.nrm")).as("cos"),
+        Tables.portableRound6(
+          dot(col("q.v"), col("q.v")) - lit(2.0) * dot(col("q.v"), col("e.v"))
+            + dot(col("e.v"), col("e.v"))).as("dist"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val wl = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_fp").desc, col("neighbor_id"))
+    base
+      .withColumn("rank_cos", row_number().over(wc).cast("long"))
+      .withColumn("rank_l2", row_number().over(wl).cast("long"))
+      .filter(col("rank_cos") <= pool || col("rank_l2") <= pool)
+      .withColumn("rrf_fp",
+        when(col("rank_cos") <= pool,
+          expr(s"1000000L div ($RrfC + rank_cos)")).otherwise(lit(0L)) +
+        when(col("rank_l2") <= pool,
+          expr(s"1000000L div ($RrfC + rank_l2)")).otherwise(lit(0L)))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("rrf_fp"),
+        when(col("rank_cos") <= pool, col("rank_cos")).as("rank_cos"),
+        when(col("rank_l2") <= pool, col("rank_l2")).as("rank_l2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB twin of [[rrfFusion]] — same candidate set, rank windows,
+    * truncating fusion, and NULL rule for out-of-pool ranks. */
+  def rrfFusionOracleSql(k: Int = 5, pool: Int = RrfPool,
+      nQueries: Int = 8): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+       |  WHERE list_dot_product(v, v) > 0 AND NOT isnan(list_dot_product(v, v))
+       |), s AS (
+       |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |    ${Tables.portableRound6Sql("list_dot_product(q.v, x.v) / (q.nrm * x.nrm)")} AS cos,
+       |    ${Tables.portableRound6Sql(
+              "list_dot_product(q.v, q.v) - 2.0 * list_dot_product(q.v, x.v) + list_dot_product(x.v, x.v)")} AS dist
+       |  FROM n q JOIN n x ON q.vec_id < $nQueries AND q.vec_id <> x.vec_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank_cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rank_l2
+       |  FROM s
+       |), f AS (
+       |  SELECT query_id, neighbor_id, rank_cos, rank_l2,
+       |    (CASE WHEN rank_cos <= $pool THEN 1000000 // ($RrfC + rank_cos) ELSE 0 END) +
+       |    (CASE WHEN rank_l2 <= $pool THEN 1000000 // ($RrfC + rank_l2) ELSE 0 END) AS rrf_fp
+       |  FROM r WHERE rank_cos <= $pool OR rank_l2 <= $pool
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, rrf_fp, rank_cos, rank_l2,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_fp DESC, neighbor_id) AS rank
+       |  FROM f
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |  CAST(rrf_fp AS BIGINT) AS rrf_fp,
+       |  CASE WHEN rank_cos <= $pool THEN CAST(rank_cos AS BIGINT) END AS rank_cos,
+       |  CASE WHEN rank_l2 <= $pool THEN CAST(rank_l2 AS BIGINT) END AS rank_l2
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** DuckDB twin of [[annPq]]: per-subspace L2 k-means unrolled (the
     * [[Clustering.kmeansCtes]] pattern under ORDER BY dist ASC), then
     * encode + ADC joins. Round CTEs are MATERIALIZED — inlining would

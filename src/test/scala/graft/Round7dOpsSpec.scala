@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
-import graft.operators.{QuerySurface, Sampling, Tables}
+import graft.operators.{Graph, QuerySurface, Sampling, Similarity, Tables}
 
 /** Round-7 fourth-batch operators: OLS trend fitting, two-cohort A/B z²,
   * data-quality expectations, TVD distribution drift. Same contract as the
@@ -133,6 +133,80 @@ class Round7dOpsSpec extends SparkTestBase {
         case _ =>
       }
     }
+  }
+
+  test("assortativity: star graph is -1, regular graph is NULL, moments exact") {
+    import spark.implicits._
+    // a star is maximally disassortative: every edge joins the hub (deg n)
+    // to a leaf (deg 1) → r = −1 exactly
+    val star = (2L to 9L).map(l => (1L, l)).toDF("src", "dst")
+    val rs = Graph.assortativityOf(star).collect().head
+    assert(rs.getAs[Double]("assortativity") == -1.0)
+    assert(rs.getAs[Long]("n") == 16L) // symmetrized
+    // a cycle is 2-regular: zero degree variance → NULL, not a crash
+    val cycle = (1L to 5L).map(i => (i, i % 5 + 1)).toDF("src", "dst")
+    assert(Graph.assortativityOf(cycle).collect().head.isNullAt(6))
+    // moments cross-check on a small irregular graph vs BigInt brute force
+    val g = Seq((1L, 2L), (2L, 3L), (2L, 4L), (4L, 5L)).toDF("src", "dst")
+    val row = Graph.assortativityOf(g).collect().head
+    val und = Seq((1L,2L),(2L,3L),(2L,4L),(4L,5L)).flatMap(e => Seq(e, e.swap))
+    val deg = und.groupBy(_._1).map { case (u, es) => (u, es.length.toLong) }
+    val pts = und.map { case (u, v) => (deg(u), deg(v)) }
+    val n = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val (sxx, syy) = (pts.map(p => p._1 * p._1).sum, pts.map(p => p._2 * p._2).sum)
+    assert((row.getAs[Long]("n"), row.getAs[Long]("sx"), row.getAs[Long]("sy"),
+      row.getAs[Long]("sxy"), row.getAs[Long]("sxx"), row.getAs[Long]("syy")) ==
+      ((n, sx, sy, sxy, sxx, syy)))
+    val r = (n.toDouble * sxy - sx.toDouble * sy) /
+      (math.sqrt(n.toDouble * sxx - sx.toDouble * sx) *
+        math.sqrt(n.toDouble * syy - sy.toDouble * sy))
+    assert(math.abs(row.getAs[Double]("assortativity") - r) < 1e-6)
+  }
+
+  test("rrf fusion: fused ranking matches a from-scratch two-ranker recompute") {
+    def r6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Double]]("v").toArray))
+      .filter { case (_, v) =>
+        val d = v.map(x => x * x).sum; d > 0 && !d.isNaN
+      }
+    val pool = Similarity.RrfPool
+    val expected = vecs.filter(_._1 < 8).flatMap { case (qid, qv) =>
+      val qq = qv.map(x => x * x).sum
+      val cands = vecs.filter(_._1 != qid).map { case (nid, nv) =>
+        var ab = 0.0; var bb = 0.0; var i = 0
+        while (i < qv.length) { ab += qv(i) * nv(i); bb += nv(i) * nv(i); i += 1 }
+        val cos = r6(ab / (math.sqrt(qq) * math.sqrt(bb)))
+        val dist = r6(qq - 2.0 * ab + bb)
+        (nid, cos, dist)
+      }
+      val rc = cands.sortBy { case (nid, cos, _) => (-cos, nid) }.zipWithIndex
+        .map { case ((nid, _, _), i) => (nid, i + 1L) }.toMap
+      val rl = cands.sortBy { case (nid, _, d) => (d, nid) }.zipWithIndex
+        .map { case ((nid, _, _), i) => (nid, i + 1L) }.toMap
+      cands.map(_._1)
+        .filter(nid => rc(nid) <= pool || rl(nid) <= pool)
+        .map { nid =>
+          val f = (if (rc(nid) <= pool) 1000000L / (Similarity.RrfC + rc(nid)) else 0L) +
+            (if (rl(nid) <= pool) 1000000L / (Similarity.RrfC + rl(nid)) else 0L)
+          (nid, f)
+        }
+        .sortBy { case (nid, f) => (-f, nid) }.take(5).zipWithIndex
+        .map { case ((nid, f), i) => (qid, i + 1L, nid, f) }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = Similarity.rrfFusion(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("rrf_fp"))).toSeq
+    assert(got == expected)
+    // on this corpus the two rankers largely agree (near-normalized
+    // vectors); the fusion arithmetic itself is what the equality above
+    // verifies — here just confirm both rankers CONTRIBUTED (some fused
+    // score is the two-ranker sum, > the single-ranker maximum 1/(C+1))
+    assert(got.exists(_._4 > 1000000L / (Similarity.RrfC + 1L)))
   }
 
   test("tvd drift: fixed-point total variation distance matches a recompute") {
