@@ -196,6 +196,11 @@ object SparkEntry {
     "pack_chunks_overlap" -> ((s: SparkSession, d: String) => Sampling.chunkOverlap(s, d)),
     "q_assortativity" -> ((s: SparkSession, d: String) => Graph.assortativity(s, d)),
     "sim_rrf" -> ((s: SparkSession, d: String) => Similarity.rrfFusion(s, d)),
+    "otel_critical_path" -> ((s: SparkSession, d: String) => OtelQueries.criticalPath(s, d)),
+    "otel_log_templates" -> (OtelQueries.goldenLogTemplates _),
+    "q_cms_topk" -> ((s: SparkSession, d: String) => Sketches.cmsTopk(s, d)),
+    "q_markov" -> ((s: SparkSession, d: String) => QuerySurface.markovTransitions(s, d)),
+    "q_chi2" -> ((s: SparkSession, d: String) => QuerySurface.chiSquared(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -479,6 +484,11 @@ object SparkEntry {
     "pack_chunks_overlap" -> operators.Sampling.chunkOverlapOracleSql(),
     "q_assortativity" -> operators.Graph.assortativityOracleSql,
     "sim_rrf" -> operators.Similarity.rrfFusionOracleSql(),
+    "otel_critical_path" -> OtelQueries.criticalPathOracleSql(),
+    "otel_log_templates" -> OtelQueries.goldenLogTemplatesOracleSql,
+    "q_cms_topk" -> operators.Sketches.cmsTopkOracleSql,
+    "q_markov" -> operators.QuerySurface.markovTransitionsOracleSql,
+    "q_chi2" -> operators.QuerySurface.chiSquaredOracleSql,
 
     "text_langid" ->
       """WITH t AS (

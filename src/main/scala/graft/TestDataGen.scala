@@ -225,6 +225,35 @@ object TestDataGen {
        |  FROM range($n) t(id)
        |)""".stripMargin
 
+  /** Deterministic span-TREE corpus for the critical-path gate — the golden
+    * traces are 19 single-span traces (orphan accounting, not tree shape),
+    * so DAG analytics need a generated corpus with real depth. Trace `t`
+    * holds `1 + t % 15` spans laid out as a binary heap (span i's parent is
+    * `(i-1) div 2`), giving depths 1..4 and every shape from a lone root to
+    * a full 4-level tree. Durations and names are modulo arithmetic over
+    * non-negative ids, so the DuckDB CTE twin ([[spanTreesSqlCte]])
+    * regenerates the table bit-identically. */
+  def spanTrees(spark: org.apache.spark.sql.SparkSession,
+      n: Long = 2000L): org.apache.spark.sql.DataFrame =
+    spark.range(n)
+      .selectExpr("id AS trace_id", "explode(sequence(0L, id % 15)) AS span_idx")
+      .selectExpr(
+        "trace_id", "span_idx",
+        "IF(span_idx = 0, CAST(NULL AS BIGINT), (span_idx - 1) div 2) AS parent_idx",
+        "concat('op-', (trace_id + span_idx) % 7) AS span_name",
+        "1000L + ((trace_id * 31 + span_idx * 17) % 97) * 10 AS duration_ns")
+
+  /** DuckDB CTE regenerating [[spanTrees]] bit-identically. */
+  def spanTreesSqlCte(n: Long = 2000L): String =
+    s"""spant AS (
+       |  SELECT t.id AS trace_id, s.i AS span_idx,
+       |    CASE WHEN s.i = 0 THEN CAST(NULL AS BIGINT) ELSE (s.i - 1) // 2 END AS parent_idx,
+       |    'op-' || CAST((t.id + s.i) % 7 AS VARCHAR) AS span_name,
+       |    CAST(1000 + ((t.id * 31 + s.i * 17) % 97) * 10 AS BIGINT) AS duration_ns
+       |  FROM range($n) t(id) CROSS JOIN range(15) s(i)
+       |  WHERE s.i <= t.id % 15
+       |)""".stripMargin
+
   /** CLI: TestDataGen <logs|traces> <dir> ... (defaults produce ~20k log
     * records / 8k spans — ≥200× the golden corpus). */
   def main(args: Array[String]): Unit = {

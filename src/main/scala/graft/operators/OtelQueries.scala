@@ -529,4 +529,128 @@ object OtelQueries {
        |SELECT l.trace_hex, l.n_logs, t.n_spans
        |FROM l JOIN t USING (trace_hex)
        |ORDER BY trace_hex""".stripMargin
+
+  // ---- critical path over span trees --------------------------------------
+
+  /** Shared depth cap for [[criticalPath]] and its recursive-CTE oracle —
+    * same contract as [[TraceMaxDepth]]: both engines stop at the same
+    * level, so pathological depth cannot silently diverge the gate. */
+  val CriticalPathMaxDepth = 64
+
+  /** Per-trace CRITICAL PATH — the root→leaf chain with the largest summed
+    * `Duration` (the span a latency investigation should open first; the
+    * reference materializes the parent link for exactly this navigation,
+    * `/root/reference/docs/reference.md` traces schema `ParentSpanId`).
+    * Runs over the generated [[graft.TestDataGen.spanTrees]] corpus (the
+    * goldens are single-span traces — no tree to walk; the orphan side of
+    * real goldens is covered by `otel_trace_depth`).
+    *
+    * Spark-first shape: BFS level iteration exactly like [[traceDepth]] —
+    * each level is ONE equi-join `(trace_id, parent_idx)=(trace_id,
+    * span_idx)` carrying the accumulated `path_ns`, localCheckpoint-ed so
+    * the plan does not grow with depth; iterations = actual tree depth
+    * (≤4 here, capped at [[CriticalPathMaxDepth]]), NOT a driver loop over
+    * rows. The final argmax is one `row_number` window per trace. At 100 TB
+    * the joins shuffle on `trace_id` every level — co-partitioned after the
+    * first exchange, and AQE coalesces the tail levels as frontiers
+    * shrink. */
+  def criticalPath(spark: SparkSession, sfDirIgnored: String,
+      n: Long = 2000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = graft.TestDataGen.spanTrees(spark, n)
+    def level(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true)
+      c.sparkSession.createDataFrame(c.rdd, c.schema)
+    }
+    var frontier = level(spans.filter(col("parent_idx").isNull)
+      .select(col("trace_id"), col("span_idx"), col("span_name"),
+        lit(1L).as("depth"), col("duration_ns").as("path_ns")))
+    var reached = frontier
+    var d = 1
+    while (d < CriticalPathMaxDepth && !frontier.isEmpty) {
+      frontier = level(spans.as("s").join(frontier.as("f"),
+          col("s.trace_id") === col("f.trace_id") &&
+            col("s.parent_idx") === col("f.span_idx"))
+        .select(col("s.trace_id").as("trace_id"),
+          col("s.span_idx").as("span_idx"), col("s.span_name").as("span_name"),
+          (col("f.depth") + 1L).as("depth"),
+          (col("f.path_ns") + col("s.duration_ns")).as("path_ns")))
+      reached = reached.union(frontier)
+      d += 1
+    }
+    val w = Window.partitionBy(col("trace_id"))
+      .orderBy(col("path_ns").desc, col("span_idx"))
+    val nSpans = spans.groupBy(col("trace_id")).agg(count(lit(1)).as("n_spans"))
+    reached.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(nSpans, Seq("trace_id"))
+      .select(col("trace_id"), col("n_spans"), col("path_ns").as("crit_ns"),
+        col("span_name").as("crit_name"), col("depth").as("crit_depth"),
+        col("span_idx").as("crit_leaf_idx"))
+      .orderBy(col("trace_id"))
+  }
+
+  /** DuckDB twin of [[criticalPath]]: shared generation CTE + recursive
+    * path accumulation with the identical depth cap and argmax tiebreak. */
+  def criticalPathOracleSql(n: Long = 2000L): String =
+    s"""WITH RECURSIVE ${graft.TestDataGen.spanTreesSqlCte(n)},
+       |p AS (
+       |  SELECT trace_id, span_idx, span_name, CAST(1 AS BIGINT) AS depth,
+       |    duration_ns AS path_ns
+       |  FROM spant WHERE parent_idx IS NULL
+       |  UNION ALL
+       |  SELECT s.trace_id, s.span_idx, s.span_name, p.depth + 1,
+       |    p.path_ns + s.duration_ns
+       |  FROM spant s JOIN p
+       |    ON s.trace_id = p.trace_id AND s.parent_idx = p.span_idx
+       |  WHERE p.depth < $CriticalPathMaxDepth
+       |), best AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY trace_id ORDER BY path_ns DESC, span_idx) AS rn
+       |  FROM p
+       |), ns AS (
+       |  SELECT trace_id, count(*) AS n_spans FROM spant GROUP BY 1
+       |)
+       |SELECT b.trace_id, ns.n_spans, b.path_ns AS crit_ns,
+       |  b.span_name AS crit_name, b.depth AS crit_depth,
+       |  b.span_idx AS crit_leaf_idx
+       |FROM best b JOIN ns ON b.trace_id = ns.trace_id
+       |WHERE b.rn = 1
+       |ORDER BY b.trace_id""".stripMargin
+
+  // ---- log template mining ------------------------------------------------
+
+  /** Token-mask rule shared by [[goldenLogTemplates]] and its oracle: any
+    * alphanumeric run containing at least one digit collapses to `<*>` —
+    * the Drain-style first pass that turns ids, counts, timestamps, and
+    * hex tokens into wildcards while leaving pure words intact. One regex,
+    * no alternation, so Java (Spark) and RE2 (DuckDB) agree on every
+    * match: both take the maximal alnum run at the leftmost position whose
+    * run contains a digit. */
+  val LogTemplateMaskRegex = "[A-Za-z0-9]*[0-9][A-Za-z0-9]*"
+
+  /** Log TEMPLATE mining over the golden logs — the log-clustering first
+    * step of every observability pipeline (group the firehose by message
+    * shape, not raw body): mask digit-bearing tokens, then count bodies
+    * per (service, template) with a deterministic example (min Body).
+    *
+    * Scale shape: one narrow regex projection + one map-side-combined
+    * count whose key space is the template vocabulary (thousands at fleet
+    * scale, not row-scale) — the same shape as `text_top_terms`. */
+  def goldenLogTemplates(spark: SparkSession, sfDirIgnored: String): DataFrame =
+    spark.read.parquet(s"$GoldenDir/logs.parquet")
+      .withColumn("template",
+        regexp_replace(col("Body"), LogTemplateMaskRegex, "<*>"))
+      .groupBy(col("ServiceName"), col("template"))
+      .agg(count(lit(1)).as("n"), min(col("Body")).as("example"))
+      .orderBy(col("ServiceName"), col("n").desc, col("template"))
+
+  /** DuckDB twin of [[goldenLogTemplates]] (global-replace flag spelled
+    * explicitly — DuckDB replaces first-only by default). */
+  def goldenLogTemplatesOracleSql: String =
+    s"""SELECT ServiceName,
+       |  regexp_replace(Body, '$LogTemplateMaskRegex', '<*>', 'g') AS template,
+       |  count(*) AS n, min(Body) AS example
+       |FROM read_parquet('$GoldenDir/logs.parquet')
+       |GROUP BY 1, 2
+       |ORDER BY ServiceName, n DESC, template""".stripMargin
 }

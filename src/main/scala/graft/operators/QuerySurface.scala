@@ -1846,4 +1846,129 @@ object QuerySurface {
        |SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
        |FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
        |GROUP BY 1 ORDER BY n DESC, path LIMIT $k""".stripMargin
+
+  // ---- Markov transition matrix -------------------------------------------
+
+  /** Event-type TRANSITION MATRIX — per (prev → cur) pair: count and the
+    * row-normalized transition probability. The first-order Markov model
+    * behind next-event prediction, anomaly scoring of session flows, and
+    * the bigram reduction of [[eventPaths]]. Same per-user time order and
+    * `event_id` tiebreak as every sequence operator here.
+    *
+    * Scale shape: one `lag` window partitioned by `user_id` (high
+    * cardinality — parallel), one map-side-combined count on a key space
+    * bounded by |event_type|², and a tiny broadcast join for the per-prev
+    * totals. The probability division happens on the |types|²-row
+    * aggregate, never per event. */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val trans = events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("row_total"))
+    trans.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("event_type"), col("n"),
+        Tables.portableRound6(
+          col("n").cast("double") / col("row_total").cast("double")).as("p"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  /** DuckDB twin of [[markovTransitions]]. */
+  def markovTransitionsOracleSql: String =
+    s"""WITH seq AS (
+       |  SELECT event_type,
+       |    lag(event_type, 1) OVER (
+       |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+       |  FROM events
+       |), trans AS (
+       |  SELECT prev_type, event_type, count(*) AS n
+       |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+       |), totals AS (
+       |  SELECT prev_type, sum(n) AS row_total FROM trans GROUP BY 1
+       |)
+       |SELECT t.prev_type, t.event_type, t.n,
+       |  ${Tables.portableRound6Sql(
+             "CAST(t.n AS DOUBLE) / CAST(tt.row_total AS DOUBLE)")} AS p
+       |FROM trans t JOIN totals tt ON t.prev_type = tt.prev_type
+       |ORDER BY t.prev_type, t.event_type""".stripMargin
+
+  // ---- chi-squared independence test --------------------------------------
+
+  /** Pearson CHI-SQUARED test of independence between `o_orderstatus` and
+    * `o_orderpriority` — the categorical-association check a feature-
+    * selection / data-drift pipeline runs over label×segment grids. The
+    * full r×c grid participates (zero observed cells contribute their
+    * expected mass), and the statistic is summed ORDER-INDEPENDENTLY:
+    * each cell's (obs−exp)²/exp term is rounded to 6 dp and cast to
+    * DECIMAL before the exact decimal SUM, so no engine's (or
+    * partitioning's) FP summation order can leak into the result.
+    *
+    * Scale shape: one map-side-combined count over the fact table; all
+    * grid algebra happens on the r·c-row aggregate (broadcast joins of
+    * the r-row and c-row marginals). */
+  def chiSquared(spark: SparkSession, sfDir: String): DataFrame = {
+    val obs = orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = obs.groupBy(col("o_orderstatus"))
+      .agg(sum(col("obs")).as("rt"))
+    val colTot = obs.groupBy(col("o_orderpriority"))
+      .agg(sum(col("obs")).as("ct"))
+    val grid = broadcast(rowTot).crossJoin(broadcast(colTot))
+      .join(obs, Seq("o_orderstatus", "o_orderpriority"), "left")
+      .withColumn("obs_n", coalesce(col("obs"), lit(0L)))
+    val total = grid.agg(sum(col("obs_n"))).first().getLong(0)
+    val term = (col("obs_n").cast("double") - col("exp")) *
+      (col("obs_n").cast("double") - col("exp")) / col("exp")
+    grid
+      .withColumn("exp",
+        col("rt").cast("double") * col("ct").cast("double") / lit(total.toDouble))
+      .withColumn("term6", Tables.portableRound6(term).cast("decimal(28,6)"))
+      .agg(count(lit(1)).as("n_cells"),
+        countDistinct(col("o_orderstatus")).as("n_rows"),
+        countDistinct(col("o_orderpriority")).as("n_cols"),
+        sum(col("term6")).cast("double").as("chi2"))
+      .withColumn("dof", ((col("n_rows") - 1) * (col("n_cols") - 1)).cast("long"))
+      .select(col("n_cells"), col("n_rows"), col("n_cols"), col("dof"),
+        col("chi2"))
+  }
+
+  /** DuckDB twin of [[chiSquared]] — identical grid, expected-mass rule,
+    * and round-then-decimal-sum order independence. */
+  def chiSquaredOracleSql: String = {
+    val term = "(CAST(obs_n AS DOUBLE) - ex) * (CAST(obs_n AS DOUBLE) - ex) / ex"
+    s"""WITH obs AS (
+       |  SELECT o_orderstatus, o_orderpriority, count(*) AS obs
+       |  FROM orders GROUP BY 1, 2
+       |), rt AS (
+       |  SELECT o_orderstatus, sum(obs) AS rt FROM obs GROUP BY 1
+       |), ct AS (
+       |  SELECT o_orderpriority, sum(obs) AS ct FROM obs GROUP BY 1
+       |), grid AS (
+       |  SELECT r.o_orderstatus, c.o_orderpriority, r.rt, c.ct,
+       |    coalesce(o.obs, 0) AS obs_n
+       |  FROM rt r CROSS JOIN ct c
+       |  LEFT JOIN obs o ON o.o_orderstatus = r.o_orderstatus
+       |    AND o.o_orderpriority = c.o_orderpriority
+       |), ex AS (
+       |  SELECT *, CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+       |    / (SELECT CAST(sum(obs_n) AS DOUBLE) FROM grid) AS ex
+       |  FROM grid
+       |)
+       |SELECT count(*) AS n_cells,
+       |  count(DISTINCT o_orderstatus) AS n_rows,
+       |  count(DISTINCT o_orderpriority) AS n_cols,
+       |  CAST((count(DISTINCT o_orderstatus) - 1)
+       |    * (count(DISTINCT o_orderpriority) - 1) AS BIGINT) AS dof,
+       |  CAST(sum(CAST(${Tables.portableRound6Sql(term)} AS DECIMAL(28,6)))
+       |    AS DOUBLE) AS chi2
+       |FROM ex""".stripMargin
+  }
 }

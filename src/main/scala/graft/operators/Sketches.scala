@@ -902,4 +902,83 @@ object Sketches {
       |  m.top_user, m.top_user_n
       |FROM base b JOIN m ON b.event_type = m.event_type AND m.rn = 1
       |ORDER BY b.event_type""".stripMargin
+
+  // ---- count-min sketch ---------------------------------------------------
+
+  /** Count-min depth (independent hash rows) and width (buckets per row). */
+  val CmsDepth = 3
+  val CmsWidth = 256L
+  val CmsTopK = 20
+
+  private val cmsBucketUdf = udf { (r: Int, k: Long) =>
+    PortableHash.md5Lower63(s"cms$r:$k") % CmsWidth
+  }
+
+  /** COUNT-MIN SKETCH frequency estimation over `lineitem.l_partkey`,
+    * reported against exact counts for the exact top-[[CmsTopK]] keys.
+    * Output per key: `exact_n`, the sketch estimate `est_n = min` over the
+    * [[CmsDepth]] hash rows of that key's bucket sum, and the (always
+    * ≥ 0) `overcount`.
+    *
+    * Why this sketch at 100 TB: the CMS state is a FIXED d×w integer grid
+    * (here 3×256 = 768 cells) regardless of key cardinality, and every
+    * cell is a plain SUM — fully map-side combinable, mergeable across
+    * partitions/days by cell-wise addition, and (unlike space-saving /
+    * Misra-Gries) completely ARRIVAL-ORDER-INDEPENDENT, which is what
+    * makes it oracle-checkable bit-for-bit and deterministic under any
+    * partitioning. The exact pass here exists to expose the realized
+    * error in the gate row; production reads only the grid.
+    *
+    * Plan shape: two aggregations over the fact table (one exact per-key,
+    * one ×[[CmsDepth]] row-explode into the grid), then a broadcast join
+    * of the 20-row candidate set against the 768-row grid. */
+  def cmsTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir).select(col("l_partkey"))
+    val exact = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("l_partkey"))
+      .limit(CmsTopK)
+    val cells = li
+      .select(col("l_partkey"), explode(lit((0 until CmsDepth).toArray)).as("r"))
+      .withColumn("bucket", cmsBucketUdf(col("r"), col("l_partkey")))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cell_n"))
+    val est = exact
+      .select(col("l_partkey"), col("exact_n"),
+        explode(lit((0 until CmsDepth).toArray)).as("r"))
+      .withColumn("bucket", cmsBucketUdf(col("r"), col("l_partkey")))
+      .join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy(col("l_partkey"), col("exact_n"))
+      .agg(min(col("cell_n")).as("est_n"))
+    est.select(col("l_partkey"), col("exact_n"), col("est_n"),
+        (col("est_n") - col("exact_n")).as("overcount"))
+      .orderBy(col("exact_n").desc, col("l_partkey"))
+  }
+
+  /** DuckDB twin of [[cmsTopk]] — identical md5 bucket rule and min-over-
+    * rows estimate. */
+  def cmsTopkOracleSql: String = {
+    def bucket(r: String, key: String) =
+      s"((md5_number_lower('cms' || CAST($r AS VARCHAR) || ':' || CAST($key AS VARCHAR))" +
+        s" & 9223372036854775807) % $CmsWidth)"
+    s"""WITH rows_r AS (
+       |  SELECT * FROM (VALUES (0), (1), (2)) AS t(r)
+       |), exact_c AS (
+       |  SELECT l_partkey, count(*) AS exact_n
+       |  FROM lineitem GROUP BY 1
+       |  ORDER BY exact_n DESC, l_partkey LIMIT $CmsTopK
+       |), cells AS (
+       |  SELECT rows_r.r AS r, ${bucket("rows_r.r", "l_partkey")} AS bucket,
+       |    count(*) AS cell_n
+       |  FROM lineitem CROSS JOIN rows_r
+       |  GROUP BY 1, 2
+       |), est AS (
+       |  SELECT e.l_partkey, e.exact_n, min(c.cell_n) AS est_n
+       |  FROM exact_c e CROSS JOIN rows_r
+       |  JOIN cells c ON c.r = rows_r.r
+       |    AND c.bucket = ${bucket("rows_r.r", "e.l_partkey")}
+       |  GROUP BY 1, 2
+       |)
+       |SELECT l_partkey, exact_n, est_n, est_n - exact_n AS overcount
+       |FROM est
+       |ORDER BY exact_n DESC, l_partkey""".stripMargin
+  }
 }
