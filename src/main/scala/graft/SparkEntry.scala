@@ -201,6 +201,10 @@ object SparkEntry {
     "q_cms_topk" -> ((s: SparkSession, d: String) => Sketches.cmsTopk(s, d)),
     "q_markov" -> ((s: SparkSession, d: String) => QuerySurface.markovTransitions(s, d)),
     "q_chi2" -> ((s: SparkSession, d: String) => QuerySurface.chiSquared(s, d)),
+    "q_label_prop" -> ((s: SparkSession, d: String) => Graph.labelProp(s, d)),
+    "q_zone_map" -> ((s: SparkSession, d: String) => Bucketing.zoneMapAudit(s, d)),
+    "q_weighted_quantile" -> ((s: SparkSession, d: String) => QuerySurface.weightedQuantile(s, d)),
+    "q_lorenz" -> ((s: SparkSession, d: String) => QuerySurface.lorenzDeciles(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -489,6 +493,10 @@ object SparkEntry {
     "q_cms_topk" -> operators.Sketches.cmsTopkOracleSql,
     "q_markov" -> operators.QuerySurface.markovTransitionsOracleSql,
     "q_chi2" -> operators.QuerySurface.chiSquaredOracleSql,
+    "q_label_prop" -> operators.Graph.labelPropOracleSql(),
+    "q_zone_map" -> operators.Bucketing.zoneMapAuditOracleSql,
+    "q_weighted_quantile" -> operators.QuerySurface.weightedQuantileOracleSql,
+    "q_lorenz" -> operators.QuerySurface.lorenzDecilesOracleSql,
 
     "text_langid" ->
       """WITH t AS (

@@ -335,4 +335,99 @@ object Bucketing {
        |SELECT event_id, user_id, ubits, vbits, d AS hkey
        |FROM h16 ORDER BY hkey, event_id LIMIT 200""".stripMargin
   }
+
+  // ---- zone-map pruning audit ---------------------------------------------
+
+  /** Zones per layout for [[zoneMapAudit]]'s sorted (time-range) side. */
+  val ZoneMapTimeZones = 256L
+  /** Orderkey width per zone on the natural side (~2k lineitems/zone at the
+    * TPC-H 4-lineitems-per-order ratio). */
+  val ZoneMapOrderkeyWidth = 512L
+
+  /** ZONE-MAP effectiveness audit — the min/max-skipping arithmetic behind
+    * every parquet row-group prune, computed for the SAME rows under two
+    * layouts: `natural` (zones = contiguous `l_orderkey` ranges — the
+    * insertion-order proxy, what you get writing facts as they arrive) and
+    * `shipdate` (zones = ship-time ranges — what a time-sorted/partitioned
+    * rewrite produces). For the mid-history band predicate
+    * `[lo+span/4, lo+span/2)` the audit reports zones pruned and rows
+    * scanned per layout — the measured answer to "is re-sorting this table
+    * by time worth it?" (spoiler the gate row quantifies: natural zones all
+    * straddle the band, sorted zones prune to ~25%).
+    *
+    * At 100 TB the zone boundaries come free from parquet footer metadata
+    * (this audit's zone assignment is the same fixed-width arithmetic the
+    * writer's `maxRecordsPerFile`/partitioning induces); the audit itself
+    * is ONE map-side-combined aggregate per layout over (zone → min, max,
+    * count) — no global sort, no shuffle wider than the zone count. */
+  def zoneMapAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.normalizeTs(
+        Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_shipdate")), "l_shipdate")
+      .select(col("l_orderkey"), unix_micros(col("l_shipdate")).as("ship_us"))
+    val mm = li.agg(min(col("ship_us")).as("lo"), max(col("ship_us")).as("hi"))
+    val withZones = li.crossJoin(broadcast(mm))
+      .withColumn("span", col("hi") - col("lo") + lit(1L))
+      .withColumn("d1", col("lo") + expr("span div 4"))
+      .withColumn("d2", col("lo") + expr("span div 2"))
+      .withColumn("zone_nat", expr(s"l_orderkey div $ZoneMapOrderkeyWidth"))
+      .withColumn("zone_sorted",
+        expr(s"((ship_us - lo) * $ZoneMapTimeZones) div span"))
+    def audit(zoneCol: String, layout: String): DataFrame =
+      withZones
+        .groupBy(col(zoneCol).as("zone"))
+        .agg(min(col("ship_us")).as("zmin"), max(col("ship_us")).as("zmax"),
+          count(lit(1)).as("zrows"),
+          sum(when(col("ship_us") >= col("d1") &&
+            col("ship_us") < col("d2"), 1L).otherwise(0L)).as("zmatch"),
+          first(col("d1")).as("d1"), first(col("d2")).as("d2"))
+        .agg(count(lit(1)).as("n_zones"),
+          sum(when(col("zmax") < col("d1") || col("zmin") >= col("d2"), 1L)
+            .otherwise(0L)).as("zones_pruned"),
+          sum(col("zrows")).as("rows_total"),
+          sum(when(col("zmax") < col("d1") || col("zmin") >= col("d2"), 0L)
+            .otherwise(col("zrows"))).as("rows_scanned"),
+          sum(col("zmatch")).as("rows_matching"))
+        .withColumn("layout", lit(layout))
+        .select(col("layout"), col("n_zones"), col("zones_pruned"),
+          col("rows_total"), col("rows_scanned"), col("rows_matching"))
+    audit("zone_nat", "natural")
+      .unionByName(audit("zone_sorted", "shipdate"))
+      .orderBy(col("layout"))
+  }
+
+  /** DuckDB twin of [[zoneMapAudit]] — identical integer zone and band
+    * arithmetic. */
+  def zoneMapAuditOracleSql: String =
+    s"""WITH li AS (
+       |  SELECT l_orderkey, epoch_us(l_shipdate) AS ship_us FROM lineitem
+       |), mm AS (
+       |  SELECT min(ship_us) AS lo, max(ship_us) AS hi,
+       |    max(ship_us) - min(ship_us) + 1 AS span
+       |  FROM li
+       |), z AS (
+       |  SELECT l_orderkey, ship_us,
+       |    lo + span // 4 AS d1, lo + span // 2 AS d2,
+       |    l_orderkey // $ZoneMapOrderkeyWidth AS zone_nat,
+       |    ((ship_us - lo) * $ZoneMapTimeZones) // span AS zone_sorted
+       |  FROM li, mm
+       |), za AS (
+       |  SELECT 'natural' AS layout, zone_nat AS zone,
+       |    min(ship_us) AS zmin, max(ship_us) AS zmax, count(*) AS zrows,
+       |    sum(CASE WHEN ship_us >= d1 AND ship_us < d2 THEN 1 ELSE 0 END) AS zmatch,
+       |    any_value(d1) AS d1, any_value(d2) AS d2
+       |  FROM z GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'shipdate', zone_sorted,
+       |    min(ship_us), max(ship_us), count(*),
+       |    sum(CASE WHEN ship_us >= d1 AND ship_us < d2 THEN 1 ELSE 0 END),
+       |    any_value(d1), any_value(d2)
+       |  FROM z GROUP BY 1, 2
+       |)
+       |SELECT layout, count(*) AS n_zones,
+       |  CAST(sum(CASE WHEN zmax < d1 OR zmin >= d2 THEN 1 ELSE 0 END) AS BIGINT) AS zones_pruned,
+       |  CAST(sum(zrows) AS BIGINT) AS rows_total,
+       |  CAST(sum(CASE WHEN zmax < d1 OR zmin >= d2 THEN 0 ELSE zrows END) AS BIGINT) AS rows_scanned,
+       |  CAST(sum(zmatch) AS BIGINT) AS rows_matching
+       |FROM za GROUP BY 1 ORDER BY layout""".stripMargin
 }

@@ -651,4 +651,90 @@ object Graph {
        |$profile
        |) ORDER BY round""".stripMargin
   }
+
+  // ---- bounded-round label propagation ------------------------------------
+
+  /** Synchronized rounds for [[labelProp]] — after k rounds each node's
+    * label is exactly the MIN node id within its ≤k-hop neighborhood, the
+    * closed-form the spec and oracle recompute. */
+  val LabelPropRounds = 3
+
+  /** BOUNDED-ROUND min-label propagation over the co-purchase backbone —
+    * the community-detection shape that scales when full convergence
+    * ([[graft.operators.Dedup.componentLabels]]' CC loop) is unaffordable:
+    * k synchronized rounds cost exactly k self-joins, no convergence test,
+    * no unbounded iteration — the fixed-budget pass a 100 TB pipeline
+    * schedules nightly. Label semantics after k rounds are CLOSED-FORM
+    * (min id within k hops), which is what makes the gate hash-checkable
+    * where true modularity-maximizing label prop (tie-broken by frequency)
+    * is not.
+    *
+    * Scale shape per round: one shuffle join of the label frame against the
+    * symmetrized edge list on `u`, one map-side-combined min per node.
+    * Output is the community size histogram, not per-node rows. */
+  def labelProp(spark: SparkSession, sfDir: String,
+      rounds: Int = LabelPropRounds,
+      topEdges: Int = CoPurchaseTopEdges,
+      maxSuppliersPerCustomer: Int = MaxSuppliersPerCustomer): DataFrame = {
+    val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+    val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(od, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    labelPropOf(
+      coPurchaseEdges(cs, topEdges, maxSuppliersPerCustomer)
+        .localCheckpoint(true), rounds)
+  }
+
+  /** The k-round propagation core of [[labelProp]] over an arbitrary
+    * (src, dst) edge frame — exposed for the spec's non-complete synthetic
+    * graphs (the gate backbone at small sf is one complete component, so
+    * its histogram is a single row). */
+  private[graft] def labelPropOf(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint(true)
+    def level(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true)
+      c.sparkSession.createDataFrame(c.rdd, c.schema)
+    }
+    var lab = level(und.select(col("u").as("node")).distinct()
+      .withColumn("lab", col("node")))
+    for (_ <- 1 to rounds) {
+      // every backbone node has degree ≥ 1 (nodes ARE edge endpoints), so
+      // the inner join loses nobody; min(least(own, neighbor)) = the
+      // synchronized update
+      lab = level(und.as("e")
+        .join(lab.as("a"), col("e.u") === col("a.node"))
+        .join(lab.as("b"), col("e.v") === col("b.node"))
+        .groupBy(col("e.u").as("node"))
+        .agg(min(least(col("a.lab"), col("b.lab"))).as("lab")))
+    }
+    lab.groupBy(col("lab")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("lab"))
+  }
+
+  /** DuckDB twin of [[labelProp]] — the k rounds unrolled as chained CTEs
+    * over the shared backbone. */
+  def labelPropOracleSql(rounds: Int = LabelPropRounds): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""lab$r AS MATERIALIZED (
+         |  SELECT e.u AS node, min(LEAST(a.lab, b.lab)) AS lab
+         |  FROM und e
+         |  JOIN lab${r - 1} a ON e.u = a.node
+         |  JOIN lab${r - 1} b ON e.v = b.node
+         |  GROUP BY 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $backboneSqlCtes, und AS MATERIALIZED (
+       |  SELECT src AS u, dst AS v FROM e
+       |  UNION ALL
+       |  SELECT dst, src FROM e
+       |), lab0 AS (
+       |  SELECT node, node AS lab FROM (SELECT DISTINCT u AS node FROM und)
+       |),
+       |$roundCtes
+       |SELECT lab, count(*) AS n_nodes FROM lab$rounds
+       |GROUP BY 1 ORDER BY n_nodes DESC, lab""".stripMargin
+  }
 }

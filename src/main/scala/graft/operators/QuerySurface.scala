@@ -1971,4 +1971,137 @@ object QuerySurface {
        |    AS DOUBLE) AS chi2
        |FROM ex""".stripMargin
   }
+
+  // ---- weighted quantiles -------------------------------------------------
+
+  /** WEIGHTED p50/p95 of `l_extendedprice` with `l_quantity` as the weight,
+    * per `l_returnflag` — the estimator a pipeline needs when rows carry
+    * unequal mass (tokens per document, bytes per file, quantity per line):
+    * the unweighted median of line PRICES is not the median PRICE PER UNIT
+    * SOLD. Longhand lower-weighted-percentile rule, written identically on
+    * both engines: under the unique order (price, orderkey, linenumber),
+    * the answer is the first price whose running weight reaches p·W —
+    * `2·cumw ≥ W` / `20·cumw ≥ 19·W`, weights summed as exact DECIMAL so
+    * no FP cumsum order can shift a boundary.
+    *
+    * Scale shape: one window pass partitioned by the group key (the same
+    * shape as `q_median_disc`; for a single global group at 100 TB you'd
+    * bucket by price range first — the two-phase form `q_equi_depth`
+    * already demonstrates). */
+  def weightedQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("l_returnflag"))
+    val li = lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_quantity"),
+        col("l_quantity").cast("decimal(28,6)").as("wgt"))
+      .withColumn("cumw", sum(col("wgt")).over(w))
+      .withColumn("wtot", sum(col("wgt")).over(wTot))
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        Tables.exactSum(col("l_quantity")).as("w_total"),
+        min(when(col("cumw") * 2 >= col("wtot"), col("l_extendedprice")))
+          .as("p50_w"),
+        min(when(col("cumw") * 20 >= col("wtot") * 19, col("l_extendedprice")))
+          .as("p95_w"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** DuckDB twin of [[weightedQuantile]] — identical unique order, decimal
+    * cumsum, and threshold rule. */
+  def weightedQuantileOracleSql: String =
+    s"""WITH li AS (
+       |  SELECT l_returnflag, l_extendedprice, l_quantity,
+       |    CAST(l_quantity AS DECIMAL(28,6)) AS wgt,
+       |    sum(CAST(l_quantity AS DECIMAL(28,6))) OVER (
+       |      PARTITION BY l_returnflag
+       |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+       |      ROWS UNBOUNDED PRECEDING) AS cumw,
+       |    sum(CAST(l_quantity AS DECIMAL(28,6))) OVER (
+       |      PARTITION BY l_returnflag) AS wtot
+       |  FROM lineitem
+       |)
+       |SELECT l_returnflag,
+       |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,4))), 2) AS DOUBLE) AS w_total,
+       |  min(CASE WHEN cumw * 2 >= wtot THEN l_extendedprice END) AS p50_w,
+       |  min(CASE WHEN cumw * 20 >= wtot * 19 THEN l_extendedprice END) AS p95_w
+       |FROM li GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  // ---- Lorenz / concentration deciles -------------------------------------
+
+  /** Fixed-point scale for [[lorenzDeciles]] shares (parts per million). */
+  val LorenzFp = 1000000L
+
+  /** REVENUE-CONCENTRATION deciles (Lorenz curve in fixed point) — rank
+    * customers by lifetime revenue, cut into 10 equal-count bands with the
+    * longhand `((rn−1)·10) div n` rule (NOT `ntile`, whose uneven-group
+    * placement is engine-defined), and report each band's exact cent total
+    * plus its ppm share and cumulative share. The imbalance audit behind
+    * "10% of sources contribute 83% of tokens" decisions — and the
+    * log-free alternative to a Gini scalar (the curve IS the statistic).
+    *
+    * Determinism: revenue sums in exact DECIMAL cents (BIGINT-safe to
+    * ~$92·10⁹ corpus revenue at the ppm scale — beyond that widen to
+    * DECIMAL(38), same contract as `q_pagerank`'s damping headroom);
+    * shares are floor integer division of exact integers, so no double
+    * appears anywhere.
+    *
+    * Scale shape: one join-aggregate to per-customer revenue, one
+    * `row_number` over the global (revenue, custkey) order — the same
+    * single-ordered-pass shape as `q_equi_depth` — then all band algebra
+    * on 10 rows. */
+  def lorenzDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_extendedprice"))
+    val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val rev = li.join(od, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("l_extendedprice").cast("decimal(28,2)")) * 100)
+        .cast("long").as("rev_c"))
+    val n = Window.partitionBy()
+    val rn = Window.orderBy(col("rev_c").desc, col("o_custkey"))
+    val bands = rev
+      .withColumn("rn", row_number().over(rn))
+      .withColumn("n_cust", count(lit(1)).over(n))
+      .withColumn("decile", expr("((rn - 1) * 10) div n_cust"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev_c")).as("band_c"))
+    val tot = Window.partitionBy()
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bands
+      .withColumn("tot_c", sum(col("band_c")).over(tot))
+      .withColumn("cum_c", sum(col("band_c")).over(cum))
+      .select(col("decile"), col("n_customers"), col("band_c").as("rev_cents"),
+        expr(s"(band_c * $LorenzFp) div tot_c").as("share_ppm"),
+        expr(s"(cum_c * $LorenzFp) div tot_c").as("cum_share_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  /** DuckDB twin of [[lorenzDeciles]] — identical cent casts, band rule,
+    * and floor fixed-point shares. */
+  def lorenzDecilesOracleSql: String =
+    s"""WITH rev AS (
+       |  SELECT o_custkey,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) * 100 AS BIGINT) AS rev_c
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1
+       |), ranked AS (
+       |  SELECT rev_c,
+       |    row_number() OVER (ORDER BY rev_c DESC, o_custkey) AS rn,
+       |    count(*) OVER () AS n_cust
+       |  FROM rev
+       |), bands AS (
+       |  SELECT ((rn - 1) * 10) // n_cust AS decile,
+       |    count(*) AS n_customers, CAST(sum(rev_c) AS BIGINT) AS band_c
+       |  FROM ranked GROUP BY 1
+       |)
+       |SELECT decile, n_customers, band_c AS rev_cents,
+       |  (band_c * $LorenzFp) // CAST(sum(band_c) OVER () AS BIGINT) AS share_ppm,
+       |  (CAST(sum(band_c) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    * $LorenzFp) // CAST(sum(band_c) OVER () AS BIGINT) AS cum_share_ppm
+       |FROM bands ORDER BY decile""".stripMargin
 }
