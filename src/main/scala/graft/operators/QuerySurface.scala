@@ -2043,11 +2043,13 @@ object QuerySurface {
     * "10% of sources contribute 83% of tokens" decisions — and the
     * log-free alternative to a Gini scalar (the curve IS the statistic).
     *
-    * Determinism: revenue sums in exact DECIMAL cents (BIGINT-safe to
-    * ~$92·10⁹ corpus revenue at the ppm scale — beyond that widen to
-    * DECIMAL(38), same contract as `q_pagerank`'s damping headroom);
-    * shares are floor integer division of exact integers, so no double
-    * appears anywhere.
+    * Determinism: revenue sums in exact DECIMAL cents; shares are floor
+    * integer division of exact integers, so no double appears anywhere.
+    * The ppm multiply is SPLIT two-level (`(x·10³ div t)·10³ +
+    * ((x·10³ mod t)·10³) div t` — exactly `floor(x·10⁶/t)`, same identity
+    * as `q_pagerank`'s damping), so the worst operand is `tot·10³`:
+    * BIGINT-safe to ~$92·10¹² corpus revenue instead of overflowing at
+    * the cumulative row near $9·10¹² (which sf1 already reaches).
     *
     * Scale shape: one join-aggregate to per-customer revenue, one
     * `row_number` over the global (revenue, custkey) order — the same
@@ -2076,8 +2078,10 @@ object QuerySurface {
       .withColumn("tot_c", sum(col("band_c")).over(tot))
       .withColumn("cum_c", sum(col("band_c")).over(cum))
       .select(col("decile"), col("n_customers"), col("band_c").as("rev_cents"),
-        expr(s"(band_c * $LorenzFp) div tot_c").as("share_ppm"),
-        expr(s"(cum_c * $LorenzFp) div tot_c").as("cum_share_ppm"))
+        expr("((band_c * 1000) div tot_c) * 1000 + ((band_c * 1000) % tot_c) * 1000 div tot_c")
+          .as("share_ppm"),
+        expr("((cum_c * 1000) div tot_c) * 1000 + ((cum_c * 1000) % tot_c) * 1000 div tot_c")
+          .as("cum_share_ppm"))
       .orderBy(col("decile"))
   }
 
@@ -2098,10 +2102,15 @@ object QuerySurface {
        |  SELECT ((rn - 1) * 10) // n_cust AS decile,
        |    count(*) AS n_customers, CAST(sum(rev_c) AS BIGINT) AS band_c
        |  FROM ranked GROUP BY 1
+       |), totals AS (
+       |  SELECT decile, n_customers, band_c,
+       |    CAST(sum(band_c) OVER () AS BIGINT) AS tot_c,
+       |    CAST(sum(band_c) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cum_c
+       |  FROM bands
        |)
        |SELECT decile, n_customers, band_c AS rev_cents,
-       |  (band_c * $LorenzFp) // CAST(sum(band_c) OVER () AS BIGINT) AS share_ppm,
-       |  (CAST(sum(band_c) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT)
-       |    * $LorenzFp) // CAST(sum(band_c) OVER () AS BIGINT) AS cum_share_ppm
-       |FROM bands ORDER BY decile""".stripMargin
+       |  ((band_c * 1000) // tot_c) * 1000 + ((band_c * 1000) % tot_c) * 1000 // tot_c AS share_ppm,
+       |  ((cum_c * 1000) // tot_c) * 1000 + ((cum_c * 1000) % tot_c) * 1000 // tot_c AS cum_share_ppm
+       |FROM totals ORDER BY decile""".stripMargin
 }
