@@ -158,4 +158,30 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges.nonEmpty &&
       exchanges.forall(e => !e.takeWhile(_ != ')').contains("text")), plan)
   }
+
+  test("cms grid join broadcasts the 768-cell side") {
+    val plan = planOf(Sketches.cmsTopk(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("zone-map audit is aggregate-only: no global sort or window") {
+    val plan = planOf(Bucketing.zoneMapAudit(spark, sf))
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    // the min/max bounds come from one broadcast of the 1-row aggregate
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("markov probability division joins a broadcast totals side") {
+    val plan = planOf(QuerySurface.markovTransitions(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("chi2 marginal grid joins are broadcasts over the aggregate, not the facts") {
+    val plan = planOf(QuerySurface.chiSquared(spark, sf))
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
