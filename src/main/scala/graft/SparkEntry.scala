@@ -122,6 +122,7 @@ object SparkEntry {
     "stream_stream_join" -> (graft.streaming.StreamGate.streamStreamJoin _),
     "stream_upsert" -> (graft.streaming.StreamGate.upsertSnapshot _),
     "stream_anomaly" -> (graft.streaming.StreamGate.anomalies _),
+    "stream_cms" -> (graft.streaming.StreamGate.cmsWindows _),
 
     // -- sketches / scale statistics (round 4) --
     "q_approx_distinct" -> (Sketches.approxDistinctKmv _),
@@ -628,6 +629,7 @@ object SparkEntry {
     // the batch operator's oracle VERBATIM (single-batch replay ⇒ identical
     // flags — the parity is the checked property)
     "stream_anomaly" -> operators.QuerySurface.anomalyZscoreOracleSql(),
+    "stream_cms" -> graft.streaming.StreamGate.cmsWindowsOracleSql,
 
     "q_approx_distinct" -> Sketches.approxDistinctKmvOracleSql,
     "q_approx_distinct_est" -> Sketches.approxDistinctKmvEstimateOracleSql,

@@ -484,4 +484,68 @@ object StreamGate {
       |SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
       |  ts_us AS last_ts_us
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---- windowed count-min grid --------------------------------------------
+
+  /** Stream CMS dimensions — smaller than the batch `q_cms_topk` grid
+    * because the state is PER WINDOW (depth × width × windows-in-flight). */
+  val StreamCmsDepth = 2
+  val StreamCmsWidth = 64L
+
+  private val streamCmsBucketUdf = udf { (r: Int, u: Long) =>
+    graft.functions.PortableHash.md5Lower63(s"scms$r:$u") % StreamCmsWidth
+  }
+
+  /** Per-hour COUNT-MIN grids over the replayed stream (user-activity
+    * frequency): each closed 1-hour window emits its non-empty
+    * [[StreamCmsDepth]]×[[StreamCmsWidth]] cells. The grid is what makes
+    * CMS *the* streaming frequency sketch: every cell is a plain windowed
+    * SUM, so the stream result is independent of micro-batch boundaries
+    * and arrival order BY ALGEBRA (sums commute) — the batch twin is not
+    * an approximation of the stream, it is equal, which the oracle checks
+    * cell-for-cell. Downstream, per-window grids merge by cell-wise
+    * addition into any coarser granularity (hour→day→corpus) without
+    * touching raw data again.
+    *
+    * State at 100 TB: windows-in-flight × 128 cells — bounded by the
+    * watermark regardless of key cardinality or row rate (contrast the
+    * windowed distinct-count state, which grows with keys). */
+  def cmsWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventsStream(spark, sfDir)
+      .select(col("ts"), col("user_id"),
+        explode(lit((0 until StreamCmsDepth).toArray)).as("r"))
+      .withColumn("bucket", streamCmsBucketUdf(col("r"), col("user_id")))
+    val agg = ev.withWatermark("ts", WindowDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("r"), col("bucket"), col("cell_n"))
+    runToMemory(spark, agg)
+      .orderBy(col("window_start_us"), col("r"), col("bucket"))
+  }
+
+  /** DuckDB twin of [[cmsWindows]] — batch grid with the append-mode
+    * window filter (window closed by the final watermark). */
+  def cmsWindowsOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) AS ts_us, user_id FROM events
+       |), wm AS (
+       |  SELECT max(ts_us) // 1000 - $WindowDelayMs AS wm_ms FROM e
+       |), rr AS (
+       |  SELECT * FROM (VALUES (0), (1)) AS t(r)
+       |), cells AS (
+       |  SELECT (ts_us // 3600000000) * 3600000000 AS window_start_us,
+       |    rr.r AS r,
+       |    CAST((md5_number_lower('scms' || CAST(rr.r AS VARCHAR) || ':'
+       |        || CAST(user_id AS VARCHAR))
+       |      & 9223372036854775807) % $StreamCmsWidth AS BIGINT) AS bucket,
+       |    count(*) AS cell_n
+       |  FROM e CROSS JOIN rr
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT CAST(window_start_us AS BIGINT) AS window_start_us, r, bucket,
+       |  CAST(cell_n AS BIGINT) AS cell_n
+       |FROM cells, wm
+       |WHERE (window_start_us + 3600000000) // 1000 <= wm_ms
+       |ORDER BY window_start_us, r, bucket""".stripMargin
 }

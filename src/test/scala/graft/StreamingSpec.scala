@@ -330,4 +330,28 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("windowed CMS grid: stream cells equal a batch recompute (sum algebra parity)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.operators.Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("us"), col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val wmMs = ev.map(_._1).max / 1000 - graft.streaming.StreamGate.WindowDelayMs
+    val hourUs = 3600000000L
+    val expected = ev.flatMap { case (us, u) =>
+        (0 until graft.streaming.StreamGate.StreamCmsDepth).map { r =>
+          ((us / hourUs) * hourUs, r,
+            graft.functions.PortableHash.md5Lower63(s"scms$r:$u") %
+              graft.streaming.StreamGate.StreamCmsWidth)
+        }
+      }
+      .groupBy(identity).map { case (cell, v) => (cell._1, cell._2, cell._3, v.length.toLong) }
+      .filter { case (ws, _, _, _) => (ws + hourUs) / 1000 <= wmMs }
+      .toSeq.sortBy { case (ws, r, b, _) => (ws, r, b) }
+    val got = graft.streaming.StreamGate.cmsWindows(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
