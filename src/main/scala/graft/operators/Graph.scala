@@ -694,21 +694,24 @@ object Graph {
     val und = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
       .localCheckpoint(true)
-    def level(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint(true)
-      c.sparkSession.createDataFrame(c.rdd, c.schema)
-    }
-    var lab = level(und.select(col("u").as("node")).distinct()
-      .withColumn("lab", col("node")))
-    for (_ <- 1 to rounds) {
-      // every backbone node has degree ≥ 1 (nodes ARE edge endpoints), so
-      // the inner join loses nobody; min(least(own, neighbor)) = the
-      // synchronized update
-      lab = level(und.as("e")
-        .join(lab.as("a"), col("e.u") === col("a.node"))
-        .join(lab.as("b"), col("e.v") === col("b.node"))
-        .groupBy(col("e.u").as("node"))
-        .agg(min(least(col("a.lab"), col("b.lab"))).as("lab")))
+    // round 1 needs no label frame at all: l₁(u) = min(u, min N(u)) is one
+    // aggregate over the symmetrized edges (also yields the node list —
+    // every backbone node IS an edge endpoint, so nobody is lost).
+    // No per-round checkpoint: with a FIXED small round budget the lineage
+    // is k-deep over an already-checkpointed edge frame — the eager
+    // materialization barrier each round costs more than replanning saves
+    // (unbounded-iteration loops like componentLabels still need it).
+    var lab = und.groupBy(col("u").as("node"))
+      .agg(min(least(col("u"), col("v"))).as("lab"))
+    for (_ <- 2 to rounds) {
+      // one edge-sized join per round (labels looked up on the v side),
+      // then a node-sized join folds in the node's own label — instead of
+      // joining the label frame into the edge list twice
+      val nbrMin = und
+        .join(lab.select(col("node").as("v"), col("lab").as("vlab")), Seq("v"))
+        .groupBy(col("u").as("node")).agg(min(col("vlab")).as("nm"))
+      lab = lab.join(nbrMin, Seq("node"))
+        .select(col("node"), least(col("lab"), col("nm")).as("lab"))
     }
     lab.groupBy(col("lab")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("n_nodes").desc, col("lab"))
