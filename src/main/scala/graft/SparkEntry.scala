@@ -206,6 +206,8 @@ object SparkEntry {
     "q_zone_map" -> ((s: SparkSession, d: String) => Bucketing.zoneMapAudit(s, d)),
     "q_weighted_quantile" -> ((s: SparkSession, d: String) => QuerySurface.weightedQuantile(s, d)),
     "q_lorenz" -> ((s: SparkSession, d: String) => QuerySurface.lorenzDeciles(s, d)),
+    "q_ppr" -> ((s: SparkSession, d: String) => Graph.personalizedPageRank(s, d)),
+    "mix_temperature" -> (Sampling.mixTemperature _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -498,6 +500,8 @@ object SparkEntry {
     "q_zone_map" -> operators.Bucketing.zoneMapAuditOracleSql,
     "q_weighted_quantile" -> operators.QuerySurface.weightedQuantileOracleSql,
     "q_lorenz" -> operators.QuerySurface.lorenzDecilesOracleSql,
+    "q_ppr" -> operators.Graph.personalizedPageRankOracleSql(),
+    "mix_temperature" -> operators.Sampling.mixTemperatureOracleSql,
 
     "text_langid" ->
       """WITH t AS (

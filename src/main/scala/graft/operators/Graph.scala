@@ -321,6 +321,106 @@ object Graph {
        |ORDER BY rank_fp DESC, id LIMIT $topK""".stripMargin
   }
 
+  /** Seed supplier keys for [[personalizedPageRank]] (node ids 2k+1). */
+  val PprSeedSuppliers: Seq[Long] = Seq(1L, 2L, 3L)
+
+  /** PERSONALIZED PageRank — mass teleports back to a fixed SEED set
+    * instead of uniformly, so the stationary ranks measure proximity to
+    * the seeds: the graph-walk form of "find data like this curated set"
+    * (seed-expansion curation, influence attribution, related-entity
+    * retrieval). Identical fixed-point discipline to [[pageRank]]: 10¹²
+    * integer scale, the overflow-safe two-level damping split, one
+    * shuffle per round on `dst`, bounded iterations with measured
+    * checkpoint cadence. Headroom is BETTER than global PageRank's: total
+    * mass is |seeds|·10¹², not |V|·10¹², so even total concentration on
+    * one hub stays ≤ 3·10¹².
+    *
+    * Non-seed teleport is zero, so nodes unreachable from the seeds rank
+    * 0 exactly — the oracle checks that cut too. */
+  def personalizedPageRank(spark: SparkSession, sfDir: String,
+      iterations: Int = 5, topK: Int = 50,
+      checkpointEvery: Int = 1): DataFrame = {
+    val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+    val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val fwd = li.join(od, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
+    val seedIds = PprSeedSuppliers.map(k => 2 * k + 1)
+    def isSeed = col("id").isin(seedIds: _*)
+
+    var ranks = nodes.withColumn("r",
+      when(isSeed, lit(Scale)).otherwise(lit(0L)))
+    for (i <- 1 to iterations) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"), expr("r div d").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("c"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (when(isSeed, lit(15L * Scale / 100L)).otherwise(lit(0L)) +
+            expr("(coalesce(c, 0L) div 100) * 85 + ((coalesce(c, 0L) % 100) * 85) div 100")).as("r"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+      .select(col("id"),
+        when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        (col("id") / 2).cast("long").as("entity_key"),
+        col("r").as("rank_fp"),
+        isSeed.as("is_seed"))
+      .orderBy(col("rank_fp").desc, col("id"))
+      .limit(topK)
+  }
+
+  /** DuckDB twin of [[personalizedPageRank]] — rounds unrolled, identical
+    * seed teleport and damping split. */
+  def personalizedPageRankOracleSql(iterations: Int = 5,
+      topK: Int = 50): String = {
+    val seeds = PprSeedSuppliers.map(k => 2 * k + 1).mkString(", ")
+    val rounds = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT n.id,
+         |    CAST(CASE WHEN n.id IN ($seeds) THEN ${15L * Scale / 100L} ELSE 0 END
+         |      + (COALESCE(s.c, 0) // 100) * 85 + ((COALESCE(s.c, 0) % 100) * 85) // 100 AS BIGINT) AS r
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(r.r // deg.d) AS c
+         |    FROM e JOIN r${i - 1} r ON e.src = r.id JOIN deg ON e.src = deg.src
+         |    GROUP BY e.dst
+         |  ) s ON n.id = s.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH fwd AS (
+       |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), e AS (
+       |  SELECT src, dst FROM fwd
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM fwd
+       |), deg AS (
+       |  SELECT src, count(*) AS d FROM e GROUP BY src
+       |), n AS (
+       |  SELECT DISTINCT src AS id FROM e
+       |), r0 AS (
+       |  SELECT id, CAST(CASE WHEN id IN ($seeds) THEN $Scale ELSE 0 END AS BIGINT) AS r
+       |  FROM n
+       |),
+       |$rounds
+       |SELECT id,
+       |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  id // 2 AS entity_key,
+       |  r AS rank_fp,
+       |  id IN ($seeds) AS is_seed
+       |FROM r$iterations
+       |ORDER BY rank_fp DESC, id LIMIT $topK""".stripMargin
+  }
+
   /** Single-source BFS hop counts over the UNDIRECTED co-purchase backbone
     * ([[coPurchaseEdges]] — same cap + top-k sparsification as
     * [[triangles]]): distance from the lowest-id backbone node, `hops`

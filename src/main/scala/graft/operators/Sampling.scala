@@ -221,6 +221,53 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** α-TEMPERATURE source mixing (α = 0.5): sampling weights ∝ n_s^α —
+    * the standard corpus-mixing rule that upsamples small sources and
+    * damps dominant ones when assembling a training epoch (α=1 is
+    * proportional, α=0 uniform; 0.5 is the common middle). Emitted next
+    * to the raw proportions so the flattening is visible in the gate row.
+    *
+    * Determinism: `sqrt` of an exact integer count is ONE correctly-
+    * rounded IEEE op (identical on every engine, unlike `pow`/`ln`);
+    * each weight is portably rounded to 6 dp and summed as exact
+    * DECIMAL, so the normalizing total is bit-identical regardless of
+    * source order or partitioning. All division happens on the |sources|-
+    * row aggregate. */
+  def mixTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = documents(spark, sfDir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w6",
+        Tables.portableRound6(sqrt(col("n_docs"))).cast("decimal(28,6)"))
+    val tot = counts.agg(sum(col("w6")).as("wtot"), sum(col("n_docs")).as("ntot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        col("w6").cast("double").as("weight6"),
+        Tables.portableRound6(
+          col("w6").cast("double") / col("wtot").cast("double")).as("p_temp"),
+        Tables.portableRound6(
+          col("n_docs").cast("double") / col("ntot").cast("double")).as("p_raw"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB twin of [[mixTemperature]]. */
+  def mixTemperatureOracleSql: String =
+    s"""WITH c AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(${Tables.portableRound6Sql("sqrt(count(*))")} AS DECIMAL(28,6)) AS w6
+       |  FROM documents GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(sum(w6) AS DECIMAL(38,6)) AS wtot,
+       |    CAST(sum(n_docs) AS BIGINT) AS ntot
+       |  FROM c
+       |)
+       |SELECT source, n_docs, CAST(w6 AS DOUBLE) AS weight6,
+       |  ${Tables.portableRound6Sql(
+           "CAST(w6 AS DOUBLE) / CAST(wtot AS DOUBLE)")} AS p_temp,
+       |  ${Tables.portableRound6Sql(
+           "CAST(n_docs AS DOUBLE) / CAST(ntot AS DOUBLE)")} AS p_raw
+       |FROM c, t
+       |ORDER BY source""".stripMargin
+
   // ---- DuckDB oracle SQL ---------------------------------------------------
 
   /** DuckDB twin of [[sampleSplit]]. */
