@@ -208,6 +208,8 @@ object SparkEntry {
     "q_lorenz" -> ((s: SparkSession, d: String) => QuerySurface.lorenzDeciles(s, d)),
     "q_ppr" -> ((s: SparkSession, d: String) => Graph.personalizedPageRank(s, d)),
     "mix_temperature" -> (Sampling.mixTemperature _),
+    "q_funnel_windowed" -> ((s: SparkSession, d: String) => QuerySurface.funnelWindowed(s, d)),
+    "otel_error_slo" -> (OtelQueries.goldenErrorRateSlo _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -502,6 +504,8 @@ object SparkEntry {
     "q_lorenz" -> operators.QuerySurface.lorenzDecilesOracleSql,
     "q_ppr" -> operators.Graph.personalizedPageRankOracleSql(),
     "mix_temperature" -> operators.Sampling.mixTemperatureOracleSql,
+    "q_funnel_windowed" -> operators.QuerySurface.funnelWindowedOracleSql(),
+    "otel_error_slo" -> OtelQueries.goldenErrorRateSloOracleSql,
 
     "text_langid" ->
       """WITH t AS (

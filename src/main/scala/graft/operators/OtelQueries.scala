@@ -628,6 +628,38 @@ object OtelQueries {
     * run contains a digit. */
   val LogTemplateMaskRegex = "[A-Za-z0-9]*[0-9][A-Za-z0-9]*"
 
+  /** Per-service ERROR-RATE vs a 1% SLO over the golden logs — the
+    * alert/burn arithmetic of docs/querying.md's severity queries, with
+    * the breach decision INTEGER-EXACT (`100·n_errors > n_logs` — no FP
+    * comparison at the policy boundary) and the displayed rate portably
+    * rounded. One map-side-combined conditional aggregate. */
+  def goldenErrorRateSlo(spark: SparkSession, sfDirIgnored: String): DataFrame =
+    spark.read.parquet(s"$GoldenDir/logs.parquet")
+      .groupBy(col("ServiceName"))
+      .agg(count(lit(1)).as("n_logs"),
+        sum(when(col("SeverityText").isin("ERROR", "FATAL"), 1L).otherwise(0L))
+          .as("n_errors"))
+      .select(col("ServiceName"), col("n_logs"), col("n_errors"),
+        graft.operators.Tables.portableRound6(
+          col("n_errors").cast("double") / col("n_logs").cast("double"))
+          .as("err_rate"),
+        (col("n_errors") * 100 > col("n_logs")).as("slo_breach"))
+      .orderBy(col("ServiceName"))
+
+  /** DuckDB twin of [[goldenErrorRateSlo]]. */
+  def goldenErrorRateSloOracleSql: String =
+    s"""WITH a AS (
+       |  SELECT ServiceName, count(*) AS n_logs,
+       |    CAST(sum(CASE WHEN SeverityText IN ('ERROR', 'FATAL') THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+       |  FROM read_parquet('$GoldenDir/logs.parquet')
+       |  GROUP BY 1
+       |)
+       |SELECT ServiceName, n_logs, n_errors,
+       |  ${graft.operators.Tables.portableRound6Sql(
+           "CAST(n_errors AS DOUBLE) / CAST(n_logs AS DOUBLE)")} AS err_rate,
+       |  n_errors * 100 > n_logs AS slo_breach
+       |FROM a ORDER BY ServiceName""".stripMargin
+
   /** Log TEMPLATE mining over the golden logs — the log-clustering first
     * step of every observability pipeline (group the firehose by message
     * shape, not raw body): mask digit-bearing tokens, then count bodies

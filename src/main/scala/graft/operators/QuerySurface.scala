@@ -1009,6 +1009,73 @@ object QuerySurface {
       |  CAST((SELECT count(*) FROM s3) AS DOUBLE)
       |    / NULLIF(CAST((SELECT count(*) FROM s2) AS DOUBLE), 0) AS rate_purchase""".stripMargin
 
+  /** Step window for [[funnelWindowed]] (µs): 1 hour. */
+  val FunnelWindowUs = 3600000000L
+
+  /** TIME-CONSTRAINED funnel — signup → click → purchase where each step
+    * must land within [[FunnelWindowUs]] of the PREVIOUS step's time (the
+    * product-analytics form: "converted within the hour", not "ever").
+    * First-qualifying-event semantics, same as [[funnel]]: each stage
+    * anchors on the user's earliest qualifying event (`min` per user), and
+    * the next stage measures from that anchor — the standard greedy rule
+    * (a later anchor could in principle rescue a downstream step; greedy
+    * is what every funnel product computes and is deterministic).
+    *
+    * Scale shape identical to [[funnel]]: three per-user min-aggregates
+    * chained by equi-joins on `user_id` — co-partitioned after the first
+    * shuffle, no windows, no sort. */
+  def funnelWindowed(spark: SparkSession, sfDir: String,
+      windowUs: Long = FunnelWindowUs): DataFrame = {
+    val ev = events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts_us") >= col("t1") && col("ts_us") <= col("t1") + lit(windowUs))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts_us") >= col("t2") && col("ts_us") <= col("t2") + lit(windowUs))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+    val n1 = s1.agg(count(lit(1)).as("n_signup"))
+    val n2 = s2.agg(count(lit(1)).as("n_click_1h"))
+    val n3 = s3.agg(count(lit(1)).as("n_purchase_1h"))
+    n1.crossJoin(n2).crossJoin(n3)
+      .select(col("n_signup"), col("n_click_1h"), col("n_purchase_1h"),
+        when(col("n_signup") > 0,
+          col("n_click_1h").cast("double") / col("n_signup").cast("double"))
+          .as("rate_click_1h"),
+        when(col("n_click_1h") > 0,
+          col("n_purchase_1h").cast("double") / col("n_click_1h").cast("double"))
+          .as("rate_purchase_1h"))
+  }
+
+  /** DuckDB twin of [[funnelWindowed]]. */
+  def funnelWindowedOracleSql(windowUs: Long = FunnelWindowUs): String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+       |), s1 AS (
+       |  SELECT user_id, min(ts_us) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY 1
+       |), s2 AS (
+       |  SELECT ev.user_id, min(ts_us) AS t2
+       |  FROM ev JOIN s1 USING (user_id)
+       |  WHERE event_type = 'click' AND ts_us >= t1 AND ts_us <= t1 + $windowUs
+       |  GROUP BY 1
+       |), s3 AS (
+       |  SELECT ev.user_id, min(ts_us) AS t3
+       |  FROM ev JOIN s2 USING (user_id)
+       |  WHERE event_type = 'purchase' AND ts_us >= t2 AND ts_us <= t2 + $windowUs
+       |  GROUP BY 1
+       |)
+       |SELECT (SELECT count(*) FROM s1) AS n_signup,
+       |  (SELECT count(*) FROM s2) AS n_click_1h,
+       |  (SELECT count(*) FROM s3) AS n_purchase_1h,
+       |  CAST((SELECT count(*) FROM s2) AS DOUBLE)
+       |    / NULLIF(CAST((SELECT count(*) FROM s1) AS DOUBLE), 0) AS rate_click_1h,
+       |  CAST((SELECT count(*) FROM s3) AS DOUBLE)
+       |    / NULLIF(CAST((SELECT count(*) FROM s2) AS DOUBLE), 0) AS rate_purchase_1h""".stripMargin
+
   // ---- Cohort retention ----
 
   /** Weekly cohort retention matrix: users are cohorted by their first
