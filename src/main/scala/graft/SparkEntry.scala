@@ -210,6 +210,8 @@ object SparkEntry {
     "mix_temperature" -> (Sampling.mixTemperature _),
     "q_funnel_windowed" -> ((s: SparkSession, d: String) => QuerySurface.funnelWindowed(s, d)),
     "otel_error_slo" -> (OtelQueries.goldenErrorRateSlo _),
+    "sim_threshold_curve" -> (Similarity.thresholdCurve _),
+    "sample_balanced" -> (Sampling.sampleBalanced _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -506,6 +508,8 @@ object SparkEntry {
     "mix_temperature" -> operators.Sampling.mixTemperatureOracleSql,
     "q_funnel_windowed" -> operators.QuerySurface.funnelWindowedOracleSql(),
     "otel_error_slo" -> OtelQueries.goldenErrorRateSloOracleSql,
+    "sim_threshold_curve" -> operators.Similarity.thresholdCurveOracleSql,
+    "sample_balanced" -> operators.Sampling.sampleBalancedOracleSql,
 
     "text_langid" ->
       """WITH t AS (

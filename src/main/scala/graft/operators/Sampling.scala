@@ -268,6 +268,48 @@ object Sampling {
        |FROM c, t
        |ORDER BY source""".stripMargin
 
+  /** CLASS-BALANCED sampling over labeled embeddings: every class is cut
+    * to the SIZE OF THE SMALLEST class, members chosen by deterministic
+    * hash rank (`md5('bal:' || id)`) — the equal-representation
+    * downsampling used before training on skewed labels (contrast
+    * [[stratified]], which PRESERVES per-stratum proportions). The cap
+    * comes from a one-row aggregate broadcast into a per-class
+    * `row_number` filter: one shuffle on `label`, no global sort, and
+    * the hash rank makes the kept set a pure function of the data. */
+  def sampleBalanced(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val cap = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("cap"))
+    val h = udf((id: Long) => graft.functions.PortableHash.md5Lower63("bal:" + id))
+    val w = Window.partitionBy(col("label")).orderBy(col("h"), col("vec_id"))
+    e.withColumn("h", h(col("vec_id")))
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(cap))
+      .filter(col("rn") <= col("cap"))
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("label"), col("vec_id"))
+  }
+
+  /** DuckDB twin of [[sampleBalanced]]. */
+  def sampleBalancedOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    CAST(md5_number_lower('bal:' || CAST(vec_id AS VARCHAR))
+       |      & 9223372036854775807 AS BIGINT) AS h
+       |  FROM embeddings
+       |), cap AS (
+       |  SELECT min(n) AS cap FROM (
+       |    SELECT label, count(*) AS n FROM e GROUP BY 1
+       |  )
+       |), r AS (
+       |  SELECT vec_id, label,
+       |    row_number() OVER (PARTITION BY label ORDER BY h, vec_id) AS rn
+       |  FROM e
+       |)
+       |SELECT vec_id, label FROM r, cap WHERE rn <= cap
+       |ORDER BY label, vec_id""".stripMargin
+
   // ---- DuckDB oracle SQL ---------------------------------------------------
 
   /** DuckDB twin of [[sampleSplit]]. */

@@ -1211,4 +1211,70 @@ object Similarity {
          |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin)
     sb.toString
   }
+
+  // ---- dedup-threshold sensitivity curve ----------------------------------
+
+  /** Thresholds for [[thresholdCurve]]. */
+  val CurveThresholds: Seq[Double] = Seq(0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** DEDUP-THRESHOLD sensitivity curve — for each candidate cosine cutoff,
+    * how many near-dup pairs and how many affected documents the corpus
+    * holds. THE decision input before committing a semantic-dedup
+    * threshold: the curve's knee separates "removes real duplicates" from
+    * "starts deleting topical neighbors", and computing it needs the
+    * all-pairs work ONCE (the cutoff only filters the already-scored pair
+    * stream — six thresholds cost six conditional aggregates over the
+    * [[cosinePairs]] output, not six pair joins). */
+  def thresholdCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = cosinePairs(spark, sfDir)
+      .withColumn("threshold", explode(lit(CurveThresholds.toArray)))
+      .filter(col("cos") >= col("threshold"))
+      .localCheckpoint(true)
+    val np = pairs.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    val nd = pairs
+      .select(col("threshold"), explode(array(col("id1"), col("id2"))).as("id"))
+      .groupBy(col("threshold")).agg(countDistinct(col("id")).as("n_docs"))
+    CurveThresholds.toDF("threshold")
+      .join(np, Seq("threshold"), "left")
+      .join(nd, Seq("threshold"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs"))
+      .orderBy(col("threshold"))
+  }
+
+  /** DuckDB twin of [[thresholdCurve]] — shared pair SQL, identical
+    * threshold literals. */
+  def thresholdCurveOracleSql: String = {
+    val th = CurveThresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+       |  WHERE list_dot_product(v, v) > 0 AND NOT isnan(list_dot_product(v, v))
+       |), pairs AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |    ${Tables.portableRound6Sql("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)")} AS cos
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |  WHERE ${Tables.portableRound6Sql("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)")} >= 0.4
+       |), th AS (
+       |  SELECT * FROM (VALUES $th) AS t(threshold)
+       |), f AS (
+       |  SELECT t.threshold, p.id1, p.id2 FROM pairs p JOIN th t ON p.cos >= t.threshold
+       |), np AS (
+       |  SELECT threshold, count(*) AS n_pairs FROM f GROUP BY 1
+       |), nd AS (
+       |  SELECT threshold, count(DISTINCT id) AS n_docs FROM (
+       |    SELECT threshold, id1 AS id FROM f
+       |    UNION ALL
+       |    SELECT threshold, id2 FROM f
+       |  ) GROUP BY 1
+       |)
+       |SELECT t.threshold,
+       |  CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs
+       |FROM th t
+       |LEFT JOIN np ON t.threshold = np.threshold
+       |LEFT JOIN nd ON t.threshold = nd.threshold
+       |ORDER BY t.threshold""".stripMargin
+  }
 }
