@@ -212,6 +212,8 @@ object SparkEntry {
     "otel_error_slo" -> (OtelQueries.goldenErrorRateSlo _),
     "sim_threshold_curve" -> (Similarity.thresholdCurve _),
     "sample_balanced" -> (Sampling.sampleBalanced _),
+    "q_percentile_ts" -> ((s: SparkSession, d: String) => QuerySurface.percentileTs(s, d)),
+    "otel_span_pct" -> ((s: SparkSession, d: String) => OtelQueries.spanDurationPct(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -510,6 +512,8 @@ object SparkEntry {
     "otel_error_slo" -> OtelQueries.goldenErrorRateSloOracleSql,
     "sim_threshold_curve" -> operators.Similarity.thresholdCurveOracleSql,
     "sample_balanced" -> operators.Sampling.sampleBalancedOracleSql,
+    "q_percentile_ts" -> operators.QuerySurface.percentileTsOracleSql,
+    "otel_span_pct" -> OtelQueries.spanDurationPctOracleSql(),
 
     "text_langid" ->
       """WITH t AS (

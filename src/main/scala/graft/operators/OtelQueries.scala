@@ -617,6 +617,50 @@ object OtelQueries {
        |WHERE b.rn = 1
        |ORDER BY b.trace_id""".stripMargin
 
+  /** Per-OPERATION duration percentiles over the generated span-tree
+    * corpus — "which span name is slow at p95", the per-operation latency
+    * breakdown a trace UI puts next to [[criticalPath]]. Same discrete
+    * integer-threshold percentile rule as `q_percentile_ts`, partitioned
+    * by span name (7 operations here; thousands at fleet scale — still
+    * embarrassingly parallel across names). */
+  def spanDurationPct(spark: SparkSession, sfDirIgnored: String,
+      n: Long = 2000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = graft.TestDataGen.spanTrees(spark, n)
+      .select(col("span_name"), col("trace_id"), col("span_idx"),
+        col("duration_ns"))
+    val w = Window.partitionBy(col("span_name"))
+      .orderBy(col("duration_ns"), col("trace_id"), col("span_idx"))
+    spans.withColumn("rn", row_number().over(w))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("span_name"))))
+      .groupBy(col("span_name"))
+      .agg(max(col("cnt")).as("n_spans"),
+        min(col("duration_ns")).as("min_ns"),
+        min(when(col("rn") * 2 >= col("cnt"), col("duration_ns"))).as("p50_ns"),
+        min(when(col("rn") * 20 >= col("cnt") * 19, col("duration_ns"))).as("p95_ns"),
+        max(col("duration_ns")).as("max_ns"))
+      .orderBy(col("span_name"))
+  }
+
+  /** DuckDB twin of [[spanDurationPct]] — shared generator CTE, identical
+    * threshold rule and tiebreaks. */
+  def spanDurationPctOracleSql(n: Long = 2000L): String =
+    s"""WITH ${graft.TestDataGen.spanTreesSqlCte(n)},
+       |r AS (
+       |  SELECT span_name, duration_ns,
+       |    row_number() OVER (PARTITION BY span_name
+       |      ORDER BY duration_ns, trace_id, span_idx) AS rn,
+       |    count(*) OVER (PARTITION BY span_name) AS cnt
+       |  FROM spant
+       |)
+       |SELECT span_name, CAST(max(cnt) AS BIGINT) AS n_spans,
+       |  min(duration_ns) AS min_ns,
+       |  min(CASE WHEN rn * 2 >= cnt THEN duration_ns END) AS p50_ns,
+       |  min(CASE WHEN rn * 20 >= cnt * 19 THEN duration_ns END) AS p95_ns,
+       |  max(duration_ns) AS max_ns
+       |FROM r GROUP BY 1 ORDER BY span_name""".stripMargin
+
   // ---- log template mining ------------------------------------------------
 
   /** Token-mask rule shared by [[goldenLogTemplates]] and its oracle: any

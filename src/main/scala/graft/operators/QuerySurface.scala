@@ -1914,6 +1914,51 @@ object QuerySurface {
        |FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
        |GROUP BY 1 ORDER BY n DESC, path LIMIT $k""".stripMargin
 
+  // ---- percentile time series ---------------------------------------------
+
+  /** Hourly p50/p95 TIME SERIES of `events.value` — the
+    * latency-percentile-over-time panel every operational dashboard draws.
+    * Discrete lower-percentile rule written as integer thresholds over the
+    * unique (value, event_id) order (`2·rn ≥ n` / `20·rn ≥ 19·n`) — the
+    * same cross-engine discipline as `q_median_disc` and
+    * `q_weighted_quantile`, here PARTITIONED BY HOUR: one window pass per
+    * hour bucket (embarrassingly parallel across buckets), one aggregate.
+    * At 100 TB the hour partitioning is also the scan partitioning, so
+    * each window sees one partition's rows — no global sort anywhere. */
+  def percentileTs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600000000L
+    val ev = events(spark, sfDir)
+      .select(expr(s"unix_micros(ts) div $hourUs * $hourUs").as("hour_us"),
+        col("event_id"), col("value"))
+    val w = Window.partitionBy(col("hour_us"))
+      .orderBy(col("value"), col("event_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("hour_us"))))
+      .groupBy(col("hour_us"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("rn") * 2 >= col("n"), col("value"))).as("p50"),
+        min(when(col("rn") * 20 >= col("n") * 19, col("value"))).as("p95"))
+      .orderBy(col("hour_us"))
+  }
+
+  /** DuckDB twin of [[percentileTs]]. */
+  def percentileTsOracleSql: String =
+    s"""WITH ev AS (
+       |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+       |    event_id, value
+       |  FROM events
+       |), r AS (
+       |  SELECT hour_us, value,
+       |    row_number() OVER (PARTITION BY hour_us ORDER BY value, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY hour_us) AS n
+       |  FROM ev
+       |)
+       |SELECT CAST(hour_us AS BIGINT) AS hour_us, CAST(max(n) AS BIGINT) AS n,
+       |  min(CASE WHEN rn * 2 >= n THEN value END) AS p50,
+       |  min(CASE WHEN rn * 20 >= n * 19 THEN value END) AS p95
+       |FROM r GROUP BY 1 ORDER BY hour_us""".stripMargin
+
   // ---- Markov transition matrix -------------------------------------------
 
   /** Event-type TRANSITION MATRIX — per (prev → cur) pair: count and the

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{OtelQueries, QuerySurface, Tables}
+
+/** Round-7 tenth-batch operators: hourly percentile time series and
+  * per-operation span duration percentiles. From-scratch recomputes. */
+class Round7jOpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def discPct(sorted: Seq[Double], num: Int, den: Int): Double =
+    sorted(sorted.indices.find(i => (i + 1) * num >= sorted.length * den).get)
+
+  test("percentile ts: hourly discrete p50/p95 match a recompute") {
+    val hourUs = 3600000000L
+    val ev = Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = ev.groupBy(t => t._1 / hourUs * hourUs).toSeq
+      .map { case (h, rows) =>
+        val ordered = rows.sortBy(r => (r._3, r._2)).map(_._3)
+        (h, rows.length.toLong, discPct(ordered, 2, 1), discPct(ordered, 20, 19))
+      }.sortBy(_._1)
+    val got = QuerySurface.percentileTs(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    assert(got.forall(r => r._3 <= r._4)) // p50 ≤ p95 always
+  }
+
+  test("span pct: per-operation duration percentiles match the generator's closed form") {
+    val n = 300L
+    val spans = (0L until n).flatMap { t =>
+      (0 to (t % 15).toInt).map { i =>
+        (s"op-${(t + i) % 7}", t, i.toLong,
+          1000L + ((t * 31 + i * 17) % 97) * 10)
+      }
+    }
+    val expected = spans.groupBy(_._1).toSeq.map { case (name, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._2, r._3)).map(_._4)
+      def pick(num: Int, den: Int) =
+        ordered(ordered.indices.find(i => (i + 1) * num >= ordered.length * den).get)
+      (name, rows.length.toLong, ordered.min, pick(2, 1), pick(20, 19), ordered.max)
+    }.sortBy(_._1)
+    val got = OtelQueries.spanDurationPct(spark, sf, n).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    assert(got == expected)
+  }
+}
