@@ -123,6 +123,7 @@ object SparkEntry {
     "stream_upsert" -> (graft.streaming.StreamGate.upsertSnapshot _),
     "stream_anomaly" -> (graft.streaming.StreamGate.anomalies _),
     "stream_cms" -> (graft.streaming.StreamGate.cmsWindows _),
+    "stream_qsketch" -> (graft.streaming.StreamGate.qsketchWindows _),
 
     // -- sketches / scale statistics (round 4) --
     "q_approx_distinct" -> (Sketches.approxDistinctKmv _),
@@ -646,6 +647,7 @@ object SparkEntry {
     // flags — the parity is the checked property)
     "stream_anomaly" -> operators.QuerySurface.anomalyZscoreOracleSql(),
     "stream_cms" -> graft.streaming.StreamGate.cmsWindowsOracleSql,
+    "stream_qsketch" -> graft.streaming.StreamGate.qsketchWindowsOracleSql,
 
     "q_approx_distinct" -> Sketches.approxDistinctKmvOracleSql,
     "q_approx_distinct_est" -> Sketches.approxDistinctKmvEstimateOracleSql,

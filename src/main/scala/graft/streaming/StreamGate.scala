@@ -524,6 +524,73 @@ object StreamGate {
       .orderBy(col("window_start_us"), col("r"), col("bucket"))
   }
 
+  /** Bottom-k size for the windowed percentile sketch. */
+  val StreamQsketchK = 64
+
+  private val streamQsketchHashUdf = udf { (id: Long) =>
+    graft.functions.PortableHash.md5Lower63("sq:" + id)
+  }
+
+  /** Per-hour PERCENTILE SKETCH over the replayed stream: each closed
+    * window carries its bottom-[[StreamQsketchK]]-by-hash sample of
+    * `value` (the deterministic uniform sample of `q_approx_percentile`)
+    * and the p50/p95 estimates from the shared ⌈q·m⌉ index rule. The 9th
+    * replay gate, and the second whose batch parity holds BY ALGEBRA:
+    * keep-k-smallest-hashes is merge-commutative, so micro-batch
+    * boundaries and arrival order cannot change the sample — where
+    * KLL/GK/t-digest state is arrival-order-dependent and could not be
+    * oracle-checked as a stream at all. State per window is k rows
+    * regardless of rate — the streaming percentile shape at 100 TB. */
+  def qsketchWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventsStream(spark, sfDir)
+      .select(col("ts"), col("value"),
+        streamQsketchHashUdf(col("event_id")).as("h"))
+    val agg = ev.withWatermark("ts", WindowDelay)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.QsketchAggregate
+        .qsketchBottomK(col("h"), col("value"), StreamQsketchK).as("sample"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        size(col("sample")).cast("long").as("m_sample"),
+        element_at(col("sample"),
+          expr("(size(sample) + 1) div 2").cast("int")).as("est_p50"),
+        element_at(col("sample"),
+          expr("(19 * size(sample) + 19) div 20").cast("int")).as("est_p95"))
+    runToMemory(spark, agg)
+      .orderBy(col("window_start_us"))
+  }
+
+  /** DuckDB twin of [[qsketchWindows]] — identical per-window bottom-k
+    * sample and index rule, with the append-mode window filter. */
+  def qsketchWindowsOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) AS ts_us, event_id, value FROM events
+       |), wm AS (
+       |  SELECT max(ts_us) // 1000 - $WindowDelayMs AS wm_ms FROM e
+       |), src AS (
+       |  SELECT (ts_us // 3600000000) * 3600000000 AS w, value AS v,
+       |    CAST(md5_number_lower('sq:' || CAST(event_id AS VARCHAR))
+       |      & 9223372036854775807 AS BIGINT) AS h
+       |  FROM e
+       |), d AS (
+       |  SELECT DISTINCT w, h, v FROM src
+       |), rk AS (
+       |  SELECT w, v,
+       |    row_number() OVER (PARTITION BY w ORDER BY h, v) AS rn
+       |  FROM d
+       |), sm AS (
+       |  SELECT w, v,
+       |    row_number() OVER (PARTITION BY w ORDER BY v) AS vr,
+       |    count(*) OVER (PARTITION BY w) AS m
+       |  FROM rk WHERE rn <= $StreamQsketchK
+       |)
+       |SELECT CAST(w AS BIGINT) AS window_start_us,
+       |  CAST(max(m) AS BIGINT) AS m_sample,
+       |  min(CASE WHEN vr = (m + 1) // 2 THEN v END) AS est_p50,
+       |  min(CASE WHEN vr = (19 * m + 19) // 20 THEN v END) AS est_p95
+       |FROM sm, wm
+       |WHERE (w + 3600000000) // 1000 <= wm_ms
+       |GROUP BY w ORDER BY window_start_us""".stripMargin
+
   /** DuckDB twin of [[cmsWindows]] — batch grid with the append-mode
     * window filter (window closed by the final watermark). */
   def cmsWindowsOracleSql: String =

@@ -354,4 +354,29 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("windowed qsketch: stream bottom-k sample equals a batch recompute (merge algebra parity)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.operators.Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val wmMs = ev.map(_._1).max / 1000 - graft.streaming.StreamGate.WindowDelayMs
+    val hourUs = 3600000000L
+    val k = graft.streaming.StreamGate.StreamQsketchK
+    val expected = ev.groupBy(t => t._1 / hourUs * hourUs).toSeq
+      .filter { case (w, _) => (w + hourUs) / 1000 <= wmMs }
+      .map { case (w, rows) =>
+        val sample = rows
+          .map(r => (graft.functions.PortableHash.md5Lower63("sq:" + r._2), r._3))
+          .distinct.sortBy(identity).take(k).map(_._2).sorted
+        val m = sample.length
+        (w, m.toLong, sample((m + 1) / 2 - 1), sample((19 * m + 19) / 20 - 1))
+      }.sortBy(_._1)
+    val got = graft.streaming.StreamGate.qsketchWindows(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
