@@ -215,6 +215,7 @@ object SparkEntry {
     "sample_balanced" -> (Sampling.sampleBalanced _),
     "q_percentile_ts" -> ((s: SparkSession, d: String) => QuerySurface.percentileTs(s, d)),
     "otel_span_pct" -> ((s: SparkSession, d: String) => OtelQueries.spanDurationPct(s, d)),
+    "pack_shards" -> (Sampling.packShards _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -515,6 +516,7 @@ object SparkEntry {
     "sample_balanced" -> operators.Sampling.sampleBalancedOracleSql,
     "q_percentile_ts" -> operators.QuerySurface.percentileTsOracleSql,
     "otel_span_pct" -> OtelQueries.spanDurationPctOracleSql(),
+    "pack_shards" -> operators.Sampling.packShardsOracleSql,
 
     "text_langid" ->
       """WITH t AS (

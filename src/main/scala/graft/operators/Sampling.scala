@@ -268,6 +268,73 @@ object Sampling {
        |FROM c, t
        |ORDER BY source""".stripMargin
 
+  /** Shard count for [[packShards]]. */
+  val PackShardCount = 8
+
+  /** BALANCED training-shard assignment — documents dealt to
+    * [[PackShardCount]] shards in SNAKE order by size rank (rank 1..N by
+    * (n_chars desc, doc_id); shard = boustrophedon position of the rank),
+    * so every shard gets one document from each consecutive size band:
+    * the deterministic load-balancing rule for equal-byte training shards
+    * (greedy bin packing balances marginally better but is inherently
+    * sequential and arrival-order-dependent — un-oracle-able and
+    * un-parallelizable; the snake is ONE rank + modulo arithmetic).
+    * Output: per-shard doc count, byte total, and the ppm deviation from
+    * the ideal equal share — the balance audit.
+    *
+    * Scale shape: the global size rank is the one ordered pass (same
+    * shape as `q_equi_depth`); everything after is a [[PackShardCount]]-row
+    * aggregate. */
+  def packShards(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = PackShardCount
+    val ranked = documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id"))))
+      // snake: ranks 1..s go to shards 0..s-1, ranks s+1..2s to s-1..0, …
+      .withColumn("pos", expr(s"(rk - 1) % (2 * $s)"))
+      .withColumn("shard",
+        expr(s"IF(pos < $s, pos, 2 * $s - 1 - pos)").cast("long"))
+    val bands = ranked.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("shard_chars"))
+    val tot = Window.partitionBy()
+    bands
+      .withColumn("tot", sum(col("shard_chars")).over(tot))
+      .select(col("shard"), col("n_docs"), col("shard_chars"),
+        // ppm deviation from the ideal tot/s share as |dev| + sign —
+        // absolute so the floor division stays on NON-NEGATIVE integers
+        // (Spark `div` truncates toward zero, DuckDB `//` floors; they
+        // agree only for non-negative operands)
+        expr(s"(abs($s * shard_chars - tot) * 1000000) div tot").as("dev_abs_ppm"),
+        expr(s"$s * shard_chars >= tot").as("over_ideal"))
+      .orderBy(col("shard"))
+  }
+
+  /** DuckDB twin of [[packShards]]. */
+  def packShardsOracleSql: String = {
+    val s = PackShardCount
+    s"""WITH r AS (
+       |  SELECT doc_id, n_chars,
+       |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+       |  FROM documents
+       |), sh AS (
+       |  SELECT n_chars,
+       |    CAST(CASE WHEN (rk - 1) % (2 * $s) < $s THEN (rk - 1) % (2 * $s)
+       |         ELSE 2 * $s - 1 - (rk - 1) % (2 * $s) END AS BIGINT) AS shard
+       |  FROM r
+       |), b AS (
+       |  SELECT shard, count(*) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS shard_chars
+       |  FROM sh GROUP BY 1
+       |)
+       |SELECT shard, n_docs, shard_chars,
+       |  (abs($s * shard_chars - CAST(sum(shard_chars) OVER () AS BIGINT)) * 1000000)
+       |    // CAST(sum(shard_chars) OVER () AS BIGINT) AS dev_abs_ppm,
+       |  $s * shard_chars >= CAST(sum(shard_chars) OVER () AS BIGINT) AS over_ideal
+       |FROM b ORDER BY shard""".stripMargin
+  }
+
   /** CLASS-BALANCED sampling over labeled embeddings: every class is cut
     * to the SIZE OF THE SMALLEST class, members chosen by deterministic
     * hash rank (`md5('bal:' || id)`) — the equal-representation

@@ -48,4 +48,28 @@ class Round7jOpsSpec extends SparkTestBase {
         r.getLong(5))).toSeq
     assert(got == expected)
   }
+
+  test("pack shards: snake assignment and ppm balance match an integer recompute") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val s = graft.operators.Sampling.PackShardCount
+    val ranked = docs.sortBy(d => (-d._2, d._1)).zipWithIndex
+    val byShard = ranked.groupBy { case (_, i) =>
+      val pos = i % (2 * s)
+      if (pos < s) pos.toLong else (2 * s - 1 - pos).toLong
+    }
+    val tot = docs.map(_._2).sum
+    val expected = byShard.toSeq.map { case (sh, rows) =>
+      val chars = rows.map(_._1._2).sum
+      (sh, rows.length.toLong, chars,
+        (s * chars - tot).abs * 1000000L / tot, s * chars >= tot)
+    }.sortBy(_._1)
+    val got = graft.operators.Sampling.packShards(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got == expected)
+    // the snake genuinely balances: worst shard within 5% of ideal here
+    assert(got.map(_._4).max < 50000L)
+  }
 }
