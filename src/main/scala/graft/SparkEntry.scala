@@ -216,6 +216,8 @@ object SparkEntry {
     "q_percentile_ts" -> ((s: SparkSession, d: String) => QuerySurface.percentileTs(s, d)),
     "otel_span_pct" -> ((s: SparkSession, d: String) => OtelQueries.spanDurationPct(s, d)),
     "pack_shards" -> (Sampling.packShards _),
+    "mm_exact_dup" -> (Multimodal.exactDupGroups _),
+    "text_boilerplate" -> (TextAnalysis.boilerplate _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -517,6 +519,8 @@ object SparkEntry {
     "q_percentile_ts" -> operators.QuerySurface.percentileTsOracleSql,
     "otel_span_pct" -> OtelQueries.spanDurationPctOracleSql(),
     "pack_shards" -> operators.Sampling.packShardsOracleSql,
+    "mm_exact_dup" -> operators.Multimodal.exactDupGroupsOracleSql,
+    "text_boilerplate" -> operators.TextAnalysis.boilerplateOracleSql,
 
     "text_langid" ->
       """WITH t AS (

@@ -316,4 +316,43 @@ object Multimodal {
        |WHERE hamming <= $maxHamming
        |ORDER BY id1, id2""".stripMargin
   }
+
+  // ---- exact binary dedup -------------------------------------------------
+
+  /** EXACT binary dedup of media payloads — duplicate groups by content
+    * SHA-256, the first pass of every multimodal dedup pipeline (byte-
+    * identical re-uploads, mirrored assets) before any perceptual
+    * comparison runs: a 32-byte-key shuffle regardless of payload size,
+    * and at fleet scale the hash is computed ONCE at ingest and stored as
+    * a column, making this a pure metadata aggregate. Reports per group:
+    * copies, payload bytes, the canonical (min-id) survivor, and the
+    * reclaimable `wasted_bytes = (n−1)·bytes`. */
+  def exactDupGroups(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      .select(col("doc_id"), sha2(col("content"), 256).as("sha256"),
+        length(col("content")).cast("long").as("n_bytes"))
+      .groupBy(col("sha256"), col("n_bytes"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_copies") > 1)
+      .select(col("sha256"), col("n_copies"), col("n_bytes"),
+        col("canonical_id"),
+        ((col("n_copies") - 1) * col("n_bytes")).as("wasted_bytes"))
+      .orderBy(col("canonical_id"))
+
+  /** DuckDB twin of [[exactDupGroups]]. */
+  def exactDupGroupsOracleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, sha256(text) AS sha256,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents
+      |), g AS (
+      |  SELECT sha256, n_bytes, count(*) AS n_copies,
+      |    min(doc_id) AS canonical_id
+      |  FROM b GROUP BY 1, 2
+      |)
+      |SELECT sha256, n_copies, n_bytes, canonical_id,
+      |  (n_copies - 1) * n_bytes AS wasted_bytes
+      |FROM g WHERE n_copies > 1
+      |ORDER BY canonical_id""".stripMargin
 }

@@ -1013,4 +1013,39 @@ object TextAnalysis {
        |      '$Ipv4Re', '<IP>', 'g'),
        |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed
        |FROM inj ORDER BY doc_id""".stripMargin
+
+  // ---- boilerplate prefix detection ---------------------------------------
+
+  /** Prefix length (words) and minimum group size for [[boilerplate]]. */
+  val BoilerplatePrefixWords = 8
+  val BoilerplateMinDocs = 2
+
+  /** BOILERPLATE detection — the shared document PREFIXES (first
+    * [[BoilerplatePrefixWords]] words) appearing in ≥[[BoilerplateMinDocs]]
+    * docs: the scaffold of the strip-headers/footers pass every web-corpus
+    * pipeline runs (cookie banners, license headers, navigation chrome all
+    * surface as high-count shared prefixes). One map-side-combined count
+    * keyed by the prefix string; at 100 TB key it by the prefix's 64-bit
+    * hash instead and the shuffle narrows to 8 bytes/row (the
+    * `dedup_span_coverage` discipline). */
+  def boilerplate(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr(s"array_join(slice(split(text, ' '), 1, $BoilerplatePrefixWords), ' ')")
+          .as("prefix"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_id"))
+      .filter(col("n_docs") >= BoilerplateMinDocs)
+      .orderBy(col("n_docs").desc, col("prefix"))
+
+  /** DuckDB twin of [[boilerplate]]. */
+  def boilerplateOracleSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    array_to_string(string_split(text, ' ')[1:$BoilerplatePrefixWords], ' ') AS prefix
+       |  FROM documents
+       |)
+       |SELECT prefix, count(*) AS n_docs, min(doc_id) AS example_id
+       |FROM p GROUP BY 1 HAVING count(*) >= $BoilerplateMinDocs
+       |ORDER BY n_docs DESC, prefix""".stripMargin
 }

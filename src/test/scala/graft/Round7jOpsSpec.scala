@@ -72,4 +72,39 @@ class Round7jOpsSpec extends SparkTestBase {
     // the snake genuinely balances: worst shard within 5% of ideal here
     assert(got.map(_._4).max < 50000L)
   }
+
+  test("exact binary dup: sha-256 groups match a recompute (sf0.1 — the corpus with real dups)") {
+    val sf01 = "/root/testdata/sf0.1"
+    val docs = Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy(_._2).values.filter(_.length > 1).toSeq
+      .map { rows =>
+        val bytes = rows.head._2.getBytes("UTF-8")
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(bytes).map("%02x".format(_)).mkString
+        (sha, rows.length.toLong, bytes.length.toLong, rows.map(_._1).min,
+          (rows.length - 1).toLong * bytes.length)
+      }.sortBy(_._4)
+    assert(expected.nonEmpty) // the corpus genuinely contains raw dups here
+    val got = graft.operators.Multimodal.exactDupGroups(spark, sf01)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+  }
+
+  test("boilerplate: shared 8-word prefixes match a recompute") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs
+      .map { case (id, t) => (id, t.split(" ", -1).take(8).mkString(" ")) }
+      .groupBy(_._2).toSeq
+      .filter(_._2.length >= graft.operators.TextAnalysis.BoilerplateMinDocs)
+      .map { case (p, rows) => (p, rows.length.toLong, rows.map(_._1).min) }
+      .sortBy { case (p, n, _) => (-n, p) }
+    val got = graft.operators.TextAnalysis.boilerplate(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
 }
