@@ -184,4 +184,20 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("percentile time series windows partition by hour — no global (empty-key) sort") {
+    val plan = planOf(QuerySurface.percentileTs(spark, sf))
+    assert(plan.contains("Window"), plan)
+    // every window spec carries the hour partition key
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).length
+    val keyed = "windowspecdefinition\\(hour_us".r.findAllIn(plan).length
+    assert(specs > 0 && specs == keyed, plan)
+  }
+
+  test("exact binary dedup shuffles the 32-byte hash, never document text") {
+    val plan = planOf(Multimodal.exactDupGroups(spark, sf))
+    val exchanges = plan.split("Exchange hashpartitioning").toSeq.tail
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(e => !e.takeWhile(_ != ')').contains("text")), plan)
+  }
 }
