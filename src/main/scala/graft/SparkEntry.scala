@@ -218,6 +218,7 @@ object SparkEntry {
     "pack_shards" -> (Sampling.packShards _),
     "mm_exact_dup" -> (Multimodal.exactDupGroups _),
     "text_boilerplate" -> (TextAnalysis.boilerplate _),
+    "text_vocab_growth" -> (TextAnalysis.vocabGrowth _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -521,6 +522,7 @@ object SparkEntry {
     "pack_shards" -> operators.Sampling.packShardsOracleSql,
     "mm_exact_dup" -> operators.Multimodal.exactDupGroupsOracleSql,
     "text_boilerplate" -> operators.TextAnalysis.boilerplateOracleSql,
+    "text_vocab_growth" -> operators.TextAnalysis.vocabGrowthOracleSql,
 
     "text_langid" ->
       """WITH t AS (

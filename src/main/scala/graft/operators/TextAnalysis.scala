@@ -1038,6 +1038,68 @@ object TextAnalysis {
       .filter(col("n_docs") >= BoilerplateMinDocs)
       .orderBy(col("n_docs").desc, col("prefix"))
 
+  /** Docs per bucket for [[vocabGrowth]]. */
+  val VocabBucketDocs = 20L
+
+  private val vocabGram3Udf = udf { (toks: Seq[String]) =>
+    if (toks.length < 3) Array.empty[Long]
+    else (0 to toks.length - 3).map(i =>
+      graft.functions.PortableHash
+        .md5Lower63(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))).toArray
+  }
+
+  /** VOCABULARY GROWTH curve (Heaps' law, measured) over word 3-GRAMS: per
+    * [[VocabBucketDocs]]-doc bucket in `doc_id` order, how many 3-grams
+    * appear for the FIRST time and the cumulative 3-gram vocabulary — the
+    * corpus-sizing diagnostic (is new data still adding novel phrasing, or
+    * repeating it?) and the before/after instrument for dedup passes.
+    * 3-grams, not unigrams: this corpus generation draws from a ~31-word
+    * unigram vocabulary (everything "first-appears" in bucket 0 — a flat
+    * line), while the 3-gram space genuinely decays (993 → ~360 new per
+    * bucket at sf0.01).
+    *
+    * Shape: one explode + min-aggregate keyed by the gram's 63-bit md5
+    * (8-byte shuffle rows, the `dedup_span_coverage` discipline — never
+    * shuffle the text), then all curve algebra on the |buckets|-row
+    * frame. No range join of vocabulary × checkpoints (the naive O(V·C)
+    * formulation this avoids). */
+  def vocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(vocabGram3Udf(split(lower(col("text")), " "))).as("gh"))
+      .groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+    val buckets = firstSeen
+      .groupBy(expr(s"first_doc div $VocabBucketDocs").as("bucket"))
+      .agg(count(lit(1)).as("new_grams"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .withColumn("vocab_size", sum(col("new_grams")).over(w))
+      .select(col("bucket"), col("new_grams"), col("vocab_size"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB twin of [[vocabGrowth]] — identical md5 gram keys. */
+  def vocabGrowthOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    CAST(md5_number_lower(w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |      & 9223372036854775807 AS BIGINT) AS gh
+       |  FROM t, unnest(range(1, len(w) - 1)) AS r(i)
+       |), fs AS (
+       |  SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY 1
+       |), b AS (
+       |  SELECT first_doc // $VocabBucketDocs AS bucket, count(*) AS new_grams
+       |  FROM fs GROUP BY 1
+       |)
+       |SELECT bucket, CAST(new_grams AS BIGINT) AS new_grams,
+       |  CAST(sum(new_grams) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+       |    AS BIGINT) AS vocab_size
+       |FROM b ORDER BY bucket""".stripMargin
+
   /** DuckDB twin of [[boilerplate]]. */
   def boilerplateOracleSql: String =
     s"""WITH p AS (

@@ -107,4 +107,28 @@ class Round7jOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == expected)
   }
+
+  test("vocab growth: 3-gram first-occurrence curve matches a recompute") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val b = graft.operators.TextAnalysis.VocabBucketDocs
+    val firstSeen = docs.flatMap { case (id, t) =>
+        val w = t.toLowerCase.split(" ", -1)
+        (0 to w.length - 3).map(i =>
+          (graft.functions.PortableHash.md5Lower63(
+            w(i) + " " + w(i + 1) + " " + w(i + 2)), id))
+      }
+      .groupBy(_._1).map { case (_, v) => v.map(_._2).min }
+    val buckets = firstSeen.groupBy(_ / b).toSeq
+      .map { case (bk, v) => (bk, v.size.toLong) }.sortBy(_._1)
+    var cum = 0L
+    val expected = buckets.map { case (bk, n) => cum += n; (bk, n, cum) }
+    val got = graft.operators.TextAnalysis.vocabGrowth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // the curve is a genuine cumulative: strictly increasing, positive gains
+    assert(got.map(_._3) == got.map(_._3).sorted && got.forall(_._2 > 0))
+    assert(got.size > 1) // more than one bucket, or the curve is trivial
+  }
 }
