@@ -87,7 +87,16 @@ object Bench {
     // headline = pre-sweep MEDIAN pass: measured on a clean JVM, directly
     // comparable to a standalone run, and robust to a single mid-run VM
     // stall (round-7 verdict task 2); mean/best/raw passes stay alongside
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir","ingest_rows_per_s":${ingestPre.medianRowsPerSec},"ingest_rows_per_s_best":${ingestPre.bestRowsPerSec},"ingest_pre":${ingestJson(ingestPre)},"ingest_post":${ingestJson(ingestPost)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir","ingest_rows_per_s":${ingestPre.medianRowsPerSec},"ingest_rows_per_s_best":${ingestPre.bestRowsPerSec},"ingest_pre":${ingestJson(ingestPre)},"ingest_post":${ingestJson(ingestPost)}}"""
+    println(line)
+    // the driver's BENCH_r{N}.json artifact truncates its tail (round 7
+    // preserved only ~113 of 169 per-query medians), so ALSO persist the
+    // full line to a file the round can commit — every query's
+    // median/min/failure reviewable round-over-round from the repo itself
+    val benchOut = java.nio.file.Paths.get("target/bench_queries.json")
+    java.nio.file.Files.createDirectories(benchOut.getParent)
+    java.nio.file.Files.write(benchOut,
+      java.util.List.of(line), java.nio.charset.StandardCharsets.UTF_8)
     spark.stop()
   }
 
@@ -147,8 +156,8 @@ object Bench {
           f += 1
         }
         val rows = 81L * copiesPerFile * files
-        // ADAPTIVE warmup (JIT, parquet committer, page cache), then three
-        // timed steady-state passes, mean reported — the reference's
+        // ADAPTIVE warmup (JIT, parquet committer, page cache), then five
+        // timed steady-state passes, median headline — the reference's
         // criterion bench likewise reports warmed statistics, not cold
         // starts. One fixed warmup pass proved insufficient under the
         // driver's full-sbt run (round 5: pre-sweep passes at 10.5-12.6 s
@@ -175,7 +184,10 @@ object Bench {
           prev = cur
           w += 1
         }
-        val times = (1 to 3).map(i => pipeline(tmpDir.resolve(s"out$i").toString))
+        // 5 timed passes (was 3): the median-of-3 defended exactly one VM
+        // stall in round 7 (passes [9.05, 36.63, 10.53] s) but a second
+        // stall would flip it; with 5 the median survives two
+        val times = (1 to 5).map(i => pipeline(tmpDir.resolve(s"out$i").toString))
         IngestResult(rows, times)
       } finally {
         // ~600 MB/run of landing + output files otherwise accumulates in

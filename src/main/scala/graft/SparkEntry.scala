@@ -219,6 +219,18 @@ object SparkEntry {
     "mm_exact_dup" -> (Multimodal.exactDupGroups _),
     "text_boilerplate" -> (TextAnalysis.boilerplate _),
     "text_vocab_growth" -> (TextAnalysis.vocabGrowth _),
+
+    // -- round 8: the graph family fed from the MATERIALIZED backbone table
+    // (Graph.backboneTable — derive once, read per analytic, the production
+    // shape). Self-contained twins stay gated as the oracle-anchored
+    // control; these six prove table-fed results are hash-identical and
+    // measure what re-deriving the backbone per gate was costing.
+    "q_triangles_tbl" -> ((s: SparkSession, d: String) => Graph.trianglesFromTable(s, d)),
+    "q_bfs_tbl" -> ((s: SparkSession, d: String) => Graph.bfsHopsFromTable(s, d)),
+    "q_sssp_tbl" -> ((s: SparkSession, d: String) => Graph.ssspFromTable(s, d)),
+    "q_kcore_tbl" -> ((s: SparkSession, d: String) => Graph.kcoreFromTable(s, d)),
+    "q_label_prop_tbl" -> ((s: SparkSession, d: String) => Graph.labelPropFromTable(s, d)),
+    "q_assortativity_tbl" -> ((s: SparkSession, d: String) => Graph.assortativityFromTable(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -690,5 +702,15 @@ object SparkEntry {
     "q_scd2" -> QuerySurface.scd2OracleSql,
     "q_triangles" -> Graph.trianglesOracleSql(degreeOrdered = false),
     "q_triangles_degree" -> Graph.trianglesOracleSql(degreeOrdered = true),
+
+    // table-fed graph gates: the oracle derives the backbone from the base
+    // tables (DuckDB sees only those) — passing hashes PROVE the
+    // materialized table round-trips bit-identically
+    "q_triangles_tbl" -> Graph.trianglesOracleSql(degreeOrdered = true),
+    "q_bfs_tbl" -> Graph.bfsHopsOracleSql(),
+    "q_sssp_tbl" -> Graph.ssspOracleSql(),
+    "q_kcore_tbl" -> Graph.kcoreOracleSql(),
+    "q_label_prop_tbl" -> Graph.labelPropOracleSql(),
+    "q_assortativity_tbl" -> Graph.assortativityOracleSql,
   )
 }

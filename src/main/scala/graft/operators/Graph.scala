@@ -137,6 +137,94 @@ object Graph {
       .orderBy(col("shared").desc, col("src"), col("dst"))
       .limit(topEdges)
 
+  /** The distinct (customer, supplier) purchase frame every backbone gate
+    * projects from — one definition instead of six copies. */
+  private[graft] def purchaseFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+    val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    li.join(od, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+  }
+
+  // ---- Backbone as a TABLE (write once, read per analytic) ---------------
+
+  /** Materialized-backbone directories, one per (corpus, params) per JVM —
+    * the memo behind [[backboneTable]]. */
+  private val backboneDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write the weighted capped co-purchase backbone ONCE per (JVM, corpus)
+    * as a (src, dst, shared) parquet table and return its directory — the
+    * production shape for the graph-analytics family: the seven backbone
+    * gates each re-derive the identical ≤[[CoPurchaseTopEdges]]-edge frame
+    * from `lineitem⋈orders` (the joins + distinct + cap window dominate
+    * their wall time, 2.8–4.1 s each at sf0.1 while the analytics
+    * themselves run on ≤5000 rows), so a 100 TB pipeline derives the
+    * backbone in one nightly job and every analytic reads the table. The
+    * `*FromTable` gate variants consume this; the self-contained forms
+    * stay as the oracle-anchored control. Deterministic: the backbone is a
+    * deterministic function of the corpus, so table-fed gates are
+    * hash-identical to their self-contained twins (oracle-checked for all
+    * six `*_tbl` gates). */
+  def backboneTable(spark: SparkSession, sfDir: String,
+      topEdges: Int = CoPurchaseTopEdges,
+      cap: Int = MaxSuppliersPerCustomer): String =
+    backboneDirs.computeIfAbsent(s"$sfDir|$topEdges|$cap", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-backbone")
+        .toString
+      // ≤topEdges rows → one compact file; a 100 TB deployment would bump
+      // topEdges and write unpartitioned (the backbone is the SMALL output
+      // of the big join, that's the point of sparsifying first)
+      coPurchaseWeightedEdges(purchaseFrame(spark, sfDir), topEdges, cap)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** Read the materialized weighted backbone (writing it first if this JVM
+    * hasn't yet — [[backboneTable]]). */
+  private def backboneFromTable(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(backboneTable(spark, sfDir))
+
+  /** [[triangles]] (degree-ordered) fed from the materialized backbone
+    * table. */
+  def trianglesFromTable(spark: SparkSession, sfDir: String,
+      degreeOrdered: Boolean = true): DataFrame =
+    censusFromEdges(
+      backboneFromTable(spark, sfDir).select(col("src"), col("dst")),
+      degreeOrdered)
+
+  /** [[bfsHops]] fed from the materialized backbone table. */
+  def bfsHopsFromTable(spark: SparkSession, sfDir: String,
+      hops: Int = 4): DataFrame =
+    bfsHopsOf(backboneFromTable(spark, sfDir).select(col("src"), col("dst")),
+      hops)
+
+  /** [[sssp]] fed from the materialized backbone table (weights derived
+    * from the stored `shared` column — same reciprocal rule). */
+  def ssspFromTable(spark: SparkSession, sfDir: String,
+      rounds: Int = SsspRounds): DataFrame =
+    ssspOf(backboneFromTable(spark, sfDir)
+      .withColumn("w", expr("1000000L div shared")), rounds)
+
+  /** [[kcore]] fed from the materialized backbone table. */
+  def kcoreFromTable(spark: SparkSession, sfDir: String, k: Int = KcoreK,
+      rounds: Int = KcoreRounds): DataFrame =
+    peelProfile(spark,
+      backboneFromTable(spark, sfDir).select(col("src"), col("dst")), k, rounds)
+
+  /** [[labelProp]] fed from the materialized backbone table. */
+  def labelPropFromTable(spark: SparkSession, sfDir: String,
+      rounds: Int = LabelPropRounds): DataFrame =
+    labelPropOf(backboneFromTable(spark, sfDir).select(col("src"), col("dst")),
+      rounds)
+
+  /** [[assortativity]] fed from the materialized backbone table. */
+  def assortativityFromTable(spark: SparkSession, sfDir: String): DataFrame =
+    assortativityOf(backboneFromTable(spark, sfDir)
+      .select(col("src"), col("dst")))
+
   /** Triangle/wedge census over an id-ordered (src < dst) distinct edge
     * list. Wedges (ALL 2-paths, open or closed — each triangle contributes
     * 3; the denominator of the global clustering coefficient
@@ -218,11 +306,7 @@ object Graph {
       topEdges: Int = CoPurchaseTopEdges,
       maxSuppliersPerCustomer: Int = MaxSuppliersPerCustomer,
       degreeOrdered: Boolean = true): DataFrame = {
-    val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
-    val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
-    val cs = li.join(od, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
+    val cs = purchaseFrame(spark, sfDir)
     censusFromEdges(
       coPurchaseEdges(cs, topEdges, maxSuppliersPerCustomer), degreeOrdered)
   }
@@ -439,14 +523,15 @@ object Graph {
     * bounded, so per-round checkpoints would only add blocking I/O). */
   def bfsHops(spark: SparkSession, sfDir: String, hops: Int = 4,
       topEdges: Int = CoPurchaseTopEdges,
-      maxSuppliersPerCustomer: Int = MaxSuppliersPerCustomer): DataFrame = {
-    val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
-    val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
-    val cs = li.join(od, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
-    val edges = coPurchaseEdges(cs, topEdges, maxSuppliersPerCustomer)
-      .localCheckpoint(true)
+      maxSuppliersPerCustomer: Int = MaxSuppliersPerCustomer): DataFrame =
+    bfsHopsOf(
+      coPurchaseEdges(purchaseFrame(spark, sfDir), topEdges,
+        maxSuppliersPerCustomer).localCheckpoint(true), hops)
+
+  /** The frontier loop of [[bfsHops]] over an arbitrary (src, dst) edge
+    * frame (callers materialize/checkpoint it first — the loop scans it
+    * once per round). */
+  private[graft] def bfsHopsOf(edges: DataFrame, hops: Int): DataFrame = {
     val und = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
     var dist = edges.agg(least(min(col("src")), min(col("dst"))).as("v"))
@@ -505,11 +590,7 @@ object Graph {
   def assortativity(spark: SparkSession, sfDir: String,
       topEdges: Int = CoPurchaseTopEdges,
       maxSuppliersPerCustomer: Int = MaxSuppliersPerCustomer): DataFrame = {
-    val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
-    val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
-    val cs = li.join(od, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
+    val cs = purchaseFrame(spark, sfDir)
     assortativityOf(
       coPurchaseEdges(cs, topEdges, maxSuppliersPerCustomer).localCheckpoint(true))
   }
@@ -596,15 +677,16 @@ object Graph {
     * (shuffle joins + per-round checkpoint). */
   def sssp(spark: SparkSession, sfDir: String, rounds: Int = SsspRounds,
       topEdges: Int = CoPurchaseTopEdges,
-      maxSuppliersPerCustomer: Int = MaxSuppliersPerCustomer): DataFrame = {
-    val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
-    val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
-    val cs = li.join(od, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
-    val edges = coPurchaseWeightedEdges(cs, topEdges, maxSuppliersPerCustomer)
-      .withColumn("w", expr("1000000L div shared"))
-      .localCheckpoint(true)
+      maxSuppliersPerCustomer: Int = MaxSuppliersPerCustomer): DataFrame =
+    ssspOf(
+      coPurchaseWeightedEdges(purchaseFrame(spark, sfDir), topEdges,
+          maxSuppliersPerCustomer)
+        .withColumn("w", expr("1000000L div shared"))
+        .localCheckpoint(true), rounds)
+
+  /** The relaxation loop of [[sssp]] over an arbitrary weighted
+    * (src, dst, w) edge frame (callers materialize/checkpoint it first). */
+  private[graft] def ssspOf(edges: DataFrame, rounds: Int): DataFrame = {
     val und = edges.select(col("src").as("u"), col("dst").as("v"), col("w"))
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v"), col("w")))
     var dist = edges.agg(least(min(col("src")), min(col("dst"))).as("v"))
@@ -676,11 +758,7 @@ object Graph {
   def kcore(spark: SparkSession, sfDir: String, k: Int = KcoreK,
       rounds: Int = KcoreRounds, topEdges: Int = CoPurchaseTopEdges,
       maxSuppliersPerCustomer: Int = MaxSuppliersPerCustomer): DataFrame = {
-    val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
-    val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
-    val cs = li.join(od, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
+    val cs = purchaseFrame(spark, sfDir)
     peelProfile(spark,
       coPurchaseEdges(cs, topEdges, maxSuppliersPerCustomer), k, rounds)
   }
@@ -776,11 +854,7 @@ object Graph {
       rounds: Int = LabelPropRounds,
       topEdges: Int = CoPurchaseTopEdges,
       maxSuppliersPerCustomer: Int = MaxSuppliersPerCustomer): DataFrame = {
-    val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
-    val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
-    val cs = li.join(od, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
+    val cs = purchaseFrame(spark, sfDir)
     labelPropOf(
       coPurchaseEdges(cs, topEdges, maxSuppliersPerCustomer)
         .localCheckpoint(true), rounds)

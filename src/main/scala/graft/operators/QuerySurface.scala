@@ -2163,32 +2163,37 @@ object QuerySurface {
     * BIGINT-safe to ~$92·10¹² corpus revenue instead of overflowing at
     * the cumulative row near $9·10¹² (which sf1 already reaches).
     *
-    * Scale shape: one join-aggregate to per-customer revenue, one
-    * `row_number` over the global (revenue, custkey) order — the same
-    * single-ordered-pass shape as `q_equi_depth` — then all band algebra
-    * on 10 rows. */
+    * Scale shape: one join-aggregate to per-customer revenue, then
+    * [[Ranks.globalRank]]'s distributed range-sort + offset-join pass for
+    * the (revenue, custkey) rank — NOT an empty-key `row_number` window,
+    * which would plan Exchange SinglePartition and pull every customer row
+    * through one task. The customer count and grand total join back as
+    * broadcast 1-row aggregates, and the 10-row cumulative runs as a
+    * broadcast `≤`-self-join over the bands frame — the whole plan carries
+    * zero `windowspecdefinition`s (PlanSpec-asserted). */
   def lorenzDeciles(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_extendedprice"))
     val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
     val rev = li.join(od, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg((sum(col("l_extendedprice").cast("decimal(28,2)")) * 100)
         .cast("long").as("rev_c"))
-    val n = Window.partitionBy()
-    val rn = Window.orderBy(col("rev_c").desc, col("o_custkey"))
-    val bands = rev
-      .withColumn("rn", row_number().over(rn))
-      .withColumn("n_cust", count(lit(1)).over(n))
+    val nCust = rev.agg(count(lit(1)).as("n_cust"))
+    val bands = Ranks.globalRank(rev, "rn", Seq(col("rev_c").desc, col("o_custkey")))
+      .crossJoin(broadcast(nCust))
       .withColumn("decile", expr("((rn - 1) * 10) div n_cust"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"), sum(col("rev_c")).as("band_c"))
-    val tot = Window.partitionBy()
-    val cum = Window.orderBy(col("decile"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bands
-      .withColumn("tot_c", sum(col("band_c")).over(tot))
-      .withColumn("cum_c", sum(col("band_c")).over(cum))
+    val tot1 = bands.agg(sum(col("band_c")).as("tot_c"))
+    // cumulative band revenue without a window: broadcast ≤-self-join over
+    // the 10-row bands frame
+    val cumSide = bands.select(col("decile").as("decile_le"), col("band_c").as("band_c_le"))
+    val cum = bands.as("b")
+      .join(broadcast(cumSide), col("decile_le") <= col("decile"))
+      .groupBy(col("decile"), col("n_customers"), col("band_c"))
+      .agg(sum(col("band_c_le")).as("cum_c"))
+    cum
+      .crossJoin(broadcast(tot1))
       .select(col("decile"), col("n_customers"), col("band_c").as("rev_cents"),
         expr("((band_c * 1000) div tot_c) * 1000 + ((band_c * 1000) % tot_c) * 1000 div tot_c")
           .as("share_ppm"),

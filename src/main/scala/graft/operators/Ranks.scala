@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact DISTRIBUTED global rank — the scale-safe replacement for
+  * `row_number().over(Window.orderBy(...))`, which Spark plans as
+  * `Exchange SinglePartition` + one in-partition sort: every row of the
+  * input funnels through ONE task, the classic 100 TB scale-killer.
+  *
+  * The pattern here is the DataFrame translation of `RDD.zipWithIndex`'s
+  * two-pass scheme, kept entirely declarative:
+  *
+  *   1. `repartitionByRange(n, orderKeys)` + `sortWithinPartitions` — a
+  *      normal distributed range sort (the same machinery as a global
+  *      ORDER BY: n parallel tasks, sampled boundaries).
+  *   2. `monotonically_increasing_id()` over the sorted partitions — by its
+  *      public contract the value is `partitionId << 33 | localRowIndex`,
+  *      so one projection yields both the range-partition ordinal and the
+  *      0-based in-partition position of the row in sorted order. No Window
+  *      operator, and no second shuffle of the data.
+  *   3. Per-partition row counts (an aggregate over the ≤`partitions`
+  *      ordinals — bytes, not rows, cross the wire thanks to partial
+  *      aggregation), turned into exclusive prefix offsets with a broadcast
+  *      `<`-self-join over that tiny frame (≤n² pairs of a ≤n-row frame,
+  *      never driver-side).
+  *   4. Broadcast-join the offsets back on the partition ordinal:
+  *      `rank = offset + localIndex + 1`.
+  *
+  * Determinism: callers MUST pass a TOTAL order (unique tie-break column
+  * last) — then row positions are unique regardless of where the sampled
+  * range boundaries land, and the two computations of the ranked frame
+  * (the counts branch and the output branch) agree because parquet splits,
+  * `RangePartitioner`'s seeded sampling, and the in-partition sort are all
+  * deterministic for a fixed input.
+  *
+  * Scale shape: identical to a distributed ORDER BY plus one broadcast
+  * hash join against a ≤`partitions`-row frame. The plan contains NO
+  * `windowspecdefinition` and no single-partition exchange of the data —
+  * asserted by PlanSpec for every gate that uses it. */
+object Ranks {
+
+  /** Bit split of `monotonically_increasing_id()`: low 33 bits are the
+    * in-partition record index, high bits the partition ordinal (public
+    * contract of the expression since Spark 1.6). */
+  private val MidIndexBits = 33
+  private val MidIndexMask = (1L << MidIndexBits) - 1L
+
+  /** Append a 1-based dense global rank column `rankCol` ordering `df` by
+    * `order` (MUST be a total order). Output partitioning is the range
+    * partitioning on `order` — downstream per-rank arithmetic needs no
+    * further shuffle of the data. */
+  def globalRank(df: DataFrame, rankCol: String, order: Seq[Column],
+                 partitions: Int = 32): DataFrame = {
+    val ranged = df
+      .repartitionByRange(partitions, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__g_mid", monotonically_increasing_id())
+      .withColumn("__g_part", shiftright(col("__g_mid"), MidIndexBits))
+      .withColumn("__g_idx", col("__g_mid").bitwiseAND(lit(MidIndexMask)))
+      .drop("__g_mid")
+    val counts = ranged.groupBy(col("__g_part")).agg(count(lit(1)).as("__g_cnt"))
+    // exclusive prefix sum over the ≤`partitions`-row counts frame: a
+    // broadcast strict-< self-join, so the cumulative never touches a
+    // Window or the driver
+    val lhs = counts.select(col("__g_part"), col("__g_cnt"))
+    val rhs = counts.select(col("__g_part").as("__g_part_lt"),
+      col("__g_cnt").as("__g_cnt_lt"))
+    val offsets = lhs
+      .join(broadcast(rhs), col("__g_part_lt") < col("__g_part"), "left")
+      .groupBy(col("__g_part"))
+      .agg(coalesce(sum(col("__g_cnt_lt")), lit(0L)).as("__g_off"))
+    ranged
+      .join(broadcast(offsets), "__g_part")
+      .withColumn(rankCol, col("__g_off") + col("__g_idx") + lit(1L))
+      .drop("__g_part", "__g_idx", "__g_off")
+  }
+
+  /** SQL-standard `ntile(tiles)` bucket (1-based) computed from a 1-based
+    * global rank `rk` over total count `n`: the first `n mod tiles` buckets
+    * take `n div tiles + 1` rows, the rest `n div tiles`. Exactly Spark's
+    * and DuckDB's ntile distribution, so a gate can swap an unpartitioned
+    * `ntile` window for [[globalRank]] + this formula hash-identically.
+    * Guarded CASE: the small-bucket branch (divides by `n div tiles`) is
+    * only evaluated when `rk > (n mod tiles) * (n div tiles + 1)`, which is
+    * unsatisfiable when `n < tiles` — no division by zero under ANSI. */
+  def ntileFromRank(rk: Column, n: Column, tiles: Int): Column = {
+    val base = intDiv(n, lit(tiles.toLong)) // n div tiles (both ≥ 0)
+    val rem = pmod(n, lit(tiles.toLong))
+    val bigSpan = rem * (base + lit(1L)) // rows living in the +1-sized buckets
+    when(rk <= bigSpan, intDiv(rk - lit(1L), base + lit(1L)) + lit(1L))
+      .otherwise(rem + intDiv(rk - bigSpan - lit(1L), base) + lit(1L))
+  }
+
+  /** Exact floor division for NON-NEGATIVE long columns below 2⁵³:
+    * `(a - a mod b) / b` — the numerator is an exact multiple of `b`, so
+    * the double quotient is an exact representable integer (unlike casting
+    * a truncated inexact quotient). */
+  def intDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+}

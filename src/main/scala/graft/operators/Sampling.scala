@@ -282,25 +282,27 @@ object Sampling {
     * Output: per-shard doc count, byte total, and the ppm deviation from
     * the ideal equal share — the balance audit.
     *
-    * Scale shape: the global size rank is the one ordered pass (same
-    * shape as `q_equi_depth`); everything after is a [[PackShardCount]]-row
-    * aggregate. */
+    * Scale shape: the global size rank is [[Ranks.globalRank]]'s
+    * distributed range-sort + offset-join pass (NO unpartitioned window —
+    * an empty-key `row_number` would plan Exchange SinglePartition and
+    * funnel the corpus through one task); everything after is a
+    * [[PackShardCount]]-row aggregate, and the grand total joins back as a
+    * broadcast 1-row aggregate instead of an empty-key window. The plan
+    * carries zero `windowspecdefinition`s (PlanSpec-asserted). */
   def packShards(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val s = PackShardCount
-    val ranked = documents(spark, sfDir)
-      .select(col("doc_id"), col("n_chars"))
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id"))))
+    val ranked = Ranks.globalRank(
+        documents(spark, sfDir).select(col("doc_id"), col("n_chars")),
+        "rk", Seq(col("n_chars").desc, col("doc_id")))
       // snake: ranks 1..s go to shards 0..s-1, ranks s+1..2s to s-1..0, …
       .withColumn("pos", expr(s"(rk - 1) % (2 * $s)"))
       .withColumn("shard",
         expr(s"IF(pos < $s, pos, 2 * $s - 1 - pos)").cast("long"))
     val bands = ranked.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("shard_chars"))
-    val tot = Window.partitionBy()
+    val tot1 = bands.agg(sum(col("shard_chars")).as("tot"))
     bands
-      .withColumn("tot", sum(col("shard_chars")).over(tot))
+      .crossJoin(broadcast(tot1))
       .select(col("shard"), col("n_docs"), col("shard_chars"),
         // ppm deviation from the ideal tot/s share as |dev| + sign —
         // absolute so the floor division stays on NON-NEGATIVE integers

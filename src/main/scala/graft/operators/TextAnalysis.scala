@@ -101,19 +101,26 @@ object TextAnalysis {
     * implement the SQL-standard distribution where the first `n mod 10`
     * buckets take the extra row.
     *
-    * Scale shape: an unpartitioned ntile is a GLOBAL sort — exact decile
-    * ranks genuinely need a total order, and Spark plans this as one
-    * range-partitioned sort (no single-machine collect), but at 100 TB the
-    * production form is approximate bucket BOUNDARIES from a quantile
-    * sketch joined back as a broadcast range lookup — that form is gated
-    * as `q_equi_depth`. This gate is its exact reference. */
-  def qualityNtile(spark: SparkSession, sfDir: String): DataFrame =
-    quality(spark, sfDir)
-      .select(col("doc_id"), col("quality_score"))
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy(col("quality_score"), col("doc_id")))
-          .cast("long"))
+    * Scale shape: exact decile ranks genuinely need a total order, but NOT
+    * a window — an unpartitioned `ntile` would plan Exchange
+    * SinglePartition (every row through one task). Instead the rank comes
+    * from [[Ranks.globalRank]]'s distributed range-sort + offset-join pass
+    * and the SQL-standard ntile distribution is recovered arithmetically
+    * from (rank, total count) via [[Ranks.ntileFromRank]] — hash-identical
+    * to the window form, zero `windowspecdefinition`s in the plan
+    * (PlanSpec-asserted). At 100 TB the production form is still
+    * approximate bucket BOUNDARIES from a quantile sketch joined back as a
+    * broadcast range lookup — gated as `q_equi_depth`, with this gate as
+    * its exact reference. */
+  def qualityNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quality(spark, sfDir).select(col("doc_id"), col("quality_score"))
+    val n1 = q.agg(count(lit(1)).as("n_docs"))
+    Ranks.globalRank(q, "rk", Seq(col("quality_score"), col("doc_id")))
+      .crossJoin(broadcast(n1))
+      .withColumn("decile", Ranks.ntileFromRank(col("rk"), col("n_docs"), 10))
+      .select(col("doc_id"), col("quality_score"), col("decile"))
       .orderBy(col("doc_id"))
+  }
 
   def qualityNtileOracleSql: String =
     s"""WITH b AS (

@@ -194,6 +194,30 @@ class PlanSpec extends SparkTestBase {
     assert(specs > 0 && specs == keyed, plan)
   }
 
+  // The three former empty-key global-rank windows (pack_shards, q_lorenz,
+  // text_quality_ntile) now rank via Ranks.globalRank: a distributed range
+  // sort + broadcast offset join. The killer shape was `windowspecdefinition`
+  // with no partition key → Exchange SinglePartition over ALL rows; assert
+  // it is gone entirely (the only SinglePartition exchanges left feed
+  // 1-row final aggregates, which move bytes, not the data).
+  private def assertDistributedRank(plan: String): Unit = {
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(plan.contains("rangepartitioning"), plan) // the distributed sort pass
+    assert(plan.contains("BroadcastExchange"), plan) // the ≤32-row offset join
+  }
+
+  test("pack_shards ranks without any window — no SinglePartition data funnel") {
+    assertDistributedRank(planOf(Sampling.packShards(spark, sf)))
+  }
+
+  test("q_lorenz ranks without any window — no SinglePartition data funnel") {
+    assertDistributedRank(planOf(QuerySurface.lorenzDeciles(spark, sf)))
+  }
+
+  test("text_quality_ntile ranks without any window — no SinglePartition data funnel") {
+    assertDistributedRank(planOf(TextAnalysis.qualityNtile(spark, sf)))
+  }
+
   test("exact binary dedup shuffles the 32-byte hash, never document text") {
     val plan = planOf(Multimodal.exactDupGroups(spark, sf))
     val exchanges = plan.split("Exchange hashpartitioning").toSeq.tail

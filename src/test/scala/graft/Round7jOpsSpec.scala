@@ -75,6 +75,12 @@ class Round7jOpsSpec extends SparkTestBase {
 
   test("exact binary dup: sha-256 groups match a recompute (sf0.1 — the corpus with real dups)") {
     val sf01 = "/root/testdata/sf0.1"
+    // the sf0.01/sf0.001 corpora have no byte-identical docs, so the gate's
+    // non-trivial path is only exercised here — skip loudly, don't pass
+    // silently, if the sf0.1 corpus is absent in this environment
+    assume(new java.io.File(s"$sf01/documents.parquet").exists(),
+      s"$sf01/documents.parquet missing — the only corpus with real raw dups; " +
+        "this spec is the gate's non-trivial-path evidence and cannot run")
     val docs = Tables.documents(spark, sf01)
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
@@ -114,7 +120,9 @@ class Round7jOpsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1)))
     val b = graft.operators.TextAnalysis.VocabBucketDocs
     val firstSeen = docs.flatMap { case (id, t) =>
-        val w = t.toLowerCase.split(" ", -1)
+        // Locale.ROOT: the operator uses Spark's locale-independent lower();
+        // a bare toLowerCase would diverge on 'I'/'i' under tr-TR defaults
+        val w = t.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
         (0 to w.length - 3).map(i =>
           (graft.functions.PortableHash.md5Lower63(
             w(i) + " " + w(i + 1) + " " + w(i + 2)), id))
