@@ -38,11 +38,21 @@ object StreamGate {
   val SessionGapMinutes = 30
   private val SessionGapUs = SessionGapMinutes * 60L * 1000000L
 
+  /** Per-corpus schema memo: every replay gate needs the events schema to
+    * declare its file-stream source, and a footer read per gate is pure
+    * replay-machinery overhead (the schema of a corpus never changes
+    * within a JVM — the driver regenerates testdata only between
+    * processes). Measured by StreamCostProbe as part of the ~0.76 s
+    * stateless-drain floor each gate pays. */
+  private val eventsSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   /** `events` replayed as a bounded file stream, `ts` normalized to µs
     * TimestampType exactly like [[graft.operators.Tables.events]]. */
-  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = eventsSchemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
     // the file-stream source requires a directory or glob (a literal file
     // path fails basePath inference) — the [s] glob matches exactly this file.
     // maxFilesPerTrigger is pinned to MaxValue: every oracle twin's
@@ -123,7 +133,7 @@ object StreamGate {
     * sequential anyway — executor saturation — so the lock costs nothing). */
   private val replayLock = new Object
 
-  private def runToMemory(spark: SparkSession, df: DataFrame): DataFrame = replayLock.synchronized {
+  private[graft] def runToMemory(spark: SparkSession, df: DataFrame): DataFrame = replayLock.synchronized {
     val name = s"graft_stream_gate_${runId.incrementAndGet()}"
     // checkpoint names must be unique ACROSS JVMs, not just within this one:
     // a stale same-named dir (crashed JVM whose finally-delete never ran, or
@@ -492,7 +502,7 @@ object StreamGate {
   val StreamCmsDepth = 2
   val StreamCmsWidth = 64L
 
-  private val streamCmsBucketUdf = udf { (r: Int, u: Long) =>
+  private[graft] val streamCmsBucket = udf { (r: Int, u: Long) =>
     graft.functions.PortableHash.md5Lower63(s"scms$r:$u") % StreamCmsWidth
   }
 
@@ -514,7 +524,7 @@ object StreamGate {
     val ev = eventsStream(spark, sfDir)
       .select(col("ts"), col("user_id"),
         explode(lit((0 until StreamCmsDepth).toArray)).as("r"))
-      .withColumn("bucket", streamCmsBucketUdf(col("r"), col("user_id")))
+      .withColumn("bucket", streamCmsBucket(col("r"), col("user_id")))
     val agg = ev.withWatermark("ts", WindowDelay)
       .groupBy(window(col("ts"), "1 hour"), col("r"), col("bucket"))
       .agg(count(lit(1)).as("cell_n"))
