@@ -8,13 +8,18 @@ import Tables._
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, batch-wise decode/feature-extract over partitions.
   *
-  * The image/audio codec libraries are not available in this environment, so
-  * the decode step is STUBBED with a deterministic byte-level feature
+  * No external image/audio codec libraries exist in this environment, so
+  * the feature-extract step is STUBBED with a deterministic byte-level
   * extractor (a 4-bin byte histogram). Everything around it — the typed
   * schema, the Dataset[Media] → mapPartitions → Dataset[MediaFeatures]
   * pipeline shape, partition-sized batching, and the binary-column I/O — is
   * real and is what a production decode (JNI codec / ONNX runtime per
-  * partition) would plug into.
+  * partition) would plug into. The perceptual near-dup path additionally
+  * has a REAL image decode since round 8: [[dhashImage]] runs payloads
+  * through the JDK's built-in `javax.imageio` codecs (PNG et al.) into the
+  * standard 9×8-grid gradient dHash, with the byte stub as the fallback
+  * for undecodable payloads — spec-exercised end-to-end on PNGs generated
+  * in-test.
   */
 object Multimodal {
 
@@ -191,7 +196,7 @@ object Multimodal {
     * swapped into this stub. 63 bits, not 64: the sign bit stays clear so
     * the banding arithmetic (and the oracle's `<<`) never touches signed
     * overflow — same convention as the 63-bit SimHash/MD5 hashes. */
-  private[operators] def dhashStub(content: Array[Byte]): Long = {
+  private[graft] def dhashStub(content: Array[Byte]): Long = {
     val n = content.length
     if (n < 2) 0L
     else {
@@ -207,21 +212,90 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode for the perceptual path (round-8: no longer only a
+    * byte stub): decode the payload with `javax.imageio` (JDK-built-in
+    * codecs — PNG/BMP/GIF/JPEG; PNG is lossless so the decode is
+    * bit-exact), integer area-average the luma onto a 9×8 grid, and emit
+    * the classic horizontal-gradient dHash — bit j set when cell (r,c) is
+    * darker than its right neighbour (8 rows × 8 gradients, the final one
+    * dropped to keep the 63-bit sign-clear convention shared with
+    * [[dhashStub]]/SimHash, so the banding algebra is unchanged). All
+    * arithmetic is integer (luma = (299R+587G+114B) div 1000, exact cell
+    * sums, floor average), so the signature is deterministic across JVMs
+    * and partitionings. Payloads ImageIO cannot decode fall back to the
+    * byte-level [[dhashStub]] — the mixed-corpus behavior a real pipeline
+    * needs (EOFs, truncated files, non-image rows). */
+  private[graft] def dhashImage(content: Array[Byte]): Long = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) dhashStub(content)
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w < 2 || h < 1) dhashStub(content)
+      else {
+        val (gw, gh) = (9, 8)
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        val sums = Array.ofDim[Long](gh * gw)
+        val counts = Array.ofDim[Long](gh * gw)
+        var y = 0
+        while (y < h) {
+          val cy = (y.toLong * gh / h).toInt min (gh - 1)
+          var x = 0
+          while (x < w) {
+            val cx = (x.toLong * gw / w).toInt min (gw - 1)
+            val p = rgb(y * w + x)
+            val luma = (299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+              114L * (p & 0xff)) / 1000L
+            sums(cy * gw + cx) += luma
+            counts(cy * gw + cx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        def cell(r: Int, c: Int): Long = {
+          val i = r * gw + c
+          if (counts(i) == 0) 0L else sums(i) / counts(i)
+        }
+        var sig = 0L
+        var j = 0
+        var r = 0
+        while (r < gh) {
+          var c = 0
+          while (c < gw - 1) {
+            if (j < 63 && cell(r, c) < cell(r, c + 1)) sig |= 1L << j
+            j += 1
+            c += 1
+          }
+          r += 1
+        }
+        sig
+      }
+    }
+  }
+
   /** Near-duplicate media pairs by perceptual signature: dHash per payload
     * (inside the partition-wise decode loop, where a production pipeline
     * already sits), then the same 16-bit-band blocking + hamming verify as
     * SimHash — candidates are band-bucket collisions only, never all
     * pairs; identical payloads collide on every band at hamming 0.
     *
+    * `sig` selects the decoder: the byte-level [[dhashStub]] keeps the
+    * gate oracle-checkable over the synthetic text payloads (default,
+    * unchanged), [[dhashImage]] runs the REAL image decode — same
+    * signature algebra, same plan.
+    *
     * Scale shape: one decode pass (map), a 4×-exploded band-bucket
     * shuffle whose key space is 2¹⁶·4, candidate verify on sketch-sized
     * rows. The signature is 8 bytes per asset — the join never carries
     * payloads. */
   def nearDupMediaPairs(media: Dataset[Media],
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6,
+      sig: Array[Byte] => Long = dhashStub): DataFrame = {
     import media.sparkSession.implicits._
+    val sigFn = sig
     val sigs = media
-      .mapPartitions(it => it.map(m => (m.doc_id, dhashStub(m.content))))
+      .mapPartitions(it => it.map(m => (m.doc_id, sigFn(m.content))))
       .toDF("doc_id", "sig")
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map { b =>

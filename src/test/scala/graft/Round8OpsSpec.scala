@@ -93,6 +93,61 @@ class Round8OpsSpec extends SparkTestBase {
     assertFrameEqual(QuerySurface.lorenzDeciles(spark, sf), expected, Seq("decile"))
   }
 
+  // ---- real image decode through the perceptual near-dup path ----
+
+  /** Deterministic test PNG: a w×h gradient with per-pixel perturbation
+    * from `seed`, PNG-encoded via the JDK's own ImageIO (lossless). */
+  private def pngBytes(w: Int, h: Int, seed: Int,
+      tweak: (Int, Int) => Int = (_, _) => 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (x * 255 / (w - 1) + seed * 37) % 256
+      val v = ((base + tweak(x, y)) % 256 + 256) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    out.toByteArray
+  }
+
+  test("image dHash: PNG decode → 9x8 gradient signature, near-dups found, " +
+    "non-images fall back to the byte stub") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val base = pngBytes(64, 64, seed = 0)
+    // one-pixel-block perturbation: cell averages barely move → tiny hamming
+    val nearDup = pngBytes(64, 64, seed = 0,
+      tweak = (x, y) => if (x == 10 && y == 10) 40 else 0)
+    // reversed gradient: every horizontal comparison flips → huge hamming
+    val far = pngBytes(64, 64, seed = 0,
+      tweak = (x, _) => 255 - 2 * (x * 255 / 63))
+    val sigBase = Multimodal.dhashImage(base)
+    val sigNear = Multimodal.dhashImage(nearDup)
+    val sigFar = Multimodal.dhashImage(far)
+    assert(sigBase != 0L && (sigBase & (1L << 63)) == 0L) // 63-bit convention
+    assert(java.lang.Long.bitCount(sigBase ^ sigNear) <= 2,
+      s"near-dup hamming ${java.lang.Long.bitCount(sigBase ^ sigNear)}")
+    assert(java.lang.Long.bitCount(sigBase ^ sigFar) > 20,
+      s"far hamming ${java.lang.Long.bitCount(sigBase ^ sigFar)}")
+    // decode is deterministic across calls (and thus across partitions)
+    assert(Multimodal.dhashImage(base) == sigBase)
+    // a non-image payload falls back to the byte-level stub, not an error
+    val junk = "definitely not a png".getBytes("UTF-8")
+    assert(Multimodal.dhashImage(junk) == Multimodal.dhashStub(junk))
+
+    // end-to-end through the SAME banding/verify plan as the gate, with the
+    // real decoder swapped in for the stub
+    val media = Seq(
+      Multimodal.Media(1L, "image/png", base),
+      Multimodal.Media(2L, "image/png", nearDup),
+      Multimodal.Media(3L, "image/png", far)).toDS()
+    val pairs = Multimodal.nearDupMediaPairs(media, maxHamming = 6,
+        sig = Multimodal.dhashImage)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"pairs=$pairs")
+  }
+
   test("text_quality_ntile matches the former ntile-window form cell-by-cell") {
     val expected = TextAnalysis.quality(spark, sf)
       .select(col("doc_id"), col("quality_score"))
