@@ -231,6 +231,15 @@ object SparkEntry {
     "q_kcore_tbl" -> ((s: SparkSession, d: String) => Graph.kcoreFromTable(s, d)),
     "q_label_prop_tbl" -> ((s: SparkSession, d: String) => Graph.labelPropFromTable(s, d)),
     "q_assortativity_tbl" -> ((s: SparkSession, d: String) => Graph.assortativityFromTable(s, d)),
+
+    // -- round 8 cont.: service-graph / tail-sampling / RED observability
+    // analytics over the span forest, the hashed-linear keep/drop
+    // classifier, and ANN recall as a first-class audit query.
+    "otel_service_graph" -> ((s: SparkSession, d: String) => OtelQueries.serviceGraph(s, d)),
+    "otel_tail_sampling" -> ((s: SparkSession, d: String) => OtelQueries.tailSampling(s, d)),
+    "otel_red_metrics" -> ((s: SparkSession, d: String) => OtelQueries.redMetrics(s, d)),
+    "text_quality_classifier" -> (TextAnalysis.qualityClassifier _),
+    "sim_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -535,6 +544,11 @@ object SparkEntry {
     "mm_exact_dup" -> operators.Multimodal.exactDupGroupsOracleSql,
     "text_boilerplate" -> operators.TextAnalysis.boilerplateOracleSql,
     "text_vocab_growth" -> operators.TextAnalysis.vocabGrowthOracleSql,
+    "otel_service_graph" -> OtelQueries.serviceGraphOracleSql(),
+    "otel_tail_sampling" -> OtelQueries.tailSamplingOracleSql(),
+    "otel_red_metrics" -> OtelQueries.redMetricsOracleSql(),
+    "text_quality_classifier" -> operators.TextAnalysis.qualityClassifierOracleSql,
+    "sim_ann_recall" -> operators.Similarity.annRecallOracleSql(),
 
     "text_langid" ->
       """WITH t AS (

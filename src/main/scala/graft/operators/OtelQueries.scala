@@ -729,4 +729,205 @@ object OtelQueries {
        |FROM read_parquet('$GoldenDir/logs.parquet')
        |GROUP BY 1, 2
        |ORDER BY ServiceName, n DESC, template""".stripMargin
+
+  // ---- service graph / tail sampling / RED over span forests --------------
+
+  /** Deterministic per-span service + error enrichment shared by
+    * [[serviceGraph]] / [[tailSampling]] / [[redMetrics]] and their oracle
+    * CTEs — the [[graft.TestDataGen.spanTrees]] corpus carries no service
+    * column (the goldens are single-span traces, no call edges at all), so
+    * the three gates derive one with pure integer congruences both engines
+    * compute bit-identically: 6 services keyed by `(trace_id + 5·span_idx)
+    * mod 6`, an error flag on `(13·trace_id + 7·span_idx) mod 37 = 0`
+    * (~2.7% of spans), and an hour-of-day on `(7·trace_id + span_idx) mod
+    * 24`. Production swaps this projection for the real `ServiceName` /
+    * `StatusCode` / `Timestamp` columns — the aggregation shapes are
+    * unchanged. */
+  private def enrichedSpans(spark: SparkSession, n: Long): DataFrame =
+    graft.TestDataGen.spanTrees(spark, n)
+      .withColumn("svc",
+        concat(lit("svc-"), (col("trace_id") + col("span_idx") * 5) % 6))
+      .withColumn("is_err",
+        (col("trace_id") * 13 + col("span_idx") * 7) % 37 === 0)
+      .withColumn("hour", (col("trace_id") * 7 + col("span_idx")) % 24)
+
+  /** The shared enrichment as a DuckDB CTE over `spant` (which
+    * [[graft.TestDataGen.spanTreesSqlCte]] must define first). */
+  private def enrichedSpansSqlCte: String =
+    """espan AS (
+      |  SELECT trace_id, span_idx, parent_idx, span_name, duration_ns,
+      |    'svc-' || CAST((trace_id + span_idx * 5) % 6 AS VARCHAR) AS svc,
+      |    (trace_id * 13 + span_idx * 7) % 37 = 0 AS is_err,
+      |    (trace_id * 7 + span_idx) % 24 AS hour
+      |  FROM spant
+      |)""".stripMargin
+
+  /** SERVICE DEPENDENCY GRAPH — the caller→callee edge list every tracing
+    * backend derives from the `ParentSpanId` linkage (the reference
+    * materializes exactly that column for this navigation,
+    * `/root/reference/docs/reference.md` traces schema): one row per
+    * (parent service, child service) pair with call count, distinct
+    * traces, callee error count/rate, and exact mean callee latency.
+    *
+    * Spark-first shape: ONE self-equi-join of the span table with itself
+    * on `(trace_id, parent_idx)=(trace_id, span_idx)` — both sides shuffle
+    * on `trace_id`, so at fleet scale a span table pre-partitioned (or
+    * bucketed) by `trace_id` makes the join co-located and exchange-free —
+    * then a map-side-combined aggregate whose key space is |services|²
+    * (dozens², never row-scale). No window, no iteration: unlike
+    * [[traceDepth]]/[[criticalPath]] the service graph only needs ONE
+    * parent hop, so it stays a single join at any depth. */
+  def serviceGraph(spark: SparkSession, sfDirIgnored: String,
+      n: Long = 2000L): DataFrame = {
+    val spans = enrichedSpans(spark, n)
+    val child = spans.filter(col("parent_idx").isNotNull)
+      .select(col("trace_id").as("c_trace_id"), col("parent_idx"),
+        col("svc").as("child_svc"), col("is_err").as("child_err"),
+        col("duration_ns"))
+    val parent = spans.select(col("trace_id").as("p_trace_id"),
+      col("span_idx"), col("svc").as("parent_svc"))
+    child.join(parent,
+        col("c_trace_id") === col("p_trace_id") &&
+          col("parent_idx") === col("span_idx"))
+      .groupBy(col("parent_svc"), col("child_svc"))
+      .agg(count(lit(1)).as("n_calls"),
+        countDistinct(col("c_trace_id")).as("n_traces"),
+        sum(when(col("child_err"), 1L).otherwise(0L)).as("n_errors"),
+        Tables.exactAvg(col("duration_ns").cast("double")).as("avg_child_ns"))
+      .withColumn("err_rate", Tables.portableRound6(
+        col("n_errors").cast("double") / col("n_calls").cast("double")))
+      .orderBy(col("parent_svc"), col("child_svc"))
+  }
+
+  /** DuckDB twin of [[serviceGraph]] — shared generator + enrichment CTEs,
+    * identical join keys and portable rounding. */
+  def serviceGraphOracleSql(n: Long = 2000L): String =
+    s"""WITH ${graft.TestDataGen.spanTreesSqlCte(n)},
+       |$enrichedSpansSqlCte,
+       |e AS (
+       |  SELECT p.svc AS parent_svc, c.svc AS child_svc,
+       |    c.trace_id, c.is_err AS child_err, c.duration_ns
+       |  FROM espan c JOIN espan p
+       |    ON c.trace_id = p.trace_id AND c.parent_idx = p.span_idx
+       |  WHERE c.parent_idx IS NOT NULL
+       |)
+       |SELECT parent_svc, child_svc, count(*) AS n_calls,
+       |  count(DISTINCT trace_id) AS n_traces,
+       |  CAST(sum(CASE WHEN child_err THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       |  ${Tables.exactAvgSql("duration_ns")} AS avg_child_ns,
+       |  ${Tables.portableRound6Sql(
+            "CAST(sum(CASE WHEN child_err THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")}
+       |    AS err_rate
+       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Latency threshold (ns) for [[tailSampling]]'s `latency` policy —
+    * shared with the oracle so both engines apply the identical cut. */
+  val TailSamplingSlowNs = 22000L
+
+  /** TAIL-BASED TRACE SAMPLING decision — the keep/drop verdict an OTel
+    * tail-sampling processor computes once a trace is complete: keep every
+    * errored trace, keep every slow trace (total duration ≥
+    * [[TailSamplingSlowNs]]), and keep a deterministic 5% of the
+    * remainder, labeled by WHICH policy fired (first match wins:
+    * error > latency > probabilistic). Dropped traces produce no row.
+    *
+    * The probabilistic arm here is a plain `trace_id mod 20` congruence —
+    * deterministic and oracle-portable; production substitutes a salted
+    * hash of the trace id (same shape, still one integer test per trace).
+    *
+    * Scale shape: one groupBy(trace_id) — map-side-combined sums/bool_or,
+    * shuffle keyed on the 16-byte trace id, then pure per-row policy
+    * arithmetic. Nothing global: the decision for each trace never sees
+    * another trace. */
+  def tailSampling(spark: SparkSession, sfDirIgnored: String,
+      n: Long = 2000L): DataFrame =
+    enrichedSpans(spark, n)
+      .groupBy(col("trace_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("duration_ns")).as("total_ns"),
+        max(when(col("is_err"), 1L).otherwise(0L)).as("err_flag"))
+      .withColumn("has_error", col("err_flag") === 1L)
+      .withColumn("policy",
+        when(col("has_error"), "error")
+          .when(col("total_ns") >= TailSamplingSlowNs, "latency")
+          .when(col("trace_id") % 20 === 0, "probabilistic"))
+      .filter(col("policy").isNotNull)
+      .select(col("trace_id"), col("n_spans"), col("total_ns"),
+        col("has_error"), col("policy"))
+      .orderBy(col("trace_id"))
+
+  /** DuckDB twin of [[tailSampling]] — same policy order and threshold. */
+  def tailSamplingOracleSql(n: Long = 2000L): String =
+    s"""WITH ${graft.TestDataGen.spanTreesSqlCte(n)},
+       |$enrichedSpansSqlCte,
+       |t AS (
+       |  SELECT trace_id, count(*) AS n_spans,
+       |    CAST(sum(duration_ns) AS BIGINT) AS total_ns,
+       |    bool_or(is_err) AS has_error
+       |  FROM espan GROUP BY 1
+       |)
+       |SELECT trace_id, n_spans, total_ns, has_error,
+       |  CASE WHEN has_error THEN 'error'
+       |       WHEN total_ns >= $TailSamplingSlowNs THEN 'latency'
+       |       WHEN trace_id % 20 = 0 THEN 'probabilistic' END AS policy
+       |FROM t
+       |WHERE has_error OR total_ns >= $TailSamplingSlowNs OR trace_id % 20 = 0
+       |ORDER BY trace_id""".stripMargin
+
+  /** RED METRICS (Rate, Errors, Duration) per service per hour-of-day —
+    * the standard service-health rollup every observability stack derives
+    * from spans: request count, error count + portably-rounded error
+    * rate, and EXACT p50/p95 latency via the same integer-threshold
+    * discrete-percentile rule as [[spanDurationPct]]/`q_percentile_ts`.
+    *
+    * Scale shape: the rank window is partitioned by (svc, hour) — 144
+    * groups here, |services|·24 at fleet scale — never an empty-key
+    * window, so no SinglePartition exchange (the scale-killer class
+    * PlanSpec guards against); then one map-side-combined aggregate per
+    * group. At 100 TB the percentile arm would swap to the `q_equi_depth`
+    * sketch; this exact form is its reference, same as
+    * `text_quality_ntile`. */
+  def redMetrics(spark: SparkSession, sfDirIgnored: String,
+      n: Long = 2000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = enrichedSpans(spark, n)
+      .select(col("svc"), col("hour"), col("trace_id"), col("span_idx"),
+        col("is_err"), col("duration_ns"))
+    val w = Window.partitionBy(col("svc"), col("hour"))
+      .orderBy(col("duration_ns"), col("trace_id"), col("span_idx"))
+    spans.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1))
+        .over(Window.partitionBy(col("svc"), col("hour"))))
+      .groupBy(col("svc"), col("hour"))
+      .agg(max(col("cnt")).as("n_calls"),
+        sum(when(col("is_err"), 1L).otherwise(0L)).as("n_errors"),
+        min(when(col("rn") * 2 >= col("cnt"), col("duration_ns"))).as("p50_ns"),
+        min(when(col("rn") * 20 >= col("cnt") * 19, col("duration_ns"))).as("p95_ns"),
+        Tables.exactAvg(col("duration_ns").cast("double")).as("avg_ns"))
+      .withColumn("err_rate", Tables.portableRound6(
+        col("n_errors").cast("double") / col("n_calls").cast("double")))
+      .orderBy(col("svc"), col("hour"))
+  }
+
+  /** DuckDB twin of [[redMetrics]] — identical threshold rule, tiebreaks,
+    * and portable rounding. */
+  def redMetricsOracleSql(n: Long = 2000L): String =
+    s"""WITH ${graft.TestDataGen.spanTreesSqlCte(n)},
+       |$enrichedSpansSqlCte,
+       |r AS (
+       |  SELECT svc, hour, is_err, duration_ns,
+       |    row_number() OVER (PARTITION BY svc, hour
+       |      ORDER BY duration_ns, trace_id, span_idx) AS rn,
+       |    count(*) OVER (PARTITION BY svc, hour) AS cnt
+       |  FROM espan
+       |)
+       |SELECT svc, hour, CAST(max(cnt) AS BIGINT) AS n_calls,
+       |  CAST(sum(CASE WHEN is_err THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       |  min(CASE WHEN rn * 2 >= cnt THEN duration_ns END) AS p50_ns,
+       |  min(CASE WHEN rn * 20 >= cnt * 19 THEN duration_ns END) AS p95_ns,
+       |  ${Tables.exactAvgSql("duration_ns")} AS avg_ns,
+       |  ${Tables.portableRound6Sql(
+            "CAST(sum(CASE WHEN is_err THEN 1 ELSE 0 END) AS DOUBLE) / max(cnt)")}
+       |    AS err_rate
+       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

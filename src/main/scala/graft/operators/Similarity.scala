@@ -1277,4 +1277,96 @@ object Similarity {
        |LEFT JOIN nd ON t.threshold = nd.threshold
        |ORDER BY t.threshold""".stripMargin
   }
+
+  /** ANN RECALL@k — the accuracy audit of the approximate tier against the
+    * exact brute-force baseline, as a first-class query instead of an
+    * offline report (SCALE.md's measured 0.075→0.300→0.500 recall curve
+    * came from exactly this computation inside PlanAudit; shipping the
+    * measurement IS part of running ANN in production — you re-audit
+    * recall every time the corpus or the LSH knobs move). Per query:
+    * `n_exact` (=k while the corpus has ≥k neighbors), `n_hit` = how many
+    * of the exact top-k the multi-table multi-probe [[annLsh]] tier
+    * surfaced, and the portably-rounded recall ratio.
+    *
+    * Scale shape: both sides are the already-gated operators ([[topK]]'s
+    * broadcast of the bounded query set; [[annLsh]]'s equi-join probe) —
+    * the audit adds only an id-pair membership join on the two k·nQueries
+    * frames (tiny at any corpus size: the expensive side is the ANN
+    * search itself, and at fleet scale the exact side runs on a SAMPLE of
+    * queries, which is the `nQueries` bound). */
+  def annRecall(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 8, nPlanes: Int = 6, probeRadius: Int = 1,
+      nTables: Int = 4): DataFrame = {
+    val exact = topK(spark, sfDir, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = annLsh(spark, sfDir, k, nQueries, nPlanes, probeRadius, nTables)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    val hits = exact.join(ann,
+        exact("query_id") === col("aq") && exact("neighbor_id") === col("an"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .withColumn("recall", Tables.portableRound6(
+        col("n_hit").cast("double") / col("n_exact").cast("double")))
+      .orderBy(col("query_id"))
+  }
+
+  /** DuckDB twin of [[annRecall]]: the exact-top-k and [[annLshOracleSql]]
+    * CTE chains over ONE shared normalized-vector table, then the same
+    * membership join. */
+  def annRecallOracleSql(k: Int = 5, nQueries: Int = 8, nPlanes: Int = 6,
+      probeRadius: Int = 1, nTables: Int = 4): String = {
+    def r6(e: String) = Tables.portableRound6Sql(e)
+    val masks = probeMasks(nPlanes, probeRadius).mkString("[", ", ", "]")
+    val sigCols = (0 until nTables).map(t =>
+      s"${sigSqlExpr("v", nPlanes, tableSeed(t))} AS sig$t").mkString(",\n    ")
+    val index = (0 until nTables).map(t =>
+      s"SELECT vec_id, v, nrm, $t AS t, sig$t AS sig FROM n")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |    $sigCols
+       |  FROM e WHERE list_dot_product(v, v) > 0 AND NOT isnan(list_dot_product(v, v))
+       |), ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${r6("list_dot_product(q.v, x.v) / (q.nrm * x.nrm)")} DESC,
+       |        x.vec_id) AS rnk
+       |    FROM n q JOIN n x ON q.vec_id < $nQueries AND q.vec_id <> x.vec_id
+       |  ) WHERE rnk <= $k
+       |), b AS (
+       |  $index
+       |), pr AS (
+       |  SELECT vec_id, v, nrm, t, xor(sig, CAST(m.f AS BIGINT)) AS probe
+       |  FROM b, unnest($masks) AS m(f)
+       |  WHERE vec_id < $nQueries
+       |), s AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |    ${r6("list_dot_product(q.v, x.v) / (q.nrm * x.nrm)")} AS cos
+       |  FROM pr q JOIN b x
+       |    ON q.t = x.t AND q.probe = x.sig AND q.vec_id <> x.vec_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM s
+       |), ann AS (
+       |  SELECT query_id, neighbor_id FROM r WHERE rnk <= $k
+       |), h AS (
+       |  SELECT x.query_id, count(*) AS n_hit
+       |  FROM ex x JOIN ann a
+       |    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+       |  GROUP BY 1
+       |), xc AS (
+       |  SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1
+       |)
+       |SELECT xc.query_id, CAST(xc.n_exact AS BIGINT) AS n_exact,
+       |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |  ${r6("CAST(coalesce(h.n_hit, 0) AS DOUBLE) / xc.n_exact")} AS recall
+       |FROM xc LEFT JOIN h ON h.query_id = xc.query_id
+       |ORDER BY xc.query_id""".stripMargin
+  }
 }

@@ -1117,4 +1117,60 @@ object TextAnalysis {
        |SELECT prefix, count(*) AS n_docs, min(doc_id) AS example_id
        |FROM p GROUP BY 1 HAVING count(*) >= $BoilerplateMinDocs
        |ORDER BY n_docs DESC, prefix""".stripMargin
+
+  private val classifierScoreUdf = udf { (toks: Seq[String]) =>
+    var s = 0L
+    val it = toks.iterator
+    while (it.hasNext)
+      s += graft.functions.PortableHash.md5Lower63(it.next()) % 1000L - 500L
+    s
+  }
+
+  /** HASHED LINEAR QUALITY CLASSIFIER — the fastText-shaped model-scoring
+    * pass of a web-corpus curation pipeline (CCNet/DataComp style: a
+    * linear model over hashed token features decides keep/drop per
+    * document). The feature map is the trained reality: each token hashes
+    * to a weight-table slot and the document score is the mean slot
+    * weight; `keep` is the sign test. Here the weight table is a
+    * DETERMINISTIC congruence of the 63-bit md5 slot id (`h mod 1000 −
+    * 500` ∈ [−500, 499]) so the gate is oracle-checkable — production
+    * broadcasts the trained `Array[Float]` table instead and the shape is
+    * unchanged (the hash, the per-token lookup, the integer accumulation).
+    *
+    * Exactness: the accumulation is pure BIGINT (token weights are ints,
+    * so summation order cannot perturb the result — no FP reassociation
+    * hazard), and the displayed mean divides once at the end, portably
+    * rounded. Scale shape: ONE map pass over `documents` — no shuffle, no
+    * join, no state; the classifier parallelizes per-row at any corpus
+    * size, which is exactly why hashed linear models are the industry
+    * keep/drop front door at 100 TB. */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        classifierScoreUdf(toks).as("score_sum"))
+      .withColumn("score", portableRound6(
+        col("score_sum").cast("double") / (col("n_tokens") * lit(1000.0))))
+      .withColumn("keep", col("score_sum") > 0L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[qualityClassifier]] — identical md5 slot ids,
+    * integer weight congruence, and rounding. */
+  def qualityClassifierOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+       |), s AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       |    CAST(list_aggregate(list_transform(w,
+       |      t -> CAST(md5_number_lower(t) & 9223372036854775807 AS BIGINT)
+       |           % 1000 - 500), 'sum') AS BIGINT) AS score_sum
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tokens, score_sum,
+       |  ${Tables.portableRound6Sql(
+            "CAST(score_sum AS DOUBLE) / (n_tokens * 1000.0)")} AS score,
+       |  score_sum > 0 AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
 }

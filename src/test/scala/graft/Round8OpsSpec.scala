@@ -156,4 +156,144 @@ class Round8OpsSpec extends SparkTestBase {
           .cast("long"))
     assertFrameEqual(TextAnalysis.qualityNtile(spark, sf), expected, Seq("doc_id"))
   }
+
+  // ---- service graph / tail sampling / RED over the span forest ----------
+
+  /** Plain-Scala re-derivation of the spanTrees enrichment congruences —
+    * an implementation-independent recompute (no Spark, no SQL). */
+  private def enrichedForest(n: Long) = for {
+    t <- 0L until n
+    i <- 0L to t % 15
+  } yield (t, i,
+    if (i == 0) None else Some((i - 1) / 2),      // parent_idx
+    s"svc-${(t + i * 5) % 6}",                    // svc
+    (t * 13 + i * 7) % 37 == 0,                   // is_err
+    1000L + ((t * 31 + i * 17) % 97) * 10,        // duration_ns
+    (t * 7 + i) % 24)                             // hour
+
+  private def round6(x: Double): Double =
+    math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+  test("otel_service_graph recomputes exactly from the generator congruences") {
+    import graft.operators.OtelQueries
+    val n = 300L
+    val spans = enrichedForest(n)
+    val byIdx = spans.map(s => (s._1, s._2) -> s).toMap
+    val edges = spans.flatMap { case (t, _, Some(p), svc, err, dur, _) =>
+      Some((byIdx((t, p))._4, svc, t, err, dur))
+    case _ => None
+    }
+    val expected = edges.groupBy(e => (e._1, e._2)).map { case ((ps, cs), g) =>
+      (ps, cs, g.size.toLong, g.map(_._3).distinct.size.toLong,
+        g.count(_._4).toLong,
+        round6(g.map(_._5).sum.toDouble / g.size),
+        round6(g.count(_._4).toDouble / g.size))
+    }.toSeq.sortBy(e => (e._1, e._2))
+    val got = OtelQueries.serviceGraph(spark, sf, n).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+  }
+
+  test("otel_tail_sampling: policy precedence recomputes; dropped traces stay dropped") {
+    import graft.operators.OtelQueries
+    val n = 2000L
+    val perTrace = enrichedForest(n).groupBy(_._1).map { case (t, g) =>
+      val total = g.map(_._6).sum
+      val hasErr = g.exists(_._5)
+      val policy =
+        if (hasErr) Some("error")
+        else if (total >= OtelQueries.TailSamplingSlowNs) Some("latency")
+        else if (t % 20 == 0) Some("probabilistic")
+        else None
+      (t, g.size.toLong, total, hasErr, policy)
+    }
+    val expected = perTrace.collect {
+      case (t, ns, tot, err, Some(p)) => (t, ns, tot, err, p)
+    }.toSeq.sortBy(_._1)
+    val got = OtelQueries.tailSampling(spark, sf, n).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getString(4))).toSeq
+    assert(got == expected)
+    // a real tail sampler must DROP the bulk of the traffic
+    assert(got.size < n * 2 / 5, s"sampled ${got.size} of $n")
+    assert(got.map(_._5).distinct.toSet ==
+      Set("error", "latency", "probabilistic")) // all three policies fire
+  }
+
+  test("otel_red_metrics: discrete p50/p95 recompute per (svc, hour) group") {
+    import graft.operators.OtelQueries
+    val n = 2000L
+    val expected = enrichedForest(n)
+      .groupBy(s => (s._4, s._7)).map { case ((svc, hour), g) =>
+        val durs = g.map(s => (s._6, s._1, s._2)).sortBy(identity).map(_._1)
+        val cnt = durs.size
+        def pct(num: Int, den: Int) = // min duration at rank rn: num*rn >= den*cnt
+          durs(((cnt * den + num - 1) / num) - 1) // ceil(cnt*den/num) - 1 index
+        (svc, hour, cnt.toLong, g.count(_._5).toLong,
+          pct(2, 1), pct(20, 19),
+          round6(durs.map(BigDecimal(_)).sum.toDouble / cnt),
+          round6(g.count(_._5).toDouble / cnt))
+      }.toSeq.sortBy(e => (e._1, e._2))
+    val got = OtelQueries.redMetrics(spark, sf, n).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+  }
+
+  test("red/service-graph plans: windows keyed per group, join non-cartesian") {
+    import graft.operators.OtelQueries
+    val red = OtelQueries.redMetrics(spark, sf).queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(".r.findAllIn(red).length
+    val keyed = "windowspecdefinition\\(svc".r.findAllIn(red).length
+    assert(specs > 0 && specs == keyed,
+      s"$keyed of $specs window specs are (svc, hour)-keyed:\n$red")
+    val sg = OtelQueries.serviceGraph(spark, sf).queryExecution.executedPlan.toString
+    assert(!sg.contains("Cartesian") && !sg.contains("windowspecdefinition"), sg)
+  }
+
+  // ---- hashed linear quality classifier ----------------------------------
+
+  test("text_quality_classifier recomputes from md5 slot weights (integer-exact)") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+      val s = toks.map(t =>
+        graft.functions.PortableHash.md5Lower63(t) % 1000L - 500L).sum
+      (id, toks.length.toLong, s, round6(s.toDouble / (toks.length * 1000.0)),
+        s > 0L)
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.qualityClassifier(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    // the congruence weight table is balanced: both classes must appear
+    assert(got.exists(_._5) && got.exists(!_._5))
+  }
+
+  // ---- ANN recall audit ---------------------------------------------------
+
+  test("sim_ann_recall is consistent with the gated exact and ANN frames") {
+    import graft.operators.Similarity
+    val k = 5
+    val exact = Similarity.topK(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.annLsh(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rows = Similarity.annRecall(spark, sf, k).collect()
+    assert(rows.length == 8) // one row per query
+    rows.foreach { r =>
+      val (q, nExact, nHit, recall) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nExact == k.toLong)
+      val trueHit = exact.filter(_._1 == q).count(ann.contains)
+      assert(nHit == trueHit.toLong, s"query $q: $nHit vs $trueHit")
+      assert(recall == round6(nHit.toDouble / k))
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    // the multi-table multi-probe tier must beat the trivial 0-recall floor
+    assert(rows.map(_.getLong(2)).sum > 0)
+  }
 }
