@@ -240,6 +240,7 @@ object SparkEntry {
     "otel_red_metrics" -> ((s: SparkSession, d: String) => OtelQueries.redMetrics(s, d)),
     "text_quality_classifier" -> (TextAnalysis.qualityClassifier _),
     "sim_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
+    "pipe_curation" -> (TextAnalysis.curationPipeline _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -549,6 +550,7 @@ object SparkEntry {
     "otel_red_metrics" -> OtelQueries.redMetricsOracleSql(),
     "text_quality_classifier" -> operators.TextAnalysis.qualityClassifierOracleSql,
     "sim_ann_recall" -> operators.Similarity.annRecallOracleSql(),
+    "pipe_curation" -> operators.TextAnalysis.curationPipelineOracleSql,
 
     "text_langid" ->
       """WITH t AS (

@@ -1156,6 +1156,94 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** END-TO-END CURATION PIPELINE accounting — the composed
+    * classifier→dedup→assembly pass a training-data team actually ships,
+    * as ONE query: score every document with the hashed linear classifier
+    * ([[qualityClassifier]]'s exact arithmetic), drop the rejects, keep
+    * one survivor per exact-duplicate group (min doc_id per md5(text) —
+    * `dedup_exact`'s rule), then account the surviving corpus per
+    * (source, lang): raw/kept/unique doc counts, final whitespace-token
+    * total, and each cell's exact integer ppm share of the final token
+    * budget — the numbers a data-mixture spec is written against.
+    *
+    * Scale shape: one map pass (score + hash + token count, no text
+    * leaves the scan stage except into md5), a survivor groupBy keyed on
+    * the 16-byte digest ("never shuffle the text" — the join back is on
+    * (digest, doc_id)), three map-side-combined rollups on (source,
+    * lang) keys, and a 1-row total broadcast for the share arithmetic.
+    * Every stage is a shape already gated in isolation; this gate proves
+    * the COMPOSITION stays exact and scale-safe. */
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val scored = documents(spark, sfDir).select(
+      col("doc_id"), col("source"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      classifierScoreUdf(toks).as("score_sum"),
+      md5(col("text")).as("h"))
+    val raw = scored.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_raw"))
+    val kept = scored.filter(col("score_sum") > 0L)
+    val uni = kept.join(
+        kept.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+          .withColumnRenamed("h", "h2"),
+        col("h") === col("h2") && col("doc_id") === col("keep_id"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_unique"),
+        sum(col("n_tokens")).as("tokens_final"))
+    val keptAgg = kept.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+    val tot = uni.agg(sum(col("tokens_final")).as("tot_tokens"))
+    raw.join(keptAgg, Seq("source", "lang"), "left")
+      .join(uni, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("n_kept", "n_unique", "tokens_final"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_raw"), col("n_kept"),
+        col("n_unique"), col("tokens_final"),
+        expr("tokens_final * 1000000 div tot_tokens").as("share_ppm"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  /** DuckDB twin of [[curationPipeline]] — identical classifier weights,
+    * survivor rule, and integer share arithmetic. */
+  def curationPipelineOracleSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, source, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(list_aggregate(list_transform(string_split(lower(text), ' '),
+       |      t -> CAST(md5_number_lower(t) & 9223372036854775807 AS BIGINT)
+       |           % 1000 - 500), 'sum') AS BIGINT) AS score_sum,
+       |    md5(text) AS h
+       |  FROM documents
+       |), k AS (
+       |  SELECT * FROM s WHERE score_sum > 0
+       |), sv AS (
+       |  SELECT h, min(doc_id) AS keep_id FROM k GROUP BY 1
+       |), u AS (
+       |  SELECT k.source, k.lang, k.n_tokens
+       |  FROM k JOIN sv ON k.h = sv.h AND k.doc_id = sv.keep_id
+       |), raw AS (
+       |  SELECT source, lang, count(*) AS n_raw FROM s GROUP BY 1, 2
+       |), kept AS (
+       |  SELECT source, lang, count(*) AS n_kept FROM k GROUP BY 1, 2
+       |), uni AS (
+       |  SELECT source, lang, count(*) AS n_unique,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tokens_final
+       |  FROM u GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT CAST(sum(tokens_final) AS BIGINT) AS tot_tokens FROM uni
+       |)
+       |SELECT r.source, r.lang, r.n_raw,
+       |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(uni.n_unique, 0) AS BIGINT) AS n_unique,
+       |  CAST(coalesce(uni.tokens_final, 0) AS BIGINT) AS tokens_final,
+       |  CAST(coalesce(uni.tokens_final, 0) * 1000000 // tot.tot_tokens
+       |    AS BIGINT) AS share_ppm
+       |FROM raw r
+       |LEFT JOIN kept USING (source, lang)
+       |LEFT JOIN uni USING (source, lang)
+       |CROSS JOIN tot
+       |ORDER BY r.source, r.lang""".stripMargin
+
   /** DuckDB twin of [[qualityClassifier]] — identical md5 slot ids,
     * integer weight congruence, and rounding. */
   def qualityClassifierOracleSql: String =

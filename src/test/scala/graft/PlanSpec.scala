@@ -224,4 +224,14 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges.nonEmpty &&
       exchanges.forall(e => !e.takeWhile(_ != ')').contains("text")), plan)
   }
+
+  test("curation pipeline shuffles digests and group keys, never document text") {
+    val plan = planOf(TextAnalysis.curationPipeline(spark, sf))
+    val exchanges = plan.split("Exchange hashpartitioning").toSeq.tail
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(e => !e.takeWhile(_ != ')').contains("text")), plan)
+    // the final-token total joins as a 1-row broadcast, not a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
 }

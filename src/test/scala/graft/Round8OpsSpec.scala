@@ -296,4 +296,37 @@ class Round8OpsSpec extends SparkTestBase {
     // the multi-table multi-probe tier must beat the trivial 0-recall floor
     assert(rows.map(_.getLong(2)).sum > 0)
   }
+
+  // ---- end-to-end curation pipeline --------------------------------------
+
+  test("pipe_curation recomputes classifier -> dedup -> accounting exactly") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val scored = docs.map { case (id, src, lang, text) =>
+      val score = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+        .map(t => graft.functions.PortableHash.md5Lower63(t) % 1000L - 500L).sum
+      (id, src, lang, text.split(" ", -1).length.toLong, score, md5hex(text))
+    }
+    val kept = scored.filter(_._5 > 0L)
+    val keepIds = kept.groupBy(_._6).map { case (_, g) => g.map(_._1).min }.toSet
+    val unique = kept.filter(d => keepIds(d._1))
+    val totTokens = unique.map(_._4).sum
+    val expected = scored.groupBy(d => (d._2, d._3)).map { case ((src, lang), g) =>
+      val k = kept.count(d => d._2 == src && d._3 == lang).toLong
+      val u = unique.filter(d => d._2 == src && d._3 == lang)
+      val tf = u.map(_._4).sum
+      (src, lang, g.size.toLong, k, u.size.toLong, tf, tf * 1000000L / totTokens)
+    }.toSeq.sortBy(e => (e._1, e._2))
+    val got = TextAnalysis.curationPipeline(spark, sf).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    // the pipeline must actually filter something at this sf
+    assert(got.map(_._4).sum < got.map(_._3).sum)
+  }
 }
