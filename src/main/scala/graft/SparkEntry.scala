@@ -241,6 +241,8 @@ object SparkEntry {
     "text_quality_classifier" -> (TextAnalysis.qualityClassifier _),
     "sim_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "pipe_curation" -> (TextAnalysis.curationPipeline _),
+    "dedup_survivors_quality" -> ((s: SparkSession, d: String) => Dedup.dedupSurvivorsQuality(s, d)),
+    "stream_red" -> (graft.streaming.StreamGate.redWindows _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -551,6 +553,8 @@ object SparkEntry {
     "text_quality_classifier" -> operators.TextAnalysis.qualityClassifierOracleSql,
     "sim_ann_recall" -> operators.Similarity.annRecallOracleSql(),
     "pipe_curation" -> operators.TextAnalysis.curationPipelineOracleSql,
+    "dedup_survivors_quality" -> operators.Dedup.dedupSurvivorsQualityOracleSql(),
+    "stream_red" -> graft.streaming.StreamGate.redWindowsOracleSql,
 
     "text_langid" ->
       """WITH t AS (

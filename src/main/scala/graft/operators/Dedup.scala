@@ -730,6 +730,65 @@ object Dedup {
        |) g ON d.doc_id = g.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** QUALITY-RANKED survivor selection — [[dedupSurvivors]] keeps each
+    * near-dup family's minimum id (deterministic, cheap, and what exact
+    * dedup does); real curation keeps the BEST copy: near-dup families
+    * routinely hold a clean original and a boilerplate-wrapped or
+    * truncated mirror, and min-id picks blindly between them. Here each
+    * family keeps its highest-[[TextAnalysis.quality]]-score member
+    * (doc_id breaks ties), singletons keep themselves — the survivor rule
+    * of quality-aware pipelines (e.g. keeping the longest/cleanest copy
+    * in web-corpus dedup).
+    *
+    * Scale shape: identical to [[dedupSurvivors]] (sparse group table,
+    * corpus-side probe join; the quality projection is one map pass)
+    * plus ONE rank window partitioned by `group_id` — family-keyed,
+    * never empty-key, and family sizes are bounded by the near-dup
+    * verify step, so no window partition can grow pathological. */
+  def dedupSurvivorsQuality(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groups = nearDupGroups(spark, sfDir, threshold)
+      .select(col("doc_id"), col("group_id"))
+    val q = TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+    val labeled = documents(spark, sfDir).select(col("doc_id"))
+      .join(groups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .join(q, Seq("doc_id"))
+    val w = Window.partitionBy(col("group_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    labeled.withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("group_id"), col("quality_score"),
+        (col("rn") === 1).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[dedupSurvivorsQuality]] — groups oracle + quality
+    * CTE + the same family-keyed rank. */
+  def dedupSurvivorsQualityOracleSql(threshold: Double = 0.3): String =
+    s"""WITH g AS (
+       |${nearDupGroupsOracleSql(threshold)}
+       |), c AS (
+       |  ${TextAnalysis.qualityCountsSqlCte}
+       |), q AS (
+       |  SELECT doc_id,
+       |    ${TextAnalysis.qualityScoreSqlExpr("n_distinct", "n_stop", "n_tokens")}
+       |      AS quality_score
+       |  FROM c
+       |), l AS (
+       |  SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id
+       |  FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
+       |), r AS (
+       |  SELECT l.doc_id, l.group_id, q.quality_score,
+       |    row_number() OVER (PARTITION BY l.group_id
+       |      ORDER BY q.quality_score DESC, l.doc_id) AS rn
+       |  FROM l JOIN q ON l.doc_id = q.doc_id
+       |)
+       |SELECT doc_id, group_id, quality_score, rn = 1 AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** The distributed CC path: alternating large-star / small-star
     * (Kiveris et al.). large-star: every node u points its LARGER neighbors
     * at m = min(N(u) ∪ {u}); small-star: orient edges (larger → smaller),

@@ -625,4 +625,63 @@ object StreamGate {
        |FROM cells, wm
        |WHERE (window_start_us + 3600000000) // 1000 <= wm_ms
        |ORDER BY window_start_us, r, bucket""".stripMargin
+
+  /** STREAMING RED PANEL — the 10th replay gate: per (1-hour window,
+    * event_type) request count, "error" count (`value ≥ 250` — the HIGH
+    * tail, the same severity cut as `stream_window_counts`, standing in
+    * for a status flag), portably-
+    * rounded error rate and exact mean value — the service-health rollup
+    * [[graft.operators.OtelQueries.redMetrics]] computes in batch, kept
+    * live by Structured Streaming.
+    *
+    * Parity BY ALGEBRA, like `stream_cms`/`stream_qsketch`: every
+    * accumulated quantity (counts, conditional counts, DECIMAL sums) is
+    * merge-commutative, so micro-batch boundaries provably cannot perturb
+    * the result; the ratio/mean are computed AFTER the drain as pure
+    * projections of the final state. Append mode emits exactly the
+    * windows the final watermark closed — the same deterministic subset
+    * rule as `stream_window_counts`. State per window is one row per
+    * (window, event_type): bounded by the type vocabulary at any event
+    * rate. */
+  def redWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventsStream(spark, sfDir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .withWatermark("ts", WindowDelay)
+    val agg = ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") >= 250.0, 1L).otherwise(0L)).as("n_err"),
+        sum(col("value").cast("decimal(28,6)")).as("sum_v"))
+    runToMemory(spark, agg)
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("n_err"),
+        graft.operators.Tables.portableRound6(
+          col("n_err").cast("double") / col("n").cast("double")).as("err_rate"),
+        graft.operators.Tables.portableRound6(
+          col("sum_v").cast("double") / col("n").cast("double")).as("avg_value"))
+      .orderBy(col("window_start_us"), col("event_type"))
+  }
+
+  /** DuckDB twin of [[redWindows]] — batch aggregate with the append-mode
+    * window filter and identical decimal/rounding arithmetic. */
+  def redWindowsOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) AS ts_us, event_type, value FROM events
+       |), wm AS (
+       |  SELECT max(ts_us) // 1000 - $WindowDelayMs AS wm_ms FROM e
+       |), w AS (
+       |  SELECT (ts_us // 3600000000) * 3600000000 AS ws, event_type, value
+       |  FROM e
+       |), a AS (
+       |  SELECT ws, event_type, count(*) AS n,
+       |    CAST(sum(CASE WHEN value >= 250.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+       |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_v
+       |  FROM w GROUP BY 1, 2
+       |)
+       |SELECT CAST(ws AS BIGINT) AS window_start_us, event_type, n, n_err,
+       |  ${graft.operators.Tables.portableRound6Sql(
+            "CAST(n_err AS DOUBLE) / n")} AS err_rate,
+       |  ${graft.operators.Tables.portableRound6Sql("sum_v / n")} AS avg_value
+       |FROM a, wm
+       |WHERE (ws + 3600000000) // 1000 <= wm_ms
+       |ORDER BY window_start_us, event_type""".stripMargin
 }

@@ -329,4 +329,29 @@ class Round8OpsSpec extends SparkTestBase {
     // the pipeline must actually filter something at this sf
     assert(got.map(_._4).sum < got.map(_._3).sum)
   }
+
+  // ---- quality-ranked dedup survivorship ----------------------------------
+
+  test("dedup_survivors_quality keeps each family's best-quality member") {
+    import graft.operators.Dedup
+    val groupOf = Dedup.nearDupGroups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val score = TextAnalysis.quality(spark, sf)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val ids = score.keys.toSeq.sorted
+    val bestOf = ids.groupBy(id => groupOf.getOrElse(id, id)).map {
+      case (g, members) =>
+        g -> members.minBy(id => (-score(id), id)) // max score, min id tiebreak
+    }
+    val expected = ids.map { id =>
+      val g = groupOf.getOrElse(id, id)
+      (id, g, score(id), bestOf(g) == id)
+    }
+    val got = Dedup.dedupSurvivorsQuality(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    // exactly one survivor per family
+    assert(got.count(_._4) == got.map(_._2).distinct.size)
+  }
 }

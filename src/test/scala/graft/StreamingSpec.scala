@@ -379,4 +379,29 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("streaming RED panel: stream equals a batch recompute (sum algebra parity)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    def r6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val ev = graft.operators.Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val wmMs = ev.map(_._1).max / 1000 - graft.streaming.StreamGate.WindowDelayMs
+    val hourUs = 3600000000L
+    val expected = ev.groupBy(t => (t._1 / hourUs * hourUs, t._2)).toSeq
+      .filter { case ((w, _), _) => (w + hourUs) / 1000 <= wmMs }
+      .map { case ((w, et), rows) =>
+        val n = rows.length.toLong
+        val nErr = rows.count(_._3 >= 250.0).toLong
+        val sumV = rows.map(r => BigDecimal(r._3).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        (w, et, n, nErr, r6(nErr.toDouble / n), r6(sumV / n))
+      }.sortBy(t => (t._1, t._2))
+    val got = graft.streaming.StreamGate.redWindows(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.exists(_._4 > 0)) // some windows carry errors
+  }
 }
