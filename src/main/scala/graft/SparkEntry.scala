@@ -243,6 +243,7 @@ object SparkEntry {
     "pipe_curation" -> (TextAnalysis.curationPipeline _),
     "dedup_survivors_quality" -> ((s: SparkSession, d: String) => Dedup.dedupSurvivorsQuality(s, d)),
     "stream_red" -> (graft.streaming.StreamGate.redWindows _),
+    "otel_hist_merge" -> ((s: SparkSession, d: String) => OtelQueries.histMerge(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -555,6 +556,7 @@ object SparkEntry {
     "pipe_curation" -> operators.TextAnalysis.curationPipelineOracleSql,
     "dedup_survivors_quality" -> operators.Dedup.dedupSurvivorsQualityOracleSql(),
     "stream_red" -> graft.streaming.StreamGate.redWindowsOracleSql,
+    "otel_hist_merge" -> OtelQueries.histMergeOracleSql(),
 
     "text_langid" ->
       """WITH t AS (

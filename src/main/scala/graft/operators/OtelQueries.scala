@@ -275,6 +275,75 @@ object OtelQueries {
        |FROM hist
        |ORDER BY hist_id""".stripMargin
 
+  /** HISTOGRAM MERGE — the metrics-rollup primitive every TSDB backend
+    * runs: re-aggregate many explicit-bucket histogram datapoints into ONE
+    * histogram per bucket LAYOUT (same `ExplicitBounds` ⇒ buckets are
+    * addition-compatible; merging across layouts requires re-bucketing and
+    * is a different, lossy operation — this gate merges only what is exact).
+    * Output per layout: bucket count, the layout's bound step, datapoint
+    * count, grand total, and the merged per-bucket counts (CSV-canonical —
+    * BIGINT rendering agrees across engines where double rendering of an
+    * array key would not). Runs over the generated 10⁴-row histogram
+    * corpus ([[graft.TestDataGen.histograms]]) — the goldens hold too few
+    * layouts to exercise the merge.
+    *
+    * Scale shape: one posexplode (rows × ≤8 buckets), a map-side-combined
+    * SUM keyed on (layout, bucket-index) — the key space is
+    * |layouts|·buckets, never row-scale — then a per-layout assembly of at
+    * most 8 cells. Element-wise addition is commutative/associative, so
+    * partial aggregation and any partitioning give the identical result;
+    * the n_points count rides the idx-0 cell, so no second pass over the
+    * data and no array-keyed join. */
+  def histMerge(spark: SparkSession, sfDirIgnored: String,
+      n: Long = 10000L): DataFrame = {
+    val h = graft.TestDataGen.histograms(spark, n)
+      .filter(size(col("BucketCounts")) > 0)
+    val ex = h.select(col("ExplicitBounds"),
+      posexplode(col("BucketCounts")).as(Seq("idx", "c")))
+    val cells = ex.groupBy(col("ExplicitBounds"), col("idx"))
+      .agg(sum(col("c")).as("csum"), count(lit(1)).as("nrows"))
+    cells.groupBy(col("ExplicitBounds"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(idx, csum))), " +
+          "x -> CAST(x.csum AS STRING)), ',')").as("merged_csv"),
+        sum(col("csum")).as("total_count"),
+        max(when(col("idx") === 0, col("nrows"))).as("n_points"))
+      .select((size(col("ExplicitBounds")) + 1).cast("long").as("n_buckets"),
+        coalesce(expr("try_element_at(ExplicitBounds, 1)"), lit(0.0))
+          .as("bound_step"),
+        col("n_points"), col("total_count"), col("merged_csv"))
+      .orderBy(col("n_buckets"), col("bound_step"))
+  }
+
+  /** DuckDB twin of [[histMerge]] — shared generator CTE; 1-based
+    * generate_series indexing mirrors Spark's 0-based posexplode
+    * (order-consistent within each engine, which is all the CSV
+    * canonicalization needs). */
+  def histMergeOracleSql(n: Long = 10000L): String =
+    s"""WITH ${graft.TestDataGen.histogramsSqlCte(n)},
+       |nz AS (
+       |  SELECT ExplicitBounds, BucketCounts FROM hist
+       |  WHERE len(BucketCounts) > 0
+       |), ex AS (
+       |  SELECT ExplicitBounds, r.i AS idx, BucketCounts[r.i] AS c
+       |  FROM nz, unnest(generate_series(1, len(BucketCounts))) AS r(i)
+       |), cells AS (
+       |  SELECT ExplicitBounds, idx, CAST(sum(c) AS BIGINT) AS csum,
+       |    count(*) AS nrows
+       |  FROM ex GROUP BY 1, 2
+       |), m AS (
+       |  SELECT ExplicitBounds,
+       |    string_agg(CAST(csum AS VARCHAR), ',' ORDER BY idx) AS merged_csv,
+       |    CAST(sum(csum) AS BIGINT) AS total_count,
+       |    CAST(max(CASE WHEN idx = 1 THEN nrows END) AS BIGINT) AS n_points
+       |  FROM cells GROUP BY 1
+       |)
+       |SELECT CAST(len(ExplicitBounds) + 1 AS BIGINT) AS n_buckets,
+       |  coalesce(ExplicitBounds[1], 0.0) AS bound_step,
+       |  n_points, total_count, merged_csv
+       |FROM m
+       |ORDER BY n_buckets, bound_step""".stripMargin
+
   /** [[goldenExpHistP95]]'s integer p95 rule at sf scale, over the
     * generated 10⁴-row exponential-histogram table
     * ([[graft.TestDataGen.expHistograms]]): scales −2..5, zero-bucket-only

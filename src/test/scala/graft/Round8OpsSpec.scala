@@ -354,4 +354,36 @@ class Round8OpsSpec extends SparkTestBase {
     // exactly one survivor per family
     assert(got.count(_._4) == got.map(_._2).distinct.size)
   }
+
+  // ---- explicit-bucket histogram merge ------------------------------------
+
+  test("otel_hist_merge recomputes element-wise layout merges exactly") {
+    import graft.operators.OtelQueries
+    val n = 500L
+    // plain-Scala re-derivation of the TestDataGen.histograms congruences
+    val hists = (0L until n).flatMap { id =>
+      val counts: Seq[Long] =
+        if (id % 97 == 0) Seq.empty
+        else (1L to id % 8 + 1).map(j =>
+          if (id % 89 == 0) 0L
+          else if (id % 11 == 0 && j == id % 8 + 1) 100L
+          else (id * 31 + j * 17) % 5)
+      val bounds: Seq[Double] =
+        if (id % 97 == 0 || id % 8 == 0) Seq.empty
+        else (1L to id % 8).map(j => (j * (10 + id % 13)).toDouble)
+      if (counts.isEmpty) None else Some((bounds, counts))
+    }
+    val expected = hists.groupBy(_._1).map { case (bounds, g) =>
+      val merged = g.map(_._2).transpose.map(_.sum)
+      (bounds.length + 1L,
+        bounds.headOption.getOrElse(0.0),
+        g.size.toLong, merged.sum, merged.mkString(","))
+    }.toSeq.sortBy(e => (e._1, e._2))
+    val got = OtelQueries.histMerge(spark, sf, n).collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    // merging must actually combine datapoints, not just echo rows
+    assert(got.exists(_._3 > 1))
+  }
 }
