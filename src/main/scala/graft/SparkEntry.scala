@@ -244,6 +244,8 @@ object SparkEntry {
     "dedup_survivors_quality" -> ((s: SparkSession, d: String) => Dedup.dedupSurvivorsQuality(s, d)),
     "stream_red" -> (graft.streaming.StreamGate.redWindows _),
     "otel_hist_merge" -> ((s: SparkSession, d: String) => OtelQueries.histMerge(s, d)),
+    "sample_kfold" -> ((s: SparkSession, d: String) => Sampling.sampleKfold(s, d)),
+    "mix_epoch_order" -> ((s: SparkSession, d: String) => Sampling.epochOrder(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -557,6 +559,8 @@ object SparkEntry {
     "dedup_survivors_quality" -> operators.Dedup.dedupSurvivorsQualityOracleSql(),
     "stream_red" -> graft.streaming.StreamGate.redWindowsOracleSql,
     "otel_hist_merge" -> OtelQueries.histMergeOracleSql(),
+    "sample_kfold" -> operators.Sampling.sampleKfoldOracleSql(),
+    "mix_epoch_order" -> operators.Sampling.epochOrderOracleSql(),
 
     "text_langid" ->
       """WITH t AS (

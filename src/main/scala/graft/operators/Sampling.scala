@@ -583,4 +583,106 @@ object Sampling {
        |SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, h
        |FROM ranked WHERE rn <= $k
        |ORDER BY source, rn""".stripMargin
+
+  /** K-FOLD cross-validation assignment with balance accounting — the
+    * eval-methodology sibling of [[sampleSplit]]: every document lands in
+    * fold `md5(doc_id) mod k` (deterministic, reshuffle-free, stable under
+    * corpus growth — a new document never moves an old one between folds,
+    * which is exactly why hash folds beat random assignment in pipelines),
+    * and the output reports, per (fold, lang), how far the fold deviates
+    * from a perfectly even split of that language (exact integer ppm —
+    * the number that tells you whether per-fold eval variance is
+    * assignment skew or signal).
+    *
+    * Scale shape: one map pass + a k·|langs|-key map-side-combined
+    * aggregate + a |langs|-row broadcast join. Nothing row-scale ever
+    * shuffles twice. */
+  def sampleKfold(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val folds = documents(spark, sfDir).select(col("doc_id"), col("lang"),
+      (hashUdf(lit("fold:"), col("doc_id")) % k).as("fold"))
+    val cells = folds.groupBy(col("fold"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = folds.groupBy(col("lang"))
+      .agg(count(lit(1)).as("lang_total"))
+    cells.join(broadcast(totals), Seq("lang"))
+      .select(col("fold"), col("lang"), col("n_docs"), col("lang_total"),
+        expr(s"(abs($k * n_docs - lang_total) * 1000000) div lang_total")
+          .as("dev_ppm"))
+      .orderBy(col("fold"), col("lang"))
+  }
+
+  /** DuckDB twin of [[sampleKfold]]. */
+  def sampleKfoldOracleSql(k: Int = 5): String =
+    s"""WITH f AS (
+       |  SELECT doc_id, lang,
+       |    CAST(md5_number_lower('fold:' || doc_id) & 9223372036854775807
+       |      AS BIGINT) % $k AS fold
+       |  FROM documents
+       |), cells AS (
+       |  SELECT fold, lang, count(*) AS n_docs FROM f GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT lang, count(*) AS lang_total FROM f GROUP BY 1
+       |)
+       |SELECT c.fold, c.lang, c.n_docs, t.lang_total,
+       |  CAST(abs($k * c.n_docs - t.lang_total) * 1000000 // t.lang_total
+       |    AS BIGINT) AS dev_ppm
+       |FROM cells c JOIN tot t ON c.lang = t.lang
+       |ORDER BY c.fold, c.lang""".stripMargin
+
+  /** Epochs for [[epochOrder]], shared with its oracle. */
+  val EpochOrderEpochs = 3
+
+  private val epochHashUdf = udf { (e: Int, id: Long) =>
+    PortableHash.md5Lower63(s"ep$e:$id")
+  }
+
+  /** DETERMINISTIC MULTI-EPOCH TRAINING ORDER — the reproducible
+    * data-order primitive: every training run (and every resume-from-step)
+    * must see the SAME document sequence, and each epoch must be a fresh
+    * permutation, without any stateful shuffle. Position of a document in
+    * epoch e is its rank under the 63-bit md5 of `"ep<e>:<doc_id>"` —
+    * a pure function of (corpus, epoch), so any worker can recompute any
+    * slice of the order independently (the property data loaders need for
+    * sharded resumption).
+    *
+    * Scale shape: the per-epoch permutation genuinely needs a total order,
+    * but NOT a window — ranks come from ONE [[Ranks.globalRank]] pass over
+    * the composite (epoch, hash) order (range sort + broadcast offset
+    * join, no SinglePartition funnel), and per-epoch positions are
+    * recovered arithmetically as `rank − epoch·N` because every epoch
+    * carries exactly the N corpus documents. */
+  def epochOrder(spark: SparkSession, sfDir: String,
+      epochs: Int = EpochOrderEpochs): DataFrame = {
+    val docs = documents(spark, sfDir).select(col("doc_id"))
+    val keyed = docs
+      .select(col("doc_id"),
+        explode(array((0 until epochs).map(lit(_)): _*)).as("epoch"))
+      .withColumn("h", epochHashUdf(col("epoch"), col("doc_id")))
+    val n1 = docs.agg(count(lit(1)).as("n_docs"))
+    Ranks.globalRank(keyed, "rk",
+        Seq(col("epoch"), col("h"), col("doc_id")))
+      .crossJoin(broadcast(n1))
+      .select(col("epoch").cast("long").as("epoch"),
+        (col("rk") - col("epoch") * col("n_docs")).as("pos"),
+        col("doc_id"))
+      .orderBy(col("epoch"), col("pos"))
+  }
+
+  /** DuckDB twin of [[epochOrder]] — the single-window form; matching it
+    * certifies the composite-rank + offset arithmetic. */
+  def epochOrderOracleSql(epochs: Int = EpochOrderEpochs): String =
+    s"""WITH e AS (
+       |  SELECT CAST(ep.e AS BIGINT) AS epoch FROM range($epochs) ep(e)
+       |), x AS (
+       |  SELECT e.epoch, d.doc_id,
+       |    CAST(md5_number_lower('ep' || CAST(e.epoch AS VARCHAR) || ':'
+       |        || CAST(d.doc_id AS VARCHAR))
+       |      & 9223372036854775807 AS BIGINT) AS h
+       |  FROM documents d CROSS JOIN e
+       |)
+       |SELECT epoch,
+       |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+       |    AS BIGINT) AS pos,
+       |  doc_id
+       |FROM x ORDER BY epoch, pos""".stripMargin
 }

