@@ -246,6 +246,7 @@ object SparkEntry {
     "otel_hist_merge" -> ((s: SparkSession, d: String) => OtelQueries.histMerge(s, d)),
     "sample_kfold" -> ((s: SparkSession, d: String) => Sampling.sampleKfold(s, d)),
     "mix_epoch_order" -> ((s: SparkSession, d: String) => Sampling.epochOrder(s, d)),
+    "q_kmv_rollup" -> ((s: SparkSession, d: String) => Sketches.kmvRollup(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -561,6 +562,7 @@ object SparkEntry {
     "otel_hist_merge" -> OtelQueries.histMergeOracleSql(),
     "sample_kfold" -> operators.Sampling.sampleKfoldOracleSql(),
     "mix_epoch_order" -> operators.Sampling.epochOrderOracleSql(),
+    "q_kmv_rollup" -> operators.Sketches.kmvRollupOracleSql(),
 
     "text_langid" ->
       """WITH t AS (

@@ -981,4 +981,89 @@ object Sketches {
        |FROM est
        |ORDER BY exact_n DESC, l_partkey""".stripMargin
   }
+
+  /** Sketch size for [[kmvRollup]] — small enough that the weekly union
+    * exceeds k at gate scale (150 users), so the ESTIMATOR arm (not just
+    * the exact-small-set arm) is exercised by the oracle. */
+  val KmvRollupK = 32
+
+  /** KMV SKETCH ROLLUP — distinct-count re-aggregation across time
+    * boundaries, the sibling of [[graft.operators.OtelQueries.histMerge]]
+    * for the other rollup-critical aggregate: daily "distinct users"
+    * sketches (k smallest md5 hashes per day — the KMV bottom-k UDAF)
+    * merged into WEEKLY distinct estimates by pure sketch algebra
+    * (union → re-take bottom-k → (k−1)·2⁶³/kth), with the exact weekly
+    * distinct count alongside as the error probe. This is why sketches,
+    * not exact sets, are what a TSDB stores per window: the merge touches
+    * k longs per day, never the event stream, and is associative — any
+    * rollup tree (day→week→month, or partial merges across executors)
+    * yields the identical sketch.
+    *
+    * Scale shape: one map pass + a |days|-key partial/final
+    * ObjectHashAggregate for the daily sketches; the weekly merge
+    * aggregates ≤7 arrays of k longs per week (bounded state), and the
+    * exact control is one distinct-count — the expensive thing the sketch
+    * path exists to avoid, kept only as the gate's probe. */
+  def kmvRollup(spark: SparkSession, sfDir: String,
+      k: Int = KmvRollupK): DataFrame = {
+    val e = events(spark, sfDir).select(
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      md5Lower63Udf(concat(lit("kr:"), col("user_id").cast("string"))).as("h"),
+      col("user_id"))
+    val daily = e.groupBy(col("day"))
+      .agg(graft.functions.KmvAggregate.kmvBottomKSet(col("h"), k).as("sk"))
+    val weekly = daily.groupBy(expr("day div 7").as("week"))
+      .agg(expr(s"slice(array_sort(array_distinct(flatten(collect_list(sk)))), 1, $k)")
+        .as("u"))
+      .withColumn("ku", size(col("u")).cast("long"))
+      .withColumn("kth", element_at(col("u"), size(col("u"))))
+      .withColumn("est_distinct",
+        when(col("ku") < k, col("ku").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(9223372036854775808.0) /
+            col("kth").cast("double")))
+    val exact = e.groupBy(expr("day div 7").as("week"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"),
+        countDistinct(col("day")).as("n_days"))
+    weekly.join(exact, Seq("week"))
+      .select(col("week"), col("n_days"), col("ku"), col("est_distinct"),
+        col("exact_distinct"))
+      .orderBy(col("week"))
+  }
+
+  /** DuckDB twin of [[kmvRollup]] — daily bottom-k as windows, the same
+    * union → bottom-k → estimate algebra, identical operand order. */
+  def kmvRollupOracleSql(k: Int = KmvRollupK): String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(md5_number_lower('kr:' || CAST(user_id AS VARCHAR))
+       |      & 9223372036854775807 AS BIGINT) AS h,
+       |    user_id
+       |  FROM events
+       |), d AS (
+       |  SELECT day, h,
+       |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+       |  FROM (SELECT DISTINCT day, h FROM e)
+       |), sk AS (
+       |  SELECT day, h FROM d WHERE rn <= $k
+       |), w AS (
+       |  SELECT week, h,
+       |    row_number() OVER (PARTITION BY week ORDER BY h) AS rw
+       |  FROM (SELECT DISTINCT day // 7 AS week, h FROM sk)
+       |), uk AS (
+       |  SELECT week, CAST(count(*) AS BIGINT) AS ku, max(h) AS kth
+       |  FROM w WHERE rw <= $k GROUP BY 1
+       |), ex AS (
+       |  SELECT day // 7 AS week,
+       |    count(DISTINCT user_id) AS exact_distinct,
+       |    count(DISTINCT day) AS n_days
+       |  FROM e GROUP BY 1
+       |)
+       |SELECT CAST(ex.week AS BIGINT) AS week,
+       |  CAST(ex.n_days AS BIGINT) AS n_days, uk.ku,
+       |  CASE WHEN uk.ku < $k THEN CAST(uk.ku AS DOUBLE)
+       |       ELSE ${k - 1}.0 * 9223372036854775808.0 / CAST(uk.kth AS DOUBLE)
+       |  END AS est_distinct,
+       |  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+       |FROM ex JOIN uk ON ex.week = uk.week
+       |ORDER BY week""".stripMargin
 }

@@ -445,4 +445,36 @@ class Round8OpsSpec extends SparkTestBase {
     assert(!plan.contains("windowspecdefinition"), plan)
     assert(plan.contains("rangepartitioning"), plan)
   }
+
+  // ---- KMV sketch rollup --------------------------------------------------
+
+  test("q_kmv_rollup: day->week sketch merge equals sketching the week directly") {
+    import graft.operators.Sketches
+    val k = Sketches.KmvRollupK
+    val ev = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def h(u: Long) = graft.functions.PortableHash.md5Lower63("kr:" + u)
+    val expected = ev.groupBy(_._1 / 7).map { case (week, g) =>
+      // merge path: per-day bottom-k, union, bottom-k again
+      val merged = g.groupBy(_._1).values
+        .flatMap(day => day.map(e => h(e._2)).distinct.sorted.take(k))
+        .toSeq.distinct.sorted.take(k)
+      // direct path: bottom-k over the whole week — MUST be identical
+      // (any of the k smallest overall is among its own day's k smallest)
+      val direct = g.map(e => h(e._2)).distinct.sorted.take(k).toSeq
+      assert(merged.toSeq == direct, s"week $week: merge != direct sketch")
+      val ku = merged.size.toLong
+      val est =
+        if (ku < k) ku.toDouble
+        else (k - 1).toDouble * 9223372036854775808.0 / merged.last.toDouble
+      (week, g.map(_._1).distinct.size.toLong, ku, est,
+        g.map(_._2).distinct.size.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = Sketches.kmvRollup(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    assert(got.nonEmpty)
+  }
 }
