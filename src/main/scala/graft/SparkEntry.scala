@@ -247,6 +247,7 @@ object SparkEntry {
     "sample_kfold" -> ((s: SparkSession, d: String) => Sampling.sampleKfold(s, d)),
     "mix_epoch_order" -> ((s: SparkSession, d: String) => Sampling.epochOrder(s, d)),
     "q_kmv_rollup" -> ((s: SparkSession, d: String) => Sketches.kmvRollup(s, d)),
+    "q_qsketch_rollup" -> ((s: SparkSession, d: String) => Sketches.qsketchRollup(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -563,6 +564,7 @@ object SparkEntry {
     "sample_kfold" -> operators.Sampling.sampleKfoldOracleSql(),
     "mix_epoch_order" -> operators.Sampling.epochOrderOracleSql(),
     "q_kmv_rollup" -> operators.Sketches.kmvRollupOracleSql(),
+    "q_qsketch_rollup" -> operators.Sketches.qsketchRollupOracleSql(),
 
     "text_langid" ->
       """WITH t AS (

@@ -123,6 +123,91 @@ case class QsketchBottomKAgg(hashChild: Expression, valueChild: Expression,
   override def prettyName: String = "qsketch_bottomk"
 }
 
+/** [[QsketchBottomKAgg]]'s MERGEABLE output form —
+  * `qsketch_bottomk_pairs(hash, value, k)` emits the sample as an
+  * `array<struct<h, v>>` in (hash, value) order, i.e. the sketch STATE
+  * itself rather than just its value projection. That is what a rollup
+  * needs: re-taking bottom-k over unions of emitted sketches requires the
+  * hashes, and with them the merge is exact (any of the k smallest hashes
+  * overall is among its own slice's k smallest — the same algebra as the
+  * KMV set form `kmv_bottomk_set`). Same buffer, same partial/final
+  * ObjectHashAggregate shape, k·16 bytes per group. */
+case class QsketchBottomKPairsAgg(hashChild: Expression, valueChild: Expression,
+    k: Int, mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[QsketchBuffer] {
+
+  require(k >= 2 && k <= 65536, s"qsketch_bottomk_pairs: k must be in [2, 65536], got $k")
+
+  override def children: Seq[Expression] = Seq(hashChild, valueChild)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("h", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (hashChild.dataType, valueChild.dataType) match {
+      case (LongType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (h, v) => TypeCheckResult.TypeCheckFailure(
+        s"qsketch_bottomk_pairs requires (BIGINT hash, DOUBLE value), got (${h.sql}, ${v.sql})")
+    }
+
+  override def createAggregationBuffer(): QsketchBuffer = new QsketchBuffer(k)
+
+  override def update(buffer: QsketchBuffer, input: InternalRow): QsketchBuffer = {
+    val h = hashChild.eval(input)
+    val v = valueChild.eval(input)
+    if (h != null && v != null)
+      buffer.add(h.asInstanceOf[Long], v.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(buffer: QsketchBuffer, other: QsketchBuffer): QsketchBuffer = {
+    val it = other.set.iterator()
+    while (it.hasNext) { val p = it.next(); buffer.add(p._1, p._2) }
+    buffer
+  }
+
+  override def eval(buffer: QsketchBuffer): Any =
+    if (buffer.set.isEmpty) null
+    else {
+      val rows = new Array[Any](buffer.set.size)
+      val it = buffer.set.iterator()
+      var i = 0
+      while (it.hasNext) {
+        val p = it.next()
+        rows(i) = InternalRow(p._1, p._2)
+        i += 1
+      }
+      ArrayData.toArrayData(rows)
+    }
+
+  override def serialize(buffer: QsketchBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buffer.set.size)
+    bb.putInt(buffer.set.size)
+    val it = buffer.set.iterator()
+    while (it.hasNext) { val p = it.next(); bb.putLong(p._1); bb.putDouble(p._2) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): QsketchBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new QsketchBuffer(k)
+    var i = 0
+    while (i < n) { buf.add(bb.getLong, bb.getDouble); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QsketchBottomKPairsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QsketchBottomKPairsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QsketchBottomKPairsAgg =
+    copy(hashChild = newChildren(0), valueChild = newChildren(1))
+  override def prettyName: String = "qsketch_bottomk_pairs"
+}
+
 object QsketchAggregate {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -130,5 +215,11 @@ object QsketchAggregate {
     * array<double> sample. */
   def qsketchBottomK(hash: Column, value: Column, k: Int): Column =
     column(QsketchBottomKAgg(expression(hash), expression(value), k)
+      .toAggregateExpression())
+
+  /** Column API: `qsketchBottomKPairs(hashCol, valueCol, k)` → the sketch
+    * state as an (h, v)-ordered `array<struct<h, v>>` (mergeable form). */
+  def qsketchBottomKPairs(hash: Column, value: Column, k: Int): Column =
+    column(QsketchBottomKPairsAgg(expression(hash), expression(value), k)
       .toAggregateExpression())
 }

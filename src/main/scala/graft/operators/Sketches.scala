@@ -1030,6 +1030,99 @@ object Sketches {
       .orderBy(col("week"))
   }
 
+  /** Sample size for [[qsketchRollup]]. */
+  val QsketchRollupK = 64
+
+  /** QUANTILE SKETCH ROLLUP — the third rollup-critical aggregate after
+    * counts ([[graft.operators.OtelQueries.histMerge]]) and distincts
+    * ([[kmvRollup]]): daily bottom-k-by-hash value samples (the MERGEABLE
+    * pair form of the qsketch UDAF, `qsketch_bottomk_pairs` — the sketch
+    * STATE, hashes included, not just its value projection) merged into
+    * weekly p50/p95 estimates by union → re-take bottom-k, with the exact
+    * weekly percentiles alongside as the error probe. The merge is exact
+    * sketch algebra: any of the k smallest hashes of the week is among
+    * its own day's k smallest, so day→week merging reproduces the sketch
+    * a direct weekly pass would build (spec-proven).
+    *
+    * Scale shape: |days|-key partial/final ObjectHashAggregate, then ≤7
+    * k-pair arrays per week; the exact-percentile control is the one
+    * week-keyed rank window the sketch path exists to avoid at scale. */
+  def qsketchRollup(spark: SparkSession, sfDir: String,
+      k: Int = QsketchRollupK): DataFrame = {
+    val e = events(spark, sfDir).select(
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      md5Lower63Udf(concat(lit("sq:"), col("event_id").cast("string"))).as("h"),
+      col("value"), col("event_id"))
+    val daily = e.groupBy(col("day"))
+      .agg(graft.functions.QsketchAggregate
+        .qsketchBottomKPairs(col("h"), col("value"), k).as("sk"))
+    val weekly = daily.groupBy(expr("day div 7").as("week"))
+      .agg(expr(s"slice(array_sort(array_distinct(flatten(collect_list(sk)))), 1, $k)")
+        .as("u"))
+      .withColumn("sample", expr("array_sort(transform(u, x -> x.v))"))
+      .select(col("week"),
+        size(col("sample")).cast("long").as("m_sample"),
+        element_at(col("sample"),
+          expr("(size(sample) + 1) div 2").cast("int")).as("est_p50"),
+        element_at(col("sample"),
+          expr("(19 * size(sample) + 19) div 20").cast("int")).as("est_p95"))
+    val exW = Window.partitionBy(col("week"))
+      .orderBy(col("value"), col("event_id"))
+    val exact = e.withColumn("week", expr("day div 7"))
+      .withColumn("rn", row_number().over(exW))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("week"))))
+      .groupBy(col("week"))
+      .agg(min(when(col("rn") * 2 >= col("cnt"), col("value"))).as("exact_p50"),
+        min(when(col("rn") * 20 >= col("cnt") * 19, col("value"))).as("exact_p95"))
+    weekly.join(exact, Seq("week"))
+      .orderBy(col("week"))
+  }
+
+  /** DuckDB twin of [[qsketchRollup]] — daily bottom-k as windows over
+    * the distinct (day, h, v) set, the same union → bottom-k sample and
+    * index rules. */
+  def qsketchRollupOracleSql(k: Int = QsketchRollupK): String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day, value AS v, event_id,
+       |    CAST(md5_number_lower('sq:' || CAST(event_id AS VARCHAR))
+       |      & 9223372036854775807 AS BIGINT) AS h
+       |  FROM events
+       |), d AS (
+       |  SELECT day, h, v,
+       |    row_number() OVER (PARTITION BY day ORDER BY h, v) AS rn
+       |  FROM (SELECT DISTINCT day, h, v FROM e)
+       |), sk AS (
+       |  SELECT day, h, v FROM d WHERE rn <= $k
+       |), w AS (
+       |  SELECT week, h, v,
+       |    row_number() OVER (PARTITION BY week ORDER BY h, v) AS rw
+       |  FROM (SELECT DISTINCT day // 7 AS week, h, v FROM sk)
+       |), samp AS (
+       |  SELECT week, v,
+       |    row_number() OVER (PARTITION BY week ORDER BY v) AS vr,
+       |    count(*) OVER (PARTITION BY week) AS m
+       |  FROM w WHERE rw <= $k
+       |), est AS (
+       |  SELECT week, CAST(max(m) AS BIGINT) AS m_sample,
+       |    min(CASE WHEN vr = (m + 1) // 2 THEN v END) AS est_p50,
+       |    min(CASE WHEN vr = (19 * m + 19) // 20 THEN v END) AS est_p95
+       |  FROM samp GROUP BY 1
+       |), ex0 AS (
+       |  SELECT day // 7 AS week, v,
+       |    row_number() OVER (PARTITION BY day // 7 ORDER BY v, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY day // 7) AS cnt
+       |  FROM e
+       |), ex AS (
+       |  SELECT week,
+       |    min(CASE WHEN rn * 2 >= cnt THEN v END) AS exact_p50,
+       |    min(CASE WHEN rn * 20 >= cnt * 19 THEN v END) AS exact_p95
+       |  FROM ex0 GROUP BY 1
+       |)
+       |SELECT CAST(est.week AS BIGINT) AS week, est.m_sample,
+       |  est.est_p50, est.est_p95, ex.exact_p50, ex.exact_p95
+       |FROM est JOIN ex ON est.week = ex.week
+       |ORDER BY week""".stripMargin
+
   /** DuckDB twin of [[kmvRollup]] — daily bottom-k as windows, the same
     * union → bottom-k → estimate algebra, identical operand order. */
   def kmvRollupOracleSql(k: Int = KmvRollupK): String =

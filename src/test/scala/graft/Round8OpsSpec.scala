@@ -477,4 +477,37 @@ class Round8OpsSpec extends SparkTestBase {
     assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
     assert(got.nonEmpty)
   }
+
+  test("q_qsketch_rollup: merged day samples equal the direct weekly sample") {
+    import graft.operators.Sketches
+    val k = Sketches.QsketchRollupK
+    val ev = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def h(id: Long) = graft.functions.PortableHash.md5Lower63("sq:" + id)
+    val expected = ev.groupBy(_._1 / 7).map { case (week, g) =>
+      val merged = g.groupBy(_._1).values
+        .flatMap(day => day.map(e => (h(e._2), e._3)).distinct.sorted.take(k))
+        .toSeq.distinct.sorted.take(k)
+      val direct = g.map(e => (h(e._2), e._3)).distinct.sorted.take(k).toSeq
+      assert(merged.toSeq == direct, s"week $week: merge != direct sample")
+      val sample = merged.map(_._2).sorted
+      val m = sample.size
+      val ex = g.map(e => (e._3, e._2)).sorted.map(_._1)
+      val cnt = ex.size
+      (week, m.toLong,
+        sample((m + 1) / 2 - 1), sample((19 * m + 19) / 20 - 1),
+        ex((cnt + 1) / 2 - 1), ex((19 * cnt + 19) / 20 - 1))
+    }.toSeq.sortBy(_._1)
+    val got = Sketches.qsketchRollup(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    // the daily sketch is a partial/final object hash aggregate, and the
+    // weekly merge never re-reads the event stream
+    val plan = Sketches.qsketchRollup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
 }
