@@ -248,6 +248,7 @@ object SparkEntry {
     "mix_epoch_order" -> ((s: SparkSession, d: String) => Sampling.epochOrder(s, d)),
     "q_kmv_rollup" -> ((s: SparkSession, d: String) => Sketches.kmvRollup(s, d)),
     "q_qsketch_rollup" -> ((s: SparkSession, d: String) => Sketches.qsketchRollup(s, d)),
+    "q_attribution" -> (QuerySurface.attribution _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -565,6 +566,7 @@ object SparkEntry {
     "mix_epoch_order" -> operators.Sampling.epochOrderOracleSql(),
     "q_kmv_rollup" -> operators.Sketches.kmvRollupOracleSql(),
     "q_qsketch_rollup" -> operators.Sketches.qsketchRollupOracleSql(),
+    "q_attribution" -> operators.QuerySurface.attributionOracleSql,
 
     "text_langid" ->
       """WITH t AS (

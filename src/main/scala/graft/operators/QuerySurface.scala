@@ -2230,4 +2230,94 @@ object QuerySurface {
        |  ((band_c * 1000) // tot_c) * 1000 + ((band_c * 1000) % tot_c) * 1000 // tot_c AS share_ppm,
        |  ((cum_c * 1000) // tot_c) * 1000 + ((cum_c * 1000) % tot_c) * 1000 // tot_c AS cum_share_ppm
        |FROM totals ORDER BY decile""".stripMargin
+
+  /** Touch channels for [[attribution]], shared with the oracle. */
+  val AttributionTouchTypes = Seq("click", "view")
+
+  /** REVENUE ATTRIBUTION — first-touch and last-touch in one pass: every
+    * `purchase` event's value is credited to the user's first (and,
+    * separately, most recent) preceding touch event (`click`/`view`);
+    * purchases with no preceding touch credit the `direct` channel. The
+    * companion analytic to [[funnel]]: the funnel counts conversions, the
+    * attribution splits the converted VALUE across acquisition channels —
+    * the number a marketing-mix budget is set against.
+    *
+    * Spark-first shape: ONE user-keyed window pass computes both models
+    * (`first`/`last` with ignoreNulls over the strictly-preceding frame —
+    * no self-join, no per-purchase lookup join), then two
+    * channel-cardinality aggregates full-outer-merged. Sums are DECIMAL
+    * cast to double once — order-independent, oracle-exact. At fleet
+    * scale the window partitions by user (millions of small partitions,
+    * embarrassingly parallel), never a global sort. */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(spark, sfDir).select(col("user_id"), col("event_id"),
+      col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = ev
+      .withColumn("touch",
+        when(col("event_type").isin(AttributionTouchTypes: _*),
+          col("event_type")))
+      .withColumn("last_touch", last(col("touch"), ignoreNulls = true).over(w))
+      .withColumn("first_touch", first(col("touch"), ignoreNulls = true).over(w))
+    val purchases = touched.filter(col("event_type") === "purchase")
+      .select(coalesce(col("last_touch"), lit("direct")).as("last_ch"),
+        coalesce(col("first_touch"), lit("direct")).as("first_ch"),
+        col("value"))
+    val lastAgg = purchases.groupBy(col("last_ch").as("channel"))
+      .agg(count(lit(1)).as("n_last"),
+        sum(col("value").cast("decimal(28,2)")).cast("double").as("value_last"))
+    val firstAgg = purchases.groupBy(col("first_ch").as("channel"))
+      .agg(count(lit(1)).as("n_first"),
+        sum(col("value").cast("decimal(28,2)")).cast("double").as("value_first"))
+    lastAgg.join(firstAgg, Seq("channel"), "full")
+      .na.fill(0L, Seq("n_last", "n_first"))
+      .na.fill(0.0, Seq("value_last", "value_first"))
+      .select(col("channel"), col("n_last"), col("value_last"),
+        col("n_first"), col("value_first"))
+      .orderBy(col("channel"))
+  }
+
+  /** DuckDB twin of [[attribution]] — IGNORE NULLS window forms, identical
+    * frames, decimal sums. */
+  def attributionOracleSql: String = {
+    val touches = AttributionTouchTypes.map(t => s"'$t'").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+       |  FROM events
+       |), t AS (
+       |  SELECT *, CASE WHEN event_type IN ($touches) THEN event_type END AS touch
+       |  FROM e
+       |), wnd AS (
+       |  SELECT *,
+       |    last_value(touch IGNORE NULLS) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+       |    first_value(touch IGNORE NULLS) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch
+       |  FROM t
+       |), p AS (
+       |  SELECT coalesce(last_touch, 'direct') AS last_ch,
+       |    coalesce(first_touch, 'direct') AS first_ch, value
+       |  FROM wnd WHERE event_type = 'purchase'
+       |), la AS (
+       |  SELECT last_ch AS channel, count(*) AS n_last,
+       |    CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS value_last
+       |  FROM p GROUP BY 1
+       |), fa AS (
+       |  SELECT first_ch AS channel, count(*) AS n_first,
+       |    CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS value_first
+       |  FROM p GROUP BY 1
+       |)
+       |SELECT coalesce(la.channel, fa.channel) AS channel,
+       |  CAST(coalesce(la.n_last, 0) AS BIGINT) AS n_last,
+       |  coalesce(la.value_last, 0.0) AS value_last,
+       |  CAST(coalesce(fa.n_first, 0) AS BIGINT) AS n_first,
+       |  coalesce(fa.value_first, 0.0) AS value_first
+       |FROM la FULL JOIN fa ON la.channel = fa.channel
+       |ORDER BY channel""".stripMargin
+  }
 }

@@ -510,4 +510,40 @@ class Round8OpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
+
+  // ---- first/last-touch revenue attribution -------------------------------
+
+  test("q_attribution recomputes both touch models from the raw event log") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(4)))
+    val touch = Set("click", "view")
+    val purchases = ev.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val ordered = g.sortBy(e => (e._5, e._2))
+      ordered.zipWithIndex.collect {
+        case (e, i) if e._3 == "purchase" =>
+          val before = ordered.take(i).map(_._3).filter(touch)
+          (before.lastOption.getOrElse("direct"),
+            before.headOption.getOrElse("direct"), e._4)
+      }
+    }
+    def cents(v: Double) =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val channels = (purchases.map(_._1) ++ purchases.map(_._2)).distinct.sorted
+    val expected = channels.map { ch =>
+      val l = purchases.filter(_._1 == ch)
+      val f = purchases.filter(_._2 == ch)
+      (ch, l.size.toLong, l.map(p => cents(p._3)).sum.toDouble,
+        f.size.toLong, f.map(p => cents(p._3)).sum.toDouble)
+    }
+    val got = QuerySurface.attribution(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    // both models conserve the purchase totals exactly
+    assert(got.map(_._2).sum == purchases.size.toLong)
+    assert(got.map(_._4).sum == purchases.size.toLong)
+  }
 }
