@@ -249,6 +249,8 @@ object SparkEntry {
     "q_kmv_rollup" -> ((s: SparkSession, d: String) => Sketches.kmvRollup(s, d)),
     "q_qsketch_rollup" -> ((s: SparkSession, d: String) => Sketches.qsketchRollup(s, d)),
     "q_attribution" -> (QuerySurface.attribution _),
+    "q_cusum" -> (QuerySurface.cusumChangepoint _),
+    "q_seasonality" -> (QuerySurface.dowSeasonality _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -567,6 +569,8 @@ object SparkEntry {
     "q_kmv_rollup" -> operators.Sketches.kmvRollupOracleSql(),
     "q_qsketch_rollup" -> operators.Sketches.qsketchRollupOracleSql(),
     "q_attribution" -> operators.QuerySurface.attributionOracleSql,
+    "q_cusum" -> operators.QuerySurface.cusumChangepointOracleSql,
+    "q_seasonality" -> operators.QuerySurface.dowSeasonalityOracleSql,
 
     "text_langid" ->
       """WITH t AS (

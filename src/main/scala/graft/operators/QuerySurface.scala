@@ -2320,4 +2320,115 @@ object QuerySurface {
        |FROM la FULL JOIN fa ON la.channel = fa.channel
        |ORDER BY channel""".stripMargin
   }
+
+  /** CUSUM CHANGEPOINT SCAN — where did a series' level shift? Per
+    * (event_type, day): the daily count, its INTEGER-SCALED deviation from
+    * the series mean (`n·n_days − total` = n_days·(n − mean), exact — no
+    * FP mean ever computed), the running cumulative deviation, and a flag
+    * on the day where |cusum| peaks — the classic changepoint estimate
+    * (the cumulative sum of deviations turns exactly where the level
+    * shifts). The drift-detection sibling of `q_anomaly` (point outliers)
+    * and `q_trend` (global slope): this one localizes WHEN the regime
+    * changed.
+    *
+    * Scale shape: one (type, day)-keyed count, a per-type 1-row total
+    * broadcast, and a per-type running-sum window — |types| partitions of
+    * |days| rows each (window state is days-per-series, never row-scale).
+    * All arithmetic BIGINT: cusum magnitudes are bounded by
+    * n_days²·max_daily ≈ 10¹² here, far under overflow. */
+  def cusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val totals = daily.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("n_days"))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    daily.join(broadcast(totals), Seq("event_type"))
+      .withColumn("dev_scaled", col("n") * col("n_days") - col("total"))
+      .withColumn("cusum", sum(col("dev_scaled")).over(wRun))
+      .withColumn("is_changepoint",
+        abs(col("cusum")) === max(abs(col("cusum"))).over(wAll) &&
+          abs(col("cusum")) > 0L)
+      .select(col("event_type"), col("day"), col("n"), col("dev_scaled"),
+        col("cusum"), col("is_changepoint"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** DuckDB twin of [[cusumChangepoint]] — identical integer scaling and
+    * peak rule. */
+  def cusumChangepointOracleSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), t AS (
+       |  SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+       |    count(*) AS n_days
+       |  FROM daily GROUP BY 1
+       |), d AS (
+       |  SELECT daily.event_type, daily.day, CAST(daily.n AS BIGINT) AS n,
+       |    CAST(daily.n * t.n_days - t.total AS BIGINT) AS dev_scaled
+       |  FROM daily JOIN t ON daily.event_type = t.event_type
+       |), c AS (
+       |  SELECT *, CAST(sum(dev_scaled) OVER (PARTITION BY event_type
+       |      ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum
+       |  FROM d
+       |)
+       |SELECT event_type, CAST(day AS BIGINT) AS day, n, dev_scaled, cusum,
+       |  abs(cusum) = max(abs(cusum)) OVER (PARTITION BY event_type)
+       |    AND abs(cusum) > 0 AS is_changepoint
+       |FROM c ORDER BY event_type, day""".stripMargin
+
+  /** DAY-OF-WEEK SEASONALITY DECOMPOSITION — split each series' daily
+    * counts into a weekday profile and residuals: per (event_type, dow)
+    * the exact mean daily count, and per day the residual `n − dow_mean`
+    * (what remains after removing the weekly cycle — the input an anomaly
+    * threshold should apply to when traffic has a weekly rhythm). Day 0
+    * (1970-01-01) is a Thursday; `dow` is `(day + 4) mod 7` with 0 =
+    * Sunday, matching DuckDB's `dayofweek`.
+    *
+    * Scale shape: one (type, day) count, one (type, dow)-keyed exact
+    * average (≤ |types|·7 groups), one broadcast join back. */
+  def dowSeasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", expr("(day + 4) % 7"))
+    val profile = daily.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        Tables.exactAvg(col("n").cast("double")).as("dow_avg"))
+    daily.join(broadcast(profile), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("dow"), col("n"),
+        col("n_days"), col("dow_avg"),
+        Tables.portableRound6(col("n").cast("double") - col("dow_avg"))
+          .as("residual"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** DuckDB twin of [[dowSeasonality]]. */
+  def dowSeasonalityOracleSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), d AS (
+       |  SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       |    (day + 4) % 7 AS dow
+       |  FROM daily
+       |), p AS (
+       |  SELECT event_type, dow, count(*) AS n_days,
+       |    ${Tables.exactAvgSql("n")} AS dow_avg
+       |  FROM d GROUP BY 1, 2
+       |)
+       |SELECT d.event_type, CAST(d.day AS BIGINT) AS day,
+       |  CAST(d.dow AS BIGINT) AS dow, d.n,
+       |  CAST(p.n_days AS BIGINT) AS n_days, p.dow_avg,
+       |  ${Tables.portableRound6Sql("CAST(d.n AS DOUBLE) - p.dow_avg")} AS residual
+       |FROM d JOIN p ON d.event_type = p.event_type AND d.dow = p.dow
+       |ORDER BY d.event_type, d.day""".stripMargin
 }

@@ -546,4 +546,61 @@ class Round8OpsSpec extends SparkTestBase {
     assert(got.map(_._2).sum == purchases.size.toLong)
     assert(got.map(_._4).sum == purchases.size.toLong)
   }
+
+  // ---- changepoint scan and seasonality -----------------------------------
+
+  private def dailyCounts(): Map[(String, Long), Long] =
+    Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+
+  test("q_cusum: integer-scaled cumulative deviations and the peak flag recompute") {
+    val daily = dailyCounts()
+    val expected = daily.keys.map(_._1).toSeq.distinct.sorted.flatMap { et =>
+      val series = daily.filter(_._1._1 == et).toSeq
+        .map { case ((_, d), n) => (d, n) }.sortBy(_._1)
+      val total = series.map(_._2).sum
+      val nDays = series.size.toLong
+      val devs = series.map { case (d, n) => (d, n, n * nDays - total) }
+      val cusums = devs.scanLeft(0L)(_ + _._3).tail
+      val peak = cusums.map(math.abs).max
+      devs.zip(cusums).map { case ((d, n, dev), c) =>
+        (et, d, n, dev, c, math.abs(c) == peak && peak > 0L)
+      }
+    }
+    val got = QuerySurface.cusumChangepoint(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    // every series flags at least one changepoint, cusum ends at zero
+    // (sum of deviations over the whole series is identically 0)
+    got.groupBy(_._1).values.foreach { s =>
+      assert(s.exists(_._6))
+      assert(s.maxBy(_._2)._5 == 0L)
+    }
+  }
+
+  test("q_seasonality: dow profile and residuals recompute; residuals sum to ~0 per cell") {
+    def r6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val daily = dailyCounts()
+    val cells = daily.toSeq.map { case ((et, d), n) => (et, d, (d + 4) % 7, n) }
+    val prof = cells.groupBy(c => (c._1, c._3)).map { case ((et, dow), g) =>
+      (et, dow) -> (g.size.toLong,
+        r6(g.map(c => BigDecimal(c._4).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble / g.size))
+    }
+    val expected = cells.sortBy(c => (c._1, c._2)).map { case (et, d, dow, n) =>
+      val (nd, avg) = prof((et, dow))
+      (et, d, dow, n, nd, avg, r6(n.toDouble - avg))
+    }
+    val got = QuerySurface.dowSeasonality(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    // removing the profile centers each (type, dow) cell near zero
+    got.groupBy(g => (g._1, g._3)).values.foreach { cell =>
+      assert(math.abs(cell.map(_._7).sum) < 1e-3)
+    }
+  }
 }
