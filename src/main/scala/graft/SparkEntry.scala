@@ -251,6 +251,7 @@ object SparkEntry {
     "q_attribution" -> (QuerySurface.attribution _),
     "q_cusum" -> (QuerySurface.cusumChangepoint _),
     "q_seasonality" -> (QuerySurface.dowSeasonality _),
+    "otel_hist_rebucket" -> ((s: SparkSession, d: String) => OtelQueries.histRebucket(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -571,6 +572,7 @@ object SparkEntry {
     "q_attribution" -> operators.QuerySurface.attributionOracleSql,
     "q_cusum" -> operators.QuerySurface.cusumChangepointOracleSql,
     "q_seasonality" -> operators.QuerySurface.dowSeasonalityOracleSql,
+    "otel_hist_rebucket" -> OtelQueries.histRebucketOracleSql(),
 
     "text_langid" ->
       """WITH t AS (

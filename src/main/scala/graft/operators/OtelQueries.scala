@@ -344,6 +344,119 @@ object OtelQueries {
        |FROM m
        |ORDER BY n_buckets, bound_step""".stripMargin
 
+  /** Target analysis grid for [[histRebucket]] — 5 buckets:
+    * [0,25), [25,50), [50,100), [100,200), [200,∞). */
+  val RebucketBounds: Seq[Long] = Seq(25L, 50L, 100L, 200L)
+
+  /** HISTOGRAM REBUCKETING — the LOSSY half of the rollup primitive that
+    * [[histMerge]] deliberately excludes: histograms with DIFFERENT bucket
+    * layouts cannot be added exactly, so cross-layout aggregation
+    * redistributes each source bucket's count onto one fixed analysis grid
+    * under the standard uniform-within-bucket assumption. The lossiness is
+    * made DETERMINISTIC and count-conserving: integer floor splits
+    * proportional to interval overlap, with each source bucket's remainder
+    * assigned to its LAST overlapping target bucket (so every engine, and
+    * every partitioning, produces the identical grid and
+    * Σ target = Σ source exactly — spec-asserted). Unbounded source
+    * buckets (+∞ overflow, and layout-less single-bucket rows) map wholly
+    * to the grid's overflow bucket — no uniform assumption exists for an
+    * infinite interval.
+    *
+    * Scale shape: one explode (rows × ≤8 buckets) cross-joined against
+    * the broadcast 5-row grid, two per-source-bucket window passes over
+    * ≤5-row partitions, then a 5-key final aggregate. Nothing global. */
+  def histRebucket(spark: SparkSession, sfDirIgnored: String,
+      n: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val bs = RebucketBounds
+    val targets: Seq[(Long, Long, Option[Long])] =
+      bs.zipWithIndex.map { case (b, i) =>
+        (i.toLong, if (i == 0) 0L else bs(i - 1), Some(b): Option[Long])
+      } :+ ((bs.size.toLong, bs.last, None: Option[Long]))
+    val tdf = targets.toDF("tj", "tlo", "thi")
+    val src = graft.TestDataGen.histograms(spark, n)
+      .filter(size(col("BucketCounts")) > 0)
+      .select(col("hist_id"),
+        expr("CAST(try_element_at(ExplicitBounds, 1) AS BIGINT)").as("step"),
+        size(col("ExplicitBounds")).cast("long").as("m"),
+        posexplode(col("BucketCounts")).as(Seq("idx", "c")))
+      .withColumn("lo", col("idx") * col("step"))
+      .withColumn("hi",
+        when(col("idx") < col("m"), (col("idx") + 1) * col("step")))
+    val pairs = src.crossJoin(broadcast(tdf))
+      .withColumn("ov",
+        when(col("hi").isNull,
+          when(col("thi").isNull, lit(1L)).otherwise(lit(0L)))
+          .otherwise(greatest(lit(0L),
+            least(coalesce(col("thi"), col("hi")), col("hi")) -
+              greatest(col("lo"), col("tlo")))))
+      .filter(col("ov") > 0)
+      .withColumn("floor_p",
+        when(col("hi").isNull, col("c"))
+          .otherwise(expr("c * ov div (hi - lo)")))
+    val w = Window.partitionBy(col("hist_id"), col("idx"))
+    pairs
+      .withColumn("max_tj", max(col("tj")).over(w))
+      .withColumn("sum_floor", sum(col("floor_p")).over(w))
+      .withColumn("portion",
+        when(col("tj") === col("max_tj"),
+          col("c") - (col("sum_floor") - col("floor_p")))
+          .otherwise(col("floor_p")))
+      .groupBy(col("tj"))
+      .agg(sum(col("portion")).as("n"))
+      .join(broadcast(tdf), Seq("tj"))
+      .select(col("tj").as("bucket"), col("tlo").as("lo_bound"),
+        col("thi").as("hi_bound"), col("n"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB twin of [[histRebucket]] — identical overlap arithmetic,
+    * floor-split + last-bucket-remainder rule. */
+  def histRebucketOracleSql(n: Long = 10000L): String = {
+    val bs = RebucketBounds
+    val vals = (bs.zipWithIndex.map { case (b, i) =>
+      s"(${i}, ${if (i == 0) 0L else bs(i - 1)}, $b)"
+    } :+ s"(${bs.size}, ${bs.last}, NULL)").mkString(", ")
+    s"""WITH ${graft.TestDataGen.histogramsSqlCte(n)},
+       |src AS (
+       |  SELECT hist_id, CAST(ExplicitBounds[1] AS BIGINT) AS step,
+       |    len(ExplicitBounds) AS m, r.i - 1 AS idx, BucketCounts[r.i] AS c
+       |  FROM hist, unnest(generate_series(1, len(BucketCounts))) AS r(i)
+       |  WHERE len(BucketCounts) > 0
+       |), sb AS (
+       |  SELECT hist_id, idx, c, idx * step AS lo,
+       |    CASE WHEN idx < m THEN (idx + 1) * step END AS hi
+       |  FROM src
+       |), t(tj, tlo, thi) AS (
+       |  SELECT * FROM (VALUES $vals) v(tj, tlo, thi)
+       |), pairs AS (
+       |  SELECT sb.hist_id, sb.idx, sb.c, sb.lo, sb.hi, t.tj,
+       |    CASE WHEN sb.hi IS NULL
+       |         THEN CASE WHEN t.thi IS NULL THEN 1 ELSE 0 END
+       |         ELSE greatest(0, least(coalesce(t.thi, sb.hi), sb.hi)
+       |                          - greatest(sb.lo, t.tlo)) END AS ov
+       |  FROM sb CROSS JOIN t
+       |), fp AS (
+       |  SELECT *, CASE WHEN hi IS NULL THEN c
+       |                 ELSE c * ov // (hi - lo) END AS floor_p
+       |  FROM pairs WHERE ov > 0
+       |), par AS (
+       |  SELECT *, max(tj) OVER (PARTITION BY hist_id, idx) AS max_tj,
+       |    sum(floor_p) OVER (PARTITION BY hist_id, idx) AS sum_floor
+       |  FROM fp
+       |), portions AS (
+       |  SELECT tj,
+       |    CASE WHEN tj = max_tj THEN c - (sum_floor - floor_p)
+       |         ELSE floor_p END AS portion
+       |  FROM par
+       |)
+       |SELECT CAST(p.tj AS BIGINT) AS bucket, CAST(t.tlo AS BIGINT) AS lo_bound,
+       |  CAST(t.thi AS BIGINT) AS hi_bound, CAST(sum(p.portion) AS BIGINT) AS n
+       |FROM portions p JOIN t ON p.tj = t.tj
+       |GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin
+  }
+
   /** [[goldenExpHistP95]]'s integer p95 rule at sf scale, over the
     * generated 10⁴-row exponential-histogram table
     * ([[graft.TestDataGen.expHistograms]]): scales −2..5, zero-bucket-only

@@ -603,4 +603,57 @@ class Round8OpsSpec extends SparkTestBase {
       assert(math.abs(cell.map(_._7).sum) < 1e-3)
     }
   }
+
+  // ---- lossy histogram rebucketing ----------------------------------------
+
+  test("otel_hist_rebucket: floor-split redistribution recomputes and conserves counts") {
+    import graft.operators.OtelQueries
+    val n = 500L
+    val grid = OtelQueries.RebucketBounds
+    val tgt = grid.zipWithIndex.map { case (b, i) =>
+      (i.toLong, if (i == 0) 0L else grid(i - 1), Some(b))
+    } :+ ((grid.size.toLong, grid.last, None))
+    // plain-Scala re-derivation of the generator + redistribution rules
+    val acc = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    var totalSrc = 0L
+    for (id <- 0L until n if id % 97 != 0) {
+      val m = id % 8
+      val step = 10 + id % 13
+      val counts = (1L to m + 1).map(j =>
+        if (id % 89 == 0) 0L
+        else if (id % 11 == 0 && j == m + 1) 100L
+        else (id * 31 + j * 17) % 5)
+      counts.zipWithIndex.foreach { case (c, idx) =>
+        totalSrc += c
+        val lo = idx * step
+        val hiOpt = if (idx < m) Some((idx + 1) * step) else None
+        hiOpt match {
+          case None => acc(grid.size.toLong) += c // unbounded -> overflow
+          case Some(hi) =>
+            val overlapping = tgt.flatMap { case (tj, tlo, thiOpt) =>
+              val thi = thiOpt.getOrElse(hi)
+              val ov = math.max(0L, math.min(thi, hi) - math.max(lo, tlo))
+              if (ov > 0) Some((tj, ov)) else None
+            }
+            val floors = overlapping.map { case (tj, ov) =>
+              (tj, c * ov / (hi - lo))
+            }
+            val lastTj = overlapping.map(_._1).max
+            val sumFloor = floors.map(_._2).sum
+            floors.foreach { case (tj, f) =>
+              acc(tj) += (if (tj == lastTj) c - (sumFloor - f) else f)
+            }
+        }
+      }
+    }
+    val expected = tgt.map { case (tj, tlo, thiOpt) =>
+      (tj, tlo, thiOpt, acc(tj))
+    }
+    val got = OtelQueries.histRebucket(spark, sf, n).collect().map(r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toSeq
+    assert(got == expected, s"got=$got\nexp=$expected")
+    // lossy but CONSERVING: every source count lands in exactly one cell
+    assert(got.map(_._4).sum == totalSrc)
+  }
 }
