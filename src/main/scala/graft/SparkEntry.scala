@@ -252,6 +252,7 @@ object SparkEntry {
     "q_cusum" -> (QuerySurface.cusumChangepoint _),
     "q_seasonality" -> (QuerySurface.dowSeasonality _),
     "otel_hist_rebucket" -> ((s: SparkSession, d: String) => OtelQueries.histRebucket(s, d)),
+    "dedup_lsh_eval" -> ((s: SparkSession, d: String) => Dedup.lshEval(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -573,6 +574,7 @@ object SparkEntry {
     "q_cusum" -> operators.QuerySurface.cusumChangepointOracleSql,
     "q_seasonality" -> operators.QuerySurface.dowSeasonalityOracleSql,
     "otel_hist_rebucket" -> OtelQueries.histRebucketOracleSql(),
+    "dedup_lsh_eval" -> operators.Dedup.lshEvalOracleSql(),
 
     "text_langid" ->
       """WITH t AS (

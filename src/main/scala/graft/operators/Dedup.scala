@@ -474,6 +474,76 @@ object Dedup {
        |)""".stripMargin
   }
 
+  /** LSH QUALITY EVAL — precision/recall instrumentation of the MinHash
+    * tier against the exact Jaccard ground truth, as one gate row: how
+    * many true near-dup pairs exist (`n_exact`), how many candidate pairs
+    * the 16×4 banding surfaced (`n_candidates`), how many survived exact
+    * verification (`n_verified` — a SUBSET of `n_exact` by construction,
+    * since verification computes the same exact Jaccard over the same
+    * shingle-hash sets), the recall `verified/exact`, and the candidate
+    * efficiency `verified/candidates` (what fraction of the banding's
+    * join work was signal). The dedup sibling of `sim_ann_recall`: these
+    * two numbers ARE the (bands, rows) tuning dashboard.
+    *
+    * Cost note: the ground-truth side inherits `dedup_ngram_jaccard`'s
+    * BY-DESIGN uncapped O(df²) self-join — this is a measurement
+    * instrument, run on a sample at corpus scale (the same caveat,
+    * documented since round 4, as the baseline it audits). */
+  def lshEval(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val exact = ngramJaccard(spark, sfDir, threshold, uncapped = true)
+      .select(col("id1"), col("id2"))
+    // candidate banding — the same 16×4 slice keys as [[minhashLsh]]
+    val signed = docShingleHashes(spark, sfDir)
+      .filter(size(col("shh")) > 0)
+      .select(col("doc_id"), minhashSignatureFromHashes(col("shh")).as("sig"))
+    val bandStructs = array((0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)
+          .cast("array<string>")).as("bandSig"))
+    }: _*)
+    val banded = signed.select(col("doc_id"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.bandSig").as("bandSig"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandSig") === col("b.bandSig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val verified = minhashLsh(spark, sfDir, threshold)
+      .select(col("id1"), col("id2"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+      .select(col("n_exact"), col("n_candidates"), col("n_verified"),
+        Tables.portableRound6(col("n_verified").cast("double") /
+          col("n_exact").cast("double")).as("recall"),
+        Tables.portableRound6(col("n_verified").cast("double") /
+          col("n_candidates").cast("double")).as("efficiency"))
+  }
+
+  /** DuckDB twin of [[lshEval]] — reuses the full minhash CTE chain
+    * (candidates + exact jaccard over all co-shingling pairs). */
+  def lshEvalOracleSql(threshold: Double = 0.3): String =
+    s"""WITH ${minhashCtes(threshold)},
+       |ex AS (
+       |  SELECT count(*) AS n_exact FROM jac WHERE jaccard >= $threshold
+       |), ca AS (
+       |  SELECT count(*) AS n_candidates FROM cand
+       |), ve AS (
+       |  SELECT count(*) AS n_verified
+       |  FROM cand c JOIN jac j ON c.id1 = j.id1 AND c.id2 = j.id2
+       |  WHERE j.jaccard >= $threshold
+       |)
+       |SELECT CAST(ex.n_exact AS BIGINT) AS n_exact,
+       |  CAST(ca.n_candidates AS BIGINT) AS n_candidates,
+       |  CAST(ve.n_verified AS BIGINT) AS n_verified,
+       |  ${Tables.portableRound6Sql(
+            "CAST(ve.n_verified AS DOUBLE) / ex.n_exact")} AS recall,
+       |  ${Tables.portableRound6Sql(
+            "CAST(ve.n_verified AS DOUBLE) / ca.n_candidates")} AS efficiency
+       |FROM ex, ca, ve""".stripMargin
+
   /** DuckDB twin of [[simhashPairs]]: MD5-derived u64 token hashes, 63
     * per-bit signed weights, 16-bit band blocking, Hamming filter. */
   def simhashOracleSql(maxHamming: Int = 3): String =

@@ -656,4 +656,27 @@ class Round8OpsSpec extends SparkTestBase {
     // lossy but CONSERVING: every source count lands in exactly one cell
     assert(got.map(_._4).sum == totalSrc)
   }
+
+  // ---- LSH quality eval ---------------------------------------------------
+
+  test("dedup_lsh_eval is consistent with the exact, candidate, and verified frames") {
+    import graft.operators.Dedup
+    def r6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val exact = Dedup.ngramJaccard(spark, sf, uncapped = true)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.minhashLsh(spark, sf)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification computes the same exact jaccard over the same sets,
+    // so the verified pairs are a subset of the exact ground truth
+    assert(verified.subsetOf(exact))
+    val row = Dedup.lshEval(spark, sf).collect().head
+    val (nE, nC, nV, recall, eff) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getDouble(3), row.getDouble(4))
+    assert(nE == exact.size.toLong && nV == verified.size.toLong)
+    assert(nC >= nV) // candidates superset survives verification
+    assert(recall == r6(nV.toDouble / nE) && eff == r6(nV.toDouble / nC))
+    assert(recall > 0.0 && recall <= 1.0)
+  }
 }
