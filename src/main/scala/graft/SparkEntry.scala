@@ -253,6 +253,7 @@ object SparkEntry {
     "q_seasonality" -> (QuerySurface.dowSeasonality _),
     "otel_hist_rebucket" -> ((s: SparkSession, d: String) => OtelQueries.histRebucket(s, d)),
     "dedup_lsh_eval" -> ((s: SparkSession, d: String) => Dedup.lshEval(s, d)),
+    "stream_hist" -> (graft.streaming.StreamGate.histWindows _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -575,6 +576,7 @@ object SparkEntry {
     "q_seasonality" -> operators.QuerySurface.dowSeasonalityOracleSql,
     "otel_hist_rebucket" -> OtelQueries.histRebucketOracleSql(),
     "dedup_lsh_eval" -> operators.Dedup.lshEvalOracleSql(),
+    "stream_hist" -> graft.streaming.StreamGate.histWindowsOracleSql,
 
     "text_langid" ->
       """WITH t AS (

@@ -661,6 +661,53 @@ object StreamGate {
       .orderBy(col("window_start_us"), col("event_type"))
   }
 
+  /** STREAMING FIXED-GRID HISTOGRAM — the live sibling of
+    * [[graft.operators.OtelQueries.histRebucket]]'s analysis grid: per
+    * (1-hour window, grid bucket) event counts over `value`, the data
+    * behind a latency-heatmap panel kept current by Structured Streaming.
+    * The grid is [[graft.operators.OtelQueries.RebucketBounds]] (shared
+    * constant — one analysis grid across the batch rebucketer and the
+    * live panel). Parity BY ALGEBRA: cell counts are merge-commutative,
+    * so micro-batching cannot perturb them; append mode emits the
+    * watermark-closed windows. State is ≤ windows×5 cells at any rate. */
+  def histWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val bs = graft.operators.OtelQueries.RebucketBounds
+    val bucketExpr = bs.zipWithIndex.foldRight(lit(bs.size.toLong)) {
+      case ((b, i), acc) => when(col("value") < b.toDouble, i.toLong).otherwise(acc)
+    }
+    val ev = eventsStream(spark, sfDir)
+      .select(col("ts"), bucketExpr.as("bucket"))
+      .withWatermark("ts", WindowDelay)
+    val agg = ev.groupBy(window(col("ts"), "1 hour"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(spark, agg)
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("bucket"), col("n"))
+      .orderBy(col("window_start_us"), col("bucket"))
+  }
+
+  /** DuckDB twin of [[histWindows]] — same grid thresholds, append-mode
+    * window filter. */
+  def histWindowsOracleSql: String = {
+    val bs = graft.operators.OtelQueries.RebucketBounds
+    val bucketSql = "CASE " + bs.zipWithIndex.map { case (b, i) =>
+      s"WHEN value < $b.0 THEN $i"
+    }.mkString(" ") + s" ELSE ${bs.size} END"
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) AS ts_us, CAST($bucketSql AS BIGINT) AS bucket
+       |  FROM events
+       |), wm AS (
+       |  SELECT max(ts_us) // 1000 - $WindowDelayMs AS wm_ms FROM e
+       |), w AS (
+       |  SELECT (ts_us // 3600000000) * 3600000000 AS ws, bucket FROM e
+       |)
+       |SELECT CAST(ws AS BIGINT) AS window_start_us, bucket, count(*) AS n
+       |FROM w, wm
+       |WHERE (ws + 3600000000) // 1000 <= wm_ms
+       |GROUP BY 1, 2
+       |ORDER BY window_start_us, bucket""".stripMargin
+  }
+
   /** DuckDB twin of [[redWindows]] — batch aggregate with the append-mode
     * window filter and identical decimal/rounding arithmetic. */
   def redWindowsOracleSql: String =

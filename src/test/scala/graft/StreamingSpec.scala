@@ -404,4 +404,27 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expected)
     assert(got.nonEmpty && got.exists(_._4 > 0)) // some windows carry errors
   }
+
+  test("streaming fixed-grid histogram: stream cells equal a batch recompute") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val grid = graft.operators.OtelQueries.RebucketBounds
+    def bucket(v: Double): Long = {
+      val i = grid.indexWhere(b => v < b.toDouble)
+      if (i < 0) grid.size.toLong else i.toLong
+    }
+    val ev = graft.operators.Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val wmMs = ev.map(_._1).max / 1000 - graft.streaming.StreamGate.WindowDelayMs
+    val hourUs = 3600000000L
+    val expected = ev.map { case (us, v) => (us / hourUs * hourUs, bucket(v)) }
+      .groupBy(identity).map { case ((w, b), g) => (w, b, g.length.toLong) }
+      .filter { case (w, _, _) => (w + hourUs) / 1000 <= wmMs }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val got = graft.streaming.StreamGate.histWindows(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.map(_._2).distinct.size > 1)
+  }
 }
