@@ -254,6 +254,13 @@ object SparkEntry {
     "otel_hist_rebucket" -> ((s: SparkSession, d: String) => OtelQueries.histRebucket(s, d)),
     "dedup_lsh_eval" -> ((s: SparkSession, d: String) => Dedup.lshEval(s, d)),
     "stream_hist" -> (graft.streaming.StreamGate.histWindows _),
+
+    // -- round 9: the walk family fed from the MATERIALIZED bipartite edge
+    // table (Graph.bipartiteTable — the backbone-table pattern extended to
+    // PageRank/PPR, whose per-gate edge-list re-derivation was the worst
+    // non-instrument sweep ratio left on the surface).
+    "q_pagerank_tbl" -> ((s: SparkSession, d: String) => Graph.pageRankFromTable(s, d)),
+    "q_ppr_tbl" -> ((s: SparkSession, d: String) => Graph.personalizedPageRankFromTable(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -754,5 +761,7 @@ object SparkEntry {
     "q_kcore_tbl" -> Graph.kcoreOracleSql(),
     "q_label_prop_tbl" -> Graph.labelPropOracleSql(),
     "q_assortativity_tbl" -> Graph.assortativityOracleSql,
+    "q_pagerank_tbl" -> Graph.pageRankOracleSql(),
+    "q_ppr_tbl" -> Graph.personalizedPageRankOracleSql(),
   )
 }

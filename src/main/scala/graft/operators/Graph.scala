@@ -43,14 +43,26 @@ object Graph {
     * every node has out-degree ≥ 1.
     */
   def pageRank(spark: SparkSession, sfDir: String, iterations: Int = 5,
-      topK: Int = 50, checkpointEvery: Int = 1): DataFrame = {
+      topK: Int = 50, checkpointEvery: Int = 1): DataFrame =
+    pageRankOf(bipartiteEdges(spark, sfDir).localCheckpoint(true),
+      iterations, topK, checkpointEvery)
+
+  /** The symmetrized customer↔supplier purchase multigraph both walk gates
+    * derive from: one edge per lineitem in each direction, node ids
+    * namespaced as 2·custkey / 2·suppkey+1. */
+  private[graft] def bipartiteEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
     val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
     val fwd = li.join(od, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-    val edges = fwd.unionByName(
-        fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+    fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** The fixed-point iteration core of [[pageRank]] over an arbitrary
+    * symmetrized (src, dst) edge frame (callers materialize/checkpoint or
+    * table-read it first — the loop scans it once per round). */
+  private[graft] def pageRankOf(edges: DataFrame, iterations: Int,
+      topK: Int, checkpointEvery: Int): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true)
     val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
@@ -149,11 +161,6 @@ object Graph {
 
   // ---- Backbone as a TABLE (write once, read per analytic) ---------------
 
-  /** Materialized-backbone directories, one per (corpus, params) per JVM —
-    * the memo behind [[backboneTable]]. */
-  private val backboneDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Write the weighted capped co-purchase backbone ONCE per (JVM, corpus)
     * as a (src, dst, shared) parquet table and return its directory — the
     * production shape for the graph-analytics family: the seven backbone
@@ -170,17 +177,47 @@ object Graph {
   def backboneTable(spark: SparkSession, sfDir: String,
       topEdges: Int = CoPurchaseTopEdges,
       cap: Int = MaxSuppliersPerCustomer): String =
-    backboneDirs.computeIfAbsent(s"$sfDir|$topEdges|$cap", _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-backbone")
-        .toString
+    MemoTables.dir(s"backbone|$sfDir|$topEdges|$cap", "graft-backbone") { dir =>
       // ≤topEdges rows → one compact file; a 100 TB deployment would bump
       // topEdges and write unpartitioned (the backbone is the SMALL output
       // of the big join, that's the point of sparsifying first)
       coPurchaseWeightedEdges(purchaseFrame(spark, sfDir), topEdges, cap)
         .coalesce(1)
         .write.mode("overwrite").parquet(dir)
-      dir
-    })
+    }
+
+  /** Write the symmetrized bipartite purchase edge list ONCE per
+    * (JVM, corpus) as a (src, dst) parquet table and return its directory —
+    * the [[backboneTable]] pattern extended to the walk family:
+    * [[pageRank]]/[[personalizedPageRank]] each re-derive the doubled
+    * lineitem⋈orders edge list per gate (measured the worst non-instrument
+    * sweep ratios on the surface at sf1, 6.7×/7.6×, VERDICT r8), while the
+    * iteration itself only ever SCANS that list. A 100 TB pipeline writes
+    * the edge list in one nightly job; every walk analytic reads it. Unlike
+    * the backbone this table is corpus-SIZED (2 rows per lineitem), so it
+    * is written with its natural partitioning, not coalesced. */
+  def bipartiteTable(spark: SparkSession, sfDir: String): String =
+    MemoTables.dir(s"bipartite|$sfDir", "graft-bipartite") { dir =>
+      bipartiteEdges(spark, sfDir).write.mode("overwrite").parquet(dir)
+    }
+
+  /** [[pageRank]] fed from the materialized bipartite edge table —
+    * hash-identical to the self-contained form (the edge list is a
+    * deterministic function of the corpus and every downstream step is
+    * integer fixed-point). */
+  def pageRankFromTable(spark: SparkSession, sfDir: String,
+      iterations: Int = 5, topK: Int = 50,
+      checkpointEvery: Int = 1): DataFrame =
+    pageRankOf(spark.read.parquet(bipartiteTable(spark, sfDir))
+      .localCheckpoint(true), iterations, topK, checkpointEvery)
+
+  /** [[personalizedPageRank]] fed from the materialized bipartite edge
+    * table. */
+  def personalizedPageRankFromTable(spark: SparkSession, sfDir: String,
+      iterations: Int = 5, topK: Int = 50,
+      checkpointEvery: Int = 1): DataFrame =
+    personalizedPageRankOf(spark.read.parquet(bipartiteTable(spark, sfDir))
+      .localCheckpoint(true), iterations, topK, checkpointEvery)
 
   /** Read the materialized weighted backbone (writing it first if this JVM
     * hasn't yet — [[backboneTable]]). */
@@ -423,14 +460,14 @@ object Graph {
     * 0 exactly — the oracle checks that cut too. */
   def personalizedPageRank(spark: SparkSession, sfDir: String,
       iterations: Int = 5, topK: Int = 50,
-      checkpointEvery: Int = 1): DataFrame = {
-    val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
-    val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
-    val fwd = li.join(od, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-    val edges = fwd.unionByName(
-        fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      checkpointEvery: Int = 1): DataFrame =
+    personalizedPageRankOf(bipartiteEdges(spark, sfDir).localCheckpoint(true),
+      iterations, topK, checkpointEvery)
+
+  /** The seeded iteration core of [[personalizedPageRank]] over an
+    * arbitrary symmetrized (src, dst) edge frame. */
+  private[graft] def personalizedPageRankOf(edges: DataFrame,
+      iterations: Int, topK: Int, checkpointEvery: Int): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true)
     val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint(true)

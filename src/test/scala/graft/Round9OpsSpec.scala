@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Round-9 coverage: the derive-once bipartite edge table behind the
+  * table-fed walk gates (q_pagerank_tbl / q_ppr_tbl) — value parity with
+  * the self-contained forms, memo identity, and symmetry of the stored
+  * edge list. */
+class Round9OpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("pageRankFromTable is cell-identical to the self-contained pageRank") {
+    assertFrameEqual(
+      Graph.pageRankFromTable(spark, sf),
+      Graph.pageRank(spark, sf),
+      Seq("rank_fp", "id"))
+  }
+
+  test("personalizedPageRankFromTable matches personalizedPageRank cell-by-cell") {
+    assertFrameEqual(
+      Graph.personalizedPageRankFromTable(spark, sf),
+      Graph.personalizedPageRank(spark, sf),
+      Seq("rank_fp", "id"))
+  }
+
+  test("bipartiteTable memoizes one directory per corpus and stores the " +
+      "exact symmetrized multigraph") {
+    val d1 = Graph.bipartiteTable(spark, sf)
+    val d2 = Graph.bipartiteTable(spark, sf)
+    assert(d1 == d2, "memo must return the same directory per (JVM, corpus)")
+    val stored = spark.read.parquet(d1)
+    val derived = Graph.bipartiteEdges(spark, sf)
+    // multigraph: compare as (src, dst) multiplicity maps, not sets
+    assertFrameEqual(
+      stored.groupBy("src", "dst").agg(count(lit(1)).as("m")),
+      derived.groupBy("src", "dst").agg(count(lit(1)).as("m")),
+      Seq("src", "dst"))
+    // symmetry: every (a, b) multiplicity equals its (b, a) mirror
+    val asym = stored.groupBy("src", "dst").agg(count(lit(1)).as("m"))
+      .as("f")
+      .join(
+        stored.groupBy(col("dst").as("s2"), col("src").as("d2"))
+          .agg(count(lit(1)).as("m2")).as("r"),
+        col("f.src") === col("s2") && col("f.dst") === col("d2"),
+        "full")
+      .filter(col("m").isNull || col("m2").isNull || col("m") =!= col("m2"))
+      .count()
+    assert(asym == 0L, "stored edge list must be exactly symmetric")
+  }
+}
