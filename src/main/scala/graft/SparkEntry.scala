@@ -261,6 +261,7 @@ object SparkEntry {
     // non-instrument sweep ratio left on the surface).
     "q_pagerank_tbl" -> ((s: SparkSession, d: String) => Graph.pageRankFromTable(s, d)),
     "q_ppr_tbl" -> ((s: SparkSession, d: String) => Graph.personalizedPageRankFromTable(s, d)),
+    "dedup_lsh_eval_sampled" -> ((s: SparkSession, d: String) => Dedup.lshEvalSampled(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -763,5 +764,6 @@ object SparkEntry {
     "q_assortativity_tbl" -> Graph.assortativityOracleSql,
     "q_pagerank_tbl" -> Graph.pageRankOracleSql(),
     "q_ppr_tbl" -> Graph.personalizedPageRankOracleSql(),
+    "dedup_lsh_eval_sampled" -> Dedup.lshEvalSampledOracleSql(),
   )
 }

@@ -39,4 +39,22 @@ object PortableHash {
   /** 31-bit variant for modular MinHash permutations:
     * `md5_number_lower(s) & 2147483647`. */
   def md5Lower31(s: String): Long = md5Lower(s) & 2147483647L
+
+  /** [[md5Lower63]] as a COLUMN over Spark builtins — whole-stage-codegen
+    * friendly (md5/substring/conv/shift all codegen), replacing the
+    * per-row Scala UDF wrappers on gate paths. Bytes 8..15 of the digest
+    * are hex chars 17..32; the little-endian u64 is assembled as two
+    * 32-bit big-endian-of-reversed-bytes halves (each fits a signed long,
+    * so no ANSI overflow on the conv cast), and bit 63 — the top bit of
+    * byte 15, i.e. of the high half — is cleared by the `& 0x7FFFFFFF`
+    * before the shift, reproducing the `& Long.MaxValue`. Equality with
+    * the Scala form is property-tested (PortableHashSpec). */
+  def md5Lower63Col(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val hex = md5(c.cast("string"))
+    def byte(i: Int) = substring(hex, 17 + 2 * i, 2) // digest byte 8+i
+    val hi = conv(concat(byte(7), byte(6), byte(5), byte(4)), 16, 10).cast("long")
+    val lo = conv(concat(byte(3), byte(2), byte(1), byte(0)), 16, 10).cast("long")
+    shiftleft(hi.bitwiseAND(lit(0x7FFFFFFFL)), 32).bitwiseOR(lo)
+  }
 }

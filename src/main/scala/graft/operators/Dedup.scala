@@ -268,6 +268,34 @@ object Dedup {
     sig
   }
 
+  /** The 16×4 band-signature candidate tier over a (doc_id, sig, …) frame
+    * — ONE definition used by both [[minhashLsh]] (the production path)
+    * and [[lshEval]]/[[lshEvalSampled]] (the audit), so the eval measures
+    * the tier it audits BY CONSTRUCTION: any future change to the banding
+    * (key encoding, band count) flows into both sides at once.
+    *
+    * One (band, bandSig) row per band; bandSig is the raw 4-perm slice
+    * joined as a string key — exact band-agreement semantics (no engine-
+    * specific hash collisions), so the candidate set is recomputable by
+    * the DuckDB oracle. At larger scale a fixed-width hash of the slice
+    * would shrink the shuffle key; the semantics here are the portable
+    * ones. */
+  private def bandedCandidates(signed: DataFrame): DataFrame = {
+    val bandStructs = array((0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)
+          .cast("array<string>")).as("bandSig"))
+    }: _*)
+    val banded = signed
+      .select(col("doc_id"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bandSig").as("bandSig"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandSig") === col("b.bandSig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
   /** MinHash+LSH near-dup pairs: band signatures → bucket self-join →
     * candidate pairs → exact-Jaccard verification of candidates only.
     * Output: (id1, id2, est_jaccard, jaccard) for exact jaccard ≥ threshold. */
@@ -279,25 +307,7 @@ object Dedup {
     val signed = sh.select(col("doc_id"), col("shh"),
       minhashSignatureFromHashes(col("shh")).as("sig")).persist()
 
-    // one (band, bandSig) row per band; bandSig is the raw 4-perm slice
-    // joined as a string key — exact band-agreement semantics (no engine-
-    // specific hash collisions), so the candidate set is recomputable by the
-    // DuckDB oracle. At larger scale a fixed-width hash of the slice would
-    // shrink the shuffle key; the semantics here are the portable ones.
-    val bandStructs = array((0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)
-          .cast("array<string>")).as("bandSig"))
-    }: _*)
-    val banded = signed
-      .select(col("doc_id"), explode(bandStructs).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bandSig").as("bandSig"))
-
-    val candidates = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bandSig") === col("b.bandSig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
+    val candidates = bandedCandidates(signed)
 
     // verify: estimated (sig agreement) + exact jaccard over the hash sets,
     // candidates only
@@ -431,12 +441,14 @@ object Dedup {
   }
 
   /** The minhash pipeline as a reusable CTE list (ends with `est`/`jac`);
-    * shared by [[minhashOracleSql]] and [[nearDupGroupsOracleSql]]. */
-  private def minhashCtes(threshold: Double): String = {
+    * shared by [[minhashOracleSql]] and [[nearDupGroupsOracleSql]].
+    * `docWhere` (a leading-newline `WHERE …` clause or empty) restricts the
+    * corpus — the sampled eval's hook. */
+  private def minhashCtes(threshold: Double, docWhere: String = ""): String = {
     val perms = (0 until NumPerms)
       .map(i => s"(${i}, ${permA(i)}, ${permB(i)})").mkString(", ")
     s"""toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents$docWhere
        |), sh AS (
        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
        |  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
@@ -497,19 +509,7 @@ object Dedup {
     val signed = docShingleHashes(spark, sfDir)
       .filter(size(col("shh")) > 0)
       .select(col("doc_id"), minhashSignatureFromHashes(col("shh")).as("sig"))
-    val bandStructs = array((0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)
-          .cast("array<string>")).as("bandSig"))
-    }: _*)
-    val banded = signed.select(col("doc_id"), explode(bandStructs).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"),
-        col("bs.bandSig").as("bandSig"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bandSig") === col("b.bandSig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
+    val cand = bandedCandidates(signed)
     val verified = minhashLsh(spark, sfDir, threshold)
       .select(col("id1"), col("id2"))
     exact.agg(count(lit(1)).as("n_exact"))
@@ -543,6 +543,118 @@ object Dedup {
        |  ${Tables.portableRound6Sql(
             "CAST(ve.n_verified AS DOUBLE) / ca.n_candidates")} AS efficiency
        |FROM ex, ca, ve""".stripMargin
+
+  /** Probe size for [[lshEvalSampled]]: the FIXED number of sampled
+    * documents, independent of corpus size — the property that makes the
+    * audit schedulable against a 100 TB corpus (its pair work is O(K²)
+    * always, where the uncapped [[lshEval]] grows O(n²)). */
+  val LshEvalSampleK = 256
+  private val LshEvalSampleSalt = "lshs:"
+
+  /** The SAMPLED production mode of [[lshEval]] — the form the scaladoc's
+    * cost note promises ("run on a sample at corpus scale"), now a gate of
+    * its own: probe the [[LshEvalSampleK]] documents with the SMALLEST
+    * salted 63-bit md5 of their doc id (a deterministic, engine-portable
+    * fixed-size sample: `ORDER BY hash, doc_id LIMIT K` — plans as
+    * TakeOrderedAndProject over per-partition heaps), then run the
+    * identical banding ([[bandedCandidates]] — the same tier, by
+    * construction) and the exact all-pairs Jaccard ground truth WITHIN the
+    * probe. Only the K probed documents are ever shingled, so total cost is
+    * one cheap id-hash scan of the corpus plus O(K²) pair work — flat as
+    * the corpus grows, while the uncapped [[lshEval]] stays as the
+    * verification-scale control.
+    *
+    * Recall/efficiency estimate the full-corpus tier because banding
+    * decisions are per-pair (a pair's band keys don't depend on other
+    * documents); candidate DENSITY per bucket drops with the sample, which
+    * only makes `efficiency` an optimistic bound — the quantity to trend,
+    * not certify. On a corpus where one K-doc probe catches no true pair,
+    * recall/efficiency are NULL (0/0 guarded identically on both engines)
+    * — production re-runs with other salts and pools probes. Emits
+    * `n_docs` so the probe size is visible. */
+  def lshEvalSampled(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3, sampleK: Int = LshEvalSampleK): DataFrame = {
+    val ids = documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.PortableHash
+        .md5Lower63Col(concat(lit(LshEvalSampleSalt),
+          col("doc_id").cast("string"))).as("__h"))
+      .orderBy(col("__h"), col("doc_id")).limit(sampleK)
+      .select(col("doc_id"))
+    val sh = docShingleHashes(spark, sfDir)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi").persist()
+    val nDocs = sh.agg(count(lit(1)).as("n_docs"))
+    // exact ground truth over the sampled sub-corpus (same uncapped
+    // all-pairs rule as ngramJaccard(uncapped) — bounded by the sample)
+    val ex = sh.select(col("doc_id"), explode(col("shh")).as("h"))
+    val sizes = sh.select(col("doc_id"), size(col("shh")).cast("long").as("n"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("c"))
+    val exact = inter
+      .join(sizes.as("sa"), col("id1") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id2") === col("sb.doc_id"))
+      .select(col("id1"), col("id2"),
+        (col("c") / (col("sa.n") + col("sb.n") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"))
+    val signed = sh.filter(size(col("shh")) > 0)
+      .select(col("doc_id"), minhashSignatureFromHashes(col("shh")).as("sig"))
+    val cand = bandedCandidates(signed)
+    // verified = candidates that pass the exact-Jaccard cut — identical to
+    // minhashLsh's verification (same jaccard over the same hash sets)
+    val verified = cand.join(exact, Seq("id1", "id2"), "left_semi")
+    val out = nDocs
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+      .select(col("n_docs"), col("n_exact"), col("n_candidates"),
+        col("n_verified"),
+        when(col("n_exact") === 0L, lit(null).cast("double"))
+          .otherwise(Tables.portableRound6(col("n_verified").cast("double") /
+            col("n_exact").cast("double"))).as("recall"),
+        when(col("n_candidates") === 0L, lit(null).cast("double"))
+          .otherwise(Tables.portableRound6(col("n_verified").cast("double") /
+            col("n_candidates").cast("double"))).as("efficiency"))
+    materializeAndRelease(out, sh)
+  }
+
+  /** DuckDB twin of [[lshEvalSampled]] — the [[lshEvalOracleSql]] chain
+    * over the fixed-size probe (the top-K-by-salted-hash selection inlined
+    * as a literal subquery on the documents scan). */
+  def lshEvalSampledOracleSql(threshold: Double = 0.3,
+      sampleK: Int = LshEvalSampleK): String = {
+    val sampCte =
+      s"""samp AS (
+         |  SELECT doc_id FROM documents
+         |  ORDER BY md5_number_lower('$LshEvalSampleSalt' || CAST(doc_id AS VARCHAR))
+         |    & 9223372036854775807, doc_id
+         |  LIMIT $sampleK
+         |)"""
+    val docWhere = "\n  WHERE doc_id IN (SELECT doc_id FROM samp)"
+    s"""WITH $sampCte,
+       |${minhashCtes(threshold, docWhere)},
+       |nd AS (
+       |  SELECT count(*) AS n_docs FROM toks
+       |), ex AS (
+       |  SELECT count(*) AS n_exact FROM jac WHERE jaccard >= $threshold
+       |), ca AS (
+       |  SELECT count(*) AS n_candidates FROM cand
+       |), ve AS (
+       |  SELECT count(*) AS n_verified
+       |  FROM cand c JOIN jac j ON c.id1 = j.id1 AND c.id2 = j.id2
+       |  WHERE j.jaccard >= $threshold
+       |)
+       |SELECT CAST(nd.n_docs AS BIGINT) AS n_docs,
+       |  CAST(ex.n_exact AS BIGINT) AS n_exact,
+       |  CAST(ca.n_candidates AS BIGINT) AS n_candidates,
+       |  CAST(ve.n_verified AS BIGINT) AS n_verified,
+       |  CASE WHEN ex.n_exact = 0 THEN NULL ELSE ${Tables.portableRound6Sql(
+            "CAST(ve.n_verified AS DOUBLE) / ex.n_exact")} END AS recall,
+       |  CASE WHEN ca.n_candidates = 0 THEN NULL ELSE ${Tables.portableRound6Sql(
+            "CAST(ve.n_verified AS DOUBLE) / ca.n_candidates")} END AS efficiency
+       |FROM nd, ex, ca, ve""".stripMargin
+  }
 
   /** DuckDB twin of [[simhashPairs]]: MD5-derived u64 token hashes, 63
     * per-bit signed weights, 16-bit band blocking, Hamming filter. */

@@ -177,8 +177,8 @@ object Sampling {
     val prio = documents(spark, sfDir)
       .select(col("source"), col("doc_id"),
         greatest(col("n_chars"), lit(1L)).as("weight"),
-        udf((id: Long) => PortableHash.md5Lower63("wsample:" + id.toString))
-          .apply(col("doc_id")).as("h"))
+        PortableHash.md5Lower63Col(
+          concat(lit("wsample:"), col("doc_id").cast("string"))).as("h"))
       .withColumn("priority", expr("h div weight"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("priority"), col("doc_id"))
@@ -350,9 +350,9 @@ object Sampling {
     val e = embeddings(spark, sfDir).select(col("vec_id"), col("label"))
     val cap = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
       .agg(min(col("n")).as("cap"))
-    val h = udf((id: Long) => graft.functions.PortableHash.md5Lower63("bal:" + id))
     val w = Window.partitionBy(col("label")).orderBy(col("h"), col("vec_id"))
-    e.withColumn("h", h(col("vec_id")))
+    e.withColumn("h", graft.functions.PortableHash.md5Lower63Col(
+        concat(lit("bal:"), col("vec_id").cast("string"))))
       .withColumn("rn", row_number().over(w))
       .crossJoin(broadcast(cap))
       .filter(col("rn") <= col("cap"))
@@ -632,10 +632,6 @@ object Sampling {
   /** Epochs for [[epochOrder]], shared with its oracle. */
   val EpochOrderEpochs = 3
 
-  private val epochHashUdf = udf { (e: Int, id: Long) =>
-    PortableHash.md5Lower63(s"ep$e:$id")
-  }
-
   /** DETERMINISTIC MULTI-EPOCH TRAINING ORDER — the reproducible
     * data-order primitive: every training run (and every resume-from-step)
     * must see the SAME document sequence, and each epoch must be a fresh
@@ -657,7 +653,9 @@ object Sampling {
     val keyed = docs
       .select(col("doc_id"),
         explode(array((0 until epochs).map(lit(_)): _*)).as("epoch"))
-      .withColumn("h", epochHashUdf(col("epoch"), col("doc_id")))
+      .withColumn("h", PortableHash.md5Lower63Col(
+        concat(lit("ep"), col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))))
     val n1 = docs.agg(count(lit(1)).as("n_docs"))
     Ranks.globalRank(keyed, "rk",
         Seq(col("epoch"), col("h"), col("doc_id")))

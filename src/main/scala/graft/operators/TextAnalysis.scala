@@ -287,7 +287,7 @@ object TextAnalysis {
     }
     documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
-      .withColumn("fp", udf((s: String) => PortableHash.md5Lower63(s)).apply(col("text")))
+      .withColumn("fp", PortableHash.md5Lower63Col(col("text")))
       .withColumn("wn", winnowUdf(col("text")))
       .select(col("doc_id"), col("fp").as("fingerprint"),
         col("wn._1").as("winnow_min"), col("wn._2").as("n_winnow"))

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Graph
+import graft.functions.PortableHash
+import graft.operators.{Dedup, Graph}
 
 /** Round-9 coverage: the derive-once bipartite edge table behind the
   * table-fed walk gates (q_pagerank_tbl / q_ppr_tbl) — value parity with
@@ -49,5 +50,38 @@ class Round9OpsSpec extends SparkTestBase {
       .filter(col("m").isNull || col("m2").isNull || col("m") =!= col("m2"))
       .count()
     assert(asym == 0L, "stored edge list must be exactly symmetric")
+  }
+
+  test("md5Lower63Col (builtin composition) equals the Scala md5Lower63 " +
+      "on varied strings including multi-byte UTF-8") {
+    import spark.implicits._
+    val samples = Seq("", "abc", "wsample:42", "bal:7", "ep2:1234",
+      "the quick brown fox", "héllo 中文", "lshs:999999",
+      "a" * 300, "\ttabs and\nnewlines", "0", "-17")
+    val df = samples.toDF("s")
+      .withColumn("colHash", PortableHash.md5Lower63Col(col("s")))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach { s =>
+      assert(df(s) == PortableHash.md5Lower63(s), s"md5Lower63Col($s)")
+    }
+  }
+
+  test("lshEvalSampled: probe covers the whole tiny corpus and agrees with " +
+      "the uncapped eval's counting rules") {
+    // with a probe larger than the corpus the fixed-K sample degenerates
+    // to the full corpus, so the sampled eval must agree with the
+    // uncapped instrument's exact/verified counts exactly.
+    val nDocs = operators.Tables.documents(spark, sf).count()
+    val probeK = (nDocs + 1).toInt
+    val sampled = Dedup.lshEvalSampled(spark, sf, sampleK = probeK).collect()(0)
+    val full = Dedup.lshEval(spark, sf).collect()(0)
+    assert(sampled.getAs[Long]("n_docs") == nDocs)
+    assert(sampled.getAs[Long]("n_exact") == full.getAs[Long]("n_exact"))
+    assert(sampled.getAs[Long]("n_candidates") == full.getAs[Long]("n_candidates"))
+    assert(sampled.getAs[Long]("n_verified") == full.getAs[Long]("n_verified"))
+    // structural sanity that holds at every scale
+    assert(sampled.getAs[Long]("n_verified") <= sampled.getAs[Long]("n_exact"))
+    assert(sampled.getAs[Long]("n_verified") <= sampled.getAs[Long]("n_candidates"))
   }
 }
