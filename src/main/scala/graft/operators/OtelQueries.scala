@@ -364,10 +364,26 @@ object OtelQueries {
     *
     * Scale shape: one explode (rows × ≤8 buckets) cross-joined against
     * the broadcast 5-row grid, two per-source-bucket window passes over
-    * ≤5-row partitions, then a 5-key final aggregate. Nothing global. */
+    * ≤5-row partitions, then a 5-key final aggregate. Nothing global.
+    *
+    * PRECONDITION (enforced in-plan, fail-loud): any row WITH a layout
+    * must have a positive-integer first explicit bound — the uniform-step
+    * rule derives every interval from it, and a fractional or non-positive
+    * bound would yield zero-width source intervals whose counts the
+    * `ov > 0` filter silently drops, breaking the count-conservation
+    * guarantee. Layout-less rows (empty bounds) are exempt — they map
+    * wholly to overflow. */
   def histRebucket(spark: SparkSession, sfDirIgnored: String,
-      n: Long = 10000L): DataFrame = {
+      n: Long = 10000L): DataFrame =
+    histRebucketOf(histCorpus(spark, n))
+
+  /** The rebucket core of [[histRebucket]] over an arbitrary
+    * (hist_id, ExplicitBounds, BucketCounts) frame — exposed for the
+    * negative-fixture spec (fractional/non-positive first bound must
+    * raise, not silently drop counts). */
+  private[graft] def histRebucketOf(h: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = h.sparkSession
     import spark.implicits._
     val bs = RebucketBounds
     val targets: Seq[(Long, Long, Option[Long])] =
@@ -375,10 +391,21 @@ object OtelQueries {
         (i.toLong, if (i == 0) 0L else bs(i - 1), Some(b): Option[Long])
       } :+ ((bs.size.toLong, bs.last, None: Option[Long]))
     val tdf = targets.toDF("tj", "tlo", "thi")
-    val src = histCorpus(spark, n)
+    // integer-positive-step guard: raise instead of silently conserving
+    // nothing (see scaladoc precondition)
+    val rawStep = expr("try_element_at(ExplicitBounds, 1)")
+    val checkedStep =
+      when(size(col("ExplicitBounds")) === 0, lit(null).cast("bigint"))
+        .otherwise(when(rawStep > 0 && rawStep === floor(rawStep),
+            rawStep.cast("bigint"))
+          .otherwise(raise_error(concat(
+            lit("histRebucket: first explicit bound must be a positive " +
+              "integer (uniform-step layout), got "),
+            rawStep.cast("string"))).cast("bigint")))
+    val src = h
       .filter(size(col("BucketCounts")) > 0)
       .select(col("hist_id"),
-        expr("CAST(try_element_at(ExplicitBounds, 1) AS BIGINT)").as("step"),
+        checkedStep.as("step"),
         size(col("ExplicitBounds")).cast("long").as("m"),
         posexplode(col("BucketCounts")).as(Seq("idx", "c")))
       .withColumn("lo", col("idx") * col("step"))

@@ -29,10 +29,16 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: callers MUST pass a TOTAL order (unique tie-break column
   * last) — then row positions are unique regardless of where the sampled
-  * range boundaries land, and the two computations of the ranked frame
-  * (the counts branch and the output branch) agree because parquet splits,
-  * `RangePartitioner`'s seeded sampling, and the in-partition sort are all
-  * deterministic for a fixed input.
+  * range boundaries land. The counts branch and the output branch both
+  * declare the same range-shuffle subtree; correctness requires they read
+  * the SAME materialized exchange (identical sampled boundaries), which
+  * Spark's exchange-reuse rule guarantees: the final adaptive plan holds
+  * exactly ONE range exchange, with every other ranged subtree a
+  * `ReusedExchange` of it. PlanSpec pins that shape (one materialized
+  * range exchange, ≥2 reuses) so a future Spark or conf drift
+  * (`spark.sql.exchange.reuse=false`) fails the suite loudly instead of
+  * silently joining offsets from one partitioning to indices from
+  * another.
   *
   * Scale shape: identical to a distributed ORDER BY plus one broadcast
   * hash join against a ≤`partitions`-row frame. The plan contains NO

@@ -210,6 +210,33 @@ class PlanSpec extends SparkTestBase {
     assertDistributedRank(planOf(Sampling.packShards(spark, sf)))
   }
 
+  // globalRank's offsets are only correct if the counts branch reads the
+  // SAME materialized range shuffle as the output branch (the same sampled
+  // boundaries). Spark's exchange reuse guarantees that today; if a future
+  // Spark (or a conf like spark.sql.exchange.reuse=false) stops unifying
+  // the branches, each would re-sample boundaries with a different seed
+  // and ranks would silently corrupt. This pins the guarantee: ONE
+  // materialized range exchange in the FINAL adaptive plan, every other
+  // ranged subtree a ReusedExchange of it.
+  test("globalRank: counts branch reuses the output branch's range exchange") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+    val ranked = Ranks.globalRank(docs, "rk",
+      Seq(col("n_chars").desc, col("doc_id")))
+    ranked.collect() // materialize so AQE's final plan (where reuse fires) exists
+    val finalPlan = ranked.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // a ReusedExchange line prints its referenced exchange, so count
+    // materialized range exchanges line-wise, excluding reuse lines
+    val lines = finalPlan.split("\n").toSeq
+    val nRange = lines.count(l =>
+      l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange"))
+    val nReused = lines.count(_.contains("ReusedExchange"))
+    assert(nRange == 1,
+      s"expected ONE materialized range exchange, got $nRange\n$finalPlan")
+    assert(nReused >= 2,
+      s"expected both counts-side subtrees to reuse it, got $nReused\n$finalPlan")
+  }
+
   test("q_lorenz ranks without any window — no SinglePartition data funnel") {
     assertDistributedRank(planOf(QuerySurface.lorenzDeciles(spark, sf)))
   }

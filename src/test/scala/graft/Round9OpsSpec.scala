@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
-import graft.operators.{Dedup, Graph}
+import graft.operators.{Dedup, Graph, OtelQueries}
 
 /** Round-9 coverage: the derive-once bipartite edge table behind the
   * table-fed walk gates (q_pagerank_tbl / q_ppr_tbl) — value parity with
@@ -83,5 +83,29 @@ class Round9OpsSpec extends SparkTestBase {
     // structural sanity that holds at every scale
     assert(sampled.getAs[Long]("n_verified") <= sampled.getAs[Long]("n_exact"))
     assert(sampled.getAs[Long]("n_verified") <= sampled.getAs[Long]("n_candidates"))
+  }
+
+  test("histRebucket raises loudly on fractional or non-positive first " +
+      "bounds instead of silently dropping counts") {
+    import spark.implicits._
+    def frame(bounds: Seq[Double]) =
+      Seq((1L, bounds, Seq(3L, 4L)))
+        .toDF("hist_id", "ExplicitBounds", "BucketCounts")
+    Seq(Seq(2.5, 5.0), Seq(0.0, 10.0), Seq(-10.0, 0.0)).foreach { bad =>
+      val e = intercept[Exception] {
+        OtelQueries.histRebucketOf(frame(bad)).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("positive integer")),
+        s"bounds $bad: ${msgs(e)}")
+    }
+    // valid integer layout and layout-less rows still conserve counts
+    val ok = Seq(
+      (1L, Seq(10.0, 20.0), Seq(3L, 4L, 5L)),
+      (2L, Seq.empty[Double], Seq(7L)))
+      .toDF("hist_id", "ExplicitBounds", "BucketCounts")
+    val out = OtelQueries.histRebucketOf(ok).collect()
+    assert(out.map(_.getAs[Long]("n")).sum == 3L + 4L + 5L + 7L)
   }
 }
