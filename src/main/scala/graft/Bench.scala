@@ -131,7 +131,7 @@ object Bench {
     * mean, the best, and the raw pass times are emitted under their own
     * explicit keys so a contended pass is visible in the artifact rather
     * than silently averaged away. */
-  private def ingestRowsPerSec(spark: SparkSession): IngestResult = {
+  private[graft] def ingestRowsPerSec(spark: SparkSession): IngestResult = {
     try {
       val src = java.nio.file.Paths.get("/root/reference/testdata/logs.jsonl")
       val lines = java.nio.file.Files.readAllLines(src)

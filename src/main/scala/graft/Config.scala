@@ -53,7 +53,18 @@ object Config {
         * is the measured sweet spot for gate-scale key spaces
         * (hundreds-to-thousands of keys — StreamPartProbe, SCALE.md).
         * Production deployments size this to key cardinality. */
-      streamStatePartitions: Int = 8)
+      streamStatePartitions: Int = 8,
+      /** Elide the no-data watermark-flush micro-batch for the BY-ALGEBRA
+        * replay gates (`stream_red`, `stream_hist`): their merge-commutative
+        * window state is drained in UPDATE mode (no stream-side watermark —
+        * all final rows emit in the data batch) and the append-mode
+        * "windows the watermark closed" subset is applied as a
+        * deterministic post-filter. Output is row-identical (probe-asserted
+        * parity, StreamFlushProbe) and each replay saves one WAL'd
+        * micro-batch — measured 0.16-0.21 s per gate (14-16%) at sf0.1.
+        * `false` restores the append+watermark form (the immutable-log-sink
+        * shape the other replay gates keep exercising). */
+      streamElideFlush: Boolean = true)
 
   case class S3Config(
       bucket: String = "",
@@ -225,7 +236,7 @@ object Config {
     "request.max_payload_bytes",
     "writer.max_records_per_file", "writer.trigger_interval_secs",
     "writer.max_files_per_trigger", "writer.footer_stamp",
-    "writer.stream_state_partitions",
+    "writer.stream_state_partitions", "writer.stream_elide_flush",
     "storage.backend", "storage.fs.path",
     "storage.s3.bucket", "storage.s3.region", "storage.s3.endpoint", "storage.s3.prefix",
     "storage.r2.bucket", "storage.r2.account_id", "storage.r2.access_key_id",
@@ -258,7 +269,9 @@ object Config {
         maxFilesPerTrigger = int("writer.max_files_per_trigger", c.writer.maxFilesPerTrigger),
         footerStamp = bool("writer.footer_stamp", c.writer.footerStamp),
         streamStatePartitions =
-          int("writer.stream_state_partitions", c.writer.streamStatePartitions)),
+          int("writer.stream_state_partitions", c.writer.streamStatePartitions),
+        streamElideFlush =
+          bool("writer.stream_elide_flush", c.writer.streamElideFlush)),
       storage = c.storage.copy(
         backend = t.get("storage.backend").map(normalizeBackend).getOrElse(c.storage.backend),
         path = str("storage.fs.path", c.storage.path),
@@ -305,7 +318,10 @@ object Config {
           .map(parseBool(s"${EnvPrefix}FOOTER_STAMP", _))
           .getOrElse(c0.writer.footerStamp),
         streamStatePartitions =
-          int("STREAM_STATE_PARTITIONS", c0.writer.streamStatePartitions)))
+          int("STREAM_STATE_PARTITIONS", c0.writer.streamStatePartitions),
+        streamElideFlush = get("STREAM_ELIDE_FLUSH")
+          .map(parseBool(s"${EnvPrefix}STREAM_ELIDE_FLUSH", _))
+          .getOrElse(c0.writer.streamElideFlush)))
 
     c = c.copy(storage = c.storage.copy(
       backend = get("STORAGE_BACKEND").map(normalizeBackend).getOrElse(c.storage.backend),

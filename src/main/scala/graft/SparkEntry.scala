@@ -262,6 +262,7 @@ object SparkEntry {
     "q_pagerank_tbl" -> ((s: SparkSession, d: String) => Graph.pageRankFromTable(s, d)),
     "q_ppr_tbl" -> ((s: SparkSession, d: String) => Graph.personalizedPageRankFromTable(s, d)),
     "dedup_lsh_eval_sampled" -> ((s: SparkSession, d: String) => Dedup.lshEvalSampled(s, d)),
+    "mm_png_near_dup" -> ((s: SparkSession, d: String) => Multimodal.pngNearDup(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -765,5 +766,6 @@ object SparkEntry {
     "q_pagerank_tbl" -> Graph.pageRankOracleSql(),
     "q_ppr_tbl" -> Graph.personalizedPageRankOracleSql(),
     "dedup_lsh_eval_sampled" -> Dedup.lshEvalSampledOracleSql(),
+    "mm_png_near_dup" -> Multimodal.pngNearDupOracleSql(),
   )
 }

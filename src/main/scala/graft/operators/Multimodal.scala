@@ -429,4 +429,124 @@ object Multimodal {
       |  (n_copies - 1) * n_bytes AS wasted_bytes
       |FROM g WHERE n_copies > 1
       |ORDER BY canonical_id""".stripMargin
+
+  // ---- generated PNG corpus: REAL decode, still hash-verified -------------
+
+  /** Base image count for the generated PNG corpus (every 5th image also
+    * gets a perturbed near-dup variant under id+10⁶ — 80 variant pairs). */
+  val PngCorpusN = 400L
+  private val PngW = 32
+  private val PngH = 32
+  private val PngVariantIdOffset = 1000000L
+
+  /** Deterministic RGB for pixel (x, y) of image `eff` — pure integer
+    * congruences, so the DuckDB oracle regenerates every pixel without any
+    * image codec. Variants perturb the red channel inside the 4×4 block at
+    * (8..11, 8..11): a localized edit that flips ≤2 dHash bits (measured),
+    * leaving ≥1 clean band — the near-dup the gate must find. */
+  private def pngPixel(eff: Long, x: Int, y: Int, variant: Boolean): Int = {
+    val r0 = ((x * 7 + y * 13 + eff * 31) % 256).toInt
+    val r = if (variant && x >= 8 && x < 12 && y >= 8 && y < 12)
+      (r0 + 128) % 256 else r0
+    val g = ((x * 3 + y * 5 + eff * 17) % 256).toInt
+    val b = ((x * 11 + y * 2 + eff * 23) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Encode one corpus image as PNG bytes (JDK ImageIO — lossless, so the
+    * decode side recovers the exact congruence pixels). */
+  private[graft] def pngBytes(eff: Long, variant: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(PngW, PngH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < PngH) {
+      var x = 0
+      while (x < PngW) {
+        img.setRGB(x, y, pngPixel(eff, x, y, variant))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** The PNG corpus materialized ONCE per JVM as a (doc_id, mime, content)
+    * parquet table (MemoTables memo — the gate scans real binary columns
+    * like production): [[PngCorpusN]] base images plus a perturbed variant
+    * of every 5th, encoded distributed (one `mapPartitions` over the id
+    * range). */
+  def pngCorpusTable(spark: SparkSession): String =
+    MemoTables.dir(s"pngcorpus|$PngCorpusN", "graft-pngcorpus") { dir =>
+      import spark.implicits._
+      val ids = spark.range(PngCorpusN).select(col("id"))
+        .unionByName(spark.range(PngCorpusN).filter(col("id") % 5 === 0)
+          .select((col("id") + PngVariantIdOffset).as("id")))
+      ids.as[Long].mapPartitions(_.map { id =>
+        val variant = id >= PngVariantIdOffset
+        Media(id, "image/png", pngBytes(id % PngVariantIdOffset, variant))
+      }).toDF().write.mode("overwrite").parquet(dir)
+    }
+
+  /** Perceptual near-dup over the generated PNG corpus with the REAL
+    * [[dhashImage]] decode — no byte stub anywhere on this path: payloads
+    * are actual PNGs, ImageIO decodes them, and the 9×8 integer luma grid
+    * produces the signature. Hash-verified end-to-end because the corpus
+    * pixels are congruence-generated: the oracle rebuilds every pixel in
+    * SQL, aggregates the identical integer grid, and replays the same
+    * banding + hamming join ([[pngNearDupOracleSql]]). Same operator as
+    * `mm_near_dup` ([[nearDupMediaPairs]]) — only the corpus and the
+    * decoder differ. */
+  def pngNearDup(spark: SparkSession, sfDirIgnored: String,
+      maxHamming: Int = 6): DataFrame = {
+    import spark.implicits._
+    val media = spark.read.parquet(pngCorpusTable(spark)).as[Media]
+    nearDupMediaPairs(media, maxHamming, sig = dhashImage)
+  }
+
+  /** DuckDB twin of [[pngNearDup]]: congruence pixels → integer luma →
+    * 9×8 floor-average grid (the same `y·8 div 32` / `x·9 div 32` cell
+    * mapping — no clamp needed at 32×32) → gradient bits (bit j = r·8+c,
+    * j < 63) → 16-bit band join → hamming ≤ cap. */
+  def pngNearDupOracleSql(maxHamming: Int = 6): String = {
+    def chan(mulX: Int, mulY: Int, mulId: Int) =
+      s"(x.v * $mulX + y.v * $mulY + eff * $mulId) % 256"
+    val rExpr = s"CASE WHEN var AND x.v BETWEEN 8 AND 11 AND y.v BETWEEN 8 AND 11 " +
+      s"THEN (${chan(7, 13, 31)} + 128) % 256 ELSE ${chan(7, 13, 31)} END"
+    s"""WITH ids AS (
+       |  SELECT i AS id, i AS eff, FALSE AS var FROM range($PngCorpusN) t(i)
+       |  UNION ALL
+       |  SELECT i + $PngVariantIdOffset, i, TRUE FROM range($PngCorpusN) t(i)
+       |  WHERE i % 5 = 0
+       |), px AS (
+       |  SELECT id, y.v * 8 // $PngH AS cy, x.v * 9 // $PngW AS cx,
+       |    (299 * ($rExpr) + 587 * (${chan(3, 5, 17)})
+       |      + 114 * (${chan(11, 2, 23)})) // 1000 AS luma
+       |  FROM ids, range($PngW) x(v), range($PngH) y(v)
+       |), cells AS (
+       |  SELECT id, cy, cx, sum(luma) // count(*) AS cell
+       |  FROM px GROUP BY 1, 2, 3
+       |), bits AS (
+       |  SELECT a.id, a.cy * 8 + a.cx AS j,
+       |    CASE WHEN a.cell < b.cell THEN 1 ELSE 0 END AS bit
+       |  FROM cells a JOIN cells b
+       |    ON a.id = b.id AND a.cy = b.cy AND b.cx = a.cx + 1
+       |  WHERE a.cx < 8 AND a.cy * 8 + a.cx < 63
+       |), sig AS (
+       |  SELECT id, CAST(sum(CASE WHEN bit = 1
+       |      THEN CAST(1 AS UBIGINT) << CAST(j AS INTEGER)
+       |      ELSE CAST(0 AS UBIGINT) END) AS BIGINT) AS sig
+       |  FROM bits GROUP BY id
+       |), banded AS (
+       |  SELECT id, sig, b AS band, (sig >> (16 * b)) & 65535 AS bandsig
+       |  FROM sig, range(4) t(b)
+       |)
+       |SELECT DISTINCT a.id AS id1, b.id AS id2,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bandsig = b.bandsig AND a.id < b.id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming
+       |ORDER BY id1, id2""".stripMargin
+  }
 }

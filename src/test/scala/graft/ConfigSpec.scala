@@ -71,6 +71,18 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.batch.maxAgeSecs == 99L, "file wins over default")
   }
 
+  test("stream_elide_flush knob: default true, file layer and env override") {
+    assert(Config.load(Map.empty, tmpDir()).writer.streamElideFlush)
+    val toml = "[writer]\nstream_elide_flush = false\n"
+    val viaFile = Config.load(
+      Map(s"${EnvPrefix}CONFIG_CONTENT" -> toml), tmpDir())
+    assert(!viaFile.writer.streamElideFlush, "file layer sets it")
+    val viaEnv = Config.load(
+      Map(s"${EnvPrefix}CONFIG_CONTENT" -> toml,
+        s"${EnvPrefix}STREAM_ELIDE_FLUSH" -> "true"), tmpDir())
+    assert(viaEnv.writer.streamElideFlush, "env wins over file")
+  }
+
   test("GRAFT_CONFIG file wins over inline content; missing file is a hard error") {
     val dir = tmpDir()
     val f = new java.io.File(dir, "explicit.toml")

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
-import graft.operators.{Dedup, Graph, OtelQueries}
+import graft.operators.{Dedup, Graph, Multimodal, OtelQueries}
+import graft.streaming.StreamGate
 
 /** Round-9 coverage: the derive-once bipartite edge table behind the
   * table-fed walk gates (q_pagerank_tbl / q_ppr_tbl) — value parity with
@@ -107,5 +108,40 @@ class Round9OpsSpec extends SparkTestBase {
       .toDF("hist_id", "ExplicitBounds", "BucketCounts")
     val out = OtelQueries.histRebucketOf(ok).collect()
     assert(out.map(_.getAs[Long]("n")).sum == 3L + 4L + 5L + 7L)
+  }
+
+  test("stream_red/stream_hist: the elided-flush update-mode drain is " +
+      "row-identical to the append+watermark form") {
+    val saved = StreamGate.elideFlush
+    def run(elide: Boolean): (Seq[String], Seq[String]) = {
+      StreamGate.elideFlush = elide
+      try (
+        StreamGate.redWindows(spark, sf).collect().map(_.toString).toSeq.sorted,
+        StreamGate.histWindows(spark, sf).collect().map(_.toString).toSeq.sorted)
+      finally StreamGate.elideFlush = saved
+    }
+    val (redE, histE) = run(elide = true)
+    val (redA, histA) = run(elide = false)
+    assert(redE.nonEmpty && redE == redA, "stream_red parity")
+    assert(histE.nonEmpty && histE == histA, "stream_hist parity")
+  }
+
+  test("mm_png_near_dup runs the REAL decode (no stub fallback) and finds " +
+      "every variant pair at hamming <= 2") {
+    // the PNG path must actually decode: the image dHash of a generated
+    // payload differs from the byte-stub hash of the same bytes
+    val payload = Multimodal.pngBytes(7L, variant = false)
+    assert(Multimodal.dhashImage(payload) != Multimodal.dhashStub(payload))
+    // a corrupted payload falls back to the stub (mixed-corpus behavior)
+    val broken = payload.take(20)
+    assert(Multimodal.dhashImage(broken) == Multimodal.dhashStub(broken))
+    val pairs = Multimodal.pngNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Long]("hamming")))
+    val variantPairs = pairs.filter { case (a, b, _) => b - a == 1000000L }
+    assert(variantPairs.length == (Multimodal.PngCorpusN / 5).toInt,
+      s"expected every 5th base image's variant pair, got ${variantPairs.length}")
+    assert(variantPairs.forall(_._3 <= 2L),
+      "variant edits must stay within 2 flipped gradient bits")
   }
 }
