@@ -1148,6 +1148,72 @@ object OtelQueries {
       .orderBy(col("svc"), col("hour"))
   }
 
+  /** Error cut and budget for [[burnRate]] — shared with the oracle and
+    * the streaming RED panel's severity rule (`value ≥ 250`). */
+  val BurnErrValue = 250.0
+  /** Alert when the error rate exceeds 2× a 1% SLO budget, i.e. 20000 ppm,
+    * on BOTH windows. */
+  val BurnAlertPpm = 20000L
+
+  /** SLO BURN-RATE ALERTS — the multiwindow, multi-burn-rate rule an SRE
+    * error budget policy pages on (short window confirms the burn is
+    * CURRENT, long window that it is SUSTAINED): per 1-hour bucket, the
+    * error rate in ppm over that hour AND over its enclosing 6-hour
+    * block, with `alert` set when both exceed [[BurnAlertPpm]] (2× a 1%
+    * budget). All integer arithmetic — `errs·10⁶ div n` — so the gate is
+    * hash-exact on both engines.
+    *
+    * Scale shape: two map-side-combined aggregates (hour key, 6-hour
+    * key) and one equi-join of hour rows onto the 36× smaller block
+    * frame — key spaces scale with TIME SPAN, not event volume. The
+    * tumbling-block form of the sliding-window policy: at fleet scale the
+    * same two aggregates run per (service, hour), and a sliding long
+    * window would swap the block join for a range join over block
+    * aggregates (still never row-scale). */
+  def burnRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val HourUs = 3600000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(expr(s"(unix_micros(ts) div $HourUs) * $HourUs").as("hour_us"),
+        when(col("value") >= BurnErrValue, 1L).otherwise(0L).as("is_err"))
+    val hours = ev.groupBy(col("hour_us"))
+      .agg(count(lit(1)).as("n_1h"), sum(col("is_err")).as("err_1h"))
+      .withColumn("err_ppm_1h", expr("err_1h * 1000000L div n_1h"))
+      .withColumn("block_us", expr(s"(hour_us div ${6 * HourUs}) * ${6 * HourUs}"))
+    val blocks = ev
+      .groupBy(expr(s"(hour_us div ${6 * HourUs}) * ${6 * HourUs}").as("block_us"))
+      .agg(count(lit(1)).as("n_6h"), sum(col("is_err")).as("err_6h"))
+      .withColumn("err_ppm_6h", expr("err_6h * 1000000L div n_6h"))
+    hours.join(blocks, Seq("block_us"))
+      .select(col("hour_us"), col("n_1h"), col("err_1h"), col("err_ppm_1h"),
+        col("err_ppm_6h"),
+        (col("err_ppm_1h") > BurnAlertPpm && col("err_ppm_6h") > BurnAlertPpm)
+          .as("alert"))
+      .orderBy(col("hour_us"))
+  }
+
+  /** DuckDB twin of [[burnRate]] — identical integer ppm and block rule. */
+  def burnRateOracleSql: String = {
+    val h = 3600000000L
+    s"""WITH e AS (
+       |  SELECT (epoch_us(ts) // $h) * $h AS hour_us,
+       |    CASE WHEN value >= $BurnErrValue THEN 1 ELSE 0 END AS is_err
+       |  FROM events
+       |), hours AS (
+       |  SELECT hour_us, count(*) AS n_1h, CAST(sum(is_err) AS BIGINT) AS err_1h,
+       |    CAST(sum(is_err) * 1000000 // count(*) AS BIGINT) AS err_ppm_1h,
+       |    (hour_us // ${6 * h}) * ${6 * h} AS block_us
+       |  FROM e GROUP BY hour_us
+       |), blocks AS (
+       |  SELECT (hour_us // ${6 * h}) * ${6 * h} AS block_us,
+       |    CAST(sum(is_err) * 1000000 // count(*) AS BIGINT) AS err_ppm_6h
+       |  FROM e GROUP BY 1
+       |)
+       |SELECT h.hour_us, h.n_1h, h.err_1h, h.err_ppm_1h, b.err_ppm_6h,
+       |  h.err_ppm_1h > $BurnAlertPpm AND b.err_ppm_6h > $BurnAlertPpm AS alert
+       |FROM hours h JOIN blocks b USING (block_us)
+       |ORDER BY h.hour_us""".stripMargin
+  }
+
   /** DuckDB twin of [[redMetrics]] — identical threshold rule, tiebreaks,
     * and portable rounding. */
   def redMetricsOracleSql(n: Long = 2000L): String =

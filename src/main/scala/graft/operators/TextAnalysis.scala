@@ -1261,4 +1261,64 @@ object TextAnalysis {
             "CAST(score_sum AS DOUBLE) / (n_tokens * 1000.0)")} AS score,
        |  score_sum > 0 AS keep
        |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---- RAG chunking --------------------------------------------------------
+
+  /** Chunk geometry for [[chunking]], shared with its oracle: 64-token
+    * chunks on a 48-token stride (16-token overlap) — the retrieval-index
+    * shape (each chunk embeddable independently; the overlap keeps
+    * boundary-spanning answers findable). */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** RAG CHUNK TABLE — the document→chunk explosion every retrieval
+    * pipeline materializes before embedding: one row per (doc, chunk
+    * start), with the chunk's token count and a 63-bit md5 content hash
+    * (the stable chunk identity an index uses for incremental re-embeds:
+    * unchanged text ⇒ unchanged hash ⇒ no re-embed). Starts are every
+    * [[ChunkStride]] tokens while any token remains, so trailing partial
+    * chunks are kept (standard practice — dropping them loses document
+    * tails from the index).
+    *
+    * Scale shape: pure map + explode, zero shuffles before the output
+    * sort; the chunk hash is the codegen'd builtin composition
+    * ([[graft.functions.PortableHash.md5Lower63Col]] over
+    * `array_join(slice(...))`), so the whole pipeline stays inside
+    * WholeStageCodegen. At 100 TB this is the shape that feeds the
+    * embedding UDF batch job — chunk rows are written partitioned and the
+    * heavy model pass reads them back. */
+  def chunking(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(expr(s"sequence(0L, n - 1, $ChunkStride)")).as("start"))
+      .select(col("doc_id"),
+        expr(s"start div $ChunkStride").as("chunk_idx"),
+        col("start").as("start_tok"),
+        least(lit(ChunkTokens.toLong), col("n") - col("start")).as("n_toks"),
+        graft.functions.PortableHash.md5Lower63Col(
+          expr(s"array_join(slice(w, CAST(start + 1 AS INT), $ChunkTokens), ' ')"))
+          .as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** DuckDB twin of [[chunking]] — identical stride grid, 1-based slice
+    * bounds, and md5 chunk identity. */
+  def chunkingOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents
+       |), st AS (
+       |  SELECT doc_id, w, n, s.v AS start
+       |  FROM toks, unnest(generate_series(0, n - 1, $ChunkStride)) s(v)
+       |  WHERE n > 0
+       |)
+       |SELECT doc_id, CAST(start // $ChunkStride AS BIGINT) AS chunk_idx,
+       |  CAST(start AS BIGINT) AS start_tok,
+       |  CAST(least($ChunkTokens, n - start) AS BIGINT) AS n_toks,
+       |  CAST(md5_number_lower(array_to_string(w[start + 1 : start + $ChunkTokens], ' '))
+       |    & 9223372036854775807 AS BIGINT) AS chunk_hash
+       |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
 }

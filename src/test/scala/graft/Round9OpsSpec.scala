@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
-import graft.operators.{Dedup, Graph, Multimodal, OtelQueries}
+import graft.operators.{Dedup, Graph, Multimodal, OtelQueries, Tables, TextAnalysis}
 import graft.streaming.StreamGate
 
 /** Round-9 coverage: the derive-once bipartite edge table behind the
@@ -143,5 +143,49 @@ class Round9OpsSpec extends SparkTestBase {
       s"expected every 5th base image's variant pair, got ${variantPairs.length}")
     assert(variantPairs.forall(_._3 <= 2L),
       "variant edits must stay within 2 flipped gradient bits")
+  }
+
+  test("otel_burn_rate recomputes from raw events (integer ppm, block join)") {
+    val HourUs = 3600000000L
+    val raw = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) AS us", "value").collect()
+      .map(r => (r.getLong(0) / HourUs * HourUs, r.getDouble(1) >= 250.0))
+    val byHour = raw.groupBy(_._1).view.mapValues { xs =>
+      (xs.length.toLong, xs.count(_._2).toLong)
+    }.toMap
+    val byBlock = raw.groupBy(t => t._1 / (6 * HourUs) * (6 * HourUs)).view
+      .mapValues(xs => xs.count(_._2).toLong * 1000000L / xs.length).toMap
+    val out = OtelQueries.burnRate(spark, sf).collect()
+    assert(out.length == byHour.size)
+    out.foreach { r =>
+      val h = r.getAs[Long]("hour_us")
+      val (n, e) = byHour(h)
+      assert(r.getAs[Long]("n_1h") == n && r.getAs[Long]("err_1h") == e)
+      val ppm1 = e * 1000000L / n
+      val ppm6 = byBlock(h / (6 * HourUs) * (6 * HourUs))
+      assert(r.getAs[Long]("err_ppm_1h") == ppm1)
+      assert(r.getAs[Long]("err_ppm_6h") == ppm6)
+      assert(r.getAs[Boolean]("alert") == (ppm1 > 20000L && ppm6 > 20000L))
+    }
+  }
+
+  test("text_chunking: full plain-Scala recompute (stride grid, tail " +
+      "chunks kept, md5 chunk identity)") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, text) =>
+      val w = text.split(" ", -1)
+      (0 until w.length by TextAnalysis.ChunkStride).map { start =>
+        val chunk = w.slice(start, start + TextAnalysis.ChunkTokens)
+        (id, (start / TextAnalysis.ChunkStride).toLong, start.toLong,
+          chunk.length.toLong, PortableHash.md5Lower63(chunk.mkString(" ")))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = TextAnalysis.chunking(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.length == expected.length,
+      s"${got.length} chunks vs ${expected.length}")
+    assert(got == expected.toSeq)
   }
 }
