@@ -265,6 +265,7 @@ object SparkEntry {
     "mm_png_near_dup" -> ((s: SparkSession, d: String) => Multimodal.pngNearDup(s, d)),
     "otel_burn_rate" -> ((s: SparkSession, d: String) => OtelQueries.burnRate(s, d)),
     "text_chunking" -> ((s: SparkSession, d: String) => TextAnalysis.chunking(s, d)),
+    "stream_burn" -> (graft.streaming.StreamGate.burnWindows _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -771,5 +772,6 @@ object SparkEntry {
     "mm_png_near_dup" -> Multimodal.pngNearDupOracleSql(),
     "otel_burn_rate" -> OtelQueries.burnRateOracleSql,
     "text_chunking" -> TextAnalysis.chunkingOracleSql,
+    "stream_burn" -> graft.streaming.StreamGate.burnWindowsOracleSql,
   )
 }

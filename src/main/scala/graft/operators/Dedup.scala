@@ -223,50 +223,41 @@ object Dedup {
 
   // ---- MinHash + LSH ----
 
-  private val NumPerms = 64
+  private val NumPerms = graft.functions.MinhashSig.NumPerms
   private val Bands = 16 // 16 bands × 4 rows
   private val RowsPerBand = NumPerms / Bands
-  private val MersennePrime = 2147483647L // 2^31 − 1
+  private val MersennePrime = graft.functions.MinhashSig.MersennePrime
 
-  /** Affine permutation coefficients from a fixed seed — deterministic across
-    * runs and executors. */
-  private lazy val (permA, permB) = {
-    val rnd = new scala.util.Random(42)
-    val a = Array.fill(NumPerms)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
-    val b = Array.fill(NumPerms)(rnd.nextInt(Int.MaxValue).toLong)
-    (a, b)
-  }
+  /** Permutation coefficients — ONE definition in
+    * [[graft.functions.MinhashSig]] (fixed seed 42), shared by the native
+    * expression and the oracle-SQL generator below. */
+  private def permA = graft.functions.MinhashSig.permA
+  private def permB = graft.functions.MinhashSig.permB
 
   /** 64-perm MinHash signature of a shingle array: map each shingle to a
     * 31-bit MD5-derived hash (engine-portable, DuckDB-recomputable), then
     * min over (a·h+b) mod p per permutation. a·h < 2^62 — no overflow.
     *
-    * Implemented as a UDF rather than nested HOFs: Spark evaluates
-    * higher-order functions interpreted (no codegen), and the perms×shingles
-    * inner loop pays boxed-lambda overhead per element — measured 100×
-    * slower than this primitive-array loop at sf0.1. */
+    * Kept as a UDF (string hashing dominates): specs use it for
+    * from-tokens signatures. The hot gate paths sign PRECOMPUTED hashes
+    * via [[minhashSignatureFromHashes]] — since round 9 a NATIVE Catalyst
+    * expression ([[graft.functions.MinhashSigExpr]]): the former UDF paid
+    * an ArrayData→boxed-Seq[Long] conversion and a codegen fence per row;
+    * the expression reads ArrayData in place and whole-stage codegen
+    * emits one static call. (Nested HOFs were never an option: Spark
+    * evaluates higher-order functions interpreted, measured 100× slower
+    * than the primitive-array loop at sf0.1.) */
   val minhashSignature: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (sh: Seq[String]) =>
-      minhashSigFromHashes(sh.map(PortableHash.md5Lower31))
+      graft.functions.MinhashSig.computeArray(
+        sh.map(PortableHash.md5Lower31).toArray)
     }
 
   /** Signature from precomputed 63-bit shingle hashes ([[docShingleHashes]]);
-    * the 31-bit perm input is the low bits (same md5, computed once). */
-  private val minhashSignatureFromHashes =
-    udf { (hs: Seq[Long]) => minhashSigFromHashes(hs.map(_ & MersennePrime)) }
-
-  private def minhashSigFromHashes(hs: Seq[Long]): Array[Long] = {
-    val sig = Array.fill(NumPerms)(Long.MaxValue)
-    hs.foreach { h =>
-      var i = 0
-      while (i < NumPerms) {
-        val v = (permA(i) * h + permB(i)) % MersennePrime
-        if (v < sig(i)) sig(i) = v
-        i += 1
-      }
-    }
-    sig
-  }
+    * the 31-bit perm input is the low bits (same md5, computed once —
+    * `& MersennePrime` happens inside the kernel). */
+  private def minhashSignatureFromHashes(c: org.apache.spark.sql.Column) =
+    graft.functions.MinhashExpressions.minhashSig(c)
 
   /** The 16×4 band-signature candidate tier over a (doc_id, sig, …) frame
     * — ONE definition used by both [[minhashLsh]] (the production path)

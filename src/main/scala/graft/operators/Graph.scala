@@ -44,8 +44,7 @@ object Graph {
     */
   def pageRank(spark: SparkSession, sfDir: String, iterations: Int = 5,
       topK: Int = 50, checkpointEvery: Int = 1): DataFrame =
-    pageRankOf(bipartiteEdges(spark, sfDir).localCheckpoint(true),
-      iterations, topK, checkpointEvery)
+    pageRankOf(bipartiteEdges(spark, sfDir), iterations, topK, checkpointEvery)
 
   /** The symmetrized customer↔supplier purchase multigraph both walk gates
     * derive from: one edge per lineitem in each direction, node ids
@@ -59,19 +58,31 @@ object Graph {
   }
 
   /** The fixed-point iteration core of [[pageRank]] over an arbitrary
-    * symmetrized (src, dst) edge frame (callers materialize/checkpoint or
-    * table-read it first — the loop scans it once per round). */
-  private[graft] def pageRankOf(edges: DataFrame, iterations: Int,
+    * symmetrized (src, dst) edge frame.
+    *
+    * Round-9 loop shape: the edge list is hash-partitioned by `src` ONCE
+    * and CACHED with its degree column pre-joined — `InMemoryRelation`
+    * preserves the cached plan's output partitioning (unlike
+    * `localCheckpoint`, which erases it), so every round's edges⋈ranks
+    * join reshuffles only the NODE-sized rank frame; the corpus-sized
+    * edge side never crosses the wire again after the initial partition
+    * (measured: the per-round edge exchange was the dominant recurring
+    * cost of the walk family's sf1 wall — the iteration is corpus-sized
+    * where the backbone family's analytics are top-k-sized). The degree
+    * aggregate and the `distinct` node list also compute exchange-free on
+    * the partitioned cache. Caches are released once the top-k result is
+    * materialized ([[Tables.materializeAndRelease]]). */
+  private[graft] def pageRankOf(edgesIn: DataFrame, iterations: Int,
       topK: Int, checkpointEvery: Int): DataFrame = {
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
-    val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
+    val parted = edgesIn.repartition(col("src")).persist()
+    val deg = parted.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val edges = parted.join(deg, "src").persist() // (src, dst, d) co-partitioned
+    val nodes = parted.select(col("src").as("id")).distinct().persist()
 
     var ranks = nodes.withColumn("r", lit(Scale))
     for (i <- 1 to iterations) {
       val contrib = edges
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .join(deg, "src")
         .select(col("dst").as("id"), expr("r div d").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("c"))
       // damping split as (c div 100)*85 + ((c%100)*85) div 100 — identical
@@ -89,7 +100,7 @@ object Graph {
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
         ranks = ranks.localCheckpoint(true)
     }
-    ranks
+    val out = ranks
       .select(col("id"),
         when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
           .as("node_type"),
@@ -97,6 +108,7 @@ object Graph {
         col("r").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("id"))
       .limit(topK)
+    materializeAndRelease(out, parted, edges, nodes)
   }
 
   private val CoPurchaseTopEdges = 5000
@@ -208,16 +220,16 @@ object Graph {
   def pageRankFromTable(spark: SparkSession, sfDir: String,
       iterations: Int = 5, topK: Int = 50,
       checkpointEvery: Int = 1): DataFrame =
-    pageRankOf(spark.read.parquet(bipartiteTable(spark, sfDir))
-      .localCheckpoint(true), iterations, topK, checkpointEvery)
+    pageRankOf(spark.read.parquet(bipartiteTable(spark, sfDir)),
+      iterations, topK, checkpointEvery)
 
   /** [[personalizedPageRank]] fed from the materialized bipartite edge
     * table. */
   def personalizedPageRankFromTable(spark: SparkSession, sfDir: String,
       iterations: Int = 5, topK: Int = 50,
       checkpointEvery: Int = 1): DataFrame =
-    personalizedPageRankOf(spark.read.parquet(bipartiteTable(spark, sfDir))
-      .localCheckpoint(true), iterations, topK, checkpointEvery)
+    personalizedPageRankOf(spark.read.parquet(bipartiteTable(spark, sfDir)),
+      iterations, topK, checkpointEvery)
 
   /** Read the materialized weighted backbone (writing it first if this JVM
     * hasn't yet — [[backboneTable]]). */
@@ -461,16 +473,19 @@ object Graph {
   def personalizedPageRank(spark: SparkSession, sfDir: String,
       iterations: Int = 5, topK: Int = 50,
       checkpointEvery: Int = 1): DataFrame =
-    personalizedPageRankOf(bipartiteEdges(spark, sfDir).localCheckpoint(true),
+    personalizedPageRankOf(bipartiteEdges(spark, sfDir),
       iterations, topK, checkpointEvery)
 
   /** The seeded iteration core of [[personalizedPageRank]] over an
-    * arbitrary symmetrized (src, dst) edge frame. */
-  private[graft] def personalizedPageRankOf(edges: DataFrame,
+    * arbitrary symmetrized (src, dst) edge frame — same partitioned-cache
+    * loop shape as [[pageRankOf]] (edges hash-partitioned by src once,
+    * degree pre-joined, only the rank frame reshuffles per round). */
+  private[graft] def personalizedPageRankOf(edgesIn: DataFrame,
       iterations: Int, topK: Int, checkpointEvery: Int): DataFrame = {
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
-    val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
+    val parted = edgesIn.repartition(col("src")).persist()
+    val deg = parted.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val edges = parted.join(deg, "src").persist() // (src, dst, d) co-partitioned
+    val nodes = parted.select(col("src").as("id")).distinct().persist()
     val seedIds = PprSeedSuppliers.map(k => 2 * k + 1)
     def isSeed = col("id").isin(seedIds: _*)
 
@@ -479,7 +494,6 @@ object Graph {
     for (i <- 1 to iterations) {
       val contrib = edges
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .join(deg, "src")
         .select(col("dst").as("id"), expr("r div d").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("c"))
       ranks = nodes.join(contrib, Seq("id"), "left")
@@ -489,7 +503,7 @@ object Graph {
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
         ranks = ranks.localCheckpoint(true)
     }
-    ranks
+    val out = ranks
       .select(col("id"),
         when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
           .as("node_type"),
@@ -498,6 +512,7 @@ object Graph {
         isSeed.as("is_seed"))
       .orderBy(col("rank_fp").desc, col("id"))
       .limit(topK)
+    materializeAndRelease(out, parted, edges, nodes)
   }
 
   /** DuckDB twin of [[personalizedPageRank]] — rounds unrolled, identical

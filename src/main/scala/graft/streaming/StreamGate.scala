@@ -720,6 +720,79 @@ object StreamGate {
       .orderBy(col("window_start_us"), col("bucket"))
   }
 
+  /** STREAMING BURN-RATE PANEL — the 12th replay gate: the
+    * [[graft.operators.OtelQueries.burnRate]] error-budget policy kept
+    * live. The STREAM drains per-hour (n, err) cells — merge-commutative,
+    * so the by-algebra parity argument (and the [[drainWindowed]] elision)
+    * applies — and the 6-hour block rates plus the two-window alert are
+    * batch projections of the drained state: block counts compose EXACTLY
+    * from hour cells (Σn, Σerr), so no second stateful query is needed.
+    * Deviation from the batch gate, by design: blocks aggregate the
+    * WATERMARK-CLOSED hours (the panel's visible state), where the batch
+    * form sees all events — the oracle mirrors this closed-hours rule.
+    * State is one (n, err) pair per hour window at any event rate. */
+  def burnWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val HourUs = 3600000000L
+    val BlockUs = 6 * HourUs
+    val ev = eventsStream(spark, sfDir)
+      .select(col("ts"),
+        when(col("value") >= graft.operators.OtelQueries.BurnErrValue, 1L)
+          .otherwise(0L).as("is_err"))
+    val drained = drainWindowed(spark, sfDir, ev,
+      e => e.groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_1h"), sum(col("is_err")).as("err_1h")))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("n_1h"), col("err_1h"))
+      .localCheckpoint(true) // two consumers (hours + block rollup)
+    val hours = drained
+      .withColumn("err_ppm_1h", expr("err_1h * 1000000L div n_1h"))
+      .withColumn("block_us", expr(s"(hour_us div $BlockUs) * $BlockUs"))
+    val blocks = drained
+      .groupBy(expr(s"(hour_us div $BlockUs) * $BlockUs").as("block_us"))
+      .agg(expr("sum(err_1h) * 1000000L div sum(n_1h)").as("err_ppm_6h"))
+    val alertPpm = graft.operators.OtelQueries.BurnAlertPpm
+    hours.join(blocks, Seq("block_us"))
+      .select(col("hour_us"), col("n_1h"), col("err_1h"), col("err_ppm_1h"),
+        col("err_ppm_6h"),
+        (col("err_ppm_1h") > alertPpm && col("err_ppm_6h") > alertPpm)
+          .as("alert"))
+      .orderBy(col("hour_us"))
+  }
+
+  /** DuckDB twin of [[burnWindows]] — hour cells under the append-mode
+    * closed-window filter, block rates composed from the closed cells. */
+  def burnWindowsOracleSql: String = {
+    val h = 3600000000L
+    val b = 6 * h
+    val alertPpm = graft.operators.OtelQueries.BurnAlertPpm
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) AS ts_us,
+       |    CASE WHEN value >= ${graft.operators.OtelQueries.BurnErrValue}
+       |         THEN 1 ELSE 0 END AS is_err
+       |  FROM events
+       |), wm AS (
+       |  SELECT max(ts_us) // 1000 - $WindowDelayMs AS wm_ms FROM e
+       |), hr AS (
+       |  SELECT (ts_us // $h) * $h AS hour_us, count(*) AS n_1h,
+       |    CAST(sum(is_err) AS BIGINT) AS err_1h
+       |  FROM e GROUP BY 1
+       |), closed AS (
+       |  SELECT hour_us, n_1h, err_1h FROM hr, wm
+       |  WHERE (hour_us + $h) // 1000 <= wm_ms
+       |), blk AS (
+       |  SELECT (hour_us // $b) * $b AS block_us,
+       |    CAST(sum(err_1h) * 1000000 // sum(n_1h) AS BIGINT) AS err_ppm_6h
+       |  FROM closed GROUP BY 1
+       |)
+       |SELECT c.hour_us, c.n_1h, c.err_1h,
+       |  CAST(c.err_1h * 1000000 // c.n_1h AS BIGINT) AS err_ppm_1h,
+       |  b.err_ppm_6h,
+       |  c.err_1h * 1000000 // c.n_1h > $alertPpm
+       |    AND b.err_ppm_6h > $alertPpm AS alert
+       |FROM closed c JOIN blk b ON (c.hour_us // $b) * $b = b.block_us
+       |ORDER BY c.hour_us""".stripMargin
+  }
+
   /** DuckDB twin of [[histWindows]] — same grid thresholds, append-mode
     * window filter. */
   def histWindowsOracleSql: String = {

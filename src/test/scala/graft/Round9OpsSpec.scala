@@ -145,6 +145,50 @@ class Round9OpsSpec extends SparkTestBase {
       "variant edits must stay within 2 flipped gradient bits")
   }
 
+  test("native MinhashSigExpr equals the plain-array kernel and survives " +
+      "codegen (signature of every corpus doc)") {
+    import graft.operators.Dedup
+    val viaExpr = Dedup.docShingleHashes(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.MinhashExpressions.minhashSig(col("shh")).as("sig"),
+        col("shh"))
+      .collect()
+    assert(viaExpr.nonEmpty)
+    viaExpr.foreach { r =>
+      val hs = r.getAs[scala.collection.Seq[Long]]("shh").toArray
+      val want = graft.functions.MinhashSig.computeArray(hs).toSeq
+      assert(r.getAs[scala.collection.Seq[Long]]("sig").toSeq == want,
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("stream_burn: streamed hour cells + batch block projection match a " +
+      "full batch recompute under the closed-hours rule") {
+    val HourUs = 3600000000L
+    val rows = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) AS us", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1) >= 250.0))
+    val wmMs = rows.map(_._1).max / 1000L - StreamGate.WindowDelayMs
+    val byHour = rows.groupBy(_._1 / HourUs * HourUs).view
+      .mapValues(xs => (xs.length.toLong, xs.count(_._2).toLong)).toMap
+    val closed = byHour.filter { case (h, _) => (h + HourUs) / 1000L <= wmMs }
+    val byBlock = closed.groupBy(_._1 / (6 * HourUs) * (6 * HourUs)).view
+      .mapValues { hs =>
+        val n = hs.values.map(_._1).sum; val e = hs.values.map(_._2).sum
+        e * 1000000L / n
+      }.toMap
+    val out = StreamGate.burnWindows(spark, sf).collect()
+    assert(out.length == closed.size && out.nonEmpty)
+    out.foreach { r =>
+      val h = r.getAs[Long]("hour_us")
+      val (n, e) = closed(h)
+      assert(r.getAs[Long]("n_1h") == n && r.getAs[Long]("err_1h") == e)
+      assert(r.getAs[Long]("err_ppm_1h") == e * 1000000L / n)
+      assert(r.getAs[Long]("err_ppm_6h") ==
+        byBlock(h / (6 * HourUs) * (6 * HourUs)))
+    }
+  }
+
   test("otel_burn_rate recomputes from raw events (integer ppm, block join)") {
     val HourUs = 3600000000L
     val raw = Tables.events(spark, sf)
