@@ -796,7 +796,12 @@ object OtelQueries {
   def criticalPath(spark: SparkSession, sfDirIgnored: String,
       n: Long = 2000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = spanForest(spark, n)
+    // pin the corpus scan: the level loop reads `spans` once per BFS level
+    // plus the root filter and the n_spans aggregate — six parquet
+    // re-scans after the round-9 table materialization (measured 0.59 →
+    // 1.30 s in the bench); one eager materialization restores the
+    // scan-once shape the in-plan generator used to give for free
+    val spans = spanForest(spark, n).localCheckpoint(true)
     def level(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(true)
       c.sparkSession.createDataFrame(c.rdd, c.schema)

@@ -82,6 +82,43 @@ object Ranks {
       .drop("__g_part", "__g_idx", "__g_off")
   }
 
+  /** Exact DISTRIBUTED running (prefix) sum of `valueCol` under `order` —
+    * the cumulative-sum sibling of [[globalRank]], replacing
+    * `sum(v).over(Window.orderBy(...))`'s SinglePartition funnel: range
+    * partition + in-partition sort, a partitioned (never empty-key)
+    * running-sum window WITHIN each range partition, per-partition totals
+    * turned into exclusive prefix offsets by the same broadcast
+    * strict-< self-join, and `running = offset + local running`. Same
+    * total-order and exchange-reuse contract as [[globalRank]] (the
+    * offsets branch must read the same materialized range exchange —
+    * PlanSpec pins the ReusedExchange shape for the rank form; this
+    * shares the structure). Integer or decimal `valueCol` keeps the sum
+    * exact under any partitioning. */
+  def prefixSum(df: DataFrame, valueCol: String, sumCol: String,
+                order: Seq[Column], partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df
+      .repartitionByRange(partitions, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__p_part",
+        shiftright(monotonically_increasing_id(), MidIndexBits))
+    val localW = Window.partitionBy(col("__p_part")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = ranged.withColumn("__p_run", sum(col(valueCol)).over(localW))
+    val totals = ranged.groupBy(col("__p_part"))
+      .agg(sum(col(valueCol)).as("__p_tot"))
+    val rhs = totals.select(col("__p_part").as("__p_part_lt"),
+      col("__p_tot").as("__p_tot_lt"))
+    val offsets = totals
+      .join(broadcast(rhs), col("__p_part_lt") < col("__p_part"), "left")
+      .groupBy(col("__p_part"))
+      .agg(coalesce(sum(col("__p_tot_lt")), lit(0L)).as("__p_off"))
+    withLocal
+      .join(broadcast(offsets), "__p_part")
+      .withColumn(sumCol, col("__p_off") + col("__p_run"))
+      .drop("__p_part", "__p_run", "__p_off")
+  }
+
   /** SQL-standard `ntile(tiles)` bucket (1-based) computed from a 1-based
     * global rank `rk` over total count `n`: the first `n mod tiles` buckets
     * take `n div tiles + 1` rows, the rest `n div tiles`. Exactly Spark's

@@ -1071,7 +1071,6 @@ object TextAnalysis {
     * frame. No range join of vocabulary × checkpoints (the naive O(V·C)
     * formulation this avoids). */
   def vocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val firstSeen = documents(spark, sfDir)
       .select(col("doc_id"),
         explode(vocabGram3Udf(split(lower(col("text")), " "))).as("gh"))
@@ -1079,10 +1078,10 @@ object TextAnalysis {
     val buckets = firstSeen
       .groupBy(expr(s"first_doc div $VocabBucketDocs").as("bucket"))
       .agg(count(lit(1)).as("new_grams"))
-    val w = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    buckets
-      .withColumn("vocab_size", sum(col("new_grams")).over(w))
+    // cumulative vocabulary via the DISTRIBUTED prefix sum (bucket count
+    // grows linearly with the corpus — the last empty-key window on the
+    // surface funneled it through one partition)
+    Ranks.prefixSum(buckets, "new_grams", "vocab_size", Seq(col("bucket")))
       .select(col("bucket"), col("new_grams"), col("vocab_size"))
       .orderBy(col("bucket"))
   }

@@ -189,6 +189,38 @@ class Round9OpsSpec extends SparkTestBase {
     }
   }
 
+  test("Ranks.prefixSum equals the empty-key running-sum window across " +
+      "partition counts (incl. near-empty ranges)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rows = (1 to 97).map(i => ((i * 37) % 101, (i % 7).toLong))
+    val df = rows.toDF("k", "v")
+    val viaWindow = df.withColumn("cum",
+      sum(col("v")).over(Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    for (parts <- Seq(1, 4, 16, 64)) {
+      val got = operators.Ranks.prefixSum(df, "v", "cum", Seq(col("k")), parts)
+        .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+      assert(got == viaWindow, s"parts=$parts")
+    }
+  }
+
+  test("text_vocab_growth plans no empty-key window (distributed prefix sum)") {
+    val plan = TextAnalysis.vocabGrowth(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the prefix-sum's running window is keyed by the range-partition
+    // ordinal — an unpartitioned windowspecdefinition would print with an
+    // empty partition clause "windowspecdefinition(bucket..."; assert the
+    // partitioned form instead
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("windowspecdefinition(vocab"), plan)
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).toSeq
+    assert(specs.nonEmpty, "prefix sum should still use a partitioned window")
+    assert(plan.split("\n").filter(_.contains("Window "))
+      .forall(_.contains("__p_part")), plan)
+  }
+
   test("otel_burn_rate recomputes from raw events (integer ppm, block join)") {
     val HourUs = 3600000000L
     val raw = Tables.events(spark, sf)
