@@ -266,6 +266,8 @@ object SparkEntry {
     "otel_burn_rate" -> ((s: SparkSession, d: String) => OtelQueries.burnRate(s, d)),
     "text_chunking" -> ((s: SparkSession, d: String) => TextAnalysis.chunking(s, d)),
     "stream_burn" -> (graft.streaming.StreamGate.burnWindows _),
+    "sim_centroid_drift" -> ((s: SparkSession, d: String) => Similarity.centroidDrift(s, d)),
+    "text_chunk_delta" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDelta(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -773,5 +775,7 @@ object SparkEntry {
     "otel_burn_rate" -> OtelQueries.burnRateOracleSql,
     "text_chunking" -> TextAnalysis.chunkingOracleSql,
     "stream_burn" -> graft.streaming.StreamGate.burnWindowsOracleSql,
+    "sim_centroid_drift" -> Similarity.centroidDriftOracleSql,
+    "text_chunk_delta" -> TextAnalysis.chunkDeltaOracleSql,
   )
 }

@@ -1369,4 +1369,68 @@ object Similarity {
        |FROM xc LEFT JOIN h ON h.query_id = xc.query_id
        |ORDER BY xc.query_id""".stripMargin
   }
+
+  // ---- embedding centroid drift --------------------------------------------
+
+  /** EMBEDDING DRIFT MONITOR — per-label centroid shift between two
+    * corpus halves (vec_id parity stands in for the before/after
+    * snapshots a production monitor compares): per (label, half, dim)
+    * exact decimal mean ([[Tables.exactAvg]] — order-independent, the
+    * IVF-centroid discipline), then the L2 distance between the two
+    * centroid vectors. The distance algebra is EXACT end-to-end: the
+    * per-dim means are round6 values, their difference cast to
+    * DECIMAL(18,9) is exact, the squared terms (scale 18) sum exactly,
+    * and only the final sqrt + round6 touch IEEE — the same two
+    * correctly-rounded steps on both engines. The drift a retraining
+    * trigger or an index-rebuild policy watches.
+    *
+    * Scale shape: one posexplode + (label × 2 × dims)-key map-side-
+    * combined aggregate, then a (label × dims)-row self-join and a
+    * |labels|-key final aggregate — never row-scale after the first
+    * pass. */
+  def centroidDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val cents = e
+      .select(col("label"), (col("vec_id") % 2 === 1).as("is_new"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("is_new"), col("pos"))
+      .agg(Tables.exactAvg(col("x")).as("cx"), count(lit(1)).as("n"))
+    val old = cents.filter(!col("is_new"))
+      .select(col("label"), col("pos"), col("cx").as("co"), col("n").as("n_old"))
+    val neu = cents.filter(col("is_new"))
+      .select(col("label").as("l2"), col("pos").as("p2"),
+        col("cx").as("cn"), col("n").as("n_new"))
+    old.join(neu, col("label") === col("l2") && col("pos") === col("p2"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        ((col("cn") - col("co")).cast("decimal(18,9)") *
+          (col("cn") - col("co")).cast("decimal(18,9)")).as("d2"))
+      .groupBy(col("label"))
+      .agg(max(col("n_old")).as("n_old"), max(col("n_new")).as("n_new"),
+        sum(col("d2")).as("s2"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        Tables.portableRound6(sqrt(col("s2").cast("double"))).as("drift"))
+      .orderBy(col("label"))
+  }
+
+  /** DuckDB twin of [[centroidDrift]] — identical decimal algebra. */
+  def centroidDriftOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), c AS (
+       |  SELECT label, vec_id % 2 = 1 AS is_new, t.i AS pos,
+       |    ${Tables.exactAvgSql("v[t.i]")} AS cx, count(*) AS n
+       |  FROM e, unnest(range(1, 65)) AS t(i)
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT o.label, CAST(max(o.n) AS BIGINT) AS n_old,
+       |  CAST(max(nn.n) AS BIGINT) AS n_new,
+       |  ${Tables.portableRound6Sql(
+            "sqrt(CAST(SUM(CAST(nn.cx - o.cx AS DECIMAL(18,9)) * " +
+            "CAST(nn.cx - o.cx AS DECIMAL(18,9))) AS DOUBLE))")} AS drift
+       |FROM c o JOIN c nn
+       |  ON o.label = nn.label AND o.pos = nn.pos
+       |  AND NOT o.is_new AND nn.is_new
+       |GROUP BY o.label ORDER BY o.label""".stripMargin
 }

@@ -1287,7 +1287,13 @@ object TextAnalysis {
     * embedding UDF batch job — chunk rows are written partitioned and the
     * heavy model pass reads them back. */
   def chunking(spark: SparkSession, sfDir: String): DataFrame =
-    documents(spark, sfDir)
+    chunksOf(documents(spark, sfDir))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** The chunk explosion over an arbitrary (doc_id, text) frame — shared
+    * by [[chunking]] and [[chunkDelta]]. */
+  private def chunksOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("n", size(col("w")).cast("long"))
       .filter(col("n") > 0)
@@ -1300,24 +1306,89 @@ object TextAnalysis {
         graft.functions.PortableHash.md5Lower63Col(
           expr(s"array_join(slice(w, CAST(start + 1 AS INT), $ChunkTokens), ' ')"))
           .as("chunk_hash"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** INCREMENTAL RE-EMBED WORKING SET — the chunk-level diff an index
+    * maintainer computes between two corpus versions to know what to
+    * re-embed: chunks keyed by (doc_id, chunk_idx), full-outer-joined
+    * across versions, classified `added` / `removed` / `changed` (hash
+    * differs) / `unchanged`, summarized per status with chunk and
+    * document counts. The "new" corpus is a deterministic twist of the
+    * base (every 7th document dropped, every 5th appended one token —
+    * the append moves only the tail chunk, which the counts prove), so
+    * the gate is a pure function of the corpus and oracle-checkable; a
+    * production run feeds two real snapshot paths.
+    *
+    * Scale shape: two chunk explosions (map-only, [[chunksOf]]) and one
+    * (doc_id, chunk_idx)-keyed full outer join — chunk identity never
+    * compares text, only 8-byte hashes ("never shuffle the text"). */
+  def chunkDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val newDocs = base.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" zzedit")))
+          .otherwise(col("text")).as("text"))
+    val oc = chunksOf(base)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_hash").as("old_hash"))
+    val nc = chunksOf(newDocs)
+      .select(col("doc_id").as("n_doc"), col("chunk_idx").as("n_idx"),
+        col("chunk_hash").as("new_hash"))
+    oc.join(nc,
+        col("doc_id") === col("n_doc") && col("chunk_idx") === col("n_idx"),
+        "full_outer")
+      .select(coalesce(col("doc_id"), col("n_doc")).as("d"),
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_chunks"), countDistinct(col("d")).as("n_docs"))
+      .orderBy(col("status"))
+  }
+
+  /** The chunk-explosion CTE chain over source CTE/table `src`, emitting
+    * chunk rows as CTE `out` — shared by [[chunkingOracleSql]] and
+    * [[chunkDeltaOracleSql]]. */
+  private def chunkSqlCtes(src: String, out: String): String =
+    s"""${out}_toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM $src
+       |), $out AS (
+       |  SELECT doc_id, CAST(s.v // $ChunkStride AS BIGINT) AS chunk_idx,
+       |    CAST(s.v AS BIGINT) AS start_tok,
+       |    CAST(least($ChunkTokens, n - s.v) AS BIGINT) AS n_toks,
+       |    CAST(md5_number_lower(array_to_string(w[s.v + 1 : s.v + $ChunkTokens], ' '))
+       |      & 9223372036854775807 AS BIGINT) AS chunk_hash
+       |  FROM ${out}_toks, unnest(generate_series(0, n - 1, $ChunkStride)) s(v)
+       |  WHERE n > 0
+       |)""".stripMargin
 
   /** DuckDB twin of [[chunking]] — identical stride grid, 1-based slice
     * bounds, and md5 chunk identity. */
   def chunkingOracleSql: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w,
-       |    len(string_split(text, ' ')) AS n
-       |  FROM documents
-       |), st AS (
-       |  SELECT doc_id, w, n, s.v AS start
-       |  FROM toks, unnest(generate_series(0, n - 1, $ChunkStride)) s(v)
-       |  WHERE n > 0
+    s"""WITH ${chunkSqlCtes("documents", "ch")}
+       |SELECT doc_id, chunk_idx, start_tok, n_toks, chunk_hash
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** DuckDB twin of [[chunkDelta]] — the same deterministic corpus twist
+    * and status classification. */
+  def chunkDeltaOracleSql: String =
+    s"""WITH nd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN text || ' zzedit' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 7 <> 0
+       |),
+       |${chunkSqlCtes("documents", "co")},
+       |${chunkSqlCtes("nd", "cn")},
+       |j AS (
+       |  SELECT coalesce(co.doc_id, cn.doc_id) AS d,
+       |    CASE WHEN co.chunk_hash IS NULL THEN 'added'
+       |         WHEN cn.chunk_hash IS NULL THEN 'removed'
+       |         WHEN co.chunk_hash <> cn.chunk_hash THEN 'changed'
+       |         ELSE 'unchanged' END AS status
+       |  FROM co FULL JOIN cn
+       |    ON co.doc_id = cn.doc_id AND co.chunk_idx = cn.chunk_idx
        |)
-       |SELECT doc_id, CAST(start // $ChunkStride AS BIGINT) AS chunk_idx,
-       |  CAST(start AS BIGINT) AS start_tok,
-       |  CAST(least($ChunkTokens, n - start) AS BIGINT) AS n_toks,
-       |  CAST(md5_number_lower(array_to_string(w[start + 1 : start + $ChunkTokens], ' '))
-       |    & 9223372036854775807 AS BIGINT) AS chunk_hash
-       |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
+       |SELECT status, count(*) AS n_chunks, count(DISTINCT d) AS n_docs
+       |FROM j GROUP BY 1 ORDER BY status""".stripMargin
 }

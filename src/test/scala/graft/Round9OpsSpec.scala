@@ -245,6 +245,76 @@ class Round9OpsSpec extends SparkTestBase {
     }
   }
 
+  test("text_chunk_delta: full plain-Scala recompute of the status census") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def chunks(id: Long, text: String): Map[Long, Long] = {
+      val w = text.split(" ", -1)
+      (0 until w.length by operators.TextAnalysis.ChunkStride).map { start =>
+        (start / operators.TextAnalysis.ChunkStride).toLong ->
+          PortableHash.md5Lower63(
+            w.slice(start, start + operators.TextAnalysis.ChunkTokens)
+              .mkString(" "))
+      }.toMap
+    }
+    val oldC = docs.map { case (id, t) => id -> chunks(id, t) }.toMap
+    val newC = docs.filter(_._1 % 7 != 0).map { case (id, t) =>
+      id -> chunks(id, if (id % 5 == 0) t + " zzedit" else t)
+    }.toMap
+    val statuses = scala.collection.mutable.Map[String, (Long, Set[Long])]()
+      .withDefaultValue((0L, Set.empty))
+    for (d <- oldC.keySet ++ newC.keySet;
+         idx <- oldC.getOrElse(d, Map.empty).keySet ++
+           newC.getOrElse(d, Map.empty).keySet) {
+      val (o, n2) = (oldC.getOrElse(d, Map.empty).get(idx),
+        newC.getOrElse(d, Map.empty).get(idx))
+      val st = (o, n2) match {
+        case (None, _) => "added"
+        case (_, None) => "removed"
+        case (Some(a), Some(b)) if a != b => "changed"
+        case _ => "unchanged"
+      }
+      val (c, ds) = statuses(st)
+      statuses(st) = (c + 1, ds + d)
+    }
+    val got = operators.TextAnalysis.chunkDelta(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == statuses.map { case (k, (c, ds)) =>
+      k -> (c, ds.size.toLong) }.toMap)
+  }
+
+  test("sim_centroid_drift: exact-decimal recompute of one label's drift") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val rows = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Double]]("v").toArray))
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def exactAvg(xs: Seq[Double]): Double = {
+      val s = xs.map(x => new JBD(java.lang.Double.toString(x))
+        .setScale(6, RoundingMode.HALF_UP)).reduce(_ add _)
+      r6(s.doubleValue() / xs.length)
+    }
+    val out = operators.Similarity.centroidDrift(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val label = rows.head._2
+    val mine = rows.filter(_._2 == label)
+    val (old, neu) = mine.partition(_._1 % 2 == 0)
+    val dims = mine.head._3.length
+    val s2 = (0 until dims).map { i =>
+      val d = new JBD(java.lang.Double.toString(
+        exactAvg(neu.map(_._3(i)).toSeq) - exactAvg(old.map(_._3(i)).toSeq)))
+        .setScale(9, RoundingMode.HALF_UP)
+      d.multiply(d)
+    }.reduce(_ add _)
+    val want = r6(math.sqrt(s2.doubleValue()))
+    val (nOld, nNew, drift) = out(label)
+    assert(nOld == old.length && nNew == neu.length)
+    assert(drift == want, s"label $label: $drift vs $want")
+  }
+
   test("text_chunking: full plain-Scala recompute (stride grid, tail " +
       "chunks kept, md5 chunk identity)") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
