@@ -261,4 +261,34 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan)
   }
+
+  // -- round 9 plan shapes ---------------------------------------------------
+
+  test("text_chunking is map+explode only — zero exchanges before the " +
+      "output sort, whole pipeline codegen'd") {
+    val plan = planOf(TextAnalysis.chunking(spark, sf))
+    // the only exchange is the final ORDER BY's range partitioning
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    // the chunk hash is the builtin md5/conv composition, not a ScalaUDF
+    assert(plan.contains("conv(") && !plan.contains("ScalaUDF"), plan)
+  }
+
+  test("text_chunk_delta exchanges carry chunk identities, never text") {
+    val plan = planOf(TextAnalysis.chunkDelta(spark, sf))
+    val exchanges = plan.split("Exchange hashpartitioning").toSeq.tail
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(e => !e.takeWhile(_ != ')').contains("text")), plan)
+  }
+
+  test("otel_burn_rate plans as two aggregates and a join — no window") {
+    val plan = planOf(OtelQueries.burnRate(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("dedup_minhash_lsh signs via the native expression — no ScalaUDF " +
+      "on the signature path") {
+    val plan = planOf(Dedup.minhashLsh(spark, sf))
+    assert(plan.contains("minhash_sig") || !plan.contains("UDF"), plan)
+  }
 }
