@@ -53,6 +53,26 @@ class Round9OpsSpec extends SparkTestBase {
     assert(asym == 0L, "stored edge list must be exactly symmetric")
   }
 
+  test("md5Lower63Col property: 300 seeded-random unicode strings match " +
+      "the Scala digest bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    // Whole code points, not chars: indexing a String char-wise can split the
+    // emoji's surrogate pair and produce invalid UTF-16 that UTF-8 can't round-trip.
+    val alphabet = Seq("a", "b", "z", "0", "9", " ", ".", ":", "/", "-", "_",
+      "é", "中", "文", "😀", "\n", "\t")
+    val samples = (1 to 300).map { _ =>
+      val len = rnd.nextInt(120)
+      (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.distinct
+    val got = samples.toDF("s")
+      .withColumn("h", PortableHash.md5Lower63Col(col("s")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach { s =>
+      assert(got(s) == PortableHash.md5Lower63(s), s"md5Lower63Col(${s.take(30)})")
+    }
+  }
+
   test("md5Lower63Col (builtin composition) equals the Scala md5Lower63 " +
       "on varied strings including multi-byte UTF-8") {
     import spark.implicits._
