@@ -268,6 +268,9 @@ object SparkEntry {
     "stream_burn" -> (graft.streaming.StreamGate.burnWindows _),
     "sim_centroid_drift" -> ((s: SparkSession, d: String) => Similarity.centroidDrift(s, d)),
     "text_chunk_delta" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDelta(s, d)),
+    "q_mannwhitney" -> (QuerySurface.mannWhitney _),
+    "otel_apdex" -> ((s: SparkSession, d: String) => OtelQueries.apdex(s, d)),
+    "text_bpe_merges" -> ((s: SparkSession, d: String) => TextAnalysis.bpeMerges(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -777,5 +780,8 @@ object SparkEntry {
     "stream_burn" -> graft.streaming.StreamGate.burnWindowsOracleSql,
     "sim_centroid_drift" -> Similarity.centroidDriftOracleSql,
     "text_chunk_delta" -> TextAnalysis.chunkDeltaOracleSql,
+    "q_mannwhitney" -> operators.QuerySurface.mannWhitneyOracleSql,
+    "otel_apdex" -> OtelQueries.apdexOracleSql(),
+    "text_bpe_merges" -> TextAnalysis.bpeMergesOracleSql,
   )
 }

@@ -1219,6 +1219,64 @@ object OtelQueries {
        |ORDER BY h.hour_us""".stripMargin
   }
 
+  /** Satisfied threshold T for [[apdex]] (ns of total trace duration);
+    * the tolerating bound is the standard 4T. */
+  val ApdexTNs = 4000L
+
+  /** APDEX SCORE per root service — the standard user-satisfaction index
+    * ((satisfied + tolerating/2) / total with tolerating = (T, 4T]) that
+    * every APM product reports, computed over TRACE duration (the
+    * user-perceived transaction time, i.e. the sum of the trace's span
+    * durations in this corpus) and attributed to the trace's ROOT span's
+    * service. Emitted in ppm via `(2·sat + tol)·500000 div n` — pure
+    * integer arithmetic, hash-exact on both engines.
+    *
+    * Scale shape: one map-side-combined aggregate keyed by `trace_id`
+    * (the same co-partitioning every other trace-level gate shuffles on —
+    * a span table bucketed by trace_id makes it exchange-free), then a
+    * second aggregate over |services| keys. The root-service attribution
+    * is a projection, not a join: the root's service is a function of
+    * `trace_id` alone in this corpus; production would broadcast-join the
+    * |traces|-keyed root frame or carry the root service denormalized on
+    * every span (the reference's flat span table carries ServiceName per
+    * row already — /root/reference/docs/reference.md traces schema). */
+  def apdex(spark: SparkSession, sfDirIgnored: String,
+      n: Long = 2000L): DataFrame = {
+    val t = ApdexTNs
+    spanForest(spark, n)
+      .groupBy(col("trace_id"))
+      .agg(sum(col("duration_ns")).as("total_ns"))
+      .withColumn("root_svc", concat(lit("svc-"), col("trace_id") % 6))
+      .groupBy(col("root_svc"))
+      .agg(count(lit(1)).as("n_traces"),
+        sum(when(col("total_ns") <= t, 1L).otherwise(0L)).as("n_satisfied"),
+        sum(when(col("total_ns") > t && col("total_ns") <= t * 4, 1L)
+          .otherwise(0L)).as("n_tolerating"),
+        sum(when(col("total_ns") > t * 4, 1L).otherwise(0L)).as("n_frustrated"))
+      .withColumn("apdex_ppm",
+        expr("(2 * n_satisfied + n_tolerating) * 500000 div n_traces"))
+      .orderBy(col("root_svc"))
+  }
+
+  /** DuckDB twin of [[apdex]] — identical T/4T classes and integer ppm. */
+  def apdexOracleSql(n: Long = 2000L): String = {
+    val t = ApdexTNs
+    s"""WITH ${graft.TestDataGen.spanTreesSqlCte(n)},
+       |tr AS (
+       |  SELECT trace_id, CAST(sum(duration_ns) AS BIGINT) AS total_ns
+       |  FROM spant GROUP BY 1
+       |)
+       |SELECT 'svc-' || CAST(trace_id % 6 AS VARCHAR) AS root_svc,
+       |  count(*) AS n_traces,
+       |  CAST(sum(CASE WHEN total_ns <= $t THEN 1 ELSE 0 END) AS BIGINT) AS n_satisfied,
+       |  CAST(sum(CASE WHEN total_ns > $t AND total_ns <= ${t * 4} THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating,
+       |  CAST(sum(CASE WHEN total_ns > ${t * 4} THEN 1 ELSE 0 END) AS BIGINT) AS n_frustrated,
+       |  (2 * CAST(sum(CASE WHEN total_ns <= $t THEN 1 ELSE 0 END) AS BIGINT)
+       |     + CAST(sum(CASE WHEN total_ns > $t AND total_ns <= ${t * 4} THEN 1 ELSE 0 END) AS BIGINT))
+       |    * 500000 // count(*) AS apdex_ppm
+       |FROM tr GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** DuckDB twin of [[redMetrics]] — identical threshold rule, tiebreaks,
     * and portable rounding. */
   def redMetricsOracleSql(n: Long = 2000L): String =

@@ -1552,6 +1552,86 @@ object QuerySurface {
        |ORDER BY a.event_type""".stripMargin
   }
 
+  // ---- two-cohort rank test (Mann–Whitney U) -------------------------------
+
+  /** The z² expression shared verbatim by the Spark `expr` and the DuckDB
+    * twin — normal approximation of the U statistic over exact integer
+    * inputs (`u2a` is the DOUBLED U so tie-averaged half-ranks stay
+    * integral): z² = 3·(U2−na·nb)² / (na·nb·(na+nb+1)). */
+  private val MwZsqExprSql: String = {
+    val d = "(CAST(u2a AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"
+    s"(3.0 * $d * $d) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0))"
+  }
+
+  /** Per-event-type MANN–WHITNEY U rank test of `value` between the same
+    * deterministic even/odd-user cohorts as [[abTest]] — the nonparametric
+    * sibling of the Welch z gate (detects distribution shift that means
+    * can miss). Every rank quantity is kept EXACTLY integral: values go to
+    * 10⁻⁶ fixed point, ties take the midrank, and all rank sums are
+    * DOUBLED (`r2a`, `u2a`) so `(first+last)/2` midranks never leave ℤ —
+    * a tied run starting at rank r with n members contributes
+    * `na_v·(2r+n−1)` to the doubled cohort rank sum. The only floating
+    * point is the final z² normal approximation over identical exact
+    * integers (shared expression string, both engines run the same IEEE
+    * sequence).
+    *
+    * Scale shape: ranks are NEVER assigned per row — the test needs only
+    * per-DISTINCT-VALUE counts, so the row-scale work is ONE map-side-
+    * combined aggregate on (event_type, v_fp); the running count that
+    * turns value-group sizes into start ranks is a window partitioned by
+    * event_type over that already-collapsed frame (distinct values per
+    * key, not rows). A single-key corpus at 100 TB would swap that window
+    * for [[graft.operators.Ranks.prefixSum]] — same contract as
+    * `text_vocab_growth`. */
+  def mannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val byValue = events(spark, sfDir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("v_fp"),
+        when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("is_a"))
+      .groupBy(col("event_type"), col("v_fp"))
+      .agg(count(lit(1)).as("n_v"), sum(col("is_a")).as("na_v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v_fp"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byValue
+      .withColumn("r_start", coalesce(sum(col("n_v")).over(w), lit(0L)) + 1L)
+      .groupBy(col("event_type"))
+      .agg(sum(col("na_v")).as("na"),
+        sum(col("n_v") - col("na_v")).as("nb"),
+        sum(col("na_v") * (col("r_start") * 2L + col("n_v") - 1L)).as("r2a"))
+      .withColumn("u2a", col("r2a") - col("na") * (col("na") + 1L))
+      .withColumn("z_sq", Tables.portableRound6(expr(MwZsqExprSql)))
+      .withColumn("significant", col("z_sq") > lit(AbZsq))
+      .select(col("event_type"), col("na"), col("nb"), col("r2a"),
+        col("u2a"), col("z_sq"), col("significant"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[mannWhitney]] — identical fixed point, doubled
+    * midrank algebra, and shared z² expression string. */
+  def mannWhitneyOracleSql: String =
+    s"""WITH v AS (
+       |  SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v_fp,
+       |    count(*) AS n_v,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_v
+       |  FROM events GROUP BY 1, 2
+       |), r AS (
+       |  SELECT event_type, n_v, na_v,
+       |    COALESCE(sum(n_v) OVER (PARTITION BY event_type ORDER BY v_fp
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS r_start
+       |  FROM v
+       |), g AS (
+       |  SELECT event_type, CAST(sum(na_v) AS BIGINT) AS na,
+       |    CAST(sum(n_v - na_v) AS BIGINT) AS nb,
+       |    CAST(sum(na_v * (r_start * 2 + n_v - 1)) AS BIGINT) AS r2a
+       |  FROM r GROUP BY 1
+       |), u AS (
+       |  SELECT event_type, na, nb, r2a, r2a - na * (na + 1) AS u2a FROM g
+       |)
+       |SELECT event_type, na, nb, r2a, u2a,
+       |  ${Tables.portableRound6Sql(MwZsqExprSql)} AS z_sq,
+       |  ${Tables.portableRound6Sql(MwZsqExprSql)} > $AbZsq AS significant
+       |FROM u ORDER BY event_type""".stripMargin
+
   // ---- data-quality expectation checks ------------------------------------
 
   /** Data-quality expectation suite over the star schema — the

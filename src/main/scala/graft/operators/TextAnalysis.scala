@@ -1391,4 +1391,151 @@ object TextAnalysis {
        |)
        |SELECT status, count(*) AS n_chunks, count(DISTINCT d) AS n_docs
        |FROM j GROUP BY 1 ORDER BY status""".stripMargin
+
+  // ---- BPE merge training --------------------------------------------------
+
+  /** Merge rounds trained by [[bpeMerges]]. */
+  val BpeMergeRounds = 3
+  /** Final-symbol rows emitted alongside the merge table. */
+  val BpeTopSymbols = 15
+
+  /** The [a-z]+ word-frequency dictionary materialized ONCE per
+    * (JVM, corpus) — BPE training's working set is the VOCABULARY, not the
+    * corpus: one row-scale aggregate collapses 100 TB of text into a
+    * dictionary of (word, freq) pairs, and every merge round thereafter
+    * touches only that tiny frame. Memoizing it as a parquet table (the
+    * [[Graph.backboneTable]] pattern) also bounds the unrolled loop's
+    * lineage: each round re-reads a vocab-sized file instead of
+    * re-deriving the corpus scan through k levels of argmax subtrees. */
+  private def bpeWordDictTable(spark: SparkSession, sfDir: String): String =
+    MemoTables.dir(s"bpedict|$sfDir", "graft-bpedict") { dir =>
+      documents(spark, sfDir)
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  /** Adjacent symbol pairs of a space-joined symbol string, as
+    * `"left right"` strings — the guard keeps 1-symbol words out because
+    * Spark's `sequence(1, 0)` would generate DESCENDING [1, 0], not empty
+    * (the [[OtelQueries]] histogram gates hit the same trap). */
+  private def adjacentPairs(sym: Column): Column = {
+    val toks = split(sym, " ")
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** BYTE-PAIR-ENCODING MERGE TRAINING — the tokenizer-construction
+    * primitive of every LLM data pipeline: [[BpeMergeRounds]] rounds of
+    * (count adjacent symbol pairs over the word-frequency dict, weighted
+    * by word frequency) → (merge the argmax pair corpus-wide), emitting
+    * the learned merge table plus the [[BpeTopSymbols]] most frequent
+    * final symbols. Ties break lexicographically so the trainer is fully
+    * deterministic. Merge APPLICATION is two passes of space-guarded
+    * literal `replace` (`' x y ' → ' xy '` on the sentinel-padded string):
+    * left-to-right non-overlapping, second pass catching occurrences whose
+    * shared boundary space the first consumed — equal to canonical BPE's
+    * leftmost-rescan rule except on runs of ≥5 repeats of one symbol,
+    * and (the property that matters for the gate) EXACTLY the rule the
+    * oracle runs.
+    *
+    * Scale shape: after the one corpus-scale aggregate ([[bpeWordDictTable]])
+    * every round is a map-side-combined pair count over the vocab frame
+    * plus a 1-row `TakeOrderedAndProject` argmax broadcast back — the
+    * driver never holds data, rounds never reshuffle the dict, and corpus
+    * size only enters through the dictionary build. That is how
+    * production BPE trainers run at 100 TB: dictionary job, then
+    * vocab-local iteration. */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    var cur = spark.read.parquet(bpeWordDictTable(spark, sfDir))
+      .select(rtrim(regexp_replace(col("word"), "([a-z])", "$1 ")).as("sym"),
+        col("freq"))
+    var merges = Seq.empty[DataFrame]
+    for (k <- 1 to BpeMergeRounds) {
+      val counts = cur
+        .select(explode(adjacentPairs(col("sym"))).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      val best = counts.orderBy(col("n").desc, col("pair")).limit(1)
+      merges = merges :+ best.select(lit("merge").as("kind"),
+        lit(k.toLong).as("step"), col("pair").as("token"), col("n"))
+      val pat = best.select(
+        concat(lit(" "), col("pair"), lit(" ")).as("__pat"),
+        concat(lit(" "), expr("replace(pair, ' ', '')"), lit(" ")).as("__rep"))
+      cur = cur.crossJoin(broadcast(pat))
+        .withColumn("sym", expr("trim(replace(replace(concat(' ', sym, ' '), " +
+          "__pat, __rep), __pat, __rep))"))
+        .select(col("sym"), col("freq"))
+    }
+    val symbols = cur
+      .select(explode(split(col("sym"), " ")).as("token"), col("freq"))
+      .groupBy(col("token")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(BpeTopSymbols)
+      .select(lit("symbol").as("kind"), lit(BpeMergeRounds.toLong).as("step"),
+        col("token"), col("n"))
+    merges.reduce(_ unionByName _).unionByName(symbols)
+      .orderBy(col("kind"), col("step"), col("token"))
+  }
+
+  /** One merge round as DuckDB CTEs: pair counts over `$in`, argmax
+    * `best$k`, merged dict `s$k` — the same two-pass space-guarded
+    * replace as the Spark side. */
+  private def bpeRoundSqlCtes(k: Int, in: String): String =
+    s"""t$k AS (
+       |  SELECT string_split(sym, ' ') AS toks, freq FROM $in
+       |), i$k AS (
+       |  SELECT toks, freq, unnest(generate_series(1, len(toks) - 1)) AS i
+       |  FROM t$k WHERE len(toks) >= 2
+       |), c$k AS (
+       |  SELECT toks[i] || ' ' || toks[i + 1] AS pair,
+       |    CAST(sum(freq) AS BIGINT) AS n
+       |  FROM i$k GROUP BY 1
+       |), best$k AS (
+       |  SELECT pair, n FROM c$k ORDER BY n DESC, pair LIMIT 1
+       |), s$k AS (
+       |  SELECT trim(replace(replace(' ' || sym || ' ',
+       |      ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
+       |      ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '))
+       |    AS sym, freq
+       |  FROM $in CROSS JOIN best$k b
+       |)""".stripMargin
+
+  /** DuckDB twin of [[bpeMerges]] — unrolled [[BpeMergeRounds]] rounds of
+    * the identical count/argmax/replace algebra. */
+  def bpeMergesOracleSql: String = {
+    val rounds = (1 to BpeMergeRounds)
+      .map(k => bpeRoundSqlCtes(k, if (k == 1) "s0" else s"s${k - 1}"))
+      .mkString(",\n")
+    val mergeSelects = (1 to BpeMergeRounds)
+      .map(k => s"SELECT 'merge' AS kind, CAST($k AS BIGINT) AS step, " +
+        s"pair AS token, n FROM best$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents
+       |), dict AS (
+       |  SELECT word, count(*) AS freq FROM w GROUP BY 1
+       |), s0 AS (
+       |  SELECT rtrim(regexp_replace(word, '([a-z])', '\\1 ', 'g')) AS sym, freq
+       |  FROM dict
+       |),
+       |$rounds,
+       |syms AS (
+       |  SELECT unnest(string_split(sym, ' ')) AS token, freq
+       |  FROM s$BpeMergeRounds
+       |), topsym AS (
+       |  SELECT 'symbol' AS kind, CAST($BpeMergeRounds AS BIGINT) AS step,
+       |    token, CAST(sum(freq) AS BIGINT) AS n
+       |  FROM syms GROUP BY 3
+       |  ORDER BY n DESC, token LIMIT $BpeTopSymbols
+       |)
+       |SELECT * FROM (
+       |  $mergeSelects
+       |  UNION ALL
+       |  SELECT * FROM topsym
+       |) ORDER BY kind, step, token""".stripMargin
+  }
 }

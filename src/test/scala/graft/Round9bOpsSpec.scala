@@ -1,0 +1,134 @@
+package graft
+
+import graft.operators.{OtelQueries, Tables, TextAnalysis}
+import graft.operators.QuerySurface
+
+/** Round-9 extension gates: Mann–Whitney U (doubled-midrank algebra),
+  * Apdex per root service over trace durations, and the BPE merge
+  * trainer — each verified by a full plain-Scala recompute that shares
+  * no Spark or SQL machinery with the operator under test. */
+class Round9bOpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def round6(x: Double): Double =
+    math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+  test("q_mannwhitney: plain-Scala midrank recompute (doubled rank sums, " +
+      "z^2 normal approximation)") {
+    val raw = Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(floor(value * 1000000) AS BIGINT)",
+        "user_id % 2 = 0")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val expected = raw.groupBy(_._1).map { case (et, xs) =>
+      val byVal = xs.groupBy(_._2).view
+        .mapValues(g => (g.length.toLong, g.count(_._3).toLong)).toMap
+      var r2a = 0L
+      var start = 1L
+      byVal.keys.toSeq.sorted.foreach { v =>
+        val (nV, naV) = byVal(v)
+        r2a += naV * (2 * start + nV - 1)
+        start += nV
+      }
+      val na = xs.count(_._3).toLong
+      val nb = xs.length - na
+      val u2a = r2a - na * (na + 1)
+      val d = u2a.toDouble - na.toDouble * nb.toDouble
+      val zSq = round6(3.0 * d * d / (na.toDouble * nb.toDouble * (na + nb + 1.0)))
+      et -> ((na, nb, r2a, u2a, zSq))
+    }
+    val out = QuerySurface.mannWhitney(spark, sf).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (na, nb, r2a, u2a, zSq) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("na") == na && r.getAs[Long]("nb") == nb)
+      assert(r.getAs[Long]("r2a") == r2a, s"r2a for ${r.getString(0)}")
+      assert(r.getAs[Long]("u2a") == u2a)
+      assert(r.getAs[Double]("z_sq") == zSq)
+      assert(r.getAs[Boolean]("significant") == (zSq > 3.841459))
+      // U is bounded by the cohort-product by construction
+      assert(u2a >= 0L && u2a <= 2 * na * nb)
+    }
+  }
+
+  test("otel_apdex: congruence recompute of trace totals, all three " +
+      "classes populated, ppm algebra exact") {
+    val n = 2000L
+    // spanTrees generation rule: trace t has spans 0..t%15, duration
+    // 1000 + ((t*31 + i*17) % 97) * 10
+    val totals = (0L until n).map { t =>
+      val tot = (0L to (t % 15)).map(i => 1000L + ((t * 31 + i * 17) % 97) * 10).sum
+      (t, tot)
+    }
+    val T = OtelQueries.ApdexTNs
+    val expected = totals.groupBy { case (t, _) => s"svc-${t % 6}" }.view
+      .mapValues { xs =>
+        val sat = xs.count(_._2 <= T).toLong
+        val tol = xs.count(x => x._2 > T && x._2 <= 4 * T).toLong
+        val fru = xs.count(_._2 > 4 * T).toLong
+        (xs.length.toLong, sat, tol, fru, (2 * sat + tol) * 500000L / xs.length)
+      }.toMap
+    val out = OtelQueries.apdex(spark, sf).collect()
+    assert(out.length == 6)
+    var (sumSat, sumTol, sumFru) = (0L, 0L, 0L)
+    out.foreach { r =>
+      val (nT, sat, tol, fru, ppm) = expected(r.getAs[String]("root_svc"))
+      assert(r.getAs[Long]("n_traces") == nT)
+      assert(r.getAs[Long]("n_satisfied") == sat)
+      assert(r.getAs[Long]("n_tolerating") == tol)
+      assert(r.getAs[Long]("n_frustrated") == fru)
+      assert(r.getAs[Long]("apdex_ppm") == ppm)
+      sumSat += sat; sumTol += tol; sumFru += fru
+    }
+    // the T/4T thresholds must genuinely split this corpus three ways
+    assert(sumSat > 0 && sumTol > 0 && sumFru > 0)
+  }
+
+  test("text_bpe_merges: full plain-Scala recompute of the 3-round " +
+      "trainer (weighted pair counts, lexicographic argmax, two-pass " +
+      "space-guarded merge)") {
+    val wordRe = "[a-z]+".r
+    val dict = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      wordRe.findAllIn(r.getString(0).toLowerCase(java.util.Locale.ROOT))
+        .foreach(w => dict(w) = dict.getOrElse(w, 0L) + 1L)
+    }
+    var syms: Seq[(String, Long)] =
+      dict.toSeq.map { case (w, f) => (w.mkString(" "), f) }
+    var merges = Seq.empty[(Long, String, Long)]
+    for (k <- 1 to TextAnalysis.BpeMergeRounds) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      syms.foreach { case (s, f) =>
+        val t = s.split(" ")
+        (0 until t.length - 1).foreach { i =>
+          val p = s"${t(i)} ${t(i + 1)}"
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      val (bestPair, bestN) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      merges = merges :+ ((k.toLong, bestPair, bestN))
+      val pat = s" $bestPair "
+      val rep = s" ${bestPair.replace(" ", "")} "
+      syms = syms.map { case (s, f) =>
+        (s" $s ".replace(pat, rep).replace(pat, rep).trim, f)
+      }
+    }
+    val finalSyms = scala.collection.mutable.Map.empty[String, Long]
+    syms.foreach { case (s, f) =>
+      s.split(" ").foreach(t => finalSyms(t) = finalSyms.getOrElse(t, 0L) + f)
+    }
+    val topSyms = finalSyms.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(TextAnalysis.BpeTopSymbols)
+    val out = TextAnalysis.bpeMerges(spark, sf).collect()
+    val gotMerges = out.filter(_.getString(0) == "merge")
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(gotMerges == merges, s"merge table: got $gotMerges want $merges")
+    val gotSyms = out.filter(_.getString(0) == "symbol")
+      .map(r => (r.getString(2), r.getLong(3))).toSet
+    assert(gotSyms == topSyms.toSet)
+    // merges must actually compose: at least one merged token of length
+    // >= 2 appears in the final top symbols
+    assert(topSyms.exists(_._1.length >= 2))
+  }
+}
