@@ -269,6 +269,7 @@ object SparkEntry {
     "sim_centroid_drift" -> ((s: SparkSession, d: String) => Similarity.centroidDrift(s, d)),
     "text_chunk_delta" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDelta(s, d)),
     "q_mannwhitney" -> (QuerySurface.mannWhitney _),
+    "q_ks_test" -> (QuerySurface.ksTest _),
     "otel_apdex" -> ((s: SparkSession, d: String) => OtelQueries.apdex(s, d)),
     "text_bpe_merges" -> ((s: SparkSession, d: String) => TextAnalysis.bpeMerges(s, d)),
   )
@@ -781,6 +782,7 @@ object SparkEntry {
     "sim_centroid_drift" -> Similarity.centroidDriftOracleSql,
     "text_chunk_delta" -> TextAnalysis.chunkDeltaOracleSql,
     "q_mannwhitney" -> operators.QuerySurface.mannWhitneyOracleSql,
+    "q_ks_test" -> operators.QuerySurface.ksTestOracleSql,
     "otel_apdex" -> OtelQueries.apdexOracleSql(),
     "text_bpe_merges" -> TextAnalysis.bpeMergesOracleSql,
   )

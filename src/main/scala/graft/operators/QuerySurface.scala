@@ -1632,6 +1632,90 @@ object QuerySurface {
        |  ${Tables.portableRound6Sql(MwZsqExprSql)} > $AbZsq AS significant
        |FROM u ORDER BY event_type""".stripMargin
 
+  // ---- two-sample Kolmogorov–Smirnov ---------------------------------------
+
+  /** D and the squared-critical-value rejection rule shared verbatim by
+    * Spark and the oracle. `d_num = sup |cum_a·nb − cum_b·na|` is exact
+    * integer; D = d_num/(na·nb); reject at 95% iff
+    * D > 1.358·√((na+nb)/(na·nb)), squared to stay √-free:
+    * d_num² > 1.358²·(na+nb)·na·nb (identical IEEE sequence over exact
+    * integers on both engines — d_num fits a double exactly, only the
+    * final square rounds, identically). */
+  private val KsDExprSql: String =
+    "CAST(d_num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"
+  private val KsRejectExprSql: String =
+    "(CAST(d_num AS DOUBLE) * CAST(d_num AS DOUBLE)) > " +
+      "(1.844964 * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) * " +
+      "CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"
+
+  /** KOLMOGOROV–SMIRNOV two-sample statistic per event_type between the
+    * even/odd-user cohorts — the continuous-distribution drift test
+    * (`q_tvd_drift` is its categorical sibling): D = sup_x |F_a(x) −
+    * F_b(x)|. Kept EXACTLY integral by cross-multiplying the ECDFs —
+    * `|cum_a·nb − cum_b·na|` maximized over distinct values is an integer
+    * numerator over the constant denominator `na·nb` — so the statistic,
+    * its 10⁻⁶-rounded quotient, and the squared-critical-value decision
+    * ([[KsRejectExprSql]]) are all hash-exact.
+    *
+    * Scale shape: identical to [[mannWhitney]] — one map-side-combined
+    * aggregate on (event_type, v_fp) collapses row scale to distinct-value
+    * scale, then cumulative and total sums over that frame via
+    * event_type-partitioned windows (never empty-key), then one aggregate
+    * per type. */
+  def ksTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val byValue = events(spark, sfDir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("v_fp"),
+        when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("is_a"))
+      .groupBy(col("event_type"), col("v_fp"))
+      .agg(sum(col("is_a")).as("na_v"),
+        (count(lit(1)) - sum(col("is_a"))).as("nb_v"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("v_fp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byValue
+      .withColumn("cum_a", sum(col("na_v")).over(wCum))
+      .withColumn("cum_b", sum(col("nb_v")).over(wCum))
+      .withColumn("na", sum(col("na_v")).over(wAll))
+      .withColumn("nb", sum(col("nb_v")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na")))
+          .as("d_num"))
+      .withColumn("d_stat", Tables.portableRound6(expr(KsDExprSql)))
+      .withColumn("reject", expr(KsRejectExprSql))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[ksTest]] — identical cross-multiplied ECDF algebra
+    * and shared D / rejection expression strings. */
+  def ksTestOracleSql: String =
+    s"""WITH v AS (
+       |  SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v_fp,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+       |    CAST(count(*) - sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb_v
+       |  FROM events GROUP BY 1, 2
+       |), c AS (
+       |  SELECT event_type,
+       |    sum(na_v) OVER (PARTITION BY event_type ORDER BY v_fp
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+       |    sum(nb_v) OVER (PARTITION BY event_type ORDER BY v_fp
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+       |    sum(na_v) OVER (PARTITION BY event_type) AS na,
+       |    sum(nb_v) OVER (PARTITION BY event_type) AS nb
+       |  FROM v
+       |), g AS (
+       |  SELECT event_type, CAST(max(na) AS BIGINT) AS na,
+       |    CAST(max(nb) AS BIGINT) AS nb,
+       |    CAST(max(abs(cum_a * nb - cum_b * na)) AS BIGINT) AS d_num
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT event_type, na, nb, d_num,
+       |  ${Tables.portableRound6Sql(KsDExprSql)} AS d_stat,
+       |  $KsRejectExprSql AS reject
+       |FROM g ORDER BY event_type""".stripMargin
+
   // ---- data-quality expectation checks ------------------------------------
 
   /** Data-quality expectation suite over the star schema — the

@@ -52,6 +52,40 @@ class Round9bOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_ks_test: plain-Scala ECDF sup recompute (cross-multiplied " +
+      "integer numerator, squared critical value)") {
+    val raw = Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(floor(value * 1000000) AS BIGINT)",
+        "user_id % 2 = 0")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val expected = raw.groupBy(_._1).map { case (et, xs) =>
+      val na = xs.count(_._3).toLong
+      val nb = xs.length - na
+      val byVal = xs.groupBy(_._2).view
+        .mapValues(g => (g.count(_._3).toLong, g.count(!_._3).toLong)).toMap
+      var (cumA, cumB, dNum) = (0L, 0L, 0L)
+      byVal.keys.toSeq.sorted.foreach { v =>
+        val (a, b) = byVal(v)
+        cumA += a; cumB += b
+        dNum = math.max(dNum, math.abs(cumA * nb - cumB * na))
+      }
+      val dStat = round6(dNum.toDouble / (na.toDouble * nb.toDouble))
+      val reject = dNum.toDouble * dNum.toDouble >
+        1.844964 * (na.toDouble + nb.toDouble) * na.toDouble * nb.toDouble
+      et -> ((na, nb, dNum, dStat, reject))
+    }
+    val out = QuerySurface.ksTest(spark, sf).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (na, nb, dNum, dStat, reject) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("na") == na && r.getAs[Long]("nb") == nb)
+      assert(r.getAs[Long]("d_num") == dNum)
+      assert(r.getAs[Double]("d_stat") == dStat)
+      assert(r.getAs[Boolean]("reject") == reject)
+    }
+  }
+
   test("otel_apdex: congruence recompute of trace totals, all three " +
       "classes populated, ppm algebra exact") {
     val n = 2000L
