@@ -272,6 +272,7 @@ object SparkEntry {
     "q_ks_test" -> (QuerySurface.ksTest _),
     "otel_apdex" -> ((s: SparkSession, d: String) => OtelQueries.apdex(s, d)),
     "text_bpe_merges" -> ((s: SparkSession, d: String) => TextAnalysis.bpeMerges(s, d)),
+    "text_bpe_encode" -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncode(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -785,5 +786,6 @@ object SparkEntry {
     "q_ks_test" -> operators.QuerySurface.ksTestOracleSql,
     "otel_apdex" -> OtelQueries.apdexOracleSql(),
     "text_bpe_merges" -> TextAnalysis.bpeMergesOracleSql,
+    "text_bpe_encode" -> TextAnalysis.bpeEncodeOracleSql,
   )
 }

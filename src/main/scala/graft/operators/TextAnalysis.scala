@@ -1480,6 +1480,107 @@ object TextAnalysis {
       .orderBy(col("kind"), col("step"), col("token"))
   }
 
+  /** TOKENIZE WITH THE LEARNED MERGES — the apply side of [[bpeMerges]]
+    * (train once, encode the corpus): every `[a-z]+` word occurrence is
+    * exploded, char-split, and pushed through the [[BpeMergeRounds]]
+    * learned merges (same two-pass space-guarded replace rule the trainer
+    * and the oracle use), then per-document symbol counts and the
+    * chars-per-symbol compression ratio come back from one aggregate.
+    * This is the pipeline's real token accounting: `n_symbols` is what a
+    * trained BPE tokenizer would bill the document at.
+    *
+    * Scale shape: the merge table is derived from the vocab-sized
+    * memoized dict ([[bpeWordDictTable]]) and broadcast as ONE 1-row
+    * frame of (pattern, replacement) pairs; the corpus-scale word frame
+    * is scanned ONCE, transformed map-only (chained codegen'd `replace`s,
+    * no shuffle), and aggregated back to doc keys — encode cost is one
+    * pass over the text regardless of merge count. */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    var cur = spark.read.parquet(bpeWordDictTable(spark, sfDir))
+      .select(rtrim(regexp_replace(col("word"), "([a-z])", "$1 ")).as("sym"),
+        col("freq"))
+    // re-run the trainer's argmax rounds over the memoized dict, folding
+    // each round's (pattern, replacement) into one 1-row broadcast frame
+    var mergeFrame: DataFrame = null
+    for (k <- 1 to BpeMergeRounds) {
+      val counts = cur
+        .select(explode(adjacentPairs(col("sym"))).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      val best = counts.orderBy(col("n").desc, col("pair")).limit(1)
+      val pat = best.select(
+        concat(lit(" "), col("pair"), lit(" ")).as(s"__pat$k"),
+        concat(lit(" "), expr("replace(pair, ' ', '')"), lit(" ")).as(s"__rep$k"))
+      mergeFrame = if (mergeFrame == null) pat else mergeFrame.crossJoin(pat)
+      cur = cur.crossJoin(broadcast(pat.select(col(s"__pat$k").as("__pat"),
+          col(s"__rep$k").as("__rep"))))
+        .withColumn("sym", expr("trim(replace(replace(concat(' ', sym, ' '), " +
+          "__pat, __rep), __pat, __rep))"))
+        .select(col("sym"), col("freq"))
+    }
+    val words = documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+    var enc = words
+      .crossJoin(broadcast(mergeFrame))
+      .withColumn("sym", rtrim(regexp_replace(col("word"), "([a-z])", "$1 ")))
+    for (k <- 1 to BpeMergeRounds)
+      enc = enc.withColumn("sym",
+        expr(s"trim(replace(replace(concat(' ', sym, ' '), __pat$k, __rep$k), " +
+          s"__pat$k, __rep$k))"))
+    enc
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_alpha_chars"),
+        sum(size(split(col("sym"), " ")).cast("long")).as("n_symbols"))
+      .withColumn("chars_per_symbol", Tables.portableRound6(
+        col("n_alpha_chars").cast("double") / col("n_symbols").cast("double")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[bpeEncode]] — the trainer CTE chain for the merge
+    * table, then the identical per-word replace chain and doc rollup. */
+  def bpeEncodeOracleSql: String = {
+    val rounds = (1 to BpeMergeRounds)
+      .map(k => bpeRoundSqlCtes(k, if (k == 1) "s0" else s"s${k - 1}"))
+      .mkString(",\n")
+    val encs = (1 to BpeMergeRounds).map { k =>
+      s"""e$k AS (
+         |  SELECT doc_id, word, trim(replace(replace(' ' || sym || ' ',
+         |      ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
+         |      ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '))
+         |    AS sym
+         |  FROM e${k - 1} CROSS JOIN best$k b
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents
+       |), dict AS (
+       |  SELECT word, count(*) AS freq FROM w GROUP BY 1
+       |), s0 AS (
+       |  SELECT rtrim(regexp_replace(word, '([a-z])', '\\1 ', 'g')) AS sym, freq
+       |  FROM dict
+       |),
+       |$rounds,
+       |dw AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents
+       |), e0 AS (
+       |  SELECT doc_id, word,
+       |    rtrim(regexp_replace(word, '([a-z])', '\\1 ', 'g')) AS sym
+       |  FROM dw
+       |),
+       |$encs
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(length(word)) AS BIGINT) AS n_alpha_chars,
+       |  CAST(sum(len(string_split(sym, ' '))) AS BIGINT) AS n_symbols,
+       |  ${Tables.portableRound6Sql(
+            "CAST(sum(length(word)) AS DOUBLE) / CAST(sum(len(string_split(sym, ' '))) AS DOUBLE)")}
+       |    AS chars_per_symbol
+       |FROM e$BpeMergeRounds
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** One merge round as DuckDB CTEs: pair counts over `$in`, argmax
     * `best$k`, merged dict `s$k` — the same two-pass space-guarded
     * replace as the Spark side. */

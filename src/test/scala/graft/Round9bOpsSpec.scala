@@ -165,4 +165,57 @@ class Round9bOpsSpec extends SparkTestBase {
     // >= 2 appears in the final top symbols
     assert(topSyms.exists(_._1.length >= 2))
   }
+
+  test("text_bpe_encode: per-doc symbol accounting matches a plain-Scala " +
+      "train-then-encode recompute") {
+    val wordRe = "[a-z]+".r
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        wordRe.findAllIn(r.getString(1).toLowerCase(java.util.Locale.ROOT)).toSeq))
+    // train: same trainer as the merges spec
+    val dict = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_._2.foreach(w => dict(w) = dict.getOrElse(w, 0L) + 1L))
+    var syms: Seq[(String, Long)] =
+      dict.toSeq.map { case (w, f) => (w.mkString(" "), f) }
+    var patterns = Seq.empty[(String, String)]
+    for (_ <- 1 to TextAnalysis.BpeMergeRounds) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      syms.foreach { case (s, f) =>
+        val t = s.split(" ")
+        (0 until t.length - 1).foreach { i =>
+          val p = s"${t(i)} ${t(i + 1)}"
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      val (bestPair, _) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      val pat = s" $bestPair "
+      val rep = s" ${bestPair.replace(" ", "")} "
+      patterns = patterns :+ ((pat, rep))
+      syms = syms.map { case (s, f) =>
+        (s" $s ".replace(pat, rep).replace(pat, rep).trim, f)
+      }
+    }
+    def encode(w: String): Int = {
+      var s = w.mkString(" ")
+      patterns.foreach { case (pat, rep) =>
+        s = s" $s ".replace(pat, rep).replace(pat, rep).trim
+      }
+      s.split(" ").length
+    }
+    val expected = docs.filter(_._2.nonEmpty).map { case (id, ws) =>
+      id -> ((ws.length.toLong, ws.map(_.length.toLong).sum,
+        ws.map(encode(_).toLong).sum))
+    }.toMap
+    val out = TextAnalysis.bpeEncode(spark, sf).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (nW, nCh, nSym) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_words") == nW)
+      assert(r.getAs[Long]("n_alpha_chars") == nCh)
+      assert(r.getAs[Long]("n_symbols") == nSym,
+        s"n_symbols for doc ${r.getAs[Long]("doc_id")}")
+      // merges can only shrink the char-level tokenization
+      assert(nSym <= nCh)
+    }
+  }
 }
