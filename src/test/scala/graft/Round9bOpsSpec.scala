@@ -218,4 +218,30 @@ class Round9bOpsSpec extends SparkTestBase {
       assert(nSym <= nCh)
     }
   }
+
+  test("rank-test gates window only under the event_type key — no " +
+      "empty-key window, no SinglePartition data funnel") {
+    for (df <- Seq(QuerySurface.mannWhitney(spark, sf),
+        QuerySurface.ksTest(spark, sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val windowLines = plan.split("\n").filter(_.contains("Window "))
+      assert(windowLines.nonEmpty, plan)
+      assert(windowLines.forall(_.contains("event_type")), plan)
+    }
+  }
+
+  test("text_bpe_encode: word/symbol strings never cross an exchange; " +
+      "all joins broadcast") {
+    val plan = TextAnalysis.bpeEncode(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the only shuffles carry doc-keyed partial counts (and the final
+    // orderBy's range exchange) — never the exploded word or symbol text
+    val exchanges = plan.split("\n").filter(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning"))
+    assert(exchanges.nonEmpty, plan)
+    assert(exchanges.forall(l => !l.contains("word") && !l.contains("sym")),
+      plan)
+  }
 }
