@@ -270,9 +270,11 @@ object SparkEntry {
     "text_chunk_delta" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDelta(s, d)),
     "q_mannwhitney" -> (QuerySurface.mannWhitney _),
     "q_ks_test" -> (QuerySurface.ksTest _),
+    "q_benford" -> (QuerySurface.benford _),
     "otel_apdex" -> ((s: SparkSession, d: String) => OtelQueries.apdex(s, d)),
     "text_bpe_merges" -> ((s: SparkSession, d: String) => TextAnalysis.bpeMerges(s, d)),
     "text_bpe_encode" -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncode(s, d)),
+    "text_cdc_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.cdcChunks(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -784,8 +786,10 @@ object SparkEntry {
     "text_chunk_delta" -> TextAnalysis.chunkDeltaOracleSql,
     "q_mannwhitney" -> operators.QuerySurface.mannWhitneyOracleSql,
     "q_ks_test" -> operators.QuerySurface.ksTestOracleSql,
+    "q_benford" -> operators.QuerySurface.benfordOracleSql,
     "otel_apdex" -> OtelQueries.apdexOracleSql(),
     "text_bpe_merges" -> TextAnalysis.bpeMergesOracleSql,
     "text_bpe_encode" -> TextAnalysis.bpeEncodeOracleSql,
+    "text_cdc_chunks" -> TextAnalysis.cdcChunksOracleSql,
   )
 }

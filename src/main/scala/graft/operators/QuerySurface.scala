@@ -1716,6 +1716,73 @@ object QuerySurface {
        |  $KsRejectExprSql AS reject
        |FROM g ORDER BY event_type""".stripMargin
 
+  // ---- Benford leading-digit audit -----------------------------------------
+
+  /** Benford expected frequencies `⌊log₁₀(1+1/d)·10⁶⌋` for d = 1..9,
+    * precomputed once so BOTH engines consume identical integer literals
+    * (log10 is not correctly-rounded libm — never evaluate it in-engine). */
+  val BenfordPpm: Seq[Long] =
+    (1 to 9).map(d => math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+
+  /** BENFORD'S-LAW leading-digit audit per event_type — the
+    * fraud/anomaly DQ primitive: observed leading-digit distribution of
+    * positive `value`s (in 10⁻² fixed point so sub-unit values keep their
+    * true leading digit) against the Benford expectation, emitted as
+    * per-digit integer ppm with the signed deviation. No chi² scalar —
+    * a cross-digit float sum would be association-ordered; the per-digit
+    * rows ARE the audit and stay hash-exact.
+    *
+    * Leading digit extraction is `substr(CAST(bigint AS string), 1, 1)` —
+    * integer-to-string never goes scientific on either engine, unlike
+    * double formatting.
+    *
+    * Scale shape: one narrow projection + one map-side-combined aggregate
+    * over ≤ |event_type|·9 keys; nothing else. */
+  def benford(spark: SparkSession, sfDir: String): DataFrame = {
+    val exp = typedLit(BenfordPpm)
+    events(spark, sfDir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents") >= 1L)
+      .withColumn("digit",
+        expr("CAST(substr(CAST(cents AS STRING), 1, 1) AS BIGINT)"))
+      .groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+      .withColumn("n_type",
+        sum(col("n_obs")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("obs_ppm", expr("n_obs * 1000000L div n_type"))
+      .withColumn("exp_ppm", element_at(exp, col("digit").cast("int")))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .select(col("event_type"), col("digit"), col("n_obs"), col("obs_ppm"),
+        col("exp_ppm"), col("dev_ppm"))
+      .orderBy(col("event_type"), col("digit"))
+  }
+
+  /** DuckDB twin of [[benford]] — same fixed point, digit rule, and the
+    * SAME precomputed expectation literals. */
+  def benfordOracleSql: String = {
+    val expList = BenfordPpm.mkString("[", ", ", "]")
+    s"""WITH c AS (
+       |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+       |  FROM events
+       |), d AS (
+       |  SELECT event_type,
+       |    CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM c WHERE cents >= 1
+       |), g AS (
+       |  SELECT event_type, digit, count(*) AS n_obs FROM d GROUP BY 1, 2
+       |), t AS (
+       |  SELECT event_type, digit, n_obs,
+       |    CAST(sum(n_obs) OVER (PARTITION BY event_type) AS BIGINT) AS n_type
+       |  FROM g
+       |)
+       |SELECT event_type, digit, n_obs,
+       |  n_obs * 1000000 // n_type AS obs_ppm,
+       |  CAST($expList[CAST(digit AS INT)] AS BIGINT) AS exp_ppm,
+       |  n_obs * 1000000 // n_type - $expList[CAST(digit AS INT)] AS dev_ppm
+       |FROM t ORDER BY event_type, digit""".stripMargin
+  }
+
   // ---- data-quality expectation checks ------------------------------------
 
   /** Data-quality expectation suite over the star schema — the

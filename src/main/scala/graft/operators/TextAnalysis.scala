@@ -1392,6 +1392,99 @@ object TextAnalysis {
        |SELECT status, count(*) AS n_chunks, count(DISTINCT d) AS n_docs
        |FROM j GROUP BY 1 ORDER BY status""".stripMargin
 
+  // ---- content-defined chunking --------------------------------------------
+
+  /** Rolling-window width (tokens) for [[cdcChunks]] boundary detection. */
+  val CdcWindow = 4
+  /** Boundary when the window hash ≡ 0 (mod [[CdcModulus]]) — ~32-token
+    * mean chunks. */
+  val CdcModulus = 32L
+
+  /** CONTENT-DEFINED CHUNKING — the insertion-robust complement of the
+    * fixed-stride [[chunking]] gate: chunk boundaries fall where the
+    * 63-bit md5 of the trailing [[CdcWindow]]-token window hits
+    * `0 mod` [[CdcModulus]], so an edit only reflows chunks up to the next
+    * content boundary instead of shifting every downstream chunk (the
+    * property storage dedup and incremental RAG re-indexing rely on).
+    * Chunks are identified by the md5 of their token text and audited
+    * corpus-wide: per document, the chunk count, token count, and how
+    * many of its chunks also occur elsewhere (`cnt > 1` on the 63-bit
+    * hash — the chunk-level dup signal).
+    *
+    * Scale shape: boundary flags are computed IN-ARRAY (one codegen map
+    * pass per doc — no cross-row state, CDC's window is intra-document by
+    * construction); the cumulative boundary→chunk-id sum is a doc_id-keyed
+    * window (never empty-key); chunk identity shuffles the 8-byte hash,
+    * never chunk text, and the dup join is hash-keyed ("never shuffle the
+    * text", the [[Dedup]] invariant). */
+  def cdcChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val base = documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val flags = transform(sequence(lit(1), size(col("w"))), i =>
+      when(i >= CdcWindow && pmod(PortableHash.md5Lower63Col(
+          concat_ws(" ", slice(col("w"), i - CdcWindow + 1, lit(CdcWindow)))),
+        lit(CdcModulus)) === 0L, 1L).otherwise(0L))
+    val ex = base.withColumn("f", flags)
+      .select(col("doc_id"), col("f"), posexplode(col("w")).as(Seq("pos", "tok")))
+      .withColumn("flag", element_at(col("f"), col("pos") + 1))
+      .drop("f")
+    val wCum = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = ex
+      .withColumn("chunk_idx", coalesce(sum(col("flag")).over(wCum), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_toks"),
+        PortableHash.md5Lower63Col(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s("tok")))).as("chunk_hash"))
+    val dup = chunks.groupBy(col("chunk_hash")).agg(count(lit(1)).as("cnt"))
+    chunks.join(dup, "chunk_hash")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("cnt") > 1L, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[cdcChunks]] — identical window hash, boundary
+    * congruence, and chunk identity. */
+  def cdcChunksOracleSql: String = {
+    val w = CdcWindow
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id, w, unnest(generate_series(1, n)) AS i FROM tk
+       |), fl AS (
+       |  SELECT doc_id, i, w[i] AS tok,
+       |    CASE WHEN i >= $w AND
+       |        (md5_number_lower(array_to_string(w[i - ${w - 1} : i], ' '))
+       |          & 9223372036854775807) % $CdcModulus = 0
+       |      THEN 1 ELSE 0 END AS flag
+       |  FROM p
+       |), cid AS (
+       |  SELECT doc_id, i, tok,
+       |    COALESCE(sum(flag) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+       |  FROM fl
+       |), ch AS (
+       |  SELECT doc_id, chunk_idx, count(*) AS n_toks,
+       |    CAST(md5_number_lower(string_agg(tok, ' ' ORDER BY i))
+       |      & 9223372036854775807 AS BIGINT) AS chunk_hash
+       |  FROM cid GROUP BY 1, 2
+       |), dup AS (
+       |  SELECT chunk_hash, count(*) AS cnt FROM ch GROUP BY 1
+       |)
+       |SELECT ch.doc_id, count(*) AS n_chunks,
+       |  CAST(sum(ch.n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN d.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_chunks
+       |FROM ch JOIN dup d USING (chunk_hash)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ---- BPE merge training --------------------------------------------------
 
   /** Merge rounds trained by [[bpeMerges]]. */

@@ -219,6 +219,104 @@ class Round9bOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_benford: plain-Scala recompute (cents leading digit, integer " +
+      "ppm vs precomputed expectation)") {
+    val raw = Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(floor(value * 100) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._2 >= 1L)
+    val expected = raw.groupBy(_._1).flatMap { case (et, xs) =>
+      val n = xs.length.toLong
+      xs.groupBy(t => t._2.toString.head.asDigit.toLong).map {
+        case (d, g) =>
+          val obs = g.length.toLong
+          val obsPpm = obs * 1000000L / n
+          val expPpm = QuerySurface.BenfordPpm(d.toInt - 1)
+          (et, d) -> ((obs, obsPpm, expPpm, obsPpm - expPpm))
+      }
+    }
+    val out = QuerySurface.benford(spark, sf).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (obs, obsPpm, expPpm, dev) =
+        expected((r.getAs[String]("event_type"), r.getAs[Long]("digit")))
+      assert(r.getAs[Long]("n_obs") == obs)
+      assert(r.getAs[Long]("obs_ppm") == obsPpm)
+      assert(r.getAs[Long]("exp_ppm") == expPpm)
+      assert(r.getAs[Long]("dev_ppm") == dev)
+    }
+    // the expectation literals are the Benford distribution: monotone
+    // decreasing, summing to ~10^6
+    assert(QuerySurface.BenfordPpm.zip(QuerySurface.BenfordPpm.tail)
+      .forall { case (a, b) => a > b })
+    assert(math.abs(QuerySurface.BenfordPpm.sum - 1000000L) <= 9)
+  }
+
+  /** Plain-Scala CDC: returns the chunk token-lists of a token sequence
+    * under the gate's window-hash boundary rule. */
+  private def cdcOf(toks: Seq[String]): Seq[Seq[String]] = {
+    val w = TextAnalysis.CdcWindow
+    val flags = toks.indices.map { i0 =>
+      val i = i0 + 1
+      i >= w && graft.functions.PortableHash.md5Lower63(
+        toks.slice(i - w, i).mkString(" ")) % TextAnalysis.CdcModulus == 0L
+    }
+    val out = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[String])
+    toks.indices.foreach { i =>
+      out.last += toks(i)
+      if (flags(i) && i < toks.length - 1)
+        out += scala.collection.mutable.ArrayBuffer.empty[String]
+    }
+    out.map(_.toSeq).toSeq
+  }
+
+  test("text_cdc_chunks: plain-Scala recompute of the per-doc census " +
+      "and the corpus-wide dup counts") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val chunks = docs.flatMap { case (id, toks) =>
+      cdcOf(toks).map(c => (id, graft.functions.PortableHash.md5Lower63(
+        c.mkString(" ")), c.length.toLong))
+    }
+    val dupCnt = chunks.groupBy(_._2).view.mapValues(_.length).toMap
+    val expected = chunks.groupBy(_._1).view.mapValues { cs =>
+      (cs.length.toLong, cs.map(_._3).sum,
+        cs.count(c => dupCnt(c._2) > 1).toLong)
+    }.toMap
+    val out = TextAnalysis.cdcChunks(spark, sf).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (nC, nT, nD) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_chunks") == nC,
+        s"n_chunks for doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("n_tokens") == nT)
+      assert(r.getAs[Long]("n_dup_chunks") == nD)
+    }
+    // the boundary rule must actually fire on this corpus
+    assert(out.exists(_.getAs[Long]("n_chunks") > 1L))
+  }
+
+  test("CDC edit-locality: inserting a token reflows only chunks up to " +
+      "the next content boundary (fixed-stride chunking shifts them all)") {
+    val doc = Tables.documents(spark, sf)
+      .selectExpr("text", "length(text) AS l", "doc_id")
+      .orderBy(org.apache.spark.sql.functions.col("l").desc,
+        org.apache.spark.sql.functions.col("doc_id"))
+      .limit(1).collect()(0).getString(0)
+    val toks = doc.split(" ", -1).toSeq
+    assume(toks.length > 40)
+    val edited = toks.head +: "zznew" +: toks.tail
+    val orig = cdcOf(toks).map(_.mkString(" "))
+    val post = cdcOf(edited).map(_.mkString(" "))
+    assume(orig.length > 2)
+    // every original chunk except a bounded prefix survives verbatim
+    val survivors = orig.toSet.intersect(post.toSet)
+    assert(survivors.nonEmpty, "an early edit must not reflow every chunk")
+    assert(orig.drop(2).forall(survivors.contains),
+      "chunks past the first boundary after the edit must be unchanged")
+  }
+
   test("rank-test gates window only under the event_type key — no " +
       "empty-key window, no SinglePartition data funnel") {
     for (df <- Seq(QuerySurface.mannWhitney(spark, sf),
