@@ -1419,25 +1419,43 @@ object TextAnalysis {
     * text", the [[Dedup]] invariant). */
   def cdcChunks(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.PortableHash
-    val base = documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-    val flags = transform(sequence(lit(1), size(col("w"))), i =>
-      when(i >= CdcWindow && pmod(PortableHash.md5Lower63Col(
+    val n = size(col("w"))
+    // boundary positions, chunk extents, and chunk hashes all IN-ARRAY —
+    // the token text never leaves the map task (the first cut of this
+    // gate exploded tokens and shuffled them through a window + group
+    // pass: 8.0× at 10× data and text on the wire; this form is one
+    // codegen pass and explodes only (n_toks, hash) pairs)
+    val bounds = filter(sequence(lit(1), n), i =>
+      i < n && i >= CdcWindow && pmod(PortableHash.md5Lower63Col(
           concat_ws(" ", slice(col("w"), i - CdcWindow + 1, lit(CdcWindow)))),
-        lit(CdcModulus)) === 0L, 1L).otherwise(0L))
-    val ex = base.withColumn("f", flags)
-      .select(col("doc_id"), col("f"), posexplode(col("w")).as(Seq("pos", "tok")))
-      .withColumn("flag", element_at(col("f"), col("pos") + 1))
-      .drop("f")
-    val wCum = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = ex
-      .withColumn("chunk_idx", coalesce(sum(col("flag")).over(wCum), lit(0L)))
-      .groupBy(col("doc_id"), col("chunk_idx"))
-      .agg(count(lit(1)).as("n_toks"),
-        PortableHash.md5Lower63Col(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-            s => s("tok")))).as("chunk_hash"))
+        lit(CdcModulus)) === 0L)
+    // bind the boundary array ONCE as a lambda variable (transform over a
+    // 1-element array = expression-level let): referencing it as a plain
+    // projected column lets CollapseProject inline the whole per-token md5
+    // array at every use site — measured 1.5× slower at sf1
+    val chunkStructs = transform(array(bounds), b =>
+      transform(sequence(lit(1), size(b) + 1), j => {
+        val s = when(j === 1, lit(1)).otherwise(element_at(b, j - 1) + 1)
+        val e = when(j <= size(b), element_at(b, j)).otherwise(n)
+        struct((e - s + lit(1)).cast("long").as("n_toks"),
+          PortableHash.md5Lower63Col(
+            concat_ws(" ", slice(col("w"), s, e - s + lit(1)))).as("h"))
+      })).getItem(0)
+    val chunks = documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      // one doc_id repartition BEFORE the per-token hashing: the corpus is
+      // a single parquet row group here (unsplittable — the gzip problem),
+      // and this gate does O(tokens) md5 work per doc, so without the
+      // spread the whole map pass runs on ONE core (measured 75 s at sf1;
+      // 15 s spread). The exchange carries (doc_id, text) once — the
+      // standard remedy for CPU-heavy stages over few-split inputs. A
+      // fleet-scale corpus written in many splits would drop this line and
+      // let scan parallelism do it.
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(chunkStructs).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("c.n_toks").as("n_toks"), col("c.h").as("chunk_hash"))
     val dup = chunks.groupBy(col("chunk_hash")).agg(count(lit(1)).as("cnt"))
     chunks.join(dup, "chunk_hash")
       .groupBy(col("doc_id"))
