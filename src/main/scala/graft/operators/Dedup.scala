@@ -110,7 +110,11 @@ object Dedup {
   }
 
   def docShingleHashes(spark: SparkSession, sfDir: String): DataFrame =
-    documents(spark, sfDir)
+    // spread before hashing: every LSH/Jaccard/cross gate funnels through
+    // this map pass, and the corpus scan is a single unsplittable row
+    // group locally (Tables.spreadIfNarrow) — without it the whole
+    // signature derivation runs as one task
+    Tables.spreadIfNarrow(documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), shingleHashUdf(split(col("text"), " ")).as("shh"))
 
   /** Exact dedup: canonical-row selection per identical text. Groups on
@@ -392,7 +396,7 @@ object Dedup {
         * for; on the same-vocab synthetic corpus the pair count explodes
         * combinatorially past ~3 (all docs share a token distribution). */
       maxHamming: Int = 3): DataFrame = {
-    val docs = documents(spark, sfDir)
+    val docs = Tables.spreadIfNarrow(documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), simhashCol(col("text")).as("simhash"))
     val banded = docs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
@@ -1146,7 +1150,7 @@ object Dedup {
     * which need the doc-frequency cap for the same corpus shape).
     */
   def passageDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = documents(spark, sfDir)
+    val docs = Tables.spreadIfNarrow(documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= PassageTokens) // sequence(0, n<0) would step backwards
     val passages = docs.select(

@@ -49,6 +49,24 @@ object Tables {
         df.withColumn(c, col(c).cast("timestamp"))
       case _ => df
     }
+  /** Redistribute a NARROW-SPLIT scan before CPU-heavy per-row work. The
+    * testdata corpora are single-row-group parquet files — unsplittable
+    * (the gzip problem) — so a heavy map pass (per-shingle/per-token
+    * hashing) otherwise runs as ONE task no matter how many cores exist:
+    * measured 75 s → 15 s on `text_cdc_chunks` at sf1. No-op whenever the
+    * frame already carries at least the session's parallelism in
+    * partitions — a fleet-scale corpus written in thousands of splits
+    * takes that branch and never pays the exchange. The exchange keys on
+    * `key` (doc_id), so the "exchange keys are never text" invariant the
+    * dedup plans assert is preserved: text rides as DATA through this one
+    * deliberate redistribution, exactly like a production re-spread of
+    * unsplittable inputs. */
+  def spreadIfNarrow(df: DataFrame, key: Column): DataFrame = {
+    val have = df.rdd.getNumPartitions
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (have < want) df.repartition(key) else df
+  }
+
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")

@@ -1441,17 +1441,12 @@ object TextAnalysis {
           PortableHash.md5Lower63Col(
             concat_ws(" ", slice(col("w"), s, e - s + lit(1)))).as("h"))
       })).getItem(0)
-    val chunks = documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      // one doc_id repartition BEFORE the per-token hashing: the corpus is
-      // a single parquet row group here (unsplittable — the gzip problem),
-      // and this gate does O(tokens) md5 work per doc, so without the
-      // spread the whole map pass runs on ONE core (measured 75 s at sf1;
-      // 15 s spread). The exchange carries (doc_id, text) once — the
-      // standard remedy for CPU-heavy stages over few-split inputs. A
-      // fleet-scale corpus written in many splits would drop this line and
-      // let scan parallelism do it.
-      .repartition(col("doc_id"))
+    // spread before the per-token hashing (Tables.spreadIfNarrow): this
+    // gate does O(tokens) md5 work per doc and the local corpus is one
+    // unsplittable row group — measured 75 s → 15 s at sf1
+    val chunks = Tables.spreadIfNarrow(
+        documents(spark, sfDir).select(col("doc_id"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), posexplode(chunkStructs).as(Seq("chunk_idx", "c")))
       .select(col("doc_id"), col("chunk_idx"),
