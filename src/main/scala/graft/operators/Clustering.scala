@@ -42,7 +42,7 @@ object Clustering {
     * assign+update rounds. */
   def kmeans(spark: SparkSession, sfDir: String, k: Int = 8,
       iters: Int = 3): DataFrame = {
-    val e = embeddings(spark, sfDir)
+    val e = Tables.spreadIfNarrow(embeddings(spark, sfDir), col("vec_id"))
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .persist()
     val centroids = fit(e, k, iters)

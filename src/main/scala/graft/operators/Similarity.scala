@@ -43,7 +43,11 @@ object Similarity {
     * in portableRound6 maps NaN→0, DuckDB keeps NaN and compares it greatest)
     * — filtering at the source removes the divergent path on both sides. */
   private def withVec(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("label"),
+    // spread the single-row-group embeddings scan (Tables.spreadIfNarrow)
+    // before the per-vector arithmetic: the iterative consumers (k-means
+    // fits, banded self-joins) otherwise run every cached scan as ONE task
+    Tables.spreadIfNarrow(df, col("vec_id"))
+      .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .filter(col("nrm") > 0 && !isnan(col("nrm"))) // NaN compares greatest on BOTH engines — exclude explicitly
@@ -941,7 +945,7 @@ object Similarity {
   def annPq(spark: SparkSession, sfDir: String, k: Int = 5,
       nQueries: Int = 8): DataFrame = {
     import spark.implicits._
-    val e = embeddings(spark, sfDir)
+    val e = Tables.spreadIfNarrow(embeddings(spark, sfDir), col("vec_id"))
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .persist()
