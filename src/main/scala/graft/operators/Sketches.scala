@@ -933,7 +933,10 @@ object Sketches {
     * one ×[[CmsDepth]] row-explode into the grid), then a broadcast join
     * of the 20-row candidate set against the 768-row grid. */
   def cmsTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = lineitem(spark, sfDir).select(col("l_partkey"))
+    // the ×depth explode + per-cell bucketing is the gate's CPU; spread
+    // the (few-split) scan first — only the 8-byte key column travels
+    val li = Tables.spreadIfNarrow(
+      lineitem(spark, sfDir).select(col("l_partkey")), col("l_partkey"))
     val exact = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("l_partkey"))
       .limit(CmsTopK)

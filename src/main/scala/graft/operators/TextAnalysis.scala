@@ -651,7 +651,7 @@ object TextAnalysis {
     */
   def lmScore(spark: SparkSession, sfDir: String,
       broadcastVocabLimit: Long = 2000000L): DataFrame = {
-    val toks = documents(spark, sfDir)
+    val toks = Tables.spreadIfNarrow(documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
     val bi = toks.filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
