@@ -1418,37 +1418,22 @@ object TextAnalysis {
     * never chunk text, and the dup join is hash-keyed ("never shuffle the
     * text", the [[Dedup]] invariant). */
   def cdcChunks(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.PortableHash
-    val n = size(col("w"))
-    // boundary positions, chunk extents, and chunk hashes all IN-ARRAY —
-    // the token text never leaves the map task (the first cut of this
-    // gate exploded tokens and shuffled them through a window + group
-    // pass: 8.0× at 10× data and text on the wire; this form is one
-    // codegen pass and explodes only (n_toks, hash) pairs)
-    val bounds = filter(sequence(lit(1), n), i =>
-      i < n && i >= CdcWindow && pmod(PortableHash.md5Lower63Col(
-          concat_ws(" ", slice(col("w"), i - CdcWindow + 1, lit(CdcWindow)))),
-        lit(CdcModulus)) === 0L)
-    // bind the boundary array ONCE as a lambda variable (transform over a
-    // 1-element array = expression-level let): referencing it as a plain
-    // projected column lets CollapseProject inline the whole per-token md5
-    // array at every use site — measured 1.5× slower at sf1
-    val chunkStructs = transform(array(bounds), b =>
-      transform(sequence(lit(1), size(b) + 1), j => {
-        val s = when(j === 1, lit(1)).otherwise(element_at(b, j - 1) + 1)
-        val e = when(j <= size(b), element_at(b, j)).otherwise(n)
-        struct((e - s + lit(1)).cast("long").as("n_toks"),
-          PortableHash.md5Lower63Col(
-            concat_ws(" ", slice(col("w"), s, e - s + lit(1)))).as("h"))
-      })).getItem(0)
-    // spread before the per-token hashing (Tables.spreadIfNarrow): this
-    // gate does O(tokens) md5 work per doc and the local corpus is one
-    // unsplittable row group — measured 75 s → 15 s at sf1
+    // chunk derivation is ONE native codegen'd pass over the token array
+    // (graft.functions.CdcChunksExpr — boundary windows, chunk extents,
+    // and 63-bit chunk identities computed digest-bytes-to-long; the
+    // earlier builtin md5/substr/conv composition paid a hex round-trip
+    // per window and was the slowest gate on the bench at 8.3 s). The
+    // token text never leaves the map task — only (n_toks, hash) structs
+    // explode. spreadIfNarrow first: O(tokens) digest work per doc over a
+    // single unsplittable row group otherwise runs as one task (75 s →
+    // 15 s at sf1 even for the column form).
     val chunks = Tables.spreadIfNarrow(
         documents(spark, sfDir).select(col("doc_id"), col("text")),
         col("doc_id"))
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), posexplode(chunkStructs).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"),
+        posexplode(graft.functions.CdcExpressions.cdcChunks(
+          split(col("text"), " "), CdcWindow, CdcModulus))
+          .as(Seq("chunk_idx", "c")))
       .select(col("doc_id"), col("chunk_idx"),
         col("c.n_toks").as("n_toks"), col("c.h").as("chunk_hash"))
     val dup = chunks.groupBy(col("chunk_hash")).agg(count(lit(1)).as("cnt"))
