@@ -275,6 +275,11 @@ object SparkEntry {
     "text_bpe_merges" -> ((s: SparkSession, d: String) => TextAnalysis.bpeMerges(s, d)),
     "text_bpe_encode" -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncode(s, d)),
     "text_cdc_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.cdcChunks(s, d)),
+    "q_acf" -> (QuerySurface.acf _),
+    "q_ols" -> (QuerySurface.ols _),
+    "q_mad_outliers" -> (QuerySurface.madOutliers _),
+    "otel_root_cause" -> ((s: SparkSession, d: String) => OtelQueries.errorRootCause(s, d)),
+    "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.shingleContainment(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -791,5 +796,10 @@ object SparkEntry {
     "text_bpe_merges" -> TextAnalysis.bpeMergesOracleSql,
     "text_bpe_encode" -> TextAnalysis.bpeEncodeOracleSql,
     "text_cdc_chunks" -> TextAnalysis.cdcChunksOracleSql,
+    "q_acf" -> operators.QuerySurface.acfOracleSql,
+    "q_ols" -> operators.QuerySurface.olsOracleSql,
+    "q_mad_outliers" -> operators.QuerySurface.madOutliersOracleSql,
+    "otel_root_cause" -> OtelQueries.errorRootCauseOracleSql(),
+    "dedup_containment" -> operators.Dedup.shingleContainmentOracleSql(),
   )
 }

@@ -225,6 +225,95 @@ object Dedup {
        |WHERE c / (sa.n + sb.n - c) >= $threshold
        |ORDER BY id1, id2""".stripMargin
 
+  // ---- shingle containment (near-subset detection) ----
+
+  /** SHINGLE CONTAINMENT — the asymmetric sibling of
+    * [[ngramJaccardCapped]]: `C(A→B) = |S(A)∩S(B)| / |S(A)|` flags A as a
+    * NEAR-SUBSET of B (quote inflation, page-of-a-larger-doc, boilerplate
+    * wrapping), which symmetric Jaccard misses whenever B is much larger
+    * than A — exactly the duplication mode symmetric dedup leaves in a
+    * training corpus (Broder's containment, the resemblance/containment
+    * pair from the original shingling paper). Emits the DIRECTED pairs
+    * with `c·10 ≥ 8·n_sub` (containment ≥ 0.8 decided in exact integers)
+    * and `n_sub < n_super` (strictly-smaller side is the contained one);
+    * the reported value is the shared 10⁻⁶-rounded quotient.
+    *
+    * Scale shape identical to the capped Jaccard: the doc-frequency cap
+    * broadcasts, the self-join keys on 8-byte shingle hashes (never text),
+    * and both directions of each undirected intersection row are derived
+    * by a union AFTER the join — the join itself still prunes half the
+    * pair space via `doc_id <`. */
+  def shingleContainment(spark: SparkSession, sfDir: String,
+      maxDocFreq: Long = 20L): DataFrame = {
+    val (out, sh) = shingleContainmentFrame(spark, sfDir, maxDocFreq)
+    materializeAndRelease(out, sh).orderBy(col("id_sub"), col("id_super"))
+  }
+
+  /** The lazy containment pipeline + its persisted shingle frame, split out
+    * so PlanSpec can assert the exchange shapes BEFORE materialization
+    * collapses the plan to an ExistingRDD. */
+  private[graft] def shingleContainmentFrame(spark: SparkSession, sfDir: String,
+      maxDocFreq: Long = 20L): (DataFrame, DataFrame) = {
+    val sh = docShingleHashes(spark, sfDir).persist()
+    val ex = sh.select(col("doc_id"), explode(col("shh")).as("h"))
+    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select(col("h"))
+    val kept = ex.join(broadcast(hot), Seq("h"), "left_anti")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("c"))
+    val directed = inter.select(col("id1").as("id_sub"), col("id2").as("id_super"), col("c"))
+      .union(inter.select(col("id2").as("id_sub"), col("id1").as("id_super"), col("c")))
+    val out = directed
+      .join(sizes.as("sa"), col("id_sub") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_super") === col("sb.doc_id"))
+      .filter(col("c") * 10L >= col("sa.n") * 8L && col("sa.n") < col("sb.n"))
+      .select(col("id_sub"), col("id_super"),
+        col("sa.n").as("n_sub"), col("sb.n").as("n_super"), col("c"),
+        graft.operators.Tables.portableRound6(
+          col("c").cast("double") / col("sa.n").cast("double"))
+          .as("containment"))
+    (out, sh)
+  }
+
+  /** DuckDB twin of [[shingleContainment]] — identical cap, integer
+    * threshold, and direction rule. */
+  def shingleContainmentOracleSql(maxDocFreq: Long = 20L): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       |  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+       |), hs AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(md5_number_lower(shingle) & 9223372036854775807 AS BIGINT) AS h
+       |  FROM sh
+       |), hot AS (
+       |  SELECT h FROM hs GROUP BY h HAVING count(*) > $maxDocFreq
+       |), kept AS (
+       |  SELECT doc_id, h FROM hs WHERE h NOT IN (SELECT h FROM hot)
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+       |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), directed AS (
+       |  SELECT id1 AS id_sub, id2 AS id_super, c FROM inter
+       |  UNION ALL
+       |  SELECT id2 AS id_sub, id1 AS id_super, c FROM inter
+       |)
+       |SELECT id_sub, id_super, sa.n AS n_sub, sb.n AS n_super, c,
+       |  ${graft.operators.Tables.portableRound6Sql(
+             "CAST(c AS DOUBLE) / CAST(sa.n AS DOUBLE)")} AS containment
+       |FROM directed
+       |JOIN sizes sa ON id_sub = sa.doc_id
+       |JOIN sizes sb ON id_super = sb.doc_id
+       |WHERE c * 10 >= sa.n * 8 AND sa.n < sb.n
+       |ORDER BY id_sub, id_super""".stripMargin
+
   // ---- MinHash + LSH ----
 
   private val NumPerms = graft.functions.MinhashSig.NumPerms

@@ -1298,4 +1298,70 @@ object OtelQueries {
             "CAST(sum(CASE WHEN is_err THEN 1 ELSE 0 END) AS DOUBLE) / max(cnt)")}
        |    AS err_rate
        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- error root-cause attribution ---------------------------------------
+
+  /** Heap depth of `span_idx` in the binary-heap layout of
+    * [[graft.TestDataGen.spanTrees]] (indices 0..14 → depths 0..3), shared
+    * verbatim with the oracle so attribution tie-breaks agree bit-for-bit. */
+  private val SpanDepthCaseSql: String =
+    "CASE WHEN span_idx = 0 THEN 0 WHEN span_idx <= 2 THEN 1 " +
+      "WHEN span_idx <= 6 THEN 2 ELSE 3 END"
+
+  /** ERROR ROOT-CAUSE ATTRIBUTION — for every trace containing at least one
+    * error span, attribute the trace to its DEEPEST erroring span (ties →
+    * larger span_idx): the span an on-call engineer should open first,
+    * because in a propagating failure the deepest error is the origin and
+    * the ancestors' errors are echoes. Aggregated per (service, span_name)
+    * with the trace count, the total error-span count those traces carried
+    * (echo volume), and the attributed spans' summed duration.
+    *
+    * Spark-first shape: one filter to the ~2.7% error subset, ONE
+    * `trace_id`-keyed window picking the argmax span (row_number over
+    * (depth, span_idx) desc — never empty-key; co-partitioned with every
+    * other trace-level gate, exchange-free on a trace-bucketed table), then
+    * a map-side-combined aggregate over |services|·|ops| keys. At 100 TB
+    * the window input is only the error subset — the filter cuts 97% of
+    * rows before the shuffle. */
+  def errorRootCause(spark: SparkSession, sfDirIgnored: String,
+      n: Long = 2000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val errs = enrichedSpans(spark, n)
+      .filter(col("is_err"))
+      .withColumn("depth", expr(SpanDepthCaseSql))
+    val w = Window.partitionBy(col("trace_id"))
+      .orderBy(col("depth").desc, col("span_idx").desc)
+    val wAll = Window.partitionBy(col("trace_id"))
+    errs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_err", count(lit(1)).over(wAll))
+      .filter(col("rn") === 1)
+      .groupBy(col("svc"), col("span_name"))
+      .agg(count(lit(1)).as("n_traces"),
+        sum(col("n_err")).as("n_err_spans"),
+        sum(col("duration_ns")).as("dur_ns_total"),
+        sum(col("depth").cast("long")).as("depth_total"))
+      .orderBy(col("svc"), col("span_name"))
+  }
+
+  /** DuckDB twin of [[errorRootCause]] — identical error rule, shared depth
+    * CASE, and the same argmax tie-break. */
+  def errorRootCauseOracleSql(n: Long = 2000L): String =
+    s"""WITH ${graft.TestDataGen.spanTreesSqlCte(n)},
+       |$enrichedSpansSqlCte,
+       |e AS (
+       |  SELECT *, $SpanDepthCaseSql AS depth FROM espan WHERE is_err
+       |), r AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY trace_id
+       |      ORDER BY depth DESC, span_idx DESC) AS rn,
+       |    count(*) OVER (PARTITION BY trace_id) AS n_err
+       |  FROM e
+       |)
+       |SELECT svc, span_name, count(*) AS n_traces,
+       |  CAST(sum(n_err) AS BIGINT) AS n_err_spans,
+       |  CAST(sum(duration_ns) AS BIGINT) AS dur_ns_total,
+       |  CAST(sum(depth) AS BIGINT) AS depth_total
+       |FROM r WHERE rn = 1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

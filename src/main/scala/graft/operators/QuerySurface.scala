@@ -2662,4 +2662,244 @@ object QuerySurface {
        |  ${Tables.portableRound6Sql("CAST(d.n AS DOUBLE) - p.dow_avg")} AS residual
        |FROM d JOIN p ON d.event_type = p.event_type AND d.dow = p.dow
        |ORDER BY d.event_type, d.day""".stripMargin
+
+  // ---- autocorrelation function ---------------------------------------------
+
+  /** Pearson ACF numerator/denominator shared verbatim with the oracle:
+    * every Σ is an exact BIGINT over hourly counts, so `num` is exact; the
+    * denominators are products of exact ints evaluated in DOUBLE (identical
+    * IEEE sequence on both engines), and `sqrt` is correctly rounded by
+    * IEEE-754, so the final quotient is bit-identical before the shared
+    * 10⁻⁶ rounding. */
+  private val AcfRExprSql: String =
+    "CAST(num AS DOUBLE) / sqrt(" +
+      "(CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+      "(CAST(np AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+
+  /** AUTOCORRELATION of each event-type's hourly count series at lags 1-3 —
+    * the "does this metric have memory?" screen an anomaly detector or
+    * forecaster runs before choosing a model (a flat ACF says thresholds
+    * suffice; a slow-decaying one says seasonal/trended). Computed as the
+    * Pearson correlation between the series and its lag-k shift over the
+    * hours where both exist, with every sum exact integer ([[AcfRExprSql]]).
+    *
+    * Scale shape: ONE map-side-combined aggregate collapses row scale to
+    * (type, hour) scale — everything after runs on the tiny count frame: a
+    * 3-row lag explode, an equi-join on (type, hour+lag), one aggregate per
+    * (type, lag). At 100 TB the only big-data pass is the first count. */
+  def acf(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val lagged = counts.select(col("event_type"), col("h"), col("cnt"),
+      explode(expr("array(1L, 2L, 3L)")).as("lag"))
+    lagged.as("a")
+      .join(counts.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.h") + col("a.lag") === col("b.h"))
+      .groupBy(col("a.event_type").as("event_type"), col("a.lag").as("lag"))
+      .agg(count(lit(1)).as("np"),
+        sum(col("a.cnt")).as("sx"), sum(col("b.cnt")).as("sy"),
+        sum(col("a.cnt") * col("a.cnt")).as("sxx"),
+        sum(col("b.cnt") * col("b.cnt")).as("syy"),
+        sum(col("a.cnt") * col("b.cnt")).as("sxy"))
+      .withColumn("num", col("np") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("acf", Tables.portableRound6(expr(AcfRExprSql)))
+      .select(col("event_type"), col("lag"), col("np"), col("num"), col("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** DuckDB twin of [[acf]] — identical integer sums and shared r
+    * expression string. */
+  def acfOracleSql: String =
+    s"""WITH c AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2
+       |), p AS (
+       |  SELECT a.event_type, l.lag, a.cnt AS xa, b.cnt AS xb
+       |  FROM c a CROSS JOIN (VALUES (1), (2), (3)) l(lag)
+       |  JOIN c b ON a.event_type = b.event_type AND a.h + l.lag = b.h
+       |), g AS (
+       |  SELECT event_type, CAST(lag AS BIGINT) AS lag,
+       |    count(*) AS np,
+       |    CAST(sum(xa) AS BIGINT) AS sx, CAST(sum(xb) AS BIGINT) AS sy,
+       |    CAST(sum(xa * xa) AS BIGINT) AS sxx,
+       |    CAST(sum(xb * xb) AS BIGINT) AS syy,
+       |    CAST(sum(xa * xb) AS BIGINT) AS sxy
+       |  FROM p GROUP BY 1, 2
+       |), n AS (
+       |  SELECT *, np * sxy - sx * sy AS num FROM g
+       |)
+       |SELECT event_type, lag, np, num,
+       |  ${Tables.portableRound6Sql(AcfRExprSql)} AS acf
+       |FROM n ORDER BY event_type, lag""".stripMargin
+
+  // ---- multi-feature OLS via normal equations -------------------------------
+
+  /** Cramer-rule determinants for the 3×3 normal equations of
+    * `y ~ b0 + b1·x1 + b2·x2`, shared verbatim with the oracle. Inputs are
+    * exact BIGINT sums; the determinant arithmetic runs in DOUBLE because
+    * triple products overflow BIGINT — but as a fixed expression tree over
+    * identical ints it is the same IEEE sequence on both engines. */
+  private def olsD(s: String) = s"CAST($s AS DOUBLE)"
+  private val OlsDetSql: String =
+    s"(${olsD("n")} * (${olsD("s11")} * ${olsD("s22")} - ${olsD("s12")} * ${olsD("s12")}) - " +
+      s"${olsD("s1")} * (${olsD("s1")} * ${olsD("s22")} - ${olsD("s12")} * ${olsD("s2")}) + " +
+      s"${olsD("s2")} * (${olsD("s1")} * ${olsD("s12")} - ${olsD("s11")} * ${olsD("s2")}))"
+  private val OlsDet0Sql: String =
+    s"(${olsD("sy")} * (${olsD("s11")} * ${olsD("s22")} - ${olsD("s12")} * ${olsD("s12")}) - " +
+      s"${olsD("s1")} * (${olsD("s1y")} * ${olsD("s22")} - ${olsD("s12")} * ${olsD("s2y")}) + " +
+      s"${olsD("s2")} * (${olsD("s1y")} * ${olsD("s12")} - ${olsD("s11")} * ${olsD("s2y")}))"
+  private val OlsDet1Sql: String =
+    s"(${olsD("n")} * (${olsD("s1y")} * ${olsD("s22")} - ${olsD("s2y")} * ${olsD("s12")}) - " +
+      s"${olsD("sy")} * (${olsD("s1")} * ${olsD("s22")} - ${olsD("s12")} * ${olsD("s2")}) + " +
+      s"${olsD("s2")} * (${olsD("s1")} * ${olsD("s2y")} - ${olsD("s1y")} * ${olsD("s2")}))"
+  private val OlsDet2Sql: String =
+    s"(${olsD("n")} * (${olsD("s11")} * ${olsD("s2y")} - ${olsD("s12")} * ${olsD("s1y")}) - " +
+      s"${olsD("s1")} * (${olsD("s1")} * ${olsD("s2y")} - ${olsD("s1y")} * ${olsD("s2")}) + " +
+      s"${olsD("sy")} * (${olsD("s1")} * ${olsD("s12")} - ${olsD("s11")} * ${olsD("s2")}))"
+
+  /** MULTI-FEATURE OLS fit per event_type — `value ~ b0 + b1·hour_of_day +
+    * b2·day_of_week` solved in closed form from the normal equations (the
+    * `q_trend` single-feature gate's big sibling; the "is there a daily or
+    * weekly level shift?" screen run before detrending). The target is the
+    * 10⁻⁶ fixed-point of `value` so all nine sufficient statistics are
+    * exact BIGINTs; the 3×3 Cramer solve ([[OlsDetSql]]) is a shared
+    * DOUBLE expression.
+    *
+    * Scale shape: the entire computation is ONE map-side-combined aggregate
+    * per event_type — nine integer sums; at 100 TB it is a single scan with
+    * a |types|-row shuffle, the cheapest possible distributed regression
+    * (the same sufficient-statistics shape a tree-aggregated
+    * `LinearRegression.fit` uses, without the driver round-trips). */
+  def ols(spark: SparkSession, sfDir: String): DataFrame = {
+    events(spark, sfDir)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("x1"),
+        expr("((unix_micros(ts) div 86400000000) + 4) % 7").as("x2"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"))
+      .withColumn("beta0", Tables.portableRound6(expr(s"$OlsDet0Sql / $OlsDetSql / 1000000.0")))
+      .withColumn("beta1", Tables.portableRound6(expr(s"$OlsDet1Sql / $OlsDetSql / 1000000.0")))
+      .withColumn("beta2", Tables.portableRound6(expr(s"$OlsDet2Sql / $OlsDetSql / 1000000.0")))
+      .select(col("event_type"), col("n"), col("sy"), col("beta0"),
+        col("beta1"), col("beta2"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[ols]] — identical integer sufficient statistics and
+    * shared Cramer expression strings. */
+  def olsOracleSql: String =
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |    (epoch_us(ts) // 3600000000) % 24 AS x1,
+       |    ((epoch_us(ts) // 86400000000) + 4) % 7 AS x2,
+       |    CAST(floor(value * 1000000) AS BIGINT) AS y
+       |  FROM events
+       |), g AS (
+       |  SELECT event_type, count(*) AS n,
+       |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+       |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+       |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+       |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+       |    CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+       |    CAST(sum(x2 * y) AS BIGINT) AS s2y
+       |  FROM b GROUP BY 1
+       |)
+       |SELECT event_type, n, sy,
+       |  ${Tables.portableRound6Sql(s"$OlsDet0Sql / $OlsDetSql / 1000000.0")} AS beta0,
+       |  ${Tables.portableRound6Sql(s"$OlsDet1Sql / $OlsDetSql / 1000000.0")} AS beta1,
+       |  ${Tables.portableRound6Sql(s"$OlsDet2Sql / $OlsDetSql / 1000000.0")} AS beta2
+       |FROM g ORDER BY event_type""".stripMargin
+
+  // ---- MAD robust outliers --------------------------------------------------
+
+  /** ROBUST OUTLIER COUNT per event_type via the median-absolute-deviation
+    * rule — the outlier screen that survives the outliers it hunts (the
+    * mean/stddev z-score of `q_outliers` is dragged by the very tail it
+    * flags; median/MAD has a 50% breakdown point). A value is an outlier
+    * when `|v − med| > 3·1.4826·MAD`, kept EXACTLY integral by fixed-point
+    * cross-multiplication: `|dev|·10000 > 44478·MAD` over 10⁻⁶ fixed-point
+    * values — no doubles anywhere, so the gate is hash-exact by
+    * construction.
+    *
+    * Both medians use the longhand `percentile_disc` rule proven portable
+    * by `q_median_disc` (rank == (n+1) div 2 — selected values verbatim,
+    * ties permute rank but not the selected VALUE).
+    *
+    * Scale shape: two per-type rank windows (never empty-key) + one
+    * broadcast of the |types|-row median frame. The exact baseline of the
+    * `approx_percentile` path a 100 TB deployment would swap in. */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = events(spark, sfDir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("v_fp"))
+    val w1 = Window.partitionBy(col("event_type")).orderBy(col("v_fp"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val med = v
+      .withColumn("rn", row_number().over(w1))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("v_fp").as("med"))
+    val dev = v.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("v_fp") - col("med")))
+    val w2 = Window.partitionBy(col("event_type")).orderBy(col("dev"))
+    val mad = dev
+      .withColumn("rn", row_number().over(w2))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("dev").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("dev") * 10000L > lit(44478L) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_ppm",
+        expr("(n_outliers * 1000000) div n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[madOutliers]] — identical longhand medians and the
+    * same integer fixed-point threshold. */
+  def madOutliersOracleSql: String =
+    """WITH v AS (
+      |  SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v_fp
+      |  FROM events
+      |), r AS (
+      |  SELECT event_type, v_fp,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v_fp) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM v
+      |), med AS (
+      |  SELECT event_type, v_fp AS med FROM r WHERE rn = (n + 1) // 2
+      |), d AS (
+      |  SELECT v.event_type, abs(v.v_fp - med.med) AS dev, med.med
+      |  FROM v JOIN med ON v.event_type = med.event_type
+      |), rd AS (
+      |  SELECT event_type, dev,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM d
+      |), mad AS (
+      |  SELECT event_type, dev AS mad FROM rd WHERE rn = (n + 1) // 2
+      |)
+      |SELECT d.event_type, count(*) AS n,
+      |  CAST(max(d.med) AS BIGINT) AS med, CAST(max(mad.mad) AS BIGINT) AS mad,
+      |  CAST(sum(CASE WHEN d.dev * 10000 > 44478 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  CAST((sum(CASE WHEN d.dev * 10000 > 44478 * mad.mad THEN 1 ELSE 0 END) * 1000000)
+      |    // count(*) AS BIGINT) AS outlier_ppm
+      |FROM d JOIN mad ON d.event_type = mad.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -291,4 +291,51 @@ class PlanSpec extends SparkTestBase {
     val plan = planOf(Dedup.minhashLsh(spark, sf))
     assert(plan.contains("minhash_sig") || !plan.contains("UDF"), plan)
   }
+
+  test("q_ols is ONE map-side-combined aggregate — no window, no join") {
+    val plan = planOf(QuerySurface.ols(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("Join"), plan)
+    // partial + final pair around a single exchange: the sufficient-stats
+    // shape that scales as one scan at 100 TB
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("q_acf aggregates first — the lag join runs on the (type,hour) count " +
+      "frame, not row scale, and no window anywhere") {
+    val plan = planOf(QuerySurface.acf(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    // both join inputs are aggregates of the scan (the only row-scale pass)
+    val joinAt = plan.indexOfSlice("Join")
+    assert(joinAt >= 0, plan)
+    assert(plan.substring(joinAt).contains("HashAggregate"), plan)
+  }
+
+  test("q_mad_outliers windows partition by event_type — never empty-key — " +
+      "and the median frames join as broadcasts") {
+    val plan = planOf(QuerySurface.madOutliers(spark, sf))
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).length
+    val keyed = "windowspecdefinition\\(event_type".r.findAllIn(plan).length
+    assert(specs > 0 && specs == keyed, plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("dedup_containment shuffles 8-byte shingle hashes, never text") {
+    val (frame, cached) = Dedup.shingleContainmentFrame(spark, sf)
+    val plan = try planOf(frame) finally { cached.unpersist(); () }
+    val exchanges = plan.split("Exchange hashpartitioning").toSeq.tail
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(e => !e.takeWhile(_ != ')').contains("text")), plan)
+    // the hot-shingle blacklist joins as a broadcast anti-join
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+
+  test("otel_root_cause filters the error subset BEFORE the per-trace " +
+      "window shuffle; windows key on trace_id") {
+    val plan = planOf(OtelQueries.errorRootCause(spark, sf))
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).length
+    val keyed = "windowspecdefinition\\(trace_id".r.findAllIn(plan).length
+    assert(specs > 0 && specs == keyed, plan)
+  }
 }
