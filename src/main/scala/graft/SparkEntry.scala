@@ -280,6 +280,9 @@ object SparkEntry {
     "q_mad_outliers" -> (QuerySurface.madOutliers _),
     "otel_root_cause" -> ((s: SparkSession, d: String) => OtelQueries.errorRootCause(s, d)),
     "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.shingleContainment(s, d)),
+    "otel_self_time" -> ((s: SparkSession, d: String) => OtelQueries.selfTime(s, d)),
+    "pair_preference" -> (Sampling.preferencePairs _),
+    "q_winsorize" -> (QuerySurface.winsorize _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -801,5 +804,8 @@ object SparkEntry {
     "q_mad_outliers" -> operators.QuerySurface.madOutliersOracleSql,
     "otel_root_cause" -> OtelQueries.errorRootCauseOracleSql(),
     "dedup_containment" -> operators.Dedup.shingleContainmentOracleSql(),
+    "otel_self_time" -> OtelQueries.selfTimeOracleSql(),
+    "pair_preference" -> operators.Sampling.preferencePairsOracleSql,
+    "q_winsorize" -> operators.QuerySurface.winsorizeOracleSql,
   )
 }

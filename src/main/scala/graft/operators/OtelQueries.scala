@@ -1364,4 +1364,64 @@ object OtelQueries {
        |  CAST(sum(depth) AS BIGINT) AS depth_total
        |FROM r WHERE rn = 1
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- self-time (exclusive duration) -------------------------------------
+
+  /** SELF-TIME per operation — the flamegraph "exclusive" metric: each
+    * span's duration minus the summed durations of its DIRECT children,
+    * aggregated per span_name (which op burns its own CPU vs merely waits
+    * on callees — the first column a profiler shows). In this synthetic
+    * corpus durations are independent draws, so per-span self time may be
+    * negative (children "overlap" the parent); the SUM is still the
+    * operator's exact exclusive-vs-inclusive algebra, and real nested
+    * corpora make it non-negative. Emitted per span_name with inclusive
+    * total, child total, self total, and the integer-ppm self share.
+    *
+    * Spark-first shape: ONE aggregation of children keyed by (trace_id,
+    * parent_idx) + ONE left join back on (trace_id, span_idx) — the same
+    * trace-co-partitioned single-hop join as [[serviceGraph]]; a
+    * trace-bucketed table makes both exchange-free. Final key space is
+    * |ops|, map-side combined. */
+  def selfTime(spark: SparkSession, sfDirIgnored: String,
+      n: Long = 2000L): DataFrame = {
+    val spans = spanForest(spark, n)
+    val childSums = spans.filter(col("parent_idx").isNotNull)
+      .groupBy(col("trace_id"), col("parent_idx"))
+      .agg(sum(col("duration_ns")).as("child_ns"))
+    spans.as("s")
+      .join(childSums.as("c"),
+        col("s.trace_id") === col("c.trace_id") &&
+          col("s.span_idx") === col("c.parent_idx"), "left")
+      .select(col("s.span_name").as("span_name"),
+        col("s.duration_ns").as("dur_ns"),
+        coalesce(col("c.child_ns"), lit(0L)).as("child_ns"))
+      .groupBy(col("span_name"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("dur_ns")).as("incl_ns"),
+        sum(col("child_ns")).as("child_ns"),
+        sum(col("dur_ns") - col("child_ns")).as("self_ns"))
+      .withColumn("self_ppm", expr("(self_ns * 1000000) div incl_ns"))
+      .orderBy(col("span_name"))
+  }
+
+  /** DuckDB twin of [[selfTime]] — identical child-sum join and integer
+    * ppm. */
+  def selfTimeOracleSql(n: Long = 2000L): String =
+    s"""WITH ${graft.TestDataGen.spanTreesSqlCte(n)},
+       |cs AS (
+       |  SELECT trace_id, parent_idx, CAST(sum(duration_ns) AS BIGINT) AS child_ns
+       |  FROM spant WHERE parent_idx IS NOT NULL GROUP BY 1, 2
+       |), j AS (
+       |  SELECT s.span_name, s.duration_ns AS dur_ns,
+       |    COALESCE(cs.child_ns, 0) AS child_ns
+       |  FROM spant s LEFT JOIN cs
+       |    ON s.trace_id = cs.trace_id AND s.span_idx = cs.parent_idx
+       |)
+       |SELECT span_name, count(*) AS n_spans,
+       |  CAST(sum(dur_ns) AS BIGINT) AS incl_ns,
+       |  CAST(sum(child_ns) AS BIGINT) AS child_ns,
+       |  CAST(sum(dur_ns - child_ns) AS BIGINT) AS self_ns,
+       |  CAST(sum(dur_ns - child_ns) AS BIGINT) * 1000000
+       |    // CAST(sum(dur_ns) AS BIGINT) AS self_ppm
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -2902,4 +2902,67 @@ object QuerySurface {
       |    // count(*) AS BIGINT) AS outlier_ppm
       |FROM d JOIN mad ON d.event_type = mad.event_type
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- winsorized mean ------------------------------------------------------
+
+  /** WINSORIZED MEAN per event_type — clamp every value to the exact
+    * discrete [p5, p95] band, then average: the robust location estimate
+    * that keeps the sample size (unlike trimming) while bounding each
+    * tail's leverage — the standard pre-aggregation step before a
+    * latency/revenue mean is reported. Percentile selection is the longhand
+    * `percentile_disc` rule proven portable by `q_median_disc` (rank ==
+    * ⌈q·n⌉, value verbatim); clamping is integer; the two means use the
+    * order-independent decimal [[Tables.exactAvg]].
+    *
+    * Scale shape: one per-type rank window + a broadcast of the |types|-row
+    * band frame + one map-side-combined aggregate. The exact baseline of
+    * the `approx_percentile`-banded form a 100 TB job would run. */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = events(spark, sfDir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("v_fp"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v_fp"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val bands = v
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === expr("(n + 19) div 20"), col("v_fp"))).as("p5"),
+        max(when(col("rn") === expr("(19 * n + 19) div 20"), col("v_fp"))).as("p95"))
+    v.join(broadcast(bands), Seq("event_type"))
+      .withColumn("v_clamp", greatest(col("p5"), least(col("p95"), col("v_fp"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("p5")).as("p5"),
+        max(col("p95")).as("p95"),
+        Tables.exactAvg(col("v_fp").cast("double") / lit(1000000.0)).as("mean_raw"),
+        Tables.exactAvg(col("v_clamp").cast("double") / lit(1000000.0)).as("mean_winsor"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[winsorize]] — identical rank rule, clamp, and exact
+    * decimal averages. */
+  def winsorizeOracleSql: String =
+    s"""WITH v AS (
+       |  SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v_fp
+       |  FROM events
+       |), r AS (
+       |  SELECT event_type, v_fp,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY v_fp) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM v
+       |), b AS (
+       |  SELECT event_type,
+       |    max(CASE WHEN rn = (n + 19) // 20 THEN v_fp END) AS p5,
+       |    max(CASE WHEN rn = (19 * n + 19) // 20 THEN v_fp END) AS p95
+       |  FROM r GROUP BY 1
+       |), c AS (
+       |  SELECT v.event_type, v.v_fp, b.p5, b.p95,
+       |    greatest(b.p5, least(b.p95, v.v_fp)) AS v_clamp
+       |  FROM v JOIN b ON v.event_type = b.event_type
+       |)
+       |SELECT event_type, count(*) AS n,
+       |  CAST(max(p5) AS BIGINT) AS p5, CAST(max(p95) AS BIGINT) AS p95,
+       |  ${Tables.exactAvgSql("CAST(v_fp AS DOUBLE) / 1000000.0")} AS mean_raw,
+       |  ${Tables.exactAvgSql("CAST(v_clamp AS DOUBLE) / 1000000.0")} AS mean_winsor
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -683,4 +683,78 @@ object Sampling {
        |    AS BIGINT) AS pos,
        |  doc_id
        |FROM x ORDER BY epoch, pos""".stripMargin
+
+  // ---- preference-pair construction (DPO/RLHF-style) ------------------------
+
+  /** PREFERENCE-PAIR CONSTRUCTION — the best-vs-worst pair mining step of a
+    * DPO/reward-model pipeline: within each `source` group, rank documents
+    * by an integer quality surrogate (lexical diversity in ppm —
+    * `n_distinct·10⁶ div n_tokens`, ties → doc_id) and pair rank i from the
+    * top with rank i from the bottom, keeping pairs whose quality gap is
+    * strictly positive (a chosen/rejected pair with no gap carries no
+    * preference signal). Entirely integer arithmetic — hash-exact by
+    * construction.
+    *
+    * Scale shape: one map pass computes the surrogate (no text leaves the
+    * scan — the shuffle carries (source, doc_id, score)); two
+    * source-keyed rank windows (never empty-key); the pairing is a self-join
+    * on (source, pair rank) — |docs|/2 keys, co-partitioned. At 100 TB
+    * sources are the natural partition (each window sees one source's
+    * docs); a single giant source would use the [[graft.operators.Ranks]]
+    * distributed-rank pass instead of the window. */
+  def preferencePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = documents(spark, sfDir).select(
+      col("source"), col("doc_id"),
+      expr("(CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000)" +
+        " div CAST(size(split(text, ' ')) AS BIGINT)").as("score"))
+    val wTop = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val wAll = Window.partitionBy(col("source"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(wTop))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val top = ranked.filter(col("rn") * 2 <= col("n"))
+      .select(col("source"), col("rn").as("pair_idx"),
+        col("doc_id").as("chosen_id"), col("score").as("chosen_score"))
+    val bottom = ranked.filter(col("rn") * 2 > col("n"))
+      .select(col("source"), (col("n") - col("rn") + 1).as("pair_idx"),
+        col("doc_id").as("rejected_id"), col("score").as("rejected_score"))
+    top.join(bottom, Seq("source", "pair_idx"))
+      .filter(col("chosen_score") > col("rejected_score"))
+      .withColumn("gap", col("chosen_score") - col("rejected_score"))
+      .select(col("source"), col("pair_idx"), col("chosen_id"),
+        col("rejected_id"), col("chosen_score"), col("rejected_score"),
+        col("gap"))
+      .orderBy(col("source"), col("pair_idx"))
+  }
+
+  /** DuckDB twin of [[preferencePairs]] — identical surrogate, rank
+    * tie-breaks, and mirror pairing. */
+  def preferencePairsOracleSql: String =
+    """WITH s AS (
+      |  SELECT source, doc_id,
+      |    (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000)
+      |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+      |  FROM documents
+      |), r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM s
+      |), top AS (
+      |  SELECT source, CAST(rn AS BIGINT) AS pair_idx, doc_id AS chosen_id,
+      |    score AS chosen_score
+      |  FROM r WHERE rn * 2 <= n
+      |), bottom AS (
+      |  SELECT source, CAST(n - rn + 1 AS BIGINT) AS pair_idx,
+      |    doc_id AS rejected_id, score AS rejected_score
+      |  FROM r WHERE rn * 2 > n
+      |)
+      |SELECT top.source, top.pair_idx, chosen_id, rejected_id,
+      |  chosen_score, rejected_score,
+      |  chosen_score - rejected_score AS gap
+      |FROM top JOIN bottom
+      |  ON top.source = bottom.source AND top.pair_idx = bottom.pair_idx
+      |WHERE chosen_score > rejected_score
+      |ORDER BY top.source, top.pair_idx""".stripMargin
 }

@@ -338,4 +338,31 @@ class PlanSpec extends SparkTestBase {
     val keyed = "windowspecdefinition\\(trace_id".r.findAllIn(plan).length
     assert(specs > 0 && specs == keyed, plan)
   }
+
+  test("otel_self_time is one child aggregate + one trace-keyed join — " +
+      "no window") {
+    val plan = planOf(OtelQueries.selfTime(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("pair_preference shuffles (source, id, score) — document text never " +
+      "leaves the scan; windows key on source") {
+    val plan = planOf(Sampling.preferencePairs(spark, sf))
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).length
+    val keyed = "windowspecdefinition\\(source".r.findAllIn(plan).length
+    assert(specs > 0 && specs == keyed, plan)
+    val exchanges = plan.split("Exchange hashpartitioning").toSeq.tail
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(e => !e.takeWhile(_ != ')').contains("text")), plan)
+  }
+
+  test("q_winsorize windows key on event_type; the band frame joins as a " +
+      "broadcast") {
+    val plan = planOf(QuerySurface.winsorize(spark, sf))
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).length
+    val keyed = "windowspecdefinition\\(event_type".r.findAllIn(plan).length
+    assert(specs > 0 && specs == keyed, plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
 }

@@ -165,6 +165,102 @@ class Round9cOpsSpec extends SparkTestBase {
     assert(totalErrs >= totalTraces && totalErrs <= totalTraces * 15)
   }
 
+  test("otel_self_time: plain-Scala child-sum recompute (flamegraph " +
+      "exclusive-time algebra)") {
+    val n = 2000L
+    val spans = for {
+      t <- 0L until n
+      i <- 0L to (t % 15)
+    } yield (t, i, s"op-${(t + i) % 7}", 1000L + ((t * 31 + i * 17) % 97) * 10)
+    val childSum = spans.filter(_._2 > 0)
+      .groupBy { case (t, i, _, _) => (t, (i - 1) / 2) }
+      .view.mapValues(_.map(_._4).sum).toMap
+    val expected = spans.groupBy(_._3).map { case (name, ss) =>
+      val incl = ss.map(_._4).sum
+      val child = ss.map(s => childSum.getOrElse((s._1, s._2), 0L)).sum
+      name -> ((ss.length.toLong, incl, child, incl - child,
+        (incl - child) * 1000000L / incl))
+    }
+    val out = graft.operators.OtelQueries.selfTime(spark, sf).collect()
+    assert(out.length == expected.size && out.nonEmpty)
+    out.foreach { row =>
+      val (ns, incl, child, self, ppm) = expected(row.getAs[String]("span_name"))
+      assert(row.getAs[Long]("n_spans") == ns)
+      assert(row.getAs[Long]("incl_ns") == incl)
+      assert(row.getAs[Long]("child_ns") == child)
+      assert(row.getAs[Long]("self_ns") == self)
+      assert(row.getAs[Long]("self_ppm") == ppm)
+      // inclusive always covers self by the algebra
+      assert(self == incl - child)
+    }
+    // forest-wide conservation: Σ self = Σ incl − Σ child
+    assert(out.map(_.getAs[Long]("self_ns")).sum ==
+      out.map(_.getAs[Long]("incl_ns")).sum - out.map(_.getAs[Long]("child_ns")).sum)
+  }
+
+  test("pair_preference: plain-Scala best-vs-worst mirror pairing recompute") {
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val scored = docs.map { case (src, id, text) =>
+      val toks = text.split(" ")
+      (src, id, toks.distinct.length.toLong * 1000000L / toks.length)
+    }
+    val expected = scored.groupBy(_._1).flatMap { case (src, xs) =>
+      val ranked = xs.sortBy(x => (-x._3, x._2))
+      val nDocs = ranked.length
+      (1 to nDocs / 2).flatMap { i =>
+        val chosen = ranked(i - 1)
+        val rejected = ranked(nDocs - i)
+        if (chosen._3 > rejected._3)
+          Some((src, i.toLong) ->
+            ((chosen._2, rejected._2, chosen._3, rejected._3)))
+        else None
+      }
+    }
+    val out = graft.operators.Sampling.preferencePairs(spark, sf).collect()
+    assert(out.length == expected.size && out.nonEmpty)
+    out.foreach { row =>
+      val k = (row.getAs[String]("source"), row.getAs[Long]("pair_idx"))
+      val (cid, rid, cs, rs) = expected(k)
+      assert(row.getAs[Long]("chosen_id") == cid && row.getAs[Long]("rejected_id") == rid)
+      assert(row.getAs[Long]("chosen_score") == cs)
+      assert(row.getAs[Long]("rejected_score") == rs)
+      assert(row.getAs[Long]("gap") == cs - rs && cs > rs)
+      assert(cid != rid)
+    }
+  }
+
+  test("q_winsorize: plain-Scala p5/p95 clamp recompute; winsorized mean " +
+      "sits inside the band") {
+    val byType = eventRows().groupBy(_._1)
+      .view.mapValues(_.map(_._3).sorted).toMap
+    val expected = byType.map { case (et, vs) =>
+      val n = vs.length
+      val p5 = vs(((n + 19) / 20) - 1)
+      val p95 = vs(((19 * n + 19) / 20) - 1)
+      val clamped = vs.map(v => math.max(p5, math.min(p95, v)))
+      def avg(xs: Seq[Long]): Double = {
+        // mirror exactAvg: 6-dp decimal sum of v/1e6, then /n, then round6
+        val dec = xs.map(v => BigDecimal(v.toDouble / 1000000.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+        round6(dec.toDouble / n)
+      }
+      et -> ((n.toLong, p5, p95, avg(vs), avg(clamped)))
+    }
+    val out = QuerySurface.winsorize(spark, sf).collect()
+    assert(out.length == expected.size && out.nonEmpty)
+    out.foreach { row =>
+      val (n, p5, p95, mRaw, mW) = expected(row.getAs[String]("event_type"))
+      assert(row.getAs[Long]("n") == n)
+      assert(row.getAs[Long]("p5") == p5 && row.getAs[Long]("p95") == p95)
+      assert(row.getAs[Double]("mean_raw") == mRaw, s"raw ${row.getString(0)}")
+      assert(row.getAs[Double]("mean_winsor") == mW, s"winsor ${row.getString(0)}")
+      // the winsorized mean is clamped into the band; the raw one need not be
+      assert(mW * 1000000.0 >= p5 - 1 && mW * 1000000.0 <= p95 + 1)
+    }
+  }
+
   test("dedup_containment: plain-Scala capped shingle-set recompute, " +
       "directed near-subset rule") {
     val docs = Tables.documents(spark, sf)
