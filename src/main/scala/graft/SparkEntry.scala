@@ -283,6 +283,7 @@ object SparkEntry {
     "otel_self_time" -> ((s: SparkSession, d: String) => OtelQueries.selfTime(s, d)),
     "pair_preference" -> (Sampling.preferencePairs _),
     "q_winsorize" -> (QuerySurface.winsorize _),
+    "text_novelty" -> ((s: SparkSession, d: String) => TextAnalysis.novelty(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -807,5 +808,6 @@ object SparkEntry {
     "otel_self_time" -> OtelQueries.selfTimeOracleSql(),
     "pair_preference" -> operators.Sampling.preferencePairsOracleSql,
     "q_winsorize" -> operators.QuerySurface.winsorizeOracleSql,
+    "text_novelty" -> TextAnalysis.noveltyOracleSql,
   )
 }

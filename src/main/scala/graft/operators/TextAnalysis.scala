@@ -1730,4 +1730,58 @@ object TextAnalysis {
        |  SELECT * FROM topsym
        |) ORDER BY kind, step, token""".stripMargin
   }
+
+  // ---- corpus novelty ------------------------------------------------------
+
+  /** PER-DOCUMENT NOVELTY — what fraction of a document's 3-gram shingles
+    * appears NOWHERE else in the corpus (df = 1), alongside the
+    * boilerplate tier (df > 20, the same cap `dedup_jaccard_capped`
+    * blacklists): the diversity/uniqueness profile a data curator reads
+    * before weighting sources — high-novelty docs add information,
+    * high-boilerplate docs add templates. Integer ppm, hash-exact. Docs
+    * with < 3 tokens have no shingles and no row (they carry no n-gram
+    * evidence either way; the token-level gates cover them).
+    *
+    * Scale shape: the same "never shuffle the text" discipline as every
+    * shingle gate — one map pass to 8-byte hashes, one (h)-keyed df
+    * aggregate, one (h)-keyed join back, one doc_id aggregate. All
+    * map-side combined; no window, no self-join. */
+  def novelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = graft.operators.Dedup.docShingleHashes(spark, sfDir).persist()
+    val ex = sh.select(col("doc_id"), explode(col("shh")).as("h"))
+    val dfh = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val out = ex.join(dfh, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("df") > 20, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("novelty_ppm", expr("(n_unique * 1000000) div n_sh"))
+      .withColumn("boiler_ppm", expr("(n_boiler * 1000000) div n_sh"))
+    Tables.materializeAndRelease(out, sh).orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[novelty]] — identical distinct-shingle hashes, df
+    * tiers, and integer ppm. */
+  def noveltyOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+      |), hs AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(md5_number_lower(shingle) & 9223372036854775807 AS BIGINT) AS h
+      |  FROM sh
+      |), dfh AS (
+      |  SELECT h, count(*) AS df FROM hs GROUP BY 1
+      |)
+      |SELECT hs.doc_id, count(*) AS n_sh,
+      |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |  CAST(sum(CASE WHEN df > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+      |    // count(*) AS novelty_ppm,
+      |  CAST(sum(CASE WHEN df > 20 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+      |    // count(*) AS boiler_ppm
+      |FROM hs JOIN dfh ON hs.h = dfh.h
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

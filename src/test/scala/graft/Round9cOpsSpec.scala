@@ -261,6 +261,38 @@ class Round9cOpsSpec extends SparkTestBase {
     }
   }
 
+  test("text_novelty: plain-Scala df-tier recompute (unique vs boilerplate " +
+      "shingle shares)") {
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val shingles: Map[Long, Set[Long]] = docs.map { case (id, text) =>
+      val toks = text.split(" ")
+      val sh = if (toks.length < 3) Set.empty[Long]
+      else toks.sliding(3).map(w => PortableHash.md5Lower63(w.mkString(" "))).toSet
+      id -> sh
+    }.toMap
+    val df = shingles.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val expected = shingles.collect { case (id, sh) if sh.nonEmpty =>
+      val nU = sh.count(df(_) == 1).toLong
+      val nB = sh.count(df(_) > 20).toLong
+      id -> ((sh.size.toLong, nU, nB,
+        nU * 1000000L / sh.size, nB * 1000000L / sh.size))
+    }
+    val out = graft.operators.TextAnalysis.novelty(spark, sf).collect()
+    assert(out.length == expected.size && out.nonEmpty)
+    out.foreach { row =>
+      val (nSh, nU, nB, nppm, bppm) = expected(row.getAs[Long]("doc_id"))
+      assert(row.getAs[Long]("n_sh") == nSh)
+      assert(row.getAs[Long]("n_unique") == nU)
+      assert(row.getAs[Long]("n_boiler") == nB)
+      assert(row.getAs[Long]("novelty_ppm") == nppm)
+      assert(row.getAs[Long]("boiler_ppm") == bppm)
+      // tiers never overlap: df=1 and df>20 are disjoint
+      assert(nU + nB <= nSh)
+    }
+  }
+
   test("dedup_containment: plain-Scala capped shingle-set recompute, " +
       "directed near-subset rule") {
     val docs = Tables.documents(spark, sf)
