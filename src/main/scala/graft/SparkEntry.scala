@@ -284,6 +284,7 @@ object SparkEntry {
     "pair_preference" -> (Sampling.preferencePairs _),
     "q_winsorize" -> (QuerySurface.winsorize _),
     "text_novelty" -> ((s: SparkSession, d: String) => TextAnalysis.novelty(s, d)),
+    "q_snaive" -> (QuerySurface.seasonalNaive _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -809,5 +810,6 @@ object SparkEntry {
     "pair_preference" -> operators.Sampling.preferencePairsOracleSql,
     "q_winsorize" -> operators.QuerySurface.winsorizeOracleSql,
     "text_novelty" -> TextAnalysis.noveltyOracleSql,
+    "q_snaive" -> operators.QuerySurface.seasonalNaiveOracleSql,
   )
 }

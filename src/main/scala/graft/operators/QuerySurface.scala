@@ -2965,4 +2965,56 @@ object QuerySurface {
        |  ${Tables.exactAvgSql("CAST(v_fp AS DOUBLE) / 1000000.0")} AS mean_raw,
        |  ${Tables.exactAvgSql("CAST(v_clamp AS DOUBLE) / 1000000.0")} AS mean_winsor
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- seasonal-naive forecast baseline -------------------------------------
+
+  /** SEASONAL-NAIVE FORECAST EVALUATION — score the forecaster every real
+    * model must beat: predict each hour's event count by the SAME HOUR LAST
+    * WEEK (lag 168) and report the exact MAE and bias per event_type over
+    * the evaluable hours. This is the M-competition baseline and the
+    * capacity-planning sanity check; a model whose MAE is not under this
+    * gate's number is worse than no model. All errors are exact integers
+    * (counts minus counts); only the final means take the shared
+    * order-independent decimal average.
+    *
+    * Scale shape: same as [[acf]] — ONE row-scale aggregate to (type, hour)
+    * counts, then a lag-168 equi-join and a |types|-key aggregate on the
+    * tiny count frame. Hours missing in either week simply drop from the
+    * join: the baseline is scored where it is defined. */
+  def seasonalNaive(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.as("a")
+      .join(counts.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.h") + 168L === col("b.h"))
+      .select(col("a.event_type").as("event_type"),
+        (col("b.cnt") - col("a.cnt")).as("err"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs(col("err"))).as("abs_err_total"),
+        sum(col("err")).as("bias_total"),
+        Tables.exactAvg(abs(col("err")).cast("double")).as("mae"),
+        Tables.exactAvg(col("err").cast("double")).as("bias"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[seasonalNaive]] — identical lag join and exact
+    * decimal means. */
+  def seasonalNaiveOracleSql: String =
+    s"""WITH c AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2
+       |), e AS (
+       |  SELECT a.event_type, b.cnt - a.cnt AS err
+       |  FROM c a JOIN c b ON a.event_type = b.event_type AND a.h + 168 = b.h
+       |)
+       |SELECT event_type, count(*) AS n_hours,
+       |  CAST(sum(abs(err)) AS BIGINT) AS abs_err_total,
+       |  CAST(sum(err) AS BIGINT) AS bias_total,
+       |  ${Tables.exactAvgSql("CAST(abs(err) AS DOUBLE)")} AS mae,
+       |  ${Tables.exactAvgSql("CAST(err AS DOUBLE)")} AS bias
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 }

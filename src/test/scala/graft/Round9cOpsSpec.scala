@@ -261,6 +261,38 @@ class Round9cOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_snaive: plain-Scala lag-168 seasonal-naive MAE/bias recompute") {
+    val counts = eventRows()
+      .groupBy { case (et, us, _) => (et, us / 3600000000L) }
+      .view.mapValues(_.length.toLong).toMap
+    val errs = (for {
+      ((et, h), ca) <- counts.toSeq
+      cb <- counts.get((et, h + 168L))
+    } yield (et, cb - ca)).groupBy(_._1)
+    def avg(xs: Seq[Long]): Double = {
+      val dec = xs.map(v => BigDecimal(v.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      round6(dec.toDouble / xs.length)
+    }
+    val expected = errs.map { case (et, es) =>
+      val e = es.map(_._2)
+      et -> ((e.length.toLong, e.map(math.abs).sum, e.sum,
+        avg(e.map(math.abs)), avg(e)))
+    }
+    val out = QuerySurface.seasonalNaive(spark, sf).collect()
+    assert(out.length == expected.size && out.nonEmpty)
+    out.foreach { row =>
+      val (n, aet, bt, mae, bias) = expected(row.getAs[String]("event_type"))
+      assert(row.getAs[Long]("n_hours") == n)
+      assert(row.getAs[Long]("abs_err_total") == aet)
+      assert(row.getAs[Long]("bias_total") == bt)
+      assert(row.getAs[Double]("mae") == mae, s"mae ${row.getString(0)}")
+      assert(row.getAs[Double]("bias") == bias)
+      // MAE dominates |bias| by the triangle inequality
+      assert(mae >= math.abs(bias) - 1e-9)
+    }
+  }
+
   test("text_novelty: plain-Scala df-tier recompute (unique vs boilerplate " +
       "shingle shares)") {
     val docs = Tables.documents(spark, sf)
