@@ -72,50 +72,20 @@ object Dedup {
   /** Per-cache approximate-bytes budget for the executor-local hash memos
     * (64 MB each): past it, entries stop being added and hashes are
     * recomputed — correctness unaffected, memory bounded for the JVM
-    * lifetime. */
+    * lifetime. (The shingle-digest memo itself now lives with the native
+    * kernel, [[graft.functions.ShingleHash]].) */
   private val HashCacheMaxBytes = 64L << 20
-
-  private val shingleHashCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private val shingleHashCacheBytes = new java.util.concurrent.atomic.AtomicLong(0L)
-
-  private def cachedShingleHash(s: String): Long = {
-    val hit = shingleHashCache.get(s)
-    if (hit ne null) hit.longValue()
-    else {
-      val h = PortableHash.md5Lower63(s)
-      // cap by approximate BYTES, not entries: shingle keys are 3-gram
-      // strings, so an entry cap alone could pin hundreds of MB of long
-      // keys for the executor-JVM lifetime (~80 B object/node overhead +
-      // 2 B/char is close enough for a safety bound)
-      if (shingleHashCacheBytes.get() < HashCacheMaxBytes &&
-          shingleHashCache.putIfAbsent(s, java.lang.Long.valueOf(h)) == null)
-        shingleHashCacheBytes.addAndGet(80L + 2L * s.length)
-      h
-    }
-  }
-
-  private val shingleHashUdf = udf { (toks: Seq[String]) =>
-    if (toks.length < 3) Seq.empty[Long]
-    else {
-      val seen = new java.util.LinkedHashSet[java.lang.Long]()
-      var i = 0
-      while (i + 2 < toks.length) {
-        seen.add(cachedShingleHash(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)))
-        i += 1
-      }
-      import scala.jdk.CollectionConverters._
-      seen.asScala.toSeq.map(_.longValue())
-    }
-  }
 
   def docShingleHashes(spark: SparkSession, sfDir: String): DataFrame =
     // spread before hashing: every LSH/Jaccard/cross gate funnels through
     // this map pass, and the corpus scan is a single unsplittable row
     // group locally (Tables.spreadIfNarrow) — without it the whole
-    // signature derivation runs as one task
+    // signature derivation runs as one task. The shingle hashing itself is
+    // the native ShingleHashExpr (one static call per row in whole-stage
+    // codegen — no boxed token Seq), bit-identical to the former UDF.
     Tables.spreadIfNarrow(documents(spark, sfDir), col("doc_id"))
-      .select(col("doc_id"), shingleHashUdf(split(col("text"), " ")).as("shh"))
+      .select(col("doc_id"),
+        graft.functions.ShingleExpressions.shingleHashes(col("text")).as("shh"))
 
   /** Exact dedup: canonical-row selection per identical text. Groups on
     * md5(text) so the shuffle key is 16 bytes regardless of document size

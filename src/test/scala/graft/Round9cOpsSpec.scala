@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.PortableHash
 import graft.operators.{Dedup, OtelQueries, QuerySurface, Tables}
+import org.apache.spark.sql.functions.col
 
 /** Round-9 second-extension gates: hourly-count autocorrelation, 3×3
   * normal-equation OLS, MAD robust outliers, error root-cause attribution
@@ -259,6 +260,43 @@ class Round9cOpsSpec extends SparkTestBase {
       // the winsorized mean is clamped into the band; the raw one need not be
       assert(mW * 1000000.0 >= p5 - 1 && mW * 1000000.0 <= p95 + 1)
     }
+  }
+
+  test("ShingleHashExpr property: 200 seeded token strings match the " +
+      "plain-Scala distinct-shingle digest bit-for-bit, first-occurrence " +
+      "order preserved") {
+    import spark.implicits._
+    import graft.functions.{ShingleExpressions, ShingleHash}
+    val rnd = new scala.util.Random(20260815L)
+    val vocab = Seq("the", "a", "fox", "中文", "x9", "", "-", "lorem", "é")
+    val samples = (1 to 200).map { _ =>
+      val len = rnd.nextInt(12)
+      (1 to len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }.distinct
+    val got = samples.toDF("text")
+      .withColumn("shh", ShingleExpressions.shingleHashes(col("text")))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    samples.foreach { s =>
+      val toks = s.split(" ", -1)
+      val expected =
+        if (toks.length < 3) Seq.empty[Long]
+        else {
+          val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+          toks.sliding(3).foreach(w =>
+            seen += PortableHash.md5Lower63(w.mkString(" ")))
+          seen.toSeq
+        }
+      assert(got(s) == expected, s"shingles of '${s.take(40)}'")
+      assert(got(s) == ShingleHash.computeArray(s).toSeq)
+    }
+  }
+
+  test("docShingleHashes signs via the native expression — no ScalaUDF on " +
+      "the shingle path") {
+    val plan = graft.operators.Dedup.docShingleHashes(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("shingle_hashes"), plan)
+    assert(!plan.contains("UDF"), plan)
   }
 
   test("q_snaive: plain-Scala lag-168 seasonal-naive MAE/bias recompute") {
