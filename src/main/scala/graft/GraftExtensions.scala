@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AnyValueToJsonExpr, AttrsToJsonExpr, KmvBottomKAgg, KmvBottomKSetAgg, QsketchBottomKAgg, VectorDotExpr}
+import graft.functions.{AnyValueToJsonExpr, AttrsToJsonExpr, CdcChunksExpr, KmvBottomKAgg, KmvBottomKSetAgg, MinhashSigExpr, QsketchBottomKAgg, QsketchBottomKPairsAgg, ShingleHashExpr, VectorDotExpr}
 
 /** The library's Catalyst extension point: registers the custom expressions
   * as SQL functions so `spark.sql` users get them too —
@@ -100,6 +100,52 @@ object GraftExtensions {
             s"qsketch_bottomk: k must be an integer literal, got $other")
         }
         QsketchBottomKAgg(children(0), children(1), k)
+      }),
+    (FunctionIdentifier("qsketch_bottomk_pairs"),
+      info("qsketch_bottomk_pairs",
+        "qsketch_bottomk_pairs(hash, value, k) - mergeable (hash, value) pair-form quantile sketch: hash-sorted array<struct<h,v>>"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "qsketch_bottomk_pairs takes 3 arguments")
+        val kExpr = children(2)
+        require(kExpr.foldable, "qsketch_bottomk_pairs: k must be a literal")
+        val k = kExpr.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"qsketch_bottomk_pairs: k must be an integer literal, got $other")
+        }
+        QsketchBottomKPairsAgg(children(0), children(1), k)
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(hashes) - 64-permutation MinHash signature of array<bigint> shingle hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "minhash_sig takes 1 argument")
+        MinhashSigExpr(children.head)
+      }),
+    (FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(text) - distinct 3-gram shingle MD5-63 hashes of a string, first-occurrence order"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "shingle_hashes takes 1 argument")
+        ShingleHashExpr(children.head)
+      }),
+    (FunctionIdentifier("cdc_chunks"),
+      info("cdc_chunks",
+        "cdc_chunks(tokens, window, modulus) - content-defined chunk boundaries: array<struct<start,len,chunk_hash>>"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "cdc_chunks takes 3 arguments")
+        def lit(e: Expression, name: String): Long = {
+          require(e.foldable, s"cdc_chunks: $name must be a literal")
+          e.eval() match {
+            case i: Int => i.toLong
+            case l: Long => l
+            case other => throw new IllegalArgumentException(
+              s"cdc_chunks: $name must be an integer literal, got $other")
+          }
+        }
+        CdcChunksExpr(children.head, lit(children(1), "window").toInt,
+          lit(children(2), "modulus"))
       })
   )
 

@@ -108,6 +108,55 @@ class SqlApiSpec extends SparkTestBase {
       s"sketch must not require sorting every group:\n$plan")
   }
 
+  test("round-9 expressions reachable from SQL: shingle_hashes, minhash_sig, " +
+      "cdc_chunks, qsketch_bottomk_pairs — SQL == kernel") {
+    GraftExtensions.register(spark)
+    register()
+    // shingle_hashes == the Scala kernel, and composes with minhash_sig
+    val row = spark.sql(
+      """SELECT shingle_hashes('a b c d') AS sh,
+        |       minhash_sig(shingle_hashes('a b c d')) AS sig""".stripMargin)
+      .collect().head
+    assert(row.getSeq[Long](0) ==
+      graft.functions.ShingleHash.computeArray("a b c d").toSeq)
+    assert(row.getSeq[Long](1).length == graft.functions.MinhashSig.NumPerms)
+    assert(row.getSeq[Long](1) == graft.functions.MinhashSig
+      .computeArray(graft.functions.ShingleHash.computeArray("a b c d")).toSeq)
+    // cdc_chunks over a real document == the gate's constants and kernel
+    val doc = Tables.documents(spark, sf)
+      .selectExpr("text").orderBy("text").limit(1).collect().head.getString(0)
+    spark.sql("SELECT 1").collect() // keep the analyzer warm
+    val viaSql = spark.sql(
+      s"""SELECT cdc_chunks(split(text, ' '), 4, 32) AS ch
+         |FROM documents ORDER BY doc_id LIMIT 3""".stripMargin)
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(_.toSeq.toList).toList)
+    import org.apache.spark.sql.functions._
+    val viaCol = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.CdcChunksExpr(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            split(col("text"), " ")), 4, 32L)).as("ch"), col("doc_id"))
+      .orderBy(col("doc_id")).limit(3)
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(_.toSeq.toList).toList)
+    assert(viaSql.toList == viaCol.toList && doc.nonEmpty)
+    // qsketch_bottomk_pairs: SQL aggregate == Column API
+    val hashed = Tables.events(spark, sf).select(col("event_type"),
+      graft.functions.PortableHash.md5Lower63Col(col("user_id").cast("string")).as("h"),
+      col("value"))
+    hashed.createOrReplaceTempView("hashed_events_pairs")
+    val viaSqlP = spark.sql(
+      """SELECT event_type, qsketch_bottomk_pairs(h, value, 16) AS sk
+        |FROM hashed_events_pairs GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.toSeq.toList).toList).toMap
+    val viaColP = hashed.groupBy(col("event_type"))
+      .agg(graft.functions.QsketchAggregate.qsketchBottomKPairs(
+        col("h"), col("value"), 16).as("sk"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.toSeq.toList).toList).toMap
+    assert(viaSqlP == viaColP && viaSqlP.nonEmpty)
+  }
+
   test("kmv_bottomk_set aggregate: SQL == Column API == brute-force set") {
     GraftExtensions.register(spark)
     register()
