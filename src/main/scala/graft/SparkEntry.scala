@@ -285,6 +285,9 @@ object SparkEntry {
     "q_winsorize" -> (QuerySurface.winsorize _),
     "text_novelty" -> ((s: SparkSession, d: String) => TextAnalysis.novelty(s, d)),
     "q_snaive" -> (QuerySurface.seasonalNaive _),
+    "mix_simpson" -> (Sampling.mixSimpson _),
+    "q_fano" -> (QuerySurface.fano _),
+    "otel_exemplars" -> ((s: SparkSession, d: String) => OtelQueries.exemplars(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -811,5 +814,8 @@ object SparkEntry {
     "q_winsorize" -> operators.QuerySurface.winsorizeOracleSql,
     "text_novelty" -> TextAnalysis.noveltyOracleSql,
     "q_snaive" -> operators.QuerySurface.seasonalNaiveOracleSql,
+    "mix_simpson" -> operators.Sampling.mixSimpsonOracleSql,
+    "q_fano" -> operators.QuerySurface.fanoOracleSql,
+    "otel_exemplars" -> OtelQueries.exemplarsOracleSql(),
   )
 }

@@ -1424,4 +1424,46 @@ object OtelQueries {
        |  CAST(sum(dur_ns - child_ns) AS BIGINT) * 1000000
        |    // CAST(sum(dur_ns) AS BIGINT) AS self_ppm
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- exemplars ------------------------------------------------------------
+
+  /** EXEMPLAR SELECTION per operation — the metrics→traces link OTLP
+    * exemplars exist for (`/root/reference/docs/reference.md` metrics
+    * schema carries exemplar arrays): for each span_name, the 3 SLOWEST
+    * spans with their trace ids, so a latency dashboard's p99 panel can
+    * deep-link straight into representative traces. Deterministic
+    * tie-break (duration desc, trace_id, span_idx) makes the selection
+    * hash-exact; [[goldenSlowSpans]] is the global-top-k sibling — this is
+    * the PER-GROUP form a per-op dashboard needs.
+    *
+    * Spark-first shape: one span_name-keyed rank window (|ops| keys, never
+    * empty-key). At fleet scale the window input can be pre-pruned by a
+    * per-partition top-k (the TakeOrderedAndProject trick per group via
+    * groupBy + slice aggregation) — at this corpus the single window IS
+    * the plan a 100 TB job would run per (op, hour) partition. */
+  def exemplars(spark: SparkSession, sfDirIgnored: String,
+      n: Long = 2000L, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("span_name"))
+      .orderBy(col("duration_ns").desc, col("trace_id"), col("span_idx"))
+    spanForest(spark, n)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("span_name"), col("rk"), col("trace_id"),
+        col("span_idx"), col("duration_ns"))
+      .orderBy(col("span_name"), col("rk"))
+  }
+
+  /** DuckDB twin of [[exemplars]] — identical tie-break. */
+  def exemplarsOracleSql(n: Long = 2000L, k: Int = 3): String =
+    s"""WITH ${graft.TestDataGen.spanTreesSqlCte(n)},
+       |r AS (
+       |  SELECT span_name, trace_id, span_idx, duration_ns,
+       |    row_number() OVER (PARTITION BY span_name
+       |      ORDER BY duration_ns DESC, trace_id, span_idx) AS rk
+       |  FROM spant
+       |)
+       |SELECT span_name, CAST(rk AS BIGINT) AS rk, trace_id, span_idx,
+       |  duration_ns
+       |FROM r WHERE rk <= $k ORDER BY span_name, rk""".stripMargin
 }

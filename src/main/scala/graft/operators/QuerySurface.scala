@@ -3017,4 +3017,61 @@ object QuerySurface {
        |  ${Tables.exactAvgSql("CAST(abs(err) AS DOUBLE)")} AS mae,
        |  ${Tables.exactAvgSql("CAST(err AS DOUBLE)")} AS bias
        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- burstiness (Fano factor) ---------------------------------------------
+
+  /** Fano quotient shared verbatim with the oracle: population
+    * variance/mean over exact integer sums —
+    * `(N·Σx² − (Σx)²) / (N·Σx)` — one double division over exact BIGINTs. */
+  private val FanoExprSql: String =
+    "CAST(nh * sxx - sx * sx AS DOUBLE) / CAST(nh * sx AS DOUBLE)"
+
+  /** BURSTINESS per event_type — the FANO FACTOR (variance-to-mean ratio)
+    * of the hourly count series: the Poisson dispersion test every
+    * capacity planner runs before sizing for average load (Fano ≈ 1 →
+    * Poisson arrivals, smooth; Fano ≫ 1 → bursty, provision for peaks;
+    * the `is_bursty` flag uses the exact integer cross-multiplied form of
+    * `variance > 2·mean`). Numerator and denominator are exact BIGINTs
+    * ([[FanoExprSql]]); only the final quotient is IEEE, shared with the
+    * oracle.
+    *
+    * Scale shape: identical to [[acf]]/[[seasonalNaive]] — ONE row-scale
+    * map-side-combined count collapses to (type, hour), then one
+    * |types|-key aggregate. Count magnitudes must keep `Σx²` under 2⁶³
+    * (hourly counts ≪ 2³¹ per series — holds at any realistic telemetry
+    * rate; past it, bucket the count frame to DECIMAL). */
+  def fano(spark: SparkSession, sfDir: String): DataFrame = {
+    events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nh"),
+        sum(col("cnt")).as("sx"),
+        sum(col("cnt") * col("cnt")).as("sxx"))
+      .withColumn("fano", Tables.portableRound6(expr(FanoExprSql)))
+      .withColumn("is_bursty",
+        col("nh") * col("sxx") - col("sx") * col("sx") >
+          lit(2L) * col("nh") * col("sx"))
+      .select(col("event_type"), col("nh"), col("sx"), col("sxx"),
+        col("fano"), col("is_bursty"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[fano]] — identical integer sums, shared quotient,
+    * and the same cross-multiplied burstiness rule. */
+  def fanoOracleSql: String =
+    s"""WITH c AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2
+       |), g AS (
+       |  SELECT event_type, count(*) AS nh,
+       |    CAST(sum(cnt) AS BIGINT) AS sx,
+       |    CAST(sum(cnt * cnt) AS BIGINT) AS sxx
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT event_type, nh, sx, sxx,
+       |  ${Tables.portableRound6Sql(FanoExprSql)} AS fano,
+       |  (nh * sxx - sx * sx) > 2 * nh * sx AS is_bursty
+       |FROM g ORDER BY event_type""".stripMargin
 }

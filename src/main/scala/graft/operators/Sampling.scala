@@ -757,4 +757,52 @@ object Sampling {
       |  ON top.source = bottom.source AND top.pair_idx = bottom.pair_idx
       |WHERE chosen_score > rejected_score
       |ORDER BY top.source, top.pair_idx""".stripMargin
+
+  // ---- mix concentration (Simpson / HHI) ------------------------------------
+
+  /** MIX CONCENTRATION per language — the Simpson index `D = Σ pᵢ²` of the
+    * source distribution (equivalently the Herfindahl–Hirschman
+    * concentration index), plus its inverse, the EFFECTIVE SOURCE COUNT
+    * `1/D` — the "how many sources is this corpus *really* drawing from?"
+    * number a mix designer tracks (log-free, unlike Shannon entropy —
+    * libm logs are never evaluated in-engine, the q_benford rule). Kept
+    * exact by cross-multiplication: `D_ppm = Σnᵢ²·10⁶ div N²` is pure
+    * integer; `1/D = N²/Σnᵢ²` is one shared double division.
+    *
+    * Scale shape: ONE map-side-combined (lang, source) count — key space
+    * |langs|·|sources| — then a |langs|-key aggregate of squared counts.
+    * The row-scale pass is the first count; everything after is
+    * constant-size. */
+  def mixSimpson(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = documents(spark, sfDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("n")).as("n_docs"),
+        sum(col("n") * col("n")).as("sum_sq"))
+      .withColumn("simpson_ppm",
+        expr("(sum_sq * 1000000) div (n_docs * n_docs)"))
+      .withColumn("effective_sources", Tables.portableRound6(
+        expr("CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_sq AS DOUBLE)")))
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB twin of [[mixSimpson]] — identical integer cross-multiplied
+    * index and shared inverse expression. */
+  def mixSimpsonOracleSql: String =
+    s"""WITH c AS (
+       |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+       |), g AS (
+       |  SELECT lang, count(*) AS n_sources,
+       |    CAST(sum(n) AS BIGINT) AS n_docs,
+       |    CAST(sum(n * n) AS BIGINT) AS sum_sq
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT lang, n_sources, n_docs, sum_sq,
+       |  (sum_sq * 1000000) // (n_docs * n_docs) AS simpson_ppm,
+       |  ${Tables.portableRound6Sql(
+            "CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_sq AS DOUBLE)")}
+       |    AS effective_sources
+       |FROM g ORDER BY lang""".stripMargin
 }
