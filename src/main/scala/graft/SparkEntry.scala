@@ -288,6 +288,9 @@ object SparkEntry {
     "mix_simpson" -> (Sampling.mixSimpson _),
     "q_fano" -> (QuerySurface.fano _),
     "otel_exemplars" -> ((s: SparkSession, d: String) => OtelQueries.exemplars(s, d)),
+    "q_sax" -> (QuerySurface.sax _),
+    "q_topn_share" -> ((s: SparkSession, d: String) => QuerySurface.topNShare(s, d)),
+    "text_readability" -> (TextAnalysis.readability _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -817,5 +820,8 @@ object SparkEntry {
     "mix_simpson" -> operators.Sampling.mixSimpsonOracleSql,
     "q_fano" -> operators.QuerySurface.fanoOracleSql,
     "otel_exemplars" -> OtelQueries.exemplarsOracleSql(),
+    "q_sax" -> operators.QuerySurface.saxOracleSql,
+    "q_topn_share" -> operators.QuerySurface.topNShareOracleSql(),
+    "text_readability" -> TextAnalysis.readabilityOracleSql,
   )
 }

@@ -3074,4 +3074,152 @@ object QuerySurface {
        |  ${Tables.portableRound6Sql(FanoExprSql)} AS fano,
        |  (nh * sxx - sx * sx) > 2 * nh * sx AS is_bursty
        |FROM g ORDER BY event_type""".stripMargin
+
+  // ---- SAX symbolization ----------------------------------------------------
+
+  /** Number of PAA segments and the squared ±0.6745 z-breakpoint (the
+    * Gaussian quartiles of the classic 4-symbol SAX alphabet), shared with
+    * the oracle. 0.6745² = 0.45495025. */
+  val SaxSegments = 8
+  private val SaxBetaSq = "0.45495025"
+
+  /** Symbol rule shared verbatim with the oracle — entirely sqrt-free:
+    * with `d = sum_s·N − Sx·n_s` (exact int, the sign of `PAA_s − μ`) and
+    * `varnum = N·Σx² − Sx²` (exact int, N²·σ²), the z-breakpoint compare
+    * `|z| vs 0.6745` cross-multiplies to `d² vs 0.6745²·n_s²·varnum` —
+    * one double product tree over exact ints on both engines. */
+  private val SaxSymbolCaseSql: String =
+    s"""CASE
+       |  WHEN d < 0 AND CAST(d AS DOUBLE) * CAST(d AS DOUBLE) >
+       |    $SaxBetaSq * CAST(n_s AS DOUBLE) * CAST(n_s AS DOUBLE) * CAST(varnum AS DOUBLE)
+       |    THEN 'a'
+       |  WHEN d < 0 THEN 'b'
+       |  WHEN CAST(d AS DOUBLE) * CAST(d AS DOUBLE) >
+       |    $SaxBetaSq * CAST(n_s AS DOUBLE) * CAST(n_s AS DOUBLE) * CAST(varnum AS DOUBLE)
+       |    THEN 'd'
+       |  ELSE 'c' END""".stripMargin
+
+  /** SAX SYMBOLIZATION per event_type — the classic time-series
+    * representation (Lin/Keogh's Symbolic Aggregate approXimation): the
+    * hourly count series is piecewise-aggregate-approximated into
+    * [[SaxSegments]] equal time segments, z-normalized against the
+    * series' own mean/σ, and each segment mapped to one of 4 symbols at
+    * the Gaussian-quartile breakpoints — the 8-character "shape word"
+    * that lets a TSDB index, cluster, and motif-search millions of series
+    * by string equality instead of numeric distance. Every comparison is
+    * cross-multiplied to exact-integer or shared-double form
+    * ([[SaxSymbolCaseSql]]) — no sqrt, no libm.
+    *
+    * Scale shape: one row-scale (type, hour) count, one (type, segment)
+    * aggregate, one |types|-row totals frame broadcast back, one ordered
+    * string-agg per type. Constant work after the first count. */
+  def sax(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"),
+        count(lit(1)).as("nh"), sum(col("cnt")).as("sx"),
+        sum(col("cnt") * col("cnt")).as("sxx"))
+      .withColumn("varnum", col("nh") * col("sxx") - col("sx") * col("sx"))
+    val segs = counts.join(broadcast(totals), Seq("event_type"))
+      .withColumn("seg",
+        expr(s"((h - h0) * $SaxSegments) div (h1 - h0 + 1)"))
+      .groupBy(col("event_type"), col("seg"))
+      .agg(count(lit(1)).as("n_s"), sum(col("cnt")).as("sum_s"),
+        max(col("nh")).as("nh"), max(col("sx")).as("sx"),
+        max(col("varnum")).as("varnum"))
+      .withColumn("d", col("sum_s") * col("nh") - col("sx") * col("n_s"))
+      .withColumn("sym", expr(SaxSymbolCaseSql))
+    segs.groupBy(col("event_type"))
+      .agg(max(col("nh")).as("n_hours"),
+        array_join(transform(array_sort(collect_list(struct(col("seg"),
+          col("sym")))), x => x.getField("sym")), "").as("sax_word"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[sax]] — identical segment grid, cross-multiplied
+    * symbol rule, and segment-ordered word assembly. */
+  def saxOracleSql: String =
+    s"""WITH c AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2
+       |), t AS (
+       |  SELECT event_type, min(h) AS h0, max(h) AS h1, count(*) AS nh,
+       |    CAST(sum(cnt) AS BIGINT) AS sx,
+       |    CAST(sum(cnt * cnt) AS BIGINT) AS sxx,
+       |    CAST(count(*) * sum(cnt * cnt) - sum(cnt) * sum(cnt) AS BIGINT) AS varnum
+       |  FROM c GROUP BY 1
+       |), s AS (
+       |  SELECT c.event_type, ((c.h - t.h0) * $SaxSegments) // (t.h1 - t.h0 + 1) AS seg,
+       |    count(*) AS n_s, CAST(sum(c.cnt) AS BIGINT) AS sum_s,
+       |    max(t.nh) AS nh, max(t.sx) AS sx, max(t.varnum) AS varnum
+       |  FROM c JOIN t ON c.event_type = t.event_type
+       |  GROUP BY 1, 2
+       |), y AS (
+       |  SELECT event_type, seg, nh,
+       |    sum_s * nh - sx * n_s AS d, n_s, varnum
+       |  FROM s
+       |), z AS (
+       |  SELECT event_type, seg, nh, ${SaxSymbolCaseSql.replace("\n", " ")} AS sym
+       |  FROM y
+       |)
+       |SELECT event_type, CAST(max(nh) AS BIGINT) AS n_hours,
+       |  string_agg(sym, '' ORDER BY seg) AS sax_word
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- top-N concentration share --------------------------------------------
+
+  /** TOP-N CONCENTRATION — what fraction of each event_type's total value
+    * do its 10 heaviest users carry (the "whale share" Pareto check run
+    * before any per-user capacity or abuse decision; `q_lorenz` is the
+    * full curve, this is the single number a dashboard tracks). Value is
+    * the 10⁻⁶ fixed point so per-user totals and the share are exact
+    * integers end-to-end.
+    *
+    * Scale shape: one row-scale map-side-combined (type, user) aggregate,
+    * then a type-keyed rank window over the |users|-row frame (never
+    * empty-key), then one |types|-key aggregate. At 100 TB per-type user
+    * counts in the millions rank fine per key; a single monster key would
+    * use [[Ranks]]' distributed pass. */
+  def topNShare(spark: SparkSession, sfDir: String, topN: Int = 10): DataFrame = {
+    val perUser = events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("v_fp"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("v_fp")).as("user_total"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("user_total").desc, col("user_id"))
+    perUser
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("user_total")).as("total_fp"),
+        sum(when(col("rk") <= topN, col("user_total")).otherwise(0L))
+          .as("topn_fp"))
+      .withColumn("topn_share_ppm",
+        expr("(topn_fp * 1000000) div total_fp"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[topNShare]] — identical fixed point, rank
+    * tie-break, and integer share. */
+  def topNShareOracleSql(topN: Int = 10): String =
+    s"""WITH u AS (
+       |  SELECT event_type, user_id,
+       |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS user_total
+       |  FROM events GROUP BY 1, 2
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_type
+       |    ORDER BY user_total DESC, user_id) AS rk
+       |  FROM u
+       |)
+       |SELECT event_type, count(*) AS n_users,
+       |  CAST(sum(user_total) AS BIGINT) AS total_fp,
+       |  CAST(sum(CASE WHEN rk <= $topN THEN user_total ELSE 0 END) AS BIGINT)
+       |    AS topn_fp,
+       |  (CAST(sum(CASE WHEN rk <= $topN THEN user_total ELSE 0 END) AS BIGINT)
+       |    * 1000000) // CAST(sum(user_total) AS BIGINT) AS topn_share_ppm
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1784,4 +1784,52 @@ object TextAnalysis {
       |    // count(*) AS boiler_ppm
       |FROM hs JOIN dfh ON hs.h = dfh.h
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- readability proxy ---------------------------------------------------
+
+  /** READABILITY PROXY per document — the integer-exact skeleton of a
+    * Flesch-style score: words per sentence (periods as sentence marks,
+    * floor-1 so period-free fragments don't divide by zero) and characters
+    * per word, both in integer ppm, plus the long-word share (≥ 7 chars —
+    * the syllable-count stand-in that needs no dictionary). The features a
+    * complexity-based quality filter thresholds on; kept fully integral so
+    * the gate is hash-exact and the 100 TB pass is pure map + one
+    * aggregate-free projection.
+    *
+    * Scale shape: a single map pass over the scan — no shuffle at all
+    * except the output sort. */
+  def readability(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        greatest(regexp_count(col("text"), lit("\\.")), lit(1))
+          .cast("long").as("n_sentences"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(filter(split(col("text"), " "), t => length(t) >= 7))
+          .cast("long").as("n_long_words"))
+      .withColumn("words_per_sentence_ppm",
+        expr("(n_words * 1000000) div n_sentences"))
+      .withColumn("chars_per_word_ppm",
+        expr("(n_chars * 1000000) div n_words"))
+      .withColumn("long_word_ppm",
+        expr("(n_long_words * 1000000) div n_words"))
+      .orderBy(col("doc_id"))
+
+  /** DuckDB twin of [[readability]] — identical counts and integer ppm. */
+  def readabilityOracleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(greatest(len(text) - len(replace(text, '.', '')), 1) AS BIGINT)
+      |      AS n_sentences,
+      |    CAST(len(text) AS BIGINT) AS n_chars,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      t -> len(t) >= 7)) AS BIGINT) AS n_long_words
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_words, n_sentences, n_chars, n_long_words,
+      |  (n_words * 1000000) // n_sentences AS words_per_sentence_ppm,
+      |  (n_chars * 1000000) // n_words AS chars_per_word_ppm,
+      |  (n_long_words * 1000000) // n_words AS long_word_ppm
+      |FROM b ORDER BY doc_id""".stripMargin
 }

@@ -63,6 +63,94 @@ class Round9dOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_sax: plain-Scala PAA + z-breakpoint symbolization recompute") {
+    val counts = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) div 3600000000").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((et, h), g) => (et, h, g.length.toLong) }
+      .toSeq
+    val expected = counts.groupBy(_._1).map { case (et, xs) =>
+      val h0 = xs.map(_._2).min; val h1 = xs.map(_._2).max
+      val nh = xs.size.toLong
+      val sx = xs.map(_._3).sum
+      val sxx = xs.map(x => x._3 * x._3).sum
+      val varnum = nh * sxx - sx * sx
+      val segs = xs.groupBy(x => (x._2 - h0) * 8 / (h1 - h0 + 1))
+      val word = segs.toSeq.sortBy(_._1).map { case (_, ss) =>
+        val nS = ss.size.toLong
+        val d = ss.map(_._3).sum * nh - sx * nS
+        val dd = d.toDouble * d.toDouble
+        val cut = 0.45495025 * nS.toDouble * nS.toDouble * varnum.toDouble
+        if (d < 0 && dd > cut) "a" else if (d < 0) "b"
+        else if (dd > cut) "d" else "c"
+      }.mkString
+      et -> ((nh, word))
+    }
+    val out = QuerySurface.sax(spark, sf).collect()
+    assert(out.length == expected.size && out.nonEmpty)
+    out.foreach { row =>
+      val (nh, word) = expected(row.getAs[String]("event_type"))
+      assert(row.getAs[Long]("n_hours") == nh)
+      assert(row.getAs[String]("sax_word") == word,
+        s"sax ${row.getString(0)}: got ${row.getAs[String]("sax_word")} want $word")
+      assert(word.length <= QuerySurface.SaxSegments &&
+        word.forall("abcd".contains(_)))
+    }
+  }
+
+  test("q_topn_share: plain-Scala whale-share recompute") {
+    val perUser = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id",
+        "CAST(floor(value * 1000000) AS BIGINT)").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(x => (x._1, x._2)).map { case ((et, u), g) => (et, u, g.map(_._3).sum) }
+      .toSeq
+    val expected = perUser.groupBy(_._1).map { case (et, xs) =>
+      val ranked = xs.sortBy(x => (-x._3, x._2))
+      val total = xs.map(_._3).sum
+      val topn = ranked.take(10).map(_._3).sum
+      et -> ((xs.size.toLong, total, topn, topn * 1000000L / total))
+    }
+    val out = QuerySurface.topNShare(spark, sf).collect()
+    assert(out.length == expected.size && out.nonEmpty)
+    out.foreach { row =>
+      val (nU, total, topn, ppm) = expected(row.getAs[String]("event_type"))
+      assert(row.getAs[Long]("n_users") == nU)
+      assert(row.getAs[Long]("total_fp") == total)
+      assert(row.getAs[Long]("topn_fp") == topn)
+      assert(row.getAs[Long]("topn_share_ppm") == ppm)
+      // whale share is at least the uniform share of 10 users
+      assert(ppm >= 10000000L / nU)
+    }
+  }
+
+  test("text_readability: plain-Scala feature recompute") {
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val words = text.split(" ", -1)
+      val nW = words.length.toLong
+      val nS = math.max(text.count(_ == '.').toLong, 1L)
+      val nC = text.length.toLong
+      val nLong = words.count(_.length >= 7).toLong
+      id -> ((nW, nS, nC, nLong,
+        nW * 1000000L / nS, nC * 1000000L / nW, nLong * 1000000L / nW))
+    }.toMap
+    val out = graft.operators.TextAnalysis.readability(spark, sf).collect()
+    assert(out.length == expected.size && out.nonEmpty)
+    out.foreach { row =>
+      val (nW, nS, nC, nLong, wps, cpw, lw) = expected(row.getAs[Long]("doc_id"))
+      assert(row.getAs[Long]("n_words") == nW)
+      assert(row.getAs[Long]("n_sentences") == nS)
+      assert(row.getAs[Long]("n_chars") == nC)
+      assert(row.getAs[Long]("n_long_words") == nLong)
+      assert(row.getAs[Long]("words_per_sentence_ppm") == wps)
+      assert(row.getAs[Long]("chars_per_word_ppm") == cpw)
+      assert(row.getAs[Long]("long_word_ppm") == lw && lw <= 1000000L)
+    }
+  }
+
   test("otel_exemplars: plain-Scala per-op top-3 argmax with deterministic " +
       "tie-break") {
     val n = 2000L
