@@ -291,6 +291,8 @@ object SparkEntry {
     "q_sax" -> (QuerySurface.sax _),
     "q_topn_share" -> ((s: SparkSession, d: String) => QuerySurface.topNShare(s, d)),
     "text_readability" -> (TextAnalysis.readability _),
+    "text_line_dedup" -> ((s: SparkSession, d: String) => TextAnalysis.lineDedup(s, d)),
+    "q_theilsen" -> (QuerySurface.theilSen _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -823,5 +825,7 @@ object SparkEntry {
     "q_sax" -> operators.QuerySurface.saxOracleSql,
     "q_topn_share" -> operators.QuerySurface.topNShareOracleSql(),
     "text_readability" -> TextAnalysis.readabilityOracleSql,
+    "text_line_dedup" -> TextAnalysis.lineDedupOracleSql,
+    "q_theilsen" -> operators.QuerySurface.theilSenOracleSql,
   )
 }

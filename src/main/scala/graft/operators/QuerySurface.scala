@@ -3222,4 +3222,64 @@ object QuerySurface {
        |  (CAST(sum(CASE WHEN rk <= $topN THEN user_total ELSE 0 END) AS BIGINT)
        |    * 1000000) // CAST(sum(user_total) AS BIGINT) AS topn_share_ppm
        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- Theil–Sen robust trend -----------------------------------------------
+
+  /** THEIL–SEN ROBUST TREND per event_type — the median of all pairwise
+    * slopes of the hourly count series: the slope estimator with a 29%
+    * breakdown point that a level shift or outlier burst cannot drag the
+    * way it drags `q_trend`'s least squares. Each slope is `(c₂−c₁)·10⁶
+    * div (h₂−h₁)` — an exact fixed-point BIGINT, so ranking, the
+    * percentile_disc median pick, and the result are hash-exact with no
+    * IEEE step anywhere.
+    *
+    * Scale shape: the pair explosion runs on the (type, hour) COUNT frame
+    * (≤ |types|·(hours choose 2) rows — time-bounded, not volume-bounded:
+    * 30 days ≈ 260k pairs per type at ANY data size), then one type-keyed
+    * rank window. The row-scale pass is only the first count. */
+  def theilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val slopes = counts.as("a")
+      .join(counts.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.h") < col("b.h"))
+      .select(col("a.event_type").as("event_type"),
+        expr("((b.cnt - a.cnt) * 1000000) div (b.h - a.h)").as("slope_fp"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("slope_fp"))
+    val wAll = Window.partitionBy(col("event_type"))
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("np")).as("n_pairs"),
+        max(when(col("rn") === expr("(np + 1) div 2"), col("slope_fp")))
+          .as("theil_sen_slope_fp"))
+      .withColumn("rising", col("theil_sen_slope_fp") > 0L)
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[theilSen]] — identical fixed-point slopes and
+    * longhand median pick. */
+  def theilSenOracleSql: String =
+    """WITH c AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), p AS (
+      |  SELECT a.event_type,
+      |    ((b.cnt - a.cnt) * 1000000) // (b.h - a.h) AS slope_fp
+      |  FROM c a JOIN c b ON a.event_type = b.event_type AND a.h < b.h
+      |), r AS (
+      |  SELECT event_type, slope_fp,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY slope_fp) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS np
+      |  FROM p
+      |)
+      |SELECT event_type, CAST(max(np) AS BIGINT) AS n_pairs,
+      |  CAST(max(CASE WHEN rn = (np + 1) // 2 THEN slope_fp END) AS BIGINT)
+      |    AS theil_sen_slope_fp,
+      |  CAST(max(CASE WHEN rn = (np + 1) // 2 THEN slope_fp END) AS BIGINT) > 0
+      |    AS rising
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1832,4 +1832,71 @@ object TextAnalysis {
       |  (n_chars * 1000000) // n_words AS chars_per_word_ppm,
       |  (n_long_words * 1000000) // n_words AS long_word_ppm
       |FROM b ORDER BY doc_id""".stripMargin
+
+  // ---- duplicated-line accounting ------------------------------------------
+
+  /** DUPLICATED-LINE ACCOUNTING per document — the Gopher/MassiveText
+    * line-level repetition rule: split each document on '.' sentence
+    * marks (this corpus's line analogue), hash each non-empty trimmed
+    * line, and report how many of a document's lines ALSO appear in other
+    * documents (cross-document boilerplate — nav bars, license footers,
+    * quote chains) vs repeated within itself. Emits per-doc line counts
+    * and the integer-ppm duplicated share — the number the Gopher quality
+    * rule thresholds at 30%.
+    *
+    * Scale shape: the novelty/shingle discipline — explode to (doc,
+    * line_hash) pairs, ONE hash-keyed df aggregate, one join back, one
+    * doc aggregate. Exchanges carry 8-byte hashes, never line text. */
+  def lineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val lines = documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(expr("filter(transform(split(text, '\\\\.'), x -> trim(x)), x -> x != '')"))
+          .as("line"))
+      .select(col("doc_id"),
+        graft.functions.PortableHash.md5Lower63Col(col("line")).as("lh"))
+    val perDoc = lines.groupBy(col("doc_id"), col("lh"))
+      .agg(count(lit(1)).as("n_in_doc"))
+    val docFreq = perDoc.groupBy(col("lh"))
+      .agg(count(lit(1)).as("df"))
+    perDoc.join(docFreq, Seq("lh"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_in_doc")).as("n_lines"),
+        count(lit(1)).as("n_distinct_lines"),
+        sum(when(col("df") > 1, col("n_in_doc")).otherwise(0L))
+          .as("n_cross_dup"),
+        sum(when(col("n_in_doc") > 1, col("n_in_doc") - 1).otherwise(0L))
+          .as("n_self_dup"))
+      .withColumn("cross_dup_ppm", expr("(n_cross_dup * 1000000) div n_lines"))
+      .withColumn("flag_gopher", col("cross_dup_ppm") > 300000L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[lineDedup]] — identical split/trim/hash and integer
+    * ppm. */
+  def lineDedupOracleSql: String =
+    """WITH l AS (
+      |  SELECT doc_id,
+      |    CAST(md5_number_lower(x) & 9223372036854775807 AS BIGINT) AS lh
+      |  FROM documents,
+      |    unnest(list_filter(list_transform(string_split(text, '.'),
+      |      x -> trim(x)), x -> x != '')) AS t(x)
+      |), pd AS (
+      |  SELECT doc_id, lh, count(*) AS n_in_doc FROM l GROUP BY 1, 2
+      |), dfq AS (
+      |  SELECT lh, count(*) AS df FROM pd GROUP BY 1
+      |), g AS (
+      |  SELECT pd.doc_id,
+      |    CAST(sum(pd.n_in_doc) AS BIGINT) AS n_lines,
+      |    count(*) AS n_distinct_lines,
+      |    CAST(sum(CASE WHEN dfq.df > 1 THEN pd.n_in_doc ELSE 0 END) AS BIGINT)
+      |      AS n_cross_dup,
+      |    CAST(sum(CASE WHEN pd.n_in_doc > 1 THEN pd.n_in_doc - 1 ELSE 0 END)
+      |      AS BIGINT) AS n_self_dup
+      |  FROM pd JOIN dfq ON pd.lh = dfq.lh
+      |  GROUP BY 1
+      |)
+      |SELECT doc_id, n_lines, n_distinct_lines, n_cross_dup, n_self_dup,
+      |  (n_cross_dup * 1000000) // n_lines AS cross_dup_ppm,
+      |  (n_cross_dup * 1000000) // n_lines > 300000 AS flag_gopher
+      |FROM g ORDER BY doc_id""".stripMargin
 }

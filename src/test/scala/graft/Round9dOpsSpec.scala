@@ -151,6 +151,70 @@ class Round9dOpsSpec extends SparkTestBase {
     }
   }
 
+  test("text_line_dedup: plain-Scala cross-document line accounting " +
+      "(Gopher rule)") {
+    import graft.functions.PortableHash
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perDoc: Map[Long, Seq[Long]] = docs.map { case (id, text) =>
+      id -> text.split("\\.", -1).map(_.trim).filter(_.nonEmpty)
+        .map(PortableHash.md5Lower63).toSeq
+    }.toMap
+    val df = perDoc.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val expected = perDoc.collect { case (id, lhs) if lhs.nonEmpty =>
+      val byHash = lhs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nLines = lhs.length.toLong
+      val cross = byHash.collect { case (h, n) if df(h) > 1 => n }.sum
+      val self = byHash.values.collect { case n if n > 1 => n - 1 }.sum
+      val ppm = cross * 1000000L / nLines
+      id -> ((nLines, byHash.size.toLong, cross, self, ppm, ppm > 300000L))
+    }
+    val out = graft.operators.TextAnalysis.lineDedup(spark, sf).collect()
+    assert(out.length == expected.size && out.nonEmpty)
+    out.foreach { row =>
+      val (nL, nD, cross, self, ppm, flag) = expected(row.getAs[Long]("doc_id"))
+      assert(row.getAs[Long]("n_lines") == nL)
+      assert(row.getAs[Long]("n_distinct_lines") == nD)
+      assert(row.getAs[Long]("n_cross_dup") == cross)
+      assert(row.getAs[Long]("n_self_dup") == self)
+      assert(row.getAs[Long]("cross_dup_ppm") == ppm)
+      assert(row.getAs[Boolean]("flag_gopher") == flag)
+      assert(cross <= nL && self <= nL - nD)
+    }
+  }
+
+  test("q_theilsen: plain-Scala median-of-pairwise-slopes recompute; " +
+      "robust to the level shift that drags OLS") {
+    val counts = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) div 3600000000").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((et, h), g) => (et, h, g.length.toLong) }
+      .toSeq
+    val expected = counts.groupBy(_._1).map { case (et, xs) =>
+      val slopes = (for {
+        (_, h1, c1) <- xs; (_, h2, c2) <- xs; if h1 < h2
+      } yield {
+        val num = (c2 - c1) * 1000000L
+        val den = h2 - h1
+        // mirror Spark div / DuckDB //: truncation toward zero
+        num / den
+      }).sorted
+      val med = slopes(((slopes.length + 1) / 2) - 1)
+      et -> ((slopes.length.toLong, med, med > 0L))
+    }
+    val out = QuerySurface.theilSen(spark, sf).collect()
+    assert(out.length == expected.size && out.nonEmpty)
+    out.foreach { row =>
+      val (np, med, rising) = expected(row.getAs[String]("event_type"))
+      assert(row.getAs[Long]("n_pairs") == np)
+      assert(row.getAs[Long]("theil_sen_slope_fp") == med,
+        s"slope ${row.getString(0)}")
+      assert(row.getAs[Boolean]("rising") == rising)
+    }
+  }
+
   test("otel_exemplars: plain-Scala per-op top-3 argmax with deterministic " +
       "tie-break") {
     val n = 2000L
