@@ -168,9 +168,9 @@ object Bucketing {
   def zOrderKeysRanked(spark: SparkSession, sfDir: String,
       limit: Int = 200): DataFrame = {
     import graft.functions.QsketchAggregate.qsketchBottomK
-    val hUdf = udf { (s: String) => graft.functions.PortableHash.md5Lower63(s) }
     val ev = Tables.events(spark, sfDir)
-      .withColumn("h", hUdf(col("event_id").cast("string")))
+      .withColumn("h", graft.functions.PortableHash.md5Lower63Col(
+        col("event_id").cast("string")))
     val sk = ev.agg(
       qsketchBottomK(col("h"), col("user_id").cast("double"), 256).as("su"),
       qsketchBottomK(col("h"), col("value"), 256).as("sv"))

@@ -1228,7 +1228,11 @@ object Dedup {
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("passage_hash"))
   }
 
-  private val passageHashUdf = udf { (s: String) => PortableHash.md5Lower63(s) }
+  /** Codegen'd [[PortableHash.md5Lower63Col]] — replaces the per-row Scala
+    * UDF (bit-identical; property-tested in PortableHashSpec), keeping the
+    * passage-hash map pass inside whole-stage codegen. */
+  private def passageHashUdf(c: org.apache.spark.sql.Column) =
+    PortableHash.md5Lower63Col(c)
 
   /** DuckDB twin of [[passageDedup]] (same windows, same 63-bit md5 hash;
     * `generate_series(0, n)` with n<0 is empty, mirroring the ≥8-token

@@ -39,7 +39,12 @@ import Tables._
   */
 object Sketches {
 
-  private val md5Lower63Udf = udf { (s: String) => PortableHash.md5Lower63(s) }
+  /** Codegen'd [[PortableHash.md5Lower63Col]] — the former per-row Scala
+    * UDF form, now a builtin-composed Column (bit-identical; property-
+    * tested in PortableHashSpec), so every sketch hash stays inside
+    * whole-stage codegen. */
+  private def md5Lower63Udf(c: org.apache.spark.sql.Column) =
+    PortableHash.md5Lower63Col(c)
 
   // ---- KMV approximate distinct ----
 
