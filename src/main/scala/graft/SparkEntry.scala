@@ -293,6 +293,10 @@ object SparkEntry {
     "text_readability" -> (TextAnalysis.readability _),
     "text_line_dedup" -> ((s: SparkSession, d: String) => TextAnalysis.lineDedup(s, d)),
     "q_theilsen" -> (QuerySurface.theilSen _),
+    "q_kendall" -> (QuerySurface.kendall _),
+    "q_spearman" -> (QuerySurface.spearman _),
+    "q_bootstrap_ci" -> ((s: SparkSession, d: String) =>
+      QuerySurface.bootstrapCi(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -827,5 +831,8 @@ object SparkEntry {
     "text_readability" -> TextAnalysis.readabilityOracleSql,
     "text_line_dedup" -> TextAnalysis.lineDedupOracleSql,
     "q_theilsen" -> operators.QuerySurface.theilSenOracleSql,
+    "q_kendall" -> operators.QuerySurface.kendallOracleSql,
+    "q_spearman" -> operators.QuerySurface.spearmanOracleSql,
+    "q_bootstrap_ci" -> operators.QuerySurface.bootstrapCiOracleSql(),
   )
 }

@@ -3282,4 +3282,234 @@ object QuerySurface {
       |  CAST(max(CASE WHEN rn = (np + 1) // 2 THEN slope_fp END) AS BIGINT) > 0
       |    AS rising
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+  // ---- Kendall rank concordance ---------------------------------------------
+
+  /** KENDALL τ-a per event_type between the hourly COUNT series and the
+    * hourly fixed-point VALUE-SUM series — "do busier hours move more
+    * value?" answered by pure rank concordance, free of any linearity or
+    * scale assumption (the nonparametric complement to `q_corr`'s Pearson
+    * and `q_theilsen`'s slope). Every pair of hours is classified by SIGN
+    * COMPARISON only (`dc>0 AND ds>0` …), never by a `dc*ds` product, so
+    * no intermediate can overflow however large the per-hour sums grow;
+    * τ-a = (C − D)·10⁶ div pairs is exact integer ppm end-to-end.
+    *
+    * Scale shape: the pair explosion runs on the (type, hour) aggregate —
+    * time-bounded (hours²·|types|), not volume-bounded; the only row-scale
+    * pass is the first groupBy. Ties land in `n_ties`, not in τ-a's
+    * numerator (τ-b's tie normalizer needs a sqrt — out of the exact-
+    * integer contract; documented). */
+  def kendall(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("sv"))
+    val pairs = hourly.as("a")
+      .join(hourly.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.h") < col("b.h"))
+      .select(col("a.event_type").as("event_type"),
+        (col("b.cnt") - col("a.cnt")).as("dc"),
+        (col("b.sv") - col("a.sv")).as("ds"))
+    pairs
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when((col("dc") > 0 && col("ds") > 0) ||
+          (col("dc") < 0 && col("ds") < 0), 1L).otherwise(0L)).as("n_conc"),
+        sum(when((col("dc") > 0 && col("ds") < 0) ||
+          (col("dc") < 0 && col("ds") > 0), 1L).otherwise(0L)).as("n_disc"))
+      .withColumn("n_ties", col("n_pairs") - col("n_conc") - col("n_disc"))
+      .withColumn("tau_a_ppm",
+        expr("((n_conc - n_disc) * 1000000) div n_pairs"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[kendall]] — identical sign classification and
+    * integer ppm. */
+  def kendallOracleSql: String =
+    """WITH c AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS cnt,
+      |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sv
+      |  FROM events GROUP BY 1, 2
+      |), p AS (
+      |  SELECT a.event_type, b.cnt - a.cnt AS dc, b.sv - a.sv AS ds
+      |  FROM c a JOIN c b ON a.event_type = b.event_type AND a.h < b.h
+      |), s AS (
+      |  SELECT event_type, count(*) AS n_pairs,
+      |    CAST(sum(CASE WHEN (dc > 0 AND ds > 0) OR (dc < 0 AND ds < 0)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+      |    CAST(sum(CASE WHEN (dc > 0 AND ds < 0) OR (dc < 0 AND ds > 0)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_disc
+      |  FROM p GROUP BY 1
+      |)
+      |SELECT event_type, n_pairs, n_conc, n_disc,
+      |  n_pairs - n_conc - n_disc AS n_ties,
+      |  ((n_conc - n_disc) * 1000000) // n_pairs AS tau_a_ppm
+      |FROM s ORDER BY 1""".stripMargin
+
+  // ---- Spearman rank correlation --------------------------------------------
+
+  /** SPEARMAN ρ per event_type between the hourly COUNT and hourly
+    * fixed-point VALUE-SUM series — the d² form `ρ = 1 − 6Σd²/(n(n²−1))`
+    * over ranks drawn with a DETERMINISTIC (metric, hour) lexicographic
+    * tie-break (exact Spearman when the series has no ties; a documented
+    * deterministic variant when it does — average-rank tie handling needs
+    * τ-b-style sqrt normalizers, outside the exact-integer contract).
+    * Ranks come from per-type `row_number` windows, d² sums and the final
+    * ρ·10⁶ are BIGINT arithmetic throughout — hash-exact, no IEEE step.
+    *
+    * Scale shape: two (type)-keyed rank windows over the HOURLY aggregate
+    * (time-bounded rows), never over raw events; the row-scale pass is
+    * only the first groupBy. No empty-key window anywhere. */
+  def spearman(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("sv"))
+    val wc = Window.partitionBy(col("event_type"))
+      .orderBy(col("cnt"), col("h"))
+    val ws = Window.partitionBy(col("event_type"))
+      .orderBy(col("sv"), col("h"))
+    hourly
+      .withColumn("rc", row_number().over(wc))
+      .withColumn("rs", row_number().over(ws))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum((col("rc") - col("rs")).cast("long")
+          * (col("rc") - col("rs")).cast("long")).as("sum_d2"))
+      .filter(col("n_hours") > 1L)
+      .withColumn("spearman_fp",
+        expr("1000000 - (6 * sum_d2 * 1000000) div (n_hours * (n_hours * n_hours - 1))"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[spearman]] — identical tie-break, ranks, and
+    * fixed-point ρ. */
+  def spearmanOracleSql: String =
+    """WITH c AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS cnt,
+      |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sv
+      |  FROM events GROUP BY 1, 2
+      |), r AS (
+      |  SELECT event_type,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY cnt, h) AS rc,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY sv, h) AS rs
+      |  FROM c
+      |), s AS (
+      |  SELECT event_type, count(*) AS n_hours,
+      |    CAST(sum((rc - rs) * (rc - rs)) AS BIGINT) AS sum_d2
+      |  FROM r GROUP BY 1 HAVING count(*) > 1
+      |)
+      |SELECT event_type, n_hours, sum_d2,
+      |  1000000 - (6 * sum_d2 * 1000000) // (n_hours * (n_hours * n_hours - 1))
+      |    AS spearman_fp
+      |FROM s ORDER BY 1""".stripMargin
+
+  // ---- Poisson bootstrap confidence interval --------------------------------
+
+  /** Poisson(1) CDF thresholds scaled to 2⁶³ — `floor(CDF(k)·2⁶³)` for
+    * k = 0..8, computed once at 60-digit decimal precision and inlined as
+    * literals here AND in the oracle SQL, so both engines draw the same
+    * replicate multiplicities from the same 63-bit uniform hash. */
+  private[operators] val PoissonCdf63: Seq[Long] = Seq(
+    3393088950634442637L, 6786177901268885274L, 8482722376586106593L,
+    9048237201691847032L, 9189615907968282142L, 9217891649223569164L,
+    9222604272766117001L, 9223277504700766692L, 9223361658692597904L)
+
+  /** POISSON BOOTSTRAP CI per event_type — the one-pass resampling scheme
+    * built for exactly this engine shape: a classical bootstrap needs n
+    * draws WITH replacement per replicate (a global operation), the
+    * Poisson approximation gives every row an INDEPENDENT multiplicity
+    * `w ~ Poisson(1)` per replicate, so all B replicates ride one
+    * map-side pass with no global coordination. Multiplicities are
+    * deterministic: `w(b, row) = #{k : md5₆₃("boot:" + b + ":" + id) ≥
+    * T_k}` over the inlined CDF thresholds [[PoissonCdf63]] — portable to
+    * any engine with md5. Replicate means are fixed-point integer
+    * (`Σw·v_fp div Σw`), the CI is percentile_disc ranks 2 and B−1 of the
+    * B means (the inner 15/16 band at B = 32), and the point estimate
+    * rides the same base frame.
+    *
+    * Scale shape: the B× explode feeds straight into a partial
+    * (type, b)-keyed hash aggregate inside the same whole-stage-codegen
+    * span — nothing materializes B×n rows; the shuffle carries
+    * |types|·B rows. The rank window is (type)-keyed over B rows. */
+  def bootstrapCi(spark: SparkSession, sfDir: String, b: Int = 32): DataFrame = {
+    val base = events(spark, sfDir).select(col("event_type"), col("event_id"),
+      expr("CAST(floor(value * 1000000) AS BIGINT)").as("v_fp"))
+    val h = graft.functions.PortableHash.md5Lower63Col(
+      concat(lit("boot:"), col("b").cast("string"), lit(":"),
+        col("event_id").cast("string")))
+    val w = PoissonCdf63.map(t => when(h >= lit(t), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val repMeans = base
+      .withColumn("b", explode(array((0 until b).map(i => lit(i)): _*)))
+      .withColumn("w", w)
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w") * col("v_fp")).as("swv"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0L)
+      .select(col("event_type"), col("b"), expr("swv div sw").as("rep_mean_fp"))
+    val wr = Window.partitionBy(col("event_type"))
+      .orderBy(col("rep_mean_fp"), col("b"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val ci = repMeans
+      .withColumn("rk", row_number().over(wr))
+      .withColumn("np", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("np")).as("n_reps"),
+        max(when(col("rk") === 2L, col("rep_mean_fp"))).as("boot_lo_fp"),
+        max(when(col("rk") === col("np") - 1L, col("rep_mean_fp")))
+          .as("boot_hi_fp"))
+    val point = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("sum(v_fp) div count(*)").as("mean_fp"))
+    point.join(ci, Seq("event_type"))
+      .select(col("event_type"), col("n_rows"), col("mean_fp"),
+        col("n_reps"), col("boot_lo_fp"), col("boot_hi_fp"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[bootstrapCi]] — same hash congruence, thresholds,
+    * fixed-point replicate means, and rank picks. */
+  def bootstrapCiOracleSql(b: Int = 32): String = {
+    val terms = PoissonCdf63
+      .map(t => s"(CASE WHEN h >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT event_type, event_id,
+       |    CAST(floor(value * 1000000) AS BIGINT) AS v_fp
+       |  FROM events
+       |), reps AS (
+       |  SELECT event_type, b, v_fp, $terms AS w
+       |  FROM (
+       |    SELECT event_type, b, v_fp,
+       |      CAST(md5_number_lower('boot:' || CAST(b AS VARCHAR) || ':' ||
+       |        CAST(event_id AS VARCHAR)) & 9223372036854775807 AS BIGINT) AS h
+       |    FROM base CROSS JOIN (SELECT unnest(range(0, $b)) AS b)
+       |  )
+       |), rm AS (
+       |  SELECT event_type, b,
+       |    CAST(sum(w * v_fp) AS BIGINT) // CAST(sum(w) AS BIGINT)
+       |      AS rep_mean_fp
+       |  FROM reps GROUP BY 1, 2 HAVING sum(w) > 0
+       |), rk AS (
+       |  SELECT event_type, rep_mean_fp, b,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY rep_mean_fp, b) AS rk,
+       |    count(*) OVER (PARTITION BY event_type) AS np
+       |  FROM rm
+       |), ci AS (
+       |  SELECT event_type, CAST(max(np) AS BIGINT) AS n_reps,
+       |    CAST(max(CASE WHEN rk = 2 THEN rep_mean_fp END) AS BIGINT)
+       |      AS boot_lo_fp,
+       |    CAST(max(CASE WHEN rk = np - 1 THEN rep_mean_fp END) AS BIGINT)
+       |      AS boot_hi_fp
+       |  FROM rk GROUP BY 1
+       |), pt AS (
+       |  SELECT event_type, count(*) AS n_rows,
+       |    CAST(sum(v_fp) AS BIGINT) // count(*) AS mean_fp
+       |  FROM base GROUP BY 1
+       |)
+       |SELECT pt.event_type, pt.n_rows, pt.mean_fp,
+       |  ci.n_reps, ci.boot_lo_fp, ci.boot_hi_fp
+       |FROM pt JOIN ci USING (event_type) ORDER BY 1""".stripMargin
+  }
 }

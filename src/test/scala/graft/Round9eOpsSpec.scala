@@ -1,0 +1,111 @@
+package graft
+
+import graft.functions.PortableHash
+import graft.operators.{QuerySurface, Tables}
+
+/** Round-9 fourth-extension gates: Kendall τ-a, Spearman ρ, and the
+  * Poisson-bootstrap CI — plain-Scala recomputes sharing no Spark/SQL
+  * machinery with the operators under test. */
+class Round9eOpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The shared hourly (cnt, fixed-point value-sum) frame both rank gates
+    * aggregate first — recomputed here straight off the raw collect. */
+  private def hourly: Map[String, Seq[(Long, Long, Long)]] =
+    Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) div 3600000000 as h",
+        "CAST(floor(value * 1000000) AS BIGINT) as v_fp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(x => (x._1, x._2)).toSeq
+      .map { case ((et, h), g) => (et, h, g.size.toLong, g.map(_._3).sum) }
+      .groupBy(_._1).map { case (et, xs) =>
+        et -> xs.map(x => (x._2, x._3, x._4)).sortBy(_._1)
+      }
+
+  test("q_kendall: pairwise sign-concordance recompute; tau bounded; " +
+      "conc+disc+ties covers every pair") {
+    val expected = hourly.map { case (et, xs) =>
+      val pairs = for {
+        i <- xs.indices; j <- xs.indices if xs(i)._1 < xs(j)._1
+      } yield (xs(j)._2 - xs(i)._2, xs(j)._3 - xs(i)._3)
+      val c = pairs.count { case (dc, ds) => (dc > 0 && ds > 0) || (dc < 0 && ds < 0) }
+      val d = pairs.count { case (dc, ds) => (dc > 0 && ds < 0) || (dc < 0 && ds > 0) }
+      et -> ((pairs.size.toLong, c.toLong, d.toLong,
+        (c.toLong - d.toLong) * 1000000L / pairs.size.toLong))
+    }
+    val out = QuerySurface.kendall(spark, sf).collect()
+    assert(out.length == expected.size && out.nonEmpty)
+    out.foreach { row =>
+      val et = row.getAs[String]("event_type")
+      val (np, c, d, tau) = expected(et)
+      assert(row.getAs[Long]("n_pairs") == np, s"n_pairs $et")
+      assert(row.getAs[Long]("n_conc") == c && row.getAs[Long]("n_disc") == d)
+      assert(row.getAs[Long]("n_ties") == np - c - d)
+      assert(row.getAs[Long]("tau_a_ppm") == tau, s"tau $et")
+      assert(math.abs(tau) <= 1000000L)
+    }
+  }
+
+  test("q_spearman: rank-difference recompute with the (metric, h) " +
+      "tie-break; rho within [-1e6, 1e6]") {
+    val expected = hourly.collect { case (et, xs) if xs.size > 1 =>
+      def ranks(key: ((Long, Long, Long)) => Long): Map[Long, Long] =
+        xs.sortBy(x => (key(x), x._1)).zipWithIndex
+          .map { case (x, i) => x._1 -> (i + 1L) }.toMap
+      val rc = ranks(_._2); val rs = ranks(_._3)
+      val n = xs.size.toLong
+      val d2 = xs.map(x => { val d = rc(x._1) - rs(x._1); d * d }).sum
+      et -> ((n, d2, 1000000L - 6L * d2 * 1000000L / (n * (n * n - 1L))))
+    }
+    val out = QuerySurface.spearman(spark, sf).collect()
+    assert(out.length == expected.size && out.nonEmpty)
+    out.foreach { row =>
+      val et = row.getAs[String]("event_type")
+      val (n, d2, rho) = expected(et)
+      assert(row.getAs[Long]("n_hours") == n && row.getAs[Long]("sum_d2") == d2)
+      assert(row.getAs[Long]("spearman_fp") == rho, s"rho $et")
+      assert(rho >= -1000000L && rho <= 1000000L)
+    }
+  }
+
+  test("q_bootstrap_ci: Poisson-weight recompute from the same hash and " +
+      "thresholds; replicate means, rank picks, and point estimate agree") {
+    val b = 32
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "event_id",
+        "CAST(floor(value * 1000000) AS BIGINT) as v_fp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the spec's own copy of the Poisson(1) CDF thresholds — independently
+    // recomputed (decimal e^{-1} partial sums × 2^63), not read from the
+    // operator, so a constant typo there fails here
+    val ts = Seq(3393088950634442637L, 6786177901268885274L,
+      8482722376586106593L, 9048237201691847032L, 9189615907968282142L,
+      9217891649223569164L, 9222604272766117001L, 9223277504700766692L,
+      9223361658692597904L)
+    val expected = rows.groupBy(_._1).map { case (et, xs) =>
+      val repMeans = (0 until b).flatMap { bi =>
+        val (swv, sw) = xs.foldLeft((0L, 0L)) { case ((a, c), (_, id, v)) =>
+          val h = PortableHash.md5Lower63(s"boot:$bi:$id")
+          val w = ts.count(h >= _).toLong
+          (a + w * v, c + w)
+        }
+        if (sw > 0) Some((swv / sw, bi.toLong)) else None
+      }.sorted
+      val np = repMeans.size
+      et -> ((xs.length.toLong, xs.map(_._3).sum / xs.length,
+        np.toLong, repMeans(1)._1, repMeans(np - 2)._1))
+    }
+    val out = QuerySurface.bootstrapCi(spark, sf, b).collect()
+    assert(out.length == expected.size && out.nonEmpty)
+    out.foreach { row =>
+      val et = row.getAs[String]("event_type")
+      val (n, mean, np, lo, hi) = expected(et)
+      assert(row.getAs[Long]("n_rows") == n && row.getAs[Long]("mean_fp") == mean)
+      assert(row.getAs[Long]("n_reps") == np)
+      assert(row.getAs[Long]("boot_lo_fp") == lo, s"lo $et")
+      assert(row.getAs[Long]("boot_hi_fp") == hi, s"hi $et")
+      assert(lo <= hi)
+    }
+  }
+}
