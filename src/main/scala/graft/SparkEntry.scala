@@ -297,6 +297,9 @@ object SparkEntry {
     "q_spearman" -> (QuerySurface.spearman _),
     "q_bootstrap_ci" -> ((s: SparkSession, d: String) =>
       QuerySurface.bootstrapCi(s, d)),
+    "cluster_eval" -> ((s: SparkSession, d: String) =>
+      Clustering.clusterEval(s, d)),
+    "text_zipf" -> (TextAnalysis.zipf _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -834,5 +837,7 @@ object SparkEntry {
     "q_kendall" -> operators.QuerySurface.kendallOracleSql,
     "q_spearman" -> operators.QuerySurface.spearmanOracleSql,
     "q_bootstrap_ci" -> operators.QuerySurface.bootstrapCiOracleSql(),
+    "cluster_eval" -> operators.Clustering.clusterEvalOracleSql(),
+    "text_zipf" -> TextAnalysis.zipfOracleSql,
   )
 }

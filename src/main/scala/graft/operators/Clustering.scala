@@ -57,6 +57,107 @@ object Clustering {
     result
   }
 
+  // ---- cluster-quality evaluation -------------------------------------------
+
+  /** CLUSTER-QUALITY EVAL over the fitted spherical k-means — the numbers a
+    * pipeline reads before trusting a clustering for semantic dedup or
+    * domain mixing: per cluster, the member count, COHESION (decimal-exact
+    * mean of the round6 assignment cosines — how tight the cluster is) and
+    * SEPARATION (the nearest OTHER centroid's cosine — how close the
+    * nearest confusable cluster sits), plus their margin (a silhouette-
+    * style gap that needs no sqrt and no per-pair pass). A healthy
+    * clustering has cohesion well above nn_cos on every row; a collapsed
+    * pair of clusters shows margin ≈ 0.
+    *
+    * Scale shape: identical to [[kmeans]] — assignment is one broadcast-
+    * codebook map pass; cohesion one (cluster)-keyed agg; separation runs
+    * on the k×k DRIVER-side codebook (k ≤ 8 — the bounded-collect class).
+    * NaN-cos rows (zero-norm vectors) are excluded symmetrically in both
+    * engines. */
+  def clusterEval(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = Tables.spreadIfNarrow(embeddings(spark, sfDir), col("vec_id"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .persist()
+    val centroids = fit(e, k, iters)
+    val members = e.withColumn("a", assignUdf(centroids)(col("v")))
+      .select(col("a._1").cast("long").as("cluster"), col("a._2").as("cos"))
+      .filter(!isnan(col("cos")))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        Tables.exactAvg(col("cos")).as("cohesion"))
+    // nearest-other-centroid cosine over the k×k codebook — same dot/round
+    // and DESC-with-NaN-first, ties-to-smaller-id semantics as the oracle's
+    // row_number pick
+    val cNrm = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+    val nn = centroids.indices.map { c =>
+      var bestCl = -1
+      var bestCos = Double.NaN
+      centroids.indices.foreach { o =>
+        if (o != c) {
+          var acc = 0.0
+          var i = 0
+          while (i < centroids(c).length) {
+            acc += centroids(c)(i) * centroids(o)(i); i += 1
+          }
+          val cos = round6(acc / (cNrm(c) * cNrm(o)))
+          val takes =
+            if (bestCl < 0) true
+            else if (cos.isNaN) !bestCos.isNaN
+            else !bestCos.isNaN && cos > bestCos
+          if (takes) { bestCos = cos; bestCl = o }
+        }
+      }
+      (c.toLong, bestCl.toLong, bestCos)
+    }
+    val nnDf = nn.toDF("cluster", "nn_cluster", "nn_cos")
+    val out = members.join(nnDf, Seq("cluster"))
+      .withColumn("margin", col("cohesion") - col("nn_cos"))
+      .select(col("cluster"), col("n_members"), col("cohesion"),
+        col("nn_cluster"), col("nn_cos"), col("margin"))
+      .orderBy(col("cluster"))
+    e.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[clusterEval]] — the shared k-means CTEs, the same
+    * final assignment, decimal-exact cohesion, and the centroid-pair
+    * nearest pick with identical DESC/NaN/tie semantics. */
+  def clusterEvalOracleSql(k: Int = 8, iters: Int = 3): String = {
+    val cosExpr = Tables.portableRound6Sql(
+      "list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm)")
+    s"""WITH ${kmeansCtes(k, iters)},
+       |asgF AS (
+       |  SELECT vec_id, cl, cos FROM (
+       |    SELECT q.vec_id, c.cl, $cosExpr AS cos,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        $cosExpr DESC, c.cl) AS rnk
+       |    FROM n q CROSS JOIN cnF c
+       |  ) WHERE rnk = 1
+       |), mem AS (
+       |  SELECT cl, count(*) AS n_members,
+       |    ${Tables.exactAvgSql("cos")} AS cohesion
+       |  FROM asgF WHERE NOT isnan(cos) GROUP BY cl
+       |), cpairs AS (
+       |  SELECT a.cl AS cl, b.cl AS ocl,
+       |    ${Tables.portableRound6Sql(
+             "list_dot_product(a.cv, b.cv) / (a.c_nrm * b.c_nrm)")} AS cos
+       |  FROM cnF a JOIN cnF b ON a.cl <> b.cl
+       |), nn AS (
+       |  SELECT cl, ocl AS nn_cluster, cos AS nn_cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cl
+       |      ORDER BY cos DESC, ocl) AS rnk
+       |    FROM cpairs
+       |  ) WHERE rnk = 1
+       |)
+       |SELECT CAST(m.cl AS BIGINT) AS cluster, m.n_members, m.cohesion,
+       |  CAST(nn.nn_cluster AS BIGINT) AS nn_cluster, nn.nn_cos,
+       |  m.cohesion - nn.nn_cos AS margin
+       |FROM mem m JOIN nn ON m.cl = nn.cl ORDER BY 1""".stripMargin
+  }
+
   /** The fitted centroid codebook after `iters` assign+update rounds over a
     * `(vec_id, v)` frame — shared by [[kmeans]] and
     * [[Similarity.annIvfKmeans]] (IVF with a real learned codebook). The

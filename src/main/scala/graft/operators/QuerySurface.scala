@@ -3434,15 +3434,23 @@ object QuerySurface {
     * span — nothing materializes B×n rows; the shuffle carries
     * |types|·B rows. The rank window is (type)-keyed over B rows. */
   def bootstrapCi(spark: SparkSession, sfDir: String, b: Int = 32): DataFrame = {
-    val base = events(spark, sfDir).select(col("event_type"), col("event_id"),
-      expr("CAST(floor(value * 1000000) AS BIGINT)").as("v_fp"))
-    val h = graft.functions.PortableHash.md5Lower63Col(
-      concat(lit("boot:"), col("b").cast("string"), lit(":"),
-        col("event_id").cast("string")))
-    val w = PoissonCdf63.map(t => when(h >= lit(t), 1L).otherwise(0L))
+    // the B× hash fan-out is the gate's whole cost — spread an
+    // unsplittable single-file scan across the session's cores first
+    // (no-op on a production corpus already written in many splits)
+    val base = Tables.spreadIfNarrow(events(spark, sfDir), col("event_id"))
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("v_fp"))
+    // `h` must be materialized as its own column BEFORE the nine
+    // threshold comparisons: inlining the md5 expression into each
+    // `when` would evaluate it nine times per (row, replicate) when
+    // common-subexpression elimination doesn't fire
+    val w = PoissonCdf63.map(t => when(col("h") >= lit(t), 1L).otherwise(0L))
       .reduce(_ + _)
     val repMeans = base
       .withColumn("b", explode(array((0 until b).map(i => lit(i)): _*)))
+      .withColumn("h", graft.functions.PortableHash.md5Lower63Col(
+        concat(lit("boot:"), col("b").cast("string"), lit(":"),
+          col("event_id").cast("string"))))
       .withColumn("w", w)
       .groupBy(col("event_type"), col("b"))
       .agg(sum(col("w") * col("v_fp")).as("swv"), sum(col("w")).as("sw"))

@@ -64,7 +64,14 @@ object Tables {
   def spreadIfNarrow(df: DataFrame, key: Column): DataFrame = {
     val have = df.rdd.getNumPartitions
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (have < want) df.repartition(key) else df
+    // the partition count is EXPLICIT: a bare repartition(key) is a
+    // REPARTITION_BY_COL exchange that AQE may coalesce back to one
+    // partition when the frame is small in BYTES — defeating the whole
+    // point when the downstream work is per-row CPU (a 3 MB frame about
+    // to fan out 32 hash evaluations per row coalesced to ONE task:
+    // measured 8 s → <2 s on q_bootstrap_ci at sf0.1). An explicit count
+    // is exempt from AQE coalescing.
+    if (have < want) df.repartition(want, key) else df
   }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")

@@ -1899,4 +1899,74 @@ object TextAnalysis {
       |  (n_cross_dup * 1000000) // n_lines AS cross_dup_ppm,
       |  (n_cross_dup * 1000000) // n_lines > 300000 AS flag_gopher
       |FROM g ORDER BY doc_id""".stripMargin
+
+  // ---- Zipf rank-frequency audit --------------------------------------------
+
+  /** ZIPF RANK-FREQUENCY AUDIT over the corpus vocabulary — Zipf's law
+    * says rank × frequency ≈ constant, so per rank-decile this emits the
+    * min / median / max of the exact integer product `rank · freq`: a
+    * natural-language corpus holds a flat-ish median across deciles while
+    * template-heavy or synthetic corpora collapse in the tail — the
+    * corpus-naturalness check beside `text_vocab_growth`'s Heaps curve,
+    * sqrt/log-free (the classic log-log slope needs IEEE `ln`; the product
+    * curve reads the same fit in exact BIGINTs).
+    *
+    * Scale shape: explode → term groupBy is the only row-scale shuffle
+    * (map-side combined counts); ranking the |vocab|-row frequency table
+    * uses the distributed [[Ranks.globalRank]] (range shuffle + broadcast
+    * offsets — no SinglePartition funnel, no windowspecdefinition); the
+    * decile stats run under (decile)-keyed windows over |vocab| rows. */
+  def zipf(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.spreadIfNarrow(documents(spark, sfDir), col("doc_id"))
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val ranked = Ranks.globalRank(tf, "rank",
+      Seq(col("freq").desc, col("term")))
+    val tot = tf.agg(count(lit(1)).as("n_vocab"))
+    val dec = ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("((rank - 1) * 10) div n_vocab"))
+      .withColumn("rf", col("rank") * col("freq"))
+    val w = Window.partitionBy(col("decile")).orderBy(col("rf"), col("rank"))
+    val wAll = Window.partitionBy(col("decile"))
+    dec
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(wAll))
+      .groupBy(col("decile"))
+      .agg(max(col("np")).as("n_terms"),
+        min(col("rf")).as("min_rf"),
+        max(when(col("rn") === expr("(np + 1) div 2"), col("rf")))
+          .as("median_rf"),
+        max(col("rf")).as("max_rf"))
+      .orderBy(col("decile"))
+  }
+
+  /** DuckDB twin of [[zipf]] — identical tokenization, rank tie-break,
+    * decile split, and longhand median pick. */
+  def zipfOracleSql: String =
+    """WITH tf AS (
+      |  SELECT term, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      |  ) WHERE term <> '' GROUP BY 1
+      |), r AS (
+      |  SELECT term, freq,
+      |    row_number() OVER (ORDER BY freq DESC, term) AS rank,
+      |    count(*) OVER () AS n_vocab
+      |  FROM tf
+      |), d AS (
+      |  SELECT ((rank - 1) * 10) // n_vocab AS decile, rank * freq AS rf,
+      |    rank
+      |  FROM r
+      |), rn AS (
+      |  SELECT decile, rf,
+      |    row_number() OVER (PARTITION BY decile ORDER BY rf, rank) AS rn,
+      |    count(*) OVER (PARTITION BY decile) AS np
+      |  FROM d
+      |)
+      |SELECT decile, CAST(max(np) AS BIGINT) AS n_terms,
+      |  CAST(min(rf) AS BIGINT) AS min_rf,
+      |  CAST(max(CASE WHEN rn = (np + 1) // 2 THEN rf END) AS BIGINT)
+      |    AS median_rf,
+      |  CAST(max(rf) AS BIGINT) AS max_rf
+      |FROM rn GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -365,4 +365,35 @@ class PlanSpec extends SparkTestBase {
     assert(specs > 0 && specs == keyed, plan)
     assert(plan.contains("BroadcastExchange"), plan)
   }
+
+  test("q_kendall: no window anywhere; the pair join runs on aggregates of " +
+      "the scan, never row scale") {
+    val plan = planOf(QuerySurface.kendall(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    // the self-join's inputs are the hourly aggregate — a HashAggregate
+    // must appear before (deeper than) the join in the tree dump
+    val joinAt = plan.indexOfSlice("Join")
+    assert(joinAt >= 0 && plan.indexOf("HashAggregate", joinAt) >= 0, plan)
+  }
+
+  test("q_spearman: both rank windows key on event_type over the hourly " +
+      "aggregate — no empty-key window, no row-scale sort") {
+    val plan = planOf(QuerySurface.spearman(spark, sf))
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).length
+    val keyed = "windowspecdefinition\\(event_type".r.findAllIn(plan).length
+    assert(specs > 0 && specs == keyed, plan)
+    assert(!plan.contains("SinglePartition, ENSURE_REQUIREMENTS"), plan)
+  }
+
+  test("q_bootstrap_ci: the B-fold fan-out is builtins feeding a partial " +
+      "aggregate — no ScalaUDF, explode present, CI window keyed by type") {
+    val plan = planOf(QuerySurface.bootstrapCi(spark, sf))
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("Generate explode"), plan)
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).length
+    val keyed = "windowspecdefinition\\(event_type".r.findAllIn(plan).length
+    assert(specs > 0 && specs == keyed, plan)
+    // partial/final aggregate pair around the (type, b) shuffle
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
 }

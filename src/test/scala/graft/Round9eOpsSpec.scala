@@ -108,4 +108,66 @@ class Round9eOpsSpec extends SparkTestBase {
       assert(lo <= hi)
     }
   }
+
+  test("cluster_eval: member counts and cohesion recompute from the kmeans " +
+      "assignment; margin identity; nearest-centroid invariants; determinism") {
+    import graft.operators.Clustering
+    val asg = Clustering.kmeans(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Double]("cos")))
+      .filter(x => !x._2.isNaN)
+    def round6(x: Double): Double =
+      math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val expected = asg.groupBy(_._1).map { case (cl, xs) =>
+      val sum = xs.map(x => BigDecimal(x._2).setScale(6)).sum
+      cl -> ((xs.length.toLong, round6(sum.toDouble / xs.length)))
+    }
+    val out = Clustering.clusterEval(spark, sf).collect()
+    assert(out.length == expected.size && out.nonEmpty)
+    out.foreach { row =>
+      val cl = row.getAs[Long]("cluster")
+      val (n, coh) = expected(cl)
+      assert(row.getAs[Long]("n_members") == n, s"n_members $cl")
+      assert(row.getAs[Double]("cohesion") == coh, s"cohesion $cl")
+      val nnCl = row.getAs[Long]("nn_cluster")
+      val nnCos = row.getAs[Double]("nn_cos")
+      assert(nnCl != cl && nnCl >= 0)
+      assert(nnCos <= 1.000001, s"nn_cos $nnCos")
+      assert(row.getAs[Double]("margin") ==
+        row.getAs[Double]("cohesion") - nnCos)
+    }
+    val again = Clustering.clusterEval(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("text_zipf: full rank-frequency recompute — deciles, products, " +
+      "median picks; head decile dominates the tail") {
+    import graft.operators.TextAnalysis
+    val freqs = Tables.documents(spark, sf).selectExpr("text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+    val ranked = freqs.toSeq.sortBy { case (t, f) => (-f, t) }.zipWithIndex
+      .map { case ((t, f), i) => (i + 1L, f) }
+    val nv = ranked.size.toLong
+    val expected = ranked
+      .map { case (r, f) => ((r - 1L) * 10L / nv, r * f, r) }
+      .groupBy(_._1).map { case (dec, xs) =>
+        val sortedRf = xs.sortBy(x => (x._2, x._3)).map(_._2)
+        val np = sortedRf.size.toLong
+        dec -> ((np, sortedRf.min, sortedRf(((np + 1L) / 2L).toInt - 1),
+          sortedRf.max))
+      }
+    val out = TextAnalysis.zipf(spark, sf).collect()
+    assert(out.length == expected.size && out.nonEmpty)
+    out.foreach { row =>
+      val dec = row.getAs[Long]("decile")
+      val (np, mn, med, mx) = expected(dec)
+      assert(row.getAs[Long]("n_terms") == np, s"n $dec")
+      assert(row.getAs[Long]("min_rf") == mn && row.getAs[Long]("max_rf") == mx)
+      assert(row.getAs[Long]("median_rf") == med, s"median $dec")
+    }
+    // Zipf shape: the head decile's median product is far below the tail's
+    // (tail ranks grow while tail freqs floor at 1)
+    val meds = out.sortBy(_.getAs[Long]("decile")).map(_.getAs[Long]("median_rf"))
+    assert(meds.head < meds.last)
+  }
 }
