@@ -300,6 +300,7 @@ object SparkEntry {
     "cluster_eval" -> ((s: SparkSession, d: String) =>
       Clustering.clusterEval(s, d)),
     "text_zipf" -> (TextAnalysis.zipf _),
+    "sim_ann_mrr" -> ((s: SparkSession, d: String) => Similarity.annMrr(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -839,5 +840,6 @@ object SparkEntry {
     "q_bootstrap_ci" -> operators.QuerySurface.bootstrapCiOracleSql(),
     "cluster_eval" -> operators.Clustering.clusterEvalOracleSql(),
     "text_zipf" -> TextAnalysis.zipfOracleSql,
+    "sim_ann_mrr" -> operators.Similarity.annMrrOracleSql(),
   )
 }

@@ -1316,11 +1316,15 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
-  /** DuckDB twin of [[annRecall]]: the exact-top-k and [[annLshOracleSql]]
-    * CTE chains over ONE shared normalized-vector table, then the same
-    * membership join. */
-  def annRecallOracleSql(k: Int = 5, nQueries: Int = 8, nPlanes: Int = 6,
-      probeRadius: Int = 1, nTables: Int = 4): String = {
+  /** The shared oracle CTE chain both ANN-eval twins build on — normalized
+    * vectors (`n`), the exact brute-force top-k (`ex`), the multi-table
+    * probe pipeline, the ranked candidate list (`r`), and the top-k cut
+    * (`ann`). ONE definition so [[annRecallOracleSql]] and
+    * [[annMrrOracleSql]] audit the SAME candidate tier by construction
+    * (the lshEval/minhashLsh lesson: an eval must be tied to the tier it
+    * grades, not to a hand-copied re-derivation that can drift). */
+  private def annEvalCtes(k: Int, nQueries: Int, nPlanes: Int,
+      probeRadius: Int, nTables: Int): String = {
     def r6(e: String) = Tables.portableRound6Sql(e)
     val masks = probeMasks(nPlanes, probeRadius).mkString("[", ", ", "]")
     val sigCols = (0 until nTables).map(t =>
@@ -1328,7 +1332,7 @@ object Similarity {
     val index = (0 until nTables).map(t =>
       s"SELECT vec_id, v, nrm, $t AS t, sig$t AS sig FROM n")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
@@ -1359,7 +1363,16 @@ object Similarity {
        |  FROM s
        |), ann AS (
        |  SELECT query_id, neighbor_id FROM r WHERE rnk <= $k
-       |), h AS (
+       |)""".stripMargin
+  }
+
+  /** DuckDB twin of [[annRecall]]: the exact-top-k and [[annLshOracleSql]]
+    * CTE chains over ONE shared normalized-vector table ([[annEvalCtes]]),
+    * then the same membership join. */
+  def annRecallOracleSql(k: Int = 5, nQueries: Int = 8, nPlanes: Int = 6,
+      probeRadius: Int = 1, nTables: Int = 4): String = {
+    def r6(e: String) = Tables.portableRound6Sql(e)
+    s"""WITH ${annEvalCtes(k, nQueries, nPlanes, probeRadius, nTables)}, h AS (
        |  SELECT x.query_id, count(*) AS n_hit
        |  FROM ex x JOIN ann a
        |    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
@@ -1373,6 +1386,55 @@ object Similarity {
        |FROM xc LEFT JOIN h ON h.query_id = xc.query_id
        |ORDER BY xc.query_id""".stripMargin
   }
+
+  /** MEAN-RECIPROCAL-RANK AUDIT of the ANN tier — [[annRecall]] counts set
+    * overlap; this grades ORDER: per query, the rank (within the ANN's own
+    * top-k list) of the first true neighbor, and its reciprocal as exact
+    * integer ppm (`10⁶ div rank` — rank ≤ k keeps it exact; a query whose
+    * ANN list contains no true neighbor scores 0). The retrieval metric a
+    * RAG pipeline reads when ORDER matters more than coverage.
+    *
+    * Scale shape: identical to [[annRecall]] — the eval joins two ≤
+    * (nQueries·k)-row frames; the only heavy pass is the candidate
+    * pipeline both evals share with the production [[annLsh]] by
+    * construction. */
+  def annMrr(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 8, nPlanes: Int = 6, probeRadius: Int = 1,
+      nTables: Int = 4): DataFrame = {
+    val exact = topK(spark, sfDir, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = annLsh(spark, sfDir, k, nQueries, nPlanes, probeRadius, nTables)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val firstHit = ann.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(min(col("rank")).as("first_hit_rank"))
+    exact.select(col("query_id")).distinct()
+      .join(firstHit, Seq("query_id"), "left")
+      .na.fill(0L, Seq("first_hit_rank"))
+      .withColumn("mrr_ppm",
+        when(col("first_hit_rank") > 0L,
+          expr("1000000 div first_hit_rank")).otherwise(0L))
+      .orderBy(col("query_id"))
+  }
+
+  /** DuckDB twin of [[annMrr]] — the same [[annEvalCtes]] chain, then the
+    * first-hit-rank pick and integer reciprocal. */
+  def annMrrOracleSql(k: Int = 5, nQueries: Int = 8, nPlanes: Int = 6,
+      probeRadius: Int = 1, nTables: Int = 4): String =
+    s"""WITH ${annEvalCtes(k, nQueries, nPlanes, probeRadius, nTables)}, fh AS (
+       |  SELECT r.query_id, min(r.rnk) AS first_hit_rank
+       |  FROM r JOIN ex x
+       |    ON r.query_id = x.query_id AND r.neighbor_id = x.neighbor_id
+       |  WHERE r.rnk <= $k
+       |  GROUP BY 1
+       |), qs AS (
+       |  SELECT DISTINCT query_id FROM ex
+       |)
+       |SELECT qs.query_id,
+       |  CAST(coalesce(fh.first_hit_rank, 0) AS BIGINT) AS first_hit_rank,
+       |  CAST(CASE WHEN coalesce(fh.first_hit_rank, 0) > 0
+       |    THEN 1000000 // fh.first_hit_rank ELSE 0 END AS BIGINT) AS mrr_ppm
+       |FROM qs LEFT JOIN fh ON fh.query_id = qs.query_id
+       |ORDER BY qs.query_id""".stripMargin
 
   // ---- embedding centroid drift --------------------------------------------
 

@@ -170,4 +170,30 @@ class Round9eOpsSpec extends SparkTestBase {
     val meds = out.sortBy(_.getAs[Long]("decile")).map(_.getAs[Long]("median_rf"))
     assert(meds.head < meds.last)
   }
+
+  test("sim_ann_mrr: first-hit rank recomputes from the green exact-top-k " +
+      "and annLsh gates; reciprocal is exact ppm; recall=0 queries score 0") {
+    import graft.operators.Similarity
+    val exact = Similarity.topK(spark, sf, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val annRanks = Similarity.annLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id")))
+    val expected = exact.map(_._1).map { q =>
+      val hits = annRanks.filter(a =>
+        a._1 == q && exact.contains((q, a._3))).map(_._2)
+      q -> (if (hits.isEmpty) 0L else hits.min)
+    }.toMap
+    val out = Similarity.annMrr(spark, sf).collect()
+    assert(out.length == expected.size && out.nonEmpty)
+    out.foreach { row =>
+      val q = row.getAs[Long]("query_id")
+      val fh = row.getAs[Long]("first_hit_rank")
+      assert(fh == expected(q), s"first_hit_rank $q")
+      assert(row.getAs[Long]("mrr_ppm") ==
+        (if (fh > 0) 1000000L / fh else 0L))
+    }
+    // at least one query must find a true neighbor (else the gate is vacuous)
+    assert(out.exists(_.getAs[Long]("first_hit_rank") > 0))
+  }
 }
