@@ -301,6 +301,8 @@ object SparkEntry {
       Clustering.clusterEval(s, d)),
     "text_zipf" -> (TextAnalysis.zipf _),
     "sim_ann_mrr" -> ((s: SparkSession, d: String) => Similarity.annMrr(s, d)),
+    "stream_boot" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamGate.bootWindows(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -841,5 +843,6 @@ object SparkEntry {
     "cluster_eval" -> operators.Clustering.clusterEvalOracleSql(),
     "text_zipf" -> TextAnalysis.zipfOracleSql,
     "sim_ann_mrr" -> operators.Similarity.annMrrOracleSql(),
+    "stream_boot" -> graft.streaming.StreamGate.bootWindowsOracleSql(),
   )
 }

@@ -3411,10 +3411,32 @@ object QuerySurface {
     * k = 0..8, computed once at 60-digit decimal precision and inlined as
     * literals here AND in the oracle SQL, so both engines draw the same
     * replicate multiplicities from the same 63-bit uniform hash. */
-  private[operators] val PoissonCdf63: Seq[Long] = Seq(
+  private[graft] val PoissonCdf63: Seq[Long] = Seq(
     3393088950634442637L, 6786177901268885274L, 8482722376586106593L,
     9048237201691847032L, 9189615907968282142L, 9217891649223569164L,
     9222604272766117001L, 9223277504700766692L, 9223361658692597904L)
+
+  /** The replicate hash `md5₆₃("boot:" + b + ":" + id)` — ONE definition
+    * shared by the batch CI gate and the streaming band gate so both draw
+    * the same replicate universe. Callers MUST materialize this as its own
+    * column before applying [[poissonWeightFromHash]] (else the md5
+    * subtree inlines into each threshold compare). */
+  private[graft] def poissonBootHash(b: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.PortableHash.md5Lower63Col(
+      concat(lit("boot:"), b.cast("string"), lit(":"), id.cast("string")))
+
+  /** Poisson(1) multiplicity from a materialized 63-bit uniform hash
+    * column: the count of [[PoissonCdf63]] thresholds at or below it. */
+  private[graft] def poissonWeightFromHash(
+      h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    PoissonCdf63.map(t => when(h >= lit(t), 1L).otherwise(0L)).reduce(_ + _)
+
+  /** The oracle-side twin of [[poissonWeightFromHash]] over an `h` SQL
+    * expression. */
+  private[graft] def poissonWeightSqlTerms(h: String): String =
+    PoissonCdf63.map(t => s"(CASE WHEN $h >= $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
 
   /** POISSON BOOTSTRAP CI per event_type — the one-pass resampling scheme
     * built for exactly this engine shape: a classical bootstrap needs n
@@ -3440,18 +3462,10 @@ object QuerySurface {
     val base = Tables.spreadIfNarrow(events(spark, sfDir), col("event_id"))
       .select(col("event_type"), col("event_id"),
         expr("CAST(floor(value * 1000000) AS BIGINT)").as("v_fp"))
-    // `h` must be materialized as its own column BEFORE the nine
-    // threshold comparisons: inlining the md5 expression into each
-    // `when` would evaluate it nine times per (row, replicate) when
-    // common-subexpression elimination doesn't fire
-    val w = PoissonCdf63.map(t => when(col("h") >= lit(t), 1L).otherwise(0L))
-      .reduce(_ + _)
     val repMeans = base
       .withColumn("b", explode(array((0 until b).map(i => lit(i)): _*)))
-      .withColumn("h", graft.functions.PortableHash.md5Lower63Col(
-        concat(lit("boot:"), col("b").cast("string"), lit(":"),
-          col("event_id").cast("string"))))
-      .withColumn("w", w)
+      .withColumn("h", poissonBootHash(col("b"), col("event_id")))
+      .withColumn("w", poissonWeightFromHash(col("h")))
       .groupBy(col("event_type"), col("b"))
       .agg(sum(col("w") * col("v_fp")).as("swv"), sum(col("w")).as("sw"))
       .filter(col("sw") > 0L)
@@ -3479,8 +3493,7 @@ object QuerySurface {
   /** DuckDB twin of [[bootstrapCi]] — same hash congruence, thresholds,
     * fixed-point replicate means, and rank picks. */
   def bootstrapCiOracleSql(b: Int = 32): String = {
-    val terms = PoissonCdf63
-      .map(t => s"(CASE WHEN h >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+    val terms = poissonWeightSqlTerms("h")
     s"""WITH base AS (
        |  SELECT event_type, event_id,
        |    CAST(floor(value * 1000000) AS BIGINT) AS v_fp

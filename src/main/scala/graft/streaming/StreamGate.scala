@@ -838,4 +838,93 @@ object StreamGate {
        |FROM a, wm
        |WHERE (ws + 3600000000) // 1000 <= wm_ms
        |ORDER BY window_start_us, event_type""".stripMargin
+
+  /** STREAMING POISSON-BOOTSTRAP BAND — the 13th replay gate: the
+    * [[graft.operators.QuerySurface.bootstrapCi]] uncertainty band kept
+    * LIVE per hour window. Each event fans out to B = 32 replicates with
+    * the SAME Poisson(1) multiplicities as the batch gate (shared
+    * [[graft.operators.QuerySurface.poissonBootHash]] /
+    * `poissonWeightFromHash` definitions — one replicate universe), and
+    * the stream drains (hour, b) → (Σw·v, Σw) cells: pure sums,
+    * merge-commutative, so the by-algebra parity argument (and the
+    * [[drainWindowed]] flush elision) applies. The batch projection turns
+    * the 32 drained cells per closed hour into replicate means and the
+    * rank-2 / rank-(B−1) band — the live "is the hourly mean drifting
+    * outside its own sampling noise" panel. State: 32 (Σw·v, Σw) pairs
+    * per open hour window at ANY event rate. */
+  def bootWindows(spark: SparkSession, sfDir: String, b: Int = 32): DataFrame = {
+    import graft.operators.QuerySurface.{poissonBootHash, poissonWeightFromHash}
+    val ev = eventsStream(spark, sfDir)
+      .select(col("ts"), col("event_id"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("v_fp"))
+      // the stream-side spreadIfNarrow: the single-file source scans as ONE
+      // partition and the B× hash fan-out below would otherwise run on one
+      // task (explicit count — AQE is off in streaming, but the batch
+      // lesson stands); keyed on event_id like every spread
+      .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
+      .withColumn("b", explode(array((0 until b).map(i => lit(i)): _*)))
+      .withColumn("h", poissonBootHash(col("b"), col("event_id")))
+      .withColumn("w", poissonWeightFromHash(col("h")))
+    val drained = drainWindowed(spark, sfDir, ev,
+      e => e.groupBy(window(col("ts"), "1 hour"), col("b"))
+        .agg(sum(col("w") * col("v_fp")).as("swv"), sum(col("w")).as("sw")))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("b"), col("swv"), col("sw"))
+    val means = drained.filter(col("sw") > 0L)
+      .select(col("hour_us"), col("b"), expr("swv div sw").as("rep_mean_fp"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_us")).orderBy(col("rep_mean_fp"), col("b"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_us"))
+    means
+      .withColumn("rk", row_number().over(wr))
+      .withColumn("np", count(lit(1)).over(wAll))
+      .groupBy(col("hour_us"))
+      .agg(max(col("np")).as("n_reps"),
+        max(when(col("rk") === 2L, col("rep_mean_fp"))).as("boot_lo_fp"),
+        max(when(col("rk") === col("np") - 1L, col("rep_mean_fp")))
+          .as("boot_hi_fp"))
+      .orderBy(col("hour_us"))
+  }
+
+  /** DuckDB twin of [[bootWindows]] — the same replicate hash, thresholds,
+    * closed-hour filter, and rank picks. */
+  def bootWindowsOracleSql(b: Int = 32): String = {
+    val h = 3600000000L
+    val terms = graft.operators.QuerySurface.poissonWeightSqlTerms("h")
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) AS ts_us, event_id,
+       |    CAST(floor(value * 1000000) AS BIGINT) AS v_fp
+       |  FROM events
+       |), wm AS (
+       |  SELECT max(ts_us) // 1000 - $WindowDelayMs AS wm_ms FROM e
+       |), reps AS (
+       |  SELECT hour_us, b, v_fp, $terms AS w
+       |  FROM (
+       |    SELECT (ts_us // $h) * $h AS hour_us, b, v_fp,
+       |      CAST(md5_number_lower('boot:' || CAST(b AS VARCHAR) || ':' ||
+       |        CAST(event_id AS VARCHAR)) & 9223372036854775807 AS BIGINT) AS h
+       |    FROM e CROSS JOIN (SELECT unnest(range(0, $b)) AS b)
+       |  )
+       |), closed AS (
+       |  SELECT hour_us, b,
+       |    CAST(sum(w * v_fp) AS BIGINT) AS swv, CAST(sum(w) AS BIGINT) AS sw
+       |  FROM reps, wm WHERE (hour_us + $h) // 1000 <= wm_ms
+       |  GROUP BY 1, 2 HAVING sum(w) > 0
+       |), rm AS (
+       |  SELECT hour_us, b, swv // sw AS rep_mean_fp FROM closed
+       |), rk AS (
+       |  SELECT hour_us, rep_mean_fp, b,
+       |    row_number() OVER (PARTITION BY hour_us
+       |      ORDER BY rep_mean_fp, b) AS rk,
+       |    count(*) OVER (PARTITION BY hour_us) AS np
+       |  FROM rm
+       |)
+       |SELECT hour_us, CAST(max(np) AS BIGINT) AS n_reps,
+       |  CAST(max(CASE WHEN rk = 2 THEN rep_mean_fp END) AS BIGINT)
+       |    AS boot_lo_fp,
+       |  CAST(max(CASE WHEN rk = np - 1 THEN rep_mean_fp END) AS BIGINT)
+       |    AS boot_hi_fp
+       |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -10,6 +10,14 @@ class Round9eOpsSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** The spec's own copy of the Poisson(1) CDF thresholds — independently
+    * recomputed (decimal e^{-1} partial sums × 2⁶³), not read from the
+    * operator, so a constant typo there fails here. */
+  private val PoissonTs = Seq(3393088950634442637L, 6786177901268885274L,
+    8482722376586106593L, 9048237201691847032L, 9189615907968282142L,
+    9217891649223569164L, 9222604272766117001L, 9223277504700766692L,
+    9223361658692597904L)
+
   /** The shared hourly (cnt, fixed-point value-sum) frame both rank gates
     * aggregate first — recomputed here straight off the raw collect. */
   private def hourly: Map[String, Seq[(Long, Long, Long)]] =
@@ -76,13 +84,7 @@ class Round9eOpsSpec extends SparkTestBase {
       .selectExpr("event_type", "event_id",
         "CAST(floor(value * 1000000) AS BIGINT) as v_fp").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    // the spec's own copy of the Poisson(1) CDF thresholds — independently
-    // recomputed (decimal e^{-1} partial sums × 2^63), not read from the
-    // operator, so a constant typo there fails here
-    val ts = Seq(3393088950634442637L, 6786177901268885274L,
-      8482722376586106593L, 9048237201691847032L, 9189615907968282142L,
-      9217891649223569164L, 9222604272766117001L, 9223277504700766692L,
-      9223361658692597904L)
+    val ts = PoissonTs
     val expected = rows.groupBy(_._1).map { case (et, xs) =>
       val repMeans = (0 until b).flatMap { bi =>
         val (swv, sw) = xs.foldLeft((0L, 0L)) { case ((a, c), (_, id, v)) =>
@@ -195,5 +197,37 @@ class Round9eOpsSpec extends SparkTestBase {
     }
     // at least one query must find a true neighbor (else the gate is vacuous)
     assert(out.exists(_.getAs[Long]("first_hit_rank") > 0))
+  }
+
+  test("stream_boot: closed-hour Poisson-band recompute from raw events " +
+      "with the same hash, thresholds, and rank picks") {
+    val HourUs = 3600000000L
+    val rows = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) as us", "event_id",
+        "CAST(floor(value * 1000000) AS BIGINT) as v_fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wmMs = rows.map(_._1).max / 1000L -
+      graft.streaming.StreamGate.WindowDelayMs
+    val expected = rows.groupBy(_._1 / HourUs * HourUs)
+      .filter { case (h, _) => (h + HourUs) / 1000L <= wmMs }
+      .map { case (h, xs) =>
+        val reps = (0 until 32).flatMap { b =>
+          val (swv, sw) = xs.foldLeft((0L, 0L)) { case ((a, c), (_, id, v)) =>
+            val w = PoissonTs.count(PortableHash.md5Lower63(s"boot:$b:$id") >= _)
+            (a + w * v, c + w)
+          }
+          if (sw > 0) Some((swv / sw, b.toLong)) else None
+        }.sorted
+        h -> ((reps.size.toLong, reps(1)._1, reps(reps.size - 2)._1))
+      }
+    val out = graft.streaming.StreamGate.bootWindows(spark, sf).collect()
+    assert(out.length == expected.size && out.nonEmpty)
+    out.foreach { r =>
+      val h = r.getAs[Long]("hour_us")
+      val (np, lo, hi) = expected(h)
+      assert(r.getAs[Long]("n_reps") == np, s"n_reps $h")
+      assert(r.getAs[Long]("boot_lo_fp") == lo, s"lo $h")
+      assert(r.getAs[Long]("boot_hi_fp") == hi, s"hi $h")
+    }
   }
 }
