@@ -303,6 +303,7 @@ object SparkEntry {
     "sim_ann_mrr" -> ((s: SparkSession, d: String) => Similarity.annMrr(s, d)),
     "stream_boot" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamGate.bootWindows(s, d)),
+    "q_gini" -> (QuerySurface.gini _),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -844,5 +845,6 @@ object SparkEntry {
     "text_zipf" -> TextAnalysis.zipfOracleSql,
     "sim_ann_mrr" -> operators.Similarity.annMrrOracleSql(),
     "stream_boot" -> graft.streaming.StreamGate.bootWindowsOracleSql(),
+    "q_gini" -> operators.QuerySurface.giniOracleSql,
   )
 }

@@ -3533,4 +3533,63 @@ object QuerySurface {
        |  ci.n_reps, ci.boot_lo_fp, ci.boot_hi_fp
        |FROM pt JOIN ci USING (event_type) ORDER BY 1""".stripMargin
   }
+
+  // ---- Gini concentration ----------------------------------------------------
+
+  /** GINI COEFFICIENT of per-user value concentration per event_type — the
+    * single scalar beside `q_lorenz`'s decile curve and `q_topn_share`'s
+    * whale share: `G = (2·Σrᵢxᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)` over the user
+    * totals ranked ascending, emitted as exact integer ppm (internals in
+    * DECIMAL(38,0) ↔ DuckDB HUGEINT, so the rank-weighted sum cannot
+    * silently wrap; ANSI throws loudly past decimal-38 headroom).
+    *
+    * Scale shape: the WITHIN-GROUP rank is fully distributed — a grouped
+    * extension of [[Ranks.globalRank]]: one global range-rank ordered
+    * (event_type, user_total, user_id) (types are contiguous under that
+    * order), then `rank − min(rank per type) + 1` via a broadcast
+    * |types|-row offset join. No type-keyed window — a 5-key window over
+    * 10⁸ user rows would funnel each type through ONE task; this form
+    * spreads every type across the range partitions. */
+  def gini(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = events(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("user_fp"))
+    val ranked = Ranks.globalRank(u, "grk",
+      Seq(col("event_type"), col("user_fp"), col("user_id")))
+    val offs = ranked.groupBy(col("event_type")).agg(min(col("grk")).as("base"))
+    ranked.join(broadcast(offs), Seq("event_type"))
+      .withColumn("rk", col("grk") - col("base") + lit(1L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("user_fp").cast("decimal(38,0)")).as("s"),
+        sum(col("rk").cast("decimal(19,0)")
+          * col("user_fp").cast("decimal(19,0)")).as("w"))
+      .withColumn("gini_ppm", expr(
+        "CAST(((2 * w - (n_users + 1) * s) * 1000000) div (n_users * s) AS BIGINT)"))
+      .select(col("event_type"), col("n_users"), col("gini_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[gini]] — longhand per-type rank (HUGEINT internals),
+    * identical fixed point and integer division. */
+  def giniOracleSql: String =
+    """WITH u AS (
+      |  SELECT event_type, user_id,
+      |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+      |      AS user_fp
+      |  FROM events GROUP BY 1, 2
+      |), r AS (
+      |  SELECT event_type, user_fp,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY user_fp, user_id) AS rk
+      |  FROM u
+      |), g AS (
+      |  SELECT event_type, count(*) AS n_users, sum(user_fp) AS s,
+      |    sum(rk * user_fp) AS w
+      |  FROM r GROUP BY 1
+      |)
+      |SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(((2 * w - (n_users + 1) * s) * 1000000) // (n_users * s)
+      |    AS BIGINT) AS gini_ppm
+      |FROM g ORDER BY 1""".stripMargin
 }

@@ -385,6 +385,14 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SinglePartition, ENSURE_REQUIREMENTS"), plan)
   }
 
+  test("q_gini: grouped rank is distributed — no window, range shuffle + " +
+      "broadcast offsets (the globalRank shape, extended per group)") {
+    val plan = planOf(QuerySurface.gini(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
   test("q_bootstrap_ci: the B-fold fan-out is builtins feeding a partial " +
       "aggregate — no ScalaUDF, explode present, CI window keyed by type") {
     val plan = planOf(QuerySurface.bootstrapCi(spark, sf))

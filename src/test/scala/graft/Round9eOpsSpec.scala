@@ -230,4 +230,37 @@ class Round9eOpsSpec extends SparkTestBase {
       assert(r.getAs[Long]("boot_hi_fp") == hi, s"hi $h")
     }
   }
+
+  test("q_gini: rank-weighted recompute over user totals; bounds; the " +
+      "uniform distribution scores 0") {
+    val totals = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id",
+        "CAST(floor(value * 1000000) AS BIGINT) as v_fp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(x => (x._1, x._2)).toSeq
+      .map { case ((et, u), g) => (et, u, g.map(_._3).sum) }
+    val expected = totals.groupBy(_._1).map { case (et, xs) =>
+      val ranked = xs.sortBy(x => (x._3, x._2)).zipWithIndex
+        .map { case (x, i) => (i + 1L, x._3) }
+      val n = ranked.size.toLong
+      val s = ranked.map(x => BigInt(x._2)).sum
+      val w = ranked.map(x => BigInt(x._1) * BigInt(x._2)).sum
+      et -> ((n, ((w * 2 - s * (n + 1)) * 1000000 / (s * n)).toLong))
+    }
+    val out = QuerySurface.gini(spark, sf).collect()
+    assert(out.length == expected.size && out.nonEmpty)
+    out.foreach { row =>
+      val et = row.getAs[String]("event_type")
+      val (n, g) = expected(et)
+      assert(row.getAs[Long]("n_users") == n)
+      assert(row.getAs[Long]("gini_ppm") == g, s"gini $et")
+      assert(g >= 0L && g < 1000000L)
+    }
+    // identity check on the formula itself: a perfectly uniform
+    // distribution has G = 0 exactly
+    val uni = (1 to 10).map(i => (i.toLong, 100L))
+    val us = uni.map(x => BigInt(x._2)).sum
+    val uw = uni.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x._2 }.sum
+    assert((uw * 2 - us * 11) * 1000000 / (us * 10) == 0)
+  }
 }
