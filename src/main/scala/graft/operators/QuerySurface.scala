@@ -1149,6 +1149,12 @@ object QuerySurface {
     }
     val salted = df.withColumn("_salt", pmod(col(idCol), lit(salts.toLong)))
     val local = localSkyline(salted, Seq("_salt")).drop("_salt")
+    // phase 2 IS an empty-key window (the bench's only WindowExec
+    // single-partition warnings, 2 specs × reps) — deliberately: its input
+    // is the union of the per-salt LOCAL skylines, and a 2D skyline of a
+    // random partition has expected size O(log n), so the global merge
+    // moves O(salts · log n) rows at ANY data scale — the classic
+    // two-phase skyline shape, not a data funnel
     localSkyline(local, Nil)
   }
 
