@@ -304,6 +304,8 @@ object SparkEntry {
     "stream_boot" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamGate.bootWindows(s, d)),
     "q_gini" -> (QuerySurface.gini _),
+    "sim_ann_ivf_tbl" -> ((s: SparkSession, d: String) =>
+      Similarity.annIvfFromTable(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -846,5 +848,8 @@ object SparkEntry {
     "sim_ann_mrr" -> operators.Similarity.annMrrOracleSql(),
     "stream_boot" -> graft.streaming.StreamGate.bootWindowsOracleSql(),
     "q_gini" -> operators.QuerySurface.giniOracleSql,
+    // the _tbl twin shares the in-plan gate's oracle: results must be
+    // bit-identical (the materialized index round-trips doubles exactly)
+    "sim_ann_ivf_tbl" -> operators.Similarity.annIvfOracleSql(),
   )
 }

@@ -289,22 +289,32 @@ object Similarity {
   def annIvf(spark: SparkSession, sfDir: String, k: Int = 5, nProbe: Int = 2,
       nQueries: Int = 8): DataFrame = {
     val e = withVec(embeddings(spark, sfDir))
+    ivfQuery(ivfCentroids(e), e, k, nProbe, nQueries)
+  }
 
-    // centroid components via exact decimal sums + round(…,6): FP addition is
-    // not associative, so a raw avg() would differ across engines/partition
-    // orders in the last ulps; the decimal path is order-independent and the
-    // DuckDB oracle recomputes it bit-identically (sums < 2^53/10^6, so the
-    // decimal→double cast is a single correctly-rounded step on both engines)
-    val centroids = e
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(Tables.exactAvg(col("x")).as("cx"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
-      .select(col("label").as("c_label"),
-        transform(col("pcs"), p => p("cx")).as("cv"))
-      .withColumn("c_nrm", sqrt(dot(col("cv"), col("cv"))))
+  /** The IVF codebook: per-label centroid vectors with norms. Centroid
+    * components via exact decimal sums + round(…,6): FP addition is
+    * not associative, so a raw avg() would differ across engines/partition
+    * orders in the last ulps; the decimal path is order-independent and the
+    * DuckDB oracle recomputes it bit-identically (sums < 2^53/10^6, so the
+    * decimal→double cast is a single correctly-rounded step on both
+    * engines). Shared by [[annIvf]] (derived in-plan) and
+    * [[annIvfFromTable]] (materialized once, read per query). */
+  private def ivfCentroids(e: DataFrame): DataFrame = e
+    .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+    .groupBy(col("label"), col("pos"))
+    .agg(Tables.exactAvg(col("x")).as("cx"))
+    .groupBy(col("label"))
+    .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
+    .select(col("label").as("c_label"),
+      transform(col("pcs"), p => p("cx")).as("cv"))
+    .withColumn("c_nrm", sqrt(dot(col("cv"), col("cv"))))
 
+  /** The IVF probe+score core over a codebook frame and a list table —
+    * ONE definition for the in-plan and materialized-index forms, so the
+    * `_tbl` twin audits the exact query the production path runs. */
+  private def ivfQuery(centroids: DataFrame, e: DataFrame, k: Int,
+      nProbe: Int, nQueries: Int): DataFrame = {
     val q = e.filter(col("vec_id") < nQueries)
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("c_cos").desc, col("c_label"))
@@ -327,6 +337,29 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cos"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** [[annIvf]] fed from a MATERIALIZED vector index — the derive-once
+    * read-per-analytic pattern (the backbone/bipartite/span-forest
+    * precedent) extended to the ANN family: the codebook and the
+    * list-assigned vector table are written as parquet ONCE per corpus
+    * ([[MemoTables]] — in production, the nightly index build of a vector
+    * store) and every query-time call only READS them. Results are
+    * bit-identical to [[annIvf]] by construction (parquet round-trips
+    * doubles exactly; the probe+score core is the shared [[ivfQuery]]),
+    * so the gate reuses the same oracle — a green hash proves the index
+    * round-trips exactly, and the gate exercises the scan path a
+    * production query takes. */
+  def annIvfFromTable(spark: SparkSession, sfDir: String, k: Int = 5,
+      nProbe: Int = 2, nQueries: Int = 8): DataFrame = {
+    val dir = MemoTables.dir(s"ivfindex:$sfDir", "graft-ivf-") { d =>
+      val e = withVec(embeddings(spark, sfDir))
+      ivfCentroids(e).write.mode("overwrite").parquet(s"$d/codebook")
+      e.select(col("vec_id"), col("label"), col("v"), col("nrm"))
+        .write.mode("overwrite").parquet(s"$d/lists")
+    }
+    ivfQuery(spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/lists"), k, nProbe, nQueries)
   }
 
   /** IVF with a REAL learned codebook: coarse centroids come from the

@@ -263,4 +263,17 @@ class Round9eOpsSpec extends SparkTestBase {
     val uw = uni.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x._2 }.sum
     assert((uw * 2 - us * 11) * 1000000 / (us * 10) == 0)
   }
+
+  test("sim_ann_ivf_tbl: the materialized index reproduces the in-plan IVF " +
+      "bit-for-bit, twice (memo hit)") {
+    import graft.operators.Similarity
+    val inPlan = Similarity.annIvf(spark, sf).collect().map(_.toSeq).toSeq
+    val fromTbl = Similarity.annIvfFromTable(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    assert(fromTbl == inPlan && inPlan.nonEmpty)
+    // second call reads the memoized index — same rows, no rebuild
+    val again = Similarity.annIvfFromTable(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    assert(again == inPlan)
+  }
 }
