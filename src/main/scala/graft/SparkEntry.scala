@@ -306,6 +306,8 @@ object SparkEntry {
     "q_gini" -> (QuerySurface.gini _),
     "sim_ann_ivf_tbl" -> ((s: SparkSession, d: String) =>
       Similarity.annIvfFromTable(s, d)),
+    "dedup_split_leakage" -> ((s: SparkSession, d: String) =>
+      Dedup.splitLeakage(s, d)),
   )
 
   /** DuckDB oracles. Writing rules (see graft.operators.Tables):
@@ -851,5 +853,6 @@ object SparkEntry {
     // the _tbl twin shares the in-plan gate's oracle: results must be
     // bit-identical (the materialized index round-trips doubles exactly)
     "sim_ann_ivf_tbl" -> operators.Similarity.annIvfOracleSql(),
+    "dedup_split_leakage" -> operators.Dedup.splitLeakageOracleSql(),
   )
 }

@@ -1358,4 +1358,64 @@ object Dedup {
        |    / 1000000.0 AS dup_ratio
        |FROM n LEFT JOIN cov ON n.doc_id = cov.doc_id
        |ORDER BY n.doc_id""".stripMargin
+
+  // ---- cross-split leakage audit ---------------------------------------------
+
+  /** SPLIT-LEAKAGE AUDIT — verified near-duplicate pairs that STRADDLE the
+    * engine's own train/val/test split: `dedup_decontaminate` checks the
+    * corpus against an external benchmark, but the quieter contamination a
+    * pipeline ships is its own — a near-dup of a training document sitting
+    * in the held-out split inflates every eval on it. This gate joins the
+    * verified MinHash-LSH pair tier ([[minhashLsh]] — the SAME tier the
+    * dedup path uses, by construction) with [[Sampling.sampleSplit]]'s
+    * hash-bucket assignment and counts pairs per unordered split pair;
+    * rows with `is_leak = true` are the contamination (expected at this
+    * corpus's duplication rate: ~10% of near-dup pairs straddle the 90/5/5
+    * split).
+    *
+    * Scale shape: the pair tier is the LSH candidate pipeline (banded
+    * signatures, never all-pairs); the split side is a hash of doc_id
+    * (no scan of text); the final join keys on doc_id and aggregates to a
+    * ≤9-row matrix. */
+  def splitLeakage(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir, threshold)
+      .select(col("id1"), col("id2"))
+    val split = Sampling.sampleSplit(spark, sfDir)
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(split.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(split.as("s2"), col("id2") === col("s2.doc_id"))
+      .select(least(col("s1.split"), col("s2.split")).as("split_a"),
+        greatest(col("s1.split"), col("s2.split")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", col("split_a") =!= col("split_b"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  /** DuckDB twin of [[splitLeakage]] — the full [[minhashOracleSql]] pair
+    * derivation nested as a CTE (one tier, one definition), the split
+    * rule from [[Sampling.sampleSplitOracleSql]]'s hash, the same
+    * unordered-pair fold. */
+  def splitLeakageOracleSql(threshold: Double = 0.3): String =
+    s"""WITH pairs AS (
+       |${minhashOracleSql(threshold)}
+       |), sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN CAST(md5_number_lower('split:' || doc_id)
+       |           & 9223372036854775807 AS BIGINT) % 1000 < 900 THEN 'train'
+       |         WHEN CAST(md5_number_lower('split:' || doc_id)
+       |           & 9223372036854775807 AS BIGINT) % 1000 < 950 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |)
+       |SELECT least(s1.split, s2.split) AS split_a,
+       |  greatest(s1.split, s2.split) AS split_b,
+       |  count(*) AS n_pairs,
+       |  least(s1.split, s2.split) <> greatest(s1.split, s2.split) AS is_leak
+       |FROM pairs p
+       |JOIN sp s1 ON p.id1 = s1.doc_id
+       |JOIN sp s2 ON p.id2 = s2.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

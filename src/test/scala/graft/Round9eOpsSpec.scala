@@ -276,4 +276,27 @@ class Round9eOpsSpec extends SparkTestBase {
       .map(_.toSeq).toSeq
     assert(again == inPlan)
   }
+
+  test("dedup_split_leakage: the matrix recomputes from the green LSH-pair " +
+      "and split gates; totals conserve; leak flag marks exactly the " +
+      "off-diagonal") {
+    import graft.operators.{Dedup, Sampling}
+    val pairs = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+    val split = Sampling.sampleSplit(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toMap
+    val expected = pairs.map { case (a, b) =>
+      val (s1, s2) = (split(a), split(b))
+      (if (s1 <= s2) s1 else s2, if (s1 <= s2) s2 else s1)
+    }.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val out = Dedup.splitLeakage(spark, sf).collect()
+    assert(out.length == expected.size && out.nonEmpty)
+    out.foreach { r =>
+      val k = (r.getAs[String]("split_a"), r.getAs[String]("split_b"))
+      assert(r.getAs[Long]("n_pairs") == expected(k), s"pairs $k")
+      assert(r.getAs[Boolean]("is_leak") == (k._1 != k._2))
+    }
+    // conservation: the matrix covers every verified near-dup pair
+    assert(out.map(_.getAs[Long]("n_pairs")).sum == pairs.length)
+  }
 }
