@@ -299,4 +299,18 @@ class Round9eOpsSpec extends SparkTestBase {
     // conservation: the matrix covers every verified near-dup pair
     assert(out.map(_.getAs[Long]("n_pairs")).sum == pairs.length)
   }
+
+  test("stream_boot: the elided-flush update-mode drain is row-identical " +
+      "to the append+watermark form (parity by merge-commutative algebra)") {
+    import graft.streaming.StreamGate
+    val saved = StreamGate.elideFlush
+    def run(elide: Boolean): Seq[String] = {
+      StreamGate.elideFlush = elide
+      try StreamGate.bootWindows(spark, sf).collect().map(_.toString).toSeq.sorted
+      finally StreamGate.elideFlush = saved
+    }
+    val e = run(elide = true)
+    val a = run(elide = false)
+    assert(e.nonEmpty && e == a, "stream_boot elide parity")
+  }
 }
