@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -87,10 +87,116 @@ case class VectorDotExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** A [[VecKernel]] spliced into whole-stage codegen: the generated code
+  * is one virtual call on the referenced kernel object per row — the
+  * kernel loop itself is plain JIT-compiled JVM code over primitive
+  * `ArrayData` reads. No `ScalaUDF` node, no catalyst→Scala conversion,
+  * no codegen fence: the surrounding project/filter stage stays fused.
+  * Null child → null result (standard null-intolerant unary). */
+case class VecKernelExpr(child: Expression, kernel: VecKernel)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"${kernel.name} requires array<double> input, got ${t.sql}")
+  }
+  override def dataType: DataType = kernel.out
+  override def prettyName: String = kernel.name
+  override protected def nullSafeEval(a: Any): Any =
+    kernel(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("vecKernel", kernel,
+        classOf[VecKernel].getName)
+      dataType match {
+        case _: StructType =>
+          s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.apply($v);"
+        case _: ArrayType =>
+          s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.apply($v);"
+        case LongType =>
+          s"${ev.value} = ((java.lang.Long) $ref.apply($v)).longValue();"
+        case DoubleType =>
+          s"${ev.value} = ((java.lang.Double) $ref.apply($v)).doubleValue();"
+        case t => throw new IllegalStateException(s"unsupported kernel type $t")
+      }
+    })
+  override protected def withNewChildInternal(newChild: Expression): VecKernelExpr =
+    copy(child = newChild)
+}
+
+/** [[IdVecKernel]] as a binary expression: `(id: bigint, payload:
+  * array<double|int>)` → kernel result. Same codegen contract as
+  * [[VecKernelExpr]]. */
+case class IdVecKernelExpr(left: Expression, right: Expression,
+    kernel: IdVecKernel) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, ArrayType(DoubleType | IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"${kernel.name} requires (bigint, array) inputs, got ${l.sql} / ${r.sql}")
+    }
+  override def dataType: DataType = kernel.out
+  override def prettyName: String = kernel.name
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[Long], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, v) => {
+      val ref = ctx.addReferenceObj("idVecKernel", kernel,
+        classOf[IdVecKernel].getName)
+      dataType match {
+        case DoubleType =>
+          s"${ev.value} = ((java.lang.Double) $ref.apply($q, $v)).doubleValue();"
+        case LongType =>
+          s"${ev.value} = ((java.lang.Long) $ref.apply($q, $v)).longValue();"
+        case t => throw new IllegalStateException(s"unsupported kernel type $t")
+      }
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IdVecKernelExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   /** Codegen'd dot product of two `array<double>` columns. */
   def vectorDot(a: Column, b: Column): Column =
     column(VectorDotExpr(expression(a), expression(b)))
+
+  /** Spherical-k-means assignment over a broadcast codebook:
+    * struct<_1: argmax cluster, _2: round6 cos>. */
+  def assignCos(v: Column, cents: Array[Array[Double]]): Column =
+    column(VecKernelExpr(expression(v), new CosAssignKernel(cents)))
+
+  /** L2 assignment: struct<_1: argmin cluster, _2: round6 sq-dist>. */
+  def assignL2(v: Column, cents: Array[Array[Double]]): Column =
+    column(VecKernelExpr(expression(v), new L2AssignKernel(cents)))
+
+  /** PQ codes (array<int>, one per subspace) for a vector. */
+  def pqEncode(v: Column, books: Array[Array[Array[Double]]],
+      subDim: Int): Column =
+    column(VecKernelExpr(expression(v), new PqEncodeKernel(books, subDim)))
+
+  /** Random-hyperplane LSH signature packed into a long. */
+  def planeSig(v: Column, planes: Array[Array[Double]]): Column =
+    column(VecKernelExpr(expression(v), new PlaneSigKernel(planes)))
+
+  /** Int8 scalar-quantization stats:
+    * struct<_1 checksum, _2 qmin, _3 qmax, _4 round6 max-abs-err>. */
+  def quantizeStats(v: Column, mns: Array[Double],
+      mxs: Array[Double]): Column =
+    column(VecKernelExpr(expression(v), new QuantizeKernel(mns, mxs)))
+
+  /** PQ Asymmetric Distance: round6 sum of per-subspace LUT entries. */
+  def adcDist(qid: Column, codes: Column,
+      luts: Map[Long, Array[Array[Double]]]): Column =
+    column(IdVecKernelExpr(expression(qid), expression(codes),
+      new AdcKernel(luts)))
+
+  /** Exact re-rank distance against captured query vectors. */
+  def queryL2(qid: Column, v: Column,
+      qVecs: Map[Long, Array[Double]]): Column =
+    column(IdVecKernelExpr(expression(qid), expression(v),
+      new QueryL2Kernel(qVecs)))
 }

@@ -46,7 +46,8 @@ object Clustering {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .persist()
     val centroids = fit(e, k, iters)
-    val result = e.withColumn("a", assignUdf(centroids)(col("v")))
+    val result = e.withColumn("a",
+        graft.functions.VectorExpressions.assignCos(col("v"), centroids))
       .select(col("vec_id"), col("a._1").cast("long").as("cluster"),
         col("a._2").as("cos"))
       .orderBy(col("vec_id"))
@@ -82,7 +83,8 @@ object Clustering {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .persist()
     val centroids = fit(e, k, iters)
-    val members = e.withColumn("a", assignUdf(centroids)(col("v")))
+    val members = e.withColumn("a",
+        graft.functions.VectorExpressions.assignCos(col("v"), centroids))
       .select(col("a._1").cast("long").as("cluster"), col("a._2").as("cos"))
       .filter(!isnan(col("cos")))
       .groupBy(col("cluster"))
@@ -164,15 +166,20 @@ object Clustering {
     * caller manages caching of `e` (both users persist it around the
     * iteration loop). */
   private[operators] def fit(e: DataFrame, k: Int, iters: Int): Array[Array[Double]] =
-    fitWith(e, k, iters, assignUdf)
+    fitWith(e, k, iters, graft.functions.VectorExpressions.assignCos)
 
-  /** [[fit]] with a pluggable assignment rule — [[assignUdf]] (cosine
-    * argmax, spherical k-means) for [[kmeans]]/IVF, [[assignL2Udf]]
-    * (squared-Euclidean argmin) for [[Similarity.annPq]]'s subspace
-    * codebooks. The init and decimal-exact update are identical. */
+  /** [[fit]] with a pluggable assignment rule —
+    * [[graft.functions.VectorExpressions.assignCos]] (cosine argmax,
+    * spherical k-means) for [[kmeans]]/IVF,
+    * [[graft.functions.VectorExpressions.assignL2]] (squared-Euclidean
+    * argmin) for [[Similarity.annPq]]'s subspace codebooks. The init and
+    * decimal-exact update are identical. Assignment is a native kernel
+    * expression (primitive ArrayData loop inside whole-stage codegen —
+    * no per-row boxed `Seq[Double]`, the tax that dominated the iteration
+    * loop at embedding scale). */
   private[operators] def fitWith(e: DataFrame, k: Int, iters: Int,
-      assign: Array[Array[Double]] =>
-        org.apache.spark.sql.expressions.UserDefinedFunction): Array[Array[Double]] = {
+      assign: (org.apache.spark.sql.Column, Array[Array[Double]]) =>
+        org.apache.spark.sql.Column): Array[Array[Double]] = {
     import e.sparkSession.implicits._
     // init: the k smallest-vec_id vectors; cluster labels are RANK POSITIONS
     // (0-based), not raw vec_ids — the oracle labels identically, so sparse
@@ -183,7 +190,7 @@ object Clustering {
       .map(_._2.toArray)
     var it = 0
     while (it < iters) {
-      val assigned = e.withColumn("a", assign(centroids)(col("v")))
+      val assigned = e.withColumn("a", assign(col("v"), centroids))
         .select(col("vec_id"), col("a._1").as("cluster"), col("v"))
       // update: decimal-exact per-(cluster, dim) means, rounded to 6
       val means = assigned
@@ -201,37 +208,6 @@ object Clustering {
     centroids
   }
 
-  /** Assignment UDF for a centroid codebook: (cluster, round6 cos) with the
-    * oracle's argmax semantics. */
-  private[operators] def assignUdf(cents: Array[Array[Double]]):
-      org.apache.spark.sql.expressions.UserDefinedFunction = {
-      val cNrm = cents.map(c => math.sqrt(c.map(x => x * x).sum))
-      udf { (v: Seq[Double]) =>
-        val arr = v.toArray
-        val nrm = math.sqrt(arr.map(x => x * x).sum)
-        // argmax with the ORACLE's ordering semantics: strict-greater keeps
-        // the smaller cluster id on ties, and NaN ranks LARGEST (DuckDB
-        // ORDER BY cos DESC places NaN first) — a zero-norm vector/centroid
-        // must assign identically on both engines, never crash on best = -1
-        def better(cand: Double, best: Double): Boolean =
-          if (cand.isNaN) !best.isNaN
-          else !best.isNaN && cand > best
-        var best = 0
-        var bestCos = Double.NaN
-        var c = 0
-        while (c < cents.length) {
-          val cent = cents(c)
-          var acc = 0.0
-          var i = 0
-          while (i < arr.length) { acc += arr(i) * cent(i); i += 1 }
-          val cos = round6(acc / (nrm * cNrm(c)))
-          if (c == 0 || better(cos, bestCos)) { bestCos = cos; best = c }
-          c += 1
-        }
-        (best, bestCos)
-      }
-    }
-
   /** Squared-Euclidean distance with the cross-engine association contract:
     * `round6(a·a − 2·a·b + b·b)` — three SEQUENTIAL dot products combined
     * left-to-right, exactly what the DuckDB twin's
@@ -247,34 +223,6 @@ object Clustering {
     }
     round6(aa - 2.0 * ab + bb)
   }
-
-  /** L2 assignment for [[fitWith]]: (argmin cluster, round6 sq-distance),
-    * ties to the smaller cluster id; NaN distances rank LAST (DuckDB
-    * `ORDER BY dist ASC` places NaN after every finite value — the mirror
-    * of [[assignUdf]]'s NaN-first rule under DESC). */
-  /** (argmin cluster, round6 sq-distance) under the cross-engine rules:
-    * ties to the smaller cluster id; NaN distances rank LAST (DuckDB
-    * `ORDER BY dist ASC` places NaN after every finite value — the mirror
-    * of [[assignUdf]]'s NaN-first rule under DESC). */
-  private[operators] def argminL2(v: Array[Double],
-      cents: Array[Array[Double]]): (Int, Double) = {
-    def better(cand: Double, best: Double): Boolean =
-      if (cand.isNaN) false else best.isNaN || cand < best
-    var best = 0
-    var bestDist = Double.NaN
-    var c = 0
-    while (c < cents.length) {
-      val d = sqDist6(v, cents(c))
-      if (c == 0 || better(d, bestDist)) { bestDist = d; best = c }
-      c += 1
-    }
-    (best, bestDist)
-  }
-
-  /** L2 assignment for [[fitWith]] — [[argminL2]] as a UDF. */
-  private[operators] def assignL2Udf(cents: Array[Array[Double]]):
-      org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (v: Seq[Double]) => argminL2(v.toArray, cents) }
 
   /** DuckDB twin of [[kmeans]] — the iterations unrolled as generated CTEs
     * (long centroid format (cl, i, cx); assignment via a row_number argmax

@@ -193,20 +193,9 @@ object Similarity {
   def lshSignature(v: Column, nPlanes: Int = 6, dim: Int = 64,
       seed: Int = 7): Column = {
     val planes = hyperplanes(nPlanes, dim, seed).map(_.toArray).toArray
-    val sigUdf = udf { (vec: Seq[Double]) =>
-      var sig = 0L
-      var p = 0
-      while (p < planes.length) {
-        val plane = planes(p)
-        var acc = 0.0
-        var i = 0
-        while (i < plane.length) { acc += vec(i) * plane(i); i += 1 }
-        if (acc > 0) sig |= (1L << p)
-        p += 1
-      }
-      sig
-    }
-    sigUdf(v)
+    // native kernel expression — primitive ArrayData loop inside codegen,
+    // replacing the boxed-Seq UDF this signature step used to pay per row
+    graft.functions.VectorExpressions.planeSig(v, planes)
   }
 
   /** All XOR masks within Hamming distance `radius` of 0, ascending — the
@@ -377,8 +366,8 @@ object Similarity {
     val e = withVec(embeddings(spark, sfDir))
       .select(col("vec_id"), col("v"), col("nrm")).persist()
     val codebook = Clustering.fit(e.select(col("vec_id"), col("v")), kClusters, kmIters)
-    val assign = Clustering.assignUdf(codebook)
-    val lists = e.withColumn("a", assign(col("v")))
+    val lists = e.withColumn("a",
+        graft.functions.VectorExpressions.assignCos(col("v"), codebook))
       .select(col("vec_id"), col("a._1").as("cluster"), col("v"), col("nrm"))
 
     val cents = codebook.zipWithIndex.map { case (c, cl) =>
@@ -430,31 +419,10 @@ object Similarity {
       .as[(Int, Double, Double)].collect().sortBy(_._1)
     val mns = stats.map(_._2)
     val mxs = stats.map(_._3)
-    val qUdf = udf { (v: Seq[Double]) =>
-      var checksum = 0L
-      var qMin = 255L
-      var qMax = 0L
-      var maxErr = 0.0
-      var i = 0
-      while (i < v.length) {
-        val x = v(i); val mn = mns(i); val mx = mxs(i)
-        val qi =
-          if (mx == mn) 0L
-          else {
-            val f = math.floor((x - mn) / (mx - mn) * 255.0 + 0.5)
-            math.max(0L, math.min(255L, f.toLong))
-          }
-        val xhat = if (mx == mn) mn else mn + qi * (mx - mn) / 255.0
-        val err = math.abs(x - xhat)
-        if (err > maxErr) maxErr = err
-        checksum += qi * (131L * i + 1L)
-        if (qi < qMin) qMin = qi
-        if (qi > qMax) qMax = qi
-        i += 1
-      }
-      (checksum, qMin, qMax, round6(maxErr))
-    }
-    e.withColumn("q", qUdf(col("v")))
+    // per-vector code stats as a native kernel over the broadcast (mn, mx)
+    // ranges — same floor/clamp/accumulation as the former UDF, no boxing
+    e.withColumn("q",
+        graft.functions.VectorExpressions.quantizeStats(col("v"), mns, mxs))
       .select(col("vec_id"), col("q._1").as("q_checksum"), col("q._2").as("q_min"),
         col("q._3").as("q_max"), col("q._4").as("max_abs_err"))
       .orderBy(col("vec_id"))
@@ -776,8 +744,8 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm")).persist()
     val centroids = Clustering.fit(e.select(col("vec_id"), col("v")), k, iters)
     val assigned = e
-      .withColumn("cl",
-        Clustering.assignUdf(centroids)(col("v")).getField("_1").cast("long"))
+      .withColumn("cl", graft.functions.VectorExpressions
+        .assignCos(col("v"), centroids).getField("_1").cast("long"))
       .select(col("vec_id"), col("cl"), col("v"), col("nrm"))
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.cl") === col("b.cl") && col("a.vec_id") < col("b.vec_id"))
@@ -987,19 +955,9 @@ object Similarity {
     val books: Array[Array[Array[Double]]] = (0 until PqSubspaces).map { s =>
       val sub = e.select(col("vec_id"),
         slice(col("v"), s * PqSubDim + 1, PqSubDim).as("v"))
-      Clustering.fitWith(sub, PqCodebook, PqIters, Clustering.assignL2Udf)
+      Clustering.fitWith(sub, PqCodebook, PqIters,
+        graft.functions.VectorExpressions.assignL2)
     }.toArray
-    // the lambda must not call enclosing-method nested defs (`subspace`):
-    // a nested def compiles to an instance method of the module class and
-    // its call captures the non-serializable module object in the closure
-    val subDim = PqSubDim
-    val encUdf = udf { (v: Seq[Double]) =>
-      val arr = v.toArray
-      (0 until books.length).map { s =>
-        val sub = java.util.Arrays.copyOfRange(arr, s * subDim, (s + 1) * subDim)
-        Clustering.argminL2(sub, books(s))._1
-      }
-    }
     // per-query ADC lookup tables, built driver-side from the same sqDist6
     val qs = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
@@ -1009,25 +967,21 @@ object Similarity {
         Clustering.sqDist6(subspace(v.toArray, s), books(s)(c))
       }
     }.toMap
-    val adistUdf = udf { (qid: Long, codes: Seq[Int]) =>
-      val t = luts(qid)
-      var acc = 0.0
-      var s = 0
-      while (s < PqSubspaces) { acc += t(s)(codes(s)); s += 1 }
-      round6(acc)
-    }
-    // exact re-rank distance: the same three-dot association as sqDist6,
-    // against the captured full query vectors
+    // exact re-rank distance keeps the query side FIRST in the three-dot
+    // association — the order the oracle's list_dot_product chain evaluates
     val qVecs: Map[Long, Array[Double]] = qs.map { case (id, v) => id -> v.toArray }.toMap
-    val exactDistUdf = udf { (qid: Long, nv: Seq[Double]) =>
-      Clustering.sqDist6(qVecs(qid), nv.toArray)
-    }
     val queries = qs.map(_._1).toSeq.toDF("query_id")
-    val scored = e.select(col("vec_id"), encUdf(col("v")).as("codes"))
+    // encode / ADC-score as native kernels: the codes scan is the PQ hot
+    // loop (every candidate × every query), now a primitive table-lookup
+    // sum inside whole-stage codegen instead of two boxed-Seq UDF calls
+    val scored = e.select(col("vec_id"),
+        graft.functions.VectorExpressions.pqEncode(col("v"), books, PqSubDim)
+          .as("codes"))
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        adistUdf(col("query_id"), col("codes")).as("adist"))
+        graft.functions.VectorExpressions
+          .adcDist(col("query_id"), col("codes"), luts).as("adist"))
     // stage 1: ADC shortlist (codes-only scan); stage 2: exact re-rank of
     // the shortlist against the raw vectors — the standard two-stage
     // retrieval that buys back the recall a 16-bit code cannot carry. The
@@ -1042,7 +996,8 @@ object Similarity {
       .orderBy(col("dist").asc, col("neighbor_id"))
     val result = shortlist
       .join(e.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
-      .withColumn("dist", exactDistUdf(col("query_id"), col("v")))
+      .withColumn("dist",
+        graft.functions.VectorExpressions.queryL2(col("query_id"), col("v"), qVecs))
       .withColumn("rank", row_number().over(we))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
