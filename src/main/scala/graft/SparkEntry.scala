@@ -242,7 +242,7 @@ object SparkEntry {
     "sim_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "pipe_curation" -> (TextAnalysis.curationPipeline _),
     "dedup_survivors_quality" -> ((s: SparkSession, d: String) => Dedup.dedupSurvivorsQuality(s, d)),
-    "stream_red" -> (graft.streaming.StreamGate.redWindows _),
+    "stream_red" -> ((s: SparkSession, d: String) => graft.streaming.StreamGate.redWindows(s, d)),
     "otel_hist_merge" -> ((s: SparkSession, d: String) => OtelQueries.histMerge(s, d)),
     "sample_kfold" -> ((s: SparkSession, d: String) => Sampling.sampleKfold(s, d)),
     "mix_epoch_order" -> ((s: SparkSession, d: String) => Sampling.epochOrder(s, d)),
@@ -253,7 +253,7 @@ object SparkEntry {
     "q_seasonality" -> (QuerySurface.dowSeasonality _),
     "otel_hist_rebucket" -> ((s: SparkSession, d: String) => OtelQueries.histRebucket(s, d)),
     "dedup_lsh_eval" -> ((s: SparkSession, d: String) => Dedup.lshEval(s, d)),
-    "stream_hist" -> (graft.streaming.StreamGate.histWindows _),
+    "stream_hist" -> ((s: SparkSession, d: String) => graft.streaming.StreamGate.histWindows(s, d)),
 
     // -- round 9: the walk family fed from the MATERIALIZED bipartite edge
     // table (Graph.bipartiteTable — the backbone-table pattern extended to
@@ -265,7 +265,7 @@ object SparkEntry {
     "mm_png_near_dup" -> ((s: SparkSession, d: String) => Multimodal.pngNearDup(s, d)),
     "otel_burn_rate" -> ((s: SparkSession, d: String) => OtelQueries.burnRate(s, d)),
     "text_chunking" -> ((s: SparkSession, d: String) => TextAnalysis.chunking(s, d)),
-    "stream_burn" -> (graft.streaming.StreamGate.burnWindows _),
+    "stream_burn" -> ((s: SparkSession, d: String) => graft.streaming.StreamGate.burnWindows(s, d)),
     "sim_centroid_drift" -> ((s: SparkSession, d: String) => Similarity.centroidDrift(s, d)),
     "text_chunk_delta" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDelta(s, d)),
     "q_mannwhitney" -> (QuerySurface.mannWhitney _),

@@ -115,11 +115,14 @@ object StreamGate {
     catch { case scala.util.control.NonFatal(_) => 8 }
 
   /** Elide the no-data watermark-flush micro-batch for the by-algebra
-    * gates (`stream_red`/`stream_hist`) — see
+    * gates (`stream_red`/`stream_hist`/`stream_burn`/`stream_boot`) — see
     * [[graft.Config.WriterConfig.streamElideFlush]]. Measured saving
-    * 0.16-0.21 s per replay (StreamFlushProbe, sf0.1, parity-asserted);
-    * assignable for probes/specs like [[statePartitions]]. */
-  @volatile private[graft] var elideFlush: Boolean =
+    * 0.16-0.21 s per replay (StreamFlushProbe, sf0.1, parity-asserted).
+    * Read at GATE INVOCATION (not module state): the round-9 `var` was
+    * global mutable state that would race under parallel suite execution
+    * and was invisible to a config reader — the parity specs now pass the
+    * flag as a per-call parameter instead of toggling a module field. */
+  private def elideFlushConfigured: Boolean =
     try graft.Config.load().writer.streamElideFlush
     catch { case scala.util.control.NonFatal(_) => true }
 
@@ -137,10 +140,12 @@ object StreamGate {
     * asserted (StreamFlushProbe) and oracle-verified (the DuckDB twins
     * compute the same subset either way). `agg` builds the windowed
     * aggregation from the (possibly watermarked) event frame; its window
-    * column must be named `window`. */
+    * column must be named `window`. `elide` is resolved by the CALLER
+    * (config default or an explicit per-call override from the parity
+    * specs). */
   private def drainWindowed(spark: SparkSession, sfDir: String,
-      ev: DataFrame, agg: DataFrame => DataFrame): DataFrame =
-    if (elideFlush) {
+      ev: DataFrame, agg: DataFrame => DataFrame, elide: Boolean): DataFrame =
+    if (elide) {
       val wmMs = graft.operators.Tables.events(spark, sfDir)
         .agg(max(expr("unix_micros(ts) div 1000"))).head.getLong(0) -
         WindowDelayMs
@@ -679,14 +684,16 @@ object StreamGate {
     * rule as `stream_window_counts`. State per window is one row per
     * (window, event_type): bounded by the type vocabulary at any event
     * rate. */
-  def redWindows(spark: SparkSession, sfDir: String): DataFrame = {
+  def redWindows(spark: SparkSession, sfDir: String,
+      elide: Option[Boolean] = None): DataFrame = {
     val ev = eventsStream(spark, sfDir)
       .select(col("ts"), col("event_type"), col("value"))
     drainWindowed(spark, sfDir, ev,
       e => e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("value") >= 250.0, 1L).otherwise(0L)).as("n_err"),
-          sum(col("value").cast("decimal(28,6)")).as("sum_v")))
+          sum(col("value").cast("decimal(28,6)")).as("sum_v")),
+      elide.getOrElse(elideFlushConfigured))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("n_err"),
         graft.operators.Tables.portableRound6(
@@ -705,7 +712,8 @@ object StreamGate {
     * live panel). Parity BY ALGEBRA: cell counts are merge-commutative,
     * so micro-batching cannot perturb them; append mode emits the
     * watermark-closed windows. State is ≤ windows×5 cells at any rate. */
-  def histWindows(spark: SparkSession, sfDir: String): DataFrame = {
+  def histWindows(spark: SparkSession, sfDir: String,
+      elide: Option[Boolean] = None): DataFrame = {
     val bs = graft.operators.OtelQueries.RebucketBounds
     val bucketExpr = bs.zipWithIndex.foldRight(lit(bs.size.toLong)) {
       case ((b, i), acc) => when(col("value") < b.toDouble, i.toLong).otherwise(acc)
@@ -714,7 +722,8 @@ object StreamGate {
       .select(col("ts"), bucketExpr.as("bucket"))
     drainWindowed(spark, sfDir, ev,
       e => e.groupBy(window(col("ts"), "1 hour"), col("bucket"))
-        .agg(count(lit(1)).as("n")))
+        .agg(count(lit(1)).as("n")),
+      elide.getOrElse(elideFlushConfigured))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("bucket"), col("n"))
       .orderBy(col("window_start_us"), col("bucket"))
@@ -731,7 +740,8 @@ object StreamGate {
     * WATERMARK-CLOSED hours (the panel's visible state), where the batch
     * form sees all events — the oracle mirrors this closed-hours rule.
     * State is one (n, err) pair per hour window at any event rate. */
-  def burnWindows(spark: SparkSession, sfDir: String): DataFrame = {
+  def burnWindows(spark: SparkSession, sfDir: String,
+      elide: Option[Boolean] = None): DataFrame = {
     val HourUs = 3600000000L
     val BlockUs = 6 * HourUs
     val ev = eventsStream(spark, sfDir)
@@ -740,7 +750,8 @@ object StreamGate {
           .otherwise(0L).as("is_err"))
     val drained = drainWindowed(spark, sfDir, ev,
       e => e.groupBy(window(col("ts"), "1 hour"))
-        .agg(count(lit(1)).as("n_1h"), sum(col("is_err")).as("err_1h")))
+        .agg(count(lit(1)).as("n_1h"), sum(col("is_err")).as("err_1h")),
+      elide.getOrElse(elideFlushConfigured))
       .select(unix_micros(col("window.start")).as("hour_us"),
         col("n_1h"), col("err_1h"))
       .localCheckpoint(true) // two consumers (hours + block rollup)
@@ -852,7 +863,8 @@ object StreamGate {
     * rank-2 / rank-(B−1) band — the live "is the hourly mean drifting
     * outside its own sampling noise" panel. State: 32 (Σw·v, Σw) pairs
     * per open hour window at ANY event rate. */
-  def bootWindows(spark: SparkSession, sfDir: String, b: Int = 32): DataFrame = {
+  def bootWindows(spark: SparkSession, sfDir: String, b: Int = 32,
+      elide: Option[Boolean] = None): DataFrame = {
     import graft.operators.QuerySurface.{poissonBootHash, poissonWeightFromHash}
     val ev = eventsStream(spark, sfDir)
       .select(col("ts"), col("event_id"),
@@ -867,7 +879,8 @@ object StreamGate {
       .withColumn("w", poissonWeightFromHash(col("h")))
     val drained = drainWindowed(spark, sfDir, ev,
       e => e.groupBy(window(col("ts"), "1 hour"), col("b"))
-        .agg(sum(col("w") * col("v_fp")).as("swv"), sum(col("w")).as("sw")))
+        .agg(sum(col("w") * col("v_fp")).as("swv"), sum(col("w")).as("sw")),
+      elide.getOrElse(elideFlushConfigured))
       .select(unix_micros(col("window.start")).as("hour_us"),
         col("b"), col("swv"), col("sw"))
     val means = drained.filter(col("sw") > 0L)

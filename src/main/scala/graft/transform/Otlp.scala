@@ -99,8 +99,8 @@ object Otlp {
       transform(events, e => nanosToTimestamp(e("timeUnixNano"))).as("EventsTimestamp"),
       transform(events, e => coalesce(e("name"), lit(""))).as("EventsName"),
       nestedAttrsJson(events).as("EventsAttributes"),
-      linkIdsHex(16)(links).as("LinksTraceId"),
-      linkIdsHex(8)(links).as("LinksSpanId"),
+      linkIdsHex(links, 16).as("LinksTraceId"),
+      linkIdsHex(links, 8).as("LinksSpanId"),
       transform(links, l => l("traceState")).as("LinksTraceState"),
       nestedAttrsJson(links).as("LinksAttributes")
     )

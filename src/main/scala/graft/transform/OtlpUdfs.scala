@@ -1,20 +1,18 @@
 package graft.transform
 
-import org.apache.spark.sql.{Column, Row}
-import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.functions.{JsonCanon, OtlpCodecs}
+import graft.functions.IdDecodeExpr
 
-/** UDF surface used by the OTLP flatten transforms.
+/** Column helpers used by the OTLP flatten transforms.
   *
-  * These are the only non-codegen expressions in the pipeline — each one
-  * exists because the semantics are not expressible with built-ins:
-  * sorted-key JSON canonicalization (to_json does not sort keys) and
-  * base64-or-hex id decoding with hard failure. Everything else in the
-  * transforms is built-in Column expressions. The nested-array variants
-  * exist because Spark forbids UDF calls inside higher-order-function
-  * lambdas.
+  * Everything here is codegen-native: sorted-key JSON canonicalization
+  * (to_json does not sort keys) and base64-or-hex id decoding with hard
+  * failure run as custom Catalyst expressions; the rest is built-in
+  * Column composition. As of round 10 the flatten path plans ZERO
+  * ScalaUDF nodes — ingest is the headline throughput number and this
+  * was its last interpreted stretch.
   */
 object OtlpUdfs {
 
@@ -39,31 +37,27 @@ object OtlpUdfs {
     * links): one JSON object string per element. */
   def nestedAttrsJson(c: Column): Column = toCol(NestedAttrsToJsonExpr(toExpr(c)))
 
-  val idBytes16: UserDefinedFunction = udf((s: String) => OtlpCodecs.decodeId(s, 16))
-  val idBytes8: UserDefinedFunction = udf((s: String) => OtlpCodecs.decodeId(s, 8))
+  // Id decode runs as a native Catalyst expression (IdDecodeExpr): the
+  // UDF route paid a ScalaUDF eval fence per id per row, and — because
+  // Spark forbids UDF calls inside higher-order-function lambdas — forced
+  // the link-id arrays through a whole-row Seq[Row] UDF. The native
+  // expression has neither restriction; absent ids decode to the zero id
+  // (never NULL), matching the reference's contract.
+  def idBytes16(c: Column): Column = toCol(IdDecodeExpr(toExpr(c), 16, "bytes"))
+  def idBytes8(c: Column): Column = toCol(IdDecodeExpr(toExpr(c), 8, "bytes"))
 
-  val idHex16: UserDefinedFunction =
-    udf((s: String) => OtlpCodecs.toHex(OtlpCodecs.decodeId(s, 16)))
-  val idHex8: UserDefinedFunction =
-    udf((s: String) => OtlpCodecs.toHex(OtlpCodecs.decodeId(s, 8)))
+  def idHex16(c: Column): Column = toCol(IdDecodeExpr(toExpr(c), 16, "hex"))
+  def idHex8(c: Column): Column = toCol(IdDecodeExpr(toExpr(c), 8, "hex"))
 
   /** null for absent ids (ParentSpanId of root spans stays null). */
-  val idHex8OrNull: UserDefinedFunction = udf { (s: String) =>
-    if (s == null || s.isEmpty) null
-    else OtlpCodecs.toHex(OtlpCodecs.decodeId(s, 8))
-  }
+  def idHex8OrNull(c: Column): Column =
+    toCol(IdDecodeExpr(toExpr(c), 8, "hex_or_null"))
 
-  /** Link id arrays (UDF because HOF lambdas cannot call UDFs). */
-  def linkIdsHex(nbytes: Int): UserDefinedFunction = udf { (rows: Seq[Row]) =>
-    if (rows == null) Seq.empty[String]
-    else {
-      val field = if (nbytes == 16) "traceId" else "spanId"
-      rows.map { r =>
-        val i = r.fieldIndex(field)
-        OtlpCodecs.toHex(
-          OtlpCodecs.decodeId(if (r.isNullAt(i)) null else r.getString(i), nbytes))
-      }
-    }
+  /** Link id arrays: the scalar hex kernel mapped over the link structs
+    * inside the generated `transform` loop. */
+  def linkIdsHex(links: Column, nbytes: Int): Column = {
+    val field = if (nbytes == 16) "traceId" else "spanId"
+    transform(links, l => toCol(IdDecodeExpr(toExpr(l(field)), nbytes, "hex")))
   }
 
   /** First value of `key` in an OTLP attributes array, as a string column

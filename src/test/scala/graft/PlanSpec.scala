@@ -405,6 +405,19 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
   }
 
+  test("OTLP flatten plans are ScalaUDF-free: id decode (incl. the link-id " +
+      "arrays inside transform lambdas) is codegen-native") {
+    import graft.io.OtlpRead
+    import graft.transform.Otlp
+    val ref = "/root/reference/testdata"
+    val logs = Otlp.logs(OtlpRead.jsonl(spark, OtlpRead.Logs, s"$ref/logs.jsonl"))
+    val traces = Otlp.traces(OtlpRead.jsonl(spark, OtlpRead.Traces, s"$ref/traces.jsonl"))
+    Seq("otel_logs" -> logs, "otel_traces" -> traces).foreach { case (name, df) =>
+      val plan = planOf(df)
+      assert(!plan.contains("ScalaUDF"), s"$name flatten still plans a ScalaUDF:\n$plan")
+    }
+  }
+
   test("embedding family plans are ScalaUDF-free: assign/encode/ADC/sig/" +
       "quantize run as native kernel expressions inside codegen") {
     // the six 100 TB embedding-scale operators from the round-9 verdict,

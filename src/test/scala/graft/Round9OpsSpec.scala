@@ -132,14 +132,11 @@ class Round9OpsSpec extends SparkTestBase {
 
   test("stream_red/stream_hist: the elided-flush update-mode drain is " +
       "row-identical to the append+watermark form") {
-    val saved = StreamGate.elideFlush
-    def run(elide: Boolean): (Seq[String], Seq[String]) = {
-      StreamGate.elideFlush = elide
-      try (
-        StreamGate.redWindows(spark, sf).collect().map(_.toString).toSeq.sorted,
-        StreamGate.histWindows(spark, sf).collect().map(_.toString).toSeq.sorted)
-      finally StreamGate.elideFlush = saved
-    }
+    def run(elide: Boolean): (Seq[String], Seq[String]) = (
+      StreamGate.redWindows(spark, sf, elide = Some(elide))
+        .collect().map(_.toString).toSeq.sorted,
+      StreamGate.histWindows(spark, sf, elide = Some(elide))
+        .collect().map(_.toString).toSeq.sorted)
     val (redE, histE) = run(elide = true)
     val (redA, histA) = run(elide = false)
     assert(redE.nonEmpty && redE == redA, "stream_red parity")

@@ -303,12 +303,9 @@ class Round9eOpsSpec extends SparkTestBase {
   test("stream_boot: the elided-flush update-mode drain is row-identical " +
       "to the append+watermark form (parity by merge-commutative algebra)") {
     import graft.streaming.StreamGate
-    val saved = StreamGate.elideFlush
-    def run(elide: Boolean): Seq[String] = {
-      StreamGate.elideFlush = elide
-      try StreamGate.bootWindows(spark, sf).collect().map(_.toString).toSeq.sorted
-      finally StreamGate.elideFlush = saved
-    }
+    def run(elide: Boolean): Seq[String] =
+      StreamGate.bootWindows(spark, sf, elide = Some(elide))
+        .collect().map(_.toString).toSeq.sorted
     val e = run(elide = true)
     val a = run(elide = false)
     assert(e.nonEmpty && e == a, "stream_boot elide parity")
