@@ -40,9 +40,14 @@ object ShingleHash {
     if (hit ne null) hit.longValue()
     else {
       val h = PortableHash.md5Lower63(s)
-      if (cacheBytes.get() < CacheMaxBytes &&
-          cache.putIfAbsent(s, java.lang.Long.valueOf(h)) == null)
-        cacheBytes.addAndGet(80L + 2L * s.length)
+      // reserve-then-insert (not check-then-act): the reservation makes the
+      // budget a true bound under concurrent executor threads — a lost
+      // putIfAbsent race or a reservation past the budget rolls back
+      val sz = 80L + 2L * s.length
+      if (cacheBytes.addAndGet(sz) <= CacheMaxBytes) {
+        if (cache.putIfAbsent(s, java.lang.Long.valueOf(h)) != null)
+          cacheBytes.addAndGet(-sz)
+      } else cacheBytes.addAndGet(-sz)
       h
     }
   }

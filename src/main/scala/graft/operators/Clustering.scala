@@ -120,8 +120,10 @@ object Clustering {
       .select(col("cluster"), col("n_members"), col("cohesion"),
         col("nn_cluster"), col("nn_cos"), col("margin"))
       .orderBy(col("cluster"))
-    e.unpersist()
-    out
+    // materialize BEFORE unpersisting so the final assignment/cohesion pass
+    // reads the cached frame instead of re-deriving the projection — the
+    // same release discipline as shingleContainment/novelty
+    Tables.materializeAndRelease(out, e)
   }
 
   /** DuckDB twin of [[clusterEval]] — the shared k-means CTEs, the same

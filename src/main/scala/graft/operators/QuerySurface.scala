@@ -2688,6 +2688,13 @@ object QuerySurface {
     * suffice; a slow-decaying one says seasonal/trended). Computed as the
     * Pearson correlation between the series and its lag-k shift over the
     * hours where both exist, with every sum exact integer ([[AcfRExprSql]]).
+    * Headroom bound (same class as [[fano]]'s): `num = np·Σxy − Σx·Σy`
+    * multiplies BIGINT sums of hourly-count products, so per-series hourly
+    * counts must keep `Σxy` (and `np·Σxy`) under 2⁶³ — counts ≪ 2³¹ over
+    * ≤ 2³¹ joined hours, which holds at any realistic telemetry rate
+    * (2 B events/hour/type for a century ≈ the limit). Past it, route the
+    * count frame through DECIMAL(38,0) the way [[gini]] does — ANSI mode
+    * throws loudly rather than wrapping, so breach is visible.
     *
     * Scale shape: ONE map-side-combined aggregate collapses row scale to
     * (type, hour) scale — everything after runs on the tiny count frame: a

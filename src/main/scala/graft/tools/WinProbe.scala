@@ -19,13 +19,10 @@ object WinProbe {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
-        // an empty-key Window prints "Window [..], [ord ASC ...]" with NO
-        // partition-spec list between the function list and the ordering —
-        // cheapest reliable signal: a Window node whose required child
-        // distribution printed SinglePartition
-        val lines = plan.split("\n").filter(_.contains("Window "))
-        val bad = lines.exists(l => !l.contains("windowspecdefinition")) &&
-          plan.contains("Exchange SinglePartition")
+        // over-reporting signal, by design: ANY window function in a plan
+        // that also contains a SinglePartition exchange (which can be a
+        // legitimate 1-row final aggregate) — the audit is a short list
+        // for manual eyeballing, so false positives beat false negatives
         val specs = "windowspecdefinition\\(".r.findAllIn(plan).toSeq.length
         if (specs > 0 && plan.contains("Exchange SinglePartition"))
           println(s"SUSPECT $name specs=$specs")
