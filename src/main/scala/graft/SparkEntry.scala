@@ -263,6 +263,8 @@ object SparkEntry {
     "q_ppr_tbl" -> ((s: SparkSession, d: String) => Graph.personalizedPageRankFromTable(s, d)),
     "dedup_lsh_eval_sampled" -> ((s: SparkSession, d: String) => Dedup.lshEvalSampled(s, d)),
     "mm_png_near_dup" -> ((s: SparkSession, d: String) => Multimodal.pngNearDup(s, d)),
+    "mm_crossmodal_consensus" -> ((s: SparkSession, d: String) =>
+      Multimodal.crossModalConsensus(s, d)),
     "otel_burn_rate" -> ((s: SparkSession, d: String) => OtelQueries.burnRate(s, d)),
     "text_chunking" -> ((s: SparkSession, d: String) => TextAnalysis.chunking(s, d)),
     "stream_burn" -> ((s: SparkSession, d: String) => graft.streaming.StreamGate.burnWindows(s, d)),
@@ -812,6 +814,7 @@ object SparkEntry {
     "q_ppr_tbl" -> Graph.personalizedPageRankOracleSql(),
     "dedup_lsh_eval_sampled" -> Dedup.lshEvalSampledOracleSql(),
     "mm_png_near_dup" -> Multimodal.pngNearDupOracleSql(),
+    "mm_crossmodal_consensus" -> Multimodal.crossModalConsensusOracleSql(),
     "otel_burn_rate" -> OtelQueries.burnRateOracleSql,
     "text_chunking" -> TextAnalysis.chunkingOracleSql,
     "stream_burn" -> graft.streaming.StreamGate.burnWindowsOracleSql,

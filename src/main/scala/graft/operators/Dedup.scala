@@ -495,10 +495,11 @@ object Dedup {
   }
 
   /** The minhash pipeline as a reusable CTE list (ends with `est`/`jac`);
-    * shared by [[minhashOracleSql]] and [[nearDupGroupsOracleSql]].
+    * shared by [[minhashOracleSql]], [[nearDupGroupsOracleSql]], and
+    * [[Multimodal.crossModalConsensusOracleSql]] (the caption tier).
     * `docWhere` (a leading-newline `WHERE …` clause or empty) restricts the
     * corpus — the sampled eval's hook. */
-  private def minhashCtes(threshold: Double, docWhere: String = ""): String = {
+  private[operators] def minhashCtes(threshold: Double, docWhere: String = ""): String = {
     val perms = (0 until NumPerms)
       .map(i => s"(${i}, ${permA(i)}, ${permB(i)})").mkString(", ")
     s"""toks AS (

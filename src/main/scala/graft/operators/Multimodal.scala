@@ -509,12 +509,22 @@ object Multimodal {
     * 9×8 floor-average grid (the same `y·8 div 32` / `x·9 div 32` cell
     * mapping — no clamp needed at 32×32) → gradient bits (bit j = r·8+c,
     * j < 63) → 16-bit band join → hamming ≤ cap. */
-  def pngNearDupOracleSql(maxHamming: Int = 6): String = {
+  def pngNearDupOracleSql(maxHamming: Int = 6): String =
+    s"""WITH ${pngNearDupCtes(maxHamming)}
+       |SELECT id1, id2, hamming FROM imgpairs
+       |ORDER BY id1, id2""".stripMargin
+
+  /** The [[pngNearDupOracleSql]] pipeline as a reusable CTE list ending in
+    * `imgpairs(id1, id2, hamming)` — shared with
+    * [[crossModalConsensusOracleSql]], so the consensus oracle derives the
+    * image tier from the same congruence-pixel chain the image gate is
+    * verified by. */
+  private[operators] def pngNearDupCtes(maxHamming: Int = 6): String = {
     def chan(mulX: Int, mulY: Int, mulId: Int) =
       s"(x.v * $mulX + y.v * $mulY + eff * $mulId) % 256"
     val rExpr = s"CASE WHEN var AND x.v BETWEEN 8 AND 11 AND y.v BETWEEN 8 AND 11 " +
       s"THEN (${chan(7, 13, 31)} + 128) % 256 ELSE ${chan(7, 13, 31)} END"
-    s"""WITH ids AS (
+    s"""ids AS (
        |  SELECT i AS id, i AS eff, FALSE AS var FROM range($PngCorpusN) t(i)
        |  UNION ALL
        |  SELECT i + $PngVariantIdOffset, i, TRUE FROM range($PngCorpusN) t(i)
@@ -533,20 +543,125 @@ object Multimodal {
        |  FROM cells a JOIN cells b
        |    ON a.id = b.id AND a.cy = b.cy AND b.cx = a.cx + 1
        |  WHERE a.cx < 8 AND a.cy * 8 + a.cx < 63
-       |), sig AS (
+       |), isig AS (
        |  SELECT id, CAST(sum(CASE WHEN bit = 1
        |      THEN CAST(1 AS UBIGINT) << CAST(j AS INTEGER)
        |      ELSE CAST(0 AS UBIGINT) END) AS BIGINT) AS sig
        |  FROM bits GROUP BY id
        |), banded AS (
        |  SELECT id, sig, b AS band, (sig >> (16 * b)) & 65535 AS bandsig
-       |  FROM sig, range(4) t(b)
-       |)
-       |SELECT DISTINCT a.id AS id1, b.id AS id2,
-       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-       |FROM banded a JOIN banded b
-       |  ON a.band = b.band AND a.bandsig = b.bandsig AND a.id < b.id
-       |WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming
-       |ORDER BY id1, id2""".stripMargin
+       |  FROM isig, range(4) t(b)
+       |), imgpairs AS (
+       |  SELECT DISTINCT a.id AS id1, b.id AS id2,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bandsig = b.bandsig AND a.id < b.id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming
+       |)""".stripMargin
   }
+
+  // ---- cross-modal consensus near-dup --------------------------------------
+
+  /** Deterministic caption assignment for the PNG corpus: item `eff` reads
+    * caption `documents[eff % nDocs]`, except every (eff % 7 == 0) VARIANT,
+    * whose caption drifts to `(eff + 1) % nDocs` — the caption-rewrite case
+    * a real image+caption pipeline sees (same image re-posted with a new
+    * caption). The drift rule is pure integer congruence, so the oracle
+    * reproduces the corpus without reading the engine's tables. */
+  private def capDocCol(nDocs: Long) = {
+    val eff = col("doc_id") % PngVariantIdOffset
+    when(col("doc_id") >= PngVariantIdOffset && eff % 7 === 0,
+      (eff + 1) % nDocs).otherwise(eff % nDocs)
+  }
+
+  /** CROSS-MODAL CONSENSUS NEAR-DUP — the agreement rule a production
+    * image+caption dedup applies before dropping a pair: the IMAGE tier
+    * (the verified [[pngNearDup]] dHash band-join pairs, REAL `imageio`
+    * decode) and the CAPTION tier (same caption document, or caption
+    * documents that are verified [[Dedup.minhashLsh]] shingle near-dups)
+    * vote, and agreement ⇒ `near_dup` (safe to drop), image-only ⇒
+    * `review_image` (same image, rewritten caption — maybe legitimate
+    * re-use), caption-only ⇒ `review_caption` (same text on different
+    * images — template/spam signal). One row per pair in EITHER tier.
+    *
+    * Scale shape: both input tiers are the already-bounded outputs of
+    * their verified gates (banded joins, never all-pairs); the caption
+    * match expands items→pairs through three EQUI-joins (same-doc
+    * self-join + the two orientations of the doc-pair tier — a union of
+    * equi-joins, never an OR-join that would plan a nested loop); the
+    * consensus itself is one full-outer join of two pair sets that are
+    * orders of magnitude smaller than either corpus. `nDocs` is a 1-row
+    * aggregate (bounded-collect class). */
+  def crossModalConsensus(spark: SparkSession, sfDirIgnored: String,
+      maxHamming: Int = 6, threshold: Double = 0.3): DataFrame = {
+    val sfDir = sfDirIgnored
+    val nDocs = documents(spark, sfDir).count()
+    val items = spark.read.parquet(pngCorpusTable(spark))
+      .select(col("doc_id").as("item_id"), capDocCol(nDocs).as("cap_doc"))
+    val img = pngNearDup(spark, sfDir, maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+    val txt = Dedup.minhashLsh(spark, sfDir, threshold)
+      .select(col("id1").as("d1"), col("id2").as("d2"))
+    val ia = items.select(col("item_id").as("ia"), col("cap_doc").as("ca"))
+    val ib = items.select(col("item_id").as("ib"), col("cap_doc").as("cb"))
+    // caption-match pairs: identical caption doc …
+    val sameDoc = ia.join(ib, col("ca") === col("cb") && col("ia") < col("ib"))
+      .select(col("ia"), col("ib"))
+    // … or caption docs that are LSH near-dups (both orientations of the
+    // d1 < d2 pair tier; disjoint from sameDoc since d1 <> d2)
+    val viaLsh = ia.join(txt, col("ca") === col("d1"))
+        .join(ib, col("cb") === col("d2"))
+      .unionByName(ia.join(txt, col("ca") === col("d2"))
+        .join(ib, col("cb") === col("d1")))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"))
+    val capMatch = sameDoc.unionByName(viaLsh)
+      .select(col("ia").as("id1"), col("ib").as("id2"),
+        lit(true).as("cap_match"))
+    img.join(capMatch, Seq("id1", "id2"), "full_outer")
+      .select(col("id1"), col("id2"), col("hamming"),
+        coalesce(col("cap_match"), lit(false)).as("cap_match"),
+        when(col("hamming").isNotNull && col("cap_match").isNotNull
+            && col("cap_match"), lit("near_dup"))
+          .when(col("hamming").isNotNull, lit("review_image"))
+          .otherwise(lit("review_caption")).as("tier"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** DuckDB twin of [[crossModalConsensus]] — the image tier from
+    * [[pngNearDupCtes]] (congruence pixels, no codec), the caption tier
+    * from [[Dedup.minhashCtes]] (the verified shingle chain over
+    * `documents`), the same congruence caption assignment, and the same
+    * full-outer tier labels. */
+  def crossModalConsensusOracleSql(maxHamming: Int = 6,
+      threshold: Double = 0.3): String =
+    s"""WITH ${pngNearDupCtes(maxHamming)},
+       |${Dedup.minhashCtes(threshold)},
+       |txt AS (
+       |  SELECT e.id1 AS d1, e.id2 AS d2
+       |  FROM est e JOIN jac j ON e.id1 = j.id1 AND e.id2 = j.id2
+       |  WHERE j.jaccard >= $threshold
+       |), nd AS (
+       |  SELECT count(*) AS n FROM documents
+       |), cap AS (
+       |  SELECT id AS item_id,
+       |    CASE WHEN var AND eff % 7 = 0 THEN (eff + 1) % nd.n
+       |         ELSE eff % nd.n END AS cap_doc
+       |  FROM ids, nd
+       |), capm AS (
+       |  SELECT a.item_id AS id1, b.item_id AS id2
+       |  FROM cap a JOIN cap b ON a.item_id < b.item_id
+       |  WHERE a.cap_doc = b.cap_doc
+       |     OR EXISTS (SELECT 1 FROM txt
+       |          WHERE (d1 = a.cap_doc AND d2 = b.cap_doc)
+       |             OR (d1 = b.cap_doc AND d2 = a.cap_doc))
+       |)
+       |SELECT coalesce(i.id1, c.id1) AS id1, coalesce(i.id2, c.id2) AS id2,
+       |  i.hamming, c.id1 IS NOT NULL AS cap_match,
+       |  CASE WHEN i.id1 IS NOT NULL AND c.id1 IS NOT NULL THEN 'near_dup'
+       |       WHEN i.id1 IS NOT NULL THEN 'review_image'
+       |       ELSE 'review_caption' END AS tier
+       |FROM imgpairs i FULL OUTER JOIN capm c
+       |  ON i.id1 = c.id1 AND i.id2 = c.id2
+       |ORDER BY 1, 2""".stripMargin
 }
