@@ -20,6 +20,13 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
 def compare(name, q):
     con = duckdb.connect()
+    # sf1 walk oracles (pair-stream blow-ups over 6M lineitems) spill
+    # catastrophically under DuckDB's default memory limit — one run filled
+    # the root disk from /root/repo/.tmp. Pin a high in-memory budget and a
+    # /tmp spill dir so the oracle grinds instead of crashing the machine.
+    con.sql("SET memory_limit='90GB'")
+    con.sql("SET threads TO 16")
+    con.sql("SET temp_directory='/tmp/duckdb_sf1_spill'")
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         t = os.path.basename(p)[: -len(".parquet")]
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
