@@ -384,16 +384,16 @@ object Graph {
     s"""cs0 AS (
        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-       |), cs AS (
+       |), cs AS MATERIALIZED (
        |  SELECT c, s FROM (
        |    SELECT c, s, row_number() OVER (PARTITION BY c ORDER BY s) AS rn
        |    FROM cs0
        |  ) WHERE rn <= $MaxSuppliersPerCustomer
-       |), w AS (
+       |), w AS MATERIALIZED (
        |  SELECT a.s AS src, b.s AS dst, count(*) AS shared
        |  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
        |  GROUP BY 1, 2
-       |), e AS (
+       |), e AS MATERIALIZED (
        |  SELECT src, dst FROM w
        |  ORDER BY shared DESC, src, dst LIMIT $CoPurchaseTopEdges
        |)""".stripMargin
@@ -438,7 +438,7 @@ object Graph {
     * match Spark's LongType. */
   def pageRankOracleSql(iterations: Int = 5, topK: Int = 50): String = {
     val rounds = (1 to iterations).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT n.id,
          |    CAST(${15L * Scale / 100L} + (COALESCE(s.c, 0) // 100) * 85 + ((COALESCE(s.c, 0) % 100) * 85) // 100 AS BIGINT) AS r
          |  FROM n LEFT JOIN (
@@ -451,13 +451,13 @@ object Graph {
     s"""WITH fwd AS (
        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-       |), e AS (
+       |), e AS MATERIALIZED (
        |  SELECT src, dst FROM fwd
        |  UNION ALL
        |  SELECT dst AS src, src AS dst FROM fwd
-       |), deg AS (
+       |), deg AS MATERIALIZED (
        |  SELECT src, count(*) AS d FROM e GROUP BY src
-       |), n AS (
+       |), n AS MATERIALIZED (
        |  SELECT DISTINCT src AS id FROM e
        |), r0 AS (
        |  SELECT id, CAST($Scale AS BIGINT) AS r FROM n
@@ -538,7 +538,7 @@ object Graph {
       topK: Int = 50): String = {
     val seeds = PprSeedSuppliers.map(k => 2 * k + 1).mkString(", ")
     val rounds = (1 to iterations).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT n.id,
          |    CAST(CASE WHEN n.id IN ($seeds) THEN ${15L * Scale / 100L} ELSE 0 END
          |      + (COALESCE(s.c, 0) // 100) * 85 + ((COALESCE(s.c, 0) % 100) * 85) // 100 AS BIGINT) AS r
@@ -552,13 +552,13 @@ object Graph {
     s"""WITH fwd AS (
        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-       |), e AS (
+       |), e AS MATERIALIZED (
        |  SELECT src, dst FROM fwd
        |  UNION ALL
        |  SELECT dst AS src, src AS dst FROM fwd
-       |), deg AS (
+       |), deg AS MATERIALIZED (
        |  SELECT src, count(*) AS d FROM e GROUP BY src
-       |), n AS (
+       |), n AS MATERIALIZED (
        |  SELECT DISTINCT src AS id FROM e
        |), r0 AS (
        |  SELECT id, CAST(CASE WHEN id IN ($seeds) THEN $Scale ELSE 0 END AS BIGINT) AS r
@@ -618,7 +618,7 @@ object Graph {
     * CTEs over the shared backbone. */
   def bfsHopsOracleSql(hops: Int = 4): String = {
     val rounds = (1 to hops).map { h =>
-      s"""d$h AS (
+      s"""d$h AS MATERIALIZED (
          |  SELECT v, CAST(min(hop) AS BIGINT) AS hop FROM (
          |    SELECT v, hop FROM d${h - 1}
          |    UNION ALL
@@ -626,7 +626,7 @@ object Graph {
          |  ) GROUP BY v
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $backboneSqlCtes, und AS (
+    s"""WITH $backboneSqlCtes, und AS MATERIALIZED (
        |  SELECT src AS u, dst AS v FROM e
        |  UNION ALL
        |  SELECT dst AS u, src AS v FROM e
@@ -772,7 +772,7 @@ object Graph {
     * backbone with the weight column kept. */
   def ssspOracleSql(rounds: Int = SsspRounds): String = {
     val roundCtes = (1 to rounds).map { r =>
-      s"""d$r AS (
+      s"""d$r AS MATERIALIZED (
          |  SELECT v, CAST(min(d) AS BIGINT) AS d FROM (
          |    SELECT v, d FROM d${r - 1}
          |    UNION ALL
@@ -780,10 +780,10 @@ object Graph {
          |  ) GROUP BY v
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $backboneSqlCtes, ew AS (
+    s"""WITH $backboneSqlCtes, ew AS MATERIALIZED (
        |  SELECT src, dst, CAST(1000000 // shared AS BIGINT) AS w FROM w
        |  ORDER BY shared DESC, src, dst LIMIT $CoPurchaseTopEdges
-       |), und AS (
+       |), und AS MATERIALIZED (
        |  SELECT src AS u, dst AS v, w FROM ew
        |  UNION ALL
        |  SELECT dst AS u, src AS v, w FROM ew
