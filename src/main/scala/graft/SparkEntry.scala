@@ -114,7 +114,7 @@ object SparkEntry {
     "otel_sum_totals" -> (OtelQueries.goldenSumTotals _),
     "otel_trace_depth" -> (OtelQueries.goldenTraceDepth _),
     // -- event-time streaming operators over a replayed bounded stream --
-    "stream_window_counts" -> (graft.streaming.StreamGate.windowCounts _),
+    "stream_window_counts" -> ((s: SparkSession, d: String) => graft.streaming.StreamGate.windowCounts(s, d)),
     "stream_sessionize" -> (graft.streaming.StreamGate.sessionize _),
     "stream_dedup" -> (graft.streaming.StreamGate.dedupKeys _),
     "stream_enrich_join" -> ((s: SparkSession, d: String) =>

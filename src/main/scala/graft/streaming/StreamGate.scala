@@ -108,9 +108,11 @@ object StreamGate {
     * state partitions to key cardinality; the gate's key spaces are
     * hundreds-to-thousands — hence a CONFIG knob, not a constant:
     * `writer.stream_state_partitions` / `GRAFT_STREAM_STATE_PARTITIONS`
-    * (round-7 verdict task 8). The resolved-config value seeds the default;
-    * [[statePartitions]] stays assignable for probes/specs. */
-  @volatile private[graft] var statePartitions: Int =
+    * (round-7 verdict task 8). Read at replay invocation like
+    * [[elideFlushConfigured]] (round-10: the former module `var` was the
+    * same parallel-suite race the flush flag had); the spec that proves
+    * the override reaches the state operator passes it per call. */
+  private def statePartitionsConfigured: Int =
     try graft.Config.load().writer.streamStatePartitions
     catch { case scala.util.control.NonFatal(_) => 8 }
 
@@ -174,7 +176,8 @@ object StreamGate {
   private val replayLock = new Object
 
   private[graft] def runToMemory(spark: SparkSession, df: DataFrame,
-      outputMode: String = "append"): DataFrame = replayLock.synchronized {
+      outputMode: String = "append",
+      stateParts: Option[Int] = None): DataFrame = replayLock.synchronized {
     val name = s"graft_stream_gate_${runId.incrementAndGet()}"
     // checkpoint names must be unique ACROSS JVMs, not just within this one:
     // a stale same-named dir (crashed JVM whose finally-delete never ran, or
@@ -191,7 +194,8 @@ object StreamGate {
     // count is fixed from the conf at first-batch planning
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        stateParts.getOrElse(statePartitionsConfigured).toString)
       val writer = df.writeStream
         .format("memory")
         .queryName(name)
@@ -213,14 +217,15 @@ object StreamGate {
     * 1-minute windows per (event_type, severity), watermark 2 minutes.
     * Severity is a derived two-level key so [[OtlpStream.logCountsByWindow]]
     * is exercised with both its group columns. */
-  def windowCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  def windowCounts(spark: SparkSession, sfDir: String,
+      stateParts: Option[Int] = None): DataFrame = {
     val shaped = eventsStream(spark, sfDir).select(
       col("ts").as("Timestamp"),
       col("event_type").as("ServiceName"),
       when(col("value") >= 250.0, "HIGH").otherwise("LOW").as("SeverityText"))
     val agg = OtlpStream.logCountsByWindow(shaped,
       windowLength = "1 minute", watermarkDelay = WindowDelay)
-    runToMemory(spark, agg)
+    runToMemory(spark, agg, stateParts = stateParts)
       .select(unix_micros(col("window_start")).as("window_start_us"),
         unix_micros(col("window_end")).as("window_end_us"),
         col("ServiceName").as("event_type"),

@@ -143,18 +143,15 @@ class StreamingSpec extends SparkTestBase {
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
-    val prev = graft.streaming.StreamGate.statePartitions
     try {
-      graft.streaming.StreamGate.statePartitions = cfg.writer.streamStatePartitions
-      assert(graft.streaming.StreamGate.windowCounts(spark, "/root/testdata/sf0.001")
-        .count() > 0)
+      assert(graft.streaming.StreamGate.windowCounts(spark, "/root/testdata/sf0.001",
+        stateParts = Some(cfg.writer.streamStatePartitions)).count() > 0)
       // listener delivery is async — wait for the progress events
       val deadline = System.currentTimeMillis() + 30000
       while (seen.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
       assert(seen.asScala.toSet == Set(5L),
         s"state operator partitions: ${seen.asScala.toList}")
     } finally {
-      graft.streaming.StreamGate.statePartitions = prev
       spark.streams.removeListener(listener)
     }
   }
