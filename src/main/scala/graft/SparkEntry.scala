@@ -269,6 +269,8 @@ object SparkEntry {
     "text_chunking" -> ((s: SparkSession, d: String) => TextAnalysis.chunking(s, d)),
     "stream_burn" -> ((s: SparkSession, d: String) => graft.streaming.StreamGate.burnWindows(s, d)),
     "sim_centroid_drift" -> ((s: SparkSession, d: String) => Similarity.centroidDrift(s, d)),
+    "sim_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
+    "sim_ann_ivfpq" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
     "text_chunk_delta" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDelta(s, d)),
     "q_mannwhitney" -> (QuerySurface.mannWhitney _),
     "q_ks_test" -> (QuerySurface.ksTest _),
@@ -819,6 +821,8 @@ object SparkEntry {
     "text_chunking" -> TextAnalysis.chunkingOracleSql,
     "stream_burn" -> graft.streaming.StreamGate.burnWindowsOracleSql,
     "sim_centroid_drift" -> Similarity.centroidDriftOracleSql,
+    "sim_hard_negatives" -> Similarity.hardNegativesOracleSql(),
+    "sim_ann_ivfpq" -> Similarity.annIvfPqOracleSql(),
     "text_chunk_delta" -> TextAnalysis.chunkDeltaOracleSql,
     "q_mannwhitney" -> operators.QuerySurface.mannWhitneyOracleSql,
     "q_ks_test" -> operators.QuerySurface.ksTestOracleSql,

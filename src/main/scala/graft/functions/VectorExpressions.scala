@@ -149,6 +149,8 @@ case class IdVecKernelExpr(left: Expression, right: Expression,
           s"${ev.value} = ((java.lang.Double) $ref.apply($q, $v)).doubleValue();"
         case LongType =>
           s"${ev.value} = ((java.lang.Long) $ref.apply($q, $v)).longValue();"
+        case _: ArrayType =>
+          s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.apply($q, $v);"
         case t => throw new IllegalStateException(s"unsupported kernel type $t")
       }
     })
@@ -199,4 +201,10 @@ object VectorExpressions {
       qVecs: Map[Long, Array[Double]]): Column =
     column(IdVecKernelExpr(expression(qid), expression(v),
       new QueryL2Kernel(qVecs)))
+
+  /** IVF-PQ residual: round6(v − cents[cluster]) per component. */
+  def residual(cluster: Column, v: Column,
+      cents: Array[Array[Double]]): Column =
+    column(IdVecKernelExpr(expression(cluster), expression(v),
+      new ResidualKernel(cents)))
 }

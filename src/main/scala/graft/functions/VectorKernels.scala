@@ -276,3 +276,24 @@ final class QueryL2Kernel(qVecs: Map[Long, Array[Double]])
   override def apply(id: Long, v: ArrayData): Any =
     sqDist6(qVecs(id), v, 0)
 }
+
+/** IVF-PQ residual: `round6(v[i] − cents[cluster][i])` per component —
+  * the vector each residual-PQ codebook is fitted on and encoded from.
+  * Components are round6'd at CREATION so the decimal-exact fit means
+  * downstream see at-most-6-decimal values (no double→DECIMAL rounding
+  * ambiguity between engines). `id` is the coarse cluster. */
+final class ResidualKernel(cents: Array[Array[Double]])
+    extends IdVecKernel {
+  import VectorKernels._
+  override def out: DataType = ArrayType(DoubleType, containsNull = false)
+  override def name: String = "ivf_residual"
+  override def apply(id: Long, v: ArrayData): Any = {
+    val cent = cents(id.toInt)
+    val out = new Array[Double](cent.length)
+    var i = 0
+    while (i < cent.length) {
+      out(i) = round6(v.getDouble(i) - cent(i)); i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -1106,6 +1106,57 @@ object Similarity {
     * encode + ADC joins. Round CTEs are MATERIALIZED — inlining would
     * expand multiply-referenced rounds exponentially (the [[Graph
     * .kcoreOracleSql]] lesson). */
+  /** Per-source L2 k-means fit as oracle CTEs, ending in `${pfx}_book(cl,
+    * cv)` — the SQL mirror of `Clustering.fitWith(..., assignL2)`: init =
+    * the k smallest-vec_id vectors of `src`, L2-argmin assignment
+    * (distance ASC, ties to the smaller cl), decimal-exact per-dim means,
+    * empty clusters keep their previous centroids. Shared by
+    * [[annPqOracleSql]] (subspace books over raw slices) and
+    * [[annIvfPqOracleSql]] (the coarse quantizer over full vectors AND
+    * subspace books over residual slices). */
+  private def l2FitCtes(src: String, pfx: String, dim: Int, k: Int,
+      iters: Int): String = {
+    def r6(e: String) = Tables.portableRound6Sql(e)
+    def distSql(a: String, b: String) = r6(
+      s"list_dot_product($a, $a) - 2*list_dot_product($a, $b) + list_dot_product($b, $b)")
+    val sb = new StringBuilder
+    sb.append(
+      s""", ${pfx}_init AS (
+         |  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+         |  FROM $src QUALIFY row_number() OVER (ORDER BY vec_id) <= $k
+         |), ${pfx}_cent0 AS MATERIALIZED (
+         |  SELECT cl, i, v[i] AS cx
+         |  FROM ${pfx}_init, unnest(range(1, ${dim + 1})) AS t(i)
+         |)""".stripMargin)
+    for (it <- 1 to iters) {
+      val prev = s"${pfx}_cent${it - 1}"
+      sb.append(
+        s""", ${pfx}_cv$it AS MATERIALIZED (
+           |  SELECT cl, list(cx ORDER BY i) AS cv FROM $prev GROUP BY cl
+           |), ${pfx}_asg$it AS MATERIALIZED (
+           |  SELECT vec_id, cl, v FROM (
+           |    SELECT q.vec_id, c.cl, q.v,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${distSql("q.v", "c.cv")} ASC, c.cl) AS rnk
+           |    FROM $src q CROSS JOIN ${pfx}_cv$it c
+           |  ) WHERE rnk = 1
+           |), ${pfx}_raw$it AS (
+           |  SELECT cl, i,
+           |    ${r6("CAST(SUM(CAST(v[i] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)")} AS cx
+           |  FROM ${pfx}_asg$it, unnest(range(1, ${dim + 1})) AS t(i)
+           |  GROUP BY cl, i
+           |), ${pfx}_cent$it AS MATERIALIZED (
+           |  SELECT p.cl, p.i, coalesce(r.cx, p.cx) AS cx
+           |  FROM $prev p LEFT JOIN ${pfx}_raw$it r ON p.cl = r.cl AND p.i = r.i
+           |)""".stripMargin)
+    }
+    sb.append(
+      s""", ${pfx}_book AS MATERIALIZED (
+         |  SELECT cl, list(cx ORDER BY i) AS cv FROM ${pfx}_cent$iters GROUP BY cl
+         |)""".stripMargin)
+    sb.toString
+  }
+
   def annPqOracleSql(k: Int = 5, nQueries: Int = 8): String = {
     def r6(e: String) = Tables.portableRound6Sql(e)
     def distSql(a: String, b: String) = r6(
@@ -1120,39 +1171,10 @@ object Similarity {
       sb.append(
         s""", sub$s AS MATERIALIZED (
            |  SELECT vec_id, v[$lo:$hi] AS v FROM e
-           |), s${s}_init AS (
-           |  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS cl
-           |  FROM sub$s QUALIFY row_number() OVER (ORDER BY vec_id) <= $PqCodebook
-           |), s${s}_cent0 AS MATERIALIZED (
-           |  SELECT cl, i, v[i] AS cx
-           |  FROM s${s}_init, unnest(range(1, ${PqSubDim + 1})) AS t(i)
            |)""".stripMargin)
-      for (it <- 1 to PqIters) {
-        val prev = s"s${s}_cent${it - 1}"
-        sb.append(
-          s""", s${s}_cv$it AS MATERIALIZED (
-             |  SELECT cl, list(cx ORDER BY i) AS cv FROM $prev GROUP BY cl
-             |), s${s}_asg$it AS MATERIALIZED (
-             |  SELECT vec_id, cl, v FROM (
-             |    SELECT q.vec_id, c.cl, q.v,
-             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-             |        ${distSql("q.v", "c.cv")} ASC, c.cl) AS rnk
-             |    FROM sub$s q CROSS JOIN s${s}_cv$it c
-             |  ) WHERE rnk = 1
-             |), s${s}_raw$it AS (
-             |  SELECT cl, i,
-             |    ${r6("CAST(SUM(CAST(v[i] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)")} AS cx
-             |  FROM s${s}_asg$it, unnest(range(1, ${PqSubDim + 1})) AS t(i)
-             |  GROUP BY cl, i
-             |), s${s}_cent$it AS MATERIALIZED (
-             |  SELECT p.cl, p.i, coalesce(r.cx, p.cx) AS cx
-             |  FROM $prev p LEFT JOIN s${s}_raw$it r ON p.cl = r.cl AND p.i = r.i
-             |)""".stripMargin)
-      }
+      sb.append(l2FitCtes(s"sub$s", s"s$s", PqSubDim, PqCodebook, PqIters))
       sb.append(
-        s""", s${s}_book AS MATERIALIZED (
-           |  SELECT cl, list(cx ORDER BY i) AS cv FROM s${s}_cent$PqIters GROUP BY cl
-           |), s${s}_code AS MATERIALIZED (
+        s""", s${s}_code AS MATERIALIZED (
            |  SELECT vec_id, cl AS c$s FROM (
            |    SELECT q.vec_id, c.cl,
            |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -1178,6 +1200,229 @@ object Similarity {
          |  SELECT q0.query_id, enc.vec_id AS neighbor_id, ${r6(adcSum)} AS adist
          |  FROM enc
          |  JOIN s0_qd q0 ON q0.cl = enc.c0
+         |  $adcJoins
+         |  WHERE enc.vec_id <> q0.query_id
+         |), shortlist AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, adist FROM (
+         |    SELECT query_id, neighbor_id, adist,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adist ASC, neighbor_id) AS arank
+         |    FROM adc
+         |  ) WHERE arank <= ${k * ShortlistFactor}
+         |), rerank AS (
+         |  SELECT s.query_id, s.neighbor_id, s.adist,
+         |    ${distSql("q.v", "n.v")} AS dist
+         |  FROM shortlist s
+         |  JOIN e q ON q.vec_id = s.query_id
+         |  JOIN e n ON n.vec_id = s.neighbor_id
+         |)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist, dist
+         |FROM (
+         |  SELECT query_id, neighbor_id, adist, dist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dist ASC, neighbor_id) AS rank
+         |  FROM rerank
+         |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin)
+    sb.toString
+  }
+
+  // ---- IVF-PQ: product quantization on coarse-cell residuals ---------------
+
+  /** Coarse-quantizer size / fit rounds for [[annIvfPq]]. */
+  val IvfPqCoarseK = 4
+  val IvfPqCoarseIters = 2
+
+  /** IVF-PQ — the composition billion-scale vector stores actually deploy
+    * (FAISS `IndexIVFPQ`): a coarse L2 k-means quantizer partitions the
+    * corpus into inverted lists, and PQ codebooks are fitted on the
+    * RESIDUALS `v − centroid(cell)` instead of raw vectors — residuals
+    * concentrate near the origin, so the same code budget quantizes them
+    * with far less distortion than [[annPq]]'s raw-vector codes. A query
+    * probes its `nProbe` nearest cells; within each probed cell the
+    * query's OWN residual against that cell's centroid drives the ADC
+    * lookup tables, the codes scan is confined to the probed lists (the
+    * IVF pruning), and the shortlist re-ranks by exact distance on raw
+    * vectors.
+    *
+    * Determinism: the coarse fit and every subspace fit run the shared
+    * decimal-exact loop ([[Clustering.fitWith]], L2 assignment); residual
+    * components are round6'd at creation (so the decimal-exact fit means
+    * see at-most-6-decimal values — no double→DECIMAL rounding ambiguity
+    * between engines); all distances are the fixed-association
+    * [[Clustering.sqDist6]]; all argmins tie to the smaller index.
+    *
+    * Scale shape: coarse codebook + per-cell subspace books are driver
+    * collects of k·dim doubles (the MLlib pattern); residual + encode is
+    * ONE broadcast-codebook map pass (kernels, codegen-native); per-query
+    * work is nProbe LUTs of m·k doubles; the ADC scan joins codes on the
+    * probed cell ids — an equi-join that prunes to the probed lists,
+    * which at 100 TB is a partition-pruned read of a cluster-bucketed
+    * codes table. */
+  def annIvfPq(spark: SparkSession, sfDir: String, k: Int = 5,
+      nProbe: Int = 2, nQueries: Int = 8): DataFrame = {
+    import spark.implicits._
+    val e = withVec(embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v")).persist()
+    // coarse quantizer: L2 k-means over the full vectors
+    val coarse = Clustering.fitWith(e, IvfPqCoarseK, IvfPqCoarseIters,
+      graft.functions.VectorExpressions.assignL2)
+    // residuals, round6 per component (codegen kernel)
+    val resid = e
+      .withColumn("cl", graft.functions.VectorExpressions
+        .assignL2(col("v"), coarse).getField("_1").cast("long"))
+      .withColumn("r", graft.functions.VectorExpressions
+        .residual(col("cl"), col("v"), coarse))
+      .select(col("vec_id"), col("cl"), col("r"))
+      .persist()
+    // subspace codebooks fitted on the residuals
+    val books: Array[Array[Array[Double]]] = (0 until PqSubspaces).map { s =>
+      val sub = resid.select(col("vec_id"),
+        slice(col("r"), s * PqSubDim + 1, PqSubDim).as("v"))
+      Clustering.fitWith(sub, PqCodebook, PqIters,
+        graft.functions.VectorExpressions.assignL2)
+    }.toArray
+    val codes = resid.select(col("vec_id"), col("cl"),
+      graft.functions.VectorExpressions.pqEncode(col("r"), books, PqSubDim)
+        .as("codes"))
+    // queries: probe the nProbe nearest coarse cells, build per-(query,
+    // cell) residual LUTs driver-side (nQueries·nProbe·m·k doubles)
+    def subspace(v: Array[Double], s: Int): Array[Double] =
+      java.util.Arrays.copyOfRange(v, s * PqSubDim, (s + 1) * PqSubDim)
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
+      .sortBy(_._1)
+    val qVecs: Map[Long, Array[Double]] = qs.map { case (id, v) => id -> v.toArray }.toMap
+    val probes: Seq[(Long, Long)] = qs.flatMap { case (qid, v) =>
+      val qv = v.toArray
+      coarse.indices
+        .map(c => (c, Clustering.sqDist6(qv, coarse(c))))
+        .sortBy { case (c, d) => (d, c) } // finite dists; ties to smaller cl
+        .take(nProbe)
+        .map { case (c, _) => (qid, c.toLong) }
+    }
+    val luts: Map[Long, Array[Array[Double]]] = probes.map { case (qid, cl) =>
+      val qv = qVecs(qid)
+      val cent = coarse(cl.toInt)
+      val rq = Array.tabulate(qv.length)(i => round6(qv(i) - cent(i)))
+      (qid * IvfPqCoarseK + cl) -> Array.tabulate(PqSubspaces, PqCodebook) {
+        (s, c) => Clustering.sqDist6(subspace(rq, s), books(s)(c))
+      }
+    }.toMap
+    val probeDf = probes.toDF("query_id", "pcl")
+    val scored = codes.join(broadcast(probeDf),
+        codes("cl") === col("pcl") && codes("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.VectorExpressions.adcDist(
+          col("query_id") * IvfPqCoarseK + col("pcl"), col("codes"), luts)
+          .as("adist"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    val shortlist = scored.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * ShortlistFactor)
+      .drop("arank")
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    val result = shortlist
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .withColumn("dist",
+        graft.functions.VectorExpressions.queryL2(col("query_id"), col("v"), qVecs))
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("adist"), col("dist"))
+      .orderBy(col("query_id"), col("rank"))
+    Tables.materializeAndRelease(result, e, resid)
+  }
+
+  /** DuckDB twin of [[annIvfPq]] — the coarse fit and each residual
+    * subspace fit share [[l2FitCtes]] with the Spark loop's exact
+    * semantics; residual components round6 at creation; probe/LUT/ADC/
+    * re-rank all from the same fixed-association distance. */
+  def annIvfPqOracleSql(k: Int = 5, nProbe: Int = 2,
+      nQueries: Int = 8): String = {
+    def r6(e: String) = Tables.portableRound6Sql(e)
+    def distSql(a: String, b: String) = r6(
+      s"list_dot_product($a, $a) - 2*list_dot_product($a, $b) + list_dot_product($b, $b)")
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), e AS MATERIALIZED (
+        |  SELECT vec_id, v FROM e0
+        |  WHERE list_dot_product(v, v) > 0 AND NOT isnan(list_dot_product(v, v))
+        |)""".stripMargin)
+    sb.append(l2FitCtes("e", "co", 64, IvfPqCoarseK, IvfPqCoarseIters))
+    sb.append(
+      s""", co_code AS MATERIALIZED (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT q.vec_id, c.cl,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${distSql("q.v", "c.cv")} ASC, c.cl) AS rnk
+         |    FROM e q CROSS JOIN co_book c
+         |  ) WHERE rnk = 1
+         |), res AS MATERIALIZED (
+         |  SELECT a.vec_id, a.cl,
+         |    list(${r6("q.v[i] - c.cv[i]")} ORDER BY i) AS v
+         |  FROM co_code a JOIN e q ON a.vec_id = q.vec_id
+         |  JOIN co_book c ON a.cl = c.cl, unnest(range(1, 65)) AS t(i)
+         |  GROUP BY a.vec_id, a.cl
+         |)""".stripMargin)
+    for (s <- 0 until PqSubspaces) {
+      val (lo, hi) = (s * PqSubDim + 1, (s + 1) * PqSubDim)
+      sb.append(
+        s""", rsub$s AS MATERIALIZED (
+           |  SELECT vec_id, v[$lo:$hi] AS v FROM res
+           |)""".stripMargin)
+      sb.append(l2FitCtes(s"rsub$s", s"r$s", PqSubDim, PqCodebook, PqIters))
+      sb.append(
+        s""", r${s}_code AS MATERIALIZED (
+           |  SELECT vec_id, cl AS c$s FROM (
+           |    SELECT q.vec_id, c.cl,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${distSql("q.v", "c.cv")} ASC, c.cl) AS rnk
+           |    FROM rsub$s q CROSS JOIN r${s}_book c
+           |  ) WHERE rnk = 1
+           |)""".stripMargin)
+    }
+    val encJoins = (1 until PqSubspaces)
+      .map(s => s"JOIN r${s}_code USING (vec_id)").mkString(" ")
+    sb.append(
+      s""", enc AS MATERIALIZED (
+         |  SELECT vec_id, cc.cl,
+         |    ${(0 until PqSubspaces).map(s => s"c$s").mkString(", ")}
+         |  FROM r0_code $encJoins JOIN co_code cc USING (vec_id)
+         |), probe AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, cl FROM (
+         |    SELECT q.vec_id, c.cl,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${distSql("q.v", "c.cv")} ASC, c.cl) AS rnk
+         |    FROM e q CROSS JOIN co_book c WHERE q.vec_id < $nQueries
+         |  ) WHERE rnk <= $nProbe
+         |), qres AS MATERIALIZED (
+         |  SELECT p.query_id, p.cl,
+         |    list(${r6("q.v[i] - c.cv[i]")} ORDER BY i) AS v
+         |  FROM probe p JOIN e q ON q.vec_id = p.query_id
+         |  JOIN co_book c ON p.cl = c.cl, unnest(range(1, 65)) AS t(i)
+         |  GROUP BY p.query_id, p.cl
+         |)""".stripMargin)
+    for (s <- 0 until PqSubspaces) {
+      val (lo, hi) = (s * PqSubDim + 1, (s + 1) * PqSubDim)
+      sb.append(
+        s""", q${s}_qd AS MATERIALIZED (
+           |  SELECT qr.query_id, qr.cl AS pcl, c.cl,
+           |    ${distSql(s"qr.v[$lo:$hi]", "c.cv")} AS dd
+           |  FROM qres qr CROSS JOIN r${s}_book c
+           |)""".stripMargin)
+    }
+    val adcJoins = (1 until PqSubspaces).map(s =>
+      s"JOIN q${s}_qd q$s ON q$s.query_id = q0.query_id AND q$s.pcl = q0.pcl AND q$s.cl = enc.c$s")
+      .mkString("\n  ")
+    val adcSum = (0 until PqSubspaces).map(s => s"q$s.dd").mkString(" + ")
+    sb.append(
+      s""", adc AS (
+         |  SELECT q0.query_id, enc.vec_id AS neighbor_id, ${r6(adcSum)} AS adist
+         |  FROM enc
+         |  JOIN q0_qd q0 ON q0.pcl = enc.cl AND q0.cl = enc.c0
          |  $adcJoins
          |  WHERE enc.vec_id <> q0.query_id
          |), shortlist AS MATERIALIZED (
@@ -1423,6 +1668,86 @@ object Similarity {
        |    THEN 1000000 // fh.first_hit_rank ELSE 0 END AS BIGINT) AS mrr_ppm
        |FROM qs LEFT JOIN fh ON fh.query_id = qs.query_id
        |ORDER BY qs.query_id""".stripMargin
+
+  // ---- hard-negative triplet mining ----------------------------------------
+
+  /** HARD-NEGATIVE TRIPLET MINING — the contrastive-training data step:
+    * for each anchor in the query set, the highest-cosine SAME-label
+    * neighbor (the positive) and the highest-cosine DIFFERENT-label
+    * neighbor (the hard negative), plus the triplet margin
+    * `pos_cos − neg_cos` — the quantity a triplet/InfoNCE curriculum
+    * thresholds on (small or negative margin ⇒ hard triplet worth
+    * oversampling; large ⇒ easy, downweight). Ties break to the smaller
+    * candidate id, the library-wide rank rule.
+    *
+    * Scale shape: identical to [[rrfFusion]] — one broadcast-queries
+    * candidate join (nQueries·N cosines, the exact ranker), two rank
+    * windows KEYED on the anchor (label-split partitions), one row per
+    * anchor out. At fleet scale the candidate join is replaced by the ANN
+    * tier ([[annLsh]]/[[annIvfKmeans]]) feeding the same windows — the
+    * gate runs the exact ranker so the oracle stays one self-contained
+    * query (the [[rrfFusion]] discipline). */
+  def hardNegatives(spark: SparkSession, sfDir: String,
+      nQueries: Int = 8): DataFrame = {
+    val e = withVec(embeddings(spark, sfDir))
+    val q = e.filter(col("vec_id") < nQueries)
+    val base = broadcast(q).as("q").join(e.as("e"),
+        col("q.vec_id") =!= col("e.vec_id"))
+      .select(col("q.vec_id").as("anchor_id"), col("q.label").as("al"),
+        col("e.vec_id").as("cand_id"), col("e.label").as("cl"),
+        cosine(col("q.v"), col("q.nrm"), col("e.v"), col("e.nrm")).as("cos"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val pos = base.filter(col("al") === col("cl"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("anchor_id"), col("cand_id").as("pos_id"),
+        col("cos").as("pos_cos"))
+    val neg = base.filter(col("al") =!= col("cl"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("anchor_id").as("na"), col("cand_id").as("neg_id"),
+        col("cos").as("neg_cos"))
+    pos.join(neg, col("anchor_id") === col("na"))
+      .select(col("anchor_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin"))
+      .orderBy(col("anchor_id"))
+  }
+
+  /** DuckDB twin of [[hardNegatives]] — same zero-norm-filtered corpus,
+    * cosine expression, per-anchor DESC/tie rank windows, and IEEE
+    * subtraction of two round6 values. */
+  def hardNegativesOracleSql(nQueries: Int = 8): String = {
+    val cosE = Tables.portableRound6Sql(
+      "list_dot_product(q.v, e.v) / (q.nrm * e.nrm)")
+    s"""WITH e0 AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0
+       |  WHERE list_dot_product(v, v) > 0 AND NOT isnan(list_dot_product(v, v))
+       |), q AS (
+       |  SELECT * FROM n WHERE vec_id < $nQueries
+       |), cand AS (
+       |  SELECT q.vec_id AS anchor_id, q.label AS al, e.vec_id AS cand_id,
+       |    e.label AS cl, $cosE AS cos
+       |  FROM q, n e WHERE e.vec_id <> q.vec_id
+       |), pos AS (
+       |  SELECT anchor_id, cand_id AS pos_id, cos AS pos_cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+       |      ORDER BY cos DESC, cand_id) AS rnk
+       |    FROM cand WHERE al = cl
+       |  ) WHERE rnk = 1
+       |), neg AS (
+       |  SELECT anchor_id, cand_id AS neg_id, cos AS neg_cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+       |      ORDER BY cos DESC, cand_id) AS rnk
+       |    FROM cand WHERE al <> cl
+       |  ) WHERE rnk = 1
+       |)
+       |SELECT p.anchor_id, p.pos_id, p.pos_cos, g.neg_id, g.neg_cos,
+       |  p.pos_cos - g.neg_cos AS margin
+       |FROM pos p JOIN neg g USING (anchor_id)
+       |ORDER BY p.anchor_id""".stripMargin
+  }
 
   // ---- embedding centroid drift --------------------------------------------
 
