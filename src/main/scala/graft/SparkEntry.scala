@@ -271,6 +271,8 @@ object SparkEntry {
     "sim_centroid_drift" -> ((s: SparkSession, d: String) => Similarity.centroidDrift(s, d)),
     "sim_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "sim_ann_ivfpq" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
+    "sim_ann_ivfpq_tbl" -> ((s: SparkSession, d: String) =>
+      Similarity.annIvfPqFromTable(s, d)),
     "text_chunk_delta" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDelta(s, d)),
     "q_mannwhitney" -> (QuerySurface.mannWhitney _),
     "q_ks_test" -> (QuerySurface.ksTest _),
@@ -823,6 +825,9 @@ object SparkEntry {
     "sim_centroid_drift" -> Similarity.centroidDriftOracleSql,
     "sim_hard_negatives" -> Similarity.hardNegativesOracleSql(),
     "sim_ann_ivfpq" -> Similarity.annIvfPqOracleSql(),
+    // bit-identical to the in-plan form by construction (shared ivfPqQuery,
+    // exact parquet round-trip) — same oracle, the sim_ann_ivf_tbl precedent
+    "sim_ann_ivfpq_tbl" -> Similarity.annIvfPqOracleSql(),
     "text_chunk_delta" -> TextAnalysis.chunkDeltaOracleSql,
     "q_mannwhitney" -> operators.QuerySurface.mannWhitneyOracleSql,
     "q_ks_test" -> operators.QuerySurface.ksTestOracleSql,

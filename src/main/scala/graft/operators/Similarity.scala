@@ -1284,6 +1284,19 @@ object Similarity {
     val codes = resid.select(col("vec_id"), col("cl"),
       graft.functions.VectorExpressions.pqEncode(col("r"), books, PqSubDim)
         .as("codes"))
+    val result = ivfPqQuery(e, coarse, books, codes, k, nProbe, nQueries)
+    Tables.materializeAndRelease(result, e, resid)
+  }
+
+  /** The query phase of [[annIvfPq]] over an arbitrary (coarse, books,
+    * codes) index — shared verbatim by the in-plan form and
+    * [[annIvfPqFromTable]] (the written-index production shape), so the
+    * table twin is bit-identical by construction and reuses the oracle. */
+  private def ivfPqQuery(e: DataFrame, coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], codes: DataFrame, k: Int,
+      nProbe: Int, nQueries: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     // queries: probe the nProbe nearest coarse cells, build per-(query,
     // cell) residual LUTs driver-side (nQueries·nProbe·m·k doubles)
     def subspace(v: Array[Double], s: Int): Array[Double] =
@@ -1322,7 +1335,7 @@ object Similarity {
       .drop("arank")
     val we = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id"))
-    val result = shortlist
+    shortlist
       .join(e.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
       .withColumn("dist",
         graft.functions.VectorExpressions.queryL2(col("query_id"), col("v"), qVecs))
@@ -1331,7 +1344,65 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("adist"), col("dist"))
       .orderBy(col("query_id"), col("rank"))
-    Tables.materializeAndRelease(result, e, resid)
+  }
+
+  /** [[annIvfPq]] fed from a MATERIALIZED IVF-PQ index — the
+    * [[annIvfFromTable]] pattern for the residual-quantized form: the
+    * coarse codebook, the per-subspace residual books, and the codes
+    * table (written PARTITIONED BY the coarse cell, so a probe is a
+    * partition-pruned read — the 100 TB story made literal) are built
+    * ONCE per corpus and every query-time call only READS them. Parquet
+    * round-trips doubles and ints exactly and the query core is the
+    * shared [[ivfPqQuery]], so results are bit-identical to the in-plan
+    * form and the gate reuses its oracle. */
+  def annIvfPqFromTable(spark: SparkSession, sfDir: String, k: Int = 5,
+      nProbe: Int = 2, nQueries: Int = 8): DataFrame = {
+    import spark.implicits._
+    val dir = MemoTables.dir(s"ivfpqindex:$sfDir", "graft-ivfpq-") { d =>
+      val e = withVec(embeddings(spark, sfDir))
+        .select(col("vec_id"), col("v")).persist()
+      val coarse = Clustering.fitWith(e, IvfPqCoarseK, IvfPqCoarseIters,
+        graft.functions.VectorExpressions.assignL2)
+      val resid = e
+        .withColumn("cl", graft.functions.VectorExpressions
+          .assignL2(col("v"), coarse).getField("_1").cast("long"))
+        .withColumn("r", graft.functions.VectorExpressions
+          .residual(col("cl"), col("v"), coarse))
+        .select(col("vec_id"), col("cl"), col("r"))
+        .persist()
+      val books = (0 until PqSubspaces).map { s =>
+        val sub = resid.select(col("vec_id"),
+          slice(col("r"), s * PqSubDim + 1, PqSubDim).as("v"))
+        Clustering.fitWith(sub, PqCodebook, PqIters,
+          graft.functions.VectorExpressions.assignL2)
+      }.toArray
+      coarse.zipWithIndex.map { case (cv, cl) => (cl, cv.toSeq) }.toSeq
+        .toDF("cl", "cv").repartition(1)
+        .write.mode("overwrite").parquet(s"$d/coarse")
+      (for { s <- books.indices; cl <- books(s).indices }
+        yield (s, cl, books(s)(cl).toSeq)).toDF("s", "cl", "cv")
+        .repartition(1).write.mode("overwrite").parquet(s"$d/books")
+      resid.select(col("vec_id"), col("cl"),
+          graft.functions.VectorExpressions.pqEncode(col("r"), books, PqSubDim)
+            .as("codes"))
+        .write.mode("overwrite").partitionBy("cl").parquet(s"$d/codes")
+      resid.unpersist(); e.unpersist()
+    }
+    val coarse: Array[Array[Double]] = spark.read.parquet(s"$dir/coarse")
+      .select(col("cl"), col("cv")).as[(Int, Seq[Double])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+    val booksRead: Array[Array[Array[Double]]] = {
+      val rows = spark.read.parquet(s"$dir/books")
+        .select(col("s"), col("cl"), col("cv")).as[(Int, Int, Seq[Double])]
+        .collect()
+      Array.tabulate(PqSubspaces, PqCodebook) { (s, c) =>
+        rows.find(r => r._1 == s && r._2 == c).get._3.toArray
+      }
+    }
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("cl"), col("codes"))
+    val e = withVec(embeddings(spark, sfDir)).select(col("vec_id"), col("v"))
+    ivfPqQuery(e, coarse, booksRead, codes, k, nProbe, nQueries)
   }
 
   /** DuckDB twin of [[annIvfPq]] — the coarse fit and each residual

@@ -145,4 +145,12 @@ class Round10OpsSpec extends SparkTestBase {
         assert(!plan.contains("ScalaUDF"), s"$name plans a ScalaUDF")
       }
   }
+
+  test("sim_ann_ivfpq_tbl: the written-index form is cell-identical to " +
+      "the in-plan form (coarse/books/codes round-trip parquet exactly)") {
+    val inPlan = Similarity.annIvfPq(spark, sf).collect().map(_.toString).toSeq
+    val fromTbl = Similarity.annIvfPqFromTable(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(inPlan.nonEmpty && inPlan == fromTbl)
+  }
 }
