@@ -54,6 +54,13 @@ object Config {
         * (hundreds-to-thousands of keys — StreamPartProbe, SCALE.md).
         * Production deployments size this to key cardinality. */
       streamStatePartitions: Int = 8,
+      /** Checkpoint root for the replay gates' ephemeral streaming
+        * checkpoints ([[graft.streaming.StreamGate]]). Empty = auto: use
+        * `/dev/shm/graft-stream-ckpt` when a writable tmpfs exists (kept
+        * for deterministic cleanup, not speed — measured a wash vs disk),
+        * else Spark's temp default. Production checkpoints go to durable
+        * storage via the ingest path, not this knob. */
+      streamCheckpointRoot: String = "",
       /** Elide the no-data watermark-flush micro-batch for the BY-ALGEBRA
         * replay gates (`stream_red`, `stream_hist`): their merge-commutative
         * window state is drained in UPDATE mode (no stream-side watermark —
@@ -270,6 +277,8 @@ object Config {
         footerStamp = bool("writer.footer_stamp", c.writer.footerStamp),
         streamStatePartitions =
           int("writer.stream_state_partitions", c.writer.streamStatePartitions),
+        streamCheckpointRoot =
+          str("writer.stream_checkpoint_root", c.writer.streamCheckpointRoot),
         streamElideFlush =
           bool("writer.stream_elide_flush", c.writer.streamElideFlush)),
       storage = c.storage.copy(
@@ -319,6 +328,8 @@ object Config {
           .getOrElse(c0.writer.footerStamp),
         streamStatePartitions =
           int("STREAM_STATE_PARTITIONS", c0.writer.streamStatePartitions),
+        streamCheckpointRoot =
+          str("STREAM_CHECKPOINT_ROOT", c0.writer.streamCheckpointRoot),
         streamElideFlush = get("STREAM_ELIDE_FLUSH")
           .map(parseBool(s"${EnvPrefix}STREAM_ELIDE_FLUSH", _))
           .getOrElse(c0.writer.streamElideFlush)))

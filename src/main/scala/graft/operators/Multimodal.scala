@@ -592,9 +592,8 @@ object Multimodal {
     * consensus itself is one full-outer join of two pair sets that are
     * orders of magnitude smaller than either corpus. `nDocs` is a 1-row
     * aggregate (bounded-collect class). */
-  def crossModalConsensus(spark: SparkSession, sfDirIgnored: String,
+  def crossModalConsensus(spark: SparkSession, sfDir: String,
       maxHamming: Int = 6, threshold: Double = 0.3): DataFrame = {
-    val sfDir = sfDirIgnored
     val nDocs = documents(spark, sfDir).count()
     val items = spark.read.parquet(pngCorpusTable(spark))
       .select(col("doc_id").as("item_id"), capDocCol(nDocs).as("cap_doc"))

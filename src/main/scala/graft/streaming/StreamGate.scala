@@ -84,14 +84,30 @@ object StreamGate {
     * absorbs the small delta writes — so the explicit root is kept for
     * deterministic cleanup (each gate deletes its checkpoint on exit
     * rather than relying on Spark's best-effort temp deletion), not for
-    * speed. */
-  @volatile private[graft] var checkpointRoot: Option[String] = {
-    val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) {
-      val root = new java.io.File(shm, "graft-stream-ckpt")
+    * speed. Read at invocation (no module state, same pattern as
+    * [[statePartitionsConfigured]]): `writer.stream_checkpoint_root` /
+    * `GRAFT_STREAM_CHECKPOINT_ROOT` overrides, `/dev/shm` is the
+    * default-if-present. */
+  private[graft] def checkpointRoot: Option[String] = {
+    // same-JVM probe override (StreamProbe A/Bs tmpfs vs the Spark temp
+    // default): "none" forces the temp default, a path forces that root
+    val sysProp = sys.props.get("graft.stream.ckpt.root").map(_.trim)
+    if (sysProp.contains("none")) return None
+    val configured = sysProp.filter(_.nonEmpty).getOrElse(
+      try graft.Config.load().writer.streamCheckpointRoot
+      catch { case scala.util.control.NonFatal(_) => "" })
+    if (configured.nonEmpty) {
+      val root = new java.io.File(configured)
       root.mkdirs()
       Some(root.toString)
-    } else None
+    } else {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) {
+        val root = new java.io.File(shm, "graft-stream-ckpt")
+        root.mkdirs()
+        Some(root.toString)
+      } else None
+    }
   }
 
   /** State partitions for every replay gate. Stateful operators pay one

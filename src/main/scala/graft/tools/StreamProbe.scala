@@ -23,7 +23,6 @@ object StreamProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    val tmpfsRoot = StreamGate.checkpointRoot
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
@@ -36,7 +35,8 @@ object StreamProbe {
     for (rep <- 1 to 2) {
       println(s"--- rep $rep ---")
       for (ckpt <- Seq("tmpfs", "disk")) {
-        StreamGate.checkpointRoot = if (ckpt == "tmpfs") tmpfsRoot else None
+        if (ckpt == "tmpfs") sys.props -= "graft.stream.ckpt.root"
+        else sys.props("graft.stream.ckpt.root") = "none"
         time(s"window_counts   ckpt=$ckpt") {
           StreamGate.windowCounts(spark, sfDir).count()
         }
@@ -57,7 +57,7 @@ object StreamProbe {
         }
       }
     }
-    StreamGate.checkpointRoot = tmpfsRoot
+    sys.props -= "graft.stream.ckpt.root"
     spark.stop()
   }
 }

@@ -156,6 +156,27 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("writer.stream_checkpoint_root: config parse + invocation-time resolution") {
+    val cfg = Config.load(Map("GRAFT_STREAM_CHECKPOINT_ROOT" -> "/tmp/graft-ckpt-x"),
+      new java.io.File(tmp("graft-cr-cwd")))
+    assert(cfg.writer.streamCheckpointRoot == "/tmp/graft-ckpt-x")
+    // resolution is read-at-invocation (no module state): the same-JVM
+    // probe override flips it without touching StreamGate internals
+    val saved = sys.props.get("graft.stream.ckpt.root")
+    try {
+      sys.props("graft.stream.ckpt.root") = "none"
+      assert(graft.streaming.StreamGate.checkpointRoot.isEmpty)
+      val dir = tmp("graft-cr-root")
+      sys.props("graft.stream.ckpt.root") = dir
+      assert(graft.streaming.StreamGate.checkpointRoot.contains(dir))
+    } finally {
+      saved match {
+        case Some(v) => sys.props("graft.stream.ckpt.root") = v
+        case None => sys.props -= "graft.stream.ckpt.root"
+      }
+    }
+  }
+
   test("watermarked window counts: on-time rows aggregate, late rows drop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
