@@ -40,21 +40,58 @@ object PortableHash {
     * `md5_number_lower(s) & 2147483647`. */
   def md5Lower31(s: String): Long = md5Lower(s) & 2147483647L
 
-  /** [[md5Lower63]] as a COLUMN over Spark builtins — whole-stage-codegen
-    * friendly (md5/substring/conv/shift all codegen), replacing the
-    * per-row Scala UDF wrappers on gate paths. Bytes 8..15 of the digest
-    * are hex chars 17..32; the little-endian u64 is assembled as two
-    * 32-bit big-endian-of-reversed-bytes halves (each fits a signed long,
-    * so no ANSI overflow on the conv cast), and bit 63 — the top bit of
-    * byte 15, i.e. of the high half — is cleared by the `& 0x7FFFFFFF`
-    * before the shift, reproducing the `& Long.MaxValue`. Equality with
-    * the Scala form is property-tested (PortableHashSpec). */
-  def md5Lower63Col(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions._
-    val hex = md5(c.cast("string"))
-    def byte(i: Int) = substring(hex, 17 + 2 * i, 2) // digest byte 8+i
-    val hi = conv(concat(byte(7), byte(6), byte(5), byte(4)), 16, 10).cast("long")
-    val lo = conv(concat(byte(3), byte(2), byte(1), byte(0)), 16, 10).cast("long")
-    shiftleft(hi.bitwiseAND(lit(0x7FFFFFFFL)), 32).bitwiseOR(lo)
+  /** [[md5Lower63]] over a Tungsten `UTF8String` — the codegen entry point
+    * of [[Md5Lower63Expr]] (`UTF8String.getBytes` IS the UTF-8 encoding,
+    * so this matches `md5Lower63(javaString)` byte-for-byte; property-
+    * tested in PortableHashSpec). */
+  def md5Lower63Utf8(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes)
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (bytes(i) & 0xffL); i -= 1 }
+    h & Long.MaxValue
   }
+
+  /** [[md5Lower63]] as a COLUMN — a native codegen expression
+    * ([[Md5Lower63Expr]]) that assembles the little-endian u64 straight
+    * from digest bytes 8..15. Replaces the round-9 builtin composition
+    * (md5 → 32-char hex string → 8 substrings → 2 base-16 `conv` parses),
+    * which paid ~10 short-lived UTF8String allocations per row on every
+    * hash-heavy gate (bootstrap fan-out, sampling, bucketing, text
+    * fingerprints). Values are bit-identical (PortableHashSpec pins
+    * column == Scala form on fuzzed inputs), so every oracle hash is
+    * unchanged. */
+  def md5Lower63Col(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(Md5Lower63Expr(expression(c.cast("string"))))
+  }
+}
+
+/** `string → bigint`: DuckDB-portable `md5_number_lower(s) &
+  * Long.MaxValue`, spliced into whole-stage codegen as one static call on
+  * [[PortableHash.md5Lower63Utf8]] (thread-local digest, zero per-row
+  * allocation beyond the digest's own buffer). Null in → null out. */
+case class Md5Lower63Expr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_lower63 requires string input, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_lower63"
+  override protected def nullSafeEval(s: Any): Any =
+    PortableHash.md5Lower63Utf8(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PortableHash.md5Lower63Utf8($v);")
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): Md5Lower63Expr =
+    copy(child = newChild)
 }

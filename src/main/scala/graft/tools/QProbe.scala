@@ -24,13 +24,31 @@ object QProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val fn = graft.SparkEntry.queries(name)
-    for (i <- 1 to reps) {
+    // comma-separated names → interleaved reps (VM drift hits all queries
+    // equally), per-query medians at the end
+    val names = name.split(",").map(_.trim).filter(_.nonEmpty)
+    val fns = names.map(n => n -> graft.SparkEntry.queries(n))
+    val times = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (i <- 1 to reps; (n, fn) <- fns) {
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"$name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      val rows = fn(spark, sfDir).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"$n rep $i: $t%.2f s ($rows rows)")
+      if (i > 1) times(n) = times(n) :+ t // rep 1 is the cold run
+    }
+    if (names.length > 1 && reps > 1) {
+      println("== medians (warm reps) ==")
+      var total = 0.0
+      names.foreach { n =>
+        val ts = times(n).sorted
+        val med = ts(ts.length / 2)
+        total += med
+        println(f"$n%-28s $med%6.2f s")
+      }
+      println(f"TOTAL $total%.2f s")
     }
     spark.stop()
   }

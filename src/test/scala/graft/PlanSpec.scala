@@ -269,8 +269,8 @@ class PlanSpec extends SparkTestBase {
     val plan = planOf(TextAnalysis.chunking(spark, sf))
     // the only exchange is the final ORDER BY's range partitioning
     assert(!plan.contains("Exchange hashpartitioning"), plan)
-    // the chunk hash is the builtin md5/conv composition, not a ScalaUDF
-    assert(plan.contains("conv(") && !plan.contains("ScalaUDF"), plan)
+    // the chunk hash is the native codegen expression, not a ScalaUDF
+    assert(plan.contains("md5_lower63(") && !plan.contains("ScalaUDF"), plan)
   }
 
   test("text_chunk_delta exchanges carry chunk identities, never text") {
