@@ -116,14 +116,14 @@ object SparkEntry {
     // -- event-time streaming operators over a replayed bounded stream --
     "stream_window_counts" -> ((s: SparkSession, d: String) => graft.streaming.StreamGate.windowCounts(s, d)),
     "stream_sessionize" -> (graft.streaming.StreamGate.sessionize _),
-    "stream_dedup" -> (graft.streaming.StreamGate.dedupKeys _),
+    "stream_dedup" -> ((s, d) => graft.streaming.StreamGate.dedupKeys(s, d)),
     "stream_enrich_join" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamGate.enrichJoin(s, d)),
-    "stream_stream_join" -> (graft.streaming.StreamGate.streamStreamJoin _),
+    "stream_stream_join" -> ((s, d) => graft.streaming.StreamGate.streamStreamJoin(s, d)),
     "stream_upsert" -> (graft.streaming.StreamGate.upsertSnapshot _),
     "stream_anomaly" -> (graft.streaming.StreamGate.anomalies _),
-    "stream_cms" -> (graft.streaming.StreamGate.cmsWindows _),
-    "stream_qsketch" -> (graft.streaming.StreamGate.qsketchWindows _),
+    "stream_cms" -> ((s, d) => graft.streaming.StreamGate.cmsWindows(s, d)),
+    "stream_qsketch" -> ((s, d) => graft.streaming.StreamGate.qsketchWindows(s, d)),
 
     // -- sketches / scale statistics (round 4) --
     "q_approx_distinct" -> (Sketches.approxDistinctKmv _),

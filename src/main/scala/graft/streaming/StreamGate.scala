@@ -174,13 +174,15 @@ object StreamGate {
     * (config default or an explicit per-call override from the parity
     * specs). */
   private def drainWindowed(spark: SparkSession, sfDir: String,
-      ev: DataFrame, agg: DataFrame => DataFrame, elide: Boolean): DataFrame =
+      ev: DataFrame, agg: DataFrame => DataFrame, elide: Boolean,
+      tsCol: String = "ts", stateParts: Option[Int] = None): DataFrame =
     if (elide) {
       val wmMs = eventsMaxTsMs(spark, sfDir) - WindowDelayMs
-      runToMemory(spark, agg(ev), outputMode = "update")
+      runToMemory(spark, agg(ev), outputMode = "update", stateParts = stateParts)
         .filter(expr("unix_micros(window.end) div 1000") <= wmMs)
     } else
-      runToMemory(spark, agg(ev.withWatermark("ts", WindowDelay)))
+      runToMemory(spark, agg(ev.withWatermark(tsCol, WindowDelay)),
+        stateParts = stateParts)
 
   /** Drain a bounded stream into a uniquely-named memory sink, detach the
     * result (eager-analysis pin — see below), drop the sink view. State
@@ -250,14 +252,30 @@ object StreamGate {
     * Severity is a derived two-level key so [[OtlpStream.logCountsByWindow]]
     * is exercised with both its group columns. */
   def windowCounts(spark: SparkSession, sfDir: String,
-      stateParts: Option[Int] = None): DataFrame = {
+      stateParts: Option[Int] = None,
+      elide: Option[Boolean] = None): DataFrame = {
     val shaped = eventsStream(spark, sfDir).select(
       col("ts").as("Timestamp"),
       col("event_type").as("ServiceName"),
       when(col("value") >= 250.0, "HIGH").otherwise("LOW").as("SeverityText"))
-    val agg = OtlpStream.logCountsByWindow(shaped,
-      windowLength = "1 minute", watermarkDelay = WindowDelay)
-    runToMemory(spark, agg, stateParts = stateParts)
+    // elide path (see [[drainWindowed]]): the same window+group+count shape
+    // in UPDATE mode, skipping the no-data flush batch; the non-elided form
+    // drains the reference operator [[OtlpStream.logCountsByWindow]]
+    // verbatim, and StreamingSpec pins the two row-identical.
+    val drained =
+      if (elide.getOrElse(elideFlushConfigured))
+        drainWindowed(spark, sfDir, shaped,
+          e => e.groupBy(window(col("Timestamp"), "1 minute"),
+              col("ServiceName"), col("SeverityText"))
+            .agg(count(lit(1)).as("n")),
+          elide = true, tsCol = "Timestamp", stateParts = stateParts)
+          .select(col("window.start").as("window_start"),
+            col("window.end").as("window_end"),
+            col("ServiceName"), col("SeverityText"), col("n"))
+      else runToMemory(spark, OtlpStream.logCountsByWindow(shaped,
+        windowLength = "1 minute", watermarkDelay = WindowDelay),
+        stateParts = stateParts)
+    drained
       .select(unix_micros(col("window_start")).as("window_start_us"),
         unix_micros(col("window_end")).as("window_end_us"),
         col("ServiceName").as("event_type"),
@@ -289,11 +307,23 @@ object StreamGate {
     * wins the first-arrival race across 32 tasks is nondeterministic, but
     * the distinct key set is a pure function of the data, which is what
     * makes a streaming dedup oracle-checkable at all. */
-  def dedupKeys(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupKeys(spark: SparkSession, sfDir: String,
+      elide: Option[Boolean] = None): DataFrame = {
     val keyed = eventsStream(spark, sfDir)
       .select(col("ts"), col("user_id"), col("event_type"))
-    val deduped = OtlpStream.dedupWithinWatermark(keyed, "ts",
-      WindowDelay, Seq("user_id", "event_type"))
+    // elide form: dropDuplicates WITHOUT a watermark — dedup emits each
+    // first arrival in the data batch itself, so the only thing the
+    // watermark buys a bounded replay is the state-expiry no-data batch
+    // (~0.2 s of machinery for a gate whose state is discarded anyway).
+    // The distinct key SET is identical either way (single-batch replay ⇒
+    // watermark expiry never drops state mid-replay); StreamingSpec pins
+    // the two forms row-identical. Production keeps the watermarked
+    // operator — unbounded dedup state does not survive an infinite stream.
+    val deduped =
+      if (elide.getOrElse(elideFlushConfigured))
+        keyed.dropDuplicates("user_id", "event_type")
+      else OtlpStream.dedupWithinWatermark(keyed, "ts",
+        WindowDelay, Seq("user_id", "event_type"))
     runToMemory(spark, deduped)
       .select(col("user_id"), col("event_type"))
       .orderBy(col("user_id"), col("event_type"))
@@ -317,7 +347,8 @@ object StreamGate {
     * cache is the standard fix. The knob exists so StreamProbe can measure
     * both forms. */
   def enrichJoin(spark: SparkSession, sfDir: String,
-      cacheStatic: Boolean = true): DataFrame = {
+      cacheStatic: Boolean = true,
+      elide: Option[Boolean] = None): DataFrame = {
     val nation0 = graft.operators.Tables.nation(spark, sfDir)
       .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
     val nation = if (cacheStatic) nation0.cache() else nation0
@@ -327,13 +358,15 @@ object StreamGate {
         .select(col("ts").as("Timestamp"),
           expr("user_id % 25").as("k"))
         .join(nation, col("k") === col("n_nationkey"))
-      val agg = shaped
-        .withWatermark("Timestamp", WindowDelay)
-        .groupBy(window(col("Timestamp"), "1 hour"), col("n_name"))
-        .agg(count(lit(1)).as("n"))
+      // the windowed count over the enriched stream is merge-commutative,
+      // so the [[drainWindowed]] flush elision applies (the join itself is
+      // stateless — stream ⋈ static); StreamingSpec pins elide == append.
+      drainWindowed(spark, sfDir, shaped,
+        e => e.groupBy(window(col("Timestamp"), "1 hour"), col("n_name"))
+          .agg(count(lit(1)).as("n")),
+        elide.getOrElse(elideFlushConfigured), tsCol = "Timestamp")
         .select(unix_micros(col("window.start")).as("window_start_us"),
           col("n_name"), col("n"))
-      runToMemory(spark, agg)
         .orderBy(col("window_start_us"), col("n_name"))
     } finally if (cacheStatic) nation.unpersist()
   }
@@ -370,17 +403,27 @@ object StreamGate {
     * AvailableNow batch every matching pair is emitted there, so the
     * result is the plain batch interval join — a pure function of the
     * data, which the DuckDB twin recomputes directly. */
-  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = eventsStream(spark, sfDir)
+  def streamStreamJoin(spark: SparkSession, sfDir: String,
+      elide: Option[Boolean] = None): DataFrame = {
+    // elide form: both watermarks dropped. An INNER stream-stream join
+    // emits a pair in the micro-batch both halves have arrived in — the
+    // watermarks only bound STATE retention, which a single-batch replay
+    // discards anyway, and removing them removes the state-expiry no-data
+    // batch (four keyed stores per partition doing nothing but cleanup).
+    // Pair set identical; StreamingSpec pins the two forms. Production
+    // keeps the watermarked form — unbounded join state cannot survive an
+    // infinite stream (the scaladoc's whole point).
+    val el = elide.getOrElse(elideFlushConfigured)
+    def wm(df: DataFrame, c: String): DataFrame =
+      if (el) df else df.withWatermark(c, "1 hour")
+    val p = wm(eventsStream(spark, sfDir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val e = eventsStream(spark, sfDir)
+        col("ts").as("p_ts")), "p_ts")
+    val e = wm(eventsStream(spark, sfDir)
       .filter(col("event_type") === "error")
       .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
-        col("ts").as("e_ts"))
-      .withWatermark("e_ts", "1 hour")
+        col("ts").as("e_ts")), "e_ts")
     val joined = p.join(e,
       col("user_id") === col("e_user") &&
         col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
@@ -580,9 +623,15 @@ object StreamGate {
   val StreamCmsDepth = 2
   val StreamCmsWidth = 64L
 
-  private[graft] val streamCmsBucket = udf { (r: Int, u: Long) =>
-    graft.functions.PortableHash.md5Lower63(s"scms$r:$u") % StreamCmsWidth
-  }
+  /** `(r, user_id) → md5Lower63("scms{r}:{u}") % width` as codegen columns
+    * (the [[graft.functions.PortableHash.md5Lower63Col]] kernel — the
+    * round-9 UDF predated it). md5Lower63 is non-negative, so `%` is the
+    * positive remainder either way. */
+  private[graft] def streamCmsBucket(r: org.apache.spark.sql.Column,
+      u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.PortableHash.md5Lower63Col(
+      concat(lit("scms"), r.cast("string"), lit(":"), u.cast("string"))) %
+      StreamCmsWidth
 
   /** Per-hour COUNT-MIN grids over the replayed stream (user-activity
     * frequency): each closed 1-hour window emits its non-empty
@@ -598,26 +647,30 @@ object StreamGate {
     * State at 100 TB: windows-in-flight × 128 cells — bounded by the
     * watermark regardless of key cardinality or row rate (contrast the
     * windowed distinct-count state, which grows with keys). */
-  def cmsWindows(spark: SparkSession, sfDir: String): DataFrame = {
+  def cmsWindows(spark: SparkSession, sfDir: String,
+      elide: Option[Boolean] = None): DataFrame = {
     val ev = eventsStream(spark, sfDir)
       .select(col("ts"), col("user_id"),
         explode(lit((0 until StreamCmsDepth).toArray)).as("r"))
       .withColumn("bucket", streamCmsBucket(col("r"), col("user_id")))
-    val agg = ev.withWatermark("ts", WindowDelay)
-      .groupBy(window(col("ts"), "1 hour"), col("r"), col("bucket"))
-      .agg(count(lit(1)).as("cell_n"))
+    // cell counts are plain sums — merge-commutative, so the
+    // [[drainWindowed]] flush elision applies; StreamingSpec pins parity.
+    drainWindowed(spark, sfDir, ev,
+      e => e.groupBy(window(col("ts"), "1 hour"), col("r"), col("bucket"))
+        .agg(count(lit(1)).as("cell_n")),
+      elide.getOrElse(elideFlushConfigured))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("r"), col("bucket"), col("cell_n"))
-    runToMemory(spark, agg)
       .orderBy(col("window_start_us"), col("r"), col("bucket"))
   }
 
   /** Bottom-k size for the windowed percentile sketch. */
   val StreamQsketchK = 64
 
-  private val streamQsketchHashUdf = udf { (id: Long) =>
-    graft.functions.PortableHash.md5Lower63("sq:" + id)
-  }
+  private def streamQsketchHash(
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.PortableHash.md5Lower63Col(
+      concat(lit("sq:"), id.cast("string")))
 
   /** Per-hour PERCENTILE SKETCH over the replayed stream: each closed
     * window carries its bottom-[[StreamQsketchK]]-by-hash sample of
@@ -629,21 +682,25 @@ object StreamGate {
     * KLL/GK/t-digest state is arrival-order-dependent and could not be
     * oracle-checked as a stream at all. State per window is k rows
     * regardless of rate — the streaming percentile shape at 100 TB. */
-  def qsketchWindows(spark: SparkSession, sfDir: String): DataFrame = {
+  def qsketchWindows(spark: SparkSession, sfDir: String,
+      elide: Option[Boolean] = None): DataFrame = {
     val ev = eventsStream(spark, sfDir)
       .select(col("ts"), col("value"),
-        streamQsketchHashUdf(col("event_id")).as("h"))
-    val agg = ev.withWatermark("ts", WindowDelay)
-      .groupBy(window(col("ts"), "1 hour"))
-      .agg(graft.functions.QsketchAggregate
-        .qsketchBottomK(col("h"), col("value"), StreamQsketchK).as("sample"))
+        streamQsketchHash(col("event_id")).as("h"))
+    // keep-k-smallest-hashes is merge-commutative (the gate's whole parity
+    // argument), so the [[drainWindowed]] flush elision applies; the
+    // percentile picks are post-drain projections of the final sample.
+    drainWindowed(spark, sfDir, ev,
+      e => e.groupBy(window(col("ts"), "1 hour"))
+        .agg(graft.functions.QsketchAggregate
+          .qsketchBottomK(col("h"), col("value"), StreamQsketchK).as("sample")),
+      elide.getOrElse(elideFlushConfigured))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         size(col("sample")).cast("long").as("m_sample"),
         element_at(col("sample"),
           expr("(size(sample) + 1) div 2").cast("int")).as("est_p50"),
         element_at(col("sample"),
           expr("(19 * size(sample) + 19) div 20").cast("int")).as("est_p95"))
-    runToMemory(spark, agg)
       .orderBy(col("window_start_us"))
   }
 

@@ -446,6 +446,27 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty && got.map(_._2).distinct.size > 1)
   }
 
+  test("extended flush elision (round 11): the six remaining elide-safe " +
+      "gates are row-identical between the elided and watermarked forms") {
+    import graft.streaming.StreamGate
+    val sf = "/root/testdata/sf0.001"
+    def both(f: Option[Boolean] => org.apache.spark.sql.DataFrame,
+        name: String): Unit = {
+      val e = f(Some(true)).collect().map(_.toString).toSeq.sorted
+      val a = f(Some(false)).collect().map(_.toString).toSeq.sorted
+      assert(e.nonEmpty && e == a, s"$name elide parity")
+    }
+    // merge-commutative windowed aggs: update-mode + closed-window filter
+    both(el => StreamGate.windowCounts(spark, sf, elide = el), "stream_window_counts")
+    both(el => StreamGate.cmsWindows(spark, sf, el), "stream_cms")
+    both(el => StreamGate.qsketchWindows(spark, sf, el), "stream_qsketch")
+    both(el => StreamGate.enrichJoin(spark, sf, elide = el), "stream_enrich_join")
+    // non-agg elisions: watermark dropped (state expiry is the only thing
+    // the no-data batch does for these in a single-batch replay)
+    both(el => StreamGate.dedupKeys(spark, sf, el), "stream_dedup")
+    both(el => StreamGate.streamStreamJoin(spark, sf, el), "stream_stream_join")
+  }
+
   test("crash recovery: a stopped drain restarted from the same checkpoint " +
       "neither duplicates committed batches nor loses new data (exactly-once " +
       "across restart)") {
@@ -493,5 +514,56 @@ class StreamingSpec extends SparkTestBase {
       .toJSON.collect().sorted.toSeq
     assert(recovered.length == 162, s"162 rows expected, got ${recovered.length}")
     assert(recovered == clean, "restarted drain must equal the clean run")
+  }
+
+  test("crash recovery, stamped sink: a REPLAYED micro-batch (commit-log " +
+      "entry lost in the crash) is absorbed by its BatchPublish marker — " +
+      "exactly-once for the foreachBatch path too") {
+    val in = tmp("graft-scrash-in")
+    val out = tmp("graft-scrash-out")
+    val outClean = tmp("graft-scrash-out-clean")
+    val ckpt = tmp("graft-scrash-ckpt")
+    val ckptClean = tmp("graft-scrash-ckpt-clean")
+    val src = java.nio.file.Paths.get("/root/reference/testdata/logs.jsonl")
+
+    Files.copy(src, java.nio.file.Paths.get(in, "a.jsonl"))
+    val q1 = OtlpStream.logsToParquet(spark, in, out, ckpt,
+      trigger = Trigger.ProcessingTime("1 second"), footerStamp = true)
+    val deadline = System.currentTimeMillis() + 120000
+    def committedRows(): Long =
+      try spark.read.parquet(s"$out/otel_logs").count()
+      catch { case _: Throwable => 0L }
+    while (committedRows() < 81 && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    q1.stop()
+    assert(committedRows() == 81, "first micro-batch must be published")
+
+    // the HARSHER crash: the sink published batch 0 but the checkpoint's
+    // commit-log entry was lost — the restart must RE-RUN batch 0 through
+    // foreachBatch, and only the batchId marker stands between the replay
+    // and 81 duplicate rows (this is exactly the window plain appends leak)
+    assert(new java.io.File(s"$ckpt/commits/0").delete(),
+      "test setup: commit-log entry for batch 0 must exist")
+    // the local ChecksumFileSystem shadows every file with a .crc twin; a
+    // stale one makes the re-created entry rename fail, which Spark reports
+    // as a concurrent writer on the commit log
+    new java.io.File(s"$ckpt/commits/.0.crc").delete()
+
+    Files.copy(src, java.nio.file.Paths.get(in, "b.jsonl"))
+    val q2 = OtlpStream.logsToParquet(spark, in, out, ckpt,
+      trigger = Trigger.AvailableNow(), footerStamp = true)
+    q2.awaitTermination(120000)
+
+    val q3 = OtlpStream.logsToParquet(spark, in, outClean, ckptClean,
+      trigger = Trigger.AvailableNow(), footerStamp = true)
+    q3.awaitTermination(120000)
+
+    val recovered = spark.read.parquet(s"$out/otel_logs")
+      .toJSON.collect().sorted.toSeq
+    val clean = spark.read.parquet(s"$outClean/otel_logs")
+      .toJSON.collect().sorted.toSeq
+    assert(recovered.length == 162,
+      s"162 rows expected (no replay dup), got ${recovered.length}")
+    assert(recovered == clean, "restarted stamped drain must equal the clean run")
   }
 }
