@@ -72,13 +72,4 @@ object OtelWrite {
     } finally if (prev == "0") conf.set(key, prev)
   }
 
-  /** Full metrics fan-out: four persisted kinds, summary dropped — parity
-    * with /root/reference/src/handlers.rs:629-642. */
-  def writeMetrics(pm: graft.transform.Otlp.PartitionedMetrics, root: String): Unit = {
-    write(pm.gauge, root, "otel_metrics_gauge")
-    write(pm.sum, root, "otel_metrics_sum")
-    write(pm.histogram, root, "otel_metrics_histogram")
-    write(pm.expHistogram, root, "otel_metrics_exponential_histogram")
-    // summary intentionally not persisted (reference drops it)
-  }
 }

@@ -67,41 +67,26 @@ object OtlpStream {
     * partition dirs this micro-batch touched, so the streaming path honors
     * `writer.footer_stamp` exactly like batch [[graft.Ingest]] does — the
     * reference has ONE write contract for both paths
-    * (/root/reference/src/writer/write.rs:93-130). foreachBatch appends are
-    * at-least-once across restarts (same caveat as the metrics fan-out
-    * sink); the default unstamped path keeps the file sink's exactly-once
-    * log. Stamp work is bounded per batch: only the batch's own partition
-    * dirs are listed, and files already stamped by earlier batches are
-    * skipped after a footer-only read ([[graft.io.FooterStamp.stampFile]]). */
+    * (/root/reference/src/writer/write.rs:93-130). Delivery is EXACTLY-ONCE
+    * across restarts, like the default file sink's metadata log: each
+    * micro-batch goes through [[graft.io.BatchPublish]]'s batchId-keyed
+    * stage → deterministic-rename → commit-marker protocol, so a replayed
+    * batch either skips (marker present) or overwrites its own files.
+    * Stamp work is bounded per batch: only the batch's own partition dirs
+    * are touched, and files already stamped by earlier batches are skipped
+    * after a footer-only read ([[graft.io.FooterStamp.stampFile]]). */
   private def stampedSink(flat: DataFrame, checkpointDir: String,
       trigger: Trigger, outputRoot: String, tableDir: String,
       maxRecordsPerFile: Long): StreamingQuery =
     flat.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.persist()
-        try {
-          OtelWrite.write(batch, outputRoot, tableDir, maxRecordsPerFile)
-          stampBatchPartitions(batch, outputRoot, tableDir)
-        } finally batch.unpersist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.io.BatchPublish.publish(batch, outputRoot, tableDir, batchId,
+          maxRecordsPerFile, stamp = true)
+        ()
       }
       .trigger(trigger)
       .start()
-
-  /** Stamp only the `service=/year=/…/hour=` dirs `df`'s rows land in. */
-  private def stampBatchPartitions(df: DataFrame, outputRoot: String,
-      tableDir: String): Unit =
-    graft.io.FooterStamp.schemaVersionFor(tableDir).foreach { v =>
-      val dirs = OtelWrite.withPartitionColumns(df)
-        .select("service", "year", "month", "day", "hour")
-        .filter(col("year").isNotNull)
-        .distinct().collect()
-        .map(r => s"$outputRoot/$tableDir/service=${r.get(0)}/year=${r.get(1)}" +
-          s"/month=${r.get(2)}/day=${r.get(3)}/hour=${r.get(4)}")
-        .toSeq
-      graft.io.FooterStamp.stampDirs(df.sparkSession, dirs,
-        Map(graft.io.FooterStamp.SchemaVersionKey -> v))
-    }
 
   /** Config-driven overloads: every stream knob (trigger interval,
     * maxRecordsPerFile, pull-throttle, payload limit) comes from the
@@ -157,9 +142,10 @@ object OtlpStream {
     * one parquet sink can write one table, but the reference runs four
     * independent batchers (/root/reference/src/lib.rs:197-202), so each
     * micro-batch routes its datapoints to all four partitioned tables.
-    * Delivery is at-least-once across restarts (batch appends inside
-    * foreachBatch are not transactional with the checkpoint — same window a
-    * crashed reference server has between buffer flush and response). */
+    * Delivery is EXACTLY-ONCE across restarts, per table: each kind's
+    * batch goes through [[graft.io.BatchPublish]]'s batchId-keyed marker
+    * protocol, so a replayed batch skips the kinds a crashed attempt had
+    * fully committed and deterministically overwrites the rest. */
   def metricsToParquet(spark: SparkSession, inputDir: String, outputRoot: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
@@ -172,21 +158,22 @@ object OtlpStream {
       .json(inputDir)
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // persist: the four kind writes each derive from this micro-batch;
         // without the cache every write job would re-read and re-flatten
         // the batch's files (4× the scan on the streaming hot path)
         batch.persist()
         try {
           val pm = Otlp.metrics(batch)
-          OtelWrite.writeMetrics(pm, outputRoot)
-          if (footerStamp)
-            Seq("gauge" -> pm.gauge, "sum" -> pm.sum,
-              "histogram" -> pm.histogram,
-              "exponential_histogram" -> pm.expHistogram)
-              .foreach { case (kind, df) =>
-                stampBatchPartitions(df, outputRoot, s"otel_metrics_$kind")
-              }
+          Seq("otel_metrics_gauge" -> pm.gauge,
+            "otel_metrics_sum" -> pm.sum,
+            "otel_metrics_histogram" -> pm.histogram,
+            "otel_metrics_exponential_histogram" -> pm.expHistogram)
+            .foreach { case (table, df) =>
+              graft.io.BatchPublish.publish(df, outputRoot, table, batchId,
+                stamp = footerStamp)
+            }
+          // summary intentionally not persisted (reference drops it)
         } finally batch.unpersist()
       }
       .trigger(trigger)
