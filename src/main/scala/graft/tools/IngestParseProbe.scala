@@ -71,6 +71,17 @@ object IngestParseProbe {
     (0 until copiesPerFile * files).foreach { i =>
       java.nio.file.Files.write(pbDir.resolve(f"req-$i%05d.pb"), pbBytes)
     }
+    // pb_bulk: protobuf CONCATENATION is the wire format's own batch merge
+    // (serialized messages concatenated = one message whose repeated fields
+    // concatenate), so one file per core holding copiesPerFile request
+    // bodies is a VALID single request — the jsonl layout's equal-bytes twin
+    val pbBulkDir = tmpDir.resolve("landing_pb_bulk")
+    java.nio.file.Files.createDirectory(pbBulkDir)
+    (0 until files).foreach { f =>
+      val out = java.nio.file.Files.newOutputStream(pbBulkDir.resolve(s"bulk-$f.pb"))
+      (0 until copiesPerFile).foreach(_ => out.write(pbBytes))
+      out.close()
+    }
     val rows = 81L * copiesPerFile * files
     println(s"corpus: $rows records, ${copiesPerFile * files} requests")
 
@@ -104,6 +115,8 @@ object IngestParseProbe {
       "text_from_json_pruned" -> (() => run(textRead(prunedSchema))),
       "pb" -> (() => run(graft.io.OtlpRead.protobuf(
         spark, graft.io.OtlpRead.Logs, pbDir.toString))),
+      "pb_bulk" -> (() => run(graft.io.OtlpRead.protobufLimited(
+        spark, graft.io.OtlpRead.Logs, 64L * 1024 * 1024, pbBulkDir.toString))),
     )
     variants.foreach { case (_, f) => f(); f() } // 2 warmups each
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
