@@ -273,6 +273,8 @@ object SparkEntry {
     "sim_ann_ivfpq" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
     "sim_ann_ivfpq_tbl" -> ((s: SparkSession, d: String) =>
       Similarity.annIvfPqFromTable(s, d)),
+    "sim_ann_ivfpq_upsert" -> ((s: SparkSession, d: String) =>
+      Similarity.annIvfPqUpsert(s, d)),
     "text_chunk_delta" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDelta(s, d)),
     "q_mannwhitney" -> (QuerySurface.mannWhitney _),
     "q_ks_test" -> (QuerySurface.ksTest _),
@@ -828,6 +830,10 @@ object SparkEntry {
     // bit-identical to the in-plan form by construction (shared ivfPqQuery,
     // exact parquet round-trip) — same oracle, the sim_ann_ivf_tbl precedent
     "sim_ann_ivfpq_tbl" -> Similarity.annIvfPqOracleSql(),
+    // base-fit codebooks + full-corpus encode = the maintained index state
+    // after the late-arrival upsert (build on base, add with existing books)
+    "sim_ann_ivfpq_upsert" -> Similarity.annIvfPqOracleSql(fitWhere =
+      Some(s"vec_id % ${Similarity.IvfPqUpsertMod} <> 1")),
     "text_chunk_delta" -> TextAnalysis.chunkDeltaOracleSql,
     "q_mannwhitney" -> operators.QuerySurface.mannWhitneyOracleSql,
     "q_ks_test" -> operators.QuerySurface.ksTestOracleSql,

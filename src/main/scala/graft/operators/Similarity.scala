@@ -1357,60 +1357,166 @@ object Similarity {
     * form and the gate reuses its oracle. */
   def annIvfPqFromTable(spark: SparkSession, sfDir: String, k: Int = 5,
       nProbe: Int = 2, nQueries: Int = 8): DataFrame = {
-    import spark.implicits._
     val dir = MemoTables.dir(s"ivfpqindex:$sfDir", "graft-ivfpq-") { d =>
       val e = withVec(embeddings(spark, sfDir))
         .select(col("vec_id"), col("v")).persist()
-      val coarse = Clustering.fitWith(e, IvfPqCoarseK, IvfPqCoarseIters,
-        graft.functions.VectorExpressions.assignL2)
-      val resid = e
-        .withColumn("cl", graft.functions.VectorExpressions
-          .assignL2(col("v"), coarse).getField("_1").cast("long"))
-        .withColumn("r", graft.functions.VectorExpressions
-          .residual(col("cl"), col("v"), coarse))
-        .select(col("vec_id"), col("cl"), col("r"))
-        .persist()
-      val books = (0 until PqSubspaces).map { s =>
-        val sub = resid.select(col("vec_id"),
-          slice(col("r"), s * PqSubDim + 1, PqSubDim).as("v"))
-        Clustering.fitWith(sub, PqCodebook, PqIters,
-          graft.functions.VectorExpressions.assignL2)
-      }.toArray
-      coarse.zipWithIndex.map { case (cv, cl) => (cl, cv.toSeq) }.toSeq
-        .toDF("cl", "cv").repartition(1)
-        .write.mode("overwrite").parquet(s"$d/coarse")
-      (for { s <- books.indices; cl <- books(s).indices }
-        yield (s, cl, books(s)(cl).toSeq)).toDF("s", "cl", "cv")
-        .repartition(1).write.mode("overwrite").parquet(s"$d/books")
-      resid.select(col("vec_id"), col("cl"),
-          graft.functions.VectorExpressions.pqEncode(col("r"), books, PqSubDim)
-            .as("codes"))
-        .write.mode("overwrite").partitionBy("cl").parquet(s"$d/codes")
-      resid.unpersist(); e.unpersist()
+      buildIvfPqIndex(spark, d, e)
+      e.unpersist()
     }
+    val (coarse, booksRead, codes) = readIvfPqIndex(spark, dir)
+    val e = withVec(embeddings(spark, sfDir)).select(col("vec_id"), col("v"))
+    ivfPqQuery(e, coarse, booksRead, codes, k, nProbe, nQueries)
+  }
+
+  /** Build a full IVF-PQ index for `fit` at `d`: the coarse codebook, the
+    * per-subspace residual books, and the codes table written
+    * `partitionBy(cl)` (a probe is a partition-pruned read). The build
+    * step shared by [[annIvfPqFromTable]] (whole corpus) and
+    * [[annIvfPqUpsert]] (base corpus; late arrivals go through
+    * [[ivfPqUpsertCodes]]). */
+  private[graft] def buildIvfPqIndex(spark: SparkSession, d: String,
+      fit: DataFrame): Unit = {
+    import spark.implicits._
+    val e = fit.persist()
+    val coarse = Clustering.fitWith(e, IvfPqCoarseK, IvfPqCoarseIters,
+      graft.functions.VectorExpressions.assignL2)
+    val resid = e
+      .withColumn("cl", graft.functions.VectorExpressions
+        .assignL2(col("v"), coarse).getField("_1").cast("long"))
+      .withColumn("r", graft.functions.VectorExpressions
+        .residual(col("cl"), col("v"), coarse))
+      .select(col("vec_id"), col("cl"), col("r"))
+      .persist()
+    val books = (0 until PqSubspaces).map { s =>
+      val sub = resid.select(col("vec_id"),
+        slice(col("r"), s * PqSubDim + 1, PqSubDim).as("v"))
+      Clustering.fitWith(sub, PqCodebook, PqIters,
+        graft.functions.VectorExpressions.assignL2)
+    }.toArray
+    coarse.zipWithIndex.map { case (cv, cl) => (cl, cv.toSeq) }.toSeq
+      .toDF("cl", "cv").repartition(1)
+      .write.mode("overwrite").parquet(s"$d/coarse")
+    (for { s <- books.indices; cl <- books(s).indices }
+      yield (s, cl, books(s)(cl).toSeq)).toDF("s", "cl", "cv")
+      .repartition(1).write.mode("overwrite").parquet(s"$d/books")
+    resid.select(col("vec_id"), col("cl"),
+        graft.functions.VectorExpressions.pqEncode(col("r"), books, PqSubDim)
+          .as("codes"))
+      .write.mode("overwrite").partitionBy("cl").parquet(s"$d/codes")
+    resid.unpersist(); e.unpersist()
+  }
+
+  /** Read an IVF-PQ index written by [[buildIvfPqIndex]]: (coarse codebook,
+    * subspace books, codes frame). Parquet round-trips doubles and ints
+    * exactly, so queries over a read-back index are bit-identical to the
+    * in-plan form. */
+  private[graft] def readIvfPqIndex(spark: SparkSession, dir: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) = {
+    import spark.implicits._
     val coarse: Array[Array[Double]] = spark.read.parquet(s"$dir/coarse")
       .select(col("cl"), col("cv")).as[(Int, Seq[Double])].collect()
       .sortBy(_._1).map(_._2.toArray)
-    val booksRead: Array[Array[Array[Double]]] = {
-      val rows = spark.read.parquet(s"$dir/books")
-        .select(col("s"), col("cl"), col("cv")).as[(Int, Int, Seq[Double])]
-        .collect()
-      Array.tabulate(PqSubspaces, PqCodebook) { (s, c) =>
-        rows.find(r => r._1 == s && r._2 == c).get._3.toArray
-      }
+    val rows = spark.read.parquet(s"$dir/books")
+      .select(col("s"), col("cl"), col("cv")).as[(Int, Int, Seq[Double])]
+      .collect()
+    val books = Array.tabulate(PqSubspaces, PqCodebook) { (s, c) =>
+      rows.find(r => r._1 == s && r._2 == c).get._3.toArray
     }
     val codes = spark.read.parquet(s"$dir/codes")
       .select(col("vec_id"), col("cl"), col("codes"))
+    (coarse, books, codes)
+  }
+
+  /** Late-arrival selector for [[annIvfPqUpsert]]: `vec_id % 53 == 1`
+    * (~2% of the corpus) lands AFTER the index is built. */
+  val IvfPqUpsertMod = 53L
+
+  /** INDEX MAINTENANCE — encode `batch` (vec_id, v) with the index's
+    * EXISTING coarse/residual codebooks (real vector stores do not refit
+    * codebooks on ingest; FAISS `IndexIVFPQ.add` does exactly this) and
+    * rewrite ONLY the coarse cells the batch touches:
+    *
+    *  - the existing codes are read with a `cl` filter — a PARTITION-PRUNED
+    *    scan of the `cl=`-partitioned codes table (untouched cells' files
+    *    are never opened);
+    *  - the union replaces exactly the touched partitions via dynamic
+    *    partition overwrite — the [[graft.io.Compaction]] pattern applied
+    *    to index maintenance. At 100 TB with thousands of coarse cells a
+    *    batch upsert rewrites only its own lists, not the index.
+    *
+    * Returns the touched cell ids. IvfPqUpsertSpec pins the physical
+    * claim: files of untouched cells are byte-identical after the upsert. */
+  def ivfPqUpsertCodes(spark: SparkSession, indexDir: String,
+      batch: DataFrame): Seq[Long] = {
+    import spark.implicits._
+    val (coarse, books, _) = readIvfPqIndex(spark, indexDir)
+    val newCodes = batch
+      .withColumn("cl", graft.functions.VectorExpressions
+        .assignL2(col("v"), coarse).getField("_1").cast("long"))
+      .withColumn("r", graft.functions.VectorExpressions
+        .residual(col("cl"), col("v"), coarse))
+      .select(col("vec_id"), col("cl"),
+        graft.functions.VectorExpressions.pqEncode(col("r"), books, PqSubDim)
+          .as("codes"))
+      .persist()
+    val touched = newCodes.select(col("cl")).distinct()
+      .as[Long].collect().toSeq.sorted
+    // UPSERT semantics: a re-arriving vec_id REPLACES its old code row (the
+    // anti-join broadcasts the bounded batch ids), it does not duplicate it
+    val existing = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("cl").isin(touched: _*))
+      .select(col("vec_id"), col("cl"), col("codes"))
+      .join(broadcast(newCodes.select(col("vec_id"))), Seq("vec_id"),
+        "left_anti")
+    // detach the merged rows from the files about to be overwritten
+    val merged = existing.unionByName(newCodes).localCheckpoint(true)
+    newCodes.unpersist()
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "static")
+    try {
+      spark.conf.set(key, "dynamic")
+      merged.write.mode("overwrite").partitionBy("cl")
+        .parquet(s"$indexDir/codes")
+    } finally spark.conf.set(key, prev)
+    touched
+  }
+
+  /** [[annIvfPqFromTable]] under INGEST: the index is built on the base
+    * corpus (every vector except the ~2% [[IvfPqUpsertMod]] late
+    * arrivals), then the late batch is upserted through
+    * [[ivfPqUpsertCodes]] — encoded with the existing codebooks, touched
+    * cells rewritten partition-pruned — and queries run over the
+    * maintained index. Deterministic end-to-end: the final codes table
+    * equals "encode everything with the base-fit codebooks", which is
+    * what the DuckDB twin computes (base-filtered fit CTEs, full-corpus
+    * encode); recall parity with a full rebuild is pinned in
+    * IvfPqUpsertSpec. */
+  def annIvfPqUpsert(spark: SparkSession, sfDir: String, k: Int = 5,
+      nProbe: Int = 2, nQueries: Int = 8): DataFrame = {
+    val dir = MemoTables.dir(s"ivfpqupsert:$sfDir", "graft-ivfpq-up-") { d =>
+      val e = withVec(embeddings(spark, sfDir))
+        .select(col("vec_id"), col("v")).persist()
+      buildIvfPqIndex(spark, d,
+        e.filter(col("vec_id") % IvfPqUpsertMod =!= 1L))
+      ivfPqUpsertCodes(spark, d,
+        e.filter(col("vec_id") % IvfPqUpsertMod === 1L))
+      e.unpersist()
+    }
+    val (coarse, books, codes) = readIvfPqIndex(spark, dir)
     val e = withVec(embeddings(spark, sfDir)).select(col("vec_id"), col("v"))
-    ivfPqQuery(e, coarse, booksRead, codes, k, nProbe, nQueries)
+    ivfPqQuery(e, coarse, books, codes, k, nProbe, nQueries)
   }
 
   /** DuckDB twin of [[annIvfPq]] — the coarse fit and each residual
     * subspace fit share [[l2FitCtes]] with the Spark loop's exact
     * semantics; residual components round6 at creation; probe/LUT/ADC/
     * re-rank all from the same fixed-association distance. */
-  def annIvfPqOracleSql(k: Int = 5, nProbe: Int = 2,
-      nQueries: Int = 8): String = {
+  def annIvfPqOracleSql(k: Int = 5, nProbe: Int = 2, nQueries: Int = 8,
+      /** When set (the [[annIvfPqUpsert]] twin), every k-means FIT runs
+        * over `e WHERE fitWhere` — the base corpus — while encode, probe
+        * and re-rank stay full-corpus, mirroring "build on base, upsert
+        * the late arrivals with the existing codebooks". */
+      fitWhere: Option[String] = None): String = {
     def r6(e: String) = Tables.portableRound6Sql(e)
     def distSql(a: String, b: String) = r6(
       s"list_dot_product($a, $a) - 2*list_dot_product($a, $b) + list_dot_product($b, $b)")
@@ -1422,7 +1528,12 @@ object Similarity {
         |  SELECT vec_id, v FROM e0
         |  WHERE list_dot_product(v, v) > 0 AND NOT isnan(list_dot_product(v, v))
         |)""".stripMargin)
-    sb.append(l2FitCtes("e", "co", 64, IvfPqCoarseK, IvfPqCoarseIters))
+    fitWhere.foreach(w => sb.append(
+      s""", eb AS MATERIALIZED (
+         |  SELECT vec_id, v FROM e WHERE $w
+         |)""".stripMargin))
+    sb.append(l2FitCtes(fitWhere.map(_ => "eb").getOrElse("e"), "co", 64,
+      IvfPqCoarseK, IvfPqCoarseIters))
     sb.append(
       s""", co_code AS MATERIALIZED (
          |  SELECT vec_id, cl FROM (
@@ -1444,7 +1555,13 @@ object Similarity {
         s""", rsub$s AS MATERIALIZED (
            |  SELECT vec_id, v[$lo:$hi] AS v FROM res
            |)""".stripMargin)
-      sb.append(l2FitCtes(s"rsub$s", s"r$s", PqSubDim, PqCodebook, PqIters))
+      fitWhere.foreach(w => sb.append(
+        s""", rsubb$s AS MATERIALIZED (
+           |  SELECT vec_id, v FROM rsub$s WHERE $w
+           |)""".stripMargin))
+      sb.append(l2FitCtes(
+        fitWhere.map(_ => s"rsubb$s").getOrElse(s"rsub$s"), s"r$s",
+        PqSubDim, PqCodebook, PqIters))
       sb.append(
         s""", r${s}_code AS MATERIALIZED (
            |  SELECT vec_id, cl AS c$s FROM (
@@ -1884,3 +2001,4 @@ object Similarity {
        |  AND NOT o.is_new AND nn.is_new
        |GROUP BY o.label ORDER BY o.label""".stripMargin
 }
+
