@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,16 +23,19 @@ import Tables._
   */
 object Sampling {
 
-  private val hashUdf = udf { (salt: String, id: Long) =>
-    PortableHash.md5Lower63(salt + id.toString)
-  }
+  /** `md5Lower63(salt + id)` as codegen columns — the round-11 native
+    * kernel ([[PortableHash.md5Lower63Col]]) replacing the per-row UDF on
+    * every sampling gate's hash path. Bit-identical by the kernel's own
+    * property test. */
+  private def hashCol(salt: String, id: Column): Column =
+    PortableHash.md5Lower63Col(concat(lit(salt), id.cast("string")))
 
   /** Deterministic train/val/test assignment: bucket = salted-MD5(doc_id)
     * mod 1000; < 900 train, < 950 val, else test (90/5/5). */
   def sampleSplit(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
-        (hashUdf(lit("split:"), col("doc_id")) % 1000).as("bucket"))
+        (hashCol("split:", col("doc_id")) % 1000).as("bucket"))
       .withColumn("split",
         when(col("bucket") < 900, "train")
           .when(col("bucket") < 950, "val")
@@ -51,7 +54,7 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     documents(spark, sfDir)
       .select(col("doc_id"),
-        (hashUdf(lit("shard:"), col("doc_id")) % nShards).as("shard"),
+        (hashCol("shard:", col("doc_id")) % nShards).as("shard"),
         regexp_count(lower(col("text")), lit(TextAnalysis.BpeTokenRegex))
           .cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
@@ -93,7 +96,7 @@ object Sampling {
     }
     val withSplit = documents(spark, sfDir)
       .select(col("doc_id"),
-        (hashUdf(lit("split:"), col("doc_id")) % 1000).as("bucket"),
+        (hashCol("split:", col("doc_id")) % 1000).as("bucket"),
         ngramHashUdf(split(col("text"), " ")).as("gh"))
     val trainSide = withSplit.filter(col("bucket") < 950)
       .select(col("doc_id"), col("gh"))
@@ -125,16 +128,17 @@ object Sampling {
     * weights explicitly). Pure map, no shuffle. */
   def sampleStratified(spark: SparkSession, sfDir: String,
       ratesPermille: Map[String, Long] = Map.empty): DataFrame = {
-    val ratesB = ratesPermille // serializable copy for the closure
-    val keptUdf = udf { (docId: Long, source: String) =>
-      val bucket = PortableHash.md5Lower63("strat:" + docId.toString) % 1000000L
-      val rate = ratesB.getOrElse(source,
-        200L + PortableHash.md5Lower63("rate:" + source) % 600L)
-      bucket < rate * 1000L
+    // bucket, rate and verdict as codegen columns (explicit rates become
+    // CASE arms — exactly how the oracle twin renders them)
+    val fallbackRate = lit(200L) +
+      PortableHash.md5Lower63Col(concat(lit("rate:"), col("source"))) % 600L
+    val rate = ratesPermille.toSeq.sortBy(_._1).foldRight(fallbackRate) {
+      case ((s, r), acc) => when(col("source") === s, lit(r)).otherwise(acc)
     }
+    val bucket = hashCol("strat:", col("doc_id")) % 1000000L
     documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
-        keptUdf(col("doc_id"), col("source")).as("kept"))
+        (bucket < rate * 1000L).as("kept"))
       .orderBy(col("doc_id"))
   }
 
@@ -483,7 +487,7 @@ object Sampling {
       k: Int = ReservoirK, salts: Int = ReservoirSalts): DataFrame = {
     val ranked = documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
-        hashUdf(lit("rsv:"), col("doc_id")).as("h"))
+        hashCol("rsv:", col("doc_id")).as("h"))
     val local = ranked
       .withColumn("salt", col("h") % salts)
       .withColumn("lrn", row_number().over(
@@ -599,7 +603,7 @@ object Sampling {
     * shuffles twice. */
   def sampleKfold(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
     val folds = documents(spark, sfDir).select(col("doc_id"), col("lang"),
-      (hashUdf(lit("fold:"), col("doc_id")) % k).as("fold"))
+      (hashCol("fold:", col("doc_id")) % k).as("fold"))
     val cells = folds.groupBy(col("fold"), col("lang"))
       .agg(count(lit(1)).as("n_docs"))
     val totals = folds.groupBy(col("lang"))

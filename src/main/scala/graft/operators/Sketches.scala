@@ -915,9 +915,14 @@ object Sketches {
   val CmsWidth = 256L
   val CmsTopK = 20
 
-  private val cmsBucketUdf = udf { (r: Int, k: Long) =>
-    PortableHash.md5Lower63(s"cms$r:$k") % CmsWidth
-  }
+  /** `(r, key) → md5Lower63("cms{r}:{k}") % width` as codegen columns (the
+    * round-11 native kernel; non-negative hash, so `%` is the positive
+    * remainder either way). */
+  private def cmsBucket(r: org.apache.spark.sql.Column,
+      k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    PortableHash.md5Lower63Col(
+      concat(lit("cms"), r.cast("string"), lit(":"), k.cast("string"))) %
+      CmsWidth
 
   /** COUNT-MIN SKETCH frequency estimation over `lineitem.l_partkey`,
     * reported against exact counts for the exact top-[[CmsTopK]] keys.
@@ -947,12 +952,12 @@ object Sketches {
       .limit(CmsTopK)
     val cells = li
       .select(col("l_partkey"), explode(lit((0 until CmsDepth).toArray)).as("r"))
-      .withColumn("bucket", cmsBucketUdf(col("r"), col("l_partkey")))
+      .withColumn("bucket", cmsBucket(col("r"), col("l_partkey")))
       .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cell_n"))
     val est = exact
       .select(col("l_partkey"), col("exact_n"),
         explode(lit((0 until CmsDepth).toArray)).as("r"))
-      .withColumn("bucket", cmsBucketUdf(col("r"), col("l_partkey")))
+      .withColumn("bucket", cmsBucket(col("r"), col("l_partkey")))
       .join(broadcast(cells), Seq("r", "bucket"))
       .groupBy(col("l_partkey"), col("exact_n"))
       .agg(min(col("cell_n")).as("est_n"))
