@@ -201,7 +201,11 @@ object OtlpStream {
       telemetry: Option[graft.Telemetry] = None,
       footerStamp: Boolean = false): StreamingQuery = {
     import org.apache.spark.sql.{Encoders, Row}
-    val parse: Array[Byte] => Row = graft.io.OtlpProtobuf.parseLogsRequest
+    // the external-Row decode form: this path needs per-payload skip/count
+    // semantics (a flatMap with accumulators), which keeps it on the
+    // encoder route — the batch reader uses the InternalRow-native
+    // PbDecodeExpr instead
+    val parse: Array[Byte] => Row = graft.io.OtlpProtobuf.parseLogsRequestRow
     val limit = maxPayloadBytes
     // capture bare accumulators, not the Telemetry instance — it holds the
     // (non-serializable) SparkContext and this closure ships to executors.

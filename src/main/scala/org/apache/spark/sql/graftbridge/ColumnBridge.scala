@@ -12,6 +12,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Catalyst → external row converter for a struct schema (the
+    * deserializer half of what `Encoders.row` builds) — lets decoders that
+    * produce `InternalRow` natively (the Tungsten fast path) still offer a
+    * plain-`Row` API to callers that introspect values driver-side. */
+  def toScalaRow(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.catalyst.InternalRow => org.apache.spark.sql.Row =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(schema)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow => org.apache.spark.sql.Row]
+
   /** Register an Expression-backed SQL function on a live session (the
     * builder-time route is `spark.sql.extensions` + `injectFunction`). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession,

@@ -94,7 +94,7 @@ class ProtoRoundTripSpec extends SparkTestBase {
         // field positions follow OtlpSchemas: logRecordType = (time,
         // observed, sevNum, sevText, body, attrs, dropped, flags, traceId,
         // spanId)
-        val row = OtlpProtobuf.parseLogsRequest(encode(logs, svc))
+        val row = OtlpProtobuf.parseLogsRequestRow(encode(logs, svc))
         val rl = row.getSeq[org.apache.spark.sql.Row](0).head
         val resource = rl.getStruct(0)
         val svcOk = resource.getSeq[org.apache.spark.sql.Row](0)
@@ -122,7 +122,7 @@ class ProtoRoundTripSpec extends SparkTestBase {
       TestLog(0L, 0, "", "", Seq.empty, new Array[Byte](16), 0))
     val bytes = encode(logs, "svc-prop")
     val df = spark.createDataset(Seq(bytes))(Encoders.BINARY)
-      .map(OtlpProtobuf.parseLogsRequest _)(
+      .map(OtlpProtobuf.parseLogsRequestRow _)(
         Encoders.row(graft.schema.OtlpSchemas.logsRequestType))
     val flat = graft.transform.Otlp.logs(df).collect()
     assert(flat.length == 2)
