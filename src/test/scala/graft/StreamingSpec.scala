@@ -533,7 +533,13 @@ class StreamingSpec extends SparkTestBase {
     def committedRows(): Long =
       try spark.read.parquet(s"$out/otel_logs").count()
       catch { case _: Throwable => 0L }
-    while (committedRows() < 81 && System.currentTimeMillis() < deadline)
+    // rows become visible the moment BatchPublish moves them — BEFORE the
+    // checkpoint's commit-log entry lands (that gap is exactly the crash
+    // window under test) — so wait for BOTH the rows and commits/0 before
+    // stopping, or the delete below races the log write under load
+    val commitEntry = new java.io.File(s"$ckpt/commits/0")
+    while ((committedRows() < 81 || !commitEntry.exists()) &&
+        System.currentTimeMillis() < deadline)
       Thread.sleep(200)
     q1.stop()
     assert(committedRows() == 81, "first micro-batch must be published")
