@@ -135,6 +135,24 @@ object CcSf1Check {
         surv.count(!_._3) == expected.size - expSizes.size
     }
 
+    // 6. quality-pick survivors (dedup_survivors_quality — the third
+    // CC-chain gate whose DuckDB twin embeds the recursive-CC CTE and is
+    // therefore sf1-infeasible): keep ⇔ argmax(quality_score, min doc_id
+    // tiebreak) within the independent component (singletons keep)
+    val sq = Dedup.dedupSurvivorsQuality(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    check("quality survivors: keep == argmax(quality, min-id tiebreak) per " +
+        "independent component; labels agree; every document exactly once") {
+      val qual = sq.map(t => t._1 -> t._3).toMap
+      val byComp = sq.groupBy { case (d, _, _, _) => expected.getOrElse(d, d) }
+      sq.length == nDocs && sq.map(_._1).distinct.length == nDocs &&
+        sq.forall { case (d, g, _, _) => g == expected.getOrElse(d, d) } &&
+        byComp.forall { case (_, members) =>
+          val best = members.map(_._1).minBy(d => (-qual(d), d))
+          members.forall { case (d, _, _, keep) => keep == (d == best) }
+        }
+    }
+
     println(if (failed == 0) s"ALL CHECKS PASS ($sfDir)"
       else s"$failed CHECK(S) FAILED ($sfDir)")
     spark.stop()
