@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d, uncapped = true)),
     "dedup_jaccard_capped" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardCapped(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "dedup_groups" -> ((s: SparkSession, d: String) => Dedup.nearDupGroups(s, d)),
     "dedup_survivors" -> ((s: SparkSession, d: String) => Dedup.dedupSurvivors(s, d)),
@@ -693,6 +694,7 @@ object SparkEntry {
     "dedup_groups" -> operators.Dedup.nearDupGroupsOracleSql(),
     "dedup_survivors" -> operators.Dedup.dedupSurvivorsOracleSql(),
     "dedup_minhash_lsh" -> operators.Dedup.minhashOracleSql(),
+    "dedup_incremental" -> operators.Dedup.dedupIncrementalOracleSql(),
     "dedup_simhash" -> operators.Dedup.simhashOracleSql(),
     "dedup_embedding_lsh" -> operators.Similarity.cosinePairsLshOracleSql(),
     "sim_ann_lsh" -> operators.Similarity.annLshOracleSql(),

@@ -334,15 +334,22 @@ object Dedup {
     * the DuckDB oracle. At larger scale a fixed-width hash of the slice
     * would shrink the shuffle key; the semantics here are the portable
     * ones. */
-  private def bandedCandidates(signed: DataFrame): DataFrame = {
+  /** One (doc_id, band, bandSig) row per band of each signature — the
+    * band-index frame [[bandedCandidates]] self-joins and
+    * [[dedupIncremental]] probes one-sided. */
+  private def bandRows(signed: DataFrame): DataFrame = {
     val bandStructs = array((0 until Bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)
           .cast("array<string>")).as("bandSig"))
     }: _*)
-    val banded = signed
+    signed
       .select(col("doc_id"), explode(bandStructs).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bandSig").as("bandSig"))
+  }
+
+  private def bandedCandidates(signed: DataFrame): DataFrame = {
+    val banded = bandRows(signed)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bandSig") === col("b.bandSig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -379,6 +386,90 @@ object Dedup {
     // materializing it (pre-sort) frees the signature cache for the caller
     materializeAndRelease(out, signed).orderBy(col("id1"), col("id2"))
   }
+
+  /** Batch selector for [[dedupIncremental]]: `doc_id % 11 == 3` is
+    * "today's ingest" (~9% of the corpus). */
+  val IncrementalBatchMod = 11L
+
+  /** INCREMENTAL DEDUP — the production daily-ingest shape: which NEW
+    * documents duplicate something already IN the corpus? Instead of
+    * re-running the all-pairs tier over corpus+batch (the O((N+b)²/bands)
+    * shape [[minhashLsh]] prices), the batch's band signatures probe the
+    * corpus's band index ONE-SIDED: candidates and exact-Jaccard
+    * verification both scale with |batch|, not with the corpus. Per
+    * matched new document: its best existing match (max exact Jaccard,
+    * min-id tiebreak) and how many corpus near-dups it hit — the row an
+    * ingest gate consumes to drop/route the duplicate before it lands.
+    *
+    * Scale shape (100 TB): the corpus side is the already-banded index — a
+    * materialized (doc_id, band, bandSig) table maintained like the IVF
+    * codes table ([[Similarity.annIvfPqUpsert]]'s pattern); the probe is
+    * an equi-join of the batch's ~16·b band rows against it, and the
+    * verify joins fetch only candidate shingle sets. Nothing touches
+    * corpus pairs that don't share a bucket with the batch.
+    *
+    * Same tier semantics as [[minhashLsh]] BY CONSTRUCTION (shared
+    * [[bandRows]] + the same exact-Jaccard verify), so the matched pair
+    * set is exactly the [[minhashLsh]] pairs that cross the batch
+    * boundary — Dedup11Spec pins that identity. */
+  def dedupIncremental(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isBatch = col("doc_id") % IncrementalBatchMod === 3L
+    val sh = docShingleHashes(spark, sfDir).filter(size(col("shh")) > 0)
+    val signed = sh.select(col("doc_id"), col("shh"),
+      minhashSignatureFromHashes(col("shh")).as("sig")).persist()
+    val bands = bandRows(signed)
+    val cand = bands.filter(isBatch).as("a")
+      .join(bands.filter(!isBatch).as("b"),
+        col("a.band") === col("b.band") && col("a.bandSig") === col("b.bandSig"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("dup_of"))
+      .distinct()
+    val withSets = signed.select(col("doc_id"), col("shh"))
+    val verified = cand
+      .join(withSets.as("da"), col("new_id") === col("da.doc_id"))
+      .join(withSets.as("db"), col("dup_of") === col("db.doc_id"))
+      .select(col("new_id"), col("dup_of"),
+        (size(array_intersect(col("da.shh"), col("db.shh"))).cast("double") /
+          size(array_union(col("da.shh"), col("db.shh"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val w = Window.partitionBy(col("new_id"))
+      .orderBy(col("jaccard").desc, col("dup_of"))
+    val wAll = Window.partitionBy(col("new_id"))
+    val out = verified
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_matches", count(lit(1)).over(wAll))
+      .filter(col("rn") === 1)
+      .select(col("new_id").as("doc_id"), col("dup_of"), col("jaccard"),
+        col("n_matches"))
+    materializeAndRelease(out, signed).orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[dedupIncremental]] — the shared [[minhashCtes]]
+    * band/verify chain, with the candidate join restricted one-sided and
+    * the same best-match window. */
+  def dedupIncrementalOracleSql(threshold: Double = 0.3): String =
+    s"""WITH ${minhashCtes(threshold)}
+       |, candi AS (
+       |  SELECT DISTINCT a.doc_id AS nid, b.doc_id AS cid
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id % $IncrementalBatchMod = 3
+       |    AND b.doc_id % $IncrementalBatchMod <> 3
+       |), matches AS (
+       |  SELECT c.nid AS doc_id, c.cid AS dup_of, j.jaccard
+       |  FROM candi c JOIN jac j
+       |    ON j.id1 = least(c.nid, c.cid) AND j.id2 = greatest(c.nid, c.cid)
+       |  WHERE j.jaccard >= $threshold
+       |), ranked AS (
+       |  SELECT doc_id, dup_of, jaccard,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY jaccard DESC, dup_of) AS rn,
+       |    count(*) OVER (PARTITION BY doc_id) AS n_matches
+       |  FROM matches
+       |)
+       |SELECT doc_id, dup_of, jaccard, CAST(n_matches AS BIGINT) AS n_matches
+       |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   // ---- SimHash ----
 
