@@ -28,7 +28,11 @@ import org.apache.spark.sql.DataFrame
   *  4. **Stamp** (optional): footer-stamp the touched partition dirs
   *     ([[FooterStamp.stampDirs]] — itself idempotent: already-stamped
   *     files are skipped after a footer-only read).
-  *  5. **Commit**: create the marker, then delete the staging dir.
+  *  5. **Commit**: create the marker, then delete the staging dir and sweep
+  *     markers older than [[RetainMarkers]] batches (a restarted query can
+  *     only replay batches the streaming checkpoint retains, so older
+  *     markers are dead weight — without the sweep they accumulate one file
+  *     per (table, batchId) forever).
   *
   * Every crash window replays into the same final state: before any move →
   * clean re-stage; mid-publish → deterministic overwrite; after the last
@@ -58,11 +62,36 @@ object BatchPublish {
   private def markerPath(root: String, tableDir: String, batchId: Long): Path =
     new Path(s"$root/_graft_commits/$tableDir/$batchId")
 
+  /** Markers retained behind the newest batch before the post-commit sweep
+    * deletes them. Mirrors the streaming checkpoint's own commit-log
+    * retention (`spark.sql.streaming.minBatchesToRetain`, default 100): a
+    * restarted query can only replay batches the checkpoint still holds, so
+    * a marker older than the retained window can never be consulted again —
+    * without the sweep, one marker file per (table, batchId) accumulates
+    * forever on a long-running stream. */
+  val RetainMarkers: Long = 100L
+
+  /** Delete commit markers for batches ≤ `batchId − retain` (see
+    * [[RetainMarkers]]). Non-numeric names are left alone. */
+  private def sweepMarkers(fs: FileSystem, root: String, tableDir: String,
+      batchId: Long, retain: Long): Unit = {
+    val dir = new Path(s"$root/_graft_commits/$tableDir")
+    val cutoff = batchId - retain
+    if (cutoff >= 0 && fs.exists(dir)) {
+      fs.listStatus(dir).foreach { st =>
+        val id = try Some(st.getPath.getName.toLong)
+          catch { case _: NumberFormatException => None }
+        if (id.exists(_ <= cutoff)) fs.delete(st.getPath, false)
+      }
+    }
+  }
+
   /** Publish one micro-batch of `tableDir` rows exactly once (see object
     * doc). Returns true if this call published, false if the batch was
     * already committed. */
   def publish(batch: DataFrame, root: String, tableDir: String, batchId: Long,
-      maxRecordsPerFile: Long = 200000L, stamp: Boolean = false): Boolean = {
+      maxRecordsPerFile: Long = 200000L, stamp: Boolean = false,
+      retainMarkers: Long = RetainMarkers): Boolean = {
     val marker = markerPath(root, tableDir, batchId)
     val fs = fsOf(batch, marker)
     val stagingTable = new Path(s"$root/_graft_staging/$tableDir/$batchId")
@@ -117,6 +146,7 @@ object BatchPublish {
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
     fs.delete(stagingTable, true)
+    sweepMarkers(fs, root, tableDir, batchId, retainMarkers)
     true
   }
 }

@@ -89,9 +89,17 @@ object OtlpProtobuf {
       java.util.Arrays.copyOfRange(buf, r.pos, r.end)
     }
 
-    /** wire string → UTF8String slicing the input buffer (no re-copy;
-      * UTF8String.fromBytes copies into its own array, but skips the
-      * byte[]→java.lang.String→byte[] round trip the old Row form paid). */
+    /** wire string → UTF8String WRAPPING the input buffer (the 3-arg
+      * fromBytes overload is zero-copy — it aliases `buf`, it does not copy
+      * the slice). Consequence: every decoded string pins the whole
+      * (possibly gunzipped) request body until the emitted row is copied to
+      * an UnsafeRow — which happens immediately downstream (the decode
+      * expression's rows flow straight into a whole-stage-codegen projection
+      * that materializes UnsafeRows), so the pin is one payload per task at
+      * a time, bounded by the ingest payload limit. If rows ever become
+      * long-lived in decoded form, switch to a copying
+      * fromBytes(Arrays.copyOfRange(...)). Still skips the
+      * byte[]→java.lang.String→byte[] round trip the old Row form paid. */
     def readString(): UTF8String = {
       val r = readSub()
       UTF8String.fromBytes(buf, r.pos, r.end - r.pos)

@@ -58,8 +58,10 @@ object Graph {
     fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
   }
 
-  /** The fixed-point iteration core of [[pageRank]] over an arbitrary
-    * symmetrized (src, dst) edge frame.
+  /** The fixed-point iteration core of [[pageRank]] over a SYMMETRIZED
+    * (src, dst) edge frame. Symmetry is a hard precondition, not just the
+    * dangling-node fix: it makes the `dst` key set equal to the node set,
+    * which is what lets each round be ONE join + ONE aggregate (below).
     *
     * Round-9 loop shape: the edge list is hash-partitioned by `src` ONCE
     * and CACHED with its degree column pre-joined — `InMemoryRelation`
@@ -69,35 +71,55 @@ object Graph {
     * edge side never crosses the wire again after the initial partition
     * (measured: the per-round edge exchange was the dominant recurring
     * cost of the walk family's sf1 wall — the iteration is corpus-sized
-    * where the backbone family's analytics are top-k-sized). The degree
-    * aggregate and the `distinct` node list also compute exchange-free on
-    * the partitioned cache. Caches are released once the top-k result is
-    * materialized ([[Tables.materializeAndRelease]]). */
+    * where the backbone family's analytics are top-k-sized).
+    *
+    * Round-12 loop shape (verdict task 2 — the per-iteration cost itself
+    * dominated once the edge derivation was memoized): the old
+    * `nodes LEFT JOIN contrib` re-emission step is GONE. On a symmetrized
+    * graph every node receives at least one contribution (it appears as
+    * some edge's `dst`), so the contribution aggregate's key set already
+    * IS the node set and the left join's `coalesce(c, 0)` could never
+    * fire — each round is now edges⋈ranks → per-dst sum, with the damping
+    * applied in the aggregate's own projection. Values are bit-identical
+    * (integer arithmetic, same contributions, the dropped branch was
+    * dead); the per-round node-list join, its exchange, and the cached
+    * `distinct` node frame all disappear. The seed ranks derive from the
+    * degree frame (its key set is the same node set), which keeps them
+    * hash(src)-partitioned off the cached edges — round 1's join starts
+    * exchange-free like every later one (alias-aware output partitioning
+    * carries hash(src) through the rename). Per round the only exchange
+    * left is the node-sized contribution shuffle to `dst` — plus, on
+    * checkpointed rounds, the reshuffle of the (node-sized) checkpointed
+    * rank frame, since localCheckpoint erases partitioning; PrProbe
+    * measures cadences 0/1/2 as a wash at sf0.1 (2.5–3.4 s warm, all
+    * inside the noise band), so the default stays 1. Caches are released
+    * once the top-k result is materialized
+    * ([[Tables.materializeAndRelease]]). */
   private[graft] def pageRankOf(edgesIn: DataFrame, iterations: Int,
       topK: Int, checkpointEvery: Int): DataFrame = {
     val parted = edgesIn.repartition(col("src")).persist()
     val deg = parted.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val edges = parted.join(deg, "src").persist() // (src, dst, d) co-partitioned
-    val nodes = parted.select(col("src").as("id")).distinct().persist()
 
-    var ranks = nodes.withColumn("r", lit(Scale))
+    var ranks = deg.select(col("src").as("id"), lit(Scale).as("r"))
     for (i <- 1 to iterations) {
-      val contrib = edges
-        .join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), expr("r div d").as("c"))
-        .groupBy(col("id")).agg(sum(col("c")).as("c"))
       // damping split as (c div 100)*85 + ((c%100)*85) div 100 — identical
       // to (c*85) div 100 for c ≥ 0 (c = 100q+r ⇒ 85q + (85r) div 100) but
       // never multiplies the full sum by 85 first, so the headroom bound is
       // set by Σranks itself (~|V|·10¹²), not Σranks·85: a hub absorbing
       // nearly all rank mass stays overflow-safe to ~9·10⁶ nodes even in a
       // star-shaped graph (worst-case mass concentration)
-      ranks = nodes.join(contrib, Seq("id"), "left")
+      ranks = edges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("r div d").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("c"))
         .select(col("id"),
           (lit(15L * Scale / 100L) +
-            expr("(coalesce(c, 0L) div 100) * 85 + ((coalesce(c, 0L) % 100) * 85) div 100")).as("r"))
+            expr("(c div 100) * 85 + ((c % 100) * 85) div 100")).as("r"))
       // bounded iteration counts tolerate a longer lineage; checkpoint
-      // cadence is a measured knob (tools.PrProbe), every round by default
+      // cadence is a measured knob (tools.PrProbe) — note localCheckpoint
+      // erases the hash(id) partitioning, forcing the next round's join to
+      // reshuffle the node-sized rank frame
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
         ranks = ranks.localCheckpoint(true)
     }
@@ -109,7 +131,7 @@ object Graph {
         col("r").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("id"))
       .limit(topK)
-    materializeAndRelease(out, parted, edges, nodes)
+    materializeAndRelease(out, parted, edges)
   }
 
   private val CoPurchaseTopEdges = 5000
@@ -493,30 +515,30 @@ object Graph {
     personalizedPageRankOf(spark.read.parquet(bipartiteTable(spark, sfDir)),
       iterations, topK, checkpointEvery)
 
-  /** The seeded iteration core of [[personalizedPageRank]] over an
-    * arbitrary symmetrized (src, dst) edge frame — same partitioned-cache
-    * loop shape as [[pageRankOf]] (edges hash-partitioned by src once,
-    * degree pre-joined, only the rank frame reshuffles per round). */
+  /** The seeded iteration core of [[personalizedPageRank]] over a
+    * SYMMETRIZED (src, dst) edge frame — same one-join-one-agg loop shape
+    * as [[pageRankOf]] (round 12: the node re-emission join is dropped by
+    * the same symmetry argument; the seed-only teleport term moves into
+    * the aggregate's projection, keyed on the aggregate's own `id`). */
   private[graft] def personalizedPageRankOf(edgesIn: DataFrame,
       iterations: Int, topK: Int, checkpointEvery: Int): DataFrame = {
     val parted = edgesIn.repartition(col("src")).persist()
     val deg = parted.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val edges = parted.join(deg, "src").persist() // (src, dst, d) co-partitioned
-    val nodes = parted.select(col("src").as("id")).distinct().persist()
     val seedIds = PprSeedSuppliers.map(k => 2 * k + 1)
     def isSeed = col("id").isin(seedIds: _*)
+    def isSeedSrc = col("src").isin(seedIds: _*)
 
-    var ranks = nodes.withColumn("r",
-      when(isSeed, lit(Scale)).otherwise(lit(0L)))
+    var ranks = deg.select(col("src").as("id"),
+      when(isSeedSrc, lit(Scale)).otherwise(lit(0L)).as("r"))
     for (i <- 1 to iterations) {
-      val contrib = edges
+      ranks = edges
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("r div d").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("c"))
-      ranks = nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (when(isSeed, lit(15L * Scale / 100L)).otherwise(lit(0L)) +
-            expr("(coalesce(c, 0L) div 100) * 85 + ((coalesce(c, 0L) % 100) * 85) div 100")).as("r"))
+            expr("(c div 100) * 85 + ((c % 100) * 85) div 100")).as("r"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
         ranks = ranks.localCheckpoint(true)
     }
@@ -529,7 +551,7 @@ object Graph {
         isSeed.as("is_seed"))
       .orderBy(col("rank_fp").desc, col("id"))
       .limit(topK)
-    materializeAndRelease(out, parted, edges, nodes)
+    materializeAndRelease(out, parted, edges)
   }
 
   /** DuckDB twin of [[personalizedPageRank]] — rounds unrolled, identical

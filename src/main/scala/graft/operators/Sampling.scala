@@ -125,7 +125,14 @@ object Sampling {
     * `ratesPermille` maps source → keep-rate in 1/1000ths; sources not in
     * the map fall back to a deterministic hash-derived rate in [200, 800)
     * (the gate/demo configuration — production callers pass their domain
-    * weights explicitly). Pure map, no shuffle. */
+    * weights explicitly). Pure map, no shuffle.
+    *
+    * NULL semantics: the rate/bucket hashes go through SQL `concat`, which
+    * propagates a NULL `source`/`doc_id` to a NULL `kept` — exactly what
+    * the DuckDB twin's `||` computes (the engines agree), but NOT what the
+    * pre-round-11 Scala UDF did (it hashed a "null" string concatenation to
+    * a boolean). The documents table's `doc_id`/`source` are non-null by
+    * schema; callers with nullable inputs should coalesce explicitly. */
   def sampleStratified(spark: SparkSession, sfDir: String,
       ratesPermille: Map[String, Long] = Map.empty): DataFrame = {
     // bucket, rate and verdict as codegen columns (explicit rates become

@@ -1436,16 +1436,28 @@ object Similarity {
     * codebooks on ingest; FAISS `IndexIVFPQ.add` does exactly this) and
     * rewrite ONLY the coarse cells the batch touches:
     *
+    *  - "touched" = the cells the batch's vectors ASSIGN to, plus the cells
+    *    re-arriving vec_ids currently LIVE in — an updated vector may
+    *    re-assign to a different coarse cell, and its stale row in the old
+    *    cell must be rewritten away too (not just the new cell written).
+    *    Old cells are located by a broadcast semi-join probe of the codes
+    *    table by vec_id — one map-side pass; a 100 TB store would keep an
+    *    id→cell sidecar (FAISS's IDMap) to make this probe a lookup;
     *  - the existing codes are read with a `cl` filter — a PARTITION-PRUNED
     *    scan of the `cl=`-partitioned codes table (untouched cells' files
     *    are never opened);
     *  - the union replaces exactly the touched partitions via dynamic
     *    partition overwrite — the [[graft.io.Compaction]] pattern applied
     *    to index maintenance. At 100 TB with thousands of coarse cells a
-    *    batch upsert rewrites only its own lists, not the index.
+    *    batch upsert rewrites only its own lists, not the index. A touched
+    *    cell whose LAST rows were all replaced-away gets no row in the
+    *    rewrite (dynamic overwrite skips absent partitions), so its stale
+    *    directory is deleted explicitly.
     *
     * Returns the touched cell ids. IvfPqUpsertSpec pins the physical
-    * claim: files of untouched cells are byte-identical after the upsert. */
+    * claims: files of untouched cells are byte-identical after the upsert,
+    * a cell-moving update leaves exactly one row for the id, and an
+    * emptied cell's partition disappears. */
   def ivfPqUpsertCodes(spark: SparkSession, indexDir: String,
       batch: DataFrame): Seq[Long] = {
     import spark.implicits._
@@ -1459,8 +1471,15 @@ object Similarity {
         graft.functions.VectorExpressions.pqEncode(col("r"), books, PqSubDim)
           .as("codes"))
       .persist()
-    val touched = newCodes.select(col("cl")).distinct()
-      .as[Long].collect().toSeq.sorted
+    val batchCells = newCodes.select(col("cl")).distinct()
+      .as[Long].collect().toSeq
+    // cells where a re-arriving id's OLD row lives (may differ from its new
+    // assignment) — those partitions must be rewritten or the stale row
+    // would survive, duplicating the id across two cells
+    val oldCells = spark.read.parquet(s"$indexDir/codes")
+      .join(broadcast(newCodes.select(col("vec_id"))), Seq("vec_id"))
+      .select(col("cl")).distinct().as[Long].collect().toSeq
+    val touched = (batchCells ++ oldCells).distinct.sorted
     // UPSERT semantics: a re-arriving vec_id REPLACES its old code row (the
     // anti-join broadcasts the bounded batch ids), it does not duplicate it
     val existing = spark.read.parquet(s"$indexDir/codes")
@@ -1478,6 +1497,15 @@ object Similarity {
       merged.write.mode("overwrite").partitionBy("cl")
         .parquet(s"$indexDir/codes")
     } finally spark.conf.set(key, prev)
+    // a touched cell with no surviving rows is absent from `merged`, so the
+    // dynamic overwrite never visits it — drop its stale partition dir
+    val mergedCells = merged.select(col("cl")).distinct()
+      .as[Long].collect().toSet
+    val codesPath = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+    val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(mergedCells).foreach { cl =>
+      fs.delete(new org.apache.hadoop.fs.Path(codesPath, s"cl=$cl"), true)
+    }
     touched
   }
 

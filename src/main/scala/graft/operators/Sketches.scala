@@ -917,7 +917,11 @@ object Sketches {
 
   /** `(r, key) → md5Lower63("cms{r}:{k}") % width` as codegen columns (the
     * round-11 native kernel; non-negative hash, so `%` is the positive
-    * remainder either way). */
+    * remainder either way). NULL semantics: SQL `concat` propagates a NULL
+    * key to a NULL bucket — identical to the DuckDB twin's `||`, but unlike
+    * the pre-round-11 Scala UDF (which hashed the "null" literal). The
+    * golden tables' key columns are non-null by schema, so no gate can see
+    * the difference; callers with nullable keys should coalesce first. */
   private def cmsBucket(r: org.apache.spark.sql.Column,
       k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     PortableHash.md5Lower63Col(

@@ -230,7 +230,22 @@ object StreamGate {
         .outputMode(outputMode)
         .trigger(Trigger.AvailableNow())
       ckpt.foreach(writer.option("checkpointLocation", _))
-      writer.start().awaitTermination()
+      val q = writer.start()
+      q.awaitTermination()
+      // the flush-elision rewrite (drainWindowed's update-mode form) is
+      // row-correct only when the bounded replay lands in ONE data
+      // micro-batch: a multi-batch replay would emit intermediate per-window
+      // states that survive the window-end post-filter as duplicate rows.
+      // The invariant is pinned by maxFilesPerTrigger at the sources, but
+      // assert it here so a future source change fails loudly instead of
+      // corrupting results silently.
+      if (outputMode == "update") {
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches <= 1,
+          s"flush-elision single-batch invariant violated: $dataBatches data " +
+            "micro-batches in an update-mode drain — intermediate window " +
+            "states would leak past the watermark post-filter")
+      }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       ckpt.foreach(c =>
@@ -626,7 +641,10 @@ object StreamGate {
   /** `(r, user_id) → md5Lower63("scms{r}:{u}") % width` as codegen columns
     * (the [[graft.functions.PortableHash.md5Lower63Col]] kernel — the
     * round-9 UDF predated it). md5Lower63 is non-negative, so `%` is the
-    * positive remainder either way. */
+    * positive remainder either way. NULL semantics match the oracle's `||`
+    * (NULL user_id → NULL bucket; the UDF form hashed "null") — the events
+    * table's user_id is non-null by schema, see
+    * [[graft.operators.Sketches]]' cmsBucket note. */
   private[graft] def streamCmsBucket(r: org.apache.spark.sql.Column,
       u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.PortableHash.md5Lower63Col(

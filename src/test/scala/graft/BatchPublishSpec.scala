@@ -69,6 +69,26 @@ class BatchPublishSpec extends SparkTestBase {
     }
   }
 
+  test("marker retention: commits older than the retain window are swept, " +
+      "recent ones stay consultable for replay skips") {
+    val root = Files.createTempDirectory("graft-bp4").toString
+    val df = flatLogs()
+    (0L to 5L).foreach(b =>
+      BatchPublish.publish(df, root, "otel_logs", b, retainMarkers = 3L))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def markers(): Set[String] = {
+      val dir = new org.apache.hadoop.fs.Path(s"$root/_graft_commits/otel_logs")
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).map(_.getPath.getName).toSet
+    }
+    // after batch 5 with retain=3: markers ≤ 2 swept, {3,4,5} kept
+    assert(markers() == Set("3", "4", "5"), markers().toString)
+    // a retained batch still replays as a no-op
+    assert(!BatchPublish.publish(df, root, "otel_logs", 5L, retainMarkers = 3L))
+    assert(rows(root) == 81 * 6)
+  }
+
   private def listDataFiles(root: String): Seq[String] = {
     val base = new org.apache.hadoop.fs.Path(s"$root/otel_logs")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)

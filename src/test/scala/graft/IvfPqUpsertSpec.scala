@@ -99,4 +99,50 @@ class IvfPqUpsertSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$d/codes")
       .filter(col("vec_id") === 42L).count() == 1)
   }
+
+  test("a re-arriving vec_id that re-assigns to a DIFFERENT coarse cell " +
+      "replaces its old row (no cross-cell duplicate), and a cell emptied " +
+      "by the move loses its partition directory") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-upsert-move").toString
+    Similarity.buildIvfPqIndex(spark, d, vecs())
+    val codes0 = spark.read.parquet(s"$d/codes")
+      .select(col("vec_id"), col("cl")).as[(Long, Long)].collect().toMap
+    // pick two ids stored in different cells; move A onto B's vector, so
+    // A's new assignment is exactly B's cell (assignL2 is deterministic on
+    // identical vectors against the same codebook)
+    val byCell = codes0.groupBy(_._2)
+    assert(byCell.size >= 2, "need at least two coarse cells for this test")
+    val cellA = byCell.keys.min
+    val cellB = byCell.keys.max
+    val idA = byCell(cellA).keys.min
+    val idB = byCell(cellB).keys.min
+    val vB = vecs().filter(col("vec_id") === idB)
+      .select(col("v")).as[Seq[Double]].head()
+    val movedBatch = Seq((idA, vB)).toDF("vec_id", "v")
+    val touched = Similarity.ivfPqUpsertCodes(spark, d, movedBatch)
+    assert(touched.contains(cellA) && touched.contains(cellB),
+      s"both the old cell $cellA and the new cell $cellB must be touched: $touched")
+    val codes1 = spark.read.parquet(s"$d/codes")
+      .select(col("vec_id"), col("cl")).as[(Long, Long)].collect()
+    val rowsA = codes1.filter(_._1 == idA)
+    assert(rowsA.length == 1,
+      s"vec_id $idA must appear exactly once after the move: ${rowsA.toSeq}")
+    assert(rowsA.head._2 == cellB, s"vec_id $idA must live in cell $cellB now")
+    assert(codes1.length == codes0.size, "the move must not change the row count")
+
+    // now empty cellA entirely: move EVERY remaining id of cellA onto vB
+    val remaining = spark.read.parquet(s"$d/codes")
+      .filter(col("cl") === cellA).select(col("vec_id")).as[Long].collect()
+    if (remaining.nonEmpty) {
+      Similarity.ivfPqUpsertCodes(spark, d,
+        remaining.toSeq.toDF("vec_id").crossJoin(Seq(Tuple1(vB)).toDF("v")))
+    }
+    val fs = new org.apache.hadoop.fs.Path(s"$d/codes")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$d/codes/cl=$cellA")),
+      "an emptied cell's stale partition dir must be deleted")
+    assert(spark.read.parquet(s"$d/codes").filter(col("cl") === cellA).count() == 0)
+    assert(spark.read.parquet(s"$d/codes").count() == codes0.size)
+  }
 }
