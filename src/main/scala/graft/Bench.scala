@@ -28,53 +28,62 @@ object Bench {
     // placements plus per-pass wall times make ordering effects visible in
     // one artifact.
     val ingestPre = ingestRowsPerSec(spark)
-    // each query runs once as warmup (codegen/JIT/page cache) and then THREE
-    // timed steady-state runs; the headline per-query figure is the MEDIAN
-    // and the min is emitted alongside. This VM's run-to-run variance is
-    // ±50% (documented in SCALE.md) — a single timed run cannot distinguish
-    // a real regression from noise, a median of three can. The cache is
-    // cleared between runs and between queries: several operators persist
-    // intermediate frames internally, and Spark's CacheManager matches
-    // canonicalized plans, so without the clear a later run would time a
-    // cache read instead of the full pipeline (and caches would accumulate
-    // across all queries). Only the JVM/codegen stays warm.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): (Double, Boolean) = {
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case t: Throwable =>
-            System.err.println(s"BENCH FAILURE in $name: $t")
-            false
-        }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
-      // clearCache reclaims CacheManager entries only — localCheckpoint
-      // blocks (materializeAndRelease, StreamGate, CC rounds) are freed by
-      // the ContextCleaner only after the driver GCs the RDD reference.
-      // Across 69 queries × 4 executions the orphaned blocks otherwise
-      // accumulate in storage memory and squeeze execution memory for
-      // late-alphabet queries (measured: dedup_jaccard_capped 6.3 s
-      // mid-sweep vs 2.6 s standalone, back to 2.4 s with collection). One
-      // explicit GC per QUERY keeps the sweep memory-stationary without
-      // perturbing the three timed runs.
-      System.gc()
-      val (tw, okw) = once() // warmup, discarded
-      val runs = if (okw) Seq.fill(3)(once()) else Seq((tw, okw))
+    // Each query runs once as warmup (codegen/JIT/page cache) and then THREE
+    // timed steady-state runs, INTERLEAVED: pass 1 runs every gate once,
+    // then pass 2, then pass 3 — not three back-to-back runs per gate. The
+    // round-11 close showed WHY the shape matters: complete sf0.1 runs swing
+    // ±15% with DISJOINT per-run regression lists, i.e. ambient VM noise
+    // arrives in multi-second windows. Back-to-back runs of one gate share a
+    // window, so a stall poisons all three of its samples at once and the
+    // median doesn't defend; interleaving spreads a gate's three samples
+    // ~2 minutes apart, so a stall window clips at most one sample per gate
+    // and the per-gate median recovers (verdict r11 task 1 — the QProbe
+    // discipline applied to the committed artifact). The headline per-query
+    // figure is the interleaved MEDIAN; min and max are emitted alongside so
+    // the artifact shows each gate's spread. The cache is cleared and a GC
+    // runs before EVERY execution: operators persist/localCheckpoint
+    // intermediate frames internally, and without the clear+collect a later
+    // run would time a cache read or run squeezed by orphaned checkpoint
+    // blocks (measured round 7: dedup_jaccard_capped 6.3 s mid-sweep vs
+    // 2.6 s standalone, back to 2.4 s with collection). Only the
+    // JVM/codegen/page cache stays warm between executions.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case t: Throwable =>
+          System.err.println(s"BENCH FAILURE in $name: $t")
+          false
+      }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    val warmOk: Map[String, Boolean] =
+      names.map { case (n, fn) => n -> once(n, fn)._2 }.toMap
+    val passes: Seq[Map[String, (Double, Boolean)]] = (1 to 3).map { _ =>
+      names.map { case (n, fn) =>
+        n -> (if (warmOk(n)) once(n, fn) else (-1.0, false))
+      }.toMap
+    }
+    val results = names.map { case (name, _) =>
+      val runs = passes.map(_(name))
       val ok = runs.forall(_._2)
       val times = runs.map(_._1).sorted
-      (name, times(times.length / 2), times.head, ok)
+      (name, times(times.length / 2), times.head, times.last, ok)
     }
+    spark.catalog.clearCache()
     // a failed query reports -1 (never a normal-looking elapsed time) and is
     // listed in "failed" so a crash can't pass as a fast success
-    val qs = results.map { case (k, med, _, ok) => s"\"" + k + "\":" + (if (ok) med else -1) }
+    val qs = results.map { case (k, med, _, _, ok) => s"\"" + k + "\":" + (if (ok) med else -1) }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, _, min, ok) => s"\"" + k + "\":" + (if (ok) min else -1) }
+    val qsMin = results.map { case (k, _, min, _, ok) => s"\"" + k + "\":" + (if (ok) min else -1) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
+    val qsMax = results.map { case (k, _, _, max, ok) => s"\"" + k + "\":" + (if (ok) max else -1) }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, med, _, true) => med }.sum
+    val total = results.collect { case (_, med, _, _, true) => med }.sum
     // same GC hygiene the sweep gives each query, so a pre/post ingest gap
     // measures page-cache/VM state rather than trivially-collectable
     // checkpoint blocks from the final queries
@@ -87,7 +96,7 @@ object Bench {
     // headline = pre-sweep MEDIAN pass: measured on a clean JVM, directly
     // comparable to a standalone run, and robust to a single mid-run VM
     // stall (round-7 verdict task 2); mean/best/raw passes stay alongside
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir","ingest_rows_per_s":${ingestPre.medianRowsPerSec},"ingest_rows_per_s_best":${ingestPre.bestRowsPerSec},"ingest_pre":${ingestJson(ingestPre)},"ingest_post":${ingestJson(ingestPost)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"failed":$failed,"sf":"$sfDir","ingest_rows_per_s":${ingestPre.medianRowsPerSec},"ingest_rows_per_s_best":${ingestPre.bestRowsPerSec},"ingest_pre":${ingestJson(ingestPre)},"ingest_post":${ingestJson(ingestPost)}}"""
     println(line)
     // the driver's BENCH_r{N}.json artifact truncates its tail (round 7
     // preserved only ~113 of 169 per-query medians), so ALSO persist the

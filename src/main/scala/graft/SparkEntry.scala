@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_jaccard_capped" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardCapped(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
+    "dedup_incremental_tbl" -> ((s: SparkSession, d: String) => Dedup.dedupIncrementalFromIndex(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "dedup_groups" -> ((s: SparkSession, d: String) => Dedup.nearDupGroups(s, d)),
     "dedup_survivors" -> ((s: SparkSession, d: String) => Dedup.dedupSurvivors(s, d)),
@@ -695,6 +696,10 @@ object SparkEntry {
     "dedup_survivors" -> operators.Dedup.dedupSurvivorsOracleSql(),
     "dedup_minhash_lsh" -> operators.Dedup.minhashOracleSql(),
     "dedup_incremental" -> operators.Dedup.dedupIncrementalOracleSql(),
+    // the maintained-index form is hash-identical to the self-contained
+    // probe by construction (the index equals a one-shot corpus banding),
+    // so it shares the oracle
+    "dedup_incremental_tbl" -> operators.Dedup.dedupIncrementalOracleSql(),
     "dedup_simhash" -> operators.Dedup.simhashOracleSql(),
     "dedup_embedding_lsh" -> operators.Similarity.cosinePairsLshOracleSql(),
     "sim_ann_lsh" -> operators.Similarity.annLshOracleSql(),

@@ -165,6 +165,20 @@ object Bucketing {
     * ≤512-double collect, the k-means-codebook class) and assignment is
     * an O(log k) binary-search UDF per row.
     */
+  /** Rank-bucket assignment against a collected quantile-sketch boundary
+    * array — O(log k) binary search per row ([[zOrderKeysRanked]]'s bucket
+    * step; object-level so UdfAuditProbe measures the production closure —
+    * the HOF `size(filter(...))` form was measured 5× slower, see the call
+    * site). */
+  private[graft] def mkUb(arr: Array[Double]) = udf { (v: Double) =>
+    var lo = 0; var hi = arr.length
+    while (lo < hi) {
+      val m = (lo + hi) >>> 1
+      if (arr(m) <= v) lo = m + 1 else hi = m
+    }
+    math.min(lo.toLong, 255L)
+  }
+
   def zOrderKeysRanked(spark: SparkSession, sfDir: String,
       limit: Int = 200): DataFrame = {
     import graft.functions.QsketchAggregate.qsketchBottomK
@@ -182,14 +196,6 @@ object Bucketing {
     val row = sk.collect().head
     val su = row.getSeq[Double](0).toArray
     val sv = row.getSeq[Double](1).toArray
-    def mkUb(arr: Array[Double]) = udf { (v: Double) =>
-      var lo = 0; var hi = arr.length
-      while (lo < hi) {
-        val m = (lo + hi) >>> 1
-        if (arr(m) <= v) lo = m + 1 else hi = m
-      }
-      math.min(lo.toLong, 255L)
-    }
     val (ubU, ubV) = (mkUb(su), mkUb(sv))
     ev.withColumn("bu", ubU(col("user_id").cast("double")))
       .withColumn("bv", ubV(col("value")))
@@ -274,7 +280,7 @@ object Bucketing {
     d
   }
 
-  private val hilbertUdf = udf { (x: Long, y: Long) => hilbertIndex(x, y) }
+  private[graft] val hilbertUdf = udf { (x: Long, y: Long) => hilbertIndex(x, y) }
 
   /** Gate query: the first 200 events in HILBERT order on the same
     * normalized (user_id, value) grid as [[zOrderKeys]]. The Hilbert curve

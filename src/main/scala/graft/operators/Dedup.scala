@@ -40,7 +40,7 @@ object Dedup {
     * ~1 ms/doc at sf0.1; this loop is ~1000× faster with identical output
     * (first-occurrence order, like array_distinct). One map pass, no
     * shuffle. */
-  private val shingleUdf = udf { (toks: Seq[String]) =>
+  private[graft] val shingleUdf = udf { (toks: Seq[String]) =>
     if (toks.length < 3) Seq.empty[String]
     else {
       val seen = new java.util.LinkedHashSet[String]()
@@ -471,6 +471,167 @@ object Dedup {
        |SELECT doc_id, dup_of, jaccard, CAST(n_matches AS BIGINT) AS n_matches
        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // ---- Maintained band index (the materialized corpus side of -----------
+  // ---- dedupIncremental — verdict r11 task 3) ----------------------------
+
+  /** Sub-band bucket count for the maintained index's physical layout. The
+    * index is partitioned by (band, bkt) where `bkt` is a deterministic
+    * hash of the band signature — [[Bands]]×[[BandIndexBuckets]] = 128
+    * cells here; a 100 TB deployment raises the bucket count so a daily
+    * batch touches a small fraction of cells and the upsert's dynamic
+    * partition overwrite rewrites only those (the
+    * [[Similarity.ivfPqUpsertCodes]] pattern applied to the dedup index). */
+  val BandIndexBuckets = 8L
+
+  /** Late-arrival selector for [[bandIndexTable]]'s build: corpus docs with
+    * `doc_id % 7 == 2` (~14%) land AFTER the initial index write and go
+    * through [[bandIndexUpsert]] — every gate run exercises the maintenance
+    * path, not just the one-shot build. */
+  val BandIndexLateMod = 7L
+
+  /** `bkt` as a codegen column of the band signature (salted md5, positive,
+    * so `%` is the positive remainder). Cast to int so the value written
+    * into the `bkt=` partition dir round-trips Spark's partition-column
+    * type inference exactly. */
+  private def bandBkt(bandSig: Column): Column =
+    (PortableHash.md5Lower63Col(concat(lit("bib:"), bandSig)) %
+      BandIndexBuckets).cast("int")
+
+  /** (doc_id, band, bandSig, bkt) band rows of a (doc_id, text) docs frame
+    * — the signature pipeline of [[dedupIncremental]] generalized off the
+    * sfDir loader, feeding both the index build and the upsert encode. */
+  private def bandRowsOfDocs(docs: DataFrame): DataFrame = {
+    val signed = Tables.spreadIfNarrow(docs, col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.ShingleExpressions.shingleHashes(col("text")).as("shh"))
+      .filter(size(col("shh")) > 0)
+      .select(col("doc_id"), minhashSignatureFromHashes(col("shh")).as("sig"))
+    bandRows(signed).withColumn("bkt", bandBkt(col("bandSig")))
+  }
+
+  /** Write the corpus band index for `docs` at `dir`, partitioned by
+    * (band, bkt) — the one-shot (re)build path. */
+  private[graft] def writeBandIndex(spark: SparkSession, dir: String,
+      docs: DataFrame): Unit =
+    bandRowsOfDocs(docs).write.mode("overwrite")
+      .partitionBy("band", "bkt").parquet(dir)
+
+  /** INDEX MAINTENANCE for the dedup band index — add `newDocs`' band rows,
+    * REPLACING any re-arriving doc_id's old rows (a re-crawled document's
+    * text may change, moving its band signatures to entirely different
+    * cells — the old cells are located by a broadcast semi-join probe by
+    * doc_id, exactly like [[Similarity.ivfPqUpsertCodes]]' cell-move
+    * handling, and a 100 TB store would keep a doc→cells sidecar to make
+    * the probe a lookup). Only touched (band, bkt) partitions are
+    * rewritten (dynamic partition overwrite over an OR-of-equalities
+    * partition filter — the existing-rows scan is partition-pruned);
+    * touched cells left with no rows get their stale dirs deleted.
+    * Returns the touched (band, bkt) cells. */
+  def bandIndexUpsert(spark: SparkSession, indexDir: String,
+      newDocs: DataFrame): Seq[(Int, Int)] = {
+    import spark.implicits._
+    val rows = bandRowsOfDocs(newDocs).persist()
+    val batchCells = rows.select(col("band"), col("bkt")).distinct()
+      .as[(Int, Int)].collect().toSeq
+    val newIds = rows.select(col("doc_id")).distinct()
+    val oldCells = spark.read.parquet(indexDir)
+      .join(broadcast(newIds), Seq("doc_id"))
+      .select(col("band"), col("bkt")).distinct().as[(Int, Int)].collect().toSeq
+    val touched = (batchCells ++ oldCells).distinct.sorted
+    val touchedPred = touched
+      .map { case (b, k) => col("band") === b && col("bkt") === k }
+      .reduce(_ || _)
+    val existing = spark.read.parquet(indexDir).filter(touchedPred)
+      .join(broadcast(newIds), Seq("doc_id"), "left_anti")
+    val merged = existing.select(col("doc_id"), col("bandSig"), col("band"),
+        col("bkt"))
+      .unionByName(rows.select(col("doc_id"), col("bandSig"), col("band"),
+        col("bkt")))
+      .localCheckpoint(true)
+    rows.unpersist()
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "static")
+    try {
+      spark.conf.set(key, "dynamic")
+      merged.write.mode("overwrite").partitionBy("band", "bkt")
+        .parquet(indexDir)
+    } finally spark.conf.set(key, prev)
+    // dynamic overwrite skips partitions absent from the write — a touched
+    // cell whose last rows were all replaced-away keeps stale files unless
+    // deleted explicitly (same edge as the IVF-PQ codes table)
+    val mergedCells = merged.select(col("band"), col("bkt")).distinct()
+      .as[(Int, Int)].collect().toSet
+    val base = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(mergedCells).foreach { case (b, k) =>
+      fs.delete(new org.apache.hadoop.fs.Path(base, s"band=$b/bkt=$k"), true)
+    }
+    touched
+  }
+
+  /** The maintained corpus band index, built ONCE per (JVM, corpus) like
+    * [[Similarity.annIvfPqUpsert]]'s index memo: the initial write covers
+    * the corpus minus the [[BandIndexLateMod]] late tranche, which is then
+    * [[bandIndexUpsert]]ed — so every gate run prices build + maintenance.
+    * The final table is deterministic and equal to a one-shot build over
+    * the whole corpus (band rows are a pure per-document function and the
+    * late ids are new to the index), which is what makes
+    * [[dedupIncrementalFromIndex]] hash-identical to [[dedupIncremental]]. */
+  def bandIndexTable(spark: SparkSession, sfDir: String): String =
+    MemoTables.dir(s"bandindex|$sfDir", "graft-bandindex") { d =>
+      val corpus = documents(spark, sfDir)
+        .filter(col("doc_id") % IncrementalBatchMod =!= 3L)
+        .select(col("doc_id"), col("text"))
+      writeBandIndex(spark, d,
+        corpus.filter(col("doc_id") % BandIndexLateMod =!= 2L))
+      bandIndexUpsert(spark, d,
+        corpus.filter(col("doc_id") % BandIndexLateMod === 2L))
+    }
+
+  /** [[dedupIncremental]] fed from the MAINTAINED band index instead of
+    * re-banding the corpus per run — the shape its own scaladoc promises at
+    * 100 TB: the batch's ~16·|batch| band rows equi-join the materialized
+    * (band, bkt, bandSig) table (bkt, a pure function of bandSig, rides
+    * along as a join key so the probe can prune index partitions), and
+    * only candidate documents' shingle sets are fetched for the exact-
+    * Jaccard verify. Same candidates, same verify, same window as the
+    * self-contained form ⇒ hash-identical output, same oracle. */
+  def dedupIncrementalFromIndex(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val isBatch = col("doc_id") % IncrementalBatchMod === 3L
+    val index = spark.read.parquet(bandIndexTable(spark, sfDir))
+    val sh = docShingleHashes(spark, sfDir).filter(size(col("shh")) > 0)
+      .persist()
+    val probe = bandRows(
+        sh.filter(isBatch)
+          .select(col("doc_id"), minhashSignatureFromHashes(col("shh")).as("sig")))
+      .withColumn("bkt", bandBkt(col("bandSig")))
+    val cand = probe.as("a").join(index.as("b"),
+        col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
+          col("a.bandSig") === col("b.bandSig"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("dup_of"))
+      .distinct()
+    val withSets = sh.select(col("doc_id"), col("shh"))
+    val verified = cand
+      .join(withSets.as("da"), col("new_id") === col("da.doc_id"))
+      .join(withSets.as("db"), col("dup_of") === col("db.doc_id"))
+      .select(col("new_id"), col("dup_of"),
+        (size(array_intersect(col("da.shh"), col("db.shh"))).cast("double") /
+          size(array_union(col("da.shh"), col("db.shh"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val w = Window.partitionBy(col("new_id"))
+      .orderBy(col("jaccard").desc, col("dup_of"))
+    val wAll = Window.partitionBy(col("new_id"))
+    val out = verified
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_matches", count(lit(1)).over(wAll))
+      .filter(col("rn") === 1)
+      .select(col("new_id").as("doc_id"), col("dup_of"), col("jaccard"),
+        col("n_matches"))
+    materializeAndRelease(out, sh).orderBy(col("doc_id"))
+  }
+
   // ---- SimHash ----
 
   private val SimBits = 63 // bits 0..62 of the md5-derived u64 (sign bit unused)
@@ -508,7 +669,7 @@ object Dedup {
     * faster as primitive code than as interpreted HOFs. Each *distinct*
     * token is hashed once per document (count map preserves the multiset
     * weights) and digests are memoized across documents. */
-  private val simhashUdf = udf { (toks: Seq[String]) =>
+  private[graft] val simhashUdf = udf { (toks: Seq[String]) =>
     val counts = new java.util.HashMap[String, Integer]()
     toks.foreach { t =>
       val c = counts.get(t)
@@ -1352,7 +1513,7 @@ object Dedup {
   /** Positional 63-bit hashes of every [[PassageTokens]]-token sliding
     * window — [[passageDedup]]'s windows WITH their start offsets kept
     * (no dedup), so span arithmetic downstream can reason about overlap. */
-  private val gramPosHashUdf = udf { (toks: Seq[String]) =>
+  private[graft] val gramPosHashUdf = udf { (toks: Seq[String]) =>
     if (toks.length < PassageTokens) Seq.empty[Long]
     else {
       val out = new Array[Long](toks.length - PassageTokens + 1)

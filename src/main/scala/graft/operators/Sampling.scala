@@ -72,28 +72,33 @@ object Sampling {
     * benchmark suites are tiny), so its distinct-hash set broadcasts and the
     * probe is a map-side semi-join — the 100 TB train side never shuffles.
     * 8-byte hashes only; document text never leaves the scan. */
+  /** Distinct word-8-gram 63-bit hashes per token list — [[decontaminate]]'s
+    * gram extractor (object-level so UdfAuditProbe measures the production
+    * closure; the audit verdict lives in SCALE.md's UDF table). */
+  private[graft] val ngramHash8Udf = udf { (toks: Seq[String]) =>
+    val k = 8
+    if (toks.length < k) Seq.empty[Long]
+    else {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i + k - 1 < toks.length) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j)); j += 1
+        }
+        seen.add(PortableHash.md5Lower63(sb.toString))
+        i += 1
+      }
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSeq.map(_.longValue())
+    }
+  }
+
   def decontaminate(spark: SparkSession, sfDir: String,
       flagThreshold: Double = 0.1): DataFrame = {
-    val ngramHashUdf = udf { (toks: Seq[String]) =>
-      val k = 8
-      if (toks.length < k) Seq.empty[Long]
-      else {
-        val seen = new java.util.LinkedHashSet[java.lang.Long]()
-        var i = 0
-        while (i + k - 1 < toks.length) {
-          val sb = new java.lang.StringBuilder
-          var j = 0
-          while (j < k) {
-            if (j > 0) sb.append(' ')
-            sb.append(toks(i + j)); j += 1
-          }
-          seen.add(PortableHash.md5Lower63(sb.toString))
-          i += 1
-        }
-        import scala.jdk.CollectionConverters._
-        seen.asScala.toSeq.map(_.longValue())
-      }
-    }
+    val ngramHashUdf = ngramHash8Udf
     val withSplit = documents(spark, sfDir)
       .select(col("doc_id"),
         (hashCol("split:", col("doc_id")) % 1000).as("bucket"),
@@ -524,9 +529,10 @@ object Sampling {
     * is kept iff it adds tokens beyond the previous chunk. Pure per-row
     * explode — linear, no shuffle; chunk identity is (doc_id, chunk_id).
     */
-  def chunkOverlap(spark: SparkSession, sfDir: String, len: Int = ChunkLen,
-      stride: Int = ChunkStride): DataFrame = {
-    val chunkUdf = udf { (toks: Seq[String]) =>
+  /** The per-document chunk extractor of [[chunkOverlap]] (object-level so
+    * UdfAuditProbe measures the production closure at a given len/stride). */
+  private[graft] def chunkUdfFor(len: Int, stride: Int) =
+    udf { (toks: Seq[String]) =>
       val n = toks.length
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
       var i = 0
@@ -540,6 +546,10 @@ object Sampling {
       }
       out.toSeq
     }
+
+  def chunkOverlap(spark: SparkSession, sfDir: String, len: Int = ChunkLen,
+      stride: Int = ChunkStride): DataFrame = {
+    val chunkUdf = chunkUdfFor(len, stride)
     documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), explode(chunkUdf(col("t"))).as("c"))

@@ -160,23 +160,27 @@ object TextAnalysis {
     * the standard signals for machine-generated/boilerplate filtering.
     * Integer counts + one division each → bit-identical cross-engine.
     * Pure map pass, no shuffle. */
+  /** [[repetition]]'s per-document counters (object-level so UdfAuditProbe
+    * measures the production closure). */
+  private[graft] val repetitionStatsUdf = udf { (toks: Seq[String]) =>
+    val n = toks.length
+    val n3 = math.max(n - 2, 0)
+    val d3 = if (n3 == 0) 0
+      else {
+        val seen = new java.util.HashSet[String]()
+        var i = 0
+        while (i + 2 < n) { seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)); i += 1 }
+        seen.size
+      }
+    val counts = new java.util.HashMap[String, Int]()
+    toks.foreach(t => counts.merge(t, 1, Integer.sum))
+    var topCnt = 0
+    counts.values.forEach(c => if (c > topCnt) topCnt = c)
+    (n.toLong, n3.toLong, d3.toLong, topCnt.toLong)
+  }
+
   def repetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val statsUdf = udf { (toks: Seq[String]) =>
-      val n = toks.length
-      val n3 = math.max(n - 2, 0)
-      val d3 = if (n3 == 0) 0
-        else {
-          val seen = new java.util.HashSet[String]()
-          var i = 0
-          while (i + 2 < n) { seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)); i += 1 }
-          seen.size
-        }
-      val counts = new java.util.HashMap[String, Int]()
-      toks.foreach(t => counts.merge(t, 1, Integer.sum))
-      var topCnt = 0
-      counts.values.forEach(c => if (c > topCnt) topCnt = c)
-      (n.toLong, n3.toLong, d3.toLong, topCnt.toLong)
-    }
+    val statsUdf = repetitionStatsUdf
     documents(spark, sfDir)
       .select(col("doc_id"), statsUdf(split(col("text"), " ")).as("s"))
       .select(col("doc_id"),
@@ -222,25 +226,17 @@ object TextAnalysis {
       |LEFT JOIN tc ON t.doc_id = tc.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
-  /** Document fingerprinting, MOSS-style winnowing over k-gram hashes
-    * (k = 8, window w = 50):
-    *   - `fingerprint`  — 63-bit MD5-derived hash of the full text;
-    *   - `winnow_min`   — minimum k-gram hash (the strongest single shared-
-    *                      substring signal between near-dup docs);
-    *   - `n_winnow`     — number of DISTINCT window-minimum hashes (the size
-    *                      of the winnowed fingerprint set: each length-w
-    *                      window of k-gram positions contributes its min).
-    * All hashes are MD5-derived 63-bit values ([[graft.functions.PortableHash]])
-    * so the whole output is recomputable by the DuckDB oracle — an earlier
-    * Karp–Rabin rolling-hash variant ([[fingerprintKR]]) is kept for the
-    * rolling-hash formulation but is JVM-wrapping-multiply-specific.
-    * UDF-based (per-char loop is not expressible in codegen HOFs); one map
-    * pass, no shuffle. */
-  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Winnowing window parameters of [[fingerprint]] (k-gram size / window). */
+  private val WinnowK = 8
+  private val WinnowW = 50
+
+  /** [[fingerprint]]'s winnowing pass (object-level so UdfAuditProbe
+    * measures the production closure). */
+  private[graft] val winnowUdf = {
     import graft.functions.PortableHash
-    val k = 8
-    val w = 50
-    val winnowUdf = udf { (s: String) =>
+    val k = WinnowK
+    val w = WinnowW
+    udf { (s: String) =>
       // k-grams over CODE POINTS: the oracle's substr/length are code-point-
       // based, so UTF-16 indexing would desynchronize on any supplementary-
       // plane character
@@ -285,6 +281,24 @@ object TextAnalysis {
         (globalMin, mins.size.toLong)
       }
     }
+  }
+
+  /** Document fingerprinting, MOSS-style winnowing over k-gram hashes
+    * (k = [[WinnowK]], window w = [[WinnowW]]):
+    *   - `fingerprint`  — 63-bit MD5-derived hash of the full text;
+    *   - `winnow_min`   — minimum k-gram hash (the strongest single shared-
+    *                      substring signal between near-dup docs);
+    *   - `n_winnow`     — number of DISTINCT window-minimum hashes (the size
+    *                      of the winnowed fingerprint set: each length-w
+    *                      window of k-gram positions contributes its min).
+    * All hashes are MD5-derived 63-bit values ([[graft.functions.PortableHash]])
+    * so the whole output is recomputable by the DuckDB oracle — an earlier
+    * Karp–Rabin rolling-hash variant ([[fingerprintKR]]) is kept for the
+    * rolling-hash formulation but is JVM-wrapping-multiply-specific.
+    * UDF-based (per-char loop is not expressible in codegen HOFs); one map
+    * pass, no shuffle. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.PortableHash
     documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
       .withColumn("fp", PortableHash.md5Lower63Col(col("text")))
@@ -1048,7 +1062,7 @@ object TextAnalysis {
   /** Docs per bucket for [[vocabGrowth]]. */
   val VocabBucketDocs = 20L
 
-  private val vocabGram3Udf = udf { (toks: Seq[String]) =>
+  private[graft] val vocabGram3Udf = udf { (toks: Seq[String]) =>
     if (toks.length < 3) Array.empty[Long]
     else (0 to toks.length - 3).map(i =>
       graft.functions.PortableHash
@@ -1117,7 +1131,7 @@ object TextAnalysis {
        |FROM p GROUP BY 1 HAVING count(*) >= $BoilerplateMinDocs
        |ORDER BY n_docs DESC, prefix""".stripMargin
 
-  private val classifierScoreUdf = udf { (toks: Seq[String]) =>
+  private[graft] val classifierScoreUdf = udf { (toks: Seq[String]) =>
     var s = 0L
     val it = toks.iterator
     while (it.hasNext)

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Round-12 operators: the MAINTAINED dedup band index
+  * ([[Dedup.bandIndexTable]] / [[Dedup.bandIndexUpsert]] /
+  * [[Dedup.dedupIncrementalFromIndex]]) — the [[graft.operators.Similarity]]
+  * IVF-codes maintenance pattern applied to the LSH corpus side. */
+class Round12OpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs() = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  /** (cell dir → set of (file name, length)) under a band-index root. */
+  private def cellFiles(d: String): Map[String, Set[(String, Long)]] = {
+    val base = new org.apache.hadoop.fs.Path(d)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.Map[String, Set[(String, Long)]]()
+      .withDefaultValue(Set.empty)
+    val it = fs.listFiles(base, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val cell = st.getPath.getParent.getParent.getName + "/" +
+          st.getPath.getParent.getName // band=B/bkt=K
+        out(cell) = out(cell) + ((st.getPath.getName, st.getLen))
+      }
+    }
+    out.toMap
+  }
+
+  test("the maintained-index probe is row-identical to the self-contained " +
+      "incremental dedup (index build + late-tranche upsert ≡ one-shot " +
+      "corpus banding)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).sortBy(x => (x._1, x._2))
+    val self = rows(Dedup.dedupIncremental(spark, sf))
+    val tbl = rows(Dedup.dedupIncrementalFromIndex(spark, sf))
+    assert(self.nonEmpty, "the sf0.001 batch must hit some corpus near-dups")
+    assert(tbl.toSeq == self.toSeq)
+  }
+
+  test("upserting a small batch of NEW docs rewrites ONLY the touched " +
+      "(band, bkt) cells; untouched cells keep their exact files") {
+    val d = Files.createTempDirectory("graft-bandidx").toString
+    Dedup.writeBandIndex(spark, d, docs().filter(col("doc_id") < 400))
+    val before = cellFiles(d)
+    assert(before.size > 30, s"expected a spread over many cells: ${before.size}")
+    val nBefore = spark.read.parquet(d).count()
+
+    // two brand-new ids borrowing real text (so they shingle non-trivially)
+    val batch = docs().filter(col("doc_id").isin(401L, 402L))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val touched = Dedup.bandIndexUpsert(spark, d, batch)
+    val touchedDirs = touched.map { case (b, k) => s"band=$b/bkt=$k" }.toSet
+    assert(touchedDirs.size < before.size,
+      s"a 2-doc batch must not touch every cell: ${touchedDirs.size} of ${before.size}")
+
+    val after = cellFiles(d)
+    before.foreach { case (cell, files) =>
+      if (!touchedDirs.contains(cell))
+        assert(after(cell) == files, s"untouched cell $cell was rewritten")
+    }
+    assert(spark.read.parquet(d).count() == nBefore + 2 * 16,
+      "each new doc adds one row per band")
+  }
+
+  test("a re-arriving doc_id with CHANGED text has all its old band rows " +
+      "replaced — including rows in cells the new text does not touch") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-bandidx2").toString
+    Dedup.writeBandIndex(spark, d, docs().filter(col("doc_id") < 400))
+    val idx0 = spark.read.parquet(d)
+      .select(col("doc_id"), col("band"), col("bandSig"))
+    val ids = idx0.select(col("doc_id")).distinct().as[Long].collect().sorted
+    assert(ids.length >= 2)
+    val (idA, idB) = (ids(0), ids(1))
+    val sigB = idx0.filter(col("doc_id") === idB)
+      .select(col("band"), col("bandSig")).as[(Int, String)].collect().toSet
+
+    // re-arrive idA carrying idB's text: its band rows must become sigB's
+    val newA = docs().filter(col("doc_id") === idB)
+      .select(lit(idA).as("doc_id"), col("text"))
+    Dedup.bandIndexUpsert(spark, d, newA)
+
+    val rowsA = spark.read.parquet(d).filter(col("doc_id") === idA)
+      .select(col("band"), col("bandSig")).as[(Int, String)].collect()
+    assert(rowsA.length == 16, s"exactly one row per band, got ${rowsA.length}")
+    assert(rowsA.toSet == sigB,
+      "the replaced doc's band rows must equal the new text's signatures")
+  }
+}
