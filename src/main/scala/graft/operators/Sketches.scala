@@ -518,6 +518,10 @@ object Sketches {
     val bloom = urgent.stat.bloomFilter("o_orderkey",
       math.max(urgent.count(), 1L), 0.01)
     val bloomB = spark.sparkContext.broadcast(bloom)
+    // UDF verdict (SCALE.md round-12 audit): 0.07 s udf-only at sf1. Spark's
+    // native might_contain only accepts BloomFilterAggregate binaries, so a
+    // native form would force rebuilding the driver-built filter for a
+    // sub-decisecond site.
     val mightContain = udf { (k: Long) => bloomB.value.mightContainLong(k) }
     val pruned = lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))

@@ -1062,6 +1062,8 @@ object TextAnalysis {
   /** Docs per bucket for [[vocabGrowth]]. */
   val VocabBucketDocs = 20L
 
+  /** 3-gram md5 stream per token list. UDF verdict (SCALE.md round-12
+    * audit): 0.11 s udf-only at sf1 — digest-bound leaf computation. */
   private[graft] val vocabGram3Udf = udf { (toks: Seq[String]) =>
     if (toks.length < 3) Array.empty[Long]
     else (0 to toks.length - 3).map(i =>
@@ -1131,6 +1133,9 @@ object TextAnalysis {
        |FROM p GROUP BY 1 HAVING count(*) >= $BoilerplateMinDocs
        |ORDER BY n_docs DESC, prefix""".stripMargin
 
+  /** Per-token md5-congruence weight accumulation. UDF verdict (SCALE.md
+    * round-12 audit): ≈0.01 s udf-only at sf1 — indistinguishable from the
+    * tokenize baseline. */
   private[graft] val classifierScoreUdf = udf { (toks: Seq[String]) =>
     var s = 0L
     val it = toks.iterator

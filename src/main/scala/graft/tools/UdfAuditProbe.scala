@@ -61,7 +61,8 @@ object UdfAuditProbe {
       "shingleUdf" -> (() =>
         { docs.select(sum(size(Dedup.shingleUdf(toks)))).head() }),
       "simhashUdf" -> (() =>
-        { docs.select(sum(Dedup.simhashUdf(toks))).head() }),
+        // pmod keeps the 63-bit hash sum inside ANSI bigint bounds
+        { docs.select(sum(pmod(Dedup.simhashUdf(toks), lit(1000000007L)))).head() }),
       "gramPosHashUdf" -> (() =>
         { docs.select(sum(size(Dedup.gramPosHashUdf(toks)))).head() }),
       "ngramHash8Udf" -> (() =>
