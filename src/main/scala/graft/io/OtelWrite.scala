@@ -37,13 +37,32 @@ object OtelWrite {
       .withColumn("hour", format_string("%02d", hour(col(tsCol))))
 
   /** Write one flat signal table to `{root}/{tableDir}` partitioned by
-    * service/year/month/day/hour; snappy parquet, capped file sizes. */
+    * service/year/month/day/hour; snappy parquet, capped file sizes.
+    *
+    * `rebalance` (default ON, round 12): cluster rows on the partition
+    * tuple with a REBALANCE shuffle before the dynamic-partition write.
+    * Without it every task writes one file per partition dir it sees —
+    * tasks × dirs small files (the measured 2528-request ingest pass wrote
+    * ~190 ~1k-row files and the write stage was ~63% of the ingest wall;
+    * IngestParseProbe round-12 rows). With it, file count follows the
+    * partition-dir count — the reference's own one-file-per-service-flush
+    * layout (/root/reference/src/writer/write.rs:93-130) — and the ingest
+    * headline gained ~20%. REBALANCE rather than a plain repartition
+    * because AQE both merges small shuffle partitions and SPLITS skewed
+    * ones, so a hot service cannot bottleneck one writer at scale (plain
+    * repartition pins each (service, hour) to exactly one task — that
+    * stays the [[graft.io.Compaction]] shape via `coalescePartitions`).
+    * Where AQE is off the hint degrades to a plain clustering shuffle —
+    * still the small-file fix, minus the skew split. Opt out
+    * (`rebalance = false`) for pipelines that pre-arrange their input and
+    * cannot afford the extra pass over the batch. */
   def write(df: DataFrame, root: String, tableDir: String,
       maxRecordsPerFile: Long = 200000L,
       coalescePartitions: Boolean = false,
       /** parquet row-group bytes — the reference's ~32k-row tuning knob
         * (scripts/perf_audit.py:229-239); Spark default 128 MiB. */
-      rowGroupBytes: Option[Long] = None): Unit = {
+      rowGroupBytes: Option[Long] = None,
+      rebalance: Boolean = true): Unit = {
     val partitioned = withPartitionColumns(df)
     val arranged =
       if (coalescePartitions)
@@ -51,6 +70,9 @@ object OtelWrite {
         // compaction jobs, not for wide ingest
         partitioned.repartition(col("service"), col("year"), col("month"),
           col("day"), col("hour"))
+      else if (rebalance)
+        partitioned.hint("rebalance",
+          "service", "year", "month", "day", "hour")
       else partitioned
     // dynamic-partition writes default to a per-task sort on the partition
     // tuple; with a bounded number of (service, hour) dirs per task,

@@ -98,11 +98,45 @@ object IngestParseProbe {
         .select("req.*")
 
     var outN = 0
-    def run(read: => DataFrame): Double = {
+    def run(read: => DataFrame, coalesce: Boolean = false): Double = {
       outN += 1
       val out = tmpDir.resolve(s"out$outN").toString
       val t0 = System.nanoTime()
-      graft.io.OtelWrite.write(graft.transform.Otlp.logs(read), out, "otel_logs")
+      graft.io.OtelWrite.write(graft.transform.Otlp.logs(read), out, "otel_logs",
+        coalescePartitions = coalesce)
+      val s = (System.nanoTime() - t0) / 1e9
+      graft.io.Storage.deleteRecursively(new java.io.File(out))
+      s
+    }
+
+    // stage decompositions (round-12): where does the wall go? `_parse`
+    // forces the decode with a work-forcing aggregate over a decoded deep
+    // field (count() would prune the decode — CountPruneProbe), `_flat`
+    // adds the full flatten but skips the parquet write. write share =
+    // full − flat; flatten share = flat − parse.
+    def timeOnly(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.agg(sum(length(col("Body")))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def timeParse(read: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      read.agg(sum(size(col("resourceLogs")))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def pbBulkRead = graft.io.OtlpRead.protobufLimited(
+      spark, graft.io.OtlpRead.Logs, 64L * 1024 * 1024, pbBulkDir.toString)
+    def runRebalanced(read: => DataFrame): Double = {
+      outN += 1
+      val out = tmpDir.resolve(s"out$outN").toString
+      val t0 = System.nanoTime()
+      val flat = graft.io.OtelWrite.withPartitionColumns(
+        graft.transform.Otlp.logs(read))
+        .hint("rebalance", "service", "year", "month", "day", "hour")
+      flat.write.mode("append").option("compression", "snappy")
+        .option("maxRecordsPerFile", 200000L)
+        .partitionBy("service", "year", "month", "day", "hour")
+        .parquet(s"$out/otel_logs")
       val s = (System.nanoTime() - t0) / 1e9
       graft.io.Storage.deleteRecursively(new java.io.File(out))
       s
@@ -115,8 +149,21 @@ object IngestParseProbe {
       "text_from_json_pruned" -> (() => run(textRead(prunedSchema))),
       "pb" -> (() => run(graft.io.OtlpRead.protobuf(
         spark, graft.io.OtlpRead.Logs, pbDir.toString))),
-      "pb_bulk" -> (() => run(graft.io.OtlpRead.protobufLimited(
-        spark, graft.io.OtlpRead.Logs, 64L * 1024 * 1024, pbBulkDir.toString))),
+      "pb_bulk" -> (() => run(pbBulkRead)),
+      "jsonl_parse" -> (() => timeParse(jsonlRead(fullSchema))),
+      "pb_bulk_parse" -> (() => timeParse(pbBulkRead)),
+      "jsonl_flat" -> (() => timeOnly(graft.transform.Otlp.logs(jsonlRead(fullSchema)))),
+      "pb_bulk_flat" -> (() => timeOnly(graft.transform.Otlp.logs(pbBulkRead))),
+      // clustered write: one shuffle on the partition tuple → one file per
+      // (service, hour) instead of one per (task, service, hour) — the
+      // reference's own per-service-flush layout, and ~6 writer inits
+      // instead of ~190 at this batch size
+      "jsonl_clustered" -> (() => run(jsonlRead(fullSchema), coalesce = true)),
+      "pb_bulk_clustered" -> (() => run(pbBulkRead, coalesce = true)),
+      // rebalance hint: same clustering intent, but AQE merges small shuffle
+      // partitions AND splits skewed ones — the skew-safe production form
+      "jsonl_rebalanced" -> (() => runRebalanced(jsonlRead(fullSchema))),
+      "pb_bulk_rebalanced" -> (() => runRebalanced(pbBulkRead)),
     )
     variants.foreach { case (_, f) => f(); f() } // 2 warmups each
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
