@@ -19,6 +19,37 @@ object Graph {
 
   private val Scale = 1000000000000L // fixed-point 10^12 per unit of rank
 
+  /** Run `body` (which must MATERIALIZE everything it wants timed under
+    * this setting — the rank loops do: per-round localCheckpoints plus the
+    * final [[Tables.materializeAndRelease]]) with adaptive query execution
+    * disabled, restoring the caller's setting afterwards.
+    *
+    * AQE is the wrong trade for a bounded fixed-point loop over a CACHED,
+    * pre-partitioned edge frame: every round is a fresh tiny query, so AQE
+    * re-plans per round (materialize-and-reoptimize latency ×iterations)
+    * and its runtime partition coalescing can re-plan the contribution
+    * aggregate to a partition count that no longer matches the cached
+    * hash(src) edges, reintroducing the per-round exchange the cache
+    * exists to avoid. Nothing AQE offers applies here: the loop's
+    * partitioning is pinned by construction, join sides are known
+    * (node-sized vs cached), and partial aggregation bounds skew before
+    * the shuffle. Measured (tools.PrProbe `ab`, interleaved same-JVM
+    * medians, sf0.1): shape change alone −20% vs the round-11 loop, shape
+    * + AQE-off −30%; AQE-off is a wash at cadence 0 and 2 as well. The
+    * conf flip is session-visible while the loop runs — gates execute
+    * serially in Verify/Bench, and concurrent-session users get their own
+    * SQLConf — and the previous value is always restored. */
+  private[graft] def withAqeOff[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Five PageRank rounds (damping 0.85) over the customer↔supplier
     * purchase graph: one edge per lineitem in each direction
     * (`o_custkey ↔ l_suppkey`, a multigraph — edge multiplicity IS the
@@ -96,7 +127,8 @@ object Graph {
     * once the top-k result is materialized
     * ([[Tables.materializeAndRelease]]). */
   private[graft] def pageRankOf(edgesIn: DataFrame, iterations: Int,
-      topK: Int, checkpointEvery: Int): DataFrame = {
+      topK: Int, checkpointEvery: Int): DataFrame =
+      withAqeOff(edgesIn.sparkSession) {
     val parted = edgesIn.repartition(col("src")).persist()
     val deg = parted.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val edges = parted.join(deg, "src").persist() // (src, dst, d) co-partitioned
@@ -521,7 +553,8 @@ object Graph {
     * the same symmetry argument; the seed-only teleport term moves into
     * the aggregate's projection, keyed on the aggregate's own `id`). */
   private[graft] def personalizedPageRankOf(edgesIn: DataFrame,
-      iterations: Int, topK: Int, checkpointEvery: Int): DataFrame = {
+      iterations: Int, topK: Int, checkpointEvery: Int): DataFrame =
+      withAqeOff(edgesIn.sparkSession) {
     val parted = edgesIn.repartition(col("src")).persist()
     val deg = parted.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val edges = parted.join(deg, "src").persist() // (src, dst, d) co-partitioned
