@@ -98,6 +98,7 @@ object SparkEntry {
     // -- dataset assembly --
     "sample_split" -> (Sampling.sampleSplit _),
     "sample_stratified" -> ((s: SparkSession, d: String) => Sampling.sampleStratified(s, d)),
+    "sample_dsir" -> ((s: SparkSession, d: String) => Sampling.sampleDsir(s, d)),
     "sample_weighted" -> ((s: SparkSession, d: String) => Sampling.sampleWeighted(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "cluster_kmeans" -> ((s: SparkSession, d: String) => Clustering.kmeans(s, d)),
@@ -731,6 +732,7 @@ object SparkEntry {
     "dedup_cross" -> Dedup.crossDedupOracleSql(),
 
     "sample_stratified" -> Sampling.sampleStratifiedOracleSql(),
+    "sample_dsir" -> Sampling.sampleDsirOracleSql,
     "sample_weighted" -> Sampling.sampleWeightedOracleSql(),
 
     "q_asof_join" ->

@@ -826,4 +826,108 @@ object Sampling {
             "CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_sq AS DOUBLE)")}
        |    AS effective_sources
        |FROM g ORDER BY lang""".stripMargin
+
+  // ---- DSIR-shaped importance selection (hashed n-gram data selection) ----
+
+  /** Hash buckets for the bigram feature space (DSIR's "hashed n-gram"
+    * dimensionality; 10⁴ in the paper, 2¹² here so the sf0.01 corpus still
+    * produces meaningful bucket collisions). */
+  val DsirBuckets = 4096L
+
+  /** The target-domain sample: documents from these sources define the
+    * distribution the selection steers toward. */
+  val DsirTargetSources: Seq[String] = Seq("src0", "src1", "src2")
+
+  /** Documents selected from the pool. */
+  val DsirTopK = 100
+
+  /** Data Selection with Importance Resampling, the hashed-n-gram form
+    * (Xie et al. 2023, arXiv:2302.03169), re-expressed in the engine's
+    * integer fixed-point discipline: score each POOL document by how much
+    * more likely its word bigrams are under the TARGET domain's hashed
+    * bigram distribution than under the pool's own.
+    *
+    *   - features: word bigrams hashed into [[DsirBuckets]] buckets via the
+    *     portable md5 kernel (already non-negative, so plain `%` is safe);
+    *   - bucket model: Laplace-smoothed count ratio in fixed point,
+    *     `r_fp(b) = ((c_tgt(b)+1)·10⁶) div (c_pool(b)+1)`. The paper's
+    *     weight multiplies this by the constant `(N_pool+B)/(N_tgt+B)`;
+    *     a per-corpus CONSTANT factor cannot change any document ordering,
+    *     so it is dropped to keep every value integer-exact;
+    *   - per-document score: the MEAN per-occurrence ratio,
+    *     `sum(r_fp) div n_bigrams` — the arithmetic-mean form of the
+    *     paper's geometric-mean (log-sum) score. The deviation is
+    *     deliberate and documented: a transcendental `ln` mid-pipeline
+    *     would be the engine's only double-rounding hash risk across two
+    *     engines, and both forms rank by target-likeness (they agree on
+    *     the tails the selection actually takes; the mean-ratio form
+    *     up-weights documents with a few strongly-target bigrams over
+    *     uniformly-mild ones).
+    *
+    * Scale shape (100 TB): both count tables are bounded by
+    * [[DsirBuckets]], so the model is a BROADCAST join onto the exploded
+    * bigram stream — the corpus-sized side shuffles once (the per-doc
+    * aggregate), never joins against itself. Overflow: `sum(r_fp)` per doc
+    * is bounded by doc_bigrams · max r_fp; with hashed buckets
+    * max r_fp ≈ 10⁶ · (target share of its hottest bucket), so BIGINT
+    * holds until a single bucket concentrates ~10¹² target bigrams —
+    * raise [[DsirBuckets]] long before that. */
+  def sampleDsir(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+    val isTgt = col("source").isin(DsirTargetSources: _*)
+    val bi = docs.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
+        .as("bg"))
+      .select(col("doc_id"), col("source"),
+        (PortableHash.md5Lower63Col(col("bg")) % DsirBuckets).as("b"))
+    val tgtC = bi.filter(isTgt).groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+    val pool = bi.filter(!isTgt)
+    val poolC = pool.groupBy(col("b")).agg(count(lit(1)).as("c_s"))
+    // every pool bucket is present in poolC by construction, so the model
+    // join below is total for pool rows; target-only buckets are never
+    // probed and can be dropped with the left join
+    val model = poolC.join(tgtC, Seq("b"), "left")
+      .select(col("b"),
+        expr("((coalesce(c_t, 0L) + 1L) * 1000000L) div (c_s + 1L)").as("r_fp"))
+    pool.join(broadcast(model), "b")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("r_fp")).as("s"))
+      .withColumn("score_fp", expr("s div n_bigrams"))
+      .drop("s")
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(DsirTopK)
+  }
+
+  /** DuckDB twin of [[sampleDsir]] — same hash kernel idiom
+    * (`md5_number_lower & maxlong`), same smoothing, `//` ≡ `div`; the
+    * HUGEINT sum is cast back to BIGINT after the integer divide. */
+  def sampleDsirOracleSql: String = {
+    val tgt = DsirTargetSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+       |), bi AS (
+       |  SELECT doc_id, source,
+       |    CAST(md5_number_lower(w[i] || ' ' || w[i+1])
+       |      & 9223372036854775807 AS BIGINT) % $DsirBuckets AS b
+       |  FROM toks, unnest(range(1, len(w))) AS t(i)
+       |), tgtc AS (
+       |  SELECT b, count(*) AS c_t FROM bi WHERE source IN ($tgt) GROUP BY b
+       |), pool AS (
+       |  SELECT * FROM bi WHERE source NOT IN ($tgt)
+       |), poolc AS (
+       |  SELECT b, count(*) AS c_s FROM pool GROUP BY b
+       |), model AS (
+       |  SELECT p.b,
+       |    ((COALESCE(t.c_t, 0) + 1) * 1000000) // (p.c_s + 1) AS r_fp
+       |  FROM poolc p LEFT JOIN tgtc t ON p.b = t.b
+       |)
+       |SELECT p.doc_id, p.source,
+       |  count(*) AS n_bigrams,
+       |  CAST(SUM(m.r_fp) // count(*) AS BIGINT) AS score_fp
+       |FROM pool p JOIN model m ON p.b = m.b
+       |GROUP BY p.doc_id, p.source
+       |ORDER BY score_fp DESC, p.doc_id LIMIT $DsirTopK""".stripMargin
+  }
 }

@@ -96,4 +96,53 @@ class Round12OpsSpec extends SparkTestBase {
     assert(rowsA.toSet == sigB,
       "the replaced doc's band rows must equal the new text's signatures")
   }
+
+  test("sample_dsir selects only pool documents, ranks by the smoothed " +
+      "target/pool bucket ratio (independent recompute), and broadcasts " +
+      "the bucket model") {
+    import graft.operators.Sampling
+    val out = Sampling.sampleDsir(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= Sampling.DsirTopK)
+    // target-domain documents are the reference sample, never selected
+    assert(rows.forall(r =>
+      !Sampling.DsirTargetSources.contains(r.getAs[String]("source"))))
+    // scores are the committed total order
+    val scores = rows.map(r => (r.getAs[Long]("score_fp"), r.getAs[Long]("doc_id")))
+    assert(scores.sameElements(scores.sortBy(t => (-t._1, t._2))))
+
+    // independent recompute of the top document's score: brute-force the
+    // bucket counts with plain DataFrame ops (no shared helper)
+    val topDoc = rows.head.getAs[Long]("doc_id")
+    val bg = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
+        .as("bg"))
+      .select(col("doc_id"), col("source"),
+        (graft.functions.PortableHash.md5Lower63Col(col("bg"))
+          % Sampling.DsirBuckets).as("b"))
+      .collect()
+    val isTgt = (s: String) => Sampling.DsirTargetSources.contains(s)
+    val cT = bg.filter(r => isTgt(r.getString(1))).groupBy(_.getLong(2))
+      .view.mapValues(_.length.toLong).toMap
+    val cS = bg.filter(r => !isTgt(r.getString(1))).groupBy(_.getLong(2))
+      .view.mapValues(_.length.toLong).toMap
+    val mine = bg.filter(r => r.getLong(0) == topDoc && !isTgt(r.getString(1)))
+    val rsum = mine.map { r =>
+      val b = r.getLong(2)
+      ((cT.getOrElse(b, 0L) + 1L) * 1000000L) / (cS(b) + 1L)
+    }.sum
+    val expected = rsum / mine.length
+    assert(rows.head.getAs[Long]("score_fp") == expected,
+      s"top doc score recompute: got ${rows.head.getAs[Long]("score_fp")}, want $expected")
+    assert(rows.head.getAs[Long]("n_bigrams") == mine.length)
+
+    // the B-bounded model joins as a broadcast — the corpus-sized bigram
+    // stream must never shuffle for the model lookup
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast model join in:\n$plan")
+  }
 }
