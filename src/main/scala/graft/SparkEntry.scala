@@ -102,6 +102,7 @@ object SparkEntry {
     "sample_weighted" -> ((s: SparkSession, d: String) => Sampling.sampleWeighted(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "cluster_kmeans" -> ((s: SparkSession, d: String) => Clustering.kmeans(s, d)),
+    "cluster_prune_prototypes" -> ((s: SparkSession, d: String) => Clustering.prunePrototypes(s, d)),
     "dedup_decontaminate" -> ((s: SparkSession, d: String) => Sampling.decontaminate(s, d)),
     "mix_source_stats" -> (Sampling.sourceMixStats _),
     "text_repetition" -> (TextAnalysis.repetition _),
@@ -709,6 +710,7 @@ object SparkEntry {
     "sample_split" -> Sampling.sampleSplitOracleSql,
     "pack_sequences" -> Sampling.packSequencesOracleSql(),
     "cluster_kmeans" -> Clustering.kmeansOracleSql(),
+    "cluster_prune_prototypes" -> Clustering.prunePrototypesOracleSql(),
     "dedup_decontaminate" -> Sampling.decontaminateOracleSql(),
     "mix_source_stats" -> Sampling.sourceMixStatsOracleSql,
     "text_repetition" -> TextAnalysis.repetitionOracleSql,

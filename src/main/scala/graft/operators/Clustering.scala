@@ -305,4 +305,88 @@ object Clustering {
          |)""".stripMargin)
     sb.toString
   }
+
+  // ---- prototype pruning (dataset pruning over the fitted clusters) ------
+
+  /** Prototype pruning over the fitted spherical k-means — the dataset-
+    * pruning shape of Sorscher et al. 2022 ("Beyond neural scaling laws",
+    * arXiv:2206.14486) and SemDeDup's cluster-wise selection (Abbas et al.
+    * 2023, arXiv:2303.09540): within each cluster, the members CLOSEST to
+    * their centroid are the most prototypical/redundant examples, and a
+    * data-rich pipeline drops them first (keep the hard tail). Per cluster
+    * this gate prunes the top ⌈n/4⌉ members by assignment cosine and
+    * reports the decision surface: member count, pruned count, the most
+    * prototypical cosine (`proto_cos`, rank 1), the LAST pruned cosine
+    * (`cut_cos` — the threshold an online filter would apply), and the
+    * decimal-exact mean cosine of the KEPT set (how hard the surviving
+    * examples are).
+    *
+    * Scale shape: assignment is the same broadcast-codebook map pass as
+    * [[kmeans]]; the per-cluster rank uses [[Ranks.globalRank]]'s grouped
+    * form — one range shuffle on (cluster, cos desc, vec_id) plus
+    * broadcast offsets — because a `Window.partitionBy(cluster)` with
+    * k = 8 keys would funnel a 100 TB corpus through 8 reducers. The
+    * summary aggregate is k-row bounded. */
+  def prunePrototypes(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    val e = Tables.spreadIfNarrow(embeddings(spark, sfDir), col("vec_id"))
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .persist()
+    val centroids = fit(e, k, iters)
+    val members = e.withColumn("a",
+        graft.functions.VectorExpressions.assignCos(col("v"), centroids))
+      .select(col("vec_id"), col("a._1").cast("long").as("cluster"),
+        col("a._2").as("cos"))
+    val ranked = Ranks.globalRank(members, "grank",
+      Seq(col("cluster"), col("cos").desc, col("vec_id")))
+    val sizes = ranked.groupBy(col("cluster"))
+      .agg(min(col("grank")).as("base"), count(lit(1)).as("n_members"))
+      .withColumn("n_pruned", expr("(n_members + 3) div 4"))
+    val out = ranked.join(broadcast(sizes), "cluster")
+      .withColumn("crank", col("grank") - col("base") + lit(1L))
+      .groupBy(col("cluster"), col("n_members"), col("n_pruned"))
+      .agg(
+        max(when(col("crank") === 1L, col("cos"))).as("proto_cos"),
+        max(when(col("crank") === col("n_pruned"), col("cos"))).as("cut_cos"),
+        Tables.exactAvg(when(col("crank") > col("n_pruned"), col("cos")))
+          .as("kept_mean_cos"))
+      .orderBy(col("cluster"))
+    e.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[prunePrototypes]] — same fit CTEs, a per-cluster
+    * row_number (fine at oracle scale; the Spark side ranks distributed),
+    * identical ⌈n/4⌉ rule and kept-mean decimal discipline. */
+  def prunePrototypesOracleSql(k: Int = 8, iters: Int = 3): String = {
+    val cos = Tables.portableRound6Sql(
+      "list_dot_product(q.v, c.cv) / (q.nrm * c.c_nrm)")
+    s"""WITH ${kmeansCtes(k, iters)},
+       |asg AS (
+       |  SELECT vec_id, cl, cos FROM (
+       |    SELECT q.vec_id, c.cl, $cos AS cos,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC,
+       |        c.cl) AS rnk
+       |    FROM n q CROSS JOIN cnF c
+       |  ) WHERE rnk = 1
+       |), rk AS (
+       |  SELECT vec_id, cl, cos,
+       |    row_number() OVER (PARTITION BY cl ORDER BY cos DESC, vec_id)
+       |      AS crank
+       |  FROM asg
+       |), sz AS (
+       |  SELECT cl, count(*) AS n_members, (count(*) + 3) // 4 AS n_pruned
+       |  FROM asg GROUP BY cl
+       |)
+       |SELECT CAST(cl AS BIGINT) AS cluster,
+       |  CAST(n_members AS BIGINT) AS n_members,
+       |  CAST(n_pruned AS BIGINT) AS n_pruned,
+       |  MAX(CASE WHEN crank = 1 THEN cos END) AS proto_cos,
+       |  MAX(CASE WHEN crank = n_pruned THEN cos END) AS cut_cos,
+       |  ${Tables.exactAvgSql("CASE WHEN crank > n_pruned THEN cos END")}
+       |    AS kept_mean_cos
+       |FROM rk JOIN sz USING (cl)
+       |GROUP BY cl, n_members, n_pruned
+       |ORDER BY cluster""".stripMargin
+  }
 }

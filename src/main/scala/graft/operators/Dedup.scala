@@ -511,9 +511,17 @@ object Dedup {
 
   /** Write the corpus band index for `docs` at `dir`, partitioned by
     * (band, bkt) — the one-shot (re)build path. */
+  /** The index build clusters rows on the partition tuple (REBALANCE, the
+    * [[graft.io.OtelWrite]] small-files fix) before the dynamic-partition
+    * write: without it every task writes one file per (band, bkt) dir it
+    * sees — up to tasks×128 near-empty files, and the probe side pays the
+    * whole footprint back as per-file open/footer overhead on every read
+    * (measured: the maintained-index gate ran 4× its self-contained twin
+    * until this clustering). With it, file count follows the cell count. */
   private[graft] def writeBandIndex(spark: SparkSession, dir: String,
       docs: DataFrame): Unit =
-    bandRowsOfDocs(docs).write.mode("overwrite")
+    bandRowsOfDocs(docs).hint("rebalance", "band", "bkt")
+      .write.mode("overwrite")
       .partitionBy("band", "bkt").parquet(dir)
 
   /** INDEX MAINTENANCE for the dedup band index — add `newDocs`' band rows,
@@ -553,7 +561,10 @@ object Dedup {
     val prev = spark.conf.get(key, "static")
     try {
       spark.conf.set(key, "dynamic")
-      merged.write.mode("overwrite").partitionBy("band", "bkt")
+      // same REBALANCE clustering as the build: one file per rewritten
+      // cell, not one per (task × cell)
+      merged.hint("rebalance", "band", "bkt")
+        .write.mode("overwrite").partitionBy("band", "bkt")
         .parquet(indexDir)
     } finally spark.conf.set(key, prev)
     // dynamic overwrite skips partitions absent from the write — a touched

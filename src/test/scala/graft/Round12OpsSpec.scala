@@ -145,4 +145,30 @@ class Round12OpsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected a broadcast model join in:\n$plan")
   }
+
+  test("cluster_prune_prototypes prunes exactly ceil(n/4) per cluster, " +
+      "cut_cos is the lowest pruned cosine, and the rank path carries no " +
+      "cluster-keyed window") {
+    import graft.operators.Clustering
+    val out = Clustering.prunePrototypes(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_members")
+      assert(r.getAs[Long]("n_pruned") == (n + 3) / 4)
+      // the pruning boundary: most-prototypical >= threshold >= kept mean
+      assert(r.getAs[Double]("proto_cos") >= r.getAs[Double]("cut_cos"))
+      if (!r.isNullAt(r.fieldIndex("kept_mean_cos")))
+        assert(r.getAs[Double]("cut_cos") >= r.getAs[Double]("kept_mean_cos"))
+    }
+    // total members = embedding count (every vector is assigned somewhere)
+    val total = rows.map(_.getAs[Long]("n_members")).sum
+    val nVec = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(total == nVec, s"member total $total != vector count $nVec")
+    // distributed rank: no windowspecdefinition keyed by the 8-value
+    // cluster column anywhere in the plan (globalRank's contract)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition"),
+      s"expected a window-free rank path in:\n$plan")
+  }
 }
