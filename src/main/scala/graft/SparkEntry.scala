@@ -121,6 +121,7 @@ object SparkEntry {
     "stream_window_counts" -> ((s: SparkSession, d: String) => graft.streaming.StreamGate.windowCounts(s, d)),
     "stream_sessionize" -> (graft.streaming.StreamGate.sessionize _),
     "stream_dedup" -> ((s, d) => graft.streaming.StreamGate.dedupKeys(s, d)),
+    "stream_dedup_lsh" -> ((s, d) => graft.streaming.StreamGate.dedupLshIndex(s, d)),
     "stream_enrich_join" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamGate.enrichJoin(s, d)),
     "stream_stream_join" -> ((s, d) => graft.streaming.StreamGate.streamStreamJoin(s, d)),
@@ -774,6 +775,9 @@ object SparkEntry {
     "stream_window_counts" -> graft.streaming.StreamGate.windowCountsOracleSql,
     "stream_sessionize" -> graft.streaming.StreamGate.sessionizeOracleSql,
     "stream_dedup" -> graft.streaming.StreamGate.dedupKeysOracleSql,
+    // the streaming index probe is hash-identical to the batch incremental
+    // dedup by construction (same candidates, verify, ranking)
+    "stream_dedup_lsh" -> operators.Dedup.dedupIncrementalOracleSql(),
     "stream_enrich_join" -> graft.streaming.StreamGate.enrichJoinOracleSql,
     "stream_stream_join" -> graft.streaming.StreamGate.streamStreamJoinOracleSql,
     "stream_upsert" -> graft.streaming.StreamGate.upsertSnapshotOracleSql,

@@ -500,6 +500,33 @@ object Dedup {
   /** (doc_id, band, bandSig, bkt) band rows of a (doc_id, text) docs frame
     * — the signature pipeline of [[dedupIncremental]] generalized off the
     * sfDir loader, feeding both the index build and the upsert encode. */
+  /** [[bandRows]] + bucket over an arbitrary (doc_id, text) frame, KEEPING
+    * the shingle-hash set on every band row — the probe shape a STREAMING
+    * ingest needs (the stream row must carry its own `shh` through the
+    * index join so the exact-Jaccard verify never joins back to the
+    * stream). Stream-safe by construction: every step is a stateless
+    * map/explode (native shingle/minhash kernels), no window, no
+    * aggregation, no repartition. Used by
+    * [[graft.streaming.StreamGate.dedupLshIndex]]; batch callers use
+    * [[bandRowsOfDocs]], which drops `shh` before the shuffle. */
+  private[graft] def bandProbeRows(docs: DataFrame): DataFrame = {
+    val signed = docs
+      .select(col("doc_id"),
+        graft.functions.ShingleExpressions.shingleHashes(col("text")).as("shh"))
+      .filter(size(col("shh")) > 0)
+      .select(col("doc_id"), col("shh"),
+        minhashSignatureFromHashes(col("shh")).as("sig"))
+    val bandStructs = array((0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)
+          .cast("array<string>")).as("bandSig"))
+    }: _*)
+    signed.select(col("doc_id"), col("shh"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("shh"), col("bs.band").as("band"),
+        col("bs.bandSig").as("bandSig"))
+      .withColumn("bkt", bandBkt(col("bandSig")))
+  }
+
   private def bandRowsOfDocs(docs: DataFrame): DataFrame = {
     val signed = Tables.spreadIfNarrow(docs, col("doc_id"))
       .select(col("doc_id"),

@@ -1052,4 +1052,79 @@ object StreamGate {
        |    AS boot_hi_fp
        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** STREAMING incremental LSH dedup against the MAINTAINED band index —
+    * the at-ingest form of [[graft.operators.Dedup.dedupIncrementalFromIndex]]
+    * and the capstone of the round-12 index story (build → maintain →
+    * probe live): the "new batch" tranche of `documents` arrives as a
+    * bounded file STREAM, each document's band signatures probe the
+    * materialized corpus index via a stateless STREAM-STATIC join (the
+    * stream row carries its own shingle set through the join, so nothing
+    * ever joins back into the stream), and the drained candidate rows get
+    * the exact-Jaccard verify + best-match ranking as a plain batch
+    * projection of the sink — the `foreachBatch` post-step a production
+    * ingest would run before routing a duplicate away.
+    *
+    * Stream side is STATELESS by design (map + explode + static joins, no
+    * watermark, no streaming aggregation): a candidate pair that agrees in
+    * several bands emits several rows, and the batch-side `distinct`
+    * collapses them — pushing that dedup into the stream would be a
+    * second stateful operator for zero semantic gain. Both static sides
+    * (the band index, the corpus shingle sets) are cached and materialized
+    * BEFORE the replay starts, the [[enrichJoin]] rule — Spark re-plans
+    * the static side of a stream-static join every micro-batch.
+    *
+    * Same candidates, same verify, same ranking ⇒ hash-identical to the
+    * batch forms; shares [[graft.operators.Dedup.dedupIncrementalOracleSql]].
+    * At 100 TB the stream side scales with the batch (the one-sided-probe
+    * argument of the batch gate), and the index read is partition-pruned
+    * by the join's (band, bkt) keys. */
+  def dedupLshIndex(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3): DataFrame = {
+    import graft.operators.Dedup
+    val isBatch = col("doc_id") % Dedup.IncrementalBatchMod === 3L
+    // static sides, materialized before the stream starts
+    val index = spark.read.parquet(Dedup.bandIndexTable(spark, sfDir))
+      .select(col("doc_id").as("dup_of"), col("band"), col("bkt"),
+        col("bandSig")).cache()
+    val corpusSets = Dedup.docShingleHashes(spark, sfDir)
+      .filter(!isBatch && size(col("shh")) > 0)
+      .select(col("doc_id").as("dup_of"), col("shh").as("corpus_shh"))
+      .cache()
+    index.count(); corpusSets.count()
+    try {
+      val path = s"$sfDir/documents.parquet"
+      val schema = spark.read.parquet(path).schema
+      val docsStream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", Int.MaxValue)
+        .parquet(s"$sfDir/document[s].parquet")
+        .filter(isBatch)
+        .select(col("doc_id"), col("text"))
+      val cand = Dedup.bandProbeRows(docsStream)
+        .join(index, Seq("band", "bkt", "bandSig"))
+        .select(col("doc_id").as("new_id"), col("shh"), col("dup_of"))
+      // drain the stateless probe stream, then verify + rank in batch
+      val drained = runToMemory(spark, cand)
+      val verified = drained
+        .select(col("new_id"), col("shh"), col("dup_of")).distinct()
+        .join(corpusSets, "dup_of")
+        .select(col("new_id"), col("dup_of"),
+          (size(array_intersect(col("shh"), col("corpus_shh"))).cast("double") /
+            size(array_union(col("shh"), col("corpus_shh"))).cast("double"))
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("new_id")).orderBy(col("jaccard").desc, col("dup_of"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("new_id"))
+      verified
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_matches", count(lit(1)).over(wAll))
+        .filter(col("rn") === 1)
+        .select(col("new_id").as("doc_id"), col("dup_of"), col("jaccard"),
+          col("n_matches"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally { index.unpersist(false); corpusSets.unpersist(false) }
+  }
 }

@@ -29,6 +29,21 @@ object ScaleSweep {
   /** Walls under this many seconds are re-measured (reps=3, median). */
   val FastWallSecs = 2.0
 
+  /** Pass-1 ratios above this re-measure both sides (reps=3, median) —
+    * a super-linearity alarm must not rest on one ambient-stalled run. */
+  val SuperLinearAlarm = 4.0
+
+  /** sf1 walls at or above this re-measure both sides regardless of ratio.
+    * Two failure modes the alarm tier alone misses (both observed in
+    * consecutive round-12 runs): a noisy sf0.1 DENOMINATOR can push a
+    * heavy gate's pass-1 ratio under the alarm so its 20–70 s numerator
+    * stays single-sample, and memoized-backbone gates price the per-JVM
+    * memo BUILD into whichever run touches it first (q_assortativity's
+    * sf1 wall read 0.55 s or 15.6 s depending on whether pass 1 had
+    * already built the backbone). The heavy set is ~a dozen gates, so the
+    * extra reps cost minutes, not a second sweep. */
+  val HeavyWallSecs = 10.0
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleSweep <sfDirA> <sfDirB> [timeoutSecs] [onlyCsv]")
     val (dirA, dirB) = (args(0), args(1))
@@ -98,9 +113,30 @@ object ScaleSweep {
       val ok = xs.filter(_ > 0).sorted
       if (ok.isEmpty) -1.0 else ok(ok.length / 2)
     }
+
+    // Round-12 second stabilization tier: a gate whose pass-1 ratio trips
+    // the super-linearity alarm gets 2 extra interleaved reps on BOTH
+    // sides, regardless of wall. The fast-gate tier above fixed noisy
+    // DENOMINATORS; this fixes noisy heavy NUMERATORS — consecutive full
+    // sweeps on an unchanged tree disagreed 62.8× vs 9.4× on
+    // dedup_ngram_jaccard because one multi-second ambient stall window
+    // landed inside its single 70 s sf1 run, and a false super-linearity
+    // alarm is exactly the reading the sweep exists to prevent. Cost is
+    // bounded: only alarm-tripping gates re-run (the documented quadratic
+    // instruments plus any real regression, a handful per sweep).
+    val alarm = names.filter { n =>
+      val (a, b) = (median(a1(n) +: extraA.flatMap(_.get(n))),
+        median(b1(n) +: extraB.flatMap(_.get(n))))
+      a > 0 && b > 0 &&
+        (b >= HeavyWallSecs || b / a > SuperLinearAlarm) &&
+        (a >= FastWallSecs || b >= FastWallSecs) // sub-2s-both already rep'd
+    }
+    val alarmA = (1 to 2).map { _ => alarm.map(n => n -> timedRun(n, dirA)).toMap }
+    val alarmB = (1 to 2).map { _ => alarm.map(n => n -> timedRun(n, dirB)).toMap }
+
     names.foreach { name =>
-      val as = a1(name) +: extraA.flatMap(_.get(name))
-      val bs = b1(name) +: extraB.flatMap(_.get(name))
+      val as = a1(name) +: (extraA.flatMap(_.get(name)) ++ alarmA.flatMap(_.get(name)))
+      val bs = b1(name) +: (extraB.flatMap(_.get(name)) ++ alarmB.flatMap(_.get(name)))
       val (a, b) = (median(as), median(bs))
       val ratio = if (a > 0 && b > 0) f"${b / a}%.1f" else "NA"
       def raw(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")

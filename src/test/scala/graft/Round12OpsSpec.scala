@@ -171,4 +171,15 @@ class Round12OpsSpec extends SparkTestBase {
     assert(!plan.contains("windowspecdefinition"),
       s"expected a window-free rank path in:\n$plan")
   }
+
+  test("stream_dedup_lsh (streaming probe of the maintained band index) is " +
+      "row-identical to the batch incremental dedup") {
+    val streamed = graft.streaming.StreamGate.dedupLshIndex(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = Dedup.dedupIncremental(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty, "the batch tranche must produce matches")
+    assert(streamed == batch,
+      "streaming index probe must equal the self-contained batch form")
+  }
 }
