@@ -1188,7 +1188,17 @@ object Dedup {
     * would otherwise disagree on whether a self-loop-only node appears —
     * the star contraction's `v > u` filter discards it, union-find keeps
     * it). */
-  def componentLabels(pairsDf: DataFrame, smallCutoff: Long = 2L << 20): DataFrame = {
+  def componentLabels(pairsDf: DataFrame, smallCutoff: Long = 2L << 20): DataFrame =
+      // AQE off for the same reason as the rank loops (Graph.withAqeOff
+      // scaladoc): star contraction is a bounded-work fixed-point whose
+      // per-round queries are tiny, so AQE's per-round replanning is pure
+      // latency and its coalescing can reshuffle what the loop pre-hashed.
+      // Measured (tools.AqeProbe, interleaved same-JVM medians, sf0.1):
+      // q_er_clusters +39%, dedup_survivors +13%, dedup_groups +5% — vs
+      // the frontier loops (BFS/SSSP), which KEEP AQE because coalescing
+      // their one-node-frontier shuffles is exactly what AQE is for
+      // (q_bfs −98%, q_sssp −87% if AQE were dropped there).
+      Graph.withAqeOff(pairsDf.sparkSession) {
     val spark = pairsDf.sparkSession
     import spark.implicits._
     val pairs = pairsDf.toDF("id1", "id2").filter(col("id1") =!= col("id2"))
