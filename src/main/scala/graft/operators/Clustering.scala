@@ -333,10 +333,16 @@ object Clustering {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .persist()
     val centroids = fit(e, k, iters)
+    // NaN cosine = zero-norm vector; excluded symmetrically in both engines
+    // (the clusterEval discipline): a NaN row in the kept set would skew the
+    // decimal kept-mean asymmetrically — Spark's exactAvg silently drops the
+    // NaN from the sum while count() keeps the row, and DuckDB errors
+    // casting NaN to DECIMAL.
     val members = e.withColumn("a",
         graft.functions.VectorExpressions.assignCos(col("v"), centroids))
       .select(col("vec_id"), col("a._1").cast("long").as("cluster"),
         col("a._2").as("cos"))
+      .filter(!isnan(col("cos")))
     val ranked = Ranks.globalRank(members, "grank",
       Seq(col("cluster"), col("cos").desc, col("vec_id")))
     val sizes = ranked.groupBy(col("cluster"))
@@ -368,7 +374,7 @@ object Clustering {
        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC,
        |        c.cl) AS rnk
        |    FROM n q CROSS JOIN cnF c
-       |  ) WHERE rnk = 1
+       |  ) WHERE rnk = 1 AND NOT isnan(cos)
        |), rk AS (
        |  SELECT vec_id, cl, cos,
        |    row_number() OVER (PARTITION BY cl ORDER BY cos DESC, vec_id)

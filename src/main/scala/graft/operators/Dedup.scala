@@ -497,9 +497,6 @@ object Dedup {
     (PortableHash.md5Lower63Col(concat(lit("bib:"), bandSig)) %
       BandIndexBuckets).cast("int")
 
-  /** (doc_id, band, bandSig, bkt) band rows of a (doc_id, text) docs frame
-    * — the signature pipeline of [[dedupIncremental]] generalized off the
-    * sfDir loader, feeding both the index build and the upsert encode. */
   /** [[bandRows]] + bucket over an arbitrary (doc_id, text) frame, KEEPING
     * the shingle-hash set on every band row — the probe shape a STREAMING
     * ingest needs (the stream row must carry its own `shh` through the
@@ -527,6 +524,12 @@ object Dedup {
       .withColumn("bkt", bandBkt(col("bandSig")))
   }
 
+  /** (doc_id, band, bandSig, bkt) band rows of a (doc_id, text) docs frame
+    * — the signature pipeline of [[dedupIncremental]] generalized off the
+    * sfDir loader, feeding both the index build and the upsert encode.
+    * Drops the shingle-hash set before the shuffle (batch callers re-join
+    * sets only for verified candidates); streaming probes that must carry
+    * `shh` through the join use [[bandProbeRows]]. */
   private def bandRowsOfDocs(docs: DataFrame): DataFrame = {
     val signed = Tables.spreadIfNarrow(docs, col("doc_id"))
       .select(col("doc_id"),
@@ -537,14 +540,14 @@ object Dedup {
   }
 
   /** Write the corpus band index for `docs` at `dir`, partitioned by
-    * (band, bkt) — the one-shot (re)build path. */
-  /** The index build clusters rows on the partition tuple (REBALANCE, the
-    * [[graft.io.OtelWrite]] small-files fix) before the dynamic-partition
-    * write: without it every task writes one file per (band, bkt) dir it
-    * sees — up to tasks×128 near-empty files, and the probe side pays the
-    * whole footprint back as per-file open/footer overhead on every read
-    * (measured: the maintained-index gate ran 4× its self-contained twin
-    * until this clustering). With it, file count follows the cell count. */
+    * (band, bkt) — the one-shot (re)build path. The build clusters rows on
+    * the partition tuple (REBALANCE, the [[graft.io.OtelWrite]] small-files
+    * fix) before the dynamic-partition write: without it every task writes
+    * one file per (band, bkt) dir it sees — up to tasks×128 near-empty
+    * files, and the probe side pays the whole footprint back as per-file
+    * open/footer overhead on every read (measured: the maintained-index
+    * gate ran 4× its self-contained twin until this clustering). With it,
+    * file count follows the cell count. */
   private[graft] def writeBandIndex(spark: SparkSession, dir: String,
       docs: DataFrame): Unit =
     bandRowsOfDocs(docs).hint("rebalance", "band", "bkt")

@@ -38,16 +38,50 @@ object Graph {
     * + AQE-off −30%; AQE-off is a wash at cadence 0 and 2 as well. The
     * conf flip is session-visible while the loop runs — gates execute
     * serially in Verify/Bench, and concurrent-session users get their own
-    * SQLConf — and the previous value is always restored. */
+    * SQLConf — and the previous value is always restored.
+    *
+    * Concurrency: the set/restore is guarded by a per-session reentrant
+    * depth counter (the [[graft.streaming.StreamGate]] replayLock
+    * discipline, made reentrant). A bare read-then-restore races when two
+    * loops share one session — B could read A's "false" as the value to
+    * restore and leave AQE off session-wide forever. Only the OUTERMOST
+    * entry records the previous value and only the matching exit restores
+    * it; nested and concurrent callers ride the outer scope. The body does
+    * NOT hold a lock (loops run seconds to minutes) — only the depth
+    * transitions synchronize. */
+  private final class AqeScope {
+    var depth: Int = 0
+    var prev: Option[String] = None
+  }
+  private val aqeScopes =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, AqeScope]()
+
   private[graft] def withAqeOff[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
+    // ConcurrentHashMap.compute is atomic per key, so enter (create/increment
+    // + conf set on 0→1) and exit (decrement + restore and REMOVE on 1→0)
+    // can't interleave — a plain fetch-then-remove would let a late entrant
+    // keep a detached scope and record the other caller's "false" as prev.
+    aqeScopes.compute(spark, (_, s0) => {
+      val s = if (s0 == null) new AqeScope else s0
+      if (s.depth == 0) {
+        s.prev = spark.conf.getOption(key)
+        spark.conf.set(key, "false")
+      }
+      s.depth += 1
+      s
+    })
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
+    finally aqeScopes.compute(spark, (_, s) => {
+      s.depth -= 1
+      if (s.depth == 0) {
+        s.prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+        null // atomically drop the entry (no SparkSession retained)
+      } else s
+    })
   }
 
   /** Five PageRank rounds (damping 0.85) over the customer↔supplier

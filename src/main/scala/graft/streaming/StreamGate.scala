@@ -1077,8 +1077,14 @@ object StreamGate {
     * Same candidates, same verify, same ranking ⇒ hash-identical to the
     * batch forms; shares [[graft.operators.Dedup.dedupIncrementalOracleSql]].
     * At 100 TB the stream side scales with the batch (the one-sided-probe
-    * argument of the batch gate), and the index read is partition-pruned
-    * by the join's (band, bkt) keys. */
+    * argument of the batch gate). This HARNESS caches and pre-counts the
+    * whole index and drains candidates (with their shingle arrays) to a
+    * memory sink so the replay is deterministic and the verify is
+    * observable; a production deployment would instead probe the
+    * (band, bkt)-partitioned index UNCACHED — the equi-join's keys prune
+    * the index read to the probed cells — and run the verify inside
+    * `foreachBatch` (the shape [[dedupLshIncrementalStream]] exercises,
+    * with maintenance interleaved). */
   def dedupLshIndex(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3): DataFrame = {
     import graft.operators.Dedup

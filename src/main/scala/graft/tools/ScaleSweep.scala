@@ -33,6 +33,14 @@ object ScaleSweep {
     * a super-linearity alarm must not rest on one ambient-stalled run. */
   val SuperLinearAlarm = 4.0
 
+  /** Reps-tier trip ratio, deliberately BELOW [[SuperLinearAlarm]]: a gate
+    * straddling the 4.0× alarm line (round 12: `sample_dsir` read 4.6× in
+    * one validation sweep and ~3.9× in the next, flipping the alarm SET
+    * between runs) must land in the both-sides-reps tier on either side of
+    * the line, so consecutive sweeps agree on the set they stabilized. New
+    * gates with a pass-1 ratio above this are re-measured by default. */
+  val AlarmRepRatio = 3.5
+
   /** sf1 walls at or above this re-measure both sides regardless of ratio.
     * Two failure modes the alarm tier alone misses (both observed in
     * consecutive round-12 runs): a noisy sf0.1 DENOMINATOR can push a
@@ -128,11 +136,23 @@ object ScaleSweep {
       val (a, b) = (median(a1(n) +: extraA.flatMap(_.get(n))),
         median(b1(n) +: extraB.flatMap(_.get(n))))
       a > 0 && b > 0 &&
-        (b >= HeavyWallSecs || b / a > SuperLinearAlarm) &&
+        (b >= HeavyWallSecs || b / a > AlarmRepRatio) &&
         (a >= FastWallSecs || b >= FastWallSecs) // sub-2s-both already rep'd
     }
-    val alarmA = (1 to 2).map { _ => alarm.map(n => n -> timedRun(n, dirA)).toMap }
-    val alarmB = (1 to 2).map { _ => alarm.map(n => n -> timedRun(n, dirB)).toMap }
+    // Interleave per (rep, gate) with A and B ADJACENT: the tier exists to
+    // defend a ratio against an ambient stall window, so the two sides of
+    // each sample pair must share the window. The first cut ran alarmA's two
+    // full passes before alarmB's — time-separated blocks, which is exactly
+    // the asymmetric-stall exposure the tier was added to fix.
+    val alarmRuns = (1 to 2).map { _ =>
+      alarm.map { n =>
+        val a = timedRun(n, dirA)
+        val b = timedRun(n, dirB)
+        n -> (a, b)
+      }.toMap
+    }
+    val alarmA = alarmRuns.map(_.map { case (n, (a, _)) => n -> a })
+    val alarmB = alarmRuns.map(_.map { case (n, (_, b)) => n -> b })
 
     names.foreach { name =>
       val as = a1(name) +: (extraA.flatMap(_.get(name)) ++ alarmA.flatMap(_.get(name)))
