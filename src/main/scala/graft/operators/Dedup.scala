@@ -497,6 +497,21 @@ object Dedup {
     (PortableHash.md5Lower63Col(concat(lit("bib:"), bandSig)) %
       BandIndexBuckets).cast("int")
 
+  /** Id-bucket count for the doc→cells SIDECAR's physical layout (verdict
+    * r12 task 2). The sidecar maps doc_id → the (band, bkt) cells its band
+    * rows live in, partitioned by `idb = doc_id mod this`, so the upsert's
+    * old-cell locator reads ONLY the id-bucket partitions the batch's ids
+    * fall in — O(|batch|'s buckets), never a scan of the whole index. 16
+    * here; a 100 TB store raises it (with time-ordered crawl ids a daily
+    * batch then clusters into few buckets) exactly like
+    * [[BandIndexBuckets]]. */
+  val SidecarIdBuckets = 16L
+
+  /** Partition column of the doc→cells sidecar: positive remainder, int so
+    * the `idb=` dir value round-trips partition-column inference. */
+  private def idBucket(id: Column): Column =
+    pmod(id, lit(SidecarIdBuckets)).cast("int")
+
   /** [[bandRows]] + bucket over an arbitrary (doc_id, text) frame, KEEPING
     * the shingle-hash set on every band row — the probe shape a STREAMING
     * ingest needs (the stream row must carry its own `shh` through the
@@ -539,32 +554,75 @@ object Dedup {
     bandRows(signed).withColumn("bkt", bandBkt(col("bandSig")))
   }
 
-  /** Write the corpus band index for `docs` at `dir`, partitioned by
-    * (band, bkt) — the one-shot (re)build path. The build clusters rows on
-    * the partition tuple (REBALANCE, the [[graft.io.OtelWrite]] small-files
-    * fix) before the dynamic-partition write: without it every task writes
-    * one file per (band, bkt) dir it sees — up to tasks×128 near-empty
-    * files, and the probe side pays the whole footprint back as per-file
-    * open/footer overhead on every read (measured: the maintained-index
-    * gate ran 4× its self-contained twin until this clustering). With it,
-    * file count follows the cell count. */
+  /** Write the corpus band index for `docs` at `dir`:
+    *
+    *  - `dir/rows` — the band rows, partitioned by (band, bkt): the probe
+    *    side of every incremental/streaming dedup;
+    *  - `dir/cells` — the doc→cells SIDECAR, partitioned by
+    *    [[idBucket]](doc_id): one (doc_id, band, bkt) row per band row,
+    *    minus the signature payload. [[bandIndexUpsert]]'s old-cell locator
+    *    reads only the batch's id-bucket partitions of it, making
+    *    maintenance O(|batch|) instead of O(|index|) — the FAISS-IDMap
+    *    shape the r12 scaladoc promised at 100 TB.
+    *
+    * Both writes cluster rows on their partition tuple (REBALANCE, the
+    * [[graft.io.OtelWrite]] small-files fix) before the dynamic-partition
+    * write: without it every task writes one file per partition dir it
+    * sees — up to tasks×128 near-empty files, and the probe side pays the
+    * whole footprint back as per-file open/footer overhead on every read
+    * (measured: the maintained-index gate ran 4× its self-contained twin
+    * until this clustering). With it, file count follows the cell count. */
   private[graft] def writeBandIndex(spark: SparkSession, dir: String,
-      docs: DataFrame): Unit =
-    bandRowsOfDocs(docs).hint("rebalance", "band", "bkt")
+      docs: DataFrame): Unit = {
+    val rows = bandRowsOfDocs(docs).persist()
+    rows.hint("rebalance", "band", "bkt")
       .write.mode("overwrite")
-      .partitionBy("band", "bkt").parquet(dir)
+      .partitionBy("band", "bkt").parquet(s"$dir/rows")
+    rows.select(col("doc_id"), col("band"), col("bkt"))
+      .withColumn("idb", idBucket(col("doc_id")))
+      .hint("rebalance", "idb")
+      .write.mode("overwrite").partitionBy("idb").parquet(s"$dir/cells")
+    rows.unpersist()
+  }
+
+  /** The O(|batch|) old-cell locator: the cells re-arriving `newIds`' rows
+    * currently live in, read from the SIDECAR with an `idb` partition
+    * filter — only the batch's id-bucket partitions are opened (the plan's
+    * PartitionFilters carries the IN-list; Round13OpsSpec pins both the
+    * pruning and row-parity with [[oldCellsViaScan]]). */
+  private[graft] def oldCellsViaSidecar(spark: SparkSession, indexDir: String,
+      newIds: DataFrame): DataFrame = {
+    val idbs = newIds.select(idBucket(col("doc_id")).as("idb")).distinct()
+      .collect().map(_.getInt(0)) // bounded by SidecarIdBuckets
+    spark.read.parquet(s"$indexDir/cells")
+      .filter(col("idb").isin(idbs.map(Int.box): _*))
+      .join(broadcast(newIds), Seq("doc_id"))
+      .select(col("band"), col("bkt"))
+  }
+
+  /** The pre-sidecar locator (r12 shape): full scan of the band rows,
+    * broadcast-semi-joined by id. Kept as the parity oracle for
+    * [[oldCellsViaSidecar]] — same cells, found the O(|index|) way. */
+  private[graft] def oldCellsViaScan(spark: SparkSession, indexDir: String,
+      newIds: DataFrame): DataFrame =
+    spark.read.parquet(s"$indexDir/rows")
+      .join(broadcast(newIds), Seq("doc_id"))
+      .select(col("band"), col("bkt"))
 
   /** INDEX MAINTENANCE for the dedup band index — add `newDocs`' band rows,
     * REPLACING any re-arriving doc_id's old rows (a re-crawled document's
     * text may change, moving its band signatures to entirely different
-    * cells — the old cells are located by a broadcast semi-join probe by
-    * doc_id, exactly like [[Similarity.ivfPqUpsertCodes]]' cell-move
-    * handling, and a 100 TB store would keep a doc→cells sidecar to make
-    * the probe a lookup). Only touched (band, bkt) partitions are
-    * rewritten (dynamic partition overwrite over an OR-of-equalities
-    * partition filter — the existing-rows scan is partition-pruned);
-    * touched cells left with no rows get their stale dirs deleted.
-    * Returns the touched (band, bkt) cells. */
+    * cells). The old cells come from the doc→cells SIDECAR via
+    * [[oldCellsViaSidecar]] — an id-bucket-pruned read bounded by the
+    * batch, never a scan of the index (the r12 locator scanned all of
+    * `rows/`; its shape survives as [[oldCellsViaScan]], the parity
+    * oracle). Only touched (band, bkt) partitions of `rows/` are rewritten
+    * (dynamic partition overwrite over an OR-of-equalities partition
+    * filter — the existing-rows scan is partition-pruned); touched cells
+    * left with no rows get their stale dirs deleted. The SIDECAR is
+    * maintained in the same upsert: the batch's id-bucket partitions are
+    * rewritten with re-arriving ids' entries replaced — cost again
+    * O(|batch|'s buckets). Returns the touched (band, bkt) cells. */
   def bandIndexUpsert(spark: SparkSession, indexDir: String,
       newDocs: DataFrame): Seq[(Int, Int)] = {
     import spark.implicits._
@@ -572,19 +630,31 @@ object Dedup {
     val batchCells = rows.select(col("band"), col("bkt")).distinct()
       .as[(Int, Int)].collect().toSeq
     val newIds = rows.select(col("doc_id")).distinct()
-    val oldCells = spark.read.parquet(indexDir)
-      .join(broadcast(newIds), Seq("doc_id"))
-      .select(col("band"), col("bkt")).distinct().as[(Int, Int)].collect().toSeq
+    val oldCells = oldCellsViaSidecar(spark, indexDir, newIds)
+      .distinct().as[(Int, Int)].collect().toSeq
     val touched = (batchCells ++ oldCells).distinct.sorted
     val touchedPred = touched
       .map { case (b, k) => col("band") === b && col("bkt") === k }
-      .reduce(_ || _)
-    val existing = spark.read.parquet(indexDir).filter(touchedPred)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val existing = spark.read.parquet(s"$indexDir/rows").filter(touchedPred)
       .join(broadcast(newIds), Seq("doc_id"), "left_anti")
     val merged = existing.select(col("doc_id"), col("bandSig"), col("band"),
         col("bkt"))
       .unionByName(rows.select(col("doc_id"), col("bandSig"), col("band"),
         col("bkt")))
+      .localCheckpoint(true)
+    // sidecar rewrite set: a doc's idb is a pure function of doc_id, so a
+    // re-arriving id's OLD sidecar entries live in the same partition its
+    // new ones land in — the batch's idb set covers both sides
+    val batchIdbs = newIds.select(idBucket(col("doc_id")).as("idb"))
+      .distinct().as[Int].collect().toSeq.sorted
+    val existingCells = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("idb").isin(batchIdbs.map(Int.box): _*))
+      .join(broadcast(newIds), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("band"), col("bkt"), col("idb"))
+    val mergedSidecar = existingCells
+      .unionByName(rows.select(col("doc_id"), col("band"), col("bkt"))
+        .withColumn("idb", idBucket(col("doc_id"))))
       .localCheckpoint(true)
     rows.unpersist()
     val key = "spark.sql.sources.partitionOverwriteMode"
@@ -595,17 +665,27 @@ object Dedup {
       // cell, not one per (task × cell)
       merged.hint("rebalance", "band", "bkt")
         .write.mode("overwrite").partitionBy("band", "bkt")
-        .parquet(indexDir)
+        .parquet(s"$indexDir/rows")
+      mergedSidecar.hint("rebalance", "idb")
+        .write.mode("overwrite").partitionBy("idb")
+        .parquet(s"$indexDir/cells")
     } finally spark.conf.set(key, prev)
     // dynamic overwrite skips partitions absent from the write — a touched
     // cell whose last rows were all replaced-away keeps stale files unless
-    // deleted explicitly (same edge as the IVF-PQ codes table)
+    // deleted explicitly (same edge as the IVF-PQ codes table); ditto an
+    // id-bucket whose every doc re-arrived with now-empty text
     val mergedCells = merged.select(col("band"), col("bkt")).distinct()
       .as[(Int, Int)].collect().toSet
-    val base = new org.apache.hadoop.fs.Path(indexDir)
+    val base = new org.apache.hadoop.fs.Path(s"$indexDir/rows")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.filterNot(mergedCells).foreach { case (b, k) =>
       fs.delete(new org.apache.hadoop.fs.Path(base, s"band=$b/bkt=$k"), true)
+    }
+    val mergedIdbs = mergedSidecar.select(col("idb")).distinct()
+      .as[Int].collect().toSet
+    val cellsBase = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
+    batchIdbs.filterNot(mergedIdbs).foreach { i =>
+      fs.delete(new org.apache.hadoop.fs.Path(cellsBase, s"idb=$i"), true)
     }
     touched
   }
@@ -640,7 +720,7 @@ object Dedup {
   def dedupIncrementalFromIndex(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3): DataFrame = {
     val isBatch = col("doc_id") % IncrementalBatchMod === 3L
-    val index = spark.read.parquet(bandIndexTable(spark, sfDir))
+    val index = spark.read.parquet(s"${bandIndexTable(spark, sfDir)}/rows")
     val sh = docShingleHashes(spark, sfDir).filter(size(col("shh")) > 0)
       .persist()
     val probe = bandRows(

@@ -1403,8 +1403,47 @@ object Similarity {
         graft.functions.VectorExpressions.pqEncode(col("r"), books, PqSubDim)
           .as("codes"))
       .write.mode("overwrite").partitionBy("cl").parquet(s"$d/codes")
+    // id→cell SIDECAR (FAISS's IDMap as a table, verdict r12 task 2):
+    // which coarse cell each vec_id's code row lives in, partitioned by
+    // id-bucket so the upsert's old-cell locator reads only the batch's
+    // buckets — O(|batch|) maintenance, never a codes scan
+    resid.select(col("vec_id"), col("cl"))
+      .withColumn("idb", idBucket(col("vec_id")))
+      .hint("rebalance", "idb")
+      .write.mode("overwrite").partitionBy("idb").parquet(s"$d/idcells")
     resid.unpersist(); e.unpersist()
   }
+
+  /** Id-bucket count for the IVF-PQ id→cell sidecar — see
+    * [[Dedup.SidecarIdBuckets]] for the layout rationale (a 100 TB store
+    * raises it so a batch's buckets are a small fraction). */
+  val IvfSidecarIdBuckets = 16L
+
+  private def idBucket(id: Column): Column =
+    pmod(id, lit(IvfSidecarIdBuckets)).cast("int")
+
+  /** O(|batch|) old-cell locator for [[ivfPqUpsertCodes]]: the coarse cells
+    * re-arriving `newIds`' code rows currently live in, read from the
+    * sidecar with an `idb` partition filter (only the batch's id-bucket
+    * partitions open — IvfPqUpsertSpec pins pruning + parity with
+    * [[ivfOldCellsViaScan]]). */
+  private[graft] def ivfOldCellsViaSidecar(spark: SparkSession,
+      indexDir: String, newIds: DataFrame): DataFrame = {
+    val idbs = newIds.select(idBucket(col("vec_id")).as("idb")).distinct()
+      .collect().map(_.getInt(0))
+    spark.read.parquet(s"$indexDir/idcells")
+      .filter(col("idb").isin(idbs.map(Int.box): _*))
+      .join(broadcast(newIds), Seq("vec_id"))
+      .select(col("cl"))
+  }
+
+  /** The pre-sidecar locator (r12 shape): full codes scan, broadcast
+    * semi-join by id. Kept as [[ivfOldCellsViaSidecar]]'s parity oracle. */
+  private[graft] def ivfOldCellsViaScan(spark: SparkSession,
+      indexDir: String, newIds: DataFrame): DataFrame =
+    spark.read.parquet(s"$indexDir/codes")
+      .join(broadcast(newIds), Seq("vec_id"))
+      .select(col("cl"))
 
   /** Read an IVF-PQ index written by [[buildIvfPqIndex]]: (coarse codebook,
     * subspace books, codes frame). Parquet round-trips doubles and ints
@@ -1440,9 +1479,11 @@ object Similarity {
     *    re-arriving vec_ids currently LIVE in — an updated vector may
     *    re-assign to a different coarse cell, and its stale row in the old
     *    cell must be rewritten away too (not just the new cell written).
-    *    Old cells are located by a broadcast semi-join probe of the codes
-    *    table by vec_id — one map-side pass; a 100 TB store would keep an
-    *    id→cell sidecar (FAISS's IDMap) to make this probe a lookup;
+    *    Old cells come from the id→cell SIDECAR (`idcells/`, FAISS's IDMap
+    *    as an id-bucket-partitioned table): an idb-pruned read joined to
+    *    the broadcast batch ids — O(|batch|'s buckets), never a codes
+    *    scan. The sidecar is maintained in this same upsert (batch
+    *    id-buckets rewritten, re-arriving ids' entries replaced);
     *  - the existing codes are read with a `cl` filter — a PARTITION-PRUNED
     *    scan of the `cl=`-partitioned codes table (untouched cells' files
     *    are never opened);
@@ -1475,10 +1516,11 @@ object Similarity {
       .as[Long].collect().toSeq
     // cells where a re-arriving id's OLD row lives (may differ from its new
     // assignment) — those partitions must be rewritten or the stale row
-    // would survive, duplicating the id across two cells
-    val oldCells = spark.read.parquet(s"$indexDir/codes")
-      .join(broadcast(newCodes.select(col("vec_id"))), Seq("vec_id"))
-      .select(col("cl")).distinct().as[Long].collect().toSeq
+    // would survive, duplicating the id across two cells. Located via the
+    // id→cell sidecar (id-bucket-pruned read, O(|batch|)), not a codes scan
+    val newIds = newCodes.select(col("vec_id"))
+    val oldCells = ivfOldCellsViaSidecar(spark, indexDir, newIds)
+      .distinct().as[Long].collect().toSeq
     val touched = (batchCells ++ oldCells).distinct.sorted
     // UPSERT semantics: a re-arriving vec_id REPLACES its old code row (the
     // anti-join broadcasts the bounded batch ids), it does not duplicate it
@@ -1489,6 +1531,18 @@ object Similarity {
         "left_anti")
     // detach the merged rows from the files about to be overwritten
     val merged = existing.unionByName(newCodes).localCheckpoint(true)
+    // sidecar rewrite set: idb is a pure function of vec_id, so a
+    // re-arriving id's old sidecar entry lives in the partition its new
+    // entry lands in — the batch's idb set covers both sides
+    val batchIdbs = newIds.select(idBucket(col("vec_id")).as("idb"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val mergedSidecar = spark.read.parquet(s"$indexDir/idcells")
+      .filter(col("idb").isin(batchIdbs.map(Int.box): _*))
+      .join(broadcast(newIds), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cl"), col("idb"))
+      .unionByName(newCodes.select(col("vec_id"), col("cl"))
+        .withColumn("idb", idBucket(col("vec_id"))))
+      .localCheckpoint(true)
     newCodes.unpersist()
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.get(key, "static")
@@ -1496,6 +1550,9 @@ object Similarity {
       spark.conf.set(key, "dynamic")
       merged.write.mode("overwrite").partitionBy("cl")
         .parquet(s"$indexDir/codes")
+      mergedSidecar.hint("rebalance", "idb")
+        .write.mode("overwrite").partitionBy("idb")
+        .parquet(s"$indexDir/idcells")
     } finally spark.conf.set(key, prev)
     // a touched cell with no surviving rows is absent from `merged`, so the
     // dynamic overwrite never visits it — drop its stale partition dir
@@ -1505,6 +1562,13 @@ object Similarity {
     val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.filterNot(mergedCells).foreach { cl =>
       fs.delete(new org.apache.hadoop.fs.Path(codesPath, s"cl=$cl"), true)
+    }
+    // ditto an id-bucket emptied by the anti-join (every doc re-arrived)
+    val mergedIdbs = mergedSidecar.select(col("idb")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val idcellsPath = new org.apache.hadoop.fs.Path(s"$indexDir/idcells")
+    batchIdbs.filterNot(mergedIdbs).foreach { i =>
+      fs.delete(new org.apache.hadoop.fs.Path(idcellsPath, s"idb=$i"), true)
     }
     touched
   }

@@ -1090,7 +1090,7 @@ object StreamGate {
     import graft.operators.Dedup
     val isBatch = col("doc_id") % Dedup.IncrementalBatchMod === 3L
     // static sides, materialized before the stream starts
-    val index = spark.read.parquet(Dedup.bandIndexTable(spark, sfDir))
+    val index = spark.read.parquet(s"${Dedup.bandIndexTable(spark, sfDir)}/rows")
       .select(col("doc_id").as("dup_of"), col("band"), col("bkt"),
         col("bandSig")).cache()
     val corpusSets = Dedup.docShingleHashes(spark, sfDir)

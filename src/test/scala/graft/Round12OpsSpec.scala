@@ -51,9 +51,9 @@ class Round12OpsSpec extends SparkTestBase {
       "(band, bkt) cells; untouched cells keep their exact files") {
     val d = Files.createTempDirectory("graft-bandidx").toString
     Dedup.writeBandIndex(spark, d, docs().filter(col("doc_id") < 400))
-    val before = cellFiles(d)
+    val before = cellFiles(s"$d/rows")
     assert(before.size > 30, s"expected a spread over many cells: ${before.size}")
-    val nBefore = spark.read.parquet(d).count()
+    val nBefore = spark.read.parquet(s"$d/rows").count()
 
     // two brand-new ids borrowing real text (so they shingle non-trivially)
     val batch = docs().filter(col("doc_id").isin(401L, 402L))
@@ -63,12 +63,12 @@ class Round12OpsSpec extends SparkTestBase {
     assert(touchedDirs.size < before.size,
       s"a 2-doc batch must not touch every cell: ${touchedDirs.size} of ${before.size}")
 
-    val after = cellFiles(d)
+    val after = cellFiles(s"$d/rows")
     before.foreach { case (cell, files) =>
       if (!touchedDirs.contains(cell))
         assert(after(cell) == files, s"untouched cell $cell was rewritten")
     }
-    assert(spark.read.parquet(d).count() == nBefore + 2 * 16,
+    assert(spark.read.parquet(s"$d/rows").count() == nBefore + 2 * 16,
       "each new doc adds one row per band")
   }
 
@@ -77,7 +77,7 @@ class Round12OpsSpec extends SparkTestBase {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-bandidx2").toString
     Dedup.writeBandIndex(spark, d, docs().filter(col("doc_id") < 400))
-    val idx0 = spark.read.parquet(d)
+    val idx0 = spark.read.parquet(s"$d/rows")
       .select(col("doc_id"), col("band"), col("bandSig"))
     val ids = idx0.select(col("doc_id")).distinct().as[Long].collect().sorted
     assert(ids.length >= 2)
@@ -90,7 +90,7 @@ class Round12OpsSpec extends SparkTestBase {
       .select(lit(idA).as("doc_id"), col("text"))
     Dedup.bandIndexUpsert(spark, d, newA)
 
-    val rowsA = spark.read.parquet(d).filter(col("doc_id") === idA)
+    val rowsA = spark.read.parquet(s"$d/rows").filter(col("doc_id") === idA)
       .select(col("band"), col("bandSig")).as[(Int, String)].collect()
     assert(rowsA.length == 16, s"exactly one row per band, got ${rowsA.length}")
     assert(rowsA.toSet == sigB,

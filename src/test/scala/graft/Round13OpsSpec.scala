@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Round-13 maintenance-path upgrades: the doc→cells / id→cell SIDECARS
+  * (verdict r12 task 2). Both maintained indexes now locate re-arriving
+  * ids' old cells through an id-bucket-partitioned sidecar instead of
+  * scanning the index; these tests pin (a) row-parity of the sidecar
+  * locator with the scan locator it replaced, (b) the partition-pruned
+  * plan shape of the sidecar probe, and (c) sidecar consistency with the
+  * main table across cell-moving upserts. */
+class Round13OpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs() = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  private def vecs() = spark.read.parquet(s"$sf/embeddings.parquet")
+    .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    .where("aggregate(v, 0D, (acc, x) -> acc + x * x) > 0")
+
+  // ---- dedup band index sidecar ----
+
+  test("band-index old-cell locator: sidecar path ≡ scan path (same cell " +
+      "multiset) and the sidecar probe is id-bucket partition-pruned") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-sidecar-band").toString
+    Dedup.writeBandIndex(spark, d, docs().filter(col("doc_id") < 400))
+    // re-arriving ids in ONE id-bucket (doc_id ≡ 5 mod 16), so the pruned
+    // probe must open exactly one sidecar partition
+    val ids = spark.read.parquet(s"$d/cells").select(col("doc_id")).distinct()
+      .filter(pmod(col("doc_id"), lit(16L)) === 5L)
+    assert(ids.count() >= 2, "need re-arriving ids in idb=5")
+    val viaSidecar = Dedup.oldCellsViaSidecar(spark, d, ids)
+    val viaScan = Dedup.oldCellsViaScan(spark, d, ids)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Int)].collect().sorted.toSeq
+    assert(cells(viaSidecar) == cells(viaScan),
+      "sidecar locator must find exactly the scan locator's cells")
+    val plan = viaSidecar.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*idb".r.findFirstIn(plan).isDefined,
+      s"idb must reach PartitionFilters:\n$plan")
+    // only idb=5's files are read: every file path in the scan's partition
+    // listing carries idb=5 (one partition of 16)
+    val phys = viaSidecar.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val scanNode = phys.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("cells")) => f
+    }
+    assert(scanNode.isDefined, s"no cells-side file scan in:\n$plan")
+    val parts = scanNode.get.selectedPartitions.toPartitionArray
+      .map(_.filePath.toString)
+    assert(parts.nonEmpty && parts.forall(_.contains("idb=5")),
+      s"pruned read must touch only idb=5 files: ${parts.toSeq}")
+  }
+
+  test("band-index sidecar stays consistent with rows/ across a " +
+      "text-changing upsert (cells = distinct (doc_id, band, bkt) of rows)") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-sidecar-band2").toString
+    Dedup.writeBandIndex(spark, d, docs().filter(col("doc_id") < 400))
+    def proj(path: String, cols: Seq[String]) =
+      spark.read.parquet(path).select(cols.map(col): _*)
+        .as[(Long, Int, Int)].collect().sorted.toSeq
+    def rowsProj() = proj(s"$d/rows", Seq("doc_id", "band", "bkt"))
+    def cellsProj() = proj(s"$d/cells", Seq("doc_id", "band", "bkt"))
+    assert(cellsProj() == rowsProj(), "post-build sidecar must mirror rows")
+
+    // re-arrive the smallest id carrying a different doc's text: its band
+    // rows move cells, and the sidecar must follow in the same upsert
+    val ids = spark.read.parquet(s"$d/rows").select(col("doc_id")).distinct()
+      .as[Long].collect().sorted
+    val newA = docs().filter(col("doc_id") === ids(1))
+      .select(lit(ids(0)).as("doc_id"), col("text"))
+    Dedup.bandIndexUpsert(spark, d, newA)
+    assert(cellsProj() == rowsProj(),
+      "post-upsert sidecar must mirror rows (old entries replaced)")
+    // and the locator finds the MOVED cells now
+    val moved = Dedup.oldCellsViaSidecar(spark, d,
+      Seq(ids(0)).toDF("doc_id")).as[(Int, Int)].collect().toSet
+    val expect = spark.read.parquet(s"$d/rows")
+      .filter(col("doc_id") === ids(0))
+      .select(col("band"), col("bkt")).as[(Int, Int)].collect().toSet
+    assert(moved == expect)
+  }
+
+  // ---- IVF-PQ id→cell sidecar ----
+
+  test("IVF-PQ old-cell locator: sidecar ≡ codes-scan, idb-pruned plan, " +
+      "and the sidecar tracks a cell-moving upsert") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-sidecar-ivf").toString
+    Similarity.buildIvfPqIndex(spark, d, vecs())
+    val ids = spark.read.parquet(s"$d/idcells").select(col("vec_id"))
+      .distinct().filter(pmod(col("vec_id"), lit(16L)) === 3L)
+    assert(ids.count() >= 1, "need ids in idb=3")
+    def cls(df: org.apache.spark.sql.DataFrame) =
+      df.as[Long].collect().sorted.toSeq
+    val viaSidecar = Similarity.ivfOldCellsViaSidecar(spark, d, ids)
+    assert(cls(viaSidecar) == cls(Similarity.ivfOldCellsViaScan(spark, d, ids)))
+    val plan = viaSidecar.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*idb".r.findFirstIn(plan).isDefined,
+      s"idb must reach PartitionFilters:\n$plan")
+
+    // move one id onto another's vector (different coarse cell) — the
+    // sidecar must report the NEW cell afterwards, and stay row-consistent
+    // with codes/
+    val codes0 = spark.read.parquet(s"$d/codes")
+      .select(col("vec_id"), col("cl")).as[(Long, Long)].collect().toMap
+    val byCell = codes0.groupBy(_._2)
+    assert(byCell.size >= 2)
+    val idA = byCell(byCell.keys.min).keys.min
+    val idB = byCell(byCell.keys.max).keys.min
+    val vB = vecs().filter(col("vec_id") === idB)
+      .select(col("v")).as[Seq[Double]].head()
+    Similarity.ivfPqUpsertCodes(spark, d, Seq((idA, vB)).toDF("vec_id", "v"))
+    val side = spark.read.parquet(s"$d/idcells")
+      .select(col("vec_id"), col("cl")).as[(Long, Long)].collect().toSeq
+    val main = spark.read.parquet(s"$d/codes")
+      .select(col("vec_id"), col("cl")).as[(Long, Long)].collect().toSeq
+    assert(side.sorted == main.sorted,
+      "sidecar must mirror codes/ after a cell-moving upsert")
+    assert(side.toMap.apply(idA) == codes0(idB),
+      "the moved id's sidecar entry must carry the new cell")
+  }
+}
