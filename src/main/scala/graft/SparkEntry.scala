@@ -122,6 +122,8 @@ object SparkEntry {
     "stream_sessionize" -> (graft.streaming.StreamGate.sessionize _),
     "stream_dedup" -> ((s, d) => graft.streaming.StreamGate.dedupKeys(s, d)),
     "stream_dedup_lsh" -> ((s, d) => graft.streaming.StreamGate.dedupLshIndex(s, d)),
+    "stream_dedup_lsh_multi" -> ((s, d) =>
+      graft.streaming.StreamGate.dedupLshIncrementalStream(s, d)),
     "stream_enrich_join" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamGate.enrichJoin(s, d)),
     "stream_stream_join" -> ((s, d) => graft.streaming.StreamGate.streamStreamJoin(s, d)),
@@ -778,6 +780,7 @@ object SparkEntry {
     // the streaming index probe is hash-identical to the batch incremental
     // dedup by construction (same candidates, verify, ranking)
     "stream_dedup_lsh" -> operators.Dedup.dedupIncrementalOracleSql(),
+    "stream_dedup_lsh_multi" -> operators.Dedup.dedupIncrementalMultiOracleSql(),
     "stream_enrich_join" -> graft.streaming.StreamGate.enrichJoinOracleSql,
     "stream_stream_join" -> graft.streaming.StreamGate.streamStreamJoinOracleSql,
     "stream_upsert" -> graft.streaming.StreamGate.upsertSnapshotOracleSql,

@@ -753,6 +753,88 @@ object Dedup {
     materializeAndRelease(out, sh).orderBy(col("doc_id"))
   }
 
+  /** Micro-batch count for the MULTI-TRIGGER streaming dedup gate
+    * ([[graft.streaming.StreamGate.dedupLshIncrementalStream]]): the batch
+    * tranche is split into this many ordered micro-batches by
+    * `doc_id mod 3`, with a [[bandIndexUpsert]] between consecutive
+    * batches — so batch N+1's probes can hit batch N's docs. */
+  val StreamDedupMicroBatches = 3
+
+  /** The SEQUENTIAL-batch recompute the multi-trigger streaming gate must
+    * equal: probe micro-batch m's docs against corpus ∪ batches < m. Same
+    * band/verify/rank machinery as [[dedupIncremental]], with the
+    * candidate restriction widened from "target is corpus" to "target is
+    * corpus OR an EARLIER micro-batch" — the cross-batch dups a daily
+    * probe-then-maintain ingest loop catches and the one-shot index probe
+    * cannot. The extra predicate is a residual filter on the same
+    * (band, bandSig) equi-join; candidates still scale with |batch|.
+    * Kept `private[graft]`: it exists as the parity oracle for the
+    * streaming form (Round13OpsSpec) and the shape behind
+    * [[dedupIncrementalMultiOracleSql]]. */
+  private[graft] def dedupIncrementalMulti(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isBatch = col("doc_id") % IncrementalBatchMod === 3L
+    val sh = docShingleHashes(spark, sfDir).filter(size(col("shh")) > 0)
+    val signed = sh.select(col("doc_id"), col("shh"),
+      minhashSignatureFromHashes(col("shh")).as("sig")).persist()
+    val bands = bandRows(signed)
+    val bIsBatch = col("b.doc_id") % IncrementalBatchMod === 3L
+    val cand = bands.filter(isBatch).as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bandSig") === col("b.bandSig") &&
+          (!bIsBatch || pmod(col("b.doc_id"), lit(StreamDedupMicroBatches.toLong)) <
+            pmod(col("a.doc_id"), lit(StreamDedupMicroBatches.toLong))))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("dup_of"))
+      .distinct()
+    val withSets = signed.select(col("doc_id"), col("shh"))
+    val verified = cand
+      .join(withSets.as("da"), col("new_id") === col("da.doc_id"))
+      .join(withSets.as("db"), col("dup_of") === col("db.doc_id"))
+      .select(col("new_id"), col("dup_of"),
+        (size(array_intersect(col("da.shh"), col("db.shh"))).cast("double") /
+          size(array_union(col("da.shh"), col("db.shh"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val w = Window.partitionBy(col("new_id"))
+      .orderBy(col("jaccard").desc, col("dup_of"))
+    val wAll = Window.partitionBy(col("new_id"))
+    val out = verified
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_matches", count(lit(1)).over(wAll))
+      .filter(col("rn") === 1)
+      .select(col("new_id").as("doc_id"), col("dup_of"), col("jaccard"),
+        col("n_matches"))
+    materializeAndRelease(out, signed).orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of the multi-trigger incremental dedup — the shared
+    * [[minhashCtes]] chain with the candidate restriction "corpus OR an
+    * earlier micro-batch (doc_id mod 3)". */
+  def dedupIncrementalMultiOracleSql(threshold: Double = 0.3): String =
+    s"""WITH ${minhashCtes(threshold)}
+       |, candi AS (
+       |  SELECT DISTINCT a.doc_id AS nid, b.doc_id AS cid
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id % $IncrementalBatchMod = 3
+       |    AND (b.doc_id % $IncrementalBatchMod <> 3
+       |         OR (b.doc_id % $StreamDedupMicroBatches) <
+       |            (a.doc_id % $StreamDedupMicroBatches))
+       |), matches AS (
+       |  SELECT c.nid AS doc_id, c.cid AS dup_of, j.jaccard
+       |  FROM candi c JOIN jac j
+       |    ON j.id1 = least(c.nid, c.cid) AND j.id2 = greatest(c.nid, c.cid)
+       |  WHERE j.jaccard >= $threshold
+       |), ranked AS (
+       |  SELECT doc_id, dup_of, jaccard,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY jaccard DESC, dup_of) AS rn,
+       |    count(*) OVER (PARTITION BY doc_id) AS n_matches
+       |  FROM matches
+       |)
+       |SELECT doc_id, dup_of, jaccard, CAST(n_matches AS BIGINT) AS n_matches
+       |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   // ---- SimHash ----
 
   private val SimBits = 63 // bits 0..62 of the md5-derived u64 (sign bit unused)

@@ -1133,4 +1133,135 @@ object StreamGate {
         .localCheckpoint(true)
     } finally { index.unpersist(false); corpusSets.unpersist(false) }
   }
+
+  /** MULTI-TRIGGER streaming dedup with INTERLEAVED index maintenance —
+    * the production daily-ingest loop [[dedupLshIndex]] only approximates
+    * (verdict r12 task 3): probe micro-batch N against the maintained
+    * band index, then [[graft.operators.Dedup.bandIndexUpsert]] batch N
+    * INTO the index, then probe batch N+1 — which may near-dup against
+    * batch N's documents, not just the base corpus. The replay splits the
+    * batch tranche into [[graft.operators.Dedup.StreamDedupMicroBatches]]
+    * ordered micro-batches (`doc_id mod 3`; one landing file each,
+    * strictly increasing modification times so the file source replays
+    * them oldest-first, `maxFilesPerTrigger = 1` so each is its own
+    * trigger), runs probe-then-upsert inside `foreachBatch`, and applies
+    * the shared exact-Jaccard verify + best-match ranking batch-side over
+    * the accumulated candidates.
+    *
+    * The gate clones the memoized corpus index before mutating it (other
+    * gates share the per-JVM memo). Result ≡ the sequential batch
+    * recompute [[graft.operators.Dedup.dedupIncrementalMulti]] — "probe
+    * batch m against corpus ∪ batches < m" — because band rows are a pure
+    * per-document function and each upsert adds exactly the prior batches'
+    * rows; Round13OpsSpec pins the identity plus cross-batch detection on
+    * a constructed fixture, and the gate shares the DuckDB twin
+    * [[graft.operators.Dedup.dedupIncrementalMultiOracleSql]]. At 100 TB
+    * each trigger's probe is the one-sided index join (batch-bounded) and
+    * each upsert rewrites only touched cells via the doc→cells sidecar —
+    * the loop's cost per day is O(|day|), independent of corpus size. */
+  def dedupLshIncrementalStream(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3): DataFrame = replayLock.synchronized {
+    import graft.operators.Dedup
+    val nMb = Dedup.StreamDedupMicroBatches
+    val isBatch = col("doc_id") % Dedup.IncrementalBatchMod === 3L
+    val work = java.nio.file.Files.createTempDirectory("graft-streamidx")
+    val workDir = work.toString
+    val indexDir = s"$workDir/index"
+    try {
+      // clone the memoized corpus index — this gate MUTATES its copy
+      val conf = spark.sparkContext.hadoopConfiguration
+      val src = new org.apache.hadoop.fs.Path(Dedup.bandIndexTable(spark, sfDir))
+      val fs = src.getFileSystem(conf)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src,
+        fs, new org.apache.hadoop.fs.Path(indexDir), false, conf)
+      // one landing file per micro-batch, modTimes 1 minute apart
+      val docsB = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(isBatch).select(col("doc_id"), col("text"))
+      val landing = new java.io.File(workDir, "landing")
+      landing.mkdirs()
+      val t0 = landing.lastModified()
+      (0 until nMb).foreach { m =>
+        val tmp = s"$workDir/mb$m-tmp"
+        docsB.filter(pmod(col("doc_id"), lit(nMb.toLong)) === m.toLong)
+          .coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(landing, s"mb$m.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(t0 + m * 60000L))
+        graft.io.Storage.deleteRecursively(new java.io.File(tmp))
+      }
+      val candDir = s"$workDir/cands"
+      val ckpt = checkpointRoot.map(r => s"$r/graft_stream_dedup_multi_" +
+        s"${runId.incrementAndGet()}-${java.util.UUID.randomUUID().toString.take(8)}")
+      ckpt.foreach(c =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(c)))
+      try {
+        val schema = docsB.schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$landing/mb*.parquet")
+        val writer = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val docs = batch.select(col("doc_id"), col("text"))
+            // probe FIRST (against the index as of the previous batch) …
+            Dedup.bandProbeRows(docs)
+              .join(spark.read.parquet(s"$indexDir/rows")
+                  .select(col("doc_id").as("dup_of"), col("band"),
+                    col("bkt"), col("bandSig")),
+                Seq("band", "bkt", "bandSig"))
+              .select(col("doc_id").as("new_id"), col("shh"), col("dup_of"))
+              .write.mode("append").parquet(candDir)
+            // … then MAINTAIN, so the next trigger sees this batch
+            Dedup.bandIndexUpsert(spark, indexDir, docs)
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+        ckpt.foreach(writer.option("checkpointLocation", _))
+        val q = writer.start()
+        q.awaitTermination()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches == nMb,
+          s"multi-trigger invariant: expected $nMb data micro-batches, " +
+            s"got $dataBatches — the probe-upsert interleave was not exercised")
+      } finally ckpt.foreach(c =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(c)))
+      // batch-side verify + rank over the accumulated candidates: targets
+      // may be corpus docs OR earlier-batch docs, so the verify joins the
+      // full shingle-set table
+      val candSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("new_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("shh",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.types.StructField("dup_of",
+          org.apache.spark.sql.types.LongType)))
+      new java.io.File(candDir).mkdirs()
+      val drained = spark.read.schema(candSchema).parquet(candDir)
+      val targetSets = Dedup.docShingleHashes(spark, sfDir)
+        .filter(size(col("shh")) > 0)
+        .select(col("doc_id").as("dup_of"), col("shh").as("corpus_shh"))
+      val verified = drained
+        .select(col("new_id"), col("shh"), col("dup_of")).distinct()
+        .join(targetSets, "dup_of")
+        .select(col("new_id"), col("dup_of"),
+          (size(array_intersect(col("shh"), col("corpus_shh"))).cast("double") /
+            size(array_union(col("shh"), col("corpus_shh"))).cast("double"))
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("new_id")).orderBy(col("jaccard").desc, col("dup_of"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("new_id"))
+      verified
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_matches", count(lit(1)).over(wAll))
+        .filter(col("rn") === 1)
+        .select(col("new_id").as("doc_id"), col("dup_of"), col("jaccard"),
+          col("n_matches"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally graft.io.Storage.deleteRecursively(work.toFile)
+  }
 }

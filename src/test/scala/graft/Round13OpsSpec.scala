@@ -93,6 +93,57 @@ class Round13OpsSpec extends SparkTestBase {
     assert(moved == expect)
   }
 
+  // ---- multi-trigger streaming dedup (probe ⇄ upsert interleave) ----
+
+  test("dedupLshIncrementalStream detects a CROSS-BATCH dup the one-shot " +
+      "index probe cannot, and equals the sequential batch recompute") {
+    // fixture corpus: batch tranche = doc_id % 11 == 3, micro-batch =
+    // doc_id % 3. Docs 25 (mb 1) and 14 (mb 2) share a text that exists
+    // NOWHERE in the corpus — only an index maintained BETWEEN triggers
+    // can match 14 → 25. Doc 47 (batch) duplicates corpus doc 7, the case
+    // the one-shot probe already handles.
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "omicron sigma tau upsilon phi chi psi omega"
+    val fixture = Files.createTempDirectory("graft-multidedup").toString
+    import spark.implicits._
+    Seq(
+      (1L, "apple banana cherry date elderberry fig grape"),
+      (2L, "red orange yellow green blue indigo violet"),
+      (4L, "north south east west up down left right"),
+      (5L, "iron copper silver gold platinum nickel zinc"),
+      (7L, t2),
+      (3L, "one two three four five six seven eight"), // mb 0
+      (25L, t1),                                       // mb 1
+      (14L, t1),                                       // mb 2: dups 25
+      (47L, t2)                                        // mb 2: dups corpus 7
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$fixture/documents.parquet")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSeq
+    val streamed = rows(
+      graft.streaming.StreamGate.dedupLshIncrementalStream(spark, fixture))
+    assert(streamed == Seq((14L, 25L, 1.0, 1L), (47L, 7L, 1.0, 1L)),
+      s"got $streamed")
+    // the one-shot probe (index = corpus only) must MISS the 14→25 pair
+    val oneShot = rows(Dedup.dedupIncremental(spark, fixture))
+    assert(oneShot == Seq((47L, 7L, 1.0, 1L)), s"got $oneShot")
+    // and the streaming loop equals the sequential batch recompute
+    val multi = rows(Dedup.dedupIncrementalMulti(spark, fixture))
+    assert(streamed == multi)
+  }
+
+  test("dedupLshIncrementalStream ≡ dedupIncrementalMulti on the sf corpus") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val streamed = rows(
+      graft.streaming.StreamGate.dedupLshIncrementalStream(spark, sf))
+    val batch = rows(Dedup.dedupIncrementalMulti(spark, sf))
+    assert(streamed.nonEmpty, "the sf0.001 batch tranche must match something")
+    assert(streamed == batch)
+  }
+
   // ---- IVF-PQ id→cell sidecar ----
 
   test("IVF-PQ old-cell locator: sidecar ≡ codes-scan, idb-pruned plan, " +
