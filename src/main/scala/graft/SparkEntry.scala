@@ -70,6 +70,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
     "dedup_incremental_tbl" -> ((s: SparkSession, d: String) => Dedup.dedupIncrementalFromIndex(s, d)),
+    "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.dedupSubstring(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "dedup_groups" -> ((s: SparkSession, d: String) => Dedup.nearDupGroups(s, d)),
     "dedup_survivors" -> ((s: SparkSession, d: String) => Dedup.dedupSurvivors(s, d)),
@@ -705,6 +706,7 @@ object SparkEntry {
     // probe by construction (the index equals a one-shot corpus banding),
     // so it shares the oracle
     "dedup_incremental_tbl" -> operators.Dedup.dedupIncrementalOracleSql(),
+    "dedup_substring" -> operators.Dedup.dedupSubstringOracleSql(),
     "dedup_simhash" -> operators.Dedup.simhashOracleSql(),
     "dedup_embedding_lsh" -> operators.Similarity.cosinePairsLshOracleSql(),
     "sim_ann_lsh" -> operators.Similarity.annLshOracleSql(),

@@ -835,6 +835,114 @@ object Dedup {
        |SELECT doc_id, dup_of, jaccard, CAST(n_matches AS BIGINT) AS n_matches
        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // ---- Exact-substring dedup (Lee et al. 2022) ----------------------------
+
+  /** k-gram width for [[dedupSubstring]] — matches the positional-passage
+    * gates' 8-gram granularity. */
+  val SubstrGram = 8
+
+  /** Minimum shared span (in word tokens) worth reporting. Lee et al. use
+    * 50 BPE tokens on web corpora; this corpus's documents run ~55 words,
+    * so 20 words keeps the gate's output non-trivial while staying "a
+    * training span you'd actually remove". */
+  val SubstrMinSpan = 20
+
+  /** Per-gram posting cap — the production shape's frequent-gram guard.
+    * A gram appearing in more than this many (doc, pos) slots is
+    * boilerplate (license headers, navigation chrome) whose pairwise
+    * expansion is quadratic for near-zero signal; Lee et al.'s suffix
+    * array pays an analogous cost bound. The cap is part of the gate's
+    * SEMANTICS (applied identically in Spark and DuckDB), like the LSH
+    * band caps. */
+  val SubstrPostingCap = 32
+
+  /** EXACT-SUBSTRING dedup — the training-SPAN dedup family of Lee et al.
+    * 2022 ("Deduplicating training data makes language models better",
+    * arXiv:2107.06499): find maximal cross-document runs of identically
+    * repeated text, the spans a pipeline removes from training data (vs
+    * the DOCUMENT-level verdicts of the MinHash family). Lee et al. build
+    * a suffix array; that structure has no distributed-relational
+    * equivalent, so this is the sorted-fingerprint approximation: a
+    * positional [[SubstrGram]]-gram index, cross-doc matches joined on
+    * gram hash, and maximal shared runs recovered as gaps-and-islands on
+    * the match DIAGONAL (p1 − p2 constant along a shared substring — the
+    * dot-plot argument). A maximal run of g consecutive matching grams is
+    * a shared span of g + k − 1 tokens; spans ≥ [[SubstrMinSpan]] emit
+    * one row (id1, id2, pos1, pos2, span_tokens), 1-based positions.
+    *
+    * Scale shape: one shuffle on gram hash for the posting-cap count and
+    * the self-join (same key — the exchange is reusable), pair volume
+    * bounded by cap²/2 per gram, then one shuffle on (id1, id2, diag) for
+    * the island window — high-cardinality grouped keys, no reducer
+    * funnel. Text never travels past the gram-hash projection. */
+  def dedupSubstring(spark: SparkSession, sfDir: String,
+      minSpan: Int = SubstrMinSpan): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.spreadIfNarrow(documents(spark, sfDir), col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= SubstrGram)
+    val grams = toks
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w) - ${SubstrGram - 1}),
+           |  i -> struct(CAST(i AS BIGINT) AS pos,
+           |              array_join(slice(w, i, $SubstrGram), ' ') AS g))"""
+          .stripMargin)).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"),
+        PortableHash.md5Lower63Col(col("pg.g")).as("gh"))
+    val kept = grams.join(
+        grams.groupBy(col("gh")).count()
+          .filter(col("count") <= SubstrPostingCap).select(col("gh")),
+        "gh")
+      .persist()
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.pos").as("p1"), (col("a.pos") - col("b.pos")).as("diag"))
+    val w = Window.partitionBy(col("id1"), col("id2"), col("diag"))
+      .orderBy(col("p1"))
+    val out = pairs
+      .withColumn("grp", col("p1") - row_number().over(w))
+      .groupBy(col("id1"), col("id2"), col("diag"), col("grp"))
+      .agg(min(col("p1")).as("pos1"), count(lit(1)).as("ng"))
+      .filter(col("ng") + (SubstrGram - 1) >= minSpan)
+      .select(col("id1"), col("id2"), col("pos1"),
+        (col("pos1") - col("diag")).as("pos2"),
+        (col("ng") + (SubstrGram - 1)).as("span_tokens"))
+    materializeAndRelease(out, kept)
+      .orderBy(col("id1"), col("id2"), col("pos1"), col("pos2"))
+  }
+
+  /** DuckDB twin of [[dedupSubstring]] — identical positional-gram,
+    * posting-cap, diagonal-island pipeline (the portable md5-derived gram
+    * hash guarantees even collision behavior matches). */
+  def dedupSubstringOracleSql(minSpan: Int = SubstrMinSpan): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $SubstrGram
+       |), grams AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    CAST(md5_number_lower(array_to_string(w[i:i+${SubstrGram - 1}], ' '))
+       |      & 9223372036854775807 AS BIGINT) AS gh
+       |  FROM toks, unnest(range(1, len(w) - ${SubstrGram - 2})) AS t(i)
+       |), caps AS (
+       |  SELECT gh FROM grams GROUP BY gh HAVING count(*) <= $SubstrPostingCap
+       |), kept AS (
+       |  SELECT grams.* FROM grams JOIN caps USING (gh)
+       |), pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS p1,
+       |    a.pos - b.pos AS diag,
+       |    a.pos - row_number() OVER (PARTITION BY a.doc_id, b.doc_id,
+       |      a.pos - b.pos ORDER BY a.pos) AS grp
+       |  FROM kept a JOIN kept b ON a.gh = b.gh AND a.doc_id < b.doc_id
+       |), runs AS (
+       |  SELECT id1, id2, diag, min(p1) AS pos1, count(*) AS ng
+       |  FROM pairs GROUP BY id1, id2, diag, grp
+       |)
+       |SELECT id1, id2, pos1, pos1 - diag AS pos2,
+       |  CAST(ng + ${SubstrGram - 1} AS BIGINT) AS span_tokens
+       |FROM runs WHERE ng + ${SubstrGram - 1} >= $minSpan
+       |ORDER BY id1, id2, pos1, pos2""".stripMargin
+
   // ---- SimHash ----
 
   private val SimBits = 63 // bits 0..62 of the md5-derived u64 (sign bit unused)

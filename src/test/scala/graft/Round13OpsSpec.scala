@@ -144,6 +144,47 @@ class Round13OpsSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  // ---- exact-substring dedup ----
+
+  test("dedupSubstring reports a known shared span with exact position " +
+      "and length, via an equi-join (no cartesian) plan") {
+    import spark.implicits._
+    val fixture = Files.createTempDirectory("graft-substr").toString
+    val shared = (1 to 30).map(i => s"s$i").mkString(" ")
+    Seq(
+      (1L, s"a1 a2 a3 a4 $shared t1 t2 t3"),
+      (2L, s"b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 $shared u1 u2"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12")
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$fixture/documents.parquet")
+    val out = Dedup.dedupSubstring(spark, fixture)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 1 carries the span at 1-based position 5, doc 2 at position 11,
+    // exactly 30 tokens; doc 3 shares nothing
+    assert(rows.toSeq == Seq((1L, 2L, 5L, 11L, 30L)), s"got ${rows.toSeq}")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the gram match must be an equi-join:\n$plan")
+  }
+
+  test("dedupSubstring's posting cap drops boilerplate grams: a gram in " +
+      "33 docs yields no pairs, one in 2 docs yields its span") {
+    import spark.implicits._
+    val fixture = Files.createTempDirectory("graft-substr-cap").toString
+    val boiler = (1 to 8).map(i => s"c$i").mkString(" ") // 33 postings > cap 32
+    val rare = (1 to 8).map(i => s"d$i").mkString(" ")   // 2 postings
+    val docs = (100L until 133L).map(id => (id, boiler)) ++
+      Seq((200L, rare), (201L, rare))
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$fixture/documents.parquet")
+    val rows = Dedup.dedupSubstring(spark, fixture, minSpan = 8)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq((200L, 201L, 1L, 1L, 8L)), s"got ${rows.toSeq}")
+  }
+
   // ---- IVF-PQ id→cell sidecar ----
 
   test("IVF-PQ old-cell locator: sidecar ≡ codes-scan, idb-pruned plan, " +
