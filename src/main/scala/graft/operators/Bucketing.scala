@@ -261,9 +261,11 @@ object Bucketing {
   /** Hilbert index of a cell on the 65536×65536 grid — the classic
     * quadrant-recursion (extract the level's (rx, ry) quadrant bits, add
     * `s²·quadrant-order`, reflect/transpose the remainder), 16 levels,
-    * pure integer arithmetic. Exposed for the spec's independent
-    * inverse-round-trip and adjacency checks. */
-  private[graft] def hilbertIndex(xIn: Long, yIn: Long): Long = {
+    * pure integer arithmetic. Public: it is the static kernel
+    * [[graft.functions.HilbertIndexExpr]]'s generated code calls (a
+    * qualified-private method may not get the static forwarder janino
+    * needs), and the spec's independent inverse round-trips it. */
+  def hilbertIndex(xIn: Long, yIn: Long): Long = {
     var x = xIn; var y = yIn; var d = 0L
     var s = 32768L
     while (s > 0) {
@@ -280,9 +282,12 @@ object Bucketing {
     d
   }
 
-  /** UDF verdict (SCALE.md round-12 audit): ≤0.27 s udf-only at sf1 on 1M
-    * rows — pure bit-twiddling on two longs; the one inventory site where a
-    * native Expression is mechanical if the gate ever grows a real corpus. */
+  /** SUPERSEDED on the gate path (round 13): [[hilbertKeys]] now derives
+    * keys through the native [[graft.functions.HilbertExpressions]]
+    * expression — one static call per row inside whole-stage codegen, no
+    * ScalaUDF SerDe — closing the round-12 UDF audit's last "mechanical
+    * candidate" (measured ≤0.27 s udf-only at sf1). The UDF form is kept
+    * ONLY as [[graft.tools.UdfAuditProbe]]'s A/B reference. */
   private[graft] val hilbertUdf = udf { (x: Long, y: Long) => hilbertIndex(x, y) }
 
   /** Gate query: the first 200 events in HILBERT order on the same
@@ -297,7 +302,8 @@ object Bucketing {
     * `zkey`. */
   def hilbertKeys(spark: SparkSession, sfDir: String): DataFrame =
     eventsWithZKey(spark, sfDir)
-      .withColumn("hkey", hilbertUdf(col("ubits"), col("vbits")))
+      .withColumn("hkey", graft.functions.HilbertExpressions
+        .hilbertIndex(col("ubits"), col("vbits")))
       .select(col("event_id"), col("user_id"), col("ubits"), col("vbits"),
         col("hkey"))
       .orderBy(col("hkey"), col("event_id"))

@@ -185,6 +185,33 @@ class Round13OpsSpec extends SparkTestBase {
     assert(rows.toSeq == Seq((200L, 201L, 1L, 1L, 8L)), s"got ${rows.toSeq}")
   }
 
+  // ---- native Hilbert expression ----
+
+  test("HilbertIndexExpr matches the kernel under FORCED codegen (no " +
+      "silent interpreted fallback) and the gate plan carries no ScalaUDF") {
+    import spark.implicits._
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.get(key, "FALLBACK")
+    try {
+      // CODEGEN_ONLY turns a janino compile failure (e.g. a missing static
+      // forwarder for the kernel) into a hard error instead of a silent
+      // interpreted fallback
+      spark.conf.set(key, "CODEGEN_ONLY")
+      val pts = Seq((0L, 0L), (1L, 0L), (65535L, 65535L), (12345L, 54321L),
+        (32768L, 32767L))
+      val got = pts.toDF("x", "y")
+        .select(graft.functions.HilbertExpressions
+          .hilbertIndex(col("x"), col("y")).as("d"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == pts.map { case (x, y) =>
+        graft.operators.Bucketing.hilbertIndex(x, y) })
+    } finally spark.conf.set(key, prev)
+    val plan = graft.operators.Bucketing.hilbertKeys(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && plan.contains("hilbert_index"),
+      s"q_hilbert must run the native expression:\n$plan")
+  }
+
   // ---- IVF-PQ id→cell sidecar ----
 
   test("IVF-PQ old-cell locator: sidecar ≡ codes-scan, idb-pruned plan, " +
