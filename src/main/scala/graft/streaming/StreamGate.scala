@@ -1158,7 +1158,19 @@ object StreamGate {
     * [[graft.operators.Dedup.dedupIncrementalMultiOracleSql]]. At 100 TB
     * each trigger's probe is the one-sided index join (batch-bounded) and
     * each upsert rewrites only touched cells via the doc→cells sidecar —
-    * the loop's cost per day is O(|day|), independent of corpus size. */
+    * the loop's cost per day is O(|day|), independent of corpus size.
+    *
+    * Bench wall (r13, sf0.1, local[4]: ~17 s — the surface's heaviest
+    * gate, BY DESIGN): it prices one index clone, three landing writes,
+    * three streaming triggers (~1.2 s micro-batch machinery each), three
+    * probes AND three full [[graft.operators.Dedup.bandIndexUpsert]]s. At
+    * gate scale each ~1,500-doc micro-batch's 16·|batch| band rows hash
+    * into ALL 128 (band, bkt) cells, so every upsert rewrites the whole
+    * rows/ table — the honest cost of a cell grid sized for the corpus; a
+    * 100 TB deployment's thousands-of-cells grid localizes each day's
+    * rewrite to the touched fraction (the same argument as the IVF codes
+    * table). The single-trigger probe-only twin (`stream_dedup_lsh`,
+    * ~3 s) isolates what the maintenance loop adds. */
   def dedupLshIncrementalStream(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3): DataFrame = replayLock.synchronized {
     import graft.operators.Dedup
