@@ -183,6 +183,8 @@ object SparkEntry {
     "text_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.collocations(s, d)),
     "q_table_diff" -> (Mutations.tableDiff _),
     "sim_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
+    "sim_knn_descent" -> ((s: SparkSession, d: String) => Similarity.knnDescent(s, d)),
+    "sample_coreset" -> ((s: SparkSession, d: String) => Similarity.coresetKCenter(s, d)),
 
     // -- round 7 cont.: k-core, anomaly, paths, span dedup, reservoir --
     "q_kcore" -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
@@ -585,6 +587,8 @@ object SparkEntry {
     "text_collocations" -> operators.TextAnalysis.collocationsOracleSql(),
     "q_table_diff" -> operators.Mutations.tableDiffOracleSql,
     "sim_knn_graph" -> operators.Similarity.knnGraphOracleSql(),
+    "sim_knn_descent" -> operators.Similarity.knnDescentOracleSql(),
+    "sample_coreset" -> operators.Similarity.coresetKCenterOracleSql(),
 
     "q_kcore" -> operators.Graph.kcoreOracleSql(),
     "q_anomaly" -> operators.QuerySurface.anomalyZscoreOracleSql(),

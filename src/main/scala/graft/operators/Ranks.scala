@@ -29,21 +29,28 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: callers MUST pass a TOTAL order (unique tie-break column
   * last) — then row positions are unique regardless of where the sampled
-  * range boundaries land. The counts branch and the output branch both
-  * declare the same range-shuffle subtree; correctness requires they read
-  * the SAME materialized exchange (identical sampled boundaries), which
-  * Spark's exchange-reuse rule guarantees: the final adaptive plan holds
-  * exactly ONE range exchange, with every other ranged subtree a
-  * `ReusedExchange` of it. PlanSpec pins that shape (one materialized
-  * range exchange, ≥2 reuses) so a future Spark or conf drift
-  * (`spark.sql.exchange.reuse=false`) fails the suite loudly instead of
-  * silently joining offsets from one partitioning to indices from
-  * another.
+  * range boundaries land. The counts branch and the output branch must
+  * read the SAME materialized range partitioning (identical sampled
+  * boundaries). Exchange reuse does NOT reliably provide that: it fires
+  * for plain scan inputs, but when the input is a persist()ed frame under
+  * AQE, each branch compiles its own adaptive subplan over the cached
+  * relation, draws range boundaries with a DIFFERENT sampler seed (the
+  * rdd id), and offsets from one partitioning silently join to indices
+  * from another — observed live: globalRank over a lazily-cached 20k-row
+  * frame mis-ranked 19k rows, 100% reproducible, while the un-cached
+  * shape was always right. So the ranged frame is materialized ONCE with
+  * an eager `localCheckpoint` — one job, one boundary draw, both branches
+  * read those blocks (block storage is reclaimed by the ContextCleaner
+  * when the result is dropped, the [[Tables.materializeAndRelease]]
+  * life-cycle). PlanSpec pins the single-draw shape: exactly one range
+  * exchange ever executes per rank, under cached and uncached inputs.
   *
-  * Scale shape: identical to a distributed ORDER BY plus one broadcast
-  * hash join against a ≤`partitions`-row frame. The plan contains NO
-  * `windowspecdefinition` and no single-partition exchange of the data —
-  * asserted by PlanSpec for every gate that uses it. */
+  * Scale shape: identical to a distributed ORDER BY (materialized once —
+  * rank output feeds joins/aggregates in every caller, so the
+  * materialization replaces a recompute, not a pipeline) plus one
+  * broadcast hash join against a ≤`partitions`-row frame. The plan
+  * contains NO `windowspecdefinition` and no single-partition exchange of
+  * the data — asserted by PlanSpec for every gate that uses it. */
 object Ranks {
 
   /** Bit split of `monotonically_increasing_id()`: low 33 bits are the
@@ -65,6 +72,10 @@ object Ranks {
       .withColumn("__g_part", shiftright(col("__g_mid"), MidIndexBits))
       .withColumn("__g_idx", col("__g_mid").bitwiseAND(lit(MidIndexMask)))
       .drop("__g_mid")
+      // ONE boundary draw for both branches (see object scaladoc): without
+      // this, a persist()ed input makes the counts branch re-sample its own
+      // range boundaries and ranks silently corrupt.
+      .localCheckpoint(true)
     val counts = ranged.groupBy(col("__g_part")).agg(count(lit(1)).as("__g_cnt"))
     // exclusive prefix sum over the ≤`partitions`-row counts frame: a
     // broadcast strict-< self-join, so the cumulative never touches a
@@ -89,11 +100,12 @@ object Ranks {
     * running-sum window WITHIN each range partition, per-partition totals
     * turned into exclusive prefix offsets by the same broadcast
     * strict-< self-join, and `running = offset + local running`. Same
-    * total-order and exchange-reuse contract as [[globalRank]] (the
-    * offsets branch must read the same materialized range exchange —
-    * PlanSpec pins the ReusedExchange shape for the rank form; this
-    * shares the structure). Integer or decimal `valueCol` keeps the sum
-    * exact under any partitioning. */
+    * total-order and single-boundary-draw contract as [[globalRank]] (the
+    * offsets branch must read the exact partitioning the running-sum
+    * branch saw, so the ranged frame is eagerly localCheckpoint-ed — see
+    * the object scaladoc for the cached-input corruption this prevents).
+    * Integer or decimal `valueCol` keeps the sum exact under any
+    * partitioning. */
   def prefixSum(df: DataFrame, valueCol: String, sumCol: String,
                 order: Seq[Column], partitions: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -102,6 +114,9 @@ object Ranks {
       .sortWithinPartitions(order: _*)
       .withColumn("__p_part",
         shiftright(monotonically_increasing_id(), MidIndexBits))
+      // same single-boundary-draw rule as [[globalRank]]: the totals branch
+      // must see the exact partitioning the running-sum branch saw
+      .localCheckpoint(true)
     val localW = Window.partitionBy(col("__p_part")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = ranged.withColumn("__p_run", sum(col(valueCol)).over(localW))

@@ -717,6 +717,264 @@ object Similarity {
        |ORDER BY src, rank""".stripMargin
   }
 
+  // ---- NN-Descent kNN-graph refinement -------------------------------------
+
+  /** NN-DESCENT refinement of the kNN graph (Dong, Moses & Li, WWW 2011):
+    * start from the paper's RANDOM seed graph — k pseudo-random neighbors
+    * per node, here a deterministic affine hash of the node's dense rank
+    * so both engines draw the identical "random" graph — and iterate the
+    * local-join rule: "a neighbor of my neighbor is probably my neighbor".
+    * Symmetrize the current graph, make every two nodes that share a
+    * neighbor candidates of each other, rescore, keep each node's top-`k`.
+    * This is the algorithm large-scale kNN-graph builders actually run
+    * (UMAP, NGT, pynndescent) because it converges in O(log n)-ish rounds
+    * with only equi-joins — no quadratic pass anywhere. The random seed is
+    * load-bearing: an LSH seed (tried first) partitions the graph into
+    * tiny bucket-cliques whose transitive closure adds nothing, while the
+    * affine-hash seed is a circulant expander that mixes the whole corpus
+    * in a few rounds — the same reason the paper seeds randomly.
+    *
+    * Scale shape per iteration: symmetrize (a union, no shuffle beyond the
+    * join's), self-equi-join the ≤2k-degree adjacency on the shared-pivot
+    * node (candidate volume ≤ n·(2k)² rows — bounded by construction, the
+    * paper's ρ-sampling knob widens this at fixed k), one distinct, two
+    * id-keyed joins back to the vector table to score, and a per-source
+    * top-k window on (src)-partitioned data. Each round materializes via
+    * localCheckpoint so the loop's lineage (and the optimizer's view of
+    * it) stays one-round deep — the [[Graph]] fixed-point discipline.
+    * Iteration count is FIXED (`iters`=2) rather than convergence-tested:
+    * the gate's contract is deterministic output, and production runs the
+    * same bounded-round schedule (the paper's early-exit is a threshold on
+    * update counts, metadata this loop already has in `counted`).
+    *
+    * Output is [[knnGraph]]-shaped (src, rank, dst, cos); Round13bOpsSpec
+    * additionally pins that refined recall@k vs the brute-force graph is
+    * monotone over rounds and strictly improves on the seed. The dense
+    * rank behind the seed hash is [[Ranks.globalRank]] (range shuffle, no
+    * SinglePartition window), so seeding scales like a sort. */
+  def knnDescent(spark: SparkSession, sfDir: String, k: Int = 5,
+      iters: Int = 2): DataFrame = {
+    val e = withVec(embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v"), col("nrm")).persist()
+    def topk(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("dst"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+    val nn = e.agg(count(lit(1)).as("nn"))
+    // localCheckpoint before the self-join below: [[Ranks.globalRank]]'s
+    // range boundaries come from a SAMPLING exchange, and the seed's
+    // idx⋈idx plan evaluates that subtree twice — without materialization
+    // the two sides can draw different boundaries (different rdd ids seed
+    // the sampler), shifting ranks between them and corrupting the seed
+    // (observed at sf1: 2,600 of 100k edges off). One 2-column row per
+    // vector, so the checkpoint is node-table-sized.
+    val idx = Ranks.globalRank(e, "rn", Seq(col("vec_id")))
+      .crossJoin(broadcast(nn))
+      .withColumn("i", col("rn") - 1).drop("rn")
+      .select(col("vec_id"), col("i"), col("nn"))
+      .localCheckpoint(true)
+    val ea = e.select(col("vec_id").as("src"), col("v").as("va"), col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("dst"), col("v").as("vb"), col("nrm").as("nb"))
+    val seed = idx
+      .withColumn("j", explode(typedLit(Seq.range(0L, k.toLong))))
+      .withColumn("ti", (col("i") * 131 + col("j") * 97 + 7) % col("nn"))
+      .select(col("vec_id").as("src"), col("ti"))
+      .join(idx.select(col("i").as("ti"), col("vec_id").as("dst")), "ti")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    var g = topk(seed.join(ea, "src").join(eb, "dst")
+        .select(col("src"), col("dst"),
+          cosine(col("va"), col("na"), col("vb"), col("nb")).as("cos")))
+      .select(col("src"), col("dst"), col("cos"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val und = g.select(col("src"), col("dst"))
+        .union(g.select(col("dst").as("src"), col("src").as("dst")))
+      val cand = und.as("x").join(und.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") =!= col("y.dst"))
+        .select(col("x.dst").as("src"), col("y.dst").as("dst"))
+        .union(g.select(col("src"), col("dst")))
+        .distinct()
+      val scored = cand.join(ea, "src").join(eb, "dst")
+        .select(col("src"), col("dst"),
+          cosine(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
+      g = topk(scored).select(col("src"), col("dst"), col("cos"))
+        .localCheckpoint(true)
+    }
+    val out = topk(g)
+      .select(col("src"), col("rank").cast("long").as("rank"),
+        col("dst"), col("cos"))
+      .orderBy(col("src"), col("rank"))
+    Tables.materializeAndRelease(out, e)
+  }
+
+  /** DuckDB twin of [[knnDescent]] — the seed table and each descent round
+    * unrolled as CTE pairs (candidates, rescored top-k), identical
+    * signature seed, rounding, and (cos DESC, dst) tie rule. */
+  def knnDescentOracleSql(k: Int = 5, iters: Int = 2): String = {
+    val cos = Tables.portableRound6Sql(
+      "list_dot_product(a.v, b.v) / (a.nrm * b.nrm)")
+    val rounds = (1 to iters).map { i =>
+      s"""u${i - 1} AS (
+         |  SELECT src, dst FROM g${i - 1}
+         |  UNION ALL SELECT dst, src FROM g${i - 1}
+         |), c$i AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT x.dst AS src, y.dst AS dst
+         |    FROM u${i - 1} x JOIN u${i - 1} y
+         |      ON x.src = y.src AND x.dst <> y.dst
+         |    UNION ALL SELECT src, dst FROM g${i - 1})
+         |), s$i AS (
+         |  SELECT c.src, c.dst, $cos AS cos
+         |  FROM c$i c JOIN n a ON c.src = a.vec_id
+         |    JOIN n b ON c.dst = b.vec_id
+         |), g$i AS (
+         |  SELECT src, dst, cos, rnk FROM (
+         |    SELECT src, dst, cos,
+         |      row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+         |    FROM s$i) WHERE rnk <= $k
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+       |  FROM e WHERE list_dot_product(v, v) > 0
+       |    AND NOT isnan(list_dot_product(v, v))
+       |), idx AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS i,
+       |    count(*) OVER () AS nn
+       |  FROM n
+       |), seed AS (
+       |  SELECT DISTINCT x.vec_id AS src, t.vec_id AS dst
+       |  FROM idx x CROSS JOIN (SELECT range AS j FROM range($k)) js
+       |  JOIN idx t ON t.i = (x.i * 131 + js.j * 97 + 7) % x.nn
+       |  WHERE t.vec_id <> x.vec_id
+       |), g0 AS (
+       |  SELECT src, dst, cos FROM (
+       |    SELECT c.src, c.dst, $cos AS cos,
+       |      row_number() OVER (PARTITION BY c.src
+       |        ORDER BY $cos DESC, c.dst) AS rnk
+       |    FROM seed c JOIN n a ON c.src = a.vec_id
+       |      JOIN n b ON c.dst = b.vec_id
+       |  ) WHERE rnk <= $k
+       |), $rounds
+       |SELECT src, CAST(rnk AS BIGINT) AS rank, dst, cos
+       |FROM g$iters ORDER BY src, rank""".stripMargin
+  }
+
+  // ---- k-center greedy coreset (farthest-point sampling) -------------------
+
+  /** K-CENTER GREEDY coreset selection (Sener & Savarese, ICLR 2018 — the
+    * "Core-Set Approach" paper; the classical farthest-point-sampling
+    * 2-approximation of the k-center objective). Pick the lowest-id vector,
+    * then `k`−1 times pick the vector FARTHEST (cosine distance, ties →
+    * lower vec_id) from everything chosen so far. The output reports, per
+    * selected center: its selection order, the distance that made it win
+    * (the paper's coverage-radius curve — monotone non-increasing), and the
+    * coverage it ends up providing (assigned count + max assigned distance,
+    * i.e. the k-center objective value).
+    *
+    * Scale shape: the chosen set is ≤ `k` vectors and lives as LITERALS in
+    * the plan (the [[randomProjection]] inlining pattern) — each greedy
+    * round is ONE codegen'd scan computing `least(d₁…d_t)` plus a
+    * TakeOrdered(1), so the whole selection is `k`−1 scans with no shuffle
+    * and no broadcast; the final assignment/coverage pass is one more scan
+    * + a k-row aggregate. At 100 TB each scan is embarrassingly parallel
+    * and the driver state is k·dim doubles — the same bound as the
+    * [[Clustering]] codebook collect. (Production k-center at large k
+    * switches to batched selection — picking the top-m farthest per round —
+    * which this shape extends to by swapping the limit; the per-round scan
+    * structure is unchanged.)
+    *
+    * Distances are `1 − round6(cos)` so every comparison in both engines
+    * happens on identical doubles; zero-norm vectors are excluded at the
+    * source ([[withVec]] rule). */
+  def coresetKCenter(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
+    val e = withVec(embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v"), col("nrm")).persist()
+    def distTo(cv: Seq[Double], cn: Double): Column =
+      lit(1.0) - cosine(col("v"), col("nrm"), typedLit(cv), lit(cn))
+    val firstRow = e.orderBy(col("vec_id")).limit(1).collect()(0)
+    // (sel_rank, vec_id, v, nrm, pick_dist)
+    var chosen = Vector[(Long, Long, Seq[Double], Double, Option[Double])](
+      (1L, firstRow.getLong(0), firstRow.getSeq[Double](1), firstRow.getDouble(2), None))
+    for (t <- 2 to k) {
+      val dcols = chosen.map { case (_, _, cv, cn, _) => distTo(cv, cn) }
+      val md = if (dcols.size == 1) dcols.head else least(dcols: _*)
+      val win = e.select(col("vec_id"), col("v"), col("nrm"), md.as("md"))
+        .orderBy(col("md").desc, col("vec_id")).limit(1).collect()(0)
+      chosen = chosen :+ ((t.toLong, win.getLong(0), win.getSeq[Double](1),
+        win.getDouble(2), Some(win.getDouble(3))))
+    }
+    // coverage pass: argmin over the k literal centers, ties → earlier center
+    val best = least(chosen.map { case (r, _, cv, cn, _) =>
+      struct(distTo(cv, cn).as("d"), lit(r).as("r"))
+    }: _*)
+    val coverage = e
+      .select(best.getField("r").as("sel_rank"), best.getField("d").as("d"))
+      .groupBy(col("sel_rank"))
+      .agg(count(lit(1)).as("n_assigned"), max(col("d")).as("radius"))
+    import spark.implicits._
+    val centers = chosen
+      .map { case (r, id, _, _, pd) => (r, id, pd) }
+      .toDF("sel_rank", "vec_id", "pick_dist")
+    val out = centers.join(coverage, Seq("sel_rank"))
+      .select(col("sel_rank"), col("vec_id"), col("pick_dist"),
+        col("n_assigned"), col("radius"))
+      .orderBy(col("sel_rank"))
+    Tables.materializeAndRelease(out, e)
+  }
+
+  /** DuckDB twin of [[coresetKCenter]] — the greedy rounds unrolled as a
+    * cumulative-chosen CTE chain (each round: a min-over-chosen distance
+    * aggregate, an `ORDER BY md DESC, vec_id LIMIT 1` pick, a UNION ALL
+    * append), then the same argmin coverage pass via a per-point
+    * row_number. Chosen points never re-win a round: their distance to
+    * themselves is 0. */
+  def coresetKCenterOracleSql(k: Int = 8): String = {
+    def d(p: String, c: String) = s"1 - ${Tables.portableRound6Sql(
+      s"list_dot_product($p.v, $c.v) / ($p.nrm * $c.nrm)")}"
+    val rounds = (2 to k).map { t =>
+      s"""m$t AS (
+         |  SELECT p.vec_id, min(${d("p", "c")}) AS md
+         |  FROM n p CROSS JOIN ch${t - 1} c GROUP BY p.vec_id
+         |), p$t AS (
+         |  SELECT n.vec_id, n.v, n.nrm, CAST($t AS BIGINT) AS sel_rank,
+         |    m.md AS pick_dist
+         |  FROM m$t m JOIN n ON n.vec_id = m.vec_id
+         |  ORDER BY m.md DESC, n.vec_id LIMIT 1
+         |), ch$t AS (
+         |  SELECT * FROM ch${t - 1} UNION ALL SELECT * FROM p$t
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+       |  FROM e WHERE list_dot_product(v, v) > 0
+       |    AND NOT isnan(list_dot_product(v, v))
+       |), ch1 AS (
+       |  SELECT vec_id, v, nrm, CAST(1 AS BIGINT) AS sel_rank,
+       |    CAST(NULL AS DOUBLE) AS pick_dist
+       |  FROM n WHERE vec_id = (SELECT min(vec_id) FROM n)
+       |), $rounds, asgd AS (
+       |  SELECT vec_id, sel_rank, dd FROM (
+       |    SELECT p.vec_id, c.sel_rank, ${d("p", "c")} AS dd,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${d("p", "c")} ASC, c.sel_rank ASC) AS rk
+       |    FROM n p CROSS JOIN ch$k c) WHERE rk = 1
+       |), cov AS (
+       |  SELECT sel_rank, count(*) AS n_assigned, max(dd) AS radius
+       |  FROM asgd GROUP BY sel_rank
+       |)
+       |SELECT c.sel_rank, c.vec_id, c.pick_dist, g.n_assigned, g.radius
+       |FROM ch$k c JOIN cov g ON c.sel_rank = g.sel_rank
+       |ORDER BY c.sel_rank""".stripMargin
+  }
+
   // ---- semantic dedup (SemDeDup) -------------------------------------------
 
   /** SemDeDup-style semantic deduplication: cluster the embeddings with the

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Round-13 (second leg) additions: NN-Descent kNN-graph refinement
+  * (Dong et al. 2011) and k-center greedy coreset selection (Sener &
+  * Savarese 2018). These pin the ALGORITHMIC invariants the oracle's
+  * cell-by-cell compare cannot see:
+  *   - descent recall@k vs the brute-force graph is monotone
+  *     non-decreasing in rounds (kept-k over a candidate SUPERSET of the
+  *     current edges can only displace a true-top-k edge with another
+  *     true-top-k edge), and at sf0.01 strictly improves on the seed;
+  *   - FPS pick distances are non-increasing and the final coverage
+  *     radius is bounded by the last pick distance (the 2-approximation's
+  *     working invariant);
+  *   - both are deterministic across repeated runs.
+  */
+class Round13bOpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  /** recall@k of `g` (src, rank, dst, cos) against the brute-force top-k
+    * cosine graph over the same non-zero-norm vector set. */
+  private def recallAtK(g: DataFrame, k: Int = 5): Double = {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+      .filter(col("nrm") > 0 && !isnan(col("nrm")))
+    val truth = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        (expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("dst"))
+    val hits = g.select(col("src"), col("dst"))
+      .join(truth, Seq("src", "dst")).count()
+    hits.toDouble / truth.count()
+  }
+
+  test("knnDescent: recall@5 strictly improves on the random seed graph " +
+      "and each round is monotone non-decreasing") {
+    val seed = Similarity.knnDescent(spark, sf, iters = 0)
+    val one = Similarity.knnDescent(spark, sf, iters = 1)
+    val two = Similarity.knnDescent(spark, sf, iters = 2)
+    val (r0, r1, r2) = (recallAtK(seed), recallAtK(one), recallAtK(two))
+    info(s"recall@5: seed=$r0 iter1=$r1 iter2=$r2")
+    assert(r1 >= r0 && r2 >= r1,
+      s"descent recall must be monotone: seed=$r0 iter1=$r1 iter2=$r2")
+    assert(r2 > r0,
+      s"two descent rounds must strictly improve on the seed: $r0 -> $r2")
+  }
+
+  test("knnDescent is deterministic across runs") {
+    val a = Similarity.knnDescent(spark, sf)
+    val b = Similarity.knnDescent(spark, sf)
+    assertFrameEqual(a, b, Seq("src", "rank"))
+  }
+
+  test("coresetKCenter: FPS invariants — pick distances non-increasing, " +
+      "radius bounded by the last pick, full corpus covered") {
+    val out = Similarity.coresetKCenter(spark, sf).collect()
+    assert(out.length == 8)
+    assert(out.map(_.getLong(0)).toSeq == (1L to 8L),
+      "selection ranks must be 1..k")
+    val picks = out.filter(!_.isNullAt(2)).map(_.getDouble(2)).toSeq
+    assert(picks.length == 7, "every pick after the first carries its distance")
+    assert(picks.zip(picks.tail).forall { case (a, b) => a >= b },
+      s"pick distances must be non-increasing: $picks")
+    val radius = out.map(_.getDouble(4)).max
+    assert(radius <= picks.last + 1e-12,
+      s"coverage radius $radius must not exceed the last pick ${picks.last}")
+    val nVec = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("cast(embedding as array<double>) as v")
+      .where("aggregate(v, 0D, (acc, x) -> acc + x * x) > 0").count()
+    assert(out.map(_.getLong(3)).sum == nVec,
+      "assigned counts must partition the non-zero-norm corpus")
+  }
+
+  test("coresetKCenter is deterministic across runs") {
+    val a = Similarity.coresetKCenter(spark, sf)
+    val b = Similarity.coresetKCenter(spark, sf)
+    assertFrameEqual(a, b, Seq("sel_rank"))
+  }
+}
