@@ -185,6 +185,8 @@ object SparkEntry {
     "sim_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "sim_knn_descent" -> ((s: SparkSession, d: String) => Similarity.knnDescent(s, d)),
     "sample_coreset" -> ((s: SparkSession, d: String) => Similarity.coresetKCenter(s, d)),
+    "sample_token_budget" -> ((s: SparkSession, d: String) => Sampling.sampleTokenBudget(s, d)),
+    "q_hits" -> ((s: SparkSession, d: String) => Graph.hits(s, d)),
 
     // -- round 7 cont.: k-core, anomaly, paths, span dedup, reservoir --
     "q_kcore" -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
@@ -589,6 +591,8 @@ object SparkEntry {
     "sim_knn_graph" -> operators.Similarity.knnGraphOracleSql(),
     "sim_knn_descent" -> operators.Similarity.knnDescentOracleSql(),
     "sample_coreset" -> operators.Similarity.coresetKCenterOracleSql(),
+    "sample_token_budget" -> operators.Sampling.sampleTokenBudgetOracleSql,
+    "q_hits" -> operators.Graph.hitsOracleSql(),
 
     "q_kcore" -> operators.Graph.kcoreOracleSql(),
     "q_anomaly" -> operators.QuerySurface.anomalyZscoreOracleSql(),

@@ -1071,4 +1071,122 @@ object Graph {
        |SELECT lab, count(*) AS n_nodes FROM lab$rounds
        |GROUP BY 1 ORDER BY n_nodes DESC, lab""".stripMargin
   }
+
+  // ---- HITS hubs & authorities ---------------------------------------------
+
+  /** Fixed-point scale for [[hits]] scores (10⁹ per unit — deliberately
+    * smaller than [[Scale]]: HITS sums UN-normalized neighbor scores, so
+    * headroom must absorb a full degree factor between normalizations;
+    * Σ|scores| ≤ |E|·2·10⁹ keeps a 6M-edge round below 1.2·10¹⁶). */
+  private val HitsScale = 1000000000L
+
+  /** HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    * customer→supplier purchase multigraph (edge multiplicity = purchase
+    * weight — the [[pageRank]] convention, but NOT symmetrized: the
+    * direction is what separates the two scores; on the symmetrized graph
+    * hubs ≡ authorities and the gate would be [[pageRank]] in disguise).
+    * The alternating power iteration: authority = Σ hub over in-edges,
+    * hub = Σ authority over out-edges, renormalized each half-step.
+    *
+    * Deviation from the paper, with rationale: normalization divides by
+    * `greatest(max(score) div 10⁹, 1)` — an L∞-style rescale in TRUNCATING
+    * INTEGER arithmetic — instead of the L2 norm. Normalization in HITS is
+    * a uniform positive scaling, so the converged RANKING is that of the
+    * principal eigenvector of EᵀE / EEᵀ either way; the integer form is
+    * what makes the gate hash-exact across engines (an L2 norm needs a
+    * sqrt whose libm result differs across builds — the [[pageRank]]
+    * fixed-point discipline). Absolute magnitudes are therefore
+    * approximations of the L2-normalized paper values; order is the
+    * operator's contract.
+    *
+    * Scale shape: the edge list is cached TWICE, hash-partitioned by `c`
+    * and by `s` — HITS alternates aggregation sides every half-round, so
+    * each cached orientation serves one half exchange-free and only the
+    * node-sized score frame reshuffles (the walk-family loop rule). The
+    * per-round max is a 1-row broadcast. AQE is off for the loop
+    * ([[withAqeOff]] — partitioning pinned by construction). Bounded
+    * iterations (3), scores localCheckpoint-ed per round. */
+  def hits(spark: SparkSession, sfDir: String, iterations: Int = 3,
+      topK: Int = 25): DataFrame = withAqeOff(spark) {
+    val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+    val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val fwd = li.join(od, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+    val byC = fwd.repartition(col("c")).persist()
+    val byS = fwd.repartition(col("s")).persist()
+    def normalize(df: DataFrame, key: String, score: String): DataFrame = {
+      val m = df.agg(max(col(score)).as("__m"))
+      df.crossJoin(broadcast(m))
+        .select(col(key),
+          expr(s"$score div greatest(__m div ${HitsScale}L, 1L)").as(score))
+    }
+    var hub = byC.select(col("c")).distinct()
+      .select(col("c"), lit(HitsScale).as("h"))
+    var auth = byC.select(col("s")).limit(0)
+      .select(col("s"), lit(0L).as("a")) // replaced in round 1
+    for (_ <- 1 to iterations) {
+      auth = normalize(
+        byC.join(hub, "c").groupBy(col("s")).agg(sum(col("h")).as("a")),
+        "s", "a").localCheckpoint(true)
+      hub = normalize(
+        byS.join(auth, "s").groupBy(col("c")).agg(sum(col("a")).as("h")),
+        "c", "h").localCheckpoint(true)
+    }
+    val topA = auth.orderBy(col("a").desc, col("s")).limit(topK)
+      .select(lit("authority").as("kind"), col("s").as("entity_key"),
+        col("a").as("score_fp"))
+    val topH = hub.orderBy(col("h").desc, col("c")).limit(topK)
+      .select(lit("hub").as("kind"), col("c").as("entity_key"),
+        col("h").as("score_fp"))
+    val out = topA.unionByName(topH)
+      .orderBy(col("kind"), col("score_fp").desc, col("entity_key"))
+    materializeAndRelease(out, byC, byS)
+  }
+
+  /** DuckDB twin of [[hits]] — the alternating half-steps unrolled as
+    * (raw sum, 1-row max, rescale) CTE triples; HUGEINT sums cast back to
+    * BIGINT at every stage (the driver's hash is dtype-sensitive). Every
+    * multiply-referenced CTE is `AS MATERIALIZED` (the [[pageRankOracleSql]]
+    * rule): each `a{i}r` feeds both its max and its rescale, so without the
+    * hint DuckDB re-inlines the ENTIRE upstream join chain twice per round
+    * — 2^rounds copies of the 6M-row join, observed as an 84 GiB OOM at
+    * sf1. */
+  def hitsOracleSql(iterations: Int = 3, topK: Int = 25): String = {
+    val rounds = (1 to iterations).map { i =>
+      s"""a${i}r AS MATERIALIZED (
+         |  SELECT s, CAST(SUM(h.h) AS BIGINT) AS a
+         |  FROM fwd JOIN h${i - 1} h USING (c) GROUP BY s
+         |), a${i}m AS (
+         |  SELECT greatest(CAST(max(a) AS BIGINT) // $HitsScale, 1) AS d
+         |  FROM a${i}r
+         |), a$i AS MATERIALIZED (
+         |  SELECT s, CAST(a // d AS BIGINT) AS a FROM a${i}r CROSS JOIN a${i}m
+         |), h${i}r AS MATERIALIZED (
+         |  SELECT c, CAST(SUM(x.a) AS BIGINT) AS h
+         |  FROM fwd JOIN a$i x USING (s) GROUP BY c
+         |), h${i}m AS (
+         |  SELECT greatest(CAST(max(h) AS BIGINT) // $HitsScale, 1) AS d
+         |  FROM h${i}r
+         |), h$i AS MATERIALIZED (
+         |  SELECT c, CAST(h // d AS BIGINT) AS h FROM h${i}r CROSS JOIN h${i}m
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH fwd AS MATERIALIZED (
+       |  SELECT o_custkey AS c, l_suppkey AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), h0 AS MATERIALIZED (
+       |  SELECT DISTINCT c, CAST($HitsScale AS BIGINT) AS h FROM fwd
+       |),
+       |$rounds
+       |SELECT kind, entity_key, score_fp FROM (
+       |  SELECT 'authority' AS kind, s AS entity_key, a AS score_fp,
+       |    row_number() OVER (ORDER BY a DESC, s) AS rn
+       |  FROM a$iterations
+       |  UNION ALL
+       |  SELECT 'hub' AS kind, c AS entity_key, h AS score_fp,
+       |    row_number() OVER (ORDER BY h DESC, c) AS rn
+       |  FROM h$iterations
+       |) WHERE rn <= $topK
+       |ORDER BY kind, score_fp DESC, entity_key""".stripMargin
+  }
 }

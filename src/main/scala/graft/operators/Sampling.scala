@@ -930,4 +930,64 @@ object Sampling {
        |GROUP BY p.doc_id, p.source
        |ORDER BY score_fp DESC, p.doc_id LIMIT $DsirTopK""".stripMargin
   }
+
+  // ---- token-budget corpus assembly ----------------------------------------
+
+  /** Budget share kept by [[sampleTokenBudget]]: 60% of corpus tokens. */
+  private val TokenBudgetPct = 60L
+
+  /** TOKEN-BUDGET corpus assembly: the "we can afford N tokens, keep the
+    * best documents that fit" step every training run ends with. Greedy by
+    * quality: rank documents by ([[TextAnalysis.quality]] score desc,
+    * doc_id), running-sum their whitespace token counts in that order, and
+    * keep the prefix whose cumulative count stays within the budget
+    * (here `total·60 div 100`, derived from the corpus itself so the gate
+    * is scale-free). Output carries the greedy rank, each kept document's
+    * tokens and the running total — the audit trail a budget decision
+    * needs ("what got in, in what order, at what cost").
+    *
+    * Scale shape: the rank is [[Ranks.globalRank]] (distributed range
+    * sort, single boundary draw) and the running sum is [[Ranks.prefixSum]]
+    * under the SAME total order — no windowspecdefinition, no
+    * SinglePartition funnel; the budget is a broadcast 1-row aggregate.
+    * The greedy-prefix rule is exact and deterministic: ties in
+    * quality_score break on doc_id, and a document is kept iff its own
+    * cumulative total fits (no partial documents — the Lee-style span
+    * surgery is [[Dedup]]'s territory, not the assembler's). */
+  def sampleTokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val order = Seq(col("quality_score").desc, col("doc_id"))
+    val tot = q.agg(sum(col("n_tokens")).as("__total"))
+    val ranked = Ranks.globalRank(q, "rk", order)
+    val cum = Ranks.prefixSum(ranked, "n_tokens", "cum_tokens", order)
+    cum.crossJoin(broadcast(tot))
+      .filter(col("cum_tokens") <= expr(s"(__total * $TokenBudgetPct) div 100"))
+      .select(col("rk"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"), col("quality_score"))
+      .orderBy(col("rk"))
+  }
+
+  /** DuckDB twin of [[sampleTokenBudget]] — same quality CTEs, a
+    * row_number + running-sum window under the identical total order, and
+    * the same integer budget rule. */
+  def sampleTokenBudgetOracleSql: String =
+    s"""WITH b AS (
+       |  ${TextAnalysis.qualityCountsSqlCte}
+       |), q AS (
+       |  SELECT doc_id, n_tokens,
+       |    ${TextAnalysis.qualityScoreSqlExpr("n_distinct", "n_stop", "n_tokens")} AS quality_score
+       |  FROM b
+       |), r AS (
+       |  SELECT doc_id, n_tokens, quality_score,
+       |    CAST(row_number() OVER w AS BIGINT) AS rk,
+       |    CAST(sum(n_tokens) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      AS cum_tokens,
+       |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+       |  FROM q
+       |  WINDOW w AS (ORDER BY quality_score DESC, doc_id)
+       |)
+       |SELECT rk, doc_id, n_tokens, cum_tokens, quality_score
+       |FROM r WHERE cum_tokens <= (total * $TokenBudgetPct) // 100
+       |ORDER BY rk""".stripMargin
 }

@@ -87,4 +87,53 @@ class Round13bOpsSpec extends SparkTestBase {
     val b = Similarity.coresetKCenter(spark, sf)
     assertFrameEqual(a, b, Seq("sel_rank"))
   }
+
+  test("hits: authorities are suppliers, hubs are customers, and scores " +
+      "renormalize to the fixed-point scale each round") {
+    val out = graft.operators.Graph.hits(spark, sf).collect()
+    assert(out.length == 50)
+    val (auths, hubs) = out.partition(_.getString(0) == "authority")
+    assert(auths.length == 25 && hubs.length == 25)
+    val suppKeys = spark.read.parquet(s"$sf/supplier.parquet")
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    assert(auths.forall(r => suppKeys.contains(r.getLong(1))),
+      "authority keys must be supplier keys")
+    // L∞-style renormalization: the top score each side sits within one
+    // truncating-division step of the scale (max div (max div S) ∈ [S, 2S))
+    val scale = 1000000000L
+    for (side <- Seq(auths, hubs)) {
+      val m = side.map(_.getLong(2)).max
+      assert(m >= scale / 2 && m < 2 * scale,
+        s"top score $m must be within a truncation step of $scale")
+    }
+  }
+
+  test("hits is deterministic across runs") {
+    val a = graft.operators.Graph.hits(spark, sf)
+    val b = graft.operators.Graph.hits(spark, sf)
+    assertFrameEqual(a, b, Seq("kind", "entity_key"))
+  }
+
+  test("sampleTokenBudget: greedy prefix is maximal — kept set fits the " +
+      "budget and the next-ranked document would not") {
+    import graft.operators.{Sampling, TextAnalysis}
+    val kept = Sampling.sampleTokenBudget(spark, sf)
+      .orderBy(col("rk")).collect()
+    assert(kept.nonEmpty)
+    assert(kept.map(_.getLong(0)).toSeq == (1L to kept.length),
+      "kept ranks must be the contiguous greedy prefix 1..n")
+    // recompute the greedy fold driver-side from the quality frame
+    val q = TextAnalysis.quality(spark, sf)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .collect()
+      .sortBy(r => (-r.getDouble(2), r.getLong(0)))
+    val total = q.map(_.getLong(1)).sum
+    val budget = total * 60 / 100
+    assert(kept.last.getLong(3) <= budget, "kept prefix must fit the budget")
+    val nextTokens = q(kept.length).getLong(1)
+    assert(kept.last.getLong(3) + nextTokens > budget,
+      "the first excluded document must overflow the budget (maximality)")
+    // cum_tokens is the running sum of the kept docs' own n_tokens
+    assert(kept.map(_.getLong(2)).sum == kept.last.getLong(3))
+  }
 }
