@@ -744,8 +744,11 @@ object Similarity {
     * it) stays one-round deep — the [[Graph]] fixed-point discipline.
     * Iteration count is FIXED (`iters`=2) rather than convergence-tested:
     * the gate's contract is deterministic output, and production runs the
-    * same bounded-round schedule (the paper's early-exit is a threshold on
-    * update counts, metadata this loop already has in `counted`).
+    * same bounded-round schedule (the paper's early-exit — stop when the
+    * per-round update count falls below δ·n·k — would be one extra count
+    * of changed edges per round here, an anti-join of consecutive rounds'
+    * graphs; omitted because a data-dependent round count would make the
+    * output corpus-order-dependent, which the oracle forbids).
     *
     * Output is [[knnGraph]]-shaped (src, rank, dst, cos); Round13bOpsSpec
     * additionally pins that refined recall@k vs the brute-force graph is

@@ -136,4 +136,29 @@ class Round13bOpsSpec extends SparkTestBase {
     // cum_tokens is the running sum of the kept docs' own n_tokens
     assert(kept.map(_.getLong(2)).sum == kept.last.getLong(3))
   }
+
+  test("Ranks fuzz: globalRank and prefixSum match their window twins " +
+      "across sizes, key skews, and persist states") {
+    import graft.operators.Ranks
+    import org.apache.spark.sql.expressions.Window
+    for ((n, mod, cached) <- Seq((30000, 7, true), (30000, 1, false),
+        (50000, 997, true), (8191, 13, false))) {
+      // mod controls duplicate density in the leading key; id breaks ties
+      val base = spark.range(n)
+        .select(col("id"), pmod(hash(col("id")), lit(mod)).as("k"),
+          (pmod(hash(col("id") + 1), lit(1000)) + 1000).cast("long").as("v"))
+      val in = if (cached) base.persist() else base
+      val order = Seq(col("k"), col("id"))
+      val w = Window.orderBy(col("k"), col("id"))
+      val got = Ranks.prefixSum(
+          Ranks.globalRank(in, "rk", order), "v", "run", order)
+        .withColumn("erk", row_number().over(w))
+        .withColumn("erun", sum(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val bad = got.filter(col("rk") =!= col("erk") ||
+        col("run") =!= col("erun")).count()
+      assert(bad == 0, s"n=$n mod=$mod cached=$cached: $bad mismatched rows")
+      if (cached) in.unpersist(true)
+    }
+  }
 }
