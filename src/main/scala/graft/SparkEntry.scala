@@ -186,6 +186,7 @@ object SparkEntry {
     "sim_knn_descent" -> ((s: SparkSession, d: String) => Similarity.knnDescent(s, d)),
     "sample_coreset" -> ((s: SparkSession, d: String) => Similarity.coresetKCenter(s, d)),
     "sample_token_budget" -> ((s: SparkSession, d: String) => Sampling.sampleTokenBudget(s, d)),
+    "mix_token_budget" -> ((s: SparkSession, d: String) => Sampling.mixTokenBudget(s, d)),
     "q_hits" -> ((s: SparkSession, d: String) => Graph.hits(s, d)),
 
     // -- round 7 cont.: k-core, anomaly, paths, span dedup, reservoir --
@@ -592,6 +593,7 @@ object SparkEntry {
     "sim_knn_descent" -> operators.Similarity.knnDescentOracleSql(),
     "sample_coreset" -> operators.Similarity.coresetKCenterOracleSql(),
     "sample_token_budget" -> operators.Sampling.sampleTokenBudgetOracleSql,
+    "mix_token_budget" -> operators.Sampling.mixTokenBudgetOracleSql,
     "q_hits" -> operators.Graph.hitsOracleSql(),
 
     "q_kcore" -> operators.Graph.kcoreOracleSql(),

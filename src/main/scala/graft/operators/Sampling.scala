@@ -968,6 +968,68 @@ object Sampling {
       .orderBy(col("rk"))
   }
 
+  /** PER-SOURCE token budgets — the mixing-aware form of
+    * [[sampleTokenBudget]]: each source keeps its own quality-first greedy
+    * prefix under its own budget (60% of ITS token total), so the output
+    * corpus preserves the source mix while still shedding the worst 40% of
+    * every domain. This is the assembly rule behind "downsample each crawl
+    * snapshot to its best X% by tokens" — a GLOBAL budget ([[
+    * sampleTokenBudget]]) lets one high-quality source crowd out the rest;
+    * the per-source rule is what mixing pipelines actually run.
+    *
+    * Scale shape — the grouped-rank pattern WITHOUT `Window.partitionBy
+    * (source)` (a handful of sources would funnel 100 TB through a
+    * handful of reducers): ONE [[Ranks.globalRank]] + ONE
+    * [[Ranks.prefixSum]] under the source-major total order (source,
+    * quality desc, doc_id), then per-source rank/cum recovered
+    * arithmetically — `src_cum = cum − offset(source)` where
+    * `offset(source) = min(cum − n_tokens)` over the source's rows (the
+    * global prefix just before its first row; exact because every
+    * n_tokens ≥ 1), and `src_rank = rk − min(rk) + 1` likewise. The
+    * offsets and budgets are a |sources|-row broadcast. */
+  def mixTokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = documents(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(TextAnalysis.quality(spark, sfDir)
+        .select(col("doc_id"), col("n_tokens"), col("quality_score")), "doc_id")
+    val order = Seq(col("source"), col("quality_score").desc, col("doc_id"))
+    val cum = Ranks.prefixSum(
+      Ranks.globalRank(q, "rk", order), "n_tokens", "cum_tokens", order)
+    val perSource = cum.groupBy(col("source")).agg(
+      min(col("cum_tokens") - col("n_tokens")).as("__off"),
+      min(col("rk")).as("__rk0"),
+      expr(s"(sum(n_tokens) * $TokenBudgetPct) div 100").as("__budget"))
+    cum.join(broadcast(perSource), "source")
+      .withColumn("src_cum_tokens", col("cum_tokens") - col("__off"))
+      .filter(col("src_cum_tokens") <= col("__budget"))
+      .select(col("source"), (col("rk") - col("__rk0") + 1).as("src_rank"),
+        col("doc_id"), col("n_tokens"), col("src_cum_tokens"),
+        col("quality_score"))
+      .orderBy(col("source"), col("src_rank"))
+  }
+
+  /** DuckDB twin of [[mixTokenBudget]] — source-partitioned windows
+    * (exact per-source twins of the arithmetic recovery). */
+  def mixTokenBudgetOracleSql: String =
+    s"""WITH b AS (
+       |  ${TextAnalysis.qualityCountsSqlCte}
+       |), q AS (
+       |  SELECT d.source, b.doc_id, b.n_tokens,
+       |    ${TextAnalysis.qualityScoreSqlExpr("n_distinct", "n_stop", "n_tokens")} AS quality_score
+       |  FROM b JOIN documents d ON b.doc_id = d.doc_id
+       |), r AS (
+       |  SELECT source, doc_id, n_tokens, quality_score,
+       |    CAST(row_number() OVER w AS BIGINT) AS src_rank,
+       |    CAST(sum(n_tokens) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      AS src_cum_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS total
+       |  FROM q
+       |  WINDOW w AS (PARTITION BY source ORDER BY quality_score DESC, doc_id)
+       |)
+       |SELECT source, src_rank, doc_id, n_tokens, src_cum_tokens,
+       |  quality_score
+       |FROM r WHERE src_cum_tokens <= (total * $TokenBudgetPct) // 100
+       |ORDER BY source, src_rank""".stripMargin
+
   /** DuckDB twin of [[sampleTokenBudget]] — same quality CTEs, a
     * row_number + running-sum window under the identical total order, and
     * the same integer budget rule. */

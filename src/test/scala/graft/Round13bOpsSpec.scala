@@ -137,6 +137,32 @@ class Round13bOpsSpec extends SparkTestBase {
     assert(kept.map(_.getLong(2)).sum == kept.last.getLong(3))
   }
 
+  test("mixTokenBudget: every source keeps its own maximal greedy prefix") {
+    import graft.operators.{Sampling, TextAnalysis}
+    val kept = Sampling.mixTokenBudget(spark, sf).collect()
+      .groupBy(_.getString(0))
+    val q = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"))
+      .join(TextAnalysis.quality(spark, sf)
+        .select(col("doc_id"), col("n_tokens"), col("quality_score")), "doc_id")
+      .collect()
+      .groupBy(_.getString(1))
+    assert(kept.keySet == q.keySet, "every source must keep at least one doc")
+    for ((src, rows) <- kept) {
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length),
+        s"$src: per-source ranks must be contiguous from 1")
+      val pool = q(src).sortBy(r => (-r.getDouble(3), r.getLong(0)))
+      val budget = pool.map(_.getLong(2)).sum * 60 / 100
+      val cum = sorted.last.getLong(4)
+      assert(cum <= budget, s"$src: kept prefix must fit the source budget")
+      assert(cum + pool(sorted.length).getLong(2) > budget,
+        s"$src: the next doc must overflow the budget (maximality)")
+      assert(sorted.map(_.getLong(3)).sum == cum,
+        s"$src: src_cum_tokens must be the running sum of kept docs")
+    }
+  }
+
   test("Ranks fuzz: globalRank and prefixSum match their window twins " +
       "across sizes, key skews, and persist states") {
     import graft.operators.Ranks
