@@ -1114,6 +1114,18 @@ object Graph {
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
     val byC = fwd.repartition(col("c")).persist()
     val byS = fwd.repartition(col("s")).persist()
+    // Headroom guard (ADVICE r13): each half-round sums ≤|E| scores of
+    // < 2·[[HitsScale]] each under NON-ANSI arithmetic, so past
+    // |E| ≈ 4.6·10⁹ the int64 sum would WRAP silently rather than error.
+    // The count doubles as the cache materialization the loop needs
+    // anyway; a graph past the bound must fail loudly here, not rank
+    // garbage. (Raising headroom means shrinking HitsScale — see SCALE.md
+    // "HITS edge-count ceiling".)
+    val edgeCount = byC.count()
+    require(edgeCount <= Long.MaxValue / (2L * HitsScale),
+      s"hits: $edgeCount edges exceeds the int64 headroom bound " +
+        s"${Long.MaxValue / (2L * HitsScale)} — shrink HitsScale to rank " +
+        "this graph without silent overflow")
     def normalize(df: DataFrame, key: String, score: String): DataFrame = {
       val m = df.agg(max(col(score)).as("__m"))
       df.crossJoin(broadcast(m))

@@ -134,6 +134,57 @@ object Ranks {
       .drop("__p_part", "__p_run", "__p_off")
   }
 
+  /** [[globalRank]] AND [[prefixSum]] from ONE materialized range
+    * partitioning — for callers that need both the rank and the running
+    * sum under the SAME total order (the token-budget assemblers). The
+    * composed form `prefixSum(globalRank(df, …), …)` range-shuffles and
+    * eagerly checkpoints the corpus TWICE (ADVICE r13); this fuses them:
+    * one ranged checkpoint, one per-partition aggregate producing BOTH
+    * the row-count and value-total offsets, one broadcast strict-<
+    * self-join carrying both cumulatives, and one join back. Semantics
+    * are exactly the composition (PlanSpec/Round13b pin hash-parity via
+    * the gates' oracles).
+    *
+    * Block-storage lifetime (the leak-check discipline): the eager
+    * `localCheckpoint` pins the ranged frame in executor block storage
+    * until the checkpointed RDD is garbage-collected — callers that
+    * materialize their output with [[Tables.materializeAndRelease]] drop
+    * the reference at gate exit and the ContextCleaner reclaims the
+    * blocks; long-lived holders should `unpersist` explicitly. The
+    * checkpoint also forfeits lineage recovery for the pinned blocks
+    * (executor loss mid-job fails the job rather than recomputing) —
+    * the documented price of the single-boundary-draw guarantee, paid
+    * once here instead of twice. */
+  def rankAndPrefixSum(df: DataFrame, rankCol: String, valueCol: String,
+      sumCol: String, order: Seq[Column], partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df
+      .repartitionByRange(partitions, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__g_mid", monotonically_increasing_id())
+      .withColumn("__g_part", shiftright(col("__g_mid"), MidIndexBits))
+      .withColumn("__g_idx", col("__g_mid").bitwiseAND(lit(MidIndexMask)))
+      .drop("__g_mid")
+      .localCheckpoint(true) // ONE boundary draw for every branch below
+    val totals = ranged.groupBy(col("__g_part")).agg(
+      count(lit(1)).as("__g_cnt"), sum(col(valueCol)).as("__p_tot"))
+    val rhs = totals.select(col("__g_part").as("__g_part_lt"),
+      col("__g_cnt").as("__g_cnt_lt"), col("__p_tot").as("__p_tot_lt"))
+    val offsets = totals
+      .join(broadcast(rhs), col("__g_part_lt") < col("__g_part"), "left")
+      .groupBy(col("__g_part"))
+      .agg(coalesce(sum(col("__g_cnt_lt")), lit(0L)).as("__g_off"),
+        coalesce(sum(col("__p_tot_lt")), lit(0L)).as("__p_off"))
+    val localW = Window.partitionBy(col("__g_part")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__p_run", sum(col(valueCol)).over(localW))
+      .join(broadcast(offsets), "__g_part")
+      .withColumn(rankCol, col("__g_off") + col("__g_idx") + lit(1L))
+      .withColumn(sumCol, col("__p_off") + col("__p_run"))
+      .drop("__g_part", "__g_idx", "__g_off", "__p_run", "__p_off")
+  }
+
   /** SQL-standard `ntile(tiles)` bucket (1-based) computed from a 1-based
     * global rank `rk` over total count `n`: the first `n mod tiles` buckets
     * take `n div tiles + 1` rows, the rest `n div tiles`. Exactly Spark's

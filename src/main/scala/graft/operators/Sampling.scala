@@ -959,8 +959,9 @@ object Sampling {
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
     val order = Seq(col("quality_score").desc, col("doc_id"))
     val tot = q.agg(sum(col("n_tokens")).as("__total"))
-    val ranked = Ranks.globalRank(q, "rk", order)
-    val cum = Ranks.prefixSum(ranked, "n_tokens", "cum_tokens", order)
+    // fused rank+prefix: ONE ranged checkpoint instead of the composed
+    // form's two (ADVICE r13 — same semantics, half the pinned blocks)
+    val cum = Ranks.rankAndPrefixSum(q, "rk", "n_tokens", "cum_tokens", order)
     cum.crossJoin(broadcast(tot))
       .filter(col("cum_tokens") <= expr(s"(__total * $TokenBudgetPct) div 100"))
       .select(col("rk"), col("doc_id"), col("n_tokens"),
@@ -979,8 +980,8 @@ object Sampling {
     *
     * Scale shape — the grouped-rank pattern WITHOUT `Window.partitionBy
     * (source)` (a handful of sources would funnel 100 TB through a
-    * handful of reducers): ONE [[Ranks.globalRank]] + ONE
-    * [[Ranks.prefixSum]] under the source-major total order (source,
+    * handful of reducers): ONE fused [[Ranks.rankAndPrefixSum]] under
+    * the source-major total order (source,
     * quality desc, doc_id), then per-source rank/cum recovered
     * arithmetically — `src_cum = cum − offset(source)` where
     * `offset(source) = min(cum − n_tokens)` over the source's rows (the
@@ -992,8 +993,7 @@ object Sampling {
       .join(TextAnalysis.quality(spark, sfDir)
         .select(col("doc_id"), col("n_tokens"), col("quality_score")), "doc_id")
     val order = Seq(col("source"), col("quality_score").desc, col("doc_id"))
-    val cum = Ranks.prefixSum(
-      Ranks.globalRank(q, "rk", order), "n_tokens", "cum_tokens", order)
+    val cum = Ranks.rankAndPrefixSum(q, "rk", "n_tokens", "cum_tokens", order)
     val perSource = cum.groupBy(col("source")).agg(
       min(col("cum_tokens") - col("n_tokens")).as("__off"),
       min(col("rk")).as("__rk0"),

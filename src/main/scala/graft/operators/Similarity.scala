@@ -840,6 +840,11 @@ object Similarity {
          |    FROM s$i) WHERE rnk <= $k
          |)""".stripMargin
     }.mkString(", ")
+    // iters == 0 (the seed-graph check, exercised Spark-side by
+    // Round13bOpsSpec) must not leave a dangling ", $rounds" in the WITH
+    // clause — short-circuit to selecting straight from g0, whose inner
+    // rnk is exposed for exactly this case (ADVICE r13)
+    val roundsSql = if (iters == 0) "" else s", $rounds"
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
@@ -856,14 +861,14 @@ object Similarity {
        |  JOIN idx t ON t.i = (x.i * 131 + js.j * 97 + 7) % x.nn
        |  WHERE t.vec_id <> x.vec_id
        |), g0 AS (
-       |  SELECT src, dst, cos FROM (
+       |  SELECT src, dst, cos, rnk FROM (
        |    SELECT c.src, c.dst, $cos AS cos,
        |      row_number() OVER (PARTITION BY c.src
        |        ORDER BY $cos DESC, c.dst) AS rnk
        |    FROM seed c JOIN n a ON c.src = a.vec_id
        |      JOIN n b ON c.dst = b.vec_id
        |  ) WHERE rnk <= $k
-       |), $rounds
+       |)$roundsSql
        |SELECT src, CAST(rnk AS BIGINT) AS rank, dst, cos
        |FROM g$iters ORDER BY src, rank""".stripMargin
   }

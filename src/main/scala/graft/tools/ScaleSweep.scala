@@ -162,6 +162,17 @@ object ScaleSweep {
       def raw(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
       println(f"""{"q":"$name","a_s":$a%.2f,"b_s":$b%.2f,"ratio":$ratio,"a_reps":${as.count(_ > 0)},"b_reps":${bs.count(_ > 0)},"a_raw":${raw(as)},"b_raw":${raw(bs)}}""")
     }
+    // registry lock (verdict r13 task 2): an unfiltered sweep MUST cover
+    // exactly SparkEntry.queries — round 13 committed a 254-gate sweep
+    // against a 255-gate registry because the last gate landed after the
+    // run, and nothing said so. The summary line makes the population
+    // auditable from the artifact alone; the require makes silent drift
+    // impossible (a filtered run prints the summary but skips the check).
+    if (only.isEmpty) {
+      require(names.toSet == graft.SparkEntry.queries.keySet,
+        "sweep gate set drifted from SparkEntry.queries")
+    }
+    println(s"""{"metric":"scalesweep_summary","n_gates":${names.size},"registry_n":${graft.SparkEntry.queries.size},"filtered":${only.nonEmpty}}""")
     spark.stop()
   }
 }

@@ -242,6 +242,62 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  // assertDistributedRank above can only see the gate's own plan, where
+  // the rank pass appears as `Scan ExistingRDD` (the checkpointed blocks)
+  // — ANY checkpoint satisfies that token (ADVICE r13). The scale
+  // property lives in the CHECKPOINT JOB's plan: the range sort must be a
+  // rangepartitioning exchange across partitions, never an
+  // `Exchange SinglePartition` funnel. Capture that job's executed plan
+  // with a QueryExecutionListener (the eager localCheckpoint runs through
+  // Dataset.withAction, funcName "localCheckpoint") and assert on it
+  // directly, for both the plain and the fused rank cores.
+  test("rank cores' checkpoint jobs range-partition — no SinglePartition " +
+      "sort inside globalRank/rankAndPrefixSum") {
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        captured.add(s"[$funcName]\n" + qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      import scala.jdk.CollectionConverters._
+      def checkpointPlans(body: => Unit): Seq[String] = {
+        captured.clear()
+        body
+        // the execution-listener bus is asynchronous — poll until the
+        // checkpoint job's plan lands (or time out and fail with context)
+        val deadline = System.currentTimeMillis() + 30000
+        while (!captured.asScala.exists(p =>
+            p.startsWith("[localCheckpoint]") &&
+              p.contains("rangepartitioning")) &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        captured.asScala.toList.filter(_.startsWith("[localCheckpoint]"))
+      }
+      val df = spark.range(50000)
+        .withColumn("h", hash(col("id"))).select(col("id"), col("h"))
+      val rankPlans = checkpointPlans(
+        Ranks.globalRank(df, "rk", Seq(col("h"), col("id"))).count())
+      val fusedPlans = checkpointPlans(
+        Ranks.rankAndPrefixSum(df, "rk", "id", "cum",
+          Seq(col("h"), col("id"))).count())
+      for ((plans, name) <- Seq((rankPlans, "globalRank"),
+          (fusedPlans, "rankAndPrefixSum"))) {
+        val ranged = plans.filter(_.contains("rangepartitioning"))
+        assert(ranged.nonEmpty,
+          s"$name: no captured checkpoint plan contains a rangepartitioning" +
+            s" exchange:\n${plans.mkString("\n---\n")}")
+        ranged.foreach(p => assert(!p.contains("Exchange SinglePartition"),
+          s"$name checkpoint job funnels through one partition:\n$p"))
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("q_lorenz ranks without any window — no SinglePartition data funnel") {
     assertDistributedRank(planOf(QuerySurface.lorenzDeciles(spark, sf)))
   }

@@ -130,9 +130,14 @@ class Round13bOpsSpec extends SparkTestBase {
     val total = q.map(_.getLong(1)).sum
     val budget = total * 60 / 100
     assert(kept.last.getLong(3) <= budget, "kept prefix must fit the budget")
-    val nextTokens = q(kept.length).getLong(1)
-    assert(kept.last.getLong(3) + nextTokens > budget,
-      "the first excluded document must overflow the budget (maximality)")
+    // maximality only applies when something was excluded: a corpus whose
+    // every document fits under the budget keeps all of q (ADVICE r13 —
+    // the unguarded index threw past the array on such a corpus)
+    if (kept.length < q.length) {
+      val nextTokens = q(kept.length).getLong(1)
+      assert(kept.last.getLong(3) + nextTokens > budget,
+        "the first excluded document must overflow the budget (maximality)")
+    }
     // cum_tokens is the running sum of the kept docs' own n_tokens
     assert(kept.map(_.getLong(2)).sum == kept.last.getLong(3))
   }
@@ -147,7 +152,16 @@ class Round13bOpsSpec extends SparkTestBase {
         .select(col("doc_id"), col("n_tokens"), col("quality_score")), "doc_id")
       .collect()
       .groupBy(_.getString(1))
-    assert(kept.keySet == q.keySet, "every source must keep at least one doc")
+    // a source appears in the output iff its BEST doc fits its budget —
+    // on this corpus that is every source, but the assertion must not
+    // presume the corpus (ADVICE r13): check against the set of sources
+    // whose greedy first pick fits, not the raw key set
+    val expectedSrcs = q.keySet.filter { src =>
+      val pool = q(src).sortBy(r => (-r.getDouble(3), r.getLong(0)))
+      pool.head.getLong(2) <= pool.map(_.getLong(2)).sum * 60 / 100
+    }
+    assert(kept.keySet == expectedSrcs,
+      "kept sources must be exactly those whose best doc fits the budget")
     for ((src, rows) <- kept) {
       val sorted = rows.sortBy(_.getLong(1))
       assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length),
@@ -156,8 +170,11 @@ class Round13bOpsSpec extends SparkTestBase {
       val budget = pool.map(_.getLong(2)).sum * 60 / 100
       val cum = sorted.last.getLong(4)
       assert(cum <= budget, s"$src: kept prefix must fit the source budget")
-      assert(cum + pool(sorted.length).getLong(2) > budget,
-        s"$src: the next doc must overflow the budget (maximality)")
+      // maximality only when the source excluded something (bounds guard)
+      if (sorted.length < pool.length) {
+        assert(cum + pool(sorted.length).getLong(2) > budget,
+          s"$src: the next doc must overflow the budget (maximality)")
+      }
       assert(sorted.map(_.getLong(3)).sum == cum,
         s"$src: src_cum_tokens must be the running sum of kept docs")
     }
@@ -184,6 +201,16 @@ class Round13bOpsSpec extends SparkTestBase {
       val bad = got.filter(col("rk") =!= col("erk") ||
         col("run") =!= col("erun")).count()
       assert(bad == 0, s"n=$n mod=$mod cached=$cached: $bad mismatched rows")
+      // the fused single-checkpoint form must agree with the composition
+      // on every row (same fixtures, same window twins)
+      val fused = Ranks.rankAndPrefixSum(in, "rk", "v", "run", order)
+        .withColumn("erk", row_number().over(w))
+        .withColumn("erun", sum(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val badF = fused.filter(col("rk") =!= col("erk") ||
+        col("run") =!= col("erun")).count()
+      assert(badF == 0,
+        s"fused n=$n mod=$mod cached=$cached: $badF mismatched rows")
       if (cached) in.unpersist(true)
     }
   }
