@@ -288,6 +288,8 @@ object SparkEntry {
       Similarity.annIvfPqFromTable(s, d)),
     "sim_ann_ivfpq_upsert" -> ((s: SparkSession, d: String) =>
       Similarity.annIvfPqUpsert(s, d)),
+    "stream_ann_ivfpq" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamGate.annIvfPqIncrementalStream(s, d)),
     "text_chunk_delta" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDelta(s, d)),
     "q_mannwhitney" -> (QuerySurface.mannWhitney _),
     "q_ks_test" -> (QuerySurface.ksTest _),
@@ -863,6 +865,11 @@ object SparkEntry {
     // base-fit codebooks + full-corpus encode = the maintained index state
     // after the late-arrival upsert (build on base, add with existing books)
     "sim_ann_ivfpq_upsert" -> Similarity.annIvfPqOracleSql(fitWhere =
+      Some(s"vec_id % ${Similarity.IvfPqUpsertMod} <> 1")),
+    // the streaming maintenance loop lands the EXACT index state of the
+    // one-shot upsert (fixed codebooks, disjoint batch ids — see the gate
+    // scaladoc), so it shares the upsert's twin
+    "stream_ann_ivfpq" -> Similarity.annIvfPqOracleSql(fitWhere =
       Some(s"vec_id % ${Similarity.IvfPqUpsertMod} <> 1")),
     "text_chunk_delta" -> TextAnalysis.chunkDeltaOracleSql,
     "q_mannwhitney" -> operators.QuerySurface.mannWhitneyOracleSql,

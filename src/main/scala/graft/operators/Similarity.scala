@@ -1558,7 +1558,7 @@ object Similarity {
     * codes) index — shared verbatim by the in-plan form and
     * [[annIvfPqFromTable]] (the written-index production shape), so the
     * table twin is bit-identical by construction and reuses the oracle. */
-  private def ivfPqQuery(e: DataFrame, coarse: Array[Array[Double]],
+  private[graft] def ivfPqQuery(e: DataFrame, coarse: Array[Array[Double]],
       books: Array[Array[Array[Double]]], codes: DataFrame, k: Int,
       nProbe: Int, nQueries: Int): DataFrame = {
     val spark = e.sparkSession
@@ -1735,6 +1735,31 @@ object Similarity {
   /** Late-arrival selector for [[annIvfPqUpsert]]: `vec_id % 53 == 1`
     * (~2% of the corpus) lands AFTER the index is built. */
   val IvfPqUpsertMod = 53L
+
+  /** Micro-batch count for the MULTI-TRIGGER streaming ANN gate
+    * ([[graft.streaming.StreamGate.annIvfPqIncrementalStream]]) — the
+    * [[graft.operators.Dedup.StreamDedupMicroBatches]] shape mirrored onto
+    * the similarity family (verdict r13 task 3). */
+  val StreamAnnMicroBatches = 3
+
+  /** The cleaned (vec_id, v) vector frame — the loader every IVF-PQ entry
+    * point shares, exposed for the streaming maintenance gate. */
+  private[graft] def vectors(spark: SparkSession, sfDir: String): DataFrame =
+    withVec(embeddings(spark, sfDir)).select(col("vec_id"), col("v"))
+
+  /** The BASE-corpus IVF-PQ index (everything except the
+    * [[IvfPqUpsertMod]] late arrivals), memoized per (JVM, corpus) in its
+    * PRE-upsert state — the starting point the streaming maintenance gate
+    * clones and then mutates trigger-by-trigger. [[annIvfPqUpsert]]'s own
+    * memo can't serve: it already contains the one-shot upsert. */
+  private[graft] def ivfPqBaseIndexTable(spark: SparkSession,
+      sfDir: String): String =
+    MemoTables.dir(s"ivfpqbase:$sfDir", "graft-ivfpq-bs-") { d =>
+      val e = vectors(spark, sfDir).persist()
+      buildIvfPqIndex(spark, d,
+        e.filter(col("vec_id") % IvfPqUpsertMod =!= 1L))
+      e.unpersist()
+    }
 
   /** INDEX MAINTENANCE — encode `batch` (vec_id, v) with the index's
     * EXISTING coarse/residual codebooks (real vector stores do not refit
