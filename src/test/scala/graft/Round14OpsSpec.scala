@@ -28,4 +28,42 @@ class Round14OpsSpec extends SparkTestBase {
     val b = graft.streaming.StreamGate.annIvfPqIncrementalStream(spark, sf)
     assertFrameEqual(a, b, Seq("query_id", "rank"))
   }
+
+  test("stream_dedup_lsh_pruned is deterministic across runs (and its " +
+      "internal scan-audit requires hold)") {
+    val a = graft.streaming.StreamGate.dedupLshPrunedStream(spark, sf)
+    val b = graft.streaming.StreamGate.dedupLshPrunedStream(spark, sf)
+    assertFrameEqual(a, b, Seq("doc_id"))
+  }
+
+  test("bandIndexUpsert scan audit: a 5-doc batch's existing-rows scan " +
+      "reads a strict subset of the 128-cell grid, bounded by touched") {
+    import graft.operators.Dedup
+    // clone the memoized corpus index — the upsert mutates its copy
+    val work = java.nio.file.Files.createTempDirectory("graft-audittest")
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val srcP = new org.apache.hadoop.fs.Path(Dedup.bandIndexTable(spark, sf))
+      val fs = srcP.getFileSystem(conf)
+      val indexDir = s"$work/index"
+      org.apache.hadoop.fs.FileUtil.copy(fs, srcP,
+        fs, new org.apache.hadoop.fs.Path(indexDir), false, conf)
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .filter(col("doc_id") % Dedup.IncrementalBatchMod === 3L)
+        .orderBy(col("doc_id")).limit(5)
+        .select(col("doc_id"), col("text"))
+      var audit: Option[(Int, Int)] = None
+      val touched = Dedup.bandIndexUpsert(spark, indexDir, docs,
+        scanAudit = Some((r, t) => audit = Some((r, t))))
+      val (read, total) = audit.get
+      info(s"scan read $read of $total partitions, ${touched.size} touched")
+      assert(read > 0 && read <= touched.size,
+        s"read $read must be bounded by ${touched.size} touched cells")
+      assert(read < total,
+        s"pruned regime: read $read must be a strict subset of $total")
+      // sanity: the grid really is the documented 16x8 layout here
+      assert(total == 16 * Dedup.BandIndexBuckets,
+        s"expected the full 128-cell grid, saw $total")
+    } finally graft.io.Storage.deleteRecursively(work.toFile)
+  }
 }
