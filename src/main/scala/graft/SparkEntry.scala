@@ -292,6 +292,8 @@ object SparkEntry {
       Similarity.annIvfPqUpsert(s, d)),
     "stream_ann_ivfpq" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamGate.annIvfPqIncrementalStream(s, d)),
+    "sim_knn_descent_conv" -> ((s: SparkSession, d: String) =>
+      Similarity.knnDescentConvergence(s, d)),
     "text_chunk_delta" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDelta(s, d)),
     "q_mannwhitney" -> (QuerySurface.mannWhitney _),
     "q_ks_test" -> (QuerySurface.ksTest _),
@@ -874,6 +876,7 @@ object SparkEntry {
     // scaladoc), so it shares the upsert's twin
     "stream_ann_ivfpq" -> Similarity.annIvfPqOracleSql(fitWhere =
       Some(s"vec_id % ${Similarity.IvfPqUpsertMod} <> 1")),
+    "sim_knn_descent_conv" -> Similarity.knnDescentConvergenceOracleSql(),
     "text_chunk_delta" -> TextAnalysis.chunkDeltaOracleSql,
     "q_mannwhitney" -> operators.QuerySurface.mannWhitneyOracleSql,
     "q_ks_test" -> operators.QuerySurface.ksTestOracleSql,

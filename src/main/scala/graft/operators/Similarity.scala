@@ -745,10 +745,11 @@ object Similarity {
     * Iteration count is FIXED (`iters`=2) rather than convergence-tested:
     * the gate's contract is deterministic output, and production runs the
     * same bounded-round schedule (the paper's early-exit — stop when the
-    * per-round update count falls below δ·n·k — would be one extra count
-    * of changed edges per round here, an anti-join of consecutive rounds'
-    * graphs; omitted because a data-dependent round count would make the
-    * output corpus-order-dependent, which the oracle forbids).
+    * per-round update count falls below δ·n·k — is exposed as OUTPUT by
+    * [[knnDescentConvergence]], an anti-join of consecutive rounds'
+    * graphs; it is not used as control flow because a data-dependent
+    * round count would make the output corpus-order-dependent, which the
+    * oracle forbids).
     *
     * Output is [[knnGraph]]-shaped (src, rank, dst, cos); Round13bOpsSpec
     * additionally pins that refined recall@k vs the brute-force graph is
@@ -757,14 +758,60 @@ object Similarity {
     * SinglePartition window), so seeding scales like a sort. */
   def knnDescent(spark: SparkSession, sfDir: String, k: Int = 5,
       iters: Int = 2): DataFrame = {
+    val (gs, e) = knnDescentRounds(spark, sfDir, k, iters)
+    val out = descentTopK(gs.last, k)
+      .select(col("src"), col("rank").cast("long").as("rank"),
+        col("dst"), col("cos"))
+      .orderBy(col("src"), col("rank"))
+    Tables.materializeAndRelease(out, e)
+  }
+
+  /** CONVERGENCE INSTRUMENT for [[knnDescent]] (verdict r13 stretch task):
+    * the paper's early-exit statistic — per-round changed-edge count —
+    * exposed as OUTPUT rather than as control flow, so the gate audits
+    * convergence without a data-dependent round count (which would make
+    * the output corpus-order-dependent, forbidden by the oracle
+    * contract). One row per descent round: the round number, how many of
+    * the round's kept edges are NEW vs the previous round's graph (an
+    * anti-join on (src, dst) — Dong et al. terminate when this falls
+    * below δ·n·k), and the round's total kept edges. Everything stays
+    * in-plan: per-round 1-row aggregates cross-joined and unioned, no
+    * driver-side counting. Shares [[knnDescentRounds]] with the main
+    * gate, so the graphs audited ARE the gate's graphs. */
+  def knnDescentConvergence(spark: SparkSession, sfDir: String, k: Int = 5,
+      iters: Int = 2): DataFrame = {
+    val (gs, e) = knnDescentRounds(spark, sfDir, k, iters)
+    val rows = (1 to iters).map { i =>
+      val changed = gs(i).join(gs(i - 1), Seq("src", "dst"), "left_anti")
+        .agg(count(lit(1)).as("changed_edges"))
+      val tot = gs(i).agg(count(lit(1)).as("edges"))
+      changed.crossJoin(tot)
+        .select(lit(i.toLong).as("round"), col("changed_edges"),
+          col("edges"))
+    }
+    val out = rows.reduce(_ unionByName _).orderBy(col("round"))
+    Tables.materializeAndRelease(out, e)
+  }
+
+  /** Per-source top-k of a (src, dst, cos) scored frame — the descent
+    * loop's keep rule, shared by the gate outputs. */
+  private def descentTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** The descent itself: seed graph g0 and each round's kept graph
+    * g1..g`iters`, every one eagerly localCheckpoint-ed (one-round
+    * lineage), plus the persisted vector frame the caller must release.
+    * Extracted so [[knnDescent]] (final graph) and
+    * [[knnDescentConvergence]] (per-round deltas) audit the SAME run. */
+  private def knnDescentRounds(spark: SparkSession, sfDir: String, k: Int,
+      iters: Int): (IndexedSeq[DataFrame], DataFrame) = {
     val e = withVec(embeddings(spark, sfDir))
       .select(col("vec_id"), col("v"), col("nrm")).persist()
-    def topk(scored: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("src"))
-        .orderBy(col("cos").desc, col("dst"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-    }
+    def topk(scored: DataFrame): DataFrame = descentTopK(scored, k)
     val nn = e.agg(count(lit(1)).as("nn"))
     // localCheckpoint before the self-join below: [[Ranks.globalRank]]'s
     // range boundaries come from a SAMPLING exchange, and the seed's
@@ -787,12 +834,14 @@ object Similarity {
       .join(idx.select(col("i").as("ti"), col("vec_id").as("dst")), "ti")
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
-    var g = topk(seed.join(ea, "src").join(eb, "dst")
+    val graphs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    graphs += topk(seed.join(ea, "src").join(eb, "dst")
         .select(col("src"), col("dst"),
           cosine(col("va"), col("na"), col("vb"), col("nb")).as("cos")))
       .select(col("src"), col("dst"), col("cos"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
+      val g = graphs.last
       val und = g.select(col("src"), col("dst"))
         .union(g.select(col("dst").as("src"), col("src").as("dst")))
       val cand = und.as("x").join(und.as("y"),
@@ -803,20 +852,44 @@ object Similarity {
       val scored = cand.join(ea, "src").join(eb, "dst")
         .select(col("src"), col("dst"),
           cosine(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
-      g = topk(scored).select(col("src"), col("dst"), col("cos"))
+      graphs += topk(scored).select(col("src"), col("dst"), col("cos"))
         .localCheckpoint(true)
     }
-    val out = topk(g)
-      .select(col("src"), col("rank").cast("long").as("rank"),
-        col("dst"), col("cos"))
-      .orderBy(col("src"), col("rank"))
-    Tables.materializeAndRelease(out, e)
+    (graphs.toIndexedSeq, e)
   }
 
   /** DuckDB twin of [[knnDescent]] — the seed table and each descent round
     * unrolled as CTE pairs (candidates, rescored top-k), identical
     * signature seed, rounding, and (cos DESC, dst) tie rule. */
-  def knnDescentOracleSql(k: Int = 5, iters: Int = 2): String = {
+  def knnDescentOracleSql(k: Int = 5, iters: Int = 2): String =
+    knnDescentCtes(k, iters) +
+      s"\nSELECT src, CAST(rnk AS BIGINT) AS rank, dst, cos" +
+      s"\nFROM g$iters ORDER BY src, rank"
+
+  /** DuckDB twin of [[knnDescentConvergence]] — the same unrolled round
+    * CTEs plus one (changed, total) LEFT-JOIN aggregate per consecutive
+    * graph pair. */
+  def knnDescentConvergenceOracleSql(k: Int = 5, iters: Int = 2): String = {
+    require(iters >= 1, "convergence needs at least one descent round")
+    val chs = (1 to iters).map { i =>
+      s""", ch$i AS (
+         |  SELECT CAST($i AS BIGINT) AS round,
+         |    CAST(count(*) FILTER (WHERE b.src IS NULL) AS BIGINT)
+         |      AS changed_edges,
+         |    CAST(count(*) AS BIGINT) AS edges
+         |  FROM g$i a LEFT JOIN g${i - 1} b
+         |    ON a.src = b.src AND a.dst = b.dst
+         |)""".stripMargin
+    }.mkString
+    knnDescentCtes(k, iters) + chs + "\n" +
+      (1 to iters)
+        .map(i => s"SELECT round, changed_edges, edges FROM ch$i")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY round")
+  }
+
+  /** Shared WITH-chain of the two knn-descent twins: e/n/idx/seed and the
+    * unrolled round CTEs through `g<iters>`. */
+  private def knnDescentCtes(k: Int, iters: Int): String = {
     val cos = Tables.portableRound6Sql(
       "list_dot_product(a.v, b.v) / (a.nrm * b.nrm)")
     val rounds = (1 to iters).map { i =>
@@ -868,9 +941,7 @@ object Similarity {
        |    FROM seed c JOIN n a ON c.src = a.vec_id
        |      JOIN n b ON c.dst = b.vec_id
        |  ) WHERE rnk <= $k
-       |)$roundsSql
-       |SELECT src, CAST(rnk AS BIGINT) AS rank, dst, cos
-       |FROM g$iters ORDER BY src, rank""".stripMargin
+       |)$roundsSql""".stripMargin
   }
 
   // ---- k-center greedy coreset (farthest-point sampling) -------------------
