@@ -48,23 +48,32 @@ object PlanAuditAll {
       .map(_.trim).filter(_.nonEmpty).map(_ -> "env waiver").toMap)
       .getOrElse(Map.empty)
 
+  /** Gates whose plans may contain a SinglePartition exchange of data,
+    * each with the def-site doc that bounds the rows crossing it. */
+  val SinglePartitionWaivers: Map[String, String] = Map(
+    "q_skyline" -> ("skyline2D phase-2 merge: empty-key window over the " +
+      "union of per-salt LOCAL skylines — expected O(salts*log n) rows at " +
+      "any corpus scale (QuerySurface.skyline2D def-site doc)")
+  )
+
   /** The checked-in waiver list with rationale — each UDF names its
-    * def-site scaladoc as the waiver record. */
+    * def-site scaladoc as the waiver record. This is the EXACT set of
+    * gates whose executed plans showed a `UDF(` hit in the round-14 full
+    * audit (258 gates) — no speculative entries: a stale waiver masks a
+    * future regression exactly like a missing check. */
   private val DefaultUdfWaivers: Map[String, String] = Map(
-    "dedup_simhash" -> "Dedup.simhashUdf: 64 parallel bit-counters over token hashes; def-site doc",
-    "dedup_ngram_jaccard" -> "Dedup.shingleUdf: per-doc shingle set builder; def-site doc",
-    "dedup_jaccard_capped" -> "Dedup.shingleUdf (capped twin)",
-    "dedup_containment" -> "Dedup.shingleUdf feeds the containment join",
-    "dedup_substring" -> "Dedup.gramPosHashUdf: positional gram hashes",
-    "sample_ngram_lm" -> "Sampling.ngramHash8Udf: rolling 8-gram hash",
-    "sample_chunk" -> "Sampling.chunkUdfFor: stride chunker",
-    "text_repetition" -> "TextAnalysis.repetitionStatsUdf",
+    "dedup_simhash" -> "Dedup.simhashUdf: 64 parallel bit-counters over token hashes (UdfAuditProbe-measured)",
+    "dedup_decontaminate" -> "Sampling.ngramHash8Udf: rolling 8-gram hash for benchmark-contamination spans",
+    "dedup_span_coverage" -> "Dedup.gramPosHashUdf: positional gram hashes behind posexplode",
+    "pack_chunks_overlap" -> "Sampling.chunkUdfFor: stride chunker (len/stride closed over)",
+    "pipe_curation" -> "TextAnalysis.classifierScoreUdf + shingle filter in the curation chain",
+    "q_kmv_overlap" -> "Dedup.shingleUdf feeding the per-source KMV sketches",
+    "q_zorder_ranked" -> "Bucketing.mkUb: binary-search quantile bucketer on both z-order axes",
+    "q_bloom_join" -> "broadcast bloom mightContain probe (stat.bloomFilter; SCALE.md r12 audit: 0.07 s at sf1)",
     "text_fingerprint" -> "TextAnalysis.winnowUdf: winnowing window min",
-    "text_novelty" -> "TextAnalysis.winnowUdf (novelty twin)",
-    "text_vocab_growth" -> "TextAnalysis.vocabGram3Udf",
     "text_quality_classifier" -> "TextAnalysis.classifierScoreUdf",
-    "q_hist_fixed" -> "Bucketing.mkUb: binary-search bucketer over quantile grid",
-    "q_bloom_join" -> "broadcast bloom mightContain probe (stat.bloomFilter)"
+    "text_repetition" -> "TextAnalysis.repetitionStatsUdf",
+    "text_vocab_growth" -> "TextAnalysis.vocabGram3Udf"
   )
 
   def main(args: Array[String]): Unit = {
@@ -118,9 +127,23 @@ object PlanAuditAll {
       }
       import scala.jdk.CollectionConverters._
       val plans = captured.asScala.toList
-      val spViol = plans.flatMap(singlePartitionViolations)
+      val spHits = plans.flatMap(singlePartitionViolations)
+      if (sys.env.contains("GRAFT_PLANAUDIT_DUMP") && spHits.nonEmpty)
+        plans.filter(p => singlePartitionViolations(p).nonEmpty)
+          .foreach(p => System.err.println(s"==== $name ====\n$p"))
+      val spWaived = SinglePartitionWaivers.contains(name)
+      val spViol = if (spWaived) Nil else spHits
       val cartesian = plans.count(_.contains("CartesianProduct"))
-      val udfHits = plans.count(_.contains("ScalaUDF"))
+      // a ScalaUDF renders as `UDF(args)` (udfName.getOrElse("UDF")) —
+      // the literal class name never appears in plan strings (round-14
+      // find; PlanSpec carries the positive control for the needle)
+      val udfHits =
+        plans.count(p => p.contains("ScalaUDF") || p.contains("UDF("))
+      if (sys.env.contains("GRAFT_PLANAUDIT_DUMP") && udfHits > 0)
+        plans.filter(p => p.contains("ScalaUDF") || p.contains("UDF("))
+          .foreach(p => System.err.println(s"==== UDF $name ====\n" +
+            p.split('\n').filter(l => l.contains("ScalaUDF") ||
+              l.contains("UDF(")).mkString("\n").take(2000)))
       val waived = UdfWaivers.contains(name)
       val udfViol = if (udfHits > 0 && !waived) udfHits else 0
       val ok = err.isEmpty && spViol.isEmpty && cartesian == 0 && udfViol == 0
@@ -131,7 +154,7 @@ object PlanAuditAll {
       def js(xs: Seq[String]) =
         xs.map(s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
           .mkString("[", ",", "]")
-      val row = s"""{"q":"$name","plans":${plans.size},"single_partition":${js(spViol.distinct)},"cartesian":$cartesian,"scala_udf":$udfHits,"udf_waived":$waived,"ok":$ok${err.map(e => s""","error":${js(Seq(e)).drop(1).dropRight(1)}""").getOrElse("")}}"""
+      val row = s"""{"q":"$name","plans":${plans.size},"single_partition":${js(spHits.distinct)},"sp_waived":$spWaived,"cartesian":$cartesian,"scala_udf":$udfHits,"udf_waived":$waived,"ok":$ok${err.map(e => s""","error":${js(Seq(e)).drop(1).dropRight(1)}""").getOrElse("")}}"""
       println(row)
       out.append(row).append('\n')
     }
@@ -151,10 +174,23 @@ object PlanAuditAll {
     * stripped of tree art and the WholeStageCodegen `*(n) ` prefix. */
   private[tools] def singlePartitionViolations(plan: String): Seq[String] = {
     val lines = plan.split('\n')
+    // Waived children — operators that bound what crosses the wire:
+    //  - partial aggregates: ≤1 row per upstream partition (the classic
+    //    final-agg merge);
+    //  - local/ordered limits: ≤limit rows total (incl. the backbone's
+    //    documented repartition(1) over TakeOrderedAndProject(5000) —
+    //    Graph.scala "one compact file" write);
+    //  - LocalTableScan: a driver-local literal frame (codebook writes'
+    //    repartition(1) — bounded by construction).
     val waivedChildren = Seq("HashAggregate", "SortAggregate",
-      "ObjectHashAggregate", "LocalLimit", "CollectLimit", "AggregateInPandas")
+      "ObjectHashAggregate", "LocalLimit", "CollectLimit",
+      "TakeOrderedAndProject", "LocalTableScan", "AggregateInPandas")
     lines.indices.collect {
-      case i if lines(i).contains("Exchange SinglePartition") =>
+      // a `ReusedExchange [...], Exchange SinglePartition` line is a
+      // REFERENCE to an exchange already checked at its definition site —
+      // the next tree line is a sibling, not its child
+      case i if lines(i).contains("Exchange SinglePartition") &&
+          !lines(i).contains("ReusedExchange") =>
         val childOp = lines.drop(i + 1)
           .map(stripTreeArt)
           .find(_.nonEmpty)

@@ -36,6 +36,21 @@ class Round14OpsSpec extends SparkTestBase {
     assertFrameEqual(a, b, Seq("doc_id"))
   }
 
+  test("knnDescentConvergence: changed-edge counts decrease across rounds " +
+      "and edge totals equal the kept graph size") {
+    val rows = Similarity.knnDescentConvergence(spark, sf)
+      .orderBy(col("round")).collect()
+    assert(rows.length == 2)
+    val changed = rows.map(_.getLong(1))
+    assert(changed(1) < changed(0),
+      s"descent must settle: changed ${changed.mkString(",")}")
+    // every round keeps exactly k edges per live node — totals constant
+    assert(rows.map(_.getLong(2)).distinct.length == 1)
+    // and the instrument audits the SAME run the main gate returns: the
+    // final graph size matches the reported edge total
+    assert(Similarity.knnDescent(spark, sf).count() == rows.head.getLong(2))
+  }
+
   test("bandIndexUpsert scan audit: a 5-doc batch's existing-rows scan " +
       "reads a strict subset of the 128-cell grid, bounded by touched") {
     import graft.operators.Dedup
