@@ -758,12 +758,12 @@ object Similarity {
     * SinglePartition window), so seeding scales like a sort. */
   def knnDescent(spark: SparkSession, sfDir: String, k: Int = 5,
       iters: Int = 2): DataFrame = {
-    val (gs, e) = knnDescentRounds(spark, sfDir, k, iters)
+    val gs = knnDescentRounds(spark, sfDir, k, iters)
     val out = descentTopK(gs.last, k)
       .select(col("src"), col("rank").cast("long").as("rank"),
         col("dst"), col("cos"))
       .orderBy(col("src"), col("rank"))
-    Tables.materializeAndRelease(out, e)
+    Tables.materializeAndRelease(out)
   }
 
   /** CONVERGENCE INSTRUMENT for [[knnDescent]] (verdict r13 stretch task):
@@ -777,10 +777,14 @@ object Similarity {
     * below δ·n·k), and the round's total kept edges. Everything stays
     * in-plan: per-round 1-row aggregates cross-joined and unioned, no
     * driver-side counting. Shares [[knnDescentRounds]] with the main
-    * gate, so the graphs audited ARE the gate's graphs. */
+    * gate, so the graphs audited ARE the gate's graphs — literally: the
+    * rounds are derived ONCE per (JVM, sfDir, k, iters) and memoized as
+    * parquet ([[MemoTables]], the graph-backbone discipline), so the two
+    * gates read the same materialized run instead of each re-running the
+    * descent. */
   def knnDescentConvergence(spark: SparkSession, sfDir: String, k: Int = 5,
       iters: Int = 2): DataFrame = {
-    val (gs, e) = knnDescentRounds(spark, sfDir, k, iters)
+    val gs = knnDescentRounds(spark, sfDir, k, iters)
     val rows = (1 to iters).map { i =>
       val changed = gs(i).join(gs(i - 1), Seq("src", "dst"), "left_anti")
         .agg(count(lit(1)).as("changed_edges"))
@@ -790,7 +794,7 @@ object Similarity {
           col("edges"))
     }
     val out = rows.reduce(_ unionByName _).orderBy(col("round"))
-    Tables.materializeAndRelease(out, e)
+    Tables.materializeAndRelease(out)
   }
 
   /** Per-source top-k of a (src, dst, cos) scored frame — the descent
@@ -802,12 +806,44 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Round graphs g0..g`iters` of one memoized descent run — derived once
+    * per (JVM, sfDir, k, iters) by [[knnDescentRoundsCompute]], written as
+    * parquet (one subdir per round), and read back by every caller.
+    * [[knnDescent]] (final graph) and [[knnDescentConvergence]] (per-round
+    * deltas) thereby audit the SAME run in execution, not just the same
+    * code — previously each gate re-ran the full loop, doubling the
+    * descent's cost across the pair and at sf1 pricing two ~100 s runs
+    * where one suffices. */
+  private def knnDescentRounds(spark: SparkSession, sfDir: String, k: Int,
+      iters: Int): IndexedSeq[DataFrame] = {
+    val d = MemoTables.dir(s"knndescent|$sfDir|$k|$iters", "graft-knnd") { dir =>
+      val (gs, e) = knnDescentRoundsCompute(spark, sfDir, k, iters)
+      gs.zipWithIndex.foreach { case (g, i) =>
+        g.write.mode("overwrite").parquet(s"$dir/g$i")
+      }
+      e.unpersist(false)
+      ()
+    }
+    (0 to iters).map(i => spark.read.parquet(s"$d/g$i"))
+  }
+
+  /** [[knnDescent]] recomputed from scratch, bypassing the memo — the
+    * determinism spec's comparison arm (memoized-vs-self would be a
+    * tautology once the rounds are derive-once). */
+  private[graft] def knnDescentFresh(spark: SparkSession, sfDir: String,
+      k: Int = 5, iters: Int = 2): DataFrame = {
+    val (gs, e) = knnDescentRoundsCompute(spark, sfDir, k, iters)
+    val out = descentTopK(gs.last, k)
+      .select(col("src"), col("rank").cast("long").as("rank"),
+        col("dst"), col("cos"))
+      .orderBy(col("src"), col("rank"))
+    Tables.materializeAndRelease(out, e)
+  }
+
   /** The descent itself: seed graph g0 and each round's kept graph
     * g1..g`iters`, every one eagerly localCheckpoint-ed (one-round
-    * lineage), plus the persisted vector frame the caller must release.
-    * Extracted so [[knnDescent]] (final graph) and
-    * [[knnDescentConvergence]] (per-round deltas) audit the SAME run. */
-  private def knnDescentRounds(spark: SparkSession, sfDir: String, k: Int,
+    * lineage), plus the persisted vector frame the caller must release. */
+  private def knnDescentRoundsCompute(spark: SparkSession, sfDir: String, k: Int,
       iters: Int): (IndexedSeq[DataFrame], DataFrame) = {
     val e = withVec(embeddings(spark, sfDir))
       .select(col("vec_id"), col("v"), col("nrm")).persist()

@@ -57,8 +57,10 @@ class Round13bOpsSpec extends SparkTestBase {
   }
 
   test("knnDescent is deterministic across runs") {
+    // memoized gate output vs a from-scratch recompute — the rounds are
+    // derive-once per JVM now, so memo-vs-memo would be a tautology
     val a = Similarity.knnDescent(spark, sf)
-    val b = Similarity.knnDescent(spark, sf)
+    val b = Similarity.knnDescentFresh(spark, sf)
     assertFrameEqual(a, b, Seq("src", "rank"))
   }
 
