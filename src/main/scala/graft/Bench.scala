@@ -163,7 +163,7 @@ object Bench {
     val ingestPost = ingestRowsPerSec(spark)
     def ingestJson(r: IngestResult): String = {
       val passes = r.passSeconds.map(t => f"$t%.3f").mkString("[", ",", "]")
-      s"""{"rows":${r.rows},"pass_s":$passes,"rows_per_s_median":${r.medianRowsPerSec},"rows_per_s_mean":${r.meanRowsPerSec},"rows_per_s_best":${r.bestRowsPerSec}}"""
+      s"""{"rows":${r.rows},"pass_s":$passes,"rows_per_s_median":${r.medianRowsPerSec},"rows_per_s_mean":${r.meanRowsPerSec},"rows_per_s_best":${r.bestRowsPerSec},"rows_per_s_steady_median":${r.steadyMedianRowsPerSec}}"""
     }
     def calJson(stat: List[Double] => Double): String =
       cal.map { case (n, _) =>
@@ -212,7 +212,7 @@ object Bench {
     val failedNames = results.collect { case (k, _, _, _, false) => k }
     val failedCapped = failedNames.take(8).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","n_gates":$nGates,"n_failed":${failedNames.size},"failed":$failedCapped,"sf":"$sfDir","queries_top10":$top10,"calibration":$calMed,"ingest_rows_per_s":${ingestPre.medianRowsPerSec},"ingest_rows_per_s_best":${ingestPre.bestRowsPerSec},"ingest_pre_median":${ingestPre.medianRowsPerSec},"ingest_post_median":${ingestPost.medianRowsPerSec},"detail_file":"target/bench_queries.json"}"""
+    val line = s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","n_gates":$nGates,"n_failed":${failedNames.size},"failed":$failedCapped,"sf":"$sfDir","queries_top10":$top10,"calibration":$calMed,"ingest_rows_per_s":${ingestPre.medianRowsPerSec},"ingest_rows_per_s_best":${ingestPre.bestRowsPerSec},"ingest_pre_median":${ingestPre.medianRowsPerSec},"ingest_post_median":${ingestPost.medianRowsPerSec},"ingest_steady_median":${ingestPre.steadyMedianRowsPerSec},"ingest_post_steady_median":${ingestPost.steadyMedianRowsPerSec},"detail_file":"target/bench_queries.json"}"""
     require(line.length <= 1500,
       s"final bench line is ${line.length} B — exceeds the driver's " +
         "2000-byte tail-capture budget (≤1500 leaves room for the sbt " +
@@ -230,6 +230,19 @@ object Bench {
       else (rows / (passSeconds.sum / passSeconds.length)).toLong
     def bestRowsPerSec: Long =
       if (rows < 0 || passSeconds.isEmpty) -1L else (rows / passSeconds.min).toLong
+    /** Steady-state throughput: the median of passes 3..N (verdict r14
+      * task 4 — the first two timed passes still carry JIT/page-cache
+      * warmup under a full sbt sweep, e.g. r14's raw passes
+      * [7.1, 9.2, 3.8, 3.2, 2.7] s, and they kept dragging the headline
+      * median below the adjudicated bar on otherwise-calm VMs). Reported
+      * ALONGSIDE the existing median — the headline key is unchanged, so
+      * artifacts stay comparable across rounds. */
+    def steadyMedianRowsPerSec: Long =
+      if (rows < 0 || passSeconds.length < 3) -1L
+      else {
+        val steady = passSeconds.drop(2).sorted
+        (rows / steady(steady.length / 2)).toLong
+      }
     // Headline statistic: the MEDIAN pass. The mean let a single mid-run VM
     // stall own the round-6 headline (passes [4.07, 5.43, 27.17] s → mean
     // 16.8k rows/s vs a warm band of ~50k on the same artifact); the median

@@ -50,4 +50,32 @@ object Storage {
     if (children != null) children.foreach(deleteRecursively)
     f.delete(): Unit
   }
+
+  /** Clone a local directory tree using HARD LINKS for the file contents —
+    * the copy-on-write fixture clone the streaming maintenance gates use
+    * (r15): a byte copy of the memoized band/IVF-PQ index (~300 small
+    * parquet + .crc files) cost 1.7–3.1 s per gate run, while a link walk
+    * is milliseconds. Safe for parquet tables because nothing ever mutates
+    * a parquet file in place — maintenance REPLACES files (dynamic
+    * partition overwrite writes new files and deletes old ones, and
+    * deleting a link never touches the source inode's other names). Falls
+    * back to a byte copy per file when the filesystem refuses the link
+    * (cross-device, or a non-link-capable FS). Local paths only — exactly
+    * the gates' temp-dir clone case. */
+  def cloneWithHardLinks(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      if (!dst.isDirectory) require(dst.mkdirs(), s"mkdirs failed: $dst")
+      val children = src.listFiles()
+      if (children != null)
+        children.foreach(c => cloneWithHardLinks(c, new java.io.File(dst, c.getName)))
+    } else {
+      try java.nio.file.Files.createLink(dst.toPath, src.toPath)
+      catch {
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          java.nio.file.Files.copy(src.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+          ()
+      }
+    }
+  }
 }

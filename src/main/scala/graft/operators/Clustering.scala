@@ -210,6 +210,55 @@ object Clustering {
     centroids
   }
 
+  /** ALL `nSub` per-subspace L2 codebooks fitted in LOCKSTEP — bit-identical
+    * to `nSub` independent `fitWith(slice(v, s·subDim+1, subDim), k, iters,
+    * assignL2)` calls (the subspace fits never interact: each round's
+    * assignment and decimal-exact update read only that subspace's slice
+    * and codebook), but the cluster runs ONE init collect and ONE
+    * assign+update job per round for the whole codebook set instead of
+    * `nSub` of each — the PQ fit was `nSub·(iters+1)` tiny driver-collect
+    * jobs whose fixed job latency dominated the wall at gate scale (r15;
+    * the per-row work is unchanged, only the job count drops). The
+    * subspace id rides as an explode key; assignment picks the matching
+    * codebook via a CASE chain of the same [[graft.functions
+    * .VectorExpressions.assignL2]] kernel the independent fits ran. */
+  private[operators] def fitSubspacesL2(e: DataFrame, nSub: Int, subDim: Int,
+      k: Int, iters: Int): Array[Array[Array[Double]]] = {
+    import e.sparkSession.implicits._
+    import org.apache.spark.sql.Column
+    // init: the k smallest-vec_id vectors, sliced per subspace — the exact
+    // init each independent fit draws (one collect instead of nSub)
+    val initVecs: Array[Array[Double]] = e
+      .orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
+      .map(_._2.toArray)
+    var books: Array[Array[Array[Double]]] = Array.tabulate(nSub) { s =>
+      initVecs.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+    }
+    val subRows = e.select(
+        posexplode(array((0 until nSub).map(s =>
+          slice(col("v"), s * subDim + 1, subDim)): _*)).as(Seq("s", "sv")))
+    var it = 0
+    while (it < iters) {
+      val assignCase: Column = (0 until nSub).map { s =>
+        (s, graft.functions.VectorExpressions.assignL2(col("sv"), books(s))
+          .getField("_1"))
+      }.foldRight(lit(null).cast("int")) { case ((s, a), acc) =>
+        when(col("s") === s, a).otherwise(acc)
+      }
+      val means = subRows
+        .select(col("s"), assignCase.as("cluster"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("s"), col("cluster"), col("pos"))
+        .agg(Tables.exactAvg(col("x")).as("cx"))
+        .as[(Int, Int, Int, Double)].collect()
+      val next = books.map(_.map(_.clone())) // empty clusters keep old centroids
+      means.foreach { case (s, c, pos, cx) => next(s)(c)(pos) = cx }
+      books = next
+      it += 1
+    }
+    books
+  }
+
   /** Squared-Euclidean distance with the cross-engine association contract:
     * `round6(a·a − 2·a·b + b·b)` — three SEQUENTIAL dot products combined
     * left-to-right, exactly what the DuckDB twin's

@@ -77,13 +77,24 @@ object Dedup {
   private val HashCacheMaxBytes = 64L << 20
 
   def docShingleHashes(spark: SparkSession, sfDir: String): DataFrame =
-    // spread before hashing: every LSH/Jaccard/cross gate funnels through
-    // this map pass, and the corpus scan is a single unsplittable row
-    // group locally (Tables.spreadIfNarrow) — without it the whole
-    // signature derivation runs as one task. The shingle hashing itself is
-    // the native ShingleHashExpr (one static call per row in whole-stage
-    // codegen — no boxed token Seq), bit-identical to the former UDF.
-    Tables.spreadIfNarrow(documents(spark, sfDir), col("doc_id"))
+    docShingleHashesOf(documents(spark, sfDir))
+
+  /** [[docShingleHashes]] over an arbitrary (doc_id, text, …) frame —
+    * exposed so verify steps that only need a FEW documents' shingle sets
+    * (the streaming gates' candidate targets) can semi-join-filter the
+    * corpus BEFORE the hashing map pass instead of hashing every document
+    * and discarding the rest at the join (guide §3.2 shape; hashing is
+    * per-row pure, so filter-then-hash ≡ hash-then-filter on the
+    * surviving rows).
+    *
+    * spread before hashing: every LSH/Jaccard/cross gate funnels through
+    * this map pass, and the corpus scan is a single unsplittable row
+    * group locally (Tables.spreadIfNarrow) — without it the whole
+    * signature derivation runs as one task. The shingle hashing itself is
+    * the native ShingleHashExpr (one static call per row in whole-stage
+    * codegen — no boxed token Seq), bit-identical to the former UDF. */
+  private[graft] def docShingleHashesOf(docs: DataFrame): DataFrame =
+    Tables.spreadIfNarrow(docs, col("doc_id"))
       .select(col("doc_id"),
         graft.functions.ShingleExpressions.shingleHashes(col("text")).as("shh"))
 
@@ -152,7 +163,12 @@ object Dedup {
     val ex = sh.select(col("doc_id"), explode(col("shh")).as("h"))
     val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq).select(col("h"))
-    val kept = ex.join(broadcast(hot), Seq("h"), "left_anti")
+    // persisted: `kept` feeds THREE consumers (the size table and both
+    // self-join sides) and its own plan evaluates the explode twice (main
+    // side + the broadcast hot-list aggregate) — uncached, the explode +
+    // anti-join ran ~6× per gate (r15). Two 8-byte columns per row, so the
+    // cache is narrow; released with the shingle frame below.
+    val kept = ex.join(broadcast(hot), Seq("h"), "left_anti").persist()
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = kept.as("a").join(kept.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -164,7 +180,7 @@ object Dedup {
       .select(col("id1"), col("id2"),
         (col("c") / (col("sa.n") + col("sb.n") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    materializeAndRelease(out, sh).orderBy(col("id1"), col("id2"))
+    materializeAndRelease(out, sh, kept).orderBy(col("id1"), col("id2"))
   }
 
   /** DuckDB twin of [[ngramJaccardCapped]]. */
@@ -215,20 +231,23 @@ object Dedup {
     * pair space via `doc_id <`. */
   def shingleContainment(spark: SparkSession, sfDir: String,
       maxDocFreq: Long = 20L): DataFrame = {
-    val (out, sh) = shingleContainmentFrame(spark, sfDir, maxDocFreq)
-    materializeAndRelease(out, sh).orderBy(col("id_sub"), col("id_super"))
+    val (out, caches) = shingleContainmentFrame(spark, sfDir, maxDocFreq)
+    materializeAndRelease(out, caches: _*)
+      .orderBy(col("id_sub"), col("id_super"))
   }
 
   /** The lazy containment pipeline + its persisted shingle frame, split out
     * so PlanSpec can assert the exchange shapes BEFORE materialization
     * collapses the plan to an ExistingRDD. */
   private[graft] def shingleContainmentFrame(spark: SparkSession, sfDir: String,
-      maxDocFreq: Long = 20L): (DataFrame, DataFrame) = {
+      maxDocFreq: Long = 20L): (DataFrame, Seq[DataFrame]) = {
     val sh = docShingleHashes(spark, sfDir).persist()
     val ex = sh.select(col("doc_id"), explode(col("shh")).as("h"))
     val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq).select(col("h"))
-    val kept = ex.join(broadcast(hot), Seq("h"), "left_anti")
+    // persisted for the same reason as [[ngramJaccardCapped]]'s kept frame:
+    // three consumers plus the in-plan double explode (r15)
+    val kept = ex.join(broadcast(hot), Seq("h"), "left_anti").persist()
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = kept.as("a").join(kept.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -245,7 +264,7 @@ object Dedup {
         graft.operators.Tables.portableRound6(
           col("c").cast("double") / col("sa.n").cast("double"))
           .as("containment"))
-    (out, sh)
+    (out, Seq(sh, kept))
   }
 
   /** DuckDB twin of [[shingleContainment]] — identical cap, integer
@@ -594,11 +613,18 @@ object Dedup {
       newIds: DataFrame): DataFrame = {
     val idbs = newIds.select(idBucket(col("doc_id")).as("idb")).distinct()
       .collect().map(_.getInt(0)) // bounded by SidecarIdBuckets
+    oldCellsForIdbs(spark, indexDir, newIds, idbs.toSeq)
+  }
+
+  /** [[oldCellsViaSidecar]] with the batch's id-buckets supplied by the
+    * caller — [[bandIndexUpsert]] already collects them in its batch-meta
+    * job, so the locator's own idb-collect job is skipped (r15). */
+  private def oldCellsForIdbs(spark: SparkSession, indexDir: String,
+      newIds: DataFrame, idbs: Seq[Int]): DataFrame =
     spark.read.parquet(s"$indexDir/cells")
       .filter(col("idb").isin(idbs.map(Int.box): _*))
       .join(broadcast(newIds), Seq("doc_id"))
       .select(col("band"), col("bkt"))
-  }
 
   /** The pre-sidecar locator (r12 shape): full scan of the band rows,
     * broadcast-semi-joined by id. Kept as the parity oracle for
@@ -632,13 +658,29 @@ object Dedup {
         * gate asserts read < total per trigger (verdict r13 task 4: prove
         * the pruning ON the maintenance path, not just in an off-path
         * spec). */
-      scanAudit: Option[(Int, Int) => Unit] = None): Seq[(Int, Int)] = {
+      scanAudit: Option[(Int, Int) => Unit] = None,
+      /** Precomputed band rows of `newDocs` — (doc_id, band, bkt, bandSig)
+        * — when the caller already derived them (the streaming gates'
+        * probe step runs [[bandProbeRows]] over the same batch; passing
+        * them here removes a second shingle+minhash pass per trigger,
+        * r15). Values must equal `bandRowsOfDocs(newDocs)` — they do by
+        * construction for a probe-rows projection, the only caller. */
+      preRows: Option[DataFrame] = None): Seq[(Int, Int)] = {
     import spark.implicits._
-    val rows = bandRowsOfDocs(newDocs).persist()
-    val batchCells = rows.select(col("band"), col("bkt")).distinct()
-      .as[(Int, Int)].collect().toSeq
+    val rows = preRows
+      .map(_.select(col("doc_id"), col("bandSig"), col("band"), col("bkt"))
+        .persist())
+      .getOrElse(bandRowsOfDocs(newDocs).persist())
+    // ONE driver collect for the batch's (band, bkt) cells AND its
+    // id-buckets (was two jobs plus a third inside the sidecar locator —
+    // the distinct triple set is bounded by cells×buckets, r15)
+    val batchMeta = rows
+      .select(col("band"), col("bkt"), idBucket(col("doc_id")).as("idb"))
+      .distinct().as[(Int, Int, Int)].collect().toSeq
+    val batchCells = batchMeta.map { case (b, k, _) => (b, k) }.distinct
+    val batchIdbs = batchMeta.map(_._3).distinct.sorted
     val newIds = rows.select(col("doc_id")).distinct()
-    val oldCells = oldCellsViaSidecar(spark, indexDir, newIds)
+    val oldCells = oldCellsForIdbs(spark, indexDir, newIds, batchIdbs)
       .distinct().as[(Int, Int)].collect().toSeq
     val touched = (batchCells ++ oldCells).distinct.sorted
     val touchedPred = touched
@@ -667,9 +709,8 @@ object Dedup {
       .localCheckpoint(true)
     // sidecar rewrite set: a doc's idb is a pure function of doc_id, so a
     // re-arriving id's OLD sidecar entries live in the same partition its
-    // new ones land in — the batch's idb set covers both sides
-    val batchIdbs = newIds.select(idBucket(col("doc_id")).as("idb"))
-      .distinct().as[Int].collect().toSeq.sorted
+    // new ones land in — the batch's idb set (from the single batchMeta
+    // collect above) covers both sides
     val existingCells = spark.read.parquet(s"$indexDir/cells")
       .filter(col("idb").isin(batchIdbs.map(Int.box): _*))
       .join(broadcast(newIds), Seq("doc_id"), "left_anti")
@@ -695,16 +736,22 @@ object Dedup {
     // dynamic overwrite skips partitions absent from the write — a touched
     // cell whose last rows were all replaced-away keeps stale files unless
     // deleted explicitly (same edge as the IVF-PQ codes table); ditto an
-    // id-bucket whose every doc re-arrived with now-empty text
-    val mergedCells = merged.select(col("band"), col("bkt")).distinct()
-      .as[(Int, Int)].collect().toSet
+    // id-bucket whose every doc re-arrived with now-empty text. Both
+    // survivor sets come from ONE union-ed collect over the two (already
+    // checkpointed) merged frames — two tiny driver jobs folded into one
+    // per upsert call (r15).
+    val survivors = merged.select(lit(0).as("kind"), col("band"), col("bkt"))
+      .distinct()
+      .unionByName(mergedSidecar.select(lit(1).as("kind"),
+        col("idb").as("band"), lit(-1).as("bkt")).distinct())
+      .as[(Int, Int, Int)].collect()
+    val mergedCells = survivors.collect { case (0, b, k) => (b, k) }.toSet
+    val mergedIdbs = survivors.collect { case (1, i, _) => i }.toSet
     val base = new org.apache.hadoop.fs.Path(s"$indexDir/rows")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.filterNot(mergedCells).foreach { case (b, k) =>
       fs.delete(new org.apache.hadoop.fs.Path(base, s"band=$b/bkt=$k"), true)
     }
-    val mergedIdbs = mergedSidecar.select(col("idb")).distinct()
-      .as[Int].collect().toSet
     val cellsBase = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
     batchIdbs.filterNot(mergedIdbs).foreach { i =>
       fs.delete(new org.apache.hadoop.fs.Path(cellsBase, s"idb=$i"), true)
@@ -1404,7 +1451,9 @@ object Dedup {
     val ex = sh.select(col("doc_id"), explode(col("shh")).as("h"))
     val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq).select(col("h"))
-    val kept = ex.join(broadcast(hot), Seq("h"), "left_anti")
+    // persisted for the same reason as [[ngramJaccardCapped]]'s kept frame
+    // (three consumers + in-plan double explode, r15)
+    val kept = ex.join(broadcast(hot), Seq("h"), "left_anti").persist()
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = kept.as("a").join(kept.as("b"),
         col("a.h") === col("b.h") &&
@@ -1437,7 +1486,7 @@ object Dedup {
       .select(col("doc_id"), col("is_exact_dup"),
         coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
         col("near_dup_of"))
-    materializeAndRelease(out, sh).orderBy(col("doc_id"))
+    materializeAndRelease(out, sh, kept).orderBy(col("doc_id"))
   }
 
   /** DuckDB twin of [[crossDedup]]. */

@@ -1105,13 +1105,23 @@ object Graph {
     * node-sized score frame reshuffles (the walk-family loop rule). The
     * per-round max is a 1-row broadcast. AQE is off for the loop
     * ([[withAqeOff]] — partitioning pinned by construction). Bounded
-    * iterations (3), scores localCheckpoint-ed per round. */
+    * iterations (3); each half-round's RAW sum frame is localCheckpoint-ed
+    * and the L∞ rescale stays a lazy projection over the pinned node-sized
+    * blocks (checkpointing the normalized frame instead would evaluate the
+    * corpus-sized join+aggregate twice per half-round — once under the
+    * broadcast max, once for the rescale). */
   def hits(spark: SparkSession, sfDir: String, iterations: Int = 3,
       topK: Int = 25): DataFrame = withAqeOff(spark) {
-    val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
-    val od = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
-    val fwd = li.join(od, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+    // The directed c→s purchase multigraph is exactly the forward half of
+    // the memoized [[bipartiteTable]] (src = 2·custkey even, dst =
+    // 2·suppkey+1 odd, one row per lineitem⋈orders row): filtering even
+    // `src` and halving recovers (c, s) with identical multiplicities —
+    // the walk-family derive-once rule applied here too (r15: the gate
+    // re-derived the corpus-sized join twice per run, once per cached
+    // orientation).
+    val fwd = spark.read.parquet(bipartiteTable(spark, sfDir))
+      .filter(col("src") % 2 === 0)
+      .select(expr("src div 2").as("c"), expr("dst div 2").as("s"))
     val byC = fwd.repartition(col("c")).persist()
     val byS = fwd.repartition(col("s")).persist()
     // Headroom guard (ADVICE r13): each half-round sums ≤|E| scores of
@@ -1137,12 +1147,19 @@ object Graph {
     var auth = byC.select(col("s")).limit(0)
       .select(col("s"), lit(0L).as("a")) // replaced in round 1
     for (_ <- 1 to iterations) {
-      auth = normalize(
-        byC.join(hub, "c").groupBy(col("s")).agg(sum(col("h")).as("a")),
-        "s", "a").localCheckpoint(true)
-      hub = normalize(
-        byS.join(auth, "s").groupBy(col("c")).agg(sum(col("a")).as("h")),
-        "c", "h").localCheckpoint(true)
+      // checkpoint the RAW half-step sum, not the normalized frame: the
+      // normalize's plan evaluates its input twice (once under the 1-row
+      // broadcast max, once for the rescale), so checkpointing AFTER
+      // normalize ran the corpus-sized join+aggregate twice per half-round
+      // (r15 measured: half the gate's iteration cost). Normalizing lazily
+      // over the checkpointed node-sized frame re-reads pinned blocks
+      // instead. Same arithmetic, bit-identical scores.
+      val rawA = byC.join(hub, "c").groupBy(col("s")).agg(sum(col("h")).as("a"))
+        .localCheckpoint(true)
+      auth = normalize(rawA, "s", "a")
+      val rawH = byS.join(auth, "s").groupBy(col("c")).agg(sum(col("a")).as("h"))
+        .localCheckpoint(true)
+      hub = normalize(rawH, "c", "h")
     }
     val topA = auth.orderBy(col("a").desc, col("s")).limit(topK)
       .select(lit("authority").as("kind"), col("s").as("entity_key"),

@@ -1964,6 +1964,10 @@ object QuerySurface {
   def basketPairs(spark: SparkSession, sfDir: String, cap: Int = BasketCap,
       k: Int = BasketTopK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOT persisted (r15: measured a wash-to-regression) — the self-join
+    // sides share one exchange via ReuseExchange, and the order-count /
+    // support re-derivations are column-pruned scans; caching the distinct
+    // frame traded those for a full materialization pass
     val li = lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val nOrders = li.select(col("l_orderkey")).distinct().count()
@@ -1978,7 +1982,7 @@ object QuerySurface {
       .agg(count(lit(1)).as("sup_ab"))
       .orderBy(col("sup_ab").desc, col("part_a"), col("part_b"))
       .limit(k)
-    top
+    val out = top
       .join(broadcast(sup.withColumnRenamed("l_partkey", "part_a")
         .withColumnRenamed("sup", "sup_a")), "part_a")
       .join(broadcast(sup.withColumnRenamed("l_partkey", "part_b")
@@ -1989,6 +1993,7 @@ object QuerySurface {
       .select(col("part_a"), col("part_b"), col("sup_ab"), col("sup_a"),
         col("sup_b"), col("conf_fp"), col("lift_fp"))
       .orderBy(col("sup_ab").desc, col("part_a"), col("part_b"))
+    out
   }
 
   /** DuckDB twin of [[basketPairs]] — same cap, tie order, and fixed
@@ -2415,8 +2420,13 @@ object QuerySurface {
       .groupBy(col("o_custkey"))
       .agg((sum(col("l_extendedprice").cast("decimal(28,2)")) * 100)
         .cast("long").as("rev_c"))
-    val nCust = rev.agg(count(lit(1)).as("n_cust"))
-    val bands = Ranks.globalRank(rev, "rn", Seq(col("rev_c").desc, col("o_custkey")))
+    val ranked = Ranks.globalRank(rev, "rn",
+      Seq(col("rev_c").desc, col("o_custkey")))
+    // count the customers from the rank's own eagerly-checkpointed frame
+    // (globalRank preserves rows) — counting `rev` directly re-ran the
+    // whole lineitem⋈orders join + aggregate a second time (r15)
+    val nCust = ranked.agg(count(lit(1)).as("n_cust"))
+    val bands = ranked
       .crossJoin(broadcast(nCust))
       .withColumn("decile", expr("((rn - 1) * 10) div n_cust"))
       .groupBy(col("decile"))

@@ -1325,12 +1325,11 @@ object Similarity {
       .persist()
     def subspace(v: Array[Double], s: Int): Array[Double] =
       java.util.Arrays.copyOfRange(v, s * PqSubDim, (s + 1) * PqSubDim)
-    val books: Array[Array[Array[Double]]] = (0 until PqSubspaces).map { s =>
-      val sub = e.select(col("vec_id"),
-        slice(col("v"), s * PqSubDim + 1, PqSubDim).as("v"))
-      Clustering.fitWith(sub, PqCodebook, PqIters,
-        graft.functions.VectorExpressions.assignL2)
-    }.toArray
+    // all subspace codebooks in lockstep — bit-identical to the former
+    // per-subspace fitWith loop, one job per round instead of nSub
+    // (Clustering.fitSubspacesL2 scaladoc)
+    val books: Array[Array[Array[Double]]] =
+      Clustering.fitSubspacesL2(e, PqSubspaces, PqSubDim, PqCodebook, PqIters)
     // per-query ADC lookup tables, built driver-side from the same sqDist6
     val qs = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
@@ -1647,13 +1646,11 @@ object Similarity {
         .residual(col("cl"), col("v"), coarse))
       .select(col("vec_id"), col("cl"), col("r"))
       .persist()
-    // subspace codebooks fitted on the residuals
-    val books: Array[Array[Array[Double]]] = (0 until PqSubspaces).map { s =>
-      val sub = resid.select(col("vec_id"),
-        slice(col("r"), s * PqSubDim + 1, PqSubDim).as("v"))
-      Clustering.fitWith(sub, PqCodebook, PqIters,
-        graft.functions.VectorExpressions.assignL2)
-    }.toArray
+    // subspace codebooks fitted on the residuals — all in lockstep, one
+    // job per round instead of nSub (Clustering.fitSubspacesL2 scaladoc)
+    val books: Array[Array[Array[Double]]] = Clustering.fitSubspacesL2(
+      resid.select(col("vec_id"), col("r").as("v")),
+      PqSubspaces, PqSubDim, PqCodebook, PqIters)
     val codes = resid.select(col("vec_id"), col("cl"),
       graft.functions.VectorExpressions.pqEncode(col("r"), books, PqSubDim)
         .as("codes"))
@@ -1667,16 +1664,20 @@ object Similarity {
     * table twin is bit-identical by construction and reuses the oracle. */
   private[graft] def ivfPqQuery(e: DataFrame, coarse: Array[Array[Double]],
       books: Array[Array[Array[Double]]], codes: DataFrame, k: Int,
-      nProbe: Int, nQueries: Int): DataFrame = {
+      nProbe: Int, nQueries: Int,
+      /** Pre-collected query vectors (sorted by vec_id) — the streaming
+        * maintenance gate probes the index once per trigger against the
+        * SAME fixed query set; collecting it once outside the loop skips
+        * a per-trigger driver job (r15). Must equal what the collect
+        * below would return — [[collectQueries]] is that collect. */
+      qsPre: Option[Array[(Long, Seq[Double])]] = None): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     // queries: probe the nProbe nearest coarse cells, build per-(query,
     // cell) residual LUTs driver-side (nQueries·nProbe·m·k doubles)
     def subspace(v: Array[Double], s: Int): Array[Double] =
       java.util.Arrays.copyOfRange(v, s * PqSubDim, (s + 1) * PqSubDim)
-    val qs = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
-      .sortBy(_._1)
+    val qs = qsPre.getOrElse(collectQueries(e, nQueries))
     val qVecs: Map[Long, Array[Double]] = qs.map { case (id, v) => id -> v.toArray }.toMap
     val probes: Seq[(Long, Long)] = qs.flatMap { case (qid, v) =>
       val qv = v.toArray
@@ -1760,12 +1761,11 @@ object Similarity {
         .residual(col("cl"), col("v"), coarse))
       .select(col("vec_id"), col("cl"), col("r"))
       .persist()
-    val books = (0 until PqSubspaces).map { s =>
-      val sub = resid.select(col("vec_id"),
-        slice(col("r"), s * PqSubDim + 1, PqSubDim).as("v"))
-      Clustering.fitWith(sub, PqCodebook, PqIters,
-        graft.functions.VectorExpressions.assignL2)
-    }.toArray
+    // all subspace books in lockstep — bit-identical, one job per round
+    // instead of nSub (Clustering.fitSubspacesL2 scaladoc)
+    val books = Clustering.fitSubspacesL2(
+      resid.select(col("vec_id"), col("r").as("v")),
+      PqSubspaces, PqSubDim, PqCodebook, PqIters)
     coarse.zipWithIndex.map { case (cv, cl) => (cl, cv.toSeq) }.toSeq
       .toDF("cl", "cv").repartition(1)
       .write.mode("overwrite").parquet(s"$d/coarse")
@@ -1854,6 +1854,16 @@ object Similarity {
   private[graft] def vectors(spark: SparkSession, sfDir: String): DataFrame =
     withVec(embeddings(spark, sfDir)).select(col("vec_id"), col("v"))
 
+  /** The fixed query-vector set [[ivfPqQuery]] probes with, collected once
+    * (vec_id-sorted) — see the `qsPre` parameter there. */
+  private[graft] def collectQueries(e: DataFrame,
+      nQueries: Int): Array[(Long, Seq[Double])] = {
+    import e.sparkSession.implicits._
+    e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
+      .sortBy(_._1)
+  }
+
   /** The BASE-corpus IVF-PQ index (everything except the
     * [[IvfPqUpsertMod]] late arrivals), memoized per (JVM, corpus) in its
     * PRE-upsert state — the starting point the streaming maintenance gate
@@ -1898,9 +1908,20 @@ object Similarity {
     * a cell-moving update leaves exactly one row for the id, and an
     * emptied cell's partition disappears. */
   def ivfPqUpsertCodes(spark: SparkSession, indexDir: String,
-      batch: DataFrame): Seq[Long] = {
+      batch: DataFrame,
+      /** The index's (coarse, books) when the caller already read them —
+        * the streaming gate's probe step runs [[readIvfPqIndex]] in the
+        * same trigger; passing the codebooks here skips a second pair of
+        * driver collects per trigger (r15). Codebooks are immutable under
+        * upsert (FAISS add-time semantics), so any same-index read is the
+        * identical value. */
+      preBooks: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] =
+        None): Seq[Long] = {
     import spark.implicits._
-    val (coarse, books, _) = readIvfPqIndex(spark, indexDir)
+    val (coarse, books) = preBooks.getOrElse {
+      val (c, b, _) = readIvfPqIndex(spark, indexDir)
+      (c, b)
+    }
     val newCodes = batch
       .withColumn("cl", graft.functions.VectorExpressions
         .assignL2(col("v"), coarse).getField("_1").cast("long"))
@@ -1910,14 +1931,22 @@ object Similarity {
         graft.functions.VectorExpressions.pqEncode(col("r"), books, PqSubDim)
           .as("codes"))
       .persist()
-    val batchCells = newCodes.select(col("cl")).distinct()
-      .as[Long].collect().toSeq
+    // ONE driver collect for the batch's cells AND id-buckets (was three
+    // jobs counting the sidecar locator's own idb collect, r15)
+    val batchMeta = newCodes
+      .select(col("cl"), idBucket(col("vec_id")).as("idb"))
+      .distinct().as[(Long, Int)].collect().toSeq
+    val batchCells = batchMeta.map(_._1).distinct
+    val batchIdbs = batchMeta.map(_._2).distinct.sorted
     // cells where a re-arriving id's OLD row lives (may differ from its new
     // assignment) — those partitions must be rewritten or the stale row
     // would survive, duplicating the id across two cells. Located via the
     // id→cell sidecar (id-bucket-pruned read, O(|batch|)), not a codes scan
     val newIds = newCodes.select(col("vec_id"))
-    val oldCells = ivfOldCellsViaSidecar(spark, indexDir, newIds)
+    val oldCells = spark.read.parquet(s"$indexDir/idcells")
+      .filter(col("idb").isin(batchIdbs.map(Int.box): _*))
+      .join(broadcast(newIds), Seq("vec_id"))
+      .select(col("cl"))
       .distinct().as[Long].collect().toSeq
     val touched = (batchCells ++ oldCells).distinct.sorted
     // UPSERT semantics: a re-arriving vec_id REPLACES its old code row (the
@@ -1931,9 +1960,8 @@ object Similarity {
     val merged = existing.unionByName(newCodes).localCheckpoint(true)
     // sidecar rewrite set: idb is a pure function of vec_id, so a
     // re-arriving id's old sidecar entry lives in the partition its new
-    // entry lands in — the batch's idb set covers both sides
-    val batchIdbs = newIds.select(idBucket(col("vec_id")).as("idb"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // entry lands in — the batch's idb set (from the single batchMeta
+    // collect above) covers both sides
     val mergedSidecar = spark.read.parquet(s"$indexDir/idcells")
       .filter(col("idb").isin(batchIdbs.map(Int.box): _*))
       .join(broadcast(newIds), Seq("vec_id"), "left_anti")
@@ -1953,17 +1981,21 @@ object Similarity {
         .parquet(s"$indexDir/idcells")
     } finally spark.conf.set(key, prev)
     // a touched cell with no surviving rows is absent from `merged`, so the
-    // dynamic overwrite never visits it — drop its stale partition dir
-    val mergedCells = merged.select(col("cl")).distinct()
-      .as[Long].collect().toSet
+    // dynamic overwrite never visits it — drop its stale partition dir.
+    // Both survivor sets from ONE union-ed collect over the checkpointed
+    // merged frames (two tiny driver jobs folded into one, r15).
+    val survivors = merged.select(lit(0).as("kind"), col("cl")).distinct()
+      .unionByName(mergedSidecar.select(lit(1).as("kind"),
+        col("idb").cast("long").as("cl")).distinct())
+      .as[(Int, Long)].collect()
+    val mergedCells = survivors.collect { case (0, cl) => cl }.toSet
     val codesPath = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
     val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.filterNot(mergedCells).foreach { cl =>
       fs.delete(new org.apache.hadoop.fs.Path(codesPath, s"cl=$cl"), true)
     }
     // ditto an id-bucket emptied by the anti-join (every doc re-arrived)
-    val mergedIdbs = mergedSidecar.select(col("idb")).distinct()
-      .collect().map(_.getInt(0)).toSet
+    val mergedIdbs = survivors.collect { case (1, i) => i.toInt }.toSet
     val idcellsPath = new org.apache.hadoop.fs.Path(s"$indexDir/idcells")
     batchIdbs.filterNot(mergedIdbs).foreach { i =>
       fs.delete(new org.apache.hadoop.fs.Path(idcellsPath, s"idb=$i"), true)

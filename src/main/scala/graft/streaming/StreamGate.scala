@@ -1069,10 +1069,12 @@ object StreamGate {
     * watermark, no streaming aggregation): a candidate pair that agrees in
     * several bands emits several rows, and the batch-side `distinct`
     * collapses them — pushing that dedup into the stream would be a
-    * second stateful operator for zero semantic gain. Both static sides
-    * (the band index, the corpus shingle sets) are cached and materialized
-    * BEFORE the replay starts, the [[enrichJoin]] rule — Spark re-plans
-    * the static side of a stream-static join every micro-batch.
+    * second stateful operator for zero semantic gain. The in-stream static
+    * side (the band index) is cached and materialized BEFORE the replay
+    * starts, the [[enrichJoin]] rule — Spark re-plans the static side of a
+    * stream-static join every micro-batch. The corpus shingle sets feed
+    * only the post-drain batch verify and are derived candidate-filtered
+    * there (r15).
     *
     * Same candidates, same verify, same ranking ⇒ hash-identical to the
     * batch forms; shares [[graft.operators.Dedup.dedupIncrementalOracleSql]].
@@ -1089,15 +1091,17 @@ object StreamGate {
       threshold: Double = 0.3): DataFrame = {
     import graft.operators.Dedup
     val isBatch = col("doc_id") % Dedup.IncrementalBatchMod === 3L
-    // static sides, materialized before the stream starts
+    // the in-stream static side, materialized before the stream starts
+    // (the enrichJoin rule — Spark re-plans the static side of a
+    // stream-static join every micro-batch). The corpus shingle sets are
+    // NOT pre-built any more: they feed only the post-drain batch verify,
+    // which now derives sets for the candidate targets alone (the §3.2
+    // semi-join prefilter the maintenance gates use — hashing the whole
+    // corpus up front was this gate's single biggest block, r15).
     val index = spark.read.parquet(s"${Dedup.bandIndexTable(spark, sfDir)}/rows")
       .select(col("doc_id").as("dup_of"), col("band"), col("bkt"),
         col("bandSig")).cache()
-    val corpusSets = Dedup.docShingleHashes(spark, sfDir)
-      .filter(!isBatch && size(col("shh")) > 0)
-      .select(col("doc_id").as("dup_of"), col("shh").as("corpus_shh"))
-      .cache()
-    index.count(); corpusSets.count()
+    index.count()
     try {
       val path = s"$sfDir/documents.parquet"
       val schema = spark.read.parquet(path).schema
@@ -1109,8 +1113,16 @@ object StreamGate {
       val cand = Dedup.bandProbeRows(docsStream)
         .join(index, Seq("band", "bkt", "bandSig"))
         .select(col("doc_id").as("new_id"), col("shh"), col("dup_of"))
-      // drain the stateless probe stream, then verify + rank in batch
+      // drain the stateless probe stream, then verify + rank in batch;
+      // target sets derived for the candidates only (isBatch targets are
+      // excluded exactly as the former whole-corpus frame did)
       val drained = runToMemory(spark, cand)
+      val candTargets = drained.select(col("dup_of").as("doc_id")).distinct()
+      val corpusSets = Dedup.docShingleHashesOf(
+          graft.operators.Tables.documents(spark, sfDir)
+            .join(broadcast(candTargets), "doc_id"))
+        .filter(!isBatch && size(col("shh")) > 0)
+        .select(col("doc_id").as("dup_of"), col("shh").as("corpus_shh"))
       val verified = drained
         .select(col("new_id"), col("shh"), col("dup_of")).distinct()
         .join(corpusSets, "dup_of")
@@ -1131,7 +1143,7 @@ object StreamGate {
           col("n_matches"))
         .orderBy(col("doc_id"))
         .localCheckpoint(true)
-    } finally { index.unpersist(false); corpusSets.unpersist(false) }
+    } finally index.unpersist(false)
   }
 
   /** MULTI-TRIGGER streaming dedup with INTERLEAVED index maintenance —
@@ -1171,6 +1183,37 @@ object StreamGate {
     * rewrite to the touched fraction (the same argument as the IVF codes
     * table). The single-trigger probe-only twin (`stream_dedup_lsh`,
     * ~3 s) isolates what the maintenance loop adds. */
+  /** Write the multi-trigger gates' per-micro-batch landing files in ONE
+    * Spark job (r15: one filter+coalesce(1) write job per micro-batch cost
+    * ~0.5 s per gate run): partition the tranche by the micro-batch key,
+    * hash-repartition so each micro-batch's rows land in exactly one task
+    * (⇒ exactly one parquet file per `__mb=` directory), then move each
+    * directory's file to `landing/mb$m.parquet` with the strictly
+    * increasing modification times the file source's oldest-first replay
+    * contract needs. Row order within a file may differ from the former
+    * per-batch coalesce(1) writes; no gate result depends on file row
+    * order (probes are joins, verifies are distinct/window pipelines). */
+  private def writeLandingFiles(docs: org.apache.spark.sql.DataFrame,
+      mb: org.apache.spark.sql.Column, nMb: Int,
+      landing: java.io.File): Unit = {
+    val tmp = new java.io.File(landing.getParentFile, "landing-tmp")
+    docs.withColumn("__mb", mb.cast("int"))
+      .repartition(nMb, col("__mb"))
+      .write.partitionBy("__mb").parquet(tmp.toString)
+    val t0 = landing.lastModified()
+    (0 until nMb).foreach { m =>
+      val dir = new java.io.File(tmp, s"__mb=$m")
+      val part = Option(dir.listFiles())
+        .flatMap(_.find(_.getName.endsWith(".parquet")))
+        .getOrElse(sys.error(s"empty micro-batch $m — landing write " +
+          "produced no parquet file (tranche split drifted)"))
+      val dst = new java.io.File(landing, s"mb$m.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      require(dst.setLastModified(t0 + m * 60000L))
+    }
+    graft.io.Storage.deleteRecursively(tmp)
+  }
+
   def dedupLshIncrementalStream(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3): DataFrame = replayLock.synchronized {
     import graft.operators.Dedup
@@ -1180,29 +1223,21 @@ object StreamGate {
     val workDir = work.toString
     val indexDir = s"$workDir/index"
     try {
-      // clone the memoized corpus index — this gate MUTATES its copy
-      val conf = spark.sparkContext.hadoopConfiguration
-      val src = new org.apache.hadoop.fs.Path(Dedup.bandIndexTable(spark, sfDir))
-      val fs = src.getFileSystem(conf)
-      org.apache.hadoop.fs.FileUtil.copy(fs, src,
-        fs, new org.apache.hadoop.fs.Path(indexDir), false, conf)
-      // one landing file per micro-batch, modTimes 1 minute apart
+      // clone the memoized corpus index — this gate MUTATES its copy.
+      // Hard links, not a byte copy: maintenance replaces whole files, so
+      // the memo's inodes are never written through (Storage
+      // .cloneWithHardLinks scaladoc; the byte copy cost ~2.6 s/run, r15)
+      graft.io.Storage.cloneWithHardLinks(
+        new java.io.File(Dedup.bandIndexTable(spark, sfDir)),
+        new java.io.File(indexDir))
+      // one landing file per micro-batch, modTimes 1 minute apart —
+      // written in ONE job ([[writeLandingFiles]])
       val docsB = spark.read.parquet(s"$sfDir/documents.parquet")
         .filter(isBatch).select(col("doc_id"), col("text"))
       val landing = new java.io.File(workDir, "landing")
       landing.mkdirs()
-      val t0 = landing.lastModified()
-      (0 until nMb).foreach { m =>
-        val tmp = s"$workDir/mb$m-tmp"
-        docsB.filter(pmod(col("doc_id"), lit(nMb.toLong)) === m.toLong)
-          .coalesce(1).write.parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(landing, s"mb$m.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        require(dst.setLastModified(t0 + m * 60000L))
-        graft.io.Storage.deleteRecursively(new java.io.File(tmp))
-      }
+      writeLandingFiles(docsB, pmod(col("doc_id"), lit(nMb.toLong)), nMb,
+        landing)
       val candDir = s"$workDir/cands"
       val ckpt = checkpointRoot.map(r => s"$r/graft_stream_dedup_multi_" +
         s"${runId.incrementAndGet()}-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -1216,8 +1251,11 @@ object StreamGate {
         val writer = stream.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             val docs = batch.select(col("doc_id"), col("text"))
+            // band rows derived ONCE per trigger and shared by the probe
+            // and the upsert (each formerly re-ran shingle+minhash, r15)
+            val probeRows = Dedup.bandProbeRows(docs).persist()
             // probe FIRST (against the index as of the previous batch) …
-            Dedup.bandProbeRows(docs)
+            probeRows
               .join(spark.read.parquet(s"$indexDir/rows")
                   .select(col("doc_id").as("dup_of"), col("band"),
                     col("bkt"), col("bandSig")),
@@ -1225,7 +1263,9 @@ object StreamGate {
               .select(col("doc_id").as("new_id"), col("shh"), col("dup_of"))
               .write.mode("append").parquet(candDir)
             // … then MAINTAIN, so the next trigger sees this batch
-            Dedup.bandIndexUpsert(spark, indexDir, docs)
+            Dedup.bandIndexUpsert(spark, indexDir, docs,
+              preRows = Some(probeRows.drop("shh")))
+            probeRows.unpersist(false)
             ()
           }
           .trigger(Trigger.AvailableNow())
@@ -1251,7 +1291,15 @@ object StreamGate {
           org.apache.spark.sql.types.LongType)))
       new java.io.File(candDir).mkdirs()
       val drained = spark.read.schema(candSchema).parquet(candDir)
-      val targetSets = Dedup.docShingleHashes(spark, sfDir)
+      // semi-join prefilter (guide §3.2 shape): only CANDIDATE targets'
+      // shingle sets are derived — hashing the whole corpus and joining
+      // away all but a few hundred rows was the verify's dominant cost
+      // (r15). Filter-then-hash ≡ hash-then-filter: the kernel is per-row
+      // pure, so surviving rows carry identical sets.
+      val candTargets = drained.select(col("dup_of").as("doc_id")).distinct()
+      val targetSets = Dedup.docShingleHashesOf(
+          graft.operators.Tables.documents(spark, sfDir)
+            .join(broadcast(candTargets), "doc_id"))
         .filter(size(col("shh")) > 0)
         .select(col("doc_id").as("dup_of"), col("shh").as("corpus_shh"))
       val verified = drained
@@ -1310,11 +1358,11 @@ object StreamGate {
     val workDir = work.toString
     val indexDir = s"$workDir/index"
     try {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val src = new org.apache.hadoop.fs.Path(Dedup.bandIndexTable(spark, sfDir))
-      val fs = src.getFileSystem(conf)
-      org.apache.hadoop.fs.FileUtil.copy(fs, src,
-        fs, new org.apache.hadoop.fs.Path(indexDir), false, conf)
+      // hard-link clone, not a byte copy (Storage.cloneWithHardLinks
+      // scaladoc; same rationale as the flagship, r15)
+      graft.io.Storage.cloneWithHardLinks(
+        new java.io.File(Dedup.bandIndexTable(spark, sfDir)),
+        new java.io.File(indexDir))
       val docsAll = spark.read.parquet(s"$sfDir/documents.parquet")
       val trancheIds = docsAll
         .filter(col("doc_id") % Dedup.IncrementalBatchMod === 3L)
@@ -1323,19 +1371,18 @@ object StreamGate {
         .collect().map(_.getLong(0)) // bounded: 10 ids by construction
       val landing = new java.io.File(workDir, "landing")
       landing.mkdirs()
-      val t0 = landing.lastModified()
-      trancheIds.grouped(perBatch).zipWithIndex.foreach { case (ids, m) =>
-        val tmp = s"$workDir/mb$m-tmp"
-        docsAll.filter(col("doc_id").isin(ids.map(Long.box): _*))
-          .select(col("doc_id"), col("text"))
-          .coalesce(1).write.parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(landing, s"mb$m.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        require(dst.setLastModified(t0 + m * 60000L))
-        graft.io.Storage.deleteRecursively(new java.io.File(tmp))
+      // micro-batch = position-group within the sorted tranche (the fixed
+      // grouped(perBatch) split), written in ONE job via a CASE key
+      val mbOfId = trancheIds.grouped(perBatch).zipWithIndex.flatMap {
+        case (ids, m) => ids.map(_ -> m)
+      }.toSeq
+      val mbCase = mbOfId.foldRight(lit(-1)) { case ((id, m), acc) =>
+        when(col("doc_id") === id, m).otherwise(acc)
       }
+      writeLandingFiles(
+        docsAll.filter(col("doc_id").isin(trancheIds.map(Long.box): _*))
+          .select(col("doc_id"), col("text")),
+        mbCase, nMb, landing)
       val candDir = s"$workDir/cands"
       val ckpt = checkpointRoot.map(r => s"$r/graft_stream_dedup_prn_" +
         s"${runId.incrementAndGet()}-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -1356,9 +1403,24 @@ object StreamGate {
         val writer = stream.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             val docs = batch.select(col("doc_id"), col("text"))
+            // band rows derived ONCE per trigger, shared by probe + upsert
+            // (each formerly re-ran shingle+minhash over the batch, r15)
+            val probeRows = Dedup.bandProbeRows(docs).persist()
+            // the PROBE's index read is partition-pruned to the batch's
+            // own (band, bkt) cells — an equi-join on (band, bkt, bandSig)
+            // can only match inside them, and THIS gate's batches touch a
+            // strict subset of the grid (≤16·|batch| cells; bounded
+            // collect — 5 docs ⇒ ≤80 cells). The flagship keeps the full
+            // read: its corpus-sized batches band into every cell.
+            val probeCells = probeRows.select(col("band"), col("bkt"))
+              .distinct().collect()
+              .map(r => (r.getInt(0), r.getInt(1)))
+            val probePred = probeCells
+              .map { case (b, k) => col("band") === b && col("bkt") === k }
+              .reduceOption(_ || _).getOrElse(lit(false))
             // probe FIRST (index as of the previous batch) …
-            Dedup.bandProbeRows(docs)
-              .join(spark.read.parquet(s"$indexDir/rows")
+            probeRows
+              .join(spark.read.parquet(s"$indexDir/rows").filter(probePred)
                   .select(col("doc_id").as("dup_of"), col("band"),
                     col("bkt"), col("bandSig")),
                 Seq("band", "bkt", "bandSig"))
@@ -1367,7 +1429,9 @@ object StreamGate {
             // … then MAINTAIN, with the scan audited from its own plan
             var scan: Option[(Int, Int)] = None
             val touched = Dedup.bandIndexUpsert(spark, indexDir, docs,
-              scanAudit = Some((read, total) => scan = Some((read, total))))
+              scanAudit = Some((read, total) => scan = Some((read, total))),
+              preRows = Some(probeRows.drop("shh")))
+            probeRows.unpersist(false)
             audits.synchronized {
               audits += ((scan.get._1, scan.get._2, touched.size)); ()
             }
@@ -1403,7 +1467,12 @@ object StreamGate {
           org.apache.spark.sql.types.LongType)))
       new java.io.File(candDir).mkdirs()
       val drained = spark.read.schema(candSchema).parquet(candDir)
-      val targetSets = Dedup.docShingleHashes(spark, sfDir)
+      // candidate-filtered target sets — the flagship's §3.2 semi-join
+      // prefilter verbatim (r15)
+      val candTargets = drained.select(col("dup_of").as("doc_id")).distinct()
+      val targetSets = Dedup.docShingleHashesOf(
+          graft.operators.Tables.documents(spark, sfDir)
+            .join(broadcast(candTargets), "doc_id"))
         .filter(size(col("shh")) > 0)
         .select(col("doc_id").as("dup_of"), col("shh").as("corpus_shh"))
       val verified = drained
@@ -1470,31 +1539,21 @@ object StreamGate {
     val workDir = work.toString
     val indexDir = s"$workDir/index"
     try {
-      // clone the memoized base (pre-upsert) index — this gate MUTATES it
-      val conf = spark.sparkContext.hadoopConfiguration
-      val src = new org.apache.hadoop.fs.Path(
-        Similarity.ivfPqBaseIndexTable(spark, sfDir))
-      val fs = src.getFileSystem(conf)
-      org.apache.hadoop.fs.FileUtil.copy(fs, src,
-        fs, new org.apache.hadoop.fs.Path(indexDir), false, conf)
+      // clone the memoized base (pre-upsert) index — this gate MUTATES it.
+      // Hard links, not a byte copy (Storage.cloneWithHardLinks scaladoc;
+      // the byte copy cost ~1.8 s/run, r15)
+      graft.io.Storage.cloneWithHardLinks(
+        new java.io.File(Similarity.ivfPqBaseIndexTable(spark, sfDir)),
+        new java.io.File(indexDir))
       val e = Similarity.vectors(spark, sfDir)
       val late = e.filter(col("vec_id") % Similarity.IvfPqUpsertMod === 1L)
       // one landing file per micro-batch, modTimes 1 minute apart so the
-      // file source replays them oldest-first
+      // file source replays them oldest-first — ONE job
+      // ([[writeLandingFiles]])
       val landing = new java.io.File(workDir, "landing")
       landing.mkdirs()
-      val t0 = landing.lastModified()
-      (0 until nMb).foreach { m =>
-        val tmp = s"$workDir/mb$m-tmp"
-        late.filter(pmod(col("vec_id"), lit(nMb.toLong)) === m.toLong)
-          .coalesce(1).write.parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(landing, s"mb$m.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        require(dst.setLastModified(t0 + m * 60000L))
-        graft.io.Storage.deleteRecursively(new java.io.File(tmp))
-      }
+      writeLandingFiles(late, pmod(col("vec_id"), lit(nMb.toLong)), nMb,
+        landing)
       val ckpt = checkpointRoot.map(r => s"$r/graft_stream_ann_" +
         s"${runId.incrementAndGet()}-${java.util.UUID.randomUUID().toString.take(8)}")
       ckpt.foreach(c =>
@@ -1502,6 +1561,9 @@ object StreamGate {
       // (codes rows BEFORE the trigger's upsert, in-stream probe rows) —
       // appended on the driver by foreachBatch, read after the drain
       val trigStats = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      // the probe's query-vector set is FIXED across triggers — collect it
+      // once here instead of once per trigger (r15; ivfPqQuery's qsPre)
+      val qsPre = Similarity.collectQueries(e, nQueries)
       try {
         val stream = spark.readStream.schema(late.schema)
           .option("maxFilesPerTrigger", 1)
@@ -1513,12 +1575,15 @@ object StreamGate {
             val (coarse, books, codes) =
               Similarity.readIvfPqIndex(spark, indexDir)
             val probed = Similarity.ivfPqQuery(
-              e, coarse, books, codes, k, nProbe, nQueries)
+              e, coarse, books, codes, k, nProbe, nQueries, Some(qsPre))
             trigStats.synchronized {
               trigStats += ((codes.count(), probed.count())); ()
             }
-            // … then MAINTAIN, so the next trigger sees this batch
-            Similarity.ivfPqUpsertCodes(spark, indexDir, vecs)
+            // … then MAINTAIN, so the next trigger sees this batch —
+            // codebooks are immutable under upsert, so the probe's read
+            // is passed through instead of re-collected (r15)
+            Similarity.ivfPqUpsertCodes(spark, indexDir, vecs,
+              preBooks = Some((coarse, books)))
             ()
           }
           .trigger(Trigger.AvailableNow())
@@ -1540,7 +1605,8 @@ object StreamGate {
           s"rows, saw ${stats.map(_._2)}")
       // final probe over the fully-maintained index ≡ the batch recompute
       val (coarse, books, codes) = Similarity.readIvfPqIndex(spark, indexDir)
-      Similarity.ivfPqQuery(e, coarse, books, codes, k, nProbe, nQueries)
+      Similarity.ivfPqQuery(e, coarse, books, codes, k, nProbe, nQueries,
+          Some(qsPre))
         .localCheckpoint(true)
     } finally graft.io.Storage.deleteRecursively(work.toFile)
   }

@@ -404,7 +404,7 @@ class PlanSpec extends SparkTestBase {
 
   test("dedup_containment shuffles 8-byte shingle hashes, never text") {
     val (frame, cached) = Dedup.shingleContainmentFrame(spark, sf)
-    val plan = try planOf(frame) finally { cached.unpersist(); () }
+    val plan = try planOf(frame) finally { cached.foreach(_.unpersist()); () }
     val exchanges = plan.split("Exchange hashpartitioning").toSeq.tail
     assert(exchanges.nonEmpty &&
       exchanges.forall(e => !e.takeWhile(_ != ')').contains("text")), plan)
