@@ -958,10 +958,13 @@ object Sampling {
     val q = TextAnalysis.quality(spark, sfDir)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
     val order = Seq(col("quality_score").desc, col("doc_id"))
-    val tot = q.agg(sum(col("n_tokens")).as("__total"))
     // fused rank+prefix: ONE ranged checkpoint instead of the composed
     // form's two (ADVICE r13 — same semantics, half the pinned blocks)
     val cum = Ranks.rankAndPrefixSum(q, "rk", "n_tokens", "cum_tokens", order)
+    // corpus token total summed over the rank's own checkpointed frame
+    // (same rows) — aggregating `q` directly re-ran the whole quality
+    // pipeline a second time just for one number (r15)
+    val tot = cum.agg(sum(col("n_tokens")).as("__total"))
     cum.crossJoin(broadcast(tot))
       .filter(col("cum_tokens") <= expr(s"(__total * $TokenBudgetPct) div 100"))
       .select(col("rk"), col("doc_id"), col("n_tokens"),

@@ -672,8 +672,17 @@ object TextAnalysis {
         "transform(sequence(0, size(w) - 2), i -> named_struct('w1', w[i], 'w2', w[i + 1]))"))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // persisted: the vocab-sized bigram count table anchors everything
+    // downstream — uncached, the corpus-sized exploded `bi` was re-derived
+    // for EACH of: the bigram counts, the prefix counts, both evaluations
+    // of the model under its size probe, and the final join (~6 passes,
+    // r15). The prefix counts are derived FROM the bigram counts
+    // (c_pre = Σ_w2 c_bi — exactly the former count over `bi` grouped by
+    // w1, partial aggregation done once), so `bi` is now computed twice:
+    // once into `bc`, once as the final join's probe side.
     val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bi"))
-    val pc = bi.groupBy(col("w1")).agg(count(lit(1)).as("c_pre"))
+      .persist()
+    val pc = bc.groupBy(col("w1")).agg(sum(col("c_bi")).as("c_pre"))
     // fold the prefix counts INTO the bigram model (model-side join of two
     // count tables) so the 10⁶×-larger exploded side joins ONCE, not twice
     val model = bc.join(pc, "w1")
@@ -681,7 +690,7 @@ object TextAnalysis {
     val modelSized =
       if (model.count() <= broadcastVocabLimit) broadcast(model)
       else model.hint("shuffle_hash")
-    bi.join(modelSized, Seq("w1", "w2"))
+    val out = bi.join(modelSized, Seq("w1", "w2"))
       .select(col("doc_id"), col("p_fp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -689,7 +698,7 @@ object TextAnalysis {
         min(col("p_fp")).as("min_p_fp"))
       .withColumn("avg_p_fp", expr("s div n_bigrams"))
       .drop("s")
-      .orderBy(col("doc_id"))
+    Tables.materializeAndRelease(out, bc).orderBy(col("doc_id"))
   }
 
   /** DuckDB twin of [[lmScore]] — 1-based list indexing where Spark's
