@@ -14,14 +14,53 @@ Usage:
   python3 scripts/check_artifact_registry.py \
       --registry target/verify_out/oracle_sql.json \
       --bench BENCH_QUERIES_r14.json \
-      --sweep SCALESWEEP_r14.json
+      --sweep SCALESWEEP_r14.json \
+      --audit-ordering PLANAUDIT_r16.json
 
 Exit 0 and one OK line per artifact iff every set matches; exit 1 with
 the symmetric difference otherwise.
+
+--audit-ordering (verdict r14 task 1, second half, mechanized r16): the
+committed plan audit must POSTDATE the last src/main change, or it
+describes a tree nobody ships. The check requires (a) no uncommitted /
+untracked changes under src/main, and (b) the last commit touching
+src/main is an ancestor of (or equal to) the last commit touching the
+audit file — i.e. the audit was regenerated at or after the final code
+change.
 """
 import argparse
 import json
+import subprocess
 import sys
+
+
+def git(*args):
+    return subprocess.run(["git", *args], capture_output=True,
+                          text=True, check=True).stdout.strip()
+
+
+def check_audit_ordering(audit_path):
+    dirty = git("status", "--porcelain", "--", "src/main")
+    if dirty:
+        print(f"FAIL audit-ordering: uncommitted src/main changes postdate "
+              f"{audit_path}:\n{dirty}")
+        return False
+    src_commit = git("log", "-1", "--format=%H", "--", "src/main")
+    audit_commit = git("log", "-1", "--format=%H", "--", audit_path)
+    if not audit_commit:
+        print(f"FAIL audit-ordering: {audit_path} is not committed")
+        return False
+    # src_commit must be an ancestor of (or equal to) audit_commit
+    rc = subprocess.run(["git", "merge-base", "--is-ancestor",
+                         src_commit, audit_commit]).returncode
+    if rc != 0:
+        print(f"FAIL audit-ordering: last src/main change {src_commit[:12]} "
+              f"is NOT an ancestor of {audit_path}'s last commit "
+              f"{audit_commit[:12]} — regenerate the plan audit")
+        return False
+    print(f"OK audit-ordering: {audit_path} ({audit_commit[:12]}) postdates "
+          f"the last src/main change ({src_commit[:12]})")
+    return True
 
 
 def load_registry(path):
@@ -53,19 +92,29 @@ def check(name, got, want):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--registry", required=True)
+    ap.add_argument("--registry")
     ap.add_argument("--bench")
     ap.add_argument("--sweep")
+    ap.add_argument("--audit-ordering", dest="audit_ordering",
+                    help="PLANAUDIT_r*.json whose commit must postdate the "
+                         "last src/main change")
     args = ap.parse_args()
-    reg = load_registry(args.registry)
-    print(f"registry: {len(reg)} gates ({args.registry})")
     ok = True
-    if args.bench:
-        ok &= check(args.bench, bench_keys(args.bench), reg)
-    if args.sweep:
-        ok &= check(args.sweep, sweep_keys(args.sweep), reg)
-    if not (args.bench or args.sweep):
-        print("nothing to check: pass --bench and/or --sweep")
+    if args.registry:
+        reg = load_registry(args.registry)
+        print(f"registry: {len(reg)} gates ({args.registry})")
+        if args.bench:
+            ok &= check(args.bench, bench_keys(args.bench), reg)
+        if args.sweep:
+            ok &= check(args.sweep, sweep_keys(args.sweep), reg)
+    elif args.bench or args.sweep:
+        print("--bench/--sweep need --registry")
+        ok = False
+    if args.audit_ordering:
+        ok &= check_audit_ordering(args.audit_ordering)
+    if not (args.bench or args.sweep or args.audit_ordering):
+        print("nothing to check: pass --bench, --sweep and/or "
+              "--audit-ordering")
         ok = False
     sys.exit(0 if ok else 1)
 

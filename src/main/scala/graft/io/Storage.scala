@@ -51,6 +51,82 @@ object Storage {
     f.delete(): Unit
   }
 
+  /** Total row count of a parquet table from its file FOOTERS alone — a
+    * driver-side metadata walk, no Spark job, no column data read. Parquet
+    * footers carry the committed row count per file, so this equals what a
+    * full `count()` over the table returns (StorageSpec pins the equality
+    * against a Spark-written table). Used by the streaming ANN gate's
+    * strict-growth invariant (r16): the check still measures the REAL
+    * committed table after each trigger's upsert, it just reads the
+    * metadata instead of scheduling a full-table scan job per trigger. */
+  def parquetRowCountFromFooters(
+      conf: org.apache.hadoop.conf.Configuration, dir: String): Long = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(conf)
+    var n = 0L
+    val it = fs.listFiles(base, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try n += r.getRecordCount
+        finally r.close()
+      }
+    }
+    n
+  }
+
+  /** Commit a partition-dir rewrite by SWAP (r16, index maintenance): the
+    * caller wrote the merged content of the `touched` partitions of
+    * `dstDir` to `tmpDir` (same partitionBy layout). Every touched
+    * partition dir under `dstDir` is deleted, every partition dir the
+    * write actually produced under `tmpDir` is renamed into place, and the
+    * tmp table is dropped. A touched partition whose rows were all
+    * replaced-away produces no dir in the write, so the swap reproduces
+    * dynamic-partition-overwrite + explicit stale-dir cleanup exactly —
+    * without the eager checkpoint the overwrite-in-place shape needed to
+    * detach the merged frame from the files it reads, and without the
+    * survivors collect (the write's own dir listing is the survivor set).
+    * `touched` entries are dst-relative partition paths ("band=3/bkt=17",
+    * "idb=5"); the write may only produce partitions within `touched`
+    * (enforced). Commit markers (_SUCCESS) stay in the tmp dir and are
+    * dropped with it — the destination table root is never written
+    * through, so a hard-link clone's shared markers are never mutated. */
+  def swapPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+      tmpDir: String, dstDir: String, touched: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(tmpDir)
+    val dst = new Path(dstDir)
+    val depth = touched.headOption.map(_.count(_ == '/') + 1).getOrElse(1)
+    // the partition dirs the write produced, tmp-relative
+    def partDirs(p: Path, d: Int): Seq[String] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap { s =>
+          if (d == 1) Seq(s.getPath.getName)
+          else partDirs(s.getPath, d - 1).map(c => s"${s.getPath.getName}/$c")
+        }
+    val produced = partDirs(tmp, depth)
+    val touchedSet = touched.toSet
+    val stray = produced.filterNot(touchedSet)
+    require(stray.isEmpty,
+      s"partition swap: write produced partitions outside the touched set: " +
+        s"${stray.take(5).mkString(", ")}")
+    touched.foreach(rel => fs.delete(new Path(dst, rel), true))
+    produced.foreach { rel =>
+      val target = new Path(dst, rel)
+      val parent = target.getParent
+      if (!fs.exists(parent)) require(fs.mkdirs(parent), s"mkdirs $parent")
+      require(fs.rename(new Path(tmp, rel), target),
+        s"partition swap: rename ${new Path(tmp, rel)} -> $target failed")
+    }
+    fs.delete(tmp, true)
+    ()
+  }
+
   /** Clone a local directory tree using HARD LINKS for the file contents —
     * the copy-on-write fixture clone the streaming maintenance gates use
     * (r15): a byte copy of the memoized band/IVF-PQ index (~300 small
@@ -61,13 +137,26 @@ object Storage {
     * deleting a link never touches the source inode's other names). Falls
     * back to a byte copy per file when the filesystem refuses the link
     * (cross-device, or a non-link-capable FS). Local paths only — exactly
-    * the gates' temp-dir clone case. */
+    * the gates' temp-dir clone case.
+    *
+    * Commit markers (`_SUCCESS`, `*.crc`) are BYTE-COPIED, never linked
+    * (ADVICE r15): Hadoop's commit protocol re-creates markers in place
+    * with `create(overwrite=true)`, which truncates THROUGH a shared
+    * inode — the parquet data files are only ever replaced (safe to
+    * link), but a linked marker would let a later commit at the clone
+    * mutate the memoized source's marker. Harmless today (markers are
+    * zero bytes) — copied so the "nothing mutates through an inode"
+    * invariant holds structurally, not by accident. */
   def cloneWithHardLinks(src: java.io.File, dst: java.io.File): Unit = {
     if (src.isDirectory) {
       if (!dst.isDirectory) require(dst.mkdirs(), s"mkdirs failed: $dst")
       val children = src.listFiles()
       if (children != null)
         children.foreach(c => cloneWithHardLinks(c, new java.io.File(dst, c.getName)))
+    } else if (src.getName == "_SUCCESS" || src.getName.endsWith(".crc")) {
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+      ()
     } else {
       try java.nio.file.Files.createLink(dst.toPath, src.toPath)
       catch {

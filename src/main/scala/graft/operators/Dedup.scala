@@ -643,12 +643,16 @@ object Dedup {
     * batch, never a scan of the index (the r12 locator scanned all of
     * `rows/`; its shape survives as [[oldCellsViaScan]], the parity
     * oracle). Only touched (band, bkt) partitions of `rows/` are rewritten
-    * (dynamic partition overwrite over an OR-of-equalities partition
-    * filter — the existing-rows scan is partition-pruned); touched cells
-    * left with no rows get their stale dirs deleted. The SIDECAR is
-    * maintained in the same upsert: the batch's id-bucket partitions are
-    * rewritten with re-arriving ids' entries replaced — cost again
-    * O(|batch|'s buckets). Returns the touched (band, bkt) cells. */
+    * — the existing-rows scan is partition-pruned by an OR-of-equalities
+    * filter, and the rewrite commits via a tmp-table write + partition-dir
+    * swap ([[graft.io.Storage.swapPartitionDirs]], r16 — semantics
+    * identical to the former dynamic partition overwrite + stale-dir
+    * cleanup, one materialization of the merged rows instead of two);
+    * touched cells left with no rows produce no dir and are not
+    * re-created. The SIDECAR is maintained in the same upsert: the batch's
+    * id-bucket partitions are rewritten with re-arriving ids' entries
+    * replaced — cost again O(|batch|'s buckets). Returns the touched
+    * (band, bkt) cells. */
   def bandIndexUpsert(spark: SparkSession, indexDir: String,
       newDocs: DataFrame,
       /** When set, receives (partitions the existing-rows scan READS after
@@ -664,9 +668,18 @@ object Dedup {
         * probe step runs [[bandProbeRows]] over the same batch; passing
         * them here removes a second shingle+minhash pass per trigger,
         * r15). Values must equal `bandRowsOfDocs(newDocs)` — they do by
-        * construction for a probe-rows projection, the only caller. */
+        * construction for a probe-rows projection, the only caller; the
+        * column-set guard below makes the coupling structural (ADVICE
+        * r15): a frame that is not a band-rows projection (e.g. raw docs)
+        * fails loudly instead of silently corrupting the index. */
       preRows: Option[DataFrame] = None): Seq[(Int, Int)] = {
     import spark.implicits._
+    preRows.foreach { r =>
+      val need = Set("doc_id", "band", "bkt", "bandSig")
+      require(need.subsetOf(r.columns.toSet),
+        s"preRows must be a band-rows frame with columns $need " +
+          s"(bandProbeRows/bandRowsOfDocs output), got ${r.columns.toSeq}")
+    }
     val rows = preRows
       .map(_.select(col("doc_id"), col("bandSig"), col("band"), col("bkt"))
         .persist())
@@ -706,7 +719,6 @@ object Dedup {
         col("bkt"))
       .unionByName(rows.select(col("doc_id"), col("bandSig"), col("band"),
         col("bkt")))
-      .localCheckpoint(true)
     // sidecar rewrite set: a doc's idb is a pure function of doc_id, so a
     // re-arriving id's OLD sidecar entries live in the same partition its
     // new ones land in — the batch's idb set (from the single batchMeta
@@ -718,44 +730,34 @@ object Dedup {
     val mergedSidecar = existingCells
       .unionByName(rows.select(col("doc_id"), col("band"), col("bkt"))
         .withColumn("idb", idBucket(col("doc_id"))))
-      .localCheckpoint(true)
+    // COMMIT BY PARTITION-DIR SWAP (r16): each merged frame is written ONCE,
+    // to a tmp sibling table, and the touched partition dirs are swapped
+    // into place. The former shape (eager localCheckpoint to detach the
+    // frame from the files it reads, then a dynamic-partition-overwrite
+    // write of the checkpointed blocks, then a survivors collect to delete
+    // emptied cells) materialized the full merged table TWICE per upsert —
+    // the flagship streaming gate pays this on every trigger over the whole
+    // grid. Writing to a tmp dir needs no detach (the source files are
+    // untouched until the plan has fully executed), and the write's own
+    // partition-dir listing IS the survivor set: a touched cell with no
+    // surviving rows simply produces no dir, so deleting every touched cell
+    // and moving in what the write produced reproduces dynamic overwrite +
+    // stale-dir cleanup exactly. Same rows, same layout (REBALANCE
+    // clustering: one file per rewritten cell), same result table.
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val rowsTmp = s"$indexDir/rows-tmp-$tag"
+    val cellsTmp = s"$indexDir/cells-tmp-$tag"
+    merged.hint("rebalance", "band", "bkt")
+      .write.mode("overwrite").partitionBy("band", "bkt").parquet(rowsTmp)
+    mergedSidecar.hint("rebalance", "idb")
+      .write.mode("overwrite").partitionBy("idb").parquet(cellsTmp)
     rows.unpersist()
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.get(key, "static")
-    try {
-      spark.conf.set(key, "dynamic")
-      // same REBALANCE clustering as the build: one file per rewritten
-      // cell, not one per (task × cell)
-      merged.hint("rebalance", "band", "bkt")
-        .write.mode("overwrite").partitionBy("band", "bkt")
-        .parquet(s"$indexDir/rows")
-      mergedSidecar.hint("rebalance", "idb")
-        .write.mode("overwrite").partitionBy("idb")
-        .parquet(s"$indexDir/cells")
-    } finally spark.conf.set(key, prev)
-    // dynamic overwrite skips partitions absent from the write — a touched
-    // cell whose last rows were all replaced-away keeps stale files unless
-    // deleted explicitly (same edge as the IVF-PQ codes table); ditto an
-    // id-bucket whose every doc re-arrived with now-empty text. Both
-    // survivor sets come from ONE union-ed collect over the two (already
-    // checkpointed) merged frames — two tiny driver jobs folded into one
-    // per upsert call (r15).
-    val survivors = merged.select(lit(0).as("kind"), col("band"), col("bkt"))
-      .distinct()
-      .unionByName(mergedSidecar.select(lit(1).as("kind"),
-        col("idb").as("band"), lit(-1).as("bkt")).distinct())
-      .as[(Int, Int, Int)].collect()
-    val mergedCells = survivors.collect { case (0, b, k) => (b, k) }.toSet
-    val mergedIdbs = survivors.collect { case (1, i, _) => i }.toSet
-    val base = new org.apache.hadoop.fs.Path(s"$indexDir/rows")
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.filterNot(mergedCells).foreach { case (b, k) =>
-      fs.delete(new org.apache.hadoop.fs.Path(base, s"band=$b/bkt=$k"), true)
-    }
-    val cellsBase = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
-    batchIdbs.filterNot(mergedIdbs).foreach { i =>
-      fs.delete(new org.apache.hadoop.fs.Path(cellsBase, s"idb=$i"), true)
-    }
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.io.Storage.swapPartitionDirs(fs, rowsTmp, s"$indexDir/rows",
+      touched.map { case (b, k) => s"band=$b/bkt=$k" })
+    graft.io.Storage.swapPartitionDirs(fs, cellsTmp, s"$indexDir/cells",
+      batchIdbs.map(i => s"idb=$i"))
     touched
   }
 

@@ -153,12 +153,13 @@ object Graph {
     * hash(src)-partitioned off the cached edges — round 1's join starts
     * exchange-free like every later one (alias-aware output partitioning
     * carries hash(src) through the rename). Per round the only exchange
-    * left is the node-sized contribution shuffle to `dst` — plus, on
-    * checkpointed rounds, the reshuffle of the (node-sized) checkpointed
-    * rank frame, since localCheckpoint erases partitioning; PrProbe
-    * measures cadences 0/1/2 as a wash at sf0.1 (2.5–3.4 s warm, all
-    * inside the noise band), so the default stays 1. Caches are released
-    * once the top-k result is materialized
+    * left is the node-sized contribution shuffle to `dst` (round-16 shape:
+    * the per-round materialization pin is persist+count, whose
+    * InMemoryRelation PRESERVES the hash(id) partitioning — the former
+    * localCheckpoint erased it and re-shuffled the node-sized rank frame
+    * on every pinned round); PrProbe measures cadences 0/1/2 as a wash at
+    * sf0.1 (2.5–3.4 s warm, all inside the noise band), so the default
+    * stays 1. Caches are released once the top-k result is materialized
     * ([[Tables.materializeAndRelease]]). */
   private[graft] def pageRankOf(edgesIn: DataFrame, iterations: Int,
       topK: Int, checkpointEvery: Int): DataFrame =
@@ -168,6 +169,7 @@ object Graph {
     val edges = parted.join(deg, "src").persist() // (src, dst, d) co-partitioned
 
     var ranks = deg.select(col("src").as("id"), lit(Scale).as("r"))
+    val pins = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (i <- 1 to iterations) {
       // damping split as (c div 100)*85 + ((c%100)*85) div 100 — identical
       // to (c*85) div 100 for c ≥ 0 (c = 100q+r ⇒ 85q + (85r) div 100) but
@@ -175,19 +177,39 @@ object Graph {
       // set by Σranks itself (~|V|·10¹²), not Σranks·85: a hub absorbing
       // nearly all rank mass stays overflow-safe to ~9·10⁶ nodes even in a
       // star-shaped graph (worst-case mass concentration)
+      // SHUFFLE_HASH hint (r16): the pinned rank frame carries ACCURATE
+      // in-memory stats, and without the hint the planner broadcasts the
+      // node-sized rank side every round — fine at gate scale, a driver
+      // round-trip per round and over the 8 GB broadcast cap at 100 TB.
+      // Both sides are hash(src)-partitioned (cached edges; the pin's
+      // preserved aggregate partitioning), so the hinted join plans as a
+      // ShuffledHashJoin with ZERO exchange: the edge side never moves,
+      // the rank side builds a node-sized/nPartitions hash map per task.
       ranks = edges
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(ranks.withColumnRenamed("id", "src").hint("shuffle_hash"),
+          "src")
         .select(col("dst").as("id"), expr("r div d").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("c"))
         .select(col("id"),
           (lit(15L * Scale / 100L) +
             expr("(c div 100) * 85 + ((c % 100) * 85) div 100")).as("r"))
-      // bounded iteration counts tolerate a longer lineage; checkpoint
-      // cadence is a measured knob (tools.PrProbe) — note localCheckpoint
-      // erases the hash(id) partitioning, forcing the next round's join to
-      // reshuffle the node-sized rank frame
-      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
-        ranks = ranks.localCheckpoint(true)
+      // bounded iteration counts tolerate a longer lineage; materialization
+      // cadence is a measured knob (tools.PrProbe). The pin is persist +
+      // count, NOT localCheckpoint (r16): InMemoryRelation PRESERVES the
+      // aggregate's hash(id) partitioning (alias-aware through the id→src
+      // rename), so the next round's join stays exchange-free — the
+      // checkpoint's ExistingRDD erased it and reshuffled the node-sized
+      // rank frame every round. Values are unchanged (same plan, only the
+      // materialization differs); AQE is off in this loop, so the cached
+      // relation is never re-planned (the globalRank persist+AQE boundary
+      // hazard does not apply — no range partitioning here). Pins are
+      // released with the edge caches once the top-k result materializes.
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations) {
+        val pinned = ranks.persist()
+        pinned.count()
+        pins += pinned
+        ranks = pinned
+      }
     }
     val out = ranks
       .select(col("id"),
@@ -197,7 +219,7 @@ object Graph {
         col("r").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("id"))
       .limit(topK)
-    materializeAndRelease(out, parted, edges)
+    materializeAndRelease(out, (Seq(parted, edges) ++ pins): _*)
   }
 
   private val CoPurchaseTopEdges = 5000
@@ -598,16 +620,26 @@ object Graph {
 
     var ranks = deg.select(col("src").as("id"),
       when(isSeedSrc, lit(Scale)).otherwise(lit(0L)).as("r"))
+    val pins = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (i <- 1 to iterations) {
+      // SHUFFLE_HASH hint — see the [[pageRankOf]] loop comment (r16)
       ranks = edges
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(ranks.withColumnRenamed("id", "src").hint("shuffle_hash"),
+          "src")
         .select(col("dst").as("id"), expr("r div d").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("c"))
         .select(col("id"),
           (when(isSeed, lit(15L * Scale / 100L)).otherwise(lit(0L)) +
             expr("(c div 100) * 85 + ((c % 100) * 85) div 100")).as("r"))
-      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
-        ranks = ranks.localCheckpoint(true)
+      // persist+count pin, not localCheckpoint — preserves the hash(id)
+      // partitioning so the next round's join is exchange-free (see the
+      // [[pageRankOf]] loop comment, r16)
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations) {
+        val pinned = ranks.persist()
+        pinned.count()
+        pins += pinned
+        ranks = pinned
+      }
     }
     val out = ranks
       .select(col("id"),
@@ -618,7 +650,7 @@ object Graph {
         isSeed.as("is_seed"))
       .orderBy(col("rank_fp").desc, col("id"))
       .limit(topK)
-    materializeAndRelease(out, parted, edges)
+    materializeAndRelease(out, (Seq(parted, edges) ++ pins): _*)
   }
 
   /** DuckDB twin of [[personalizedPageRank]] — rounds unrolled, identical
@@ -1105,11 +1137,13 @@ object Graph {
     * node-sized score frame reshuffles (the walk-family loop rule). The
     * per-round max is a 1-row broadcast. AQE is off for the loop
     * ([[withAqeOff]] — partitioning pinned by construction). Bounded
-    * iterations (3); each half-round's RAW sum frame is localCheckpoint-ed
-    * and the L∞ rescale stays a lazy projection over the pinned node-sized
-    * blocks (checkpointing the normalized frame instead would evaluate the
-    * corpus-sized join+aggregate twice per half-round — once under the
-    * broadcast max, once for the rescale). */
+    * iterations (3); each half-round's RAW sum frame is pinned with
+    * persist+count (r16 — partitioning-preserving, so the next half-round
+    * joins exchange-free; the former localCheckpoint reshuffled the score
+    * frame) and the L∞ rescale stays a lazy projection over the pinned
+    * node-sized blocks (pinning the normalized frame instead would
+    * evaluate the corpus-sized join+aggregate twice per half-round — once
+    * under the broadcast max, once for the rescale). */
   def hits(spark: SparkSession, sfDir: String, iterations: Int = 3,
       topK: Int = 25): DataFrame = withAqeOff(spark) {
     // The directed c→s purchase multigraph is exactly the forward half of
@@ -1146,19 +1180,36 @@ object Graph {
       .select(col("c"), lit(HitsScale).as("h"))
     var auth = byC.select(col("s")).limit(0)
       .select(col("s"), lit(0L).as("a")) // replaced in round 1
+    // pin = persist + count, not localCheckpoint (r16): InMemoryRelation
+    // preserves the half-step aggregate's hash(s)/hash(c) partitioning —
+    // the normalize is partitioning-preserving (broadcast 1-row cross join
+    // + projection), so the NEXT half-round's join against the matching
+    // cached edge orientation stays exchange-free, where the checkpoint's
+    // ExistingRDD reshuffled the node-sized score frame every half-round.
+    // Pins are released with the edge caches after the top-k materializes.
+    val pins = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(); p.count(); pins += p; p
+    }
     for (_ <- 1 to iterations) {
-      // checkpoint the RAW half-step sum, not the normalized frame: the
+      // pin the RAW half-step sum, not the normalized frame: the
       // normalize's plan evaluates its input twice (once under the 1-row
-      // broadcast max, once for the rescale), so checkpointing AFTER
+      // broadcast max, once for the rescale), so pinning AFTER
       // normalize ran the corpus-sized join+aggregate twice per half-round
       // (r15 measured: half the gate's iteration cost). Normalizing lazily
-      // over the checkpointed node-sized frame re-reads pinned blocks
+      // over the pinned node-sized frame re-reads cached blocks
       // instead. Same arithmetic, bit-identical scores.
-      val rawA = byC.join(hub, "c").groupBy(col("s")).agg(sum(col("h")).as("a"))
-        .localCheckpoint(true)
+      // SHUFFLE_HASH hints — the pinned score frames' accurate stats would
+      // otherwise broadcast the node-sized side each half-round (see the
+      // [[pageRankOf]] loop comment, r16); both sides are co-partitioned
+      // on the join key, so the hinted join plans exchange-free
+      val rawA = pin(
+        byC.join(hub.hint("shuffle_hash"), "c")
+          .groupBy(col("s")).agg(sum(col("h")).as("a")))
       auth = normalize(rawA, "s", "a")
-      val rawH = byS.join(auth, "s").groupBy(col("c")).agg(sum(col("a")).as("h"))
-        .localCheckpoint(true)
+      val rawH = pin(
+        byS.join(auth.hint("shuffle_hash"), "s")
+          .groupBy(col("c")).agg(sum(col("a")).as("h")))
       hub = normalize(rawH, "c", "h")
     }
     val topA = auth.orderBy(col("a").desc, col("s")).limit(topK)
@@ -1169,7 +1220,7 @@ object Graph {
         col("h").as("score_fp"))
     val out = topA.unionByName(topH)
       .orderBy(col("kind"), col("score_fp").desc, col("entity_key"))
-    materializeAndRelease(out, byC, byS)
+    materializeAndRelease(out, (Seq(byC, byS) ++ pins): _*)
   }
 
   /** DuckDB twin of [[hits]] — the alternating half-steps unrolled as

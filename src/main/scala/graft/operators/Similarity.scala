@@ -1895,13 +1895,14 @@ object Similarity {
     *  - the existing codes are read with a `cl` filter — a PARTITION-PRUNED
     *    scan of the `cl=`-partitioned codes table (untouched cells' files
     *    are never opened);
-    *  - the union replaces exactly the touched partitions via dynamic
-    *    partition overwrite — the [[graft.io.Compaction]] pattern applied
-    *    to index maintenance. At 100 TB with thousands of coarse cells a
-    *    batch upsert rewrites only its own lists, not the index. A touched
-    *    cell whose LAST rows were all replaced-away gets no row in the
-    *    rewrite (dynamic overwrite skips absent partitions), so its stale
-    *    directory is deleted explicitly.
+    *  - the union replaces exactly the touched partitions via a tmp-table
+    *    write + partition-dir swap ([[graft.io.Storage.swapPartitionDirs]],
+    *    r16 — semantics identical to the former dynamic partition
+    *    overwrite, one materialization of the merged rows instead of two).
+    *    At 100 TB with thousands of coarse cells a batch upsert rewrites
+    *    only its own lists, not the index. A touched cell whose LAST rows
+    *    were all replaced-away produces no dir in the write and is not
+    *    re-created — the stale-dir delete falls out of the swap.
     *
     * Returns the touched cell ids. IvfPqUpsertSpec pins the physical
     * claims: files of untouched cells are byte-identical after the upsert,
@@ -1956,8 +1957,7 @@ object Similarity {
       .select(col("vec_id"), col("cl"), col("codes"))
       .join(broadcast(newCodes.select(col("vec_id"))), Seq("vec_id"),
         "left_anti")
-    // detach the merged rows from the files about to be overwritten
-    val merged = existing.unionByName(newCodes).localCheckpoint(true)
+    val merged = existing.unionByName(newCodes)
     // sidecar rewrite set: idb is a pure function of vec_id, so a
     // re-arriving id's old sidecar entry lives in the partition its new
     // entry lands in — the batch's idb set (from the single batchMeta
@@ -1968,38 +1968,29 @@ object Similarity {
       .select(col("vec_id"), col("cl"), col("idb"))
       .unionByName(newCodes.select(col("vec_id"), col("cl"))
         .withColumn("idb", idBucket(col("vec_id"))))
-      .localCheckpoint(true)
+    // COMMIT BY PARTITION-DIR SWAP (r16, [[graft.io.Storage
+    // .swapPartitionDirs]]): each merged frame is written ONCE to a tmp
+    // sibling table and the touched partition dirs are swapped into place.
+    // The former localCheckpoint + dynamic-overwrite + survivors-collect
+    // shape materialized the merged table twice per upsert (the streaming
+    // ANN gate pays an upsert per trigger); writing to a tmp dir needs no
+    // detach (source files stay untouched until the plan has executed),
+    // and the write's own dir listing is the survivor set — an emptied
+    // cell produces no dir and is simply not re-created. Same rows, same
+    // layout, same result table.
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val codesTmp = s"$indexDir/codes-tmp-$tag"
+    val idcellsTmp = s"$indexDir/idcells-tmp-$tag"
+    merged.write.mode("overwrite").partitionBy("cl").parquet(codesTmp)
+    mergedSidecar.hint("rebalance", "idb")
+      .write.mode("overwrite").partitionBy("idb").parquet(idcellsTmp)
     newCodes.unpersist()
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.get(key, "static")
-    try {
-      spark.conf.set(key, "dynamic")
-      merged.write.mode("overwrite").partitionBy("cl")
-        .parquet(s"$indexDir/codes")
-      mergedSidecar.hint("rebalance", "idb")
-        .write.mode("overwrite").partitionBy("idb")
-        .parquet(s"$indexDir/idcells")
-    } finally spark.conf.set(key, prev)
-    // a touched cell with no surviving rows is absent from `merged`, so the
-    // dynamic overwrite never visits it — drop its stale partition dir.
-    // Both survivor sets from ONE union-ed collect over the checkpointed
-    // merged frames (two tiny driver jobs folded into one, r15).
-    val survivors = merged.select(lit(0).as("kind"), col("cl")).distinct()
-      .unionByName(mergedSidecar.select(lit(1).as("kind"),
-        col("idb").cast("long").as("cl")).distinct())
-      .as[(Int, Long)].collect()
-    val mergedCells = survivors.collect { case (0, cl) => cl }.toSet
-    val codesPath = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
-    val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.filterNot(mergedCells).foreach { cl =>
-      fs.delete(new org.apache.hadoop.fs.Path(codesPath, s"cl=$cl"), true)
-    }
-    // ditto an id-bucket emptied by the anti-join (every doc re-arrived)
-    val mergedIdbs = survivors.collect { case (1, i) => i.toInt }.toSet
-    val idcellsPath = new org.apache.hadoop.fs.Path(s"$indexDir/idcells")
-    batchIdbs.filterNot(mergedIdbs).foreach { i =>
-      fs.delete(new org.apache.hadoop.fs.Path(idcellsPath, s"idb=$i"), true)
-    }
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.io.Storage.swapPartitionDirs(fs, codesTmp, s"$indexDir/codes",
+      touched.map(cl => s"cl=$cl"))
+    graft.io.Storage.swapPartitionDirs(fs, idcellsTmp, s"$indexDir/idcells",
+      batchIdbs.map(i => s"idb=$i"))
     touched
   }
 

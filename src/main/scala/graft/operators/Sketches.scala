@@ -506,6 +506,7 @@ object Sketches {
     * pruning is visible (and measurable) in the plan.
     */
   def bloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val urgent = orders(spark, sfDir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
@@ -515,26 +516,41 @@ object Sketches {
     // mightContain degrades toward always-true and the pruning stage
     // silently becomes a no-op (still correct via the semi join, but the
     // shuffle-reduction claim would vanish)
-    val bloom = urgent.stat.bloomFilter("o_orderkey",
-      math.max(urgent.count(), 1L), 0.01)
-    val bloomB = spark.sparkContext.broadcast(bloom)
-    // UDF verdict (SCALE.md round-12 audit): 0.07 s udf-only at sf1. Spark's
-    // native might_contain only accepts BloomFilterAggregate binaries, so a
-    // native form would force rebuilding the driver-built filter for a
-    // sub-decisecond site.
-    val mightContain = udf { (k: Long) => bloomB.value.mightContainLong(k) }
+    val nUrgent = math.max(urgent.count(), 1L)
+    // NATIVE bloom build + probe (r16 — retires the last walk-up-to-it
+    // ScalaUDF waiver on a hot scan path): BloomFilterAggregate builds the
+    // sketch in one aggregate job and BloomFilterMightContain probes it as
+    // a codegen expression fused into the lineitem scan's filter stage —
+    // the former driver-built `stat.bloomFilter` + ScalaUDF probe paid a
+    // boxed call per row and fenced whole-stage codegen. Sizing mirrors the
+    // old fpp-0.01 build (bits = ⌈−n·ln(0.01)/ln²2⌉), clamped to the
+    // runtime-filter caps (4M items / 8 MB): past the cap the bloom only
+    // saturates toward always-true — the semi join below owns correctness
+    // at every scale, and the false-positive SET shifting (xxhash64
+    // pre-hash vs the sketch's own hash) is immaterial for the same reason.
+    val n = math.min(nUrgent, 4000000L)
+    val bits = math.min(
+      math.ceil(-n.toDouble * math.log(0.01) / (math.log(2) * math.log(2))).toLong,
+      67108864L)
+    val bloomBin = Option(urgent.select(column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(expression(xxhash64(col("o_orderkey"))),
+            org.apache.spark.sql.catalyst.expressions.Literal(n),
+            org.apache.spark.sql.catalyst.expressions.Literal(bits))
+          .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]]("bf"))
     val pruned = lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
-      .filter(mightContain(col("l_orderkey")))
-    val agg = pruned
+      .filter(bloomBin.map(b => column(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            expression(lit(b)), expression(xxhash64(col("l_orderkey"))))))
+        .getOrElse(lit(false))) // empty build side ⇒ semi join is empty too
+    pruned
       .join(broadcast(urgent), col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
         exactSum(col("l_extendedprice")).as("revenue"))
-    // evaluate eagerly so the broadcast bloom can be released before return
-    val result = agg.localCheckpoint(true)
-    bloomB.unpersist()
-    result.orderBy(col("l_returnflag"))
+      .orderBy(col("l_returnflag"))
   }
 
   /** DuckDB twin of [[bloomJoin]] — the bloom is an execution detail, the

@@ -1203,12 +1203,24 @@ object StreamGate {
     val t0 = landing.lastModified()
     (0 until nMb).foreach { m =>
       val dir = new java.io.File(tmp, s"__mb=$m")
-      val part = Option(dir.listFiles())
-        .flatMap(_.find(_.getName.endsWith(".parquet")))
-        .getOrElse(sys.error(s"empty micro-batch $m — landing write " +
-          "produced no parquet file (tranche split drifted)"))
       val dst = new java.io.File(landing, s"mb$m.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
+      Option(dir.listFiles())
+        .flatMap(_.find(_.getName.endsWith(".parquet"))) match {
+        case Some(part) => java.nio.file.Files.move(part.toPath, dst.toPath)
+        case None =>
+          // a residue class with zero rows (small or custom corpus): write
+          // an empty landing file with the docs schema so the replay still
+          // runs an (empty) trigger, matching the old per-batch
+          // coalesce(1) behavior — aborting here turned a data-shape
+          // quirk into a gate failure (ADVICE r15)
+          docs.limit(0).coalesce(1).write.mode("overwrite")
+            .parquet(s"$tmp/__mb_empty_$m")
+          val empty = new java.io.File(tmp, s"__mb_empty_$m").listFiles()
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"empty-landing write for micro-batch $m " +
+              "produced no parquet file"))
+          java.nio.file.Files.move(empty.toPath, dst.toPath)
+      }
       require(dst.setLastModified(t0 + m * 60000L))
     }
     graft.io.Storage.deleteRecursively(tmp)
@@ -1519,7 +1531,13 @@ object StreamGate {
     * data micro-batches ran; the codes table grew STRICTLY across
     * triggers (each probe observed a different index state — the
     * interleave was real); every in-stream probe returned the full
-    * k·nQueries rows.
+    * k·nQueries rows. Evidence source for the strict-growth check (r16):
+    * the codes table's committed row count is read per trigger from the
+    * parquet file FOOTERS ([[graft.io.Storage.parquetRowCountFromFooters]]
+    * — the identical number a full `count()` scan returns, pinned by
+    * StorageSpec) instead of scheduling a full-table count job per
+    * trigger; the invariant is still measured from the real files each
+    * upsert committed, never assumed from the upsert's own bookkeeping.
     *
     * Result: the final probe over the fully-maintained index. Encoding
     * is a pure per-vector function of the FIXED base-fit codebooks and
@@ -1538,6 +1556,11 @@ object StreamGate {
     val work = java.nio.file.Files.createTempDirectory("graft-streamann")
     val workDir = work.toString
     val indexDir = s"$workDir/index"
+    // the cleaned vector frame is consumed by the landing write, every
+    // per-trigger probe's re-rank join, and the final probe — persist it
+    // for the gate's run (released in the finally below) instead of
+    // re-deriving the embeddings parse + norm per consumer (r16)
+    val e = Similarity.vectors(spark, sfDir).persist()
     try {
       // clone the memoized base (pre-upsert) index — this gate MUTATES it.
       // Hard links, not a byte copy (Storage.cloneWithHardLinks scaladoc;
@@ -1545,7 +1568,6 @@ object StreamGate {
       graft.io.Storage.cloneWithHardLinks(
         new java.io.File(Similarity.ivfPqBaseIndexTable(spark, sfDir)),
         new java.io.File(indexDir))
-      val e = Similarity.vectors(spark, sfDir)
       val late = e.filter(col("vec_id") % Similarity.IvfPqUpsertMod === 1L)
       // one landing file per micro-batch, modTimes 1 minute apart so the
       // file source replays them oldest-first — ONE job
@@ -1562,8 +1584,16 @@ object StreamGate {
       // appended on the driver by foreachBatch, read after the drain
       val trigStats = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
       // the probe's query-vector set is FIXED across triggers — collect it
-      // once here instead of once per trigger (r15; ivfPqQuery's qsPre)
+      // once here instead of once per trigger (r15; ivfPqQuery's qsPre).
+      // Ditto the codebooks (r16): coarse/books are IMMUTABLE under upsert
+      // (FAISS add-time semantics — the upsert itself leans on this), so
+      // the per-trigger readIvfPqIndex driver collects are hoisted out of
+      // the loop; only the CODES read — the part the upsert mutates — is
+      // re-opened per trigger, so each probe still sees the index state
+      // the previous trigger committed.
       val qsPre = Similarity.collectQueries(e, nQueries)
+      val (coarse, books, _) = Similarity.readIvfPqIndex(spark, indexDir)
+      val hconf = spark.sparkContext.hadoopConfiguration
       try {
         val stream = spark.readStream.schema(late.schema)
           .option("maxFilesPerTrigger", 1)
@@ -1572,15 +1602,21 @@ object StreamGate {
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             val vecs = batch.select(col("vec_id"), col("v"))
             // probe FIRST (index as of the previous trigger) …
-            val (coarse, books, codes) =
-              Similarity.readIvfPqIndex(spark, indexDir)
+            val codes = spark.read.parquet(s"$indexDir/codes")
+              .select(col("vec_id"), col("cl"), col("codes"))
             val probed = Similarity.ivfPqQuery(
               e, coarse, books, codes, k, nProbe, nQueries, Some(qsPre))
+            // the strict-growth evidence is the codes table's committed
+            // row count, read from the parquet FOOTERS (r16): the same
+            // number a full count() scan returns — StorageSpec pins the
+            // equality — measured from the real files the upsert wrote,
+            // without materializing the full table 3× per run
             trigStats.synchronized {
-              trigStats += ((codes.count(), probed.count())); ()
+              trigStats += ((graft.io.Storage.parquetRowCountFromFooters(
+                hconf, s"$indexDir/codes"), probed.count())); ()
             }
             // … then MAINTAIN, so the next trigger sees this batch —
-            // codebooks are immutable under upsert, so the probe's read
+            // codebooks are immutable under upsert, so the hoisted read
             // is passed through instead of re-collected (r15)
             Similarity.ivfPqUpsertCodes(spark, indexDir, vecs,
               preBooks = Some((coarse, books)))
@@ -1604,10 +1640,15 @@ object StreamGate {
         s"every in-stream probe must return k*nQueries=${k * nQueries} " +
           s"rows, saw ${stats.map(_._2)}")
       // final probe over the fully-maintained index ≡ the batch recompute
-      val (coarse, books, codes) = Similarity.readIvfPqIndex(spark, indexDir)
-      Similarity.ivfPqQuery(e, coarse, books, codes, k, nProbe, nQueries,
-          Some(qsPre))
+      // (codebooks are the hoisted immutable pair; only codes re-read)
+      val codesFinal = spark.read.parquet(s"$indexDir/codes")
+        .select(col("vec_id"), col("cl"), col("codes"))
+      Similarity.ivfPqQuery(e, coarse, books, codesFinal, k,
+          nProbe, nQueries, Some(qsPre))
         .localCheckpoint(true)
-    } finally graft.io.Storage.deleteRecursively(work.toFile)
+    } finally {
+      e.unpersist(false)
+      graft.io.Storage.deleteRecursively(work.toFile)
+    }
   }
 }

@@ -83,4 +83,96 @@ class StorageSpec extends SparkTestBase {
     assert(Storage.root("s3a://bucket", None) == "s3a://bucket")
     assert(Storage.root("s3a://bucket", Some("")) == "s3a://bucket")
   }
+
+  // r16: the streaming ANN gate's strict-growth invariant reads row counts
+  // from parquet footers instead of scheduling a count job — the two
+  // numbers must be THE SAME number, partitioned layout included.
+  test("parquetRowCountFromFooters equals a full count() over a " +
+      "Spark-written partitioned table") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-footercnt").toString
+    (1 to 1000).map(i => (i.toLong, i % 7)).toDF("id", "p")
+      .repartition(4)
+      .write.partitionBy("p").parquet(s"$d/t")
+    val viaSpark = spark.read.parquet(s"$d/t").count()
+    val viaFooters = Storage.parquetRowCountFromFooters(
+      spark.sparkContext.hadoopConfiguration, s"$d/t")
+    assert(viaFooters == viaSpark && viaSpark == 1000L,
+      s"footer count $viaFooters != scan count $viaSpark")
+    Storage.deleteRecursively(new java.io.File(d))
+  }
+
+  // r16: the index upserts commit via tmp-write + partition-dir swap — the
+  // swap must reproduce dynamic-partition-overwrite + stale-dir cleanup:
+  // touched partitions replaced, untouched partitions byte-untouched,
+  // touched-but-absent partitions deleted.
+  test("swapPartitionDirs replaces touched partitions, preserves untouched " +
+      "ones, and drops a touched partition absent from the write") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-swap").toString
+    val dst = s"$d/t"
+    (1 to 90).map(i => (i.toLong, i % 3)).toDF("id", "p")
+      .repartition(2).write.partitionBy("p").parquet(dst)
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(p: Int): Set[(String, Long)] = {
+      val dir = new java.io.File(s"$dst/p=$p")
+      if (!dir.isDirectory) Set.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length())).toSet
+    }
+    val p0Before = files(0)
+    // rewrite p=1 with new content, touch p=2 with NO rows (dir must drop)
+    val tmp = s"$d/t-tmp"
+    Seq((1000L, 1), (1001L, 1)).toDF("id", "p")
+      .repartition(1).write.partitionBy("p").parquet(tmp)
+    Storage.swapPartitionDirs(fs, tmp, dst, Seq("p=1", "p=2"))
+    assert(files(0) == p0Before, "untouched partition p=0 was modified")
+    val back = spark.read.parquet(dst)
+    assert(back.filter(col("p") === 1).select("id").as[Long].collect().sorted
+      .sameElements(Array(1000L, 1001L)), "touched partition not replaced")
+    assert(!new java.io.File(s"$dst/p=2").exists(),
+      "touched-but-absent partition dir must be deleted")
+    assert(back.filter(col("p") === 2).count() == 0)
+    assert(back.count() == 30 + 2) // p=0 survivors + rewritten p=1
+    assert(!new java.io.File(tmp).exists(), "tmp table must be dropped")
+    // a write outside the touched set must fail loudly, not corrupt
+    val tmp2 = s"$d/t-tmp2"
+    Seq((1L, 0)).toDF("id", "p").repartition(1)
+      .write.partitionBy("p").parquet(tmp2)
+    intercept[IllegalArgumentException] {
+      Storage.swapPartitionDirs(fs, tmp2, dst, Seq("p=1"))
+    }
+    Storage.deleteRecursively(new java.io.File(d))
+  }
+
+  // r16 (ADVICE r15): commit markers must not share inodes with the clone
+  // source — Hadoop's commit protocol re-creates them in place, which
+  // would write THROUGH a hard link into the memoized table.
+  test("cloneWithHardLinks links data files but byte-copies _SUCCESS and " +
+      ".crc markers") {
+    val src = java.nio.file.Files.createTempDirectory("graft-clone-src")
+    def write(name: String, bytes: String): java.io.File = {
+      val f = new java.io.File(src.toFile, name)
+      java.nio.file.Files.write(f.toPath, bytes.getBytes)
+      f
+    }
+    write("part-0001.parquet", "data")
+    write("_SUCCESS", "")
+    write(".part-0001.parquet.crc", "crc")
+    val dst = new java.io.File(src.toFile.getParentFile,
+      src.toFile.getName + "-clone")
+    Storage.cloneWithHardLinks(src.toFile, dst)
+    def ino(f: java.io.File): Any =
+      java.nio.file.Files.getAttribute(f.toPath, "unix:ino")
+    assert(ino(new java.io.File(dst, "part-0001.parquet")) ==
+      ino(new java.io.File(src.toFile, "part-0001.parquet")),
+      "data files should be hard links (same inode)")
+    for (m <- Seq("_SUCCESS", ".part-0001.parquet.crc")) {
+      assert(ino(new java.io.File(dst, m)) != ino(new java.io.File(src.toFile, m)),
+        s"marker $m must be a byte copy, not a link")
+    }
+    Storage.deleteRecursively(src.toFile)
+    Storage.deleteRecursively(dst)
+  }
 }
